@@ -1,0 +1,29 @@
+"""xgboost_spark — a PySpark-native gradient-boosted-tree analytics engine.
+
+Re-expresses the capabilities of dmlc/xgboost (reference snapshot at
+/root/reference, Apache-2) on top of the public Apache Spark DataFrame /
+SQL / pandas-UDF APIs.  Nothing here is a port of the reference's C++
+execution engine: the logical computations (quantile sketch, quantized
+histograms, split enumeration, boosting, objectives, metrics, prediction)
+are re-derived as Spark queries so that Catalyst/Tungsten pick the
+physical execution strategy.
+
+Layout
+------
+- ``operators/`` : the engine's building-block DataFrame operators
+  (sketch, binning, gradient histograms, split search, dedup,
+  similarity search, text analysis, multimodal plumbing).
+- ``functions/`` : objective (gradient) and metric function libraries,
+  available both as NumPy kernels (used inside Arrow-batched UDFs) and
+  as Spark column expressions where exactly expressible.
+- ``plans/``     : driver-side orchestration — the boosting loop,
+  prediction, the ``pyspark.ml`` Estimator/Model API, model artifacts.
+- ``sources/``   : dataset loading & feature-matrix assembly conventions.
+- ``streaming/`` : Structured Streaming scoring & stateful aggregation.
+- ``local/``     : a single-node vectorized NumPy booster used as the
+  correctness oracle in tests and as the performance baseline proxy.
+"""
+
+__version__ = "0.1.0"
+
+from xgboost_spark.config import TrainParams  # noqa: F401

@@ -1,0 +1,87 @@
+"""Training parameters.
+
+Names and defaults follow the reference's public parameter surface
+(xgboost `TrainParam`, reference `src/tree/param.h:30-140`, and the
+learner/booster params in `doc/parameter.rst`).  Only the subset with a
+Spark-side implementation is listed; unknown names raise early.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class TrainParams:
+    # booster / learner
+    objective: str = "reg:squarederror"
+    num_boost_round: int = 10
+    eta: float = 0.3                    # learning_rate
+    base_score: float | None = None     # None => fit from data (fit_stump)
+    num_class: int = 0                  # >1 for multi:* objectives
+    seed: int = 0
+
+    # tree growth (reference src/tree/param.h)
+    max_depth: int = 6
+    max_leaves: int = 0                 # 0 = unlimited (depthwise)
+    grow_policy: str = "depthwise"      # or "lossguide"
+    min_child_weight: float = 1.0
+    reg_lambda: float = 1.0             # L2  (xgboost "lambda")
+    reg_alpha: float = 0.0              # L1  (xgboost "alpha")
+    gamma: float = 0.0                  # min_split_loss
+    max_delta_step: float = 0.0
+    subsample: float = 1.0
+    colsample_bytree: float = 1.0
+    colsample_bylevel: float = 1.0
+    colsample_bynode: float = 1.0
+    monotone_constraints: dict[str, int] | None = None
+    interaction_constraints: list[list[str]] | None = None
+    num_parallel_tree: int = 1          # >1 = random-forest rounds
+
+    # quantization (reference max_bin default 256, src/tree/param.h:97)
+    max_bin: int = 256
+
+    # objective-specific
+    tweedie_variance_power: float = 1.5
+    quantile_alpha: tuple[float, ...] = (0.5,)
+    huber_slope: float = 1.0
+    aft_loss_distribution: str = "normal"
+    aft_loss_distribution_scale: float = 1.0
+    scale_pos_weight: float = 1.0
+    # ranking (reference src/common/ranking_utils.h:64-90)
+    lambdarank_num_pair_per_sample: int = 1
+    lambdarank_pair_method: str = "topk"
+    ndcg_exp_gain: bool = True
+
+    # early stopping / evals
+    early_stopping_rounds: int | None = None
+    eval_metric: list[str] = field(default_factory=list)
+
+    ALIASES = {
+        "learning_rate": "eta",
+        "lambda": "reg_lambda",
+        "alpha": "reg_alpha",
+        "min_split_loss": "gamma",
+        "n_estimators": "num_boost_round",
+        "random_state": "seed",
+    }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainParams":
+        known = {f.name for f in fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            k = cls.ALIASES.get(k, k)
+            if k not in known:
+                raise ValueError(f"unknown parameter: {k!r}")
+            kw[k] = v
+        return cls(**kw)
+
+    @property
+    def is_multiclass(self) -> bool:
+        return self.objective.startswith("multi:")
+
+    @property
+    def n_groups(self) -> int:
+        """Number of output groups (trees per boosting round per forest)."""
+        return self.num_class if self.is_multiclass and self.num_class > 1 else 1

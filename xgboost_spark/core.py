@@ -1,0 +1,511 @@
+"""Core numeric kernels: tree structure, gain/weight math, split search,
+vectorized traversal.  Pure NumPy — no Spark imports — so the same code
+runs on the driver (split search over aggregated histograms), inside
+Arrow-batched UDFs (traversal), and in the local baseline booster.
+
+Math follows the reference's public formulas
+(`src/tree/param.h:233-283`):
+    w*(G,H)   = -ThresholdL1(G, alpha) / (H + lambda)      (CalcWeight)
+    gain(G,H) = -(2*G*w + (H+lambda)*w^2)                  (CalcGainGivenWeight)
+which reduces to G^2/(H+lambda) without L1/clipping.
+Split enumeration mirrors `EnumerateSplit`
+(`src/tree/hist/evaluate_splits.h:205-330`): forward and backward prefix
+scans so the missing-value bucket is tried on both sides, learning the
+node's default direction (`tree_model.h:115 DefaultLeft()`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MISSING_BIN = -1  # bin code for missing values in the quantized matrix
+
+
+# ---------------------------------------------------------------------------
+# gain / weight kernels
+# ---------------------------------------------------------------------------
+
+def threshold_l1(g: np.ndarray, alpha: float) -> np.ndarray:
+    if alpha == 0.0:
+        return g
+    return np.sign(g) * np.maximum(np.abs(g) - alpha, 0.0)
+
+
+def calc_weight(G, H, reg_lambda: float, reg_alpha: float = 0.0, max_delta_step: float = 0.0):
+    w = -threshold_l1(np.asarray(G, dtype=np.float64), reg_alpha) / (np.asarray(H, dtype=np.float64) + reg_lambda)
+    if max_delta_step > 0.0:
+        w = np.clip(w, -max_delta_step, max_delta_step)
+    return w
+
+
+def calc_gain(G, H, reg_lambda: float, reg_alpha: float = 0.0, max_delta_step: float = 0.0):
+    G = np.asarray(G, dtype=np.float64)
+    H = np.asarray(H, dtype=np.float64)
+    w = calc_weight(G, H, reg_lambda, reg_alpha, max_delta_step)
+    return -(2.0 * G * w + (H + reg_lambda) * w * w)
+
+
+# ---------------------------------------------------------------------------
+# tree model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Tree:
+    """Array-of-nodes binary tree (reference `RegTree`,
+    `include/xgboost/tree_model.h:80`): node = split feature + threshold +
+    default-left bit + children; per-node stats loss_chg/sum_hess/weight
+    (`tree_model.h:56-68`).  ``split_bin`` is the quantized threshold used
+    during training; ``split_value`` the raw-domain threshold used for
+    serving (upper bound of the bin, test ``x <= split_value`` -> left).
+    """
+
+    feature: list[int] = field(default_factory=lambda: [-1])
+    split_bin: list[int] = field(default_factory=lambda: [-1])
+    split_value: list[float] = field(default_factory=lambda: [0.0])
+    default_left: list[bool] = field(default_factory=lambda: [True])
+    left: list[int] = field(default_factory=lambda: [-1])
+    right: list[int] = field(default_factory=lambda: [-1])
+    parent: list[int] = field(default_factory=lambda: [-1])
+    leaf_value: list[float] = field(default_factory=lambda: [0.0])
+    gain: list[float] = field(default_factory=lambda: [0.0])
+    sum_grad: list[float] = field(default_factory=lambda: [0.0])
+    sum_hess: list[float] = field(default_factory=lambda: [0.0])
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.feature)
+
+    def is_leaf(self, nid: int) -> bool:
+        return self.left[nid] == -1
+
+    def expand(self, nid: int, fidx: int, split_bin: int, split_value: float,
+               default_left: bool, gain: float,
+               g_l: float, h_l: float, g_r: float, h_r: float) -> tuple[int, int]:
+        """ExpandNode (reference `tree_model.h:290` area)."""
+        lid, rid = self.n_nodes, self.n_nodes + 1
+        for arr, lval, rval in (
+            (self.feature, -1, -1), (self.split_bin, -1, -1), (self.split_value, 0.0, 0.0),
+            (self.default_left, True, True), (self.left, -1, -1), (self.right, -1, -1),
+            (self.parent, nid, nid), (self.leaf_value, 0.0, 0.0), (self.gain, 0.0, 0.0),
+            (self.sum_grad, g_l, g_r), (self.sum_hess, h_l, h_r),
+        ):
+            arr.append(lval)
+            arr.append(rval)
+        self.feature[nid] = fidx
+        self.split_bin[nid] = split_bin
+        self.split_value[nid] = split_value
+        self.default_left[nid] = default_left
+        self.left[nid] = lid
+        self.right[nid] = rid
+        self.gain[nid] = gain
+        return lid, rid
+
+    def finalize_arrays(self) -> dict[str, np.ndarray]:
+        """Dense numpy views for vectorized traversal."""
+        return {
+            "feature": np.asarray(self.feature, dtype=np.int32),
+            "split_bin": np.asarray(self.split_bin, dtype=np.int32),
+            "split_value": np.asarray(self.split_value, dtype=np.float64),
+            "default_left": np.asarray(self.default_left, dtype=bool),
+            "left": np.asarray(self.left, dtype=np.int32),
+            "right": np.asarray(self.right, dtype=np.int32),
+            "leaf_value": np.asarray(self.leaf_value, dtype=np.float64),
+        }
+
+
+def tree_leaf_ids(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
+    """Vectorized traversal -> leaf node id per row.
+
+    ``binned``: X is int bins (MISSING_BIN = missing), compare on split_bin;
+    else X is raw float64 (NaN = missing), compare on split_value.
+    Equivalent to the reference's `GetLeafIndex` loop
+    (`src/predictor/cpu_predictor.cc:64-145`) but block-vectorized.
+    """
+    a = tree.finalize_arrays()
+    n = X.shape[0]
+    node = np.zeros(n, dtype=np.int32)
+    active = a["left"][node] != -1
+    while active.any():
+        idx = np.nonzero(active)[0]
+        nd = node[idx]
+        f = a["feature"][nd]
+        x = X[idx, f]
+        if binned:
+            miss = x == MISSING_BIN
+            go_left = np.where(miss, a["default_left"][nd], x <= a["split_bin"][nd])
+        else:
+            miss = np.isnan(x)
+            go_left = np.where(miss, a["default_left"][nd], x <= a["split_value"][nd])
+        node[idx] = np.where(go_left, a["left"][nd], a["right"][nd])
+        active = a["left"][node] != -1
+    return node
+
+
+def tree_predict(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
+    a = tree.finalize_arrays()
+    return a["leaf_value"][tree_leaf_ids(tree, X, binned)]
+
+
+# ---------------------------------------------------------------------------
+# split search over aggregated histograms
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SplitResult:
+    nid: int
+    gain: float
+    fidx: int
+    split_bin: int
+    default_left: bool
+    g_left: float
+    h_left: float
+    g_right: float
+    h_right: float
+
+
+def split_search(
+    hist_g: np.ndarray,          # (n_nodes, n_feat, n_bins+1) — last slot = missing
+    hist_h: np.ndarray,
+    reg_lambda: float = 1.0,
+    reg_alpha: float = 0.0,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    max_delta_step: float = 0.0,
+    feature_mask: np.ndarray | None = None,   # bool (n_feat,) — colsample
+    monotone: np.ndarray | None = None,       # int8 (n_feat,) in {-1,0,+1}
+) -> list[SplitResult | None]:
+    """Best split per node from node histograms.
+
+    Vectorized EnumerateSplit over all (node, feature, bin, direction):
+    forward scan = missing goes right, backward scan = missing goes left
+    (reference `evaluate_splits.h:205-330`, both directions `:323-325`).
+    Returns None for a node when no split beats ``gamma``.
+    """
+    N, F, Bp1 = hist_g.shape
+    B = Bp1 - 1
+    if B < 2:
+        return [None] * N
+    g_miss = hist_g[:, :, B]
+    h_miss = hist_h[:, :, B]
+    g_tot = hist_g.sum(axis=2)                      # (N, F) — same value each feature
+    h_tot = hist_h.sum(axis=2)
+
+    # candidate split after bin b (left = bins 0..b), b in 0..B-2
+    gl_fwd = np.cumsum(hist_g[:, :, :B], axis=2)[:, :, : B - 1]
+    hl_fwd = np.cumsum(hist_h[:, :, :B], axis=2)[:, :, : B - 1]
+    gl_bwd = gl_fwd + g_miss[:, :, None]
+    hl_bwd = hl_fwd + h_miss[:, :, None]
+
+    parent_gain = calc_gain(g_tot, h_tot, reg_lambda, reg_alpha, max_delta_step)  # (N,F)
+
+    results: list[SplitResult | None] = []
+    best_gain = np.full(N, -np.inf)
+    best = [None] * N
+
+    for direction, (gl, hl) in enumerate(((gl_fwd, hl_fwd), (gl_bwd, hl_bwd))):
+        gr = g_tot[:, :, None] - gl
+        hr = h_tot[:, :, None] - hl
+        gain = (
+            calc_gain(gl, hl, reg_lambda, reg_alpha, max_delta_step)
+            + calc_gain(gr, hr, reg_lambda, reg_alpha, max_delta_step)
+            - parent_gain[:, :, None]
+        )
+        invalid = (hl < min_child_weight) | (hr < min_child_weight)
+        if monotone is not None and monotone.any():
+            wl = calc_weight(gl, hl, reg_lambda, reg_alpha, max_delta_step)
+            wr = calc_weight(gr, hr, reg_lambda, reg_alpha, max_delta_step)
+            mono = monotone[None, :, None]
+            invalid |= (mono > 0) & (wl >= wr)
+            invalid |= (mono < 0) & (wl <= wr)
+        if feature_mask is not None:
+            if feature_mask.ndim == 1:
+                invalid |= ~feature_mask[None, :, None]
+            else:  # per-node mask (colsample_bynode)
+                invalid |= ~feature_mask[:, :, None]
+        gain = np.where(invalid, -np.inf, gain)
+        flat = gain.reshape(N, -1)
+        idx = np.argmax(flat, axis=1)
+        val = flat[np.arange(N), idx]
+        for nid in range(N):
+            # strict '>' (plus epsilon on the backward pass) keeps the
+            # forward/missing-right split on ties — stable direction choice
+            if val[nid] > best_gain[nid] + (0.0 if direction == 0 else 1e-12):
+                f, b = divmod(int(idx[nid]), B - 1)
+                best_gain[nid] = val[nid]
+                best[nid] = SplitResult(
+                    nid=nid, gain=float(val[nid]), fidx=f, split_bin=b,
+                    default_left=(direction == 1),
+                    g_left=float(gl[nid, f, b]), h_left=float(hl[nid, f, b]),
+                    g_right=float(g_tot[nid, f] - gl[nid, f, b]),
+                    h_right=float(h_tot[nid, f] - hl[nid, f, b]),
+                )
+    for nid in range(N):
+        r = best[nid]
+        if r is None or r.gain <= gamma or not np.isfinite(r.gain):
+            results.append(None)
+        else:
+            results.append(r)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# quantile cuts + quantization (numpy reference forms)
+# ---------------------------------------------------------------------------
+
+def make_cuts(x: np.ndarray, max_bin: int, weights: np.ndarray | None = None) -> np.ndarray:
+    """Per-feature cut points; cuts[i] is the inclusive upper bound of bin i.
+    Last cut covers the max (reference bumps the final boundary,
+    `src/common/hist_util.cc` SketchOnDMatrix semantics).
+    Weighted path = the approx updater's hessian-weighted re-sketch
+    (`src/tree/updater_approx.cc:95-130`).
+    """
+    v = x[~np.isnan(x)]
+    if v.size == 0:
+        return np.asarray([np.inf])
+    if weights is None:
+        qs = np.quantile(v, np.linspace(0, 1, max_bin + 1)[1:])
+    else:
+        w = weights[~np.isnan(x)]
+        order = np.argsort(v, kind="stable")
+        v_s, w_s = v[order], w[order]
+        cw = np.cumsum(w_s)
+        total = cw[-1]
+        targets = np.linspace(0, 1, max_bin + 1)[1:] * total
+        idx = np.searchsorted(cw, targets, side="left").clip(0, len(v_s) - 1)
+        qs = v_s[idx]
+    cuts = np.unique(qs)
+    cuts[-1] = np.nextafter(max(cuts[-1], v.max()), np.inf)
+    return cuts
+
+
+# ---------------------------------------------------------------------------
+# tree growth driver (engine-agnostic)
+# ---------------------------------------------------------------------------
+
+class HistBuilder:
+    """Interface the grower uses to obtain node histograms.
+
+    ``build(tree, nids)`` returns ``(hist_g, hist_h)`` of shape
+    ``(len(nids), n_features, n_bins+1)`` — last slot is the missing
+    bucket — aggregated over the rows currently routed to each node by
+    ``tree``.  The Spark implementation runs one job per call (all nodes
+    of a level batched, mirroring the reference's contiguous node batch +
+    single allreduce, `src/tree/hist/histogram.h:109,188`); the local
+    implementation uses np.bincount.
+    """
+
+    n_features: int
+    n_bins: int
+
+    def build(self, tree: Tree, nids: list[int]):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def split_value(self, fidx: int, split_bin: int) -> float:  # pragma: no cover
+        """Raw-domain threshold for a quantized split (= cuts[fidx][bin])."""
+        raise NotImplementedError
+
+
+def _rng_mask(rng: np.random.Generator, n: int, rate: float) -> np.ndarray:
+    if rate >= 1.0:
+        return np.ones(n, dtype=bool)
+    mask = rng.random(n) < rate
+    if not mask.any():
+        mask[rng.integers(0, n)] = True
+    return mask
+
+
+def grow_tree(
+    builder: HistBuilder,
+    params,
+    root_g: float,
+    root_h: float,
+    rng: np.random.Generator,
+    feature_mask_tree: np.ndarray | None = None,
+    monotone: np.ndarray | None = None,
+) -> Tree:
+    """Grow one tree.  Depthwise (`grow_policy=depthwise`) expands level by
+    level with ONE histogram build per level; lossguide expands the
+    highest-loss-change leaf first up to ``max_leaves`` (reference driver,
+    `src/tree/driver.h:17-91`).  Sibling histograms use the subtraction
+    trick: only the smaller child is aggregated, the other is derived
+    (reference `src/tree/hist/histogram.h:386-425`).
+    """
+    F = builder.n_features
+    tree = Tree()
+    tree.sum_grad[0], tree.sum_hess[0] = root_g, root_h
+    kw = dict(
+        reg_lambda=params.reg_lambda, reg_alpha=params.reg_alpha, gamma=params.gamma,
+        min_child_weight=params.min_child_weight, max_delta_step=params.max_delta_step,
+        monotone=monotone,
+    )
+    if feature_mask_tree is None:
+        feature_mask_tree = np.ones(F, dtype=bool)
+
+    hist_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def level_mask() -> np.ndarray:
+        m = feature_mask_tree.copy()
+        if params.colsample_bylevel < 1.0:
+            sub = _rng_mask(rng, int(m.sum()), params.colsample_bylevel)
+            idx = np.nonzero(m)[0]
+            m = np.zeros_like(m)
+            m[idx[sub]] = True
+        return m
+
+    def node_mask(base: np.ndarray) -> np.ndarray:
+        if params.colsample_bynode >= 1.0:
+            return base
+        sub = _rng_mask(rng, int(base.sum()), params.colsample_bynode)
+        idx = np.nonzero(base)[0]
+        m = np.zeros_like(base)
+        m[idx[sub]] = True
+        return m
+
+    def hists_for(nids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Fetch hists for nids, using parent-sibling subtraction."""
+        need_build, derive = [], []
+        for nid in nids:
+            parent = tree.parent[nid]
+            sib = tree.right[parent] if tree.left[parent] == nid else tree.left[parent]
+            if parent in hist_cache and sib in hist_cache:
+                derive.append((nid, parent, sib))
+            else:
+                need_build.append(nid)
+        # prefer building the smaller sibling of each pair
+        build_set = set(need_build)
+        final_build = []
+        for nid in need_build:
+            parent = tree.parent[nid]
+            sib = tree.right[parent] if tree.left[parent] == nid else tree.left[parent]
+            if (
+                sib in build_set and parent in hist_cache
+                and tree.sum_hess[nid] > tree.sum_hess[sib]
+            ):
+                derive.append((nid, parent, sib))
+            else:
+                final_build.append(nid)
+        if final_build:
+            hg, hh = builder.build(tree, final_build)
+            for i, nid in enumerate(final_build):
+                hist_cache[nid] = (hg[i], hh[i])
+        # derive the rest (SubtractionHist, hist_util.h:404); sibling may be
+        # derived in this same batch, so resolve iteratively
+        pending = list(derive)
+        while pending:
+            progressed = False
+            rest = []
+            for nid, parent, sib in pending:
+                if sib in hist_cache:
+                    pg, ph = hist_cache[parent]
+                    sg, sh = hist_cache[sib]
+                    hist_cache[nid] = (pg - sg, ph - sh)
+                    progressed = True
+                else:
+                    rest.append((nid, parent, sib))
+            pending = rest
+            if not progressed and pending:
+                nids2 = [t[0] for t in pending]
+                hg, hh = builder.build(tree, nids2)
+                for i, nid in enumerate(nids2):
+                    hist_cache[nid] = (hg[i], hh[i])
+                pending = []
+        g = np.stack([hist_cache[n][0] for n in nids])
+        h = np.stack([hist_cache[n][1] for n in nids])
+        return g, h
+
+    def commit_leaf(nid: int):
+        tree.leaf_value[nid] = params.eta * float(
+            calc_weight(tree.sum_grad[nid], tree.sum_hess[nid],
+                        params.reg_lambda, params.reg_alpha, params.max_delta_step)
+        )
+
+    def depth_of(nid: int) -> int:
+        d = 0
+        while tree.parent[nid] != -1:
+            nid = tree.parent[nid]
+            d += 1
+        return d
+
+    max_depth = params.max_depth if params.max_depth > 0 else 1_000
+    if params.grow_policy == "lossguide" and params.max_leaves > 0:
+        # lossguide: expand best loss_chg first (driver.h lossguide order)
+        hg, hh = builder.build(tree, [0])
+        hist_cache[0] = (hg[0], hh[0])
+        candidates: list[tuple[float, int, SplitResult]] = []
+        res = split_search(hg, hh, feature_mask=node_mask(level_mask()), **kw)[0]
+        if res is not None:
+            candidates.append((-res.gain, 0, res))
+        n_leaves = 1
+        counter = 0
+        while candidates and n_leaves < params.max_leaves:
+            candidates.sort()
+            _, nid, res = candidates.pop(0)
+            if depth_of(nid) >= max_depth:
+                commit_leaf(nid)
+                continue
+            f = res.fidx
+            lid, rid = tree.expand(
+                nid, f, res.split_bin, builder.split_value(f, res.split_bin),
+                res.default_left, res.gain,
+                res.g_left, res.h_left, res.g_right, res.h_right,
+            )
+            n_leaves += 1
+            counter += 1
+            hg, hh = hists_for([lid, rid])
+            for child, hgi, hhi in ((lid, hg[0], hh[0]), (rid, hg[1], hh[1])):
+                r = split_search(hgi[None], hhi[None], feature_mask=node_mask(level_mask()), **kw)[0]
+                if r is not None and depth_of(child) < max_depth:
+                    r = SplitResult(**{**r.__dict__})
+                    candidates.append((-r.gain, child, r))
+                else:
+                    commit_leaf(child)
+        for _, nid, _r in candidates:
+            commit_leaf(nid)
+    else:
+        # depthwise: one histogram batch per level
+        active = [0]
+        for depth in range(max_depth):
+            if not active:
+                break
+            if depth == 0:
+                hg, hh = builder.build(tree, [0])
+                hist_cache[0] = (hg[0], hh[0])
+            else:
+                hg, hh = hists_for(active)
+            fmask = level_mask()
+            if params.colsample_bynode < 1.0:
+                masks = np.stack([node_mask(fmask) for _ in active])
+                results = split_search(hg, hh, feature_mask=masks, **kw)
+            else:
+                results = split_search(hg, hh, feature_mask=fmask, **kw)
+            nxt = []
+            for nid, res in zip(active, results):
+                if res is None:
+                    commit_leaf(nid)
+                    continue
+                f = res.fidx
+                lid, rid = tree.expand(
+                    nid, f, res.split_bin, builder.split_value(f, res.split_bin),
+                    res.default_left, res.gain,
+                    res.g_left, res.h_left, res.g_right, res.h_right,
+                )
+                nxt.extend((lid, rid))
+            # free parent hists no longer needed
+            for nid in active:
+                if tree.is_leaf(nid):
+                    hist_cache.pop(nid, None)
+            active = nxt
+        for nid in active:
+            commit_leaf(nid)
+    return tree
+
+
+def bin_values(x: np.ndarray, cuts: np.ndarray) -> np.ndarray:
+    """value -> bin index: first cut >= x (bin covers (prev_cut, cut]).
+    NaN -> MISSING_BIN.  Mirrors `SearchBin` (`src/common/hist_util.h:122`).
+    """
+    b = np.searchsorted(cuts, x, side="left")
+    b = np.minimum(b, len(cuts) - 1)
+    return np.where(np.isnan(x), MISSING_BIN, b).astype(np.int16)

@@ -1,0 +1,169 @@
+"""Single-node vectorized NumPy hist-GBDT.
+
+Purpose: (a) correctness oracle for the distributed trainer — both use
+the same `core.py` split-search/growth code, so any disagreement
+isolates the distributed histogram/margin plumbing; (b) measured
+performance BASELINE proxy (pip xgboost is not installed in this image;
+reference algorithm: `src/tree/updater_quantile_hist.cc:662`).
+
+Semantics follow the reference `tree_method=hist` pipeline: global
+quantile cuts -> quantized matrix -> per-level {histogram, split
+search, partition} -> leaf weights scaled by eta.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.functions.objectives import get_objective
+
+
+class _NumpyHistBuilder(core.HistBuilder):
+    def __init__(self, Xb: np.ndarray, cuts: list[np.ndarray], n_bins: int):
+        self.Xb = Xb                       # (n, F) int16, MISSING_BIN = missing
+        self.cuts = cuts
+        self.n_features = Xb.shape[1]
+        self.n_bins = n_bins
+        self.g = None
+        self.h = None
+
+    def set_grad(self, g: np.ndarray, h: np.ndarray):
+        self.g, self.h = g, h
+
+    def split_value(self, fidx: int, split_bin: int) -> float:
+        return float(self.cuts[fidx][split_bin])
+
+    def build(self, tree: core.Tree, nids: list[int]):
+        node_of_row = core.tree_leaf_ids(tree, self.Xb, binned=True)
+        B = self.n_bins
+        F = self.n_features
+        hg = np.zeros((len(nids), F, B + 1))
+        hh = np.zeros((len(nids), F, B + 1))
+        for i, nid in enumerate(nids):
+            rows = node_of_row == nid
+            if not rows.any():
+                continue
+            Xn = self.Xb[rows]
+            gn, hn = self.g[rows], self.h[rows]
+            for f in range(F):
+                b = Xn[:, f].astype(np.int64)
+                b = np.where(b == core.MISSING_BIN, B, b)
+                hg[i, f] = np.bincount(b, weights=gn, minlength=B + 1)[: B + 1]
+                hh[i, f] = np.bincount(b, weights=hn, minlength=B + 1)[: B + 1]
+        return hg, hh
+
+
+class LocalBooster:
+    def __init__(self, params: TrainParams):
+        self.params = params
+        self.obj = get_objective(params.objective, params)
+        self.trees: list[list[core.Tree]] = []   # [round][group]
+        self.base_score: float = 0.0
+        self.cuts: list[np.ndarray] = []
+
+    # -- data prep ----------------------------------------------------------
+    def quantize(self, X: np.ndarray, weights: np.ndarray | None = None):
+        self.cuts = [core.make_cuts(X[:, f], self.params.max_bin, weights) for f in range(X.shape[1])]
+        return self.bin(X)
+
+    def bin(self, X: np.ndarray) -> np.ndarray:
+        Xb = np.empty(X.shape, dtype=np.int16)
+        for f in range(X.shape[1]):
+            Xb[:, f] = core.bin_values(X[:, f], self.cuts[f])
+        return Xb
+
+    # -- training -----------------------------------------------------------
+    def fit(self, X: np.ndarray, y: np.ndarray, sample_weight: np.ndarray | None = None,
+            qid: np.ndarray | None = None) -> "LocalBooster":
+        p = self.params
+        K = p.n_groups
+        Xb = self.quantize(X)
+        n = len(y)
+        n_bins = max(len(c) for c in self.cuts)
+        builder = _NumpyHistBuilder(Xb, self.cuts, n_bins)
+        self.base_score = (
+            p.base_score if p.base_score is not None else self.obj.base_score(y, sample_weight)
+        )
+        margin = np.full((n, K) if K > 1 else n, self.base_score, dtype=np.float64)
+        rng = np.random.default_rng(p.seed)
+        for it in range(p.num_boost_round):
+            if self.obj.needs_qid and qid is not None:
+                g = np.zeros(n)
+                h = np.zeros(n)
+                for q in np.unique(qid):
+                    m = qid == q
+                    gq, hq = self.obj.grad_hess_group(
+                        y[m], margin[m], None if sample_weight is None else sample_weight[m],
+                        seed=p.seed + it,
+                    )
+                    g[m], h[m] = gq, hq
+            else:
+                g, h = self.obj.grad_hess(y, margin, sample_weight)
+            if p.subsample < 1.0:
+                keep = np.random.default_rng(p.seed * 1_000_003 + it).random(n) < p.subsample
+                if K > 1:
+                    g = g * keep[:, None]
+                    h = h * keep[:, None]
+                else:
+                    g = g * keep
+                    h = h * keep
+            round_trees = []
+            fmask = None
+            if p.colsample_bytree < 1.0:
+                fmask = core._rng_mask(rng, X.shape[1], p.colsample_bytree)
+            for k in range(K):
+                gk = g[:, k] if K > 1 else g
+                hk = h[:, k] if K > 1 else h
+                builder.set_grad(gk, hk)
+                tree = core.grow_tree(
+                    builder, p, float(gk.sum()), float(hk.sum()), rng,
+                    feature_mask_tree=fmask,
+                )
+                if self.obj.adaptive_alpha is not None:
+                    self._adaptive_leaves(tree, Xb, y, margin if K == 1 else margin[:, k])
+                delta = core.tree_predict(tree, Xb, binned=True)
+                if K > 1:
+                    margin[:, k] += delta
+                else:
+                    margin += delta
+                round_trees.append(tree)
+            self.trees.append(round_trees)
+        return self
+
+    def _adaptive_leaves(self, tree: core.Tree, Xb, y, margin):
+        """UpdateTreeLeaf for adaptive objectives (reference
+        regression_obj.cu:745-753): leaf <- eta * quantile(residual)."""
+        alpha = self.obj.adaptive_alpha
+        leaf_of_row = core.tree_leaf_ids(tree, Xb, binned=True)
+        for nid in range(tree.n_nodes):
+            if tree.is_leaf(nid):
+                rows = leaf_of_row == nid
+                if rows.any():
+                    resid = y[rows] - margin[rows]
+                    tree.leaf_value[nid] = self.params.eta * float(np.quantile(resid, alpha))
+
+    # -- inference ----------------------------------------------------------
+    def predict_margin(self, X: np.ndarray) -> np.ndarray:
+        K = self.params.n_groups
+        n = X.shape[0]
+        margin = np.full((n, K) if K > 1 else n, self.base_score, dtype=np.float64)
+        for round_trees in self.trees:
+            for k, tree in enumerate(round_trees):
+                d = core.tree_predict(tree, X, binned=False)
+                if K > 1:
+                    margin[:, k] += d
+                else:
+                    margin += d
+        return margin
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.obj.pred_transform(self.predict_margin(X))
+
+    def predict_leaf(self, X: np.ndarray) -> np.ndarray:
+        out = []
+        for round_trees in self.trees:
+            for tree in round_trees:
+                out.append(core.tree_leaf_ids(tree, X, binned=False))
+        return np.stack(out, axis=1)

@@ -1,0 +1,97 @@
+"""Dataset loading and feature-matrix assembly.
+
+The reference ingests data through adapters into a `DMatrix`
+(reference `include/xgboost/data.h:549`, `src/data/adapter.h`).  On
+Spark the DataFrame *is* the DMatrix: features live in ordinary columns
+(or one array column), and the `MetaInfo` side-channels
+(label/weight/base_margin/qid — reference `include/xgboost/data.h:65`)
+are just more columns on the same DataFrame.  Parquet/CSV/libsvm readers
+replace the dmlc text parsers (`src/data/data.cc:934-952`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_libsvm(spark: SparkSession, path: str, num_features: int | None = None) -> DataFrame:
+    """libsvm text source (reference URI loading `src/data/data.cc:934-952`)."""
+    reader = spark.read.format("libsvm")
+    if num_features:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
+def assemble_features(
+    df: DataFrame,
+    feature_cols: list[str] | None = None,
+    array_col: str | None = None,
+    label_col: str | None = None,
+    weight_col: str | None = None,
+    base_margin_col: str | None = None,
+    qid_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Normalize input into the engine's matrix convention.
+
+    Returns (df, feature_names) where df has one DoubleType column per
+    feature named ``f0..f{k-1}`` plus optional ``label``, ``weight``,
+    ``base_margin``, ``qid`` columns.  An ``array<float/double>`` column
+    (e.g. embeddings) is unpacked into scalar columns — element access is
+    a Catalyst expression, so this stays JVM-side and columnar.
+    """
+    cols = []
+    names: list[str] = []
+    if array_col is not None:
+        n = len(df.select(array_col).first()[0])
+        for i in range(n):
+            names.append(f"f{i}")
+            cols.append(F.element_at(F.col(array_col), i + 1).cast("double").alias(f"f{i}"))
+    if feature_cols:
+        for i, c in enumerate(feature_cols, start=len(names)):
+            names.append(f"f{i}")
+            cols.append(F.col(c).cast("double").alias(f"f{i}"))
+    if not names:
+        raise ValueError("no features given")
+    if label_col:
+        cols.append(F.col(label_col).cast("double").alias("label"))
+    if weight_col:
+        cols.append(F.col(weight_col).cast("double").alias("weight"))
+    if base_margin_col:
+        cols.append(F.col(base_margin_col).cast("double").alias("base_margin"))
+    if qid_col:
+        cols.append(F.col(qid_col).cast("long").alias("qid"))
+    return df.select(*cols), names
+
+
+def lineitem_matrix(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]:
+    """Canonical regression matrix: numeric lineitem cols → y=l_extendedprice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return assemble_features(
+        li,
+        feature_cols=[
+            "l_quantity", "l_discount", "l_tax", "l_partkey",
+            "l_suppkey", "l_linenumber", "l_orderkey",
+        ],
+        label_col="l_extendedprice",
+    )
+
+
+def embeddings_matrix(spark: SparkSession, sf_dir: str, binary: bool = False) -> tuple[DataFrame, list[str]]:
+    """Embeddings matrix: 64 dense features; label int 0..9 (or binarized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if binary:
+        emb = emb.withColumn("label", (F.col("label") % 2).cast("int"))
+    return assemble_features(emb, array_col="embedding", label_col="label")
