@@ -115,15 +115,15 @@ class Tree:
         }
 
 
-def tree_leaf_ids(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
-    """Vectorized traversal -> leaf node id per row.
+def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) -> np.ndarray:
+    """Vectorized traversal -> leaf node id per row, from plain arrays
+    (broadcast-friendly: executors receive the dict, not a Tree object).
 
     ``binned``: X is int bins (MISSING_BIN = missing), compare on split_bin;
     else X is raw float64 (NaN = missing), compare on split_value.
     Equivalent to the reference's `GetLeafIndex` loop
     (`src/predictor/cpu_predictor.cc:64-145`) but block-vectorized.
     """
-    a = tree.finalize_arrays()
     n = X.shape[0]
     node = np.zeros(n, dtype=np.int32)
     active = a["left"][node] != -1
@@ -143,9 +143,13 @@ def tree_leaf_ids(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
     return node
 
 
+def tree_leaf_ids(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
+    return leaf_ids_from_arrays(tree.finalize_arrays(), X, binned)
+
+
 def tree_predict(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
     a = tree.finalize_arrays()
-    return a["leaf_value"][tree_leaf_ids(tree, X, binned)]
+    return a["leaf_value"][leaf_ids_from_arrays(a, X, binned)]
 
 
 # ---------------------------------------------------------------------------
@@ -319,9 +323,9 @@ def _rng_mask(rng: np.random.Generator, n: int, rate: float) -> np.ndarray:
 def grow_tree(
     builder: HistBuilder,
     params,
-    root_g: float,
-    root_h: float,
     rng: np.random.Generator,
+    root_g: float | None = None,
+    root_h: float | None = None,
     feature_mask_tree: np.ndarray | None = None,
     monotone: np.ndarray | None = None,
 ) -> Tree:
@@ -334,7 +338,8 @@ def grow_tree(
     """
     F = builder.n_features
     tree = Tree()
-    tree.sum_grad[0], tree.sum_hess[0] = root_g, root_h
+    if root_g is not None:
+        tree.sum_grad[0], tree.sum_hess[0] = root_g, root_h
     kw = dict(
         reg_lambda=params.reg_lambda, reg_alpha=params.reg_alpha, gamma=params.gamma,
         min_child_weight=params.min_child_weight, max_delta_step=params.max_delta_step,
@@ -433,6 +438,8 @@ def grow_tree(
         # lossguide: expand best loss_chg first (driver.h lossguide order)
         hg, hh = builder.build(tree, [0])
         hist_cache[0] = (hg[0], hh[0])
+        if root_g is None:
+            tree.sum_grad[0], tree.sum_hess[0] = float(hg[0, 0].sum()), float(hh[0, 0].sum())
         candidates: list[tuple[float, int, SplitResult]] = []
         res = split_search(hg, hh, feature_mask=node_mask(level_mask()), **kw)[0]
         if res is not None:
@@ -472,6 +479,8 @@ def grow_tree(
             if depth == 0:
                 hg, hh = builder.build(tree, [0])
                 hist_cache[0] = (hg[0], hh[0])
+                if root_g is None:
+                    tree.sum_grad[0], tree.sum_hess[0] = float(hg[0, 0].sum()), float(hh[0, 0].sum())
             else:
                 hg, hh = hists_for(active)
             fmask = level_mask()

@@ -1,0 +1,205 @@
+"""Evaluation metrics as Spark aggregation queries.
+
+Reference interface `include/xgboost/metric.h:29`; kernels under
+`src/metric/` (elementwise_metric.cu, multiclass_metric.cu, auc.cc,
+rank_metric.cc).  Every metric is a distributed aggregation; the
+reference's allreduce (e.g. `src/metric/auc.cc:124-126`) is Spark's
+`agg` exchange.  All take margin columns (the model's raw output) and
+apply the objective's transform inside the expression, so one pass
+computes the metric without materializing predictions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPS = 1e-16
+
+
+def _sigmoid(c):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+
+def _softprob_cols(margin_cols: list[str]):
+    mx = F.greatest(*[F.col(c) for c in margin_cols])
+    exps = [F.exp(F.col(c) - mx) for c in margin_cols]
+    z = exps[0]
+    for e in exps[1:]:
+        z = z + e
+    return [e / z for e in exps]
+
+
+def _argmax_col(cols: list[str]):
+    """Index of the max margin column (first on ties)."""
+    expr = F.lit(0)
+    best = F.col(cols[0])
+    for i, c in enumerate(cols[1:], 1):
+        cond = F.col(c) > best
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+        best = F.when(cond, F.col(c)).otherwise(best)
+    return expr
+
+
+def compute_metric(df: DataFrame, metric: str, y: str = "y",
+                   margin_cols: list[str] | None = None,
+                   pred_kind: str = "margin",
+                   weight: str | None = None) -> float:
+    """Scalar metric over (label, margin).  ``metric`` follows reference
+    naming: rmse, rmsle, mae, mape, mphe, logloss, error[@t],
+    poisson-nloglik, gamma-nloglik, gamma-deviance, tweedie-nloglik@rho,
+    quantile@alpha, auc, merror, mlogloss.
+    """
+    margin_cols = margin_cols or ["m0"]
+    m = F.col(margin_cols[0])
+    yy = F.col(y)
+    w = F.col(weight) if weight else F.lit(1.0)
+
+    def wavg(expr):
+        r = df.agg((F.sum(expr * w) / F.sum(w)).alias("v")).first()
+        return float(r["v"])
+
+    name, _, arg = metric.partition("@")
+    if name == "rmse":
+        return math.sqrt(wavg((m - yy) ** 2))
+    if name == "rmsle":
+        return math.sqrt(wavg((F.log1p(m) - F.log1p(yy)) ** 2))
+    if name == "mae":
+        return wavg(F.abs(m - yy))
+    if name == "mape":
+        return wavg(F.abs((m - yy) / yy))
+    if name == "mphe":
+        slope = float(arg) if arg else 1.0
+        z = (m - yy) / slope
+        return wavg(slope ** 2 * (F.sqrt(1.0 + z ** 2) - 1.0))
+    if name == "logloss":
+        p = _sigmoid(m)
+        p = F.greatest(F.least(p, F.lit(1 - 1e-16)), F.lit(1e-16))
+        return wavg(-(yy * F.log(p) + (1 - yy) * F.log(1 - p)))
+    if name == "error":
+        t = float(arg) if arg else 0.5
+        # margin threshold equivalent: sigmoid(m) > t  <=>  m > logit(t)
+        thr = math.log(t / (1 - t)) if 0 < t < 1 else 0.0
+        pred = (m > thr).cast("double")
+        return wavg((pred != yy).cast("double"))
+    if name == "poisson-nloglik":
+        mu = F.exp(m)
+        return wavg(mu - yy * m + _lgamma(yy + 1.0))
+    if name == "gamma-nloglik":
+        # as reference: nloglik of gamma with psi=1
+        mu = F.exp(m)
+        return wavg(yy / mu + m)
+    if name == "gamma-deviance":
+        mu = F.exp(m)
+        return 2.0 * wavg(F.log(mu / yy) + yy / mu - 1.0)
+    if name == "tweedie-nloglik":
+        rho = float(arg) if arg else 1.5
+        return wavg(
+            -(yy * F.exp((1 - rho) * m) / (1 - rho) - F.exp((2 - rho) * m) / (2 - rho))
+        )
+    if name == "quantile":
+        alpha = float(arg) if arg else 0.5
+        d = yy - m
+        return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
+    if name == "auc":
+        return auc_binary(df, y=y, score=margin_cols[0], weight=weight)
+    if name == "merror":
+        pred = _argmax_col(margin_cols)
+        return wavg((pred != yy.cast("int")).cast("double"))
+    if name == "mlogloss":
+        probs = _softprob_cols(margin_cols)
+        pick = F.lit(None).cast("double")
+        expr = F.lit(0.0)
+        for i, p in enumerate(probs):
+            expr = F.when(yy.cast("int") == i, -F.log(F.greatest(p, F.lit(1e-16)))).otherwise(expr)
+        return wavg(expr)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _lgamma(c):
+    # Spark has no lgamma builtin; Stirling is adequate for count labels
+    # (exact for the constant term's role in relative comparisons).
+    x = c
+    return (x - 0.5) * F.log(F.greatest(x, F.lit(1.0))) - x + 0.5 * math.log(2 * math.pi) + 1.0 / (12.0 * F.greatest(x, F.lit(1.0)))
+
+
+def auc_binary(df: DataFrame, y: str = "y", score: str = "m0",
+               weight: str | None = None) -> float:
+    """Tie-aware binary AUC as a sort-based query (reference
+    `src/metric/auc.cc:421` BinaryROCAUC): group rows by score, order by
+    score, trapezoid over cumulative negatives.
+    AUC = sum_s [ pos_s * (cumneg_below_s + neg_s/2) ] / (P*N).
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    g = (
+        df.groupBy(F.col(score).alias("s"))
+        .agg(
+            F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("pos"),
+            F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg"),
+        )
+    )
+    win = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("cumneg", F.coalesce(F.sum("neg").over(win), F.lit(0.0)))
+    r = g.agg(
+        F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2)).alias("num"),
+        F.sum("pos").alias("P"),
+        F.sum("neg").alias("N"),
+    ).first()
+    if not r["P"] or not r["N"]:
+        return float("nan")
+    return float(r["num"] / (r["P"] * r["N"]))
+
+
+def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
+              score: str = "m0", exp_gain: bool = True) -> DataFrame:
+    """Per-query NDCG@k (reference `src/metric/rank_metric.cc:461-469`,
+    DCG kernels `src/common/ranking_utils.h:42-46`).
+    Returns (qid, ndcg); average for the scalar metric.
+    """
+    gain = (F.pow(F.lit(2.0), F.col(y)) - 1.0) if exp_gain else F.col(y).cast("double")
+    wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
+    wi = Window.partitionBy(qid).orderBy(F.col(y).desc())
+    d = (
+        df.withColumn("rk_p", F.row_number().over(wp))
+        .withColumn("rk_i", F.row_number().over(wi))
+        .withColumn("g", gain)
+        .withColumn("dcg_t", F.when(F.col("rk_p") <= k, F.col("g") / F.log2(F.col("rk_p") + 1)).otherwise(0.0))
+        .withColumn("idcg_t", F.when(F.col("rk_i") <= k, F.col("g") / F.log2(F.col("rk_i") + 1)).otherwise(0.0))
+    )
+    return (
+        d.groupBy(F.col(qid).alias("qid"))
+        .agg(F.sum("dcg_t").alias("dcg"), F.sum("idcg_t").alias("idcg"))
+        .select("qid", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(1.0).alias("ndcg"))
+    )
+
+
+def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
+    """Per-query MAP@k (reference rank_metric.cc MAP): labels binarized >0."""
+    wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
+    wcum = Window.partitionBy(qid).orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        df.withColumn("rel", (F.col(y) > 0).cast("double"))
+        .withColumn("rk", F.row_number().over(wp))
+        .withColumn("cumrel", F.sum("rel").over(wcum))
+        .withColumn("prec_t", F.when((F.col("rk") <= k) & (F.col("rel") > 0),
+                                     F.col("cumrel") / F.col("rk")).otherwise(0.0))
+    )
+    return (
+        d.groupBy(F.col(qid).alias("qid"))
+        .agg(
+            F.sum("prec_t").alias("ap_num"),
+            F.least(F.sum("rel"), F.lit(float(k))).alias("denom"),
+        )
+        .select("qid", F.when(F.col("denom") > 0, F.col("ap_num") / F.col("denom")).otherwise(0.0).alias("ap"))
+    )
+
+
+def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
+    wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
+    d = df.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    return (
+        d.groupBy(F.col(qid).alias("qid"))
+        .agg((F.sum((F.col(y) > 0).cast("double")) / F.lit(float(k))).alias("prec"))
+    )

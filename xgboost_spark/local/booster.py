@@ -118,7 +118,7 @@ class LocalBooster:
                 hk = h[:, k] if K > 1 else h
                 builder.set_grad(gk, hk)
                 tree = core.grow_tree(
-                    builder, p, float(gk.sum()), float(hk.sum()), rng,
+                    builder, p, rng, float(gk.sum()), float(hk.sum()),
                     feature_mask_tree=fmask,
                 )
                 if self.obj.adaptive_alpha is not None:

@@ -1,0 +1,112 @@
+"""Quantile sketch operators — the engine's cut-finding stage.
+
+The reference builds per-feature epsilon-approximate weighted quantile
+summaries and merges them across workers
+(`src/common/quantile.h:35`, merge `src/common/quantile.cc:389-473`,
+`SketchOnDMatrix` `src/common/hist_util.h:198`).  Spark already ships a
+distributed GK sketch as `percentile_approx`, so the unweighted path is
+one aggregation job over all features.  The hessian-weighted path (the
+`approx` updater's per-iteration re-sketch,
+`src/tree/updater_approx.cc:95-130`) is expressed as a range-partitioned
+cumulative-weight query — no single-partition global sort, so it scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _finish_cuts(qs: list[float], vmax: float) -> np.ndarray:
+    cuts = np.unique(np.asarray(qs, dtype=np.float64))
+    cuts = cuts[~np.isnan(cuts)]
+    if cuts.size == 0:
+        return np.asarray([np.inf])
+    # final boundary covers the max (reference bumps the last cut)
+    cuts[-1] = np.nextafter(max(cuts[-1], vmax), np.inf)
+    return cuts
+
+
+def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int = 10_000) -> list[np.ndarray]:
+    """Per-feature bin boundaries via Spark's distributed GK sketch.
+
+    One job for all features; equivalent role to `HistogramCuts` build
+    (`src/common/hist_util.h:39-147`).
+    """
+    probs = [i / max_bin for i in range(1, max_bin + 1)]
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile_approx(F.col(c), F.lit(probs), F.lit(accuracy)).alias(f"q_{c}"))
+        aggs.append(F.max(c).alias(f"m_{c}"))
+    row = df.agg(*aggs).first()
+    out = []
+    for c in cols:
+        qs = row[f"q_{c}"] or []
+        vmax = row[f"m_{c}"]
+        out.append(_finish_cuts([q for q in qs if q is not None], vmax if vmax is not None else np.nan))
+    return out
+
+
+def weighted_cuts(df: DataFrame, col: str, weight_col: str, max_bin: int,
+                  num_partitions: int | None = None) -> np.ndarray:
+    """Weighted quantile cuts: cut_b = max{v : cumw(v) <= b/B * W}.
+
+    Scalable pattern: range-repartition on the value column, per-partition
+    prefix sums plus broadcast partition offsets — the Spark-native
+    equivalent of the reference's distributed weighted-sketch merge
+    (`src/common/quantile.cc:389-473`).
+    """
+    d = df.select(F.col(col).cast("double").alias("v"), F.col(weight_col).cast("double").alias("w"))
+    d = d.filter(F.col("v").isNotNull())
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "v")
+    # cumw within a range partition ordered by v; partition offsets are a
+    # tiny driver-side cumsum — two jobs total, no global single-partition sort
+    d = d.withColumn("pid", F.spark_partition_id())
+    d = d.withColumn("cw_local", F.sum("w").over(Window.partitionBy("pid").orderBy("v", "w")))
+    per_part = d.groupBy("pid").agg(F.sum("w").alias("pw")).collect()
+    per_part.sort(key=lambda r: r["pid"])
+    offsets = {}
+    acc = 0.0
+    for r in per_part:
+        offsets[r["pid"]] = acc
+        acc += r["pw"]
+    total = acc
+    if total <= 0:
+        return np.asarray([np.inf])
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), float(o)) for p, o in offsets.items()], "pid int, off double"
+    )
+    d = d.join(F.broadcast(off_df), "pid")
+    d = d.withColumn("bucket", F.ceil((F.col("cw_local") + F.col("off")) * max_bin / total))
+    rows = (
+        d.groupBy("bucket").agg(F.max("v").alias("cut"))
+        .orderBy("bucket").collect()
+    )
+    vmax = max(r["cut"] for r in rows)
+    return _finish_cuts([r["cut"] for r in rows], vmax)
+
+
+def exact_quantiles(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Exact type-1 quantiles at k/n_bins via a rank window — the
+    SQL-expressible oracle form of the sketch (matches DuckDB exactly).
+    Returns DataFrame (k, cut).
+    """
+    spark = df.sparkSession
+    d = df.select(F.col(col).cast("double").alias("v")).filter(F.col("v").isNotNull())
+    ranked = d.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, n_bins).select(F.col("id").alias("k"))
+    return (
+        ranked.join(
+            ks,
+            ranked.rn == F.ceil(ks.k * ranked.n / n_bins),
+            "inner",
+        )
+        .groupBy("k").agg(F.min("v").alias("cut"))
+        .orderBy("k")
+    )

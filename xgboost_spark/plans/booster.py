@@ -1,0 +1,403 @@
+"""Distributed boosting driver — the Spark-native `xgb.train`.
+
+Lifecycle mirrors the reference (`src/learner.cc:1114-1139`,
+`src/gbm/gbtree.cc:182-275`) re-expressed for Spark's execution model:
+
+- the quantized matrix lives in a cached DataFrame that is NEVER
+  mutated during a tree: rows are routed to nodes by traversing the
+  broadcast partial tree inside the histogram pass (see
+  operators/histogram.py) — one Spark job per tree level;
+- the prediction cache (`include/xgboost/cache.h`, used
+  `learner.cc:1128`) becomes persisted margin columns: after each round
+  ONE Arrow-batched pass adds the new trees' leaf values to the margin
+  and computes the next round's gradients, then `localCheckpoint`
+  truncates the lineage (at cluster scale use a reliable checkpoint
+  dir; the pattern is identical);
+- gradients/hessians are fp64 columns (reference accumulates
+  `GradientPairPrecise`, `src/common/hist_util.h:388`).
+
+Per-round Spark jobs: depth (histogram levels) + 1 (margin/grad update)
++ |evals| — independent of cluster size and of the number of tree nodes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.functions import metrics as metrics_mod
+from xgboost_spark.functions.objectives import get_objective
+from xgboost_spark.operators.histogram import SparkHistBuilder
+from xgboost_spark.operators.sketch import approx_cuts
+from xgboost_spark.plans.model import GBDTModel
+from xgboost_spark.sources.tables import assemble_features
+
+
+def _compute_grads(obj, y, m, w, q, seed, subsample, K):
+    """Shared gradient kernel; subsample zeroes rows (reference
+    `src/tree/hist/sampler.h:95-104` Bernoulli row sampling)."""
+    if obj.needs_qid and q is not None:
+        g = np.zeros(len(y))
+        h = np.zeros(len(y))
+        mm = m[:, 0] if m.ndim > 1 else m
+        for qv in np.unique(q):
+            rows = q == qv
+            gq, hq = obj.grad_hess_group(
+                y[rows], mm[rows], None if w is None else w[rows],
+                seed=int(seed) ^ int(qv),
+            )
+            g[rows], h[rows] = gq, hq
+        g = g[:, None]
+        h = h[:, None]
+    else:
+        mm = m if K > 1 else (m[:, 0] if m.ndim > 1 else m)
+        g, h = obj.grad_hess(y, mm, w)
+        if g.ndim == 1:
+            g, h = g[:, None], h[:, None]
+    if subsample < 1.0:
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.default_rng((int(seed) * 1_000_003 + pid) & 0x7FFFFFFF)
+        keep = rng.random(len(y)) < subsample
+        g = g * keep[:, None]
+        h = h * keep[:, None]
+    return g, h
+
+
+class SparkBooster:
+    """Train driver.  Usage::
+
+        model = SparkBooster(TrainParams(...)).fit(
+            df, feature_cols=[...], label_col="y")
+    """
+
+    def __init__(self, params: TrainParams):
+        self.params = params
+        self.obj = get_objective(params.objective, params)
+
+    # ------------------------------------------------------------------
+    def _schema(self, Fn: int, K: int, has_q: bool, with_grads: bool) -> str:
+        parts = [f"x{i} smallint" for i in range(Fn)]
+        parts += ["y double", "w double"]
+        if has_q:
+            parts.append("q long")
+        parts += [f"m{k} double" for k in range(K)]
+        if with_grads:
+            parts += [f"g{k} double" for k in range(K)]
+            parts += [f"h{k} double" for k in range(K)]
+        return ", ".join(parts)
+
+    def _base_score(self, raw: DataFrame) -> float:
+        """Distributed fit_stump (reference `src/tree/fit_stump.h:34`,
+        `src/objective/init_estimation.h:13-18`)."""
+        p = self.params
+        if p.base_score is not None:
+            return float(p.base_score)
+        name = p.objective
+        w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
+        y = F.col("label")
+        if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
+                    "reg:expectileerror"):
+            r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
+            return float(r["v"])
+        if name in ("binary:logistic", "binary:logitraw", "reg:logistic"):
+            r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
+            pmean = min(max(float(r["v"]), 1e-7), 1 - 1e-7)
+            return float(np.log(pmean / (1 - pmean)))
+        if name in ("count:poisson", "reg:gamma", "reg:tweedie"):
+            r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
+            return float(np.log(max(float(r["v"]), 1e-16)))
+        if name == "reg:absoluteerror":
+            return float(raw.agg(F.percentile_approx("label", 0.5, 100000).alias("v")).first()["v"])
+        if name == "reg:quantileerror":
+            return float(
+                raw.agg(F.percentile_approx("label", float(p.quantile_alpha[0]), 100000).alias("v")).first()["v"]
+            )
+        return 0.5
+
+    # ------------------------------------------------------------------
+    def fit(self, df: DataFrame, feature_cols: list[str] | None = None,
+            array_col: str | None = None, label_col: str = "label",
+            weight_col: str | None = None, base_margin_col: str | None = None,
+            qid_col: str | None = None,
+            evals: list[tuple[DataFrame, str]] | None = None,
+            cuts: list[np.ndarray] | None = None,
+            verbose: bool = False) -> GBDTModel:
+        p = self.params
+        K = p.n_groups
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        raw, fnames = assemble_features(
+            df, feature_cols=feature_cols, array_col=array_col, label_col=label_col,
+            weight_col=weight_col, base_margin_col=base_margin_col, qid_col=qid_col,
+        )
+        Fn = len(fnames)
+        feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
+        has_q = qid_col is not None
+        n_part = sc.defaultParallelism
+        if has_q:
+            raw = raw.repartition(n_part, "qid")   # co-locate ranking groups
+        if cuts is None:
+            cuts = approx_cuts(raw, fnames, p.max_bin)
+        base_score = self._base_score(raw)
+        obj = self.obj
+        bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
+        has_w = "weight" in raw.columns
+        has_bm = "base_margin" in raw.columns
+        subsample = p.subsample
+        seed = p.seed
+
+        def init_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cuts_l = bc_cuts.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                out = {}
+                for i, c in enumerate(fnames):
+                    x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                    out[f"x{i}"] = core.bin_values(x, cuts_l[i])
+                y = pdf["label"].to_numpy(dtype=np.float64)
+                w = pdf["weight"].to_numpy(dtype=np.float64) if has_w else np.ones(len(pdf))
+                out["y"] = y
+                out["w"] = w
+                q = None
+                if has_q:
+                    q = pdf["qid"].to_numpy(dtype=np.int64)
+                    out["q"] = q
+                m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
+                if has_bm:
+                    m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                for k in range(K):
+                    out[f"m{k}"] = m0[:, k]
+                g, h = _compute_grads(obj, y, m0, w if has_w else None, q, seed, subsample, K)
+                for k in range(K):
+                    out[f"g{k}"] = g[:, k]
+                    out[f"h{k}"] = h[:, k]
+                yield pd.DataFrame(out)
+
+        train_schema = self._schema(Fn, K, has_q, with_grads=True)
+        binned = raw.mapInPandas(init_fn, schema=train_schema)
+        if not has_q:
+            binned = binned.repartition(n_part)
+        binned = binned.localCheckpoint(eager=True)
+
+        # eval sets share the training cuts (QuantileDMatrix ref= semantics,
+        # reference core.py:1434/:1473)
+        eval_states = []
+        for ev_df, ev_name in (evals or []):
+            ev_raw, _ = assemble_features(
+                ev_df, feature_cols=feature_cols, array_col=array_col, label_col=label_col,
+                weight_col=weight_col, base_margin_col=base_margin_col, qid_col=qid_col,
+            )
+
+            def ev_init(it: Iterator[pd.DataFrame], _has_w=("weight" in ev_raw.columns),
+                        _has_bm=("base_margin" in ev_raw.columns)) -> Iterator[pd.DataFrame]:
+                cuts_l = bc_cuts.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    out = {}
+                    for i, c in enumerate(fnames):
+                        out[f"x{i}"] = core.bin_values(
+                            pdf[c].to_numpy(dtype=np.float64, na_value=np.nan), cuts_l[i])
+                    out["y"] = pdf["label"].to_numpy(dtype=np.float64)
+                    out["w"] = (pdf["weight"].to_numpy(dtype=np.float64)
+                                if _has_w else np.ones(len(pdf)))
+                    if has_q:
+                        out["q"] = pdf["qid"].to_numpy(dtype=np.int64)
+                    m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
+                    if _has_bm:
+                        m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                    for k in range(K):
+                        out[f"m{k}"] = m0[:, k]
+                    yield pd.DataFrame(out)
+
+            ev_binned = ev_raw.mapInPandas(
+                ev_init, schema=self._schema(Fn, K, has_q, with_grads=False)
+            ).localCheckpoint(eager=True)
+            eval_states.append([ev_binned, ev_name])
+
+        fcols = [f"x{i}" for i in range(Fn)]
+        builders = [
+            SparkHistBuilder(binned, fcols, cuts, gcol=f"g{k}", hcol=f"h{k}")
+            for k in range(K)
+        ]
+        rng = np.random.default_rng(p.seed)
+        mono = None
+        if p.monotone_constraints:
+            mono = np.zeros(Fn, dtype=np.int8)
+            for cname, v in p.monotone_constraints.items():
+                key = cname if cname in feat_names_out else None
+                idx = feat_names_out.index(cname) if key else int(cname)
+                mono[idx] = v
+
+        trees: list[list[core.Tree]] = []
+        history: dict[str, dict[str, list[float]]] = {}
+        best_it, best_metric = None, None
+        metric_names = p.eval_metric or [obj.default_metric()]
+
+        for it_round in range(p.num_boost_round):
+            round_trees: list[core.Tree] = []
+            fmask = None
+            if p.colsample_bytree < 1.0:
+                fmask = core._rng_mask(rng, Fn, p.colsample_bytree)
+            for k in range(K):
+                n_forest = max(p.num_parallel_tree, 1)
+                forest = []
+                for _ in range(n_forest):
+                    tree = core.grow_tree(builders[k], p, rng,
+                                          feature_mask_tree=fmask, monotone=mono)
+                    forest.append(tree)
+                if n_forest > 1:
+                    # random-forest round: average by scaling leaves
+                    for t in forest:
+                        t.leaf_value = [v / n_forest for v in t.leaf_value]
+                round_trees.extend(forest)
+            if obj.adaptive_alpha is not None:
+                for t in round_trees:
+                    self._adaptive_leaf_refresh(binned, t, obj.adaptive_alpha, p.eta)
+            trees.append(round_trees)
+
+            next_seed = seed + it_round + 1
+            binned = self._update_margins(
+                binned, round_trees, K, fcols, has_q, with_grads=True,
+                next_seed=next_seed, train_schema=train_schema,
+            )
+            for k in range(K):
+                builders[k].df = binned
+            for st in eval_states:
+                st[0] = self._update_margins(
+                    st[0], round_trees, K, fcols, has_q, with_grads=False,
+                    next_seed=0, train_schema=self._schema(Fn, K, has_q, with_grads=False),
+                )
+            # evaluation + early stopping (reference EvalOneIter
+            # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
+            if eval_states:
+                last = None
+                for ev_binned, ev_name in eval_states:
+                    for mname in metric_names:
+                        val = self._eval_metric(ev_binned, mname, K, has_q)
+                        history.setdefault(ev_name, {}).setdefault(mname, []).append(val)
+                        last = val
+                        if verbose:
+                            print(f"[{it_round}] {ev_name}-{mname}: {val:.6f}")
+                if p.early_stopping_rounds and last is not None:
+                    better = (best_metric is None or
+                              (last > best_metric if _maximize(metric_names[-1]) else last < best_metric))
+                    if better:
+                        best_metric, best_it = last, it_round
+                    elif it_round - best_it >= p.early_stopping_rounds:
+                        break
+
+        model = GBDTModel(p, base_score, trees, feat_names_out, cuts,
+                          best_iteration=best_it, eval_history=history)
+        return model
+
+    # ------------------------------------------------------------------
+    def _adaptive_leaf_refresh(self, binned: DataFrame, tree: core.Tree,
+                               alpha: float, eta: float):
+        """UpdateTreeLeaf for adaptive objectives (reference
+        `regression_obj.cu:745-753`): leaf <- eta * quantile_alpha(y - margin),
+        computed as one groupBy(leaf).percentile_approx job."""
+        sc = binned.sparkSession.sparkContext
+        bc = sc.broadcast(tree.finalize_arrays())
+        fcols = [c for c in binned.columns if c.startswith("x")]
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            arrs = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                Xb = np.column_stack([pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
+                leaf = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                yield pd.DataFrame({
+                    "leaf": leaf.astype(np.int32),
+                    "resid": pdf["y"].to_numpy() - pdf["m0"].to_numpy(),
+                })
+
+        q = (
+            binned.mapInPandas(fn, schema="leaf int, resid double")
+            .groupBy("leaf").agg(F.percentile_approx("resid", float(alpha), 10000).alias("qv"))
+            .collect()
+        )
+        for r in q:
+            nid = int(r["leaf"])
+            if tree.left[nid] == -1:
+                tree.leaf_value[nid] = eta * float(r["qv"])
+
+    def _update_margins(self, df: DataFrame, round_trees: list[core.Tree], K: int,
+                        fcols: list[str], has_q: bool, with_grads: bool,
+                        next_seed: int, train_schema: str) -> DataFrame:
+        p = self.params
+        obj = self.obj
+        sc = df.sparkSession.sparkContext
+        n_forest = len(round_trees) // K
+        bc = sc.broadcast([t.finalize_arrays() for t in round_trees])
+        subsample = p.subsample
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tree_arrs = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                Xb = np.column_stack([pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
+                out = {c: pdf[c] for c in fcols}
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                w = pdf["w"].to_numpy(dtype=np.float64)
+                out["y"] = y
+                out["w"] = w
+                q = None
+                if has_q:
+                    q = pdf["q"].to_numpy(dtype=np.int64)
+                    out["q"] = q
+                m = np.column_stack([pdf[f"m{k}"].to_numpy(dtype=np.float64) for k in range(K)])
+                ti = 0
+                for k in range(K):
+                    for _ in range(n_forest):
+                        arrs = tree_arrs[ti]
+                        lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                        m[:, k] += arrs["leaf_value"][lid]
+                        ti += 1
+                for k in range(K):
+                    out[f"m{k}"] = m[:, k]
+                if with_grads:
+                    g, h = _compute_grads(obj, y, m, w, q, next_seed, subsample, K)
+                    for k in range(K):
+                        out[f"g{k}"] = g[:, k]
+                        out[f"h{k}"] = h[:, k]
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
+
+    def _eval_metric(self, ev_binned: DataFrame, metric: str, K: int, has_q: bool) -> float:
+        mcols = [f"m{k}" for k in range(K)]
+        name = metric.partition("@")[0]
+        if name in ("ndcg", "map", "pre"):
+            k = int(metric.partition("@")[2] or 10)
+            if name == "ndcg":
+                d = metrics_mod.ndcg_at_k(ev_binned, k, qid="q", y="y", score="m0",
+                                          exp_gain=self.params.ndcg_exp_gain)
+                return float(d.agg(F.avg("ndcg")).first()[0])
+            if name == "map":
+                d = metrics_mod.map_at_k(ev_binned, k, qid="q", y="y", score="m0")
+                return float(d.agg(F.avg("ap")).first()[0])
+            d = metrics_mod.precision_at_k(ev_binned, k, qid="q", y="y", score="m0")
+            return float(d.agg(F.avg("prec")).first()[0])
+        return metrics_mod.compute_metric(ev_binned, metric, y="y", margin_cols=mcols, weight="w")
+
+
+def _maximize(metric: str) -> bool:
+    return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre")
+
+
+def train(params: dict | TrainParams, df: DataFrame, **kw) -> GBDTModel:
+    """Functional entry point mirroring `xgboost.train`
+    (`python-package/xgboost/training.py:53`)."""
+    p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    return SparkBooster(p).fit(df, **kw)

@@ -1,0 +1,313 @@
+"""Model artifact: trees + metadata, serving, JSON serialization.
+
+The model is driver-side (a few MB even for thousands of trees) and is
+broadcast for serving — the same strategy as the reference's own Spark
+wrapper (`python-package/xgboost/spark/core.py:1362-1459` broadcast +
+pandas_udf predict).  JSON schema mirrors the reference's model format
+(`src/learner.cc:625-645,904,956`; tree fields `src/tree/tree_model.cc`):
+leaves keep their value in ``split_conditions`` like the reference does.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.functions.objectives import get_objective
+
+
+class GBDTModel:
+    def __init__(self, params: TrainParams, base_score: float,
+                 trees: list[list[core.Tree]], feature_names: list[str],
+                 cuts: list[np.ndarray] | None = None,
+                 best_iteration: int | None = None,
+                 eval_history: dict | None = None):
+        self.params = params
+        self.base_score = base_score
+        self.trees = trees
+        self.feature_names = feature_names
+        self.cuts = cuts
+        self.best_iteration = best_iteration
+        self.eval_history = eval_history or {}
+        self.obj = get_objective(params.objective, params)
+
+    # ------------------------------------------------------------------ ser
+    def to_json(self) -> str:
+        trees_json = []
+        for rnd in self.trees:
+            for k, t in enumerate(rnd):
+                n = t.n_nodes
+                split_conditions = [
+                    t.leaf_value[i] if t.left[i] == -1 else t.split_value[i] for i in range(n)
+                ]
+                trees_json.append({
+                    "tree_param": {"num_nodes": str(n)},
+                    "split_indices": [max(t.feature[i], 0) for i in range(n)],
+                    "split_conditions": split_conditions,
+                    "default_left": [int(b) for b in t.default_left],
+                    "left_children": list(t.left),
+                    "right_children": list(t.right),
+                    "parents": list(t.parent),
+                    "loss_changes": list(t.gain),
+                    "sum_hessian": list(t.sum_hess),
+                    "base_weights": [
+                        float(core.calc_weight(t.sum_grad[i], t.sum_hess[i],
+                                               self.params.reg_lambda, self.params.reg_alpha))
+                        for i in range(n)
+                    ],
+                })
+        doc = {
+            "version": [0, 1, 0],
+            "learner": {
+                "attributes": {
+                    k: str(v) for k, v in (
+                        {"best_iteration": self.best_iteration} if self.best_iteration is not None else {}
+                    ).items()
+                },
+                "feature_names": self.feature_names,
+                "feature_types": ["float"] * len(self.feature_names),
+                "learner_model_param": {
+                    "base_score": str(self.base_score),
+                    "num_class": str(self.params.num_class),
+                    "num_feature": str(len(self.feature_names)),
+                },
+                "objective": {"name": self.params.objective},
+                "gradient_booster": {
+                    "name": "gbtree",
+                    "model": {
+                        "gbtree_model_param": {
+                            "num_trees": str(sum(len(r) for r in self.trees)),
+                            "num_parallel_tree": str(self.params.num_parallel_tree),
+                        },
+                        "tree_info": [k for r in self.trees for k in range(len(r))],
+                        "trees": trees_json,
+                    },
+                },
+            },
+            # engine extension: cuts allow exact training continuation
+            "xgboost_spark": {
+                "cuts": [list(map(float, c)) for c in (self.cuts or [])],
+                "params": {"num_boost_round": self.params.num_boost_round,
+                           "objective": self.params.objective,
+                           "num_class": self.params.num_class,
+                           "eta": self.params.eta,
+                           "max_depth": self.params.max_depth},
+            },
+        }
+        return json.dumps(doc)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GBDTModel":
+        doc = json.loads(s)
+        ln = doc["learner"]
+        num_class = int(ln["learner_model_param"]["num_class"])
+        objective = ln["objective"]["name"]
+        ext = doc.get("xgboost_spark", {})
+        pd_ = {"objective": objective, "num_class": num_class}
+        for k in ("eta", "max_depth", "num_boost_round"):
+            if k in ext.get("params", {}):
+                pd_[k] = ext["params"][k]
+        params = TrainParams.from_dict(pd_)
+        K = params.n_groups
+        tree_docs = ln["gradient_booster"]["model"]["trees"]
+        trees: list[list[core.Tree]] = []
+        group: list[core.Tree] = []
+        for td in tree_docs:
+            t = core.Tree()
+            n = int(td["tree_param"]["num_nodes"])
+            t.feature = [td["split_indices"][i] if td["left_children"][i] != -1 else -1 for i in range(n)]
+            t.split_value = [
+                float(td["split_conditions"][i]) if td["left_children"][i] != -1 else 0.0 for i in range(n)
+            ]
+            t.leaf_value = [
+                float(td["split_conditions"][i]) if td["left_children"][i] == -1 else 0.0 for i in range(n)
+            ]
+            t.default_left = [bool(b) for b in td["default_left"]]
+            t.left = list(td["left_children"])
+            t.right = list(td["right_children"])
+            t.parent = list(td["parents"])
+            t.gain = list(td["loss_changes"])
+            t.sum_hess = list(td["sum_hessian"])
+            t.sum_grad = [0.0] * n
+            t.split_bin = [-1] * n
+            group.append(t)
+            if len(group) == K:
+                trees.append(group)
+                group = []
+        if group:
+            trees.append(group)
+        m = cls(params, float(ln["learner_model_param"]["base_score"]), trees,
+                list(ln["feature_names"]))
+        if ext.get("cuts"):
+            m.cuts = [np.asarray(c) for c in ext["cuts"]]
+        bi = ln.get("attributes", {}).get("best_iteration")
+        if bi is not None:
+            m.best_iteration = int(bi)
+        return m
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "GBDTModel":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    # ------------------------------------------------------------- slicing
+    def slice(self, begin: int, end: int) -> "GBDTModel":
+        """Model layer slicing [begin, end) (reference `XGBoosterSlice`,
+        `include/xgboost/c_api.h:1028`)."""
+        return GBDTModel(self.params, self.base_score, self.trees[begin:end],
+                         self.feature_names, self.cuts)
+
+    def used_trees(self) -> list[list[core.Tree]]:
+        if self.best_iteration is not None:
+            return self.trees[: self.best_iteration + 1]
+        return self.trees
+
+    # ------------------------------------------------------------- serving
+    def _broadcastable(self):
+        return {
+            "base_score": self.base_score,
+            "K": self.params.n_groups,
+            "objective": self.params.objective,
+            "num_class": self.params.num_class,
+            "trees": [[t.finalize_arrays() for t in rnd] for rnd in self.used_trees()],
+        }
+
+    def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
+                  array_col: str | None = None,
+                  out_cols: tuple[str, ...] = ("prediction",),
+                  output_margin: bool = False,
+                  pred_leaf: bool = False) -> DataFrame:
+        """Batch predict: broadcast model + Arrow-batched traversal
+        (reference Spark wrapper pattern, `spark/core.py:1388`).
+        Appends `prediction` (double; probability array for softprob),
+        optionally `margin` (array) and `leaf` (array<int>).
+        """
+        feature_cols = feature_cols or self.feature_names
+        spark = df.sparkSession
+        state = self._broadcastable()
+        bc = spark.sparkContext.broadcast(state)
+        K = self.params.n_groups
+        fields = list(df.schema.fields)
+        if K > 1 and self.params.objective == "multi:softprob":
+            fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
+        else:
+            fields.append(T.StructField("prediction", T.DoubleType()))
+        if output_margin:
+            fields.append(T.StructField("margin", T.ArrayType(T.DoubleType())))
+        if pred_leaf:
+            fields.append(T.StructField("leaf", T.ArrayType(T.IntegerType())))
+        out_schema = T.StructType(fields)
+        use_array = array_col is not None
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            st = bc.value
+            obj = get_objective(st["objective"],
+                               TrainParams(objective=st["objective"], num_class=st["num_class"]))
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if use_array:
+                    X = np.stack(pdf[array_col].to_numpy()).astype(np.float64)
+                else:
+                    X = np.column_stack([
+                        pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in feature_cols
+                    ])
+                n = len(pdf)
+                Kk = st["K"]
+                margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
+                leaves = []
+                for rnd in st["trees"]:
+                    for k, arrs in enumerate(rnd):
+                        lid = core.leaf_ids_from_arrays(arrs, X, binned=False)
+                        margin[:, k] += arrs["leaf_value"][lid]
+                        if pred_leaf:
+                            leaves.append(lid)
+                out = pdf.copy()
+                mm = margin if Kk > 1 else margin[:, 0]
+                pred = obj.pred_transform(mm)
+                out["prediction"] = [r.tolist() for r in pred] if pred.ndim > 1 else pred
+                if output_margin:
+                    out["margin"] = [row.tolist() for row in margin]
+                if pred_leaf:
+                    lv = np.stack(leaves, axis=1).astype(np.int32)
+                    out["leaf"] = [row.tolist() for row in lv]
+                yield out
+
+        return df.mapInPandas(fn, schema=out_schema)
+
+    # ----------------------------------------------------- model-as-a-table
+    def to_nodes_df(self, spark: SparkSession) -> DataFrame:
+        """`trees_to_dataframe` (reference `core.py:3103`): the model as a
+        relational table — queryable for importance, split histograms, etc.
+        """
+        rows = []
+        ti = 0
+        for rnd_i, rnd in enumerate(self.trees):
+            for k, t in enumerate(rnd):
+                for nid in range(t.n_nodes):
+                    is_leaf = t.left[nid] == -1
+                    rows.append((
+                        ti, rnd_i, k, nid,
+                        None if is_leaf else self.feature_names[t.feature[nid]],
+                        None if is_leaf else float(t.split_value[nid]),
+                        None if is_leaf else int(t.left[nid]),
+                        None if is_leaf else int(t.right[nid]),
+                        bool(t.default_left[nid]),
+                        float(t.gain[nid]) if not is_leaf else None,
+                        float(t.sum_hess[nid]),
+                        float(t.leaf_value[nid]) if is_leaf else None,
+                    ))
+                ti += 1
+        schema = ("tree int, round int, class int, node int, feature string, "
+                  "split double, yes int, no int, default_left boolean, "
+                  "gain double, cover double, leaf_value double")
+        return spark.createDataFrame(rows, schema)
+
+    def feature_importance(self, importance_type: str = "gain") -> dict[str, float]:
+        """weight/gain/cover/total_gain/total_cover (reference
+        `XGBoosterFeatureScore` `c_api.h:1608`, `core.py:3036`)."""
+        acc: dict[str, list[float]] = {}
+        for rnd in self.trees:
+            for t in rnd:
+                for nid in range(t.n_nodes):
+                    if t.left[nid] == -1:
+                        continue
+                    fn = self.feature_names[t.feature[nid]]
+                    a = acc.setdefault(fn, [0.0, 0.0, 0.0])
+                    a[0] += 1.0
+                    a[1] += float(t.gain[nid])
+                    a[2] += float(t.sum_hess[nid])
+        out = {}
+        for fn, (w, g, c) in acc.items():
+            out[fn] = {
+                "weight": w, "total_gain": g, "total_cover": c,
+                "gain": g / w, "cover": c / w,
+            }[importance_type]
+        return out
+
+    def split_value_histogram(self, feature: str, bins: int = 10) -> dict:
+        """Histogram of split thresholds for one feature (reference
+        `core.py:3327 get_split_value_histogram`)."""
+        vals = []
+        fidx = self.feature_names.index(feature)
+        for rnd in self.trees:
+            for t in rnd:
+                for nid in range(t.n_nodes):
+                    if t.left[nid] != -1 and t.feature[nid] == fidx:
+                        vals.append(t.split_value[nid])
+        if not vals:
+            return {"counts": [], "edges": []}
+        cnt, edges = np.histogram(np.asarray(vals), bins=bins)
+        return {"counts": cnt.tolist(), "edges": edges.tolist()}
