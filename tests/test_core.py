@@ -1,0 +1,154 @@
+"""Unit tests for the numeric kernels (reference test analog:
+tests/cpp/tree/test_evaluate_splits.cc, tests/cpp/common/test_hist_util.cc)."""
+
+import numpy as np
+import pytest
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+
+
+def brute_force_best(hg, hh, lam=1.0, mcw=0.0):
+    """Exhaustive split search for one node, both missing directions."""
+    F_, Bp1 = hg.shape
+    B = Bp1 - 1
+    gt, ht = hg.sum(), None
+    best = (-np.inf, None)
+    for f in range(F_):
+        gtot, htot = hg[f].sum(), hh[f].sum()
+        parent = gtot ** 2 / (htot + lam)
+        for b in range(B - 1):
+            for miss_left in (False, True):
+                gl = hg[f, : b + 1].sum() + (hg[f, B] if miss_left else 0.0)
+                hl = hh[f, : b + 1].sum() + (hh[f, B] if miss_left else 0.0)
+                gr, hr = gtot - gl, htot - hl
+                if hl < mcw or hr < mcw:
+                    continue
+                gain = gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam) - parent
+                if gain > best[0] + 1e-12:
+                    best = (gain, (f, b, miss_left))
+    return best
+
+
+def test_split_search_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        Fn, B = rng.integers(1, 5), rng.integers(3, 9)
+        hg = rng.normal(size=(1, Fn, B + 1))
+        hh = np.abs(rng.normal(size=(1, Fn, B + 1))) + 0.01
+        # per-feature totals must agree (same rows seen by every feature)
+        tot_g, tot_h = hg[0, 0].sum(), hh[0, 0].sum()
+        for f in range(1, Fn):
+            hg[0, f] += (tot_g - hg[0, f].sum()) / (B + 1)
+            hh[0, f] *= tot_h / hh[0, f].sum()
+        res = core.split_search(hg, hh, reg_lambda=1.0, min_child_weight=0.0, gamma=-1e9)[0]
+        bf_gain, bf = brute_force_best(hg[0], hh[0])
+        if res is None:
+            assert bf[0] is None or bf_gain <= 0 or not np.isfinite(bf_gain)
+        else:
+            assert res.gain == pytest.approx(bf_gain, rel=1e-9)
+
+
+def test_gain_weight_formulas():
+    # w* = -G/(H+lambda); L1 shrinks toward zero; clipping bounds
+    assert core.calc_weight(2.0, 3.0, 1.0) == pytest.approx(-0.5)
+    assert core.calc_weight(2.0, 3.0, 1.0, reg_alpha=2.0) == pytest.approx(0.0)
+    assert core.calc_weight(10.0, 0.0, 1.0, max_delta_step=0.5) == pytest.approx(-0.5)
+    assert core.calc_gain(2.0, 3.0, 1.0) == pytest.approx(4.0 / 4.0)
+
+
+def test_cuts_and_binning_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=1000)
+    x[::17] = np.nan
+    cuts = core.make_cuts(x, 16)
+    b = core.bin_values(x, cuts)
+    assert (b[np.isnan(x)] == core.MISSING_BIN).all()
+    valid = b[~np.isnan(x)]
+    assert valid.min() >= 0 and valid.max() < len(cuts)
+    # bin semantics: x <= cuts[bin], x > cuts[bin-1]
+    xs = x[~np.isnan(x)]
+    bs = valid.astype(int)
+    assert (xs <= cuts[bs]).all()
+    assert (bs == 0).any() or True
+    nz = bs > 0
+    assert (xs[nz] > cuts[bs[nz] - 1]).all()
+
+
+def test_weighted_cuts():
+    x = np.arange(100, dtype=float)
+    w = np.where(x < 50, 0.0001, 1.0)
+    cuts = core.make_cuts(x, 4, weights=w)
+    # almost all weight above 50 => cuts concentrate there
+    assert cuts[0] >= 49
+
+
+def test_traversal_missing_directions():
+    t = core.Tree()
+    t.expand(0, 0, 2, 5.0, True, 1.0, -1, 1, 1, 1)
+    t.leaf_value[t.left[0]] = -7.0
+    t.leaf_value[t.right[0]] = 7.0
+    Xb = np.array([[1], [3], [core.MISSING_BIN]], dtype=np.int16)
+    p = core.tree_predict(t, Xb, binned=True)
+    assert list(p) == [-7.0, 7.0, -7.0]  # missing goes default-left
+    X = np.array([[4.0], [6.0], [np.nan]])
+    p2 = core.tree_predict(t, X, binned=False)
+    assert list(p2) == [-7.0, 7.0, -7.0]
+
+
+def test_grow_tree_subtraction_consistency():
+    """Depthwise growth with subtraction trick must equal growth with
+    direct builds (reference SubtractionHist invariant)."""
+    rng = np.random.default_rng(1)
+    n, Fn = 2000, 4
+    X = rng.normal(size=(n, Fn))
+    y = X[:, 0] * 2 + (X[:, 1] > 0) + rng.normal(0, 0.1, n)
+    from xgboost_spark.local.booster import LocalBooster, _NumpyHistBuilder
+
+    p = TrainParams(num_boost_round=1, max_depth=4)
+    b = LocalBooster(p)
+    Xb = b.quantize(X)
+    g = y.mean() - y
+    h = np.ones(n)
+
+    class NoSubBuilder(_NumpyHistBuilder):
+        pass
+
+    bu = _NumpyHistBuilder(Xb, b.cuts, max(len(c) for c in b.cuts))
+    bu.set_grad(g, h)
+    t1 = core.grow_tree(bu, p, np.random.default_rng(0))
+
+    # monkeypatch: force direct builds by clearing cache use
+    bu2 = _NumpyHistBuilder(Xb, b.cuts, max(len(c) for c in b.cuts))
+    bu2.set_grad(g, h)
+    import xgboost_spark.core as c2
+    t2 = core.Tree()
+    # grow manually level-by-level with direct builds
+    p2 = TrainParams(num_boost_round=1, max_depth=4)
+    active = [0]
+    hgall, hhall = bu2.build(t2, [0])
+    t2.sum_grad[0], t2.sum_hess[0] = hgall[0, 0].sum(), hhall[0, 0].sum()
+    for depth in range(4):
+        if not active:
+            break
+        hg, hh = bu2.build(t2, active)
+        results = c2.split_search(hg, hh, reg_lambda=p2.reg_lambda,
+                                  min_child_weight=p2.min_child_weight, gamma=p2.gamma)
+        nxt = []
+        for nid, res in zip(active, results):
+            if res is None:
+                t2.leaf_value[nid] = p2.eta * float(
+                    c2.calc_weight(t2.sum_grad[nid], t2.sum_hess[nid], p2.reg_lambda))
+                continue
+            lid, rid = t2.expand(nid, res.fidx, res.split_bin,
+                                 bu2.split_value(res.fidx, res.split_bin),
+                                 res.default_left, res.gain,
+                                 res.g_left, res.h_left, res.g_right, res.h_right)
+            nxt.extend((lid, rid))
+        active = nxt
+    for nid in active:
+        t2.leaf_value[nid] = p2.eta * float(
+            c2.calc_weight(t2.sum_grad[nid], t2.sum_hess[nid], p2.reg_lambda))
+    assert t1.feature == t2.feature
+    assert t1.split_bin == t2.split_bin
+    assert np.allclose(t1.leaf_value, t2.leaf_value)

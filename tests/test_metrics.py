@@ -1,0 +1,112 @@
+"""Metric query tests vs NumPy formulas (reference analog:
+tests/python/test_eval_metrics.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.functions import metrics as M
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.default_rng(2)
+    n = 2000
+    y = (rng.random(n) > 0.4).astype(float)
+    m = rng.normal(0, 1, n) + y * 1.5
+    pdf = pd.DataFrame({"y": y, "m0": m, "w": rng.uniform(0.5, 2, n)})
+    return spark.createDataFrame(pdf), y, m, pdf["w"].to_numpy()
+
+
+def test_rmse_mae(spark, scored):
+    df, y, m, w = scored
+    assert M.compute_metric(df, "rmse") == pytest.approx(np.sqrt(((m - y) ** 2).mean()), rel=1e-9)
+    assert M.compute_metric(df, "mae") == pytest.approx(np.abs(m - y).mean(), rel=1e-9)
+    wrmse = np.sqrt((w * (m - y) ** 2).sum() / w.sum())
+    assert M.compute_metric(df, "rmse", weight="w") == pytest.approx(wrmse, rel=1e-9)
+
+
+def test_logloss_error(spark, scored):
+    df, y, m, w = scored
+    p = 1 / (1 + np.exp(-m))
+    p = np.clip(p, 1e-16, 1 - 1e-16)
+    ll = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert M.compute_metric(df, "logloss") == pytest.approx(ll, rel=1e-9)
+    err = ((m > 0).astype(float) != y).mean()
+    assert M.compute_metric(df, "error") == pytest.approx(err, rel=1e-9)
+
+
+def test_auc_matches_rank_formula(spark, scored):
+    df, y, m, w = scored
+    # tie-free rank AUC
+    order = np.argsort(m)
+    ranks = np.empty(len(m)); ranks[order] = np.arange(1, len(m) + 1)
+    npos, nneg = y.sum(), (1 - y).sum()
+    auc = (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert M.compute_metric(df, "auc") == pytest.approx(auc, rel=1e-9)
+
+
+def test_auc_with_ties(spark):
+    pdf = pd.DataFrame({"y": [1, 0, 1, 0, 1, 0], "m0": [0.5, 0.5, 0.5, 0.1, 0.9, 0.9]})
+    df = spark.createDataFrame(pdf)
+    v = M.compute_metric(df, "auc")
+    # scipy-free check: pairs = 9; wins: (.5>.1)=1,(.5>.1),(.9>.1),(.9>.5)x2... compute manually
+    pos = [0.5, 0.5, 0.9]; neg = [0.5, 0.1, 0.9]
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg)
+    assert v == pytest.approx(wins / 9, rel=1e-9)
+
+
+def test_multiclass_metrics(spark):
+    rng = np.random.default_rng(3)
+    n, K = 500, 3
+    y = rng.integers(0, K, n).astype(float)
+    m = rng.normal(size=(n, K)) + np.eye(K)[y.astype(int)] * 2
+    pdf = pd.DataFrame({"y": y, "m0": m[:, 0], "m1": m[:, 1], "m2": m[:, 2]})
+    df = spark.createDataFrame(pdf)
+    pred = m.argmax(1)
+    assert M.compute_metric(df, "merror", margin_cols=["m0", "m1", "m2"]) == pytest.approx(
+        (pred != y).mean(), rel=1e-9)
+    e = np.exp(m - m.max(1, keepdims=True)); p = e / e.sum(1, keepdims=True)
+    mll = -np.log(np.clip(p[np.arange(n), y.astype(int)], 1e-16, None)).mean()
+    assert M.compute_metric(df, "mlogloss", margin_cols=["m0", "m1", "m2"]) == pytest.approx(
+        mll, rel=1e-7)
+
+
+def test_ndcg_and_map(spark):
+    pdf = pd.DataFrame({
+        "q": [1, 1, 1, 1, 2, 2, 2],
+        "y": [3, 2, 0, 1, 1, 0, 2],
+        "m0": [0.9, 0.7, 0.6, 0.2, 0.1, 0.8, 0.5],
+    })
+    df = spark.createDataFrame(pdf)
+    out = {r["qid"]: r["ndcg"] for r in M.ndcg_at_k(df, 3).collect()}
+
+    def dcg(rels):
+        return sum((2 ** r - 1) / np.log2(i + 2) for i, r in enumerate(rels[:3]))
+
+    # q1 pred order: 0.9,0.7,0.6 -> rels 3,2,0 ; ideal 3,2,1
+    assert out[1] == pytest.approx(dcg([3, 2, 0]) / dcg([3, 2, 1]), rel=1e-9)
+    # q2 pred order: 0.8,0.5,0.1 -> rels 0,2,1 ; ideal 2,1,0
+    assert out[2] == pytest.approx(dcg([0, 2, 1]) / dcg([2, 1, 0]), rel=1e-9)
+    mp = {r["qid"]: r["ap"] for r in M.map_at_k(df, 3).collect()}
+    # q2: hits at ranks 2 (prec 1/2) and 3 (prec 2/3); 2 rel docs
+    assert mp[2] == pytest.approx((0.5 + 2 / 3) / 2, rel=1e-9)
+
+
+def test_regression_family_metrics(spark):
+    rng = np.random.default_rng(4)
+    n = 300
+    y = rng.gamma(3, 1, n)
+    m = np.log(y) + rng.normal(0, 0.2, n)
+    pdf = pd.DataFrame({"y": y, "m0": m})
+    df = spark.createDataFrame(pdf)
+    mu = np.exp(m)
+    pois = (mu - y * m).mean()  # up to lgamma const
+    got = M.compute_metric(df, "poisson-nloglik")
+    # compare excluding the lgamma(y+1) term which is label-only
+    import math
+    const = np.mean([math.lgamma(v + 1) for v in y])
+    assert got == pytest.approx(pois + const, rel=0.02)
+    gd = 2 * (np.log(mu / y) + y / mu - 1).mean()
+    assert M.compute_metric(df, "gamma-deviance") == pytest.approx(gd, rel=1e-9)

@@ -1,0 +1,95 @@
+"""Operator-level tests: sketch, binning, histogram, split query."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark import core
+from xgboost_spark.operators import binning, histogram, sketch, split
+
+
+def test_approx_cuts_close_to_exact(spark, reg_df, reg_data):
+    X, _ = reg_data
+    cuts = sketch.approx_cuts(reg_df, ["c0", "c1"], 16)
+    for i in range(2):
+        x = X[:, i]
+        exact = core.make_cuts(x, 16)
+        assert len(cuts[i]) >= 8
+        # distribution-level agreement
+        b_a = core.bin_values(x, cuts[i])
+        b_e = core.bin_values(x, exact)
+        valid = ~np.isnan(x)
+        agree = (b_a[valid] == b_e[valid]).mean()
+        assert agree > 0.9
+
+
+def test_quantize_expr_matches_pandas_and_numpy(spark, reg_df, reg_data):
+    X, _ = reg_data
+    cuts = [core.make_cuts(X[:, i], 8) for i in range(2)]
+    d1 = binning.quantize_expr(reg_df, ["c0", "c1"], cuts).select("b0", "b1").toPandas()
+    d2 = binning.quantize_pandas(reg_df, ["c0", "c1"], cuts).select("b0", "b1").toPandas()
+    ref0 = core.bin_values(X[:, 0], cuts[0])
+    ref1 = core.bin_values(X[:, 1], cuts[1])
+    assert (np.sort(d1["b0"]) == np.sort(ref0)).all()
+    assert (np.sort(d2["b0"]) == np.sort(ref0)).all()
+    assert (np.sort(d1["b1"]) == np.sort(ref1)).all()
+
+
+def test_weighted_cuts_spark(spark):
+    pdf = pd.DataFrame({"v": np.arange(100, dtype=float),
+                        "w": np.where(np.arange(100) < 50, 1e-4, 1.0)})
+    df = spark.createDataFrame(pdf)
+    cuts = sketch.weighted_cuts(df, "v", "w", 4, num_partitions=4)
+    assert cuts[0] >= 49
+
+
+def test_exact_quantiles_query(spark, reg_df, reg_data):
+    X, _ = reg_data
+    out = sketch.exact_quantiles(reg_df, "c0", 8).toPandas()
+    x = np.sort(X[~np.isnan(X[:, 0]), 0])
+    n = len(x)
+    for _, r in out.iterrows():
+        expect = x[int(np.ceil(r["k"] * n / 8)) - 1]
+        assert r["cut"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_spark_hist_builder_matches_numpy(spark, reg_df, reg_data):
+    X, y = reg_data
+    cuts = [core.make_cuts(X[:, i], 16) for i in range(X.shape[1])]
+    fc = [f"c{i}" for i in range(X.shape[1])]
+    g = y - y.mean()
+    h = np.ones_like(y)
+    pdf = pd.DataFrame(X, columns=fc)
+    pdf["gg"], pdf["hh"] = g, h
+    df = spark.createDataFrame(pdf)
+    b = binning.quantize_pandas(df, fc, cuts, keep=["gg", "hh"], out_prefix="x")
+    builder = histogram.SparkHistBuilder(b, [f"x{i}" for i in range(X.shape[1])],
+                                         cuts, gcol="gg", hcol="hh")
+    t = core.Tree()
+    hg, hh_ = builder.build(t, [0])
+    # numpy reference
+    from xgboost_spark.local.booster import _NumpyHistBuilder
+    Xb = np.column_stack([core.bin_values(X[:, i], cuts[i]) for i in range(X.shape[1])])
+    nb = _NumpyHistBuilder(Xb.astype(np.int16), cuts, builder.n_bins)
+    nb.set_grad(g, h)
+    hg2, hh2 = nb.build(t, [0])
+    assert np.allclose(hg, hg2, rtol=1e-9, atol=1e-9)
+    assert np.allclose(hh_, hh2, rtol=1e-9, atol=1e-9)
+
+
+def test_split_query_matches_core(spark):
+    rng = np.random.default_rng(5)
+    B = 8
+    hg = rng.normal(size=B)
+    hh = np.abs(rng.normal(size=B)) + 0.5
+    pdf = pd.DataFrame({"bin": range(B), "sum_g": hg, "sum_h": hh})
+    df = spark.createDataFrame(pdf)
+    out = split.best_split_query(df, reg_lambda=1.0, min_child_weight=0.0).toPandas()
+    # core: single node, single feature, no missing bucket
+    hg3 = np.concatenate([hg, [0.0]])[None, None, :]
+    hh3 = np.concatenate([hh, [0.0]])[None, None, :]
+    res = core.split_search(hg3, hh3, reg_lambda=1.0, min_child_weight=0.0, gamma=-1e18)[0]
+    assert res is not None
+    assert int(out["best_bin"][0]) == res.split_bin
+    assert out["best_gain"][0] == pytest.approx(res.gain, abs=1e-5)

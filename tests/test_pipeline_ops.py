@@ -1,0 +1,176 @@
+"""LLM-data-pipeline operators: dedup, similarity, textstats, multimodal,
+relational extras."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.operators import dedup, relational, similarity, textstats, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a completely different document about spark query engines and planning",
+        "numerical histograms accelerate gradient boosted tree training at scale",
+        "language identification uses stopword statistics for a cheap heuristic",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+    rows.append((i, base[0])); i += 1                      # exact dup of 0
+    near = base[2].replace("scale", "very large scale")     # near dup of 2
+    rows.append((i, near)); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    d = dedup.exact_duplicates(docs).toPandas()
+    assert set(d["id"]) == {0, 4}
+    kept = dedup.dedup_exact(docs).toPandas()
+    assert len(kept) == 5 and 4 not in set(kept["doc_id"])
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=8, shingle_n=3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 4) in got          # identical docs always collide
+    assert (2, 5) in got          # near dup should collide with 8 bands
+    verified = dedup.ngram_jaccard_on_pairs(
+        docs, dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=8, shingle_n=3),
+        shingle_n=3).toPandas()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for _, r in verified.iterrows()}
+    assert j[(0, 4)] == pytest.approx(1.0)
+    assert 0.3 < j[(2, 5)] < 1.0
+
+
+def test_minhash_dedup_end_to_end(spark, docs):
+    out = dedup.minhash_dedup(docs, n_hashes=16, bands=8, shingle_n=3, threshold=0.3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 4 not in ids and 5 not in ids
+    assert {0, 1, 2, 3} <= ids
+
+
+def test_simhash_near_pairs(spark, docs):
+    sig = dedup.simhash(docs).toPandas()
+    assert sig["simhash"].nunique() >= 4
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=10).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 4) in got
+
+
+def test_embedding_near_pairs_and_topk(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 8))
+    base[7] = base[3] + rng.normal(0, 0.01, 8)     # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = dedup.embedding_near_pairs(df, threshold=0.95, brute_force=True).toPandas()
+    assert (3, 7) in set(map(tuple, brute[["id_a", "id_b"]].to_numpy()))
+    lsh = dedup.embedding_near_pairs(df, threshold=0.95, n_planes=6).toPandas()
+    assert (3, 7) in set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+
+    q = df.filter(F.col("vec_id") < 3)
+    topk = similarity.cosine_topk(df, q, k=5).toPandas()
+    # verify against numpy
+    nrm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:5]
+        got = topk[topk["query_id"] == qid].sort_values("rank")["nbr_id"].to_numpy()
+        # ties broken by id in spark; compare cosine values instead of ids
+        np.testing.assert_allclose(
+            np.sort(s[expect]), np.sort(sims[qid][got]), rtol=1e-9)
+
+
+def test_lsh_and_ivf_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(200, 16))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    brute = similarity.cosine_topk(df, q, k=5).toPandas()
+    lsh = similarity.cosine_topk_lsh(df, q, k=5, n_planes=9, bands=3).toPandas()
+    ivf = similarity.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=4).toPandas()
+    for approx, min_recall in ((lsh, 0.3), (ivf, 0.5)):
+        rec = []
+        for qid in range(5):
+            t = set(brute[brute.query_id == qid]["nbr_id"])
+            a = set(approx[approx.query_id == qid]["nbr_id"])
+            rec.append(len(t & a) / max(len(t), 1))
+        assert np.mean(rec) >= min_recall
+
+
+def test_textstats(spark, docs):
+    out = textstats.text_quality(docs).toPandas()
+    assert (out["n_words"] > 5).all()
+    assert out["quality_score"].between(0, 1).all()
+    tc = textstats.token_count(docs).toPandas()
+    expect = docs.toPandas()["text"].str.split().str.len()
+    assert (tc["n_tokens"] == expect).all()
+    lid = textstats.language_id(docs).toPandas()
+    assert (lid["lang_pred"].isin(["en", "unknown"])).all()
+    assert (lid[lid.doc_id == 0]["lang_pred"] == "en").all()
+    bpe = textstats.bpe_ish_token_count(docs).toPandas()
+    assert (bpe["n_bpe_tokens"] >= tc["n_tokens"]).all()
+    fp = textstats.char_ngram_fingerprint(docs).toPandas()
+    f0 = fp[fp.id == 0]["fingerprint"].iloc[0]
+    f4 = fp[fp.id == 4]["fingerprint"].iloc[0]
+    assert list(f0) == list(f4)  # identical docs -> identical fingerprint
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(1, bytearray(b"\x00\x01" * 50)), (2, bytearray(b"\x7f\x3a" * 80)), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    df = multimodal.attach_media_meta(df, "content", "png")
+    feats = multimodal.image_features(df, out_dim=8).toPandas()
+    assert feats["features"].map(len).eq(8).all()
+    # deterministic: same content -> same features
+    f2 = multimodal.image_features(df, out_dim=8).toPandas()
+    assert list(feats["features"].iloc[0]) == list(f2["features"].iloc[0])
+    frames = multimodal.frame_sample(df.filter(F.col("content").isNotNull()),
+                                     every_n=20, max_frames=3).toPandas()
+    assert frames.groupby("media_id").size().le(3).all()
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (1, 5, "d")],
+        "uid long, t long, payload string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 18, 200.0), (2, 1, 300.0)],
+        "uid long, t long, price double")
+    lts = left.withColumn("t", F.to_timestamp(F.from_unixtime("t")))
+    rts = right.withColumn("t", F.to_timestamp(F.from_unixtime("t")))
+    out = relational.asof_join(lts, rts, on="t", by="uid").toPandas()
+    got = {(r["uid"], r["payload"]): r["price"] for _, r in out.iterrows()}
+    assert got[(1, "a")] == 100.0
+    assert got[(1, "b")] == 200.0
+    assert got[(2, "c")] == 300.0
+    assert np.isnan(got[(1, "d")])
+
+
+def test_range_join_and_sessionize(spark, sf_dir):
+    from xgboost_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e9, "high")],
+        "lo double, hi double, bucket string")
+    j1 = relational.range_join(ev, ranges, "value").count()
+    j2 = relational.range_join(ev, ranges, "value", bucket_width=10.0).count()
+    assert j1 == j2
+    s = relational.sessionize(ev, gap_minutes=30)
+    pdf = s.groupBy("user_id").agg(F.max("session_id").alias("ns")).toPandas()
+    assert (pdf["ns"] >= 1).all()
+
+
+def test_topk_per_group(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = relational.topk_per_group(orders, ["o_custkey"], "o_totalprice", 3,
+                                    tie_col="o_orderkey").toPandas()
+    assert out.groupby("o_custkey").size().le(3).all()

@@ -1,0 +1,174 @@
+"""Distributed-trainer correctness: structural parity with the local
+NumPy booster (same cuts => identical trees), model round-trip, serving.
+Reference analog: tests/test_distributed/test_with_spark/test_spark.py
+(fit-predict equivalence vs single-node)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.local.booster import LocalBooster, _NumpyHistBuilder
+from xgboost_spark.plans.booster import SparkBooster
+from xgboost_spark.plans.model import GBDTModel
+
+
+def fit_local_with_cuts(params, X, y, cuts, w=None):
+    lb = LocalBooster(params)
+    lb.cuts = cuts
+    Xb = lb.bin(X)
+    n = len(y)
+    K = params.n_groups
+    builder = _NumpyHistBuilder(Xb, cuts, max(len(c) for c in cuts))
+    lb.base_score = params.base_score
+    margin = np.full((n, K) if K > 1 else n, lb.base_score, dtype=np.float64)
+    rng = np.random.default_rng(params.seed)
+    for _ in range(params.num_boost_round):
+        g, h = lb.obj.grad_hess(y, margin, w)
+        rnd = []
+        for k in range(K):
+            gk = g[:, k] if K > 1 else g
+            hk = h[:, k] if K > 1 else h
+            builder.set_grad(gk, hk)
+            t = core.grow_tree(builder, params, rng, float(gk.sum()), float(hk.sum()))
+            d = core.tree_predict(t, Xb, binned=True)
+            if K > 1:
+                margin[:, k] += d
+            else:
+                margin += d
+            rnd.append(t)
+        lb.trees.append(rnd)
+    return lb
+
+
+def trees_equal(a: core.Tree, b: core.Tree):
+    return (a.feature == b.feature and a.split_bin == b.split_bin
+            and np.allclose(a.leaf_value, b.leaf_value, rtol=1e-9, atol=1e-12))
+
+
+@pytest.mark.parametrize("objective,depth", [
+    ("reg:squarederror", 3),
+    ("binary:logistic", 3),
+])
+def test_structural_parity(spark, reg_data, reg_df, objective, depth):
+    X, y = reg_data
+    if objective == "binary:logistic":
+        y = (y > np.median(y)).astype(float)
+        pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(X.shape[1])])
+        pdf["label"] = y
+        df = spark.createDataFrame(pdf)
+    else:
+        df = reg_df
+    p = TrainParams(objective=objective, num_boost_round=3, max_depth=depth,
+                    base_score=0.0 if objective == "reg:squarederror" else 0.0)
+    model = SparkBooster(p).fit(df, feature_cols=[f"c{i}" for i in range(X.shape[1])])
+    lb = fit_local_with_cuts(p, X, y, model.cuts)
+    for r in range(p.num_boost_round):
+        assert trees_equal(model.trees[r][0], lb.trees[r][0]), f"round {r} differs"
+
+
+def test_multiclass_parity(spark, reg_data):
+    X, y = reg_data
+    ym = np.digitize(y, np.quantile(y, [0.4, 0.8])).astype(float)
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(X.shape[1])])
+    pdf["label"] = ym
+    sdf = spark.createDataFrame(pdf)
+    p = TrainParams(objective="multi:softprob", num_class=3, num_boost_round=2,
+                    max_depth=3, base_score=0.5)
+    model = SparkBooster(p).fit(sdf, feature_cols=[f"c{i}" for i in range(X.shape[1])])
+    lb = fit_local_with_cuts(p, X, ym, model.cuts)
+    for r in range(2):
+        for k in range(3):
+            assert trees_equal(model.trees[r][k], lb.trees[r][k])
+
+
+def test_transform_matches_local_predict(spark, reg_data, reg_df):
+    X, y = reg_data
+    p = TrainParams(num_boost_round=3, max_depth=3, base_score=0.0)
+    fc = [f"c{i}" for i in range(X.shape[1])]
+    model = SparkBooster(p).fit(reg_df, feature_cols=fc)
+    lb = fit_local_with_cuts(p, X, y, model.cuts)
+    lb.params.base_score = 0.0
+    out = model.transform(reg_df, feature_cols=fc).toPandas()
+    Xout = out[fc].to_numpy()
+    expected = lb.predict(Xout)
+    assert np.allclose(out["prediction"].to_numpy(), expected, rtol=1e-9)
+
+
+def test_weights_and_margin(spark, reg_data):
+    X, y = reg_data
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.5, 2.0, len(y))
+    bm = rng.normal(0, 0.3, len(y))
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(X.shape[1])])
+    pdf["label"], pdf["wt"], pdf["bm"] = y, w, bm
+    df = spark.createDataFrame(pdf)
+    p = TrainParams(num_boost_round=2, max_depth=3, base_score=0.0)
+    model = SparkBooster(p).fit(df, feature_cols=[f"c{i}" for i in range(X.shape[1])],
+                                weight_col="wt", base_margin_col="bm")
+    # weighted local run with margin init
+    lb = LocalBooster(p)
+    lb.cuts = model.cuts
+    Xb = lb.bin(X)
+    builder = _NumpyHistBuilder(Xb, lb.cuts, max(len(c) for c in lb.cuts))
+    margin = bm.copy()
+    rng2 = np.random.default_rng(p.seed)
+    trees = []
+    for _ in range(2):
+        g, h = lb.obj.grad_hess(y, margin, w)
+        builder.set_grad(g, h)
+        t = core.grow_tree(builder, p, rng2, float(g.sum()), float(h.sum()))
+        margin += core.tree_predict(t, Xb, binned=True)
+        trees.append(t)
+    for r in range(2):
+        assert trees_equal(model.trees[r][0], trees[r])
+
+
+def test_model_json_roundtrip(spark, reg_df, reg_data):
+    X, y = reg_data
+    fc = [f"c{i}" for i in range(X.shape[1])]
+    p = TrainParams(num_boost_round=2, max_depth=3)
+    model = SparkBooster(p).fit(reg_df, feature_cols=fc)
+    m2 = GBDTModel.from_json(model.to_json())
+    a = model.transform(reg_df, feature_cols=fc).select("prediction").toPandas()
+    b = m2.transform(reg_df, feature_cols=fc).select("prediction").toPandas()
+    assert np.allclose(a["prediction"], b["prediction"], rtol=1e-12)
+
+
+def test_early_stopping_and_history(spark, reg_df):
+    p = TrainParams(num_boost_round=10, max_depth=2, early_stopping_rounds=2,
+                    eval_metric=["rmse"])
+    fc = [c for c in reg_df.columns if c != "label"]
+    model = SparkBooster(p).fit(reg_df, feature_cols=fc,
+                                evals=[(reg_df, "train")])
+    hist = model.eval_history["train"]["rmse"]
+    assert len(hist) >= 2
+    assert hist[-1] <= hist[0]  # training loss decreases on train set
+
+
+def test_loss_decreases_sf(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = TrainParams(num_boost_round=3, max_depth=4, eval_metric=["rmse"])
+    model = SparkBooster(p).fit(
+        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
+        label_col="l_extendedprice", evals=[(li, "train")])
+    h = model.eval_history["train"]["rmse"]
+    assert h[-1] < h[0]
+
+
+def test_subsample_colsample_run(spark, reg_df):
+    p = TrainParams(num_boost_round=2, max_depth=3, subsample=0.7,
+                    colsample_bytree=0.8, colsample_bylevel=0.8)
+    fc = [c for c in reg_df.columns if c != "label"]
+    model = SparkBooster(p).fit(reg_df, feature_cols=fc)
+    assert len(model.trees) == 2
+
+
+def test_lossguide_spark(spark, reg_df):
+    p = TrainParams(num_boost_round=2, max_depth=0, grow_policy="lossguide", max_leaves=8)
+    fc = [c for c in reg_df.columns if c != "label"]
+    model = SparkBooster(p).fit(reg_df, feature_cols=fc)
+    n_leaves = sum(1 for nid in range(model.trees[0][0].n_nodes)
+                   if model.trees[0][0].left[nid] == -1)
+    assert n_leaves <= 8

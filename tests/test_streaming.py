@@ -1,0 +1,65 @@
+"""Structured Streaming smoke tests: windowed aggregation, streaming
+dedup, and model scoring over a stream (availableNow + memory sink)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.config import TrainParams
+from xgboost_spark.plans.booster import SparkBooster
+from xgboost_spark.sources.tables import load_table
+from xgboost_spark.streaming import scoring
+
+
+def test_windowed_event_stats(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(p)
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(p)
+    agg = scoring.windowed_event_stats(stream, window="60 minutes", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("winagg").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from winagg").toPandas()
+    batch = (ev.groupBy(F.window("ts", "60 minutes"), "event_type")
+             .agg(F.count("*").alias("n")).toPandas())
+    assert len(out) > 0
+    assert out["n"].sum() <= batch["n"].sum()  # watermark may hold back tail windows
+
+
+def test_streaming_scoring(spark, reg_df, reg_data, tmp_path):
+    X, y = reg_data
+    fc = [f"c{i}" for i in range(X.shape[1])]
+    model = SparkBooster(TrainParams(num_boost_round=2, max_depth=3)).fit(
+        reg_df, feature_cols=fc)
+    p = str(tmp_path / "stream_in")
+    reg_df.limit(500).write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(reg_df.schema).parquet(p)
+    scored = scoring.score_stream(model, stream, feature_cols=fc)
+    q = (scored.writeStream.outputMode("append").format("memory")
+         .queryName("scored").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from scored").toPandas()
+    assert len(out) == 500
+    batch = model.transform(reg_df.limit(500), feature_cols=fc).toPandas()
+    assert np.allclose(np.sort(out["prediction"]), np.sort(batch["prediction"]), rtol=1e-9)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a", "b", "a", "c", "b", "d"],
+        "ts": pd.to_datetime(["2024-01-01 10:00"] * 6),
+    })
+    df = spark.createDataFrame(pdf)
+    p = str(tmp_path / "docs_stream")
+    df.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    ded = scoring.streaming_dedup(stream, text_col="text", ts_col="ts")
+    q = (ded.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_out").toPandas()
+    assert sorted(out["text"]) == ["a", "b", "c", "d"]

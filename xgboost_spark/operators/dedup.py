@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale document corpora.
+
+All are pure DataFrame compositions (no Python row loops), designed so
+every stage is a shuffle-on-key or broadcast join Catalyst can plan:
+
+- exact: hash-groupBy on a content digest — one shuffle.
+- MinHash+LSH: shingle -> per-permutation min-hash -> band -> bucket
+  join.  Only docs sharing a band bucket are paired, so the candidate
+  set stays near-linear at 100 TB (the classic MMDS construction).
+- SimHash: 48-bit signature from per-token hashes, banded for Hamming
+  LSH.
+- n-gram Jaccard verification on candidate pairs only.
+
+Hash functions use md5 (available identically in Spark and DuckDB, so
+the oracle can replay them); "permutations" are md5 with a salt prefix,
+and min() over the hex strings is an order-preserving min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    words = F.split(F.col(text_col), r"\s+")
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: returns (id, dup_group, group_size),
+    one row per document belonging to a duplicated-content group.
+    """
+    d = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dig"))
+    w = Window.partitionBy("dig")
+    return (
+        d.withColumn("group_size", F.count("*").over(w))
+        .withColumn("dup_group", F.min("id").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("id", "dup_group", "group_size")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(id, sig array<string>): per-permutation min of salted md5.
+    One groupBy(id) — the per-doc signature is a map-side-combinable agg.
+    """
+    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    d = shingles.groupBy("id").agg(*aggs)
+    return d.select("id", F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 16, bands: int = 4, shingle_n: int = 5) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    rows_per_band = n_hashes / bands; a pair with Jaccard j collides with
+    prob 1-(1-j^r)^b.  The band bucket join is an equi-join on
+    (band_idx, band_value) — shuffle on a well-distributed key.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(word_shingles(df, text_col, id_col, shingle_n), n_hashes)
+    band_arr = F.array(*[
+        F.concat_ws("|", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
+        for b in range(bands)
+    ])
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n_hashes: int = 16, bands: int = 4, shingle_n: int = 5,
+                  threshold: float = 0.7) -> DataFrame:
+    """Full near-dedup: LSH candidates -> exact Jaccard -> connected
+    representatives (min-id union, one level — adequate for dedup).
+    Returns df minus near-duplicate non-representatives.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, shingle_n)
+    verified = ngram_jaccard_on_pairs(df, pairs, text_col, id_col, shingle_n)
+    dup = verified.filter(F.col("jaccard") >= threshold)
+    # representative = min id over each pair-neighborhood
+    drop = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """(id_a, id_b, jaccard): exact word-n-gram Jaccard for given pairs."""
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left").fillna({"n_inter": 0})
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 48) -> DataFrame:
+    """(id, simhash bigint): per-token 48-bit hash (from md5 hex),
+    bitwise weighted vote, sign -> bit.  Pure expressions: explode
+    tokens, 48 conditional sums, reassemble — all codegen'd.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 12), 16, 10).cast("bigint")
+    tok = tok.withColumn("th", h)
+    aggs = []
+    for j in range(n_bits):
+        bit = F.floor(F.col("th") / F.lit(2 ** j)) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    votes = tok.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("bigint")
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_bits: int = 48, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``bands``
+    chunks (Hamming-LSH: distance <= bands-1 guarantees a shared band),
+    bucket-join, verify exact Hamming distance <= max_hamming.
+    """
+    sig = simhash(df, text_col, id_col, n_bits)
+    chunk = n_bits // bands
+    band_cols = [
+        (F.floor(F.col("simhash") / F.lit(2 ** (b * chunk))) % F.lit(2 ** chunk)).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "simhash", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ham = sum((F.floor(xor / F.lit(2 ** j)) % 2 for j in range(n_bits)), F.lit(0))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                         threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
+                         brute_force: bool = False) -> DataFrame:
+    """Embedding cosine near-duplicates.  Scale path: random-hyperplane
+    LSH buckets (sign signature) so only same-bucket pairs are compared;
+    ``brute_force=True`` compares all pairs (oracle/baseline).
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  norm.alias("nrm")).filter(F.col("nrm") > 0)
+    if not brute_force:
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(n_planes, dim))
+        sig = F.concat(*[
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.array(*[F.lit(float(p[j])) for j in range(dim)]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ])
+        d = d.withColumn("bucket", sig)
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, join_cond)
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
+    )

@@ -1,0 +1,105 @@
+"""Relational convenience operators a training-data pipeline needs that
+Spark lacks as single calls: as-of join, range join, sessionization,
+top-k per group.  Each is a composition of built-in DataFrame ops so
+Catalyst plans it (no UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int,
+                   desc: bool = True, tie_col: str | None = None) -> DataFrame:
+    ob = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    if tie_col:
+        ob.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*ob)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
+              tolerance_seconds: float | None = None) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row
+    with ``right.on <= left.on`` in the same ``by`` group.
+
+    Implementation: union-and-window — tag both sides, order by
+    (by, on, side) in one window, carry the last-seen right payload
+    forward with ``last(ignorenulls)``.  One shuffle on ``by`` (or a
+    range partition when ``by`` is None); no range-explosion theta join,
+    skew handled by AQE.  (Spark lacks a native as-of join; pandas
+    ``merge_asof`` semantics.)
+    """
+    rcols = [c for c in right.columns if c not in (on, by)]
+    rtypes = dict(right.dtypes)
+    l_keyed = left.withColumn("_rowid", F.monotonically_increasing_id())
+    l_sel = l_keyed.select(
+        *([F.col(by)] if by else []), F.col(on).alias("_on"), F.col("_rowid"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in rcols],
+    )
+    r_sel = right.select(
+        *([F.col(by)] if by else []), F.col(on).alias("_on"),
+        F.lit(None).cast("long").alias("_rowid"), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    u = l_sel.unionByName(r_sel)
+    part = [by] if by else []
+    w = (Window.partitionBy(*part)
+         .orderBy(F.col("_on").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in rcols:
+        u = u.withColumn(f"_last_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    u = u.withColumn(
+        "_last_on", F.last(F.when(F.col("_side") == 0, F.col("_on")), ignorenulls=True).over(w))
+    matched = u.filter(F.col("_side") == 1).select(
+        "_rowid", "_last_on", *[F.col(f"_last_{c}").alias(c) for c in rcols])
+    out = l_keyed.join(matched, "_rowid", "left")
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_last_on"))
+            <= F.lit(float(tolerance_seconds))
+        )
+        for c in rcols:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    return out.drop("_rowid", "_last_on")
+
+
+def range_join(left: DataFrame, ranges: DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               bucket_width: float | None = None) -> DataFrame:
+    """value-in-[lo,hi) join.  With ``bucket_width`` both sides are
+    bucketized so the join is an equi-join on bucket + residual filter
+    (avoids the O(n*m) theta join); ranges spanning multiple buckets are
+    exploded on the (small) ranges side.
+    """
+    if bucket_width is None:
+        return left.join(ranges, (F.col(value_col) >= F.col(lo_col))
+                         & (F.col(value_col) < F.col(hi_col)))
+    bw = float(bucket_width)
+    l_b = left.withColumn("_bkt", F.floor(F.col(value_col) / bw))
+    r_b = ranges.withColumn(
+        "_bkt",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / bw), F.floor((F.col(hi_col)) / bw))),
+    )
+    return (
+        l_b.join(r_b, "_bkt")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_bkt")
+    )
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event of
+    the same user exceeds the threshold; session_id = cumulative count
+    of session starts.  One shuffle on user."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    d = df.withColumn("_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return d.withColumn("session_id", F.sum("_new").over(wc)).drop("_new")

@@ -1,0 +1,179 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+one scan of the corpus, per-query top-k via window.  The corpus is
+never shuffled, so this scales to any corpus size; cost is
+O(|corpus| x |queries| x dim) JVM-side arithmetic.
+
+Scale paths:
+- LSH (random hyperplanes): sign-bit signature buckets; only matching
+  buckets are compared (multi-band OR for recall).
+- IVF: k-means-lite coarse quantizer (sampled centroids refined by a
+  few Lloyd iterations via DataFrame aggs); corpus partitioned by
+  nearest centroid; queries probe the ``n_probe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                q_vec_col: str | None = None, q_id_col: str | None = None) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    Plan shape: broadcast(queries) x corpus scan -> window top-k.  The
+    join is a broadcast nested loop — no corpus shuffle; top-k presorts
+    per partition before the final per-query merge (rank window).
+    """
+    q_vec_col = q_vec_col or vec_col
+    q_id_col = q_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn"))
+    q = queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"),
+                       _norm(F.col(q_vec_col)).alias("qn"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("nbr_id"))
+    scored = joined.withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def _plane_sig(vec_col, planes: np.ndarray):
+    dim = planes.shape[1]
+    return F.concat(*[
+        F.when(_dot(vec_col, F.array(*[F.lit(float(p[j])) for j in range(dim)])) > 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ])
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_planes: int = 12, bands: int = 3, seed: int = 42) -> DataFrame:
+    """LSH-bucketed ANN top-k: signature split into ``bands``; a
+    candidate must share >= 1 band with the query.  Equi-join on
+    (band, bucket) — shuffle keyed on short strings, then exact rerank
+    within candidates only.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    r = n_planes // bands
+    band_arr_exprs = []
+    for b in range(bands):
+        band_arr_exprs.append(_plane_sig(F.col("v"), planes[b * r:(b + 1) * r]))
+
+    def banded(df, idc, vecc, out_id):
+        d = df.select(F.col(idc).alias(out_id), F.col(vecc).alias("v"),
+                      _norm(F.col(vecc)).alias(f"{out_id}_n"))
+        d = d.select(out_id, "v", f"{out_id}_n",
+                     F.posexplode(F.array(*band_arr_exprs)).alias("band", "bucket"))
+        return d
+
+    c = banded(corpus, id_col, vec_col, "nbr_id").withColumnRenamed("v", "cv")
+    q = banded(queries, id_col, vec_col, "query_id").withColumnRenamed("v", "qv")
+    cand = (
+        c.join(q, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "cv", "qv",
+                F.col("nbr_id_n").alias("cn"), F.col("query_id_n").alias("qn"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = cand.withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id", iters: int = 2, seed: int = 42) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic-sample centroids, refine with
+    ``iters`` Lloyd steps (each step = one groupBy(cluster) agg of
+    per-dimension means — a single shuffle), assign corpus to nearest
+    centroid.  Returns (assigned_corpus(list_id, ...), centroids).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    seed_rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("string"), F.lit(str(seed)))))
+        .limit(n_centroids).collect()
+    )
+    cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+
+    def assign(df):
+        best = None
+        best_d = None
+        v = F.col(vec_col)
+        for ci in range(len(cents)):
+            carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
+            d2 = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                             F.lit(0.0), lambda acc, x: acc + x)
+            if best is None:
+                best, best_d = F.lit(ci), d2
+            else:
+                cond = d2 < best_d
+                best = F.when(cond, F.lit(ci)).otherwise(best)
+                best_d = F.when(cond, d2).otherwise(best_d)
+        return df.withColumn("list_id", best)
+
+    for _ in range(iters):
+        assigned = assign(corpus)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("list_id", "d").agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        for r in means:
+            cents[r["list_id"], r["d"]] = r["mx"]
+    return assign(corpus), cents
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_centroids: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
+    The corpus side is pre-partitioned by list_id (bucketing in a real
+    deployment); the probe join is an equi-join on list_id.
+    """
+    assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col, seed=seed)
+    c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
+                        _norm(F.col(vec_col)).alias("cn"), "list_id")
+    # driver-side probe list per query is tiny: compute via pandas
+    qp = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
+    qv = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    rows = [
+        (int(qp["query_id"][i]), [float(x) for x in qv[i]], [int(p) for p in probes[i]])
+        for i in range(len(qp))
+    ]
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(rows, "query_id long, qv array<double>, probe array<int>")
+    qdf = qdf.select("query_id", "qv", F.explode("probe").alias("list_id"),
+                     _norm(F.col("qv")).alias("qn"))
+    cand = c.join(F.broadcast(qdf), "list_id").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = cand.withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )

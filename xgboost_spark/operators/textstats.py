@@ -1,0 +1,127 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure column expressions (whole-stage codegen, no UDFs): language ID
+(stopword-hit heuristic), quality scoring (length/punct/stopword/
+repetition ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (min-hash of character n-grams — a rolling-hash
+analog built from md5 so the DuckDB oracle can replay it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists; enough for a deterministic n-gram
+# heuristic (real deployments plug in fasttext via mapInPandas)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "que", "de", "los", "se", "las", "por", "un", "para"],
+}
+
+
+def _count_token(text_col, token: str):
+    """Occurrences of a word token via padded replace — exact string ops
+    only (replayable in any SQL engine)."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count: len - len(without spaces) + 1."""
+    t = F.col(text_col)
+    n = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    return df.withColumn(out_col, n.cast("int"))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish proxy: word-boundary pieces plus punctuation singles
+    (regex split), ~ what a byte-pair tokenizer's piece count tracks."""
+    pieces = F.split(F.col(text_col), r"\s+|(?=[.,!?;:])")
+    n = F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    return df.withColumn(out_col, n)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-signal columns (heuristics in the Gopher/C4 style):
+    n_chars, n_words, avg_word_len, punct_ratio, digit_ratio,
+    stopword_ratio, max_word_repeat_ratio, quality_score in [0,1].
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    stop_hits = sum((_count_token(t, s) for s in STOPWORDS["en"]), F.lit(0))
+    words = F.split(F.lower(t), r"\s+")
+    top_word_cnt = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda wd: F.size(F.filter(words, lambda x: x == wd)),
+    ))
+    d = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_words", n_words.cast("int"))
+        .withColumn("avg_word_len", (n_chars - (n_words - 1)) / n_words)
+        .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("digit_ratio", digits / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_ratio", stop_hits / F.greatest(n_words, F.lit(1)))
+        .withColumn("max_word_repeat_ratio", top_word_cnt / F.greatest(n_words, F.lit(1)))
+    )
+    score = (
+        F.when(F.col("n_words") >= 10, F.lit(0.25)).otherwise(F.col("n_words") / 40.0)
+        + F.least(F.col("stopword_ratio") * 2.5, F.lit(0.25))
+        + F.when(F.col("avg_word_len").between(3, 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("max_word_repeat_ratio") <= 0.2, F.lit(0.25))
+          .otherwise(F.greatest(F.lit(0.0), F.lit(0.25) - (F.col("max_word_repeat_ratio") - 0.2)))
+    )
+    return d.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: count hits from each language's list;
+    argmax with deterministic tie-break (language order)."""
+    t = F.col(text_col)
+    n_words = F.greatest(
+        F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+            F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+        ),
+        F.lit(1),
+    )
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        scores[lang] = sum((_count_token(t, w) for w in words), F.lit(0))
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in STOPWORDS:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    d = df.withColumn("lang_score", best_score / n_words)
+    return d.withColumn(out_col, best_lang)
+
+
+def char_ngram_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           n: int = 8, n_mins: int = 4) -> DataFrame:
+    """Document fingerprint: the ``n_mins`` smallest md5 digests over the
+    document's character n-grams (winnowing-style content signature —
+    robust to small edits, joinable for near-dup detection).
+    Returns (id, fingerprint array<string>).
+    """
+    t = F.col(text_col)
+    idxs = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    grams = F.transform(idxs, lambda i: F.md5(t.substr(i, F.lit(n))))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins).alias("fingerprint"),
+    )
