@@ -1,38 +1,997 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator inventory (SURVEY.md §2) as
+DataFrame builders; oracle_sql() gives the DuckDB-equivalent ANSI SQL.
+Design notes for exact hash-matching:
+- float aggregates are rounded (6 dp for unit-scale, 2-4 dp for large
+  sums); any value derived from rounded inputs via IEEE +-*/ is then
+  bit-identical across engines,
+- library functions (exp/log) differ only in final ulps — always under
+  aggregation + rounding,
+- ordering ties are always broken by a unique integer column,
+- timestamps: the harness parquet stores TIMESTAMP(NANOS); Spark reads
+  them as long (legacy conf) and truncates to micros exactly like
+  DuckDB's reader, so epoch-micros arithmetic matches bit-for-bit.
+
+ML end-to-end entries (train_*) have no SQL equivalent -> rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _prep(spark: SparkSession):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    from xgboost_spark.sources.tables import load_table
+    return load_table(spark, sf_dir, name)
+
+
+def _exact_cut_values(spark, sf_dir, table, col, B) -> list[float]:
+    """Exact type-1 quantile boundaries k/B, k=1..B-1 (values at exact
+    ranks — identical in any engine).  Tiny driver collect (B-1 floats)."""
+    d = _table(spark, sf_dir, table).select(F.col(col).cast("double").alias("v"))
+    d = d.filter(F.col("v").isNotNull())
+    ranked = d.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    ks = spark.range(1, B).select(F.col("id").alias("k"))
+    rows = (ranked.join(ks, ranked.rn == F.ceil(ks.k * ranked.n / B), "inner")
+            .groupBy("k").agg(F.min("v").alias("cut")).orderBy("k").collect())
+    return [r["cut"] for r in rows]
+
+
+def _cuts_cte(table, col, B) -> str:
+    return f"""ranked AS (
+  SELECT {col} AS v, row_number() OVER (ORDER BY {col}) AS rn, count(*) OVER () AS n
+  FROM {table} WHERE {col} IS NOT NULL
+), kcuts AS (
+  SELECT k, min(v) AS cut FROM ranked JOIN range(1, {B}) t(k)
+    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT)
+  GROUP BY k
+)"""
+
+
+def _bin_expr(col, cuts: list[float]):
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(F.filter(arr, lambda c: c < F.col(col))).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full Spark-native boosting run on sf0.001 lineitem; the
+    result is the trained model as a relational nodes table."""
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = _table(spark, sf_dir, "lineitem")
+    p = TrainParams(num_boost_round=2, max_depth=3, eta=0.3)
+    model = SparkBooster(p).fit(
+        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
+        label_col="l_extendedprice")
+    return model.to_nodes_df(spark)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_fit_stump(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("base_score"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def q_quantile_cuts(spark, sf_dir):
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 16)
+    return spark.createDataFrame(
+        [(i + 1, float(c)) for i, c in enumerate(cuts)], "k bigint, cut double")
+
+
+def q_weighted_quantile(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").alias("v"), (F.col("l_tax") + 0.01).alias("w"))
+    d = d.filter(F.col("v").isNotNull())
+    wc = Window.orderBy("v", "w").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    d = d.withColumn("cumw", F.sum("w").over(wc)).withColumn("W", F.sum("w").over(wall))
+    return (d.withColumn("bucket", F.ceil(F.col("cumw") * 8 / F.col("W")).cast("bigint"))
+            .groupBy("bucket").agg(F.round(F.max("v"), 6).alias("cut")))
+
+
+def q_quantize_hist(spark, sf_dir):
+    """Quantize l_extendedprice into 16 exact-quantile bins; gradient
+    histogram for y=l_quantity at constant margin 25."""
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_extendedprice", 16)
+    li = _table(spark, sf_dir, "lineitem")
+    d = li.withColumn("bin", _bin_expr("l_extendedprice", cuts))
+    return (d.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum(F.lit(25.0) - F.col("l_quantity")), 4).alias("sum_g"),
+    ))
+
+
+def _split_scan_from_hist(hist):
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    lam = 1.0
+    d = (hist
+         .withColumn("gl", F.sum("sum_g").over(wb))
+         .withColumn("hl", F.sum("sum_h").over(wb))
+         .withColumn("gt", F.sum("sum_g").over(wall))
+         .withColumn("ht", F.sum("sum_h").over(wall))
+         .withColumn("mx", F.max("bin").over(wall))
+         .filter(F.col("bin") < F.col("mx"))
+         .withColumn("gr", F.col("gt") - F.col("gl"))
+         .withColumn("hr", F.col("ht") - F.col("hl"))
+         .withColumn("gain",
+                     F.col("gl") ** 2 / (F.col("hl") + lam)
+                     + F.col("gr") ** 2 / (F.col("hr") + lam)
+                     - F.col("gt") ** 2 / (F.col("ht") + lam)))
+    return d
+
+
+def q_split_scan(spark, sf_dir):
+    """EnumerateSplit as SQL: prefix-sum scan + gain over the 16-bin
+    histogram (rounded hist inputs => bit-identical downstream)."""
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_extendedprice", 16)
+    li = _table(spark, sf_dir, "lineitem")
+    hist = (li.withColumn("bin", _bin_expr("l_extendedprice", cuts))
+            .groupBy("bin").agg(
+                F.round(F.sum(F.lit(25.0) - F.col("l_quantity")), 4).alias("sum_g"),
+                F.count("*").cast("double").alias("sum_h")))
+    d = _split_scan_from_hist(hist)
+    return d.select("bin", "gl", "hl", "gr", "hr", F.round("gain", 4).alias("gain"))
+
+
+_BS_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_partkey"]
+
+
+def q_best_split(spark, sf_dir):
+    """Best split per feature (argmax gain, tie -> lowest bin) over 4
+    features binned to 8 exact-quantile bins; y = l_extendedprice/1000,
+    margin = 38."""
+    li = _table(spark, sf_dir, "lineitem")
+    parts = []
+    for feat in _BS_FEATURES:
+        cuts = _exact_cut_values(spark, sf_dir, "lineitem", feat, 8)
+        hist = (li.withColumn("bin", _bin_expr(feat, cuts))
+                .groupBy("bin").agg(
+                    F.round(F.sum(F.lit(38.0) - F.col("l_extendedprice") / 1000.0), 4).alias("sum_g"),
+                    F.count("*").cast("double").alias("sum_h"))
+                .withColumn("feature", F.lit(feat)))
+        parts.append(hist)
+    hist = parts[0]
+    for x in parts[1:]:
+        hist = hist.unionByName(x)
+    wb = Window.partitionBy("feature").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("feature")
+    lam = 1.0
+    d = (hist
+         .withColumn("gl", F.sum("sum_g").over(wb))
+         .withColumn("hl", F.sum("sum_h").over(wb))
+         .withColumn("gt", F.sum("sum_g").over(wall))
+         .withColumn("ht", F.sum("sum_h").over(wall))
+         .withColumn("mx", F.max("bin").over(wall))
+         .filter(F.col("bin") < F.col("mx"))
+         .withColumn("gr", F.col("gt") - F.col("gl"))
+         .withColumn("hr", F.col("ht") - F.col("hl"))
+         .withColumn("gain",
+                     F.col("gl") ** 2 / (F.col("hl") + lam)
+                     + F.col("gr") ** 2 / (F.col("hr") + lam)
+                     - F.col("gt") ** 2 / (F.col("ht") + lam)))
+    wr = Window.partitionBy("feature").orderBy(F.col("gain").desc(), F.col("bin").asc())
+    return (d.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") == 1)
+            .select("feature", F.col("bin").alias("best_bin"),
+                    F.round("gain", 4).alias("best_gain")))
+
+
+def q_leaf_weights(spark, sf_dir):
+    """CalcWeight per side of a median split on l_quantity (margin 25,
+    lambda 1): w* = -G/(H+1)."""
+    med = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 2)[0]
+    li = _table(spark, sf_dir, "lineitem")
+    side = F.when(F.col("l_quantity") <= F.lit(float(med)), F.lit("L")).otherwise(F.lit("R"))
+    d = li.select(side.alias("side"), (F.lit(25.0) - F.col("l_quantity")).alias("g"))
+    return (d.groupBy("side").agg(
+        F.round(-F.round(F.sum("g"), 4) / (F.count("*") + F.lit(1.0)), 6).alias("weight"),
+        F.count("*").cast("bigint").alias("cover")))
+
+
+def q_row_partition(spark, sf_dir):
+    med = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 2)[0]
+    li = _table(spark, sf_dir, "lineitem")
+    node = F.when(F.col("l_quantity") <= F.lit(float(med)), F.lit(1)).otherwise(F.lit(2))
+    return (li.select(node.cast("bigint").alias("node"), F.col("l_extendedprice").alias("y"))
+            .groupBy("node").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.avg("y"), 4).alias("avg_y")))
+
+
+def q_subsample(spark, sf_dir):
+    """Deterministic Bernoulli row sampling via integer hashing."""
+    li = _table(spark, sf_dir, "lineitem")
+    kept = ((F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber") * F.lit(97)) % 100
+            < 80).cast("bigint")
+    return (li.select(kept.alias("kept"), F.col("l_quantity"))
+            .groupBy("kept").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty")))
+
+
+def q_logistic_grad(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    m = F.element_at("embedding", 1).cast("double")
+    y = (F.col("label") % 2).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    return (emb.select(y.alias("yl"), (p - y).alias("g"), (p * (1 - p)).alias("h"))
+            .groupBy(F.col("yl").cast("bigint").alias("label"))
+            .agg(F.round(F.sum("g"), 6).alias("sum_g"),
+                 F.round(F.sum("h"), 6).alias("sum_h"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+def q_softmax_grad(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    ms = [F.element_at("embedding", i + 1).cast("double") for i in range(3)]
+    mx = F.greatest(*ms)
+    es = [F.exp(m - mx) for m in ms]
+    z = es[0] + es[1] + es[2]
+    y3 = (F.col("label") % 3)
+    rows = []
+    for k in range(3):
+        g = es[k] / z - (y3 == k).cast("double")
+        rows.append(emb.select(F.lit(k).cast("bigint").alias("class"), g.alias("g")))
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("class").agg(F.round(F.sum("g"), 6).alias("sum_g"))
+
+
+def q_metric_regression(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    pred = F.lit(4.5) + F.lit(3.0) * F.element_at("embedding", 2).cast("double")
+    y = F.col("label").cast("double")
+    return emb.agg(
+        F.round(F.sqrt(F.avg((pred - y) ** 2)), 6).alias("rmse"),
+        F.round(F.avg(F.abs(pred - y)), 6).alias("mae"),
+    )
+
+
+def q_metric_logloss(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    m = F.element_at("embedding", 1).cast("double")
+    y = (F.col("label") % 2).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    ll = -(y * F.log(p) + (1 - y) * F.log(1 - p))
+    err = ((m > 0).cast("double") != y).cast("double")
+    return emb.agg(F.round(F.avg(ll), 6).alias("logloss"),
+                   F.round(F.avg(err), 6).alias("error"))
+
+
+def q_metric_auc(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    d = emb.select(F.element_at("embedding", 1).cast("double").alias("s"),
+                   (F.col("label") % 2).cast("double").alias("y"))
+    g = d.groupBy("s").agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("cumneg", F.coalesce(F.sum("neg").over(wcum), F.lit(0.0)))
+    return g.agg(F.round(
+        F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2))
+        / (F.sum("pos") * F.sum("neg")), 6).alias("auc"))
+
+
+def q_metric_ndcg(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    rel = F.greatest(F.least(F.col("value"), F.lit(100.0)) / 10.0, F.lit(0.0))
+    score = (F.col("event_id") % 97).cast("double")
+    wp = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("event_id").asc())
+    wi = Window.partitionBy("user_id").orderBy(F.col("rel").desc(), F.col("event_id").asc())
+    d = (ev.select("user_id", "event_id", rel.alias("rel"), score.alias("score"))
+         .withColumn("rkp", F.row_number().over(wp))
+         .withColumn("rki", F.row_number().over(wi)))
+    per_q = (d.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rkp") <= 5, F.col("rel") / F.log2(F.col("rkp") + 1)).otherwise(0.0)).alias("dcg"),
+        F.sum(F.when(F.col("rki") <= 5, F.col("rel") / F.log2(F.col("rki") + 1)).otherwise(0.0)).alias("idcg")))
+    nd = F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(F.lit(1.0))
+    return per_q.agg(F.round(F.avg(nd), 6).alias("avg_ndcg"),
+                     F.count("*").cast("bigint").alias("n_queries"))
+
+
+def q_metric_map(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    rel = (F.col("value") > 50).cast("double")
+    score = (F.col("event_id") % 97).cast("double")
+    wp = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("event_id").asc())
+    d = (ev.select("user_id", "event_id", rel.alias("rel"), score.alias("score"))
+         .withColumn("rk", F.row_number().over(wp)))
+    wcum = (Window.partitionBy("user_id").orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("cumrel", F.sum("rel").over(wcum))
+    per_q = (d.groupBy("user_id").agg(
+        F.sum(F.when((F.col("rk") <= 5) & (F.col("rel") > 0),
+                     F.col("cumrel") / F.col("rk")).otherwise(0.0)).alias("apn"),
+        F.least(F.sum("rel"), F.lit(5.0)).alias("denom")))
+    ap = F.when(F.col("denom") > 0, F.col("apn") / F.col("denom")).otherwise(0.0)
+    return per_q.agg(F.round(F.avg(ap), 6).alias("avg_map"))
+
+
+def q_count_family(spark, sf_dir):
+    """poisson/gamma/tweedie nloglik family at constant log-margin 3.2
+    (elementwise metric kernels as one aggregation)."""
+    li = _table(spark, sf_dir, "lineitem")
+    y = F.col("l_quantity")
+    m = F.lit(3.2)
+    mu = F.exp(m)
+    rho = 1.5
+    pois = mu - y * m
+    gdev = 2.0 * (F.log(mu / y) + y / mu - 1.0)
+    tw = -(y * F.exp((1 - rho) * m) / (1 - rho) - F.exp((2 - rho) * m) / (2 - rho))
+    return li.agg(F.round(F.avg(pois), 6).alias("poisson_nll"),
+                  F.round(F.avg(gdev), 6).alias("gamma_dev"),
+                  F.round(F.avg(tw), 6).alias("tweedie_nll"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _table(spark, sf_dir, "documents")
+    return (docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct")))
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash-LSH band buckets: distinct candidate pairs per band
+    (8 salted-md5 min-hashes over word 3-grams, 4 bands x 2 rows)."""
+    from xgboost_spark.operators.dedup import minhash_signatures, word_shingles
+    docs = _table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs, "text", "doc_id", 3), 8)
+    band_arr = F.array(*[
+        F.concat_ws("|", F.element_at("sig", b * 2 + 1), F.element_at("sig", b * 2 + 2))
+        for b in range(4)
+    ])
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.band").alias("band"), F.col("a.id").alias("ia"),
+                     F.col("b.id").alias("ib")).distinct())
+    return pairs.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard for doc pairs sharing >= 8 shingles
+    (join-based intersection; |A∪B| = |A|+|B|-|A∩B|)."""
+    from xgboost_spark.operators.dedup import word_shingles
+    docs = _table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", 3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("id").alias("ia"), "shingle")
+    b = sh.select(F.col("id").alias("ib"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("ia") < F.col("ib"))
+             .groupBy("ia", "ib").agg(F.count("*").alias("ninter"))
+             .filter(F.col("ninter") >= 8))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "ia").withColumnRenamed("nsh", "na"), "ia")
+           .join(sizes.withColumnRenamed("id", "ib").withColumnRenamed("nsh", "nb"), "ib")
+           .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))))
+    return out.select(F.col("ia").cast("bigint"), F.col("ib").cast("bigint"),
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for s in ["the", "and", "of", "to", "a"]:
+        needle = f" {s} "
+        c = (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    d = docs.select(
+        "lang",
+        n_words.alias("nw"), (punct / n_chars).alias("pr"),
+        (stop_hits / n_words).alias("sr"))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("nw"), 6).alias("avg_words"),
+        F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"))
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("sum_tokens"),
+        F.sum(F.length(t)).cast("bigint").alias("sum_chars"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Min-hash fingerprint of char 8-grams per doc -> distinct
+    fingerprints per source (content-signature dedup primitive)."""
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    idxs = F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1)))
+    fp = F.array_min(F.transform(idxs, lambda i: F.md5(t.substr(i, F.lit(8)))))
+    return (docs.select("source", fp.alias("fp"))
+            .groupBy("source").agg(F.countDistinct("fp").cast("bigint").alias("n_fp")))
+
+
+def q_knn(spark, sf_dir):
+    """Brute-force cosine top-5 for queries vec_id < 5 (rank by exact
+    cosine, ties by neighbor id — bit-identical fold order both engines)."""
+    from xgboost_spark.operators.similarity import cosine_topk
+    emb = _table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, q, k=5)
+    return out.select(F.col("query_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
+                      F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    d = emb.select(F.col("vec_id").alias("id"), "v", nrm.alias("nrm"))
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+            .filter(F.col("cos") >= 0.45)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round("cos", 6).alias("cos")))
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > 30 * 60 * 1000000), 1).otherwise(0)
+    d = ev.select("user_id", new_s.alias("ns"))
+    per_u = d.groupBy("user_id").agg(F.sum("ns").alias("sessions"))
+    return per_u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("sessions").cast("bigint").alias("n_sessions"),
+        F.round(F.avg("sessions"), 6).alias("avg_sessions"))
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of: each 'click' joined to the latest prior 'signup' value of
+    the same user (union-window pattern, no range explosion)."""
+    ev = _table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lastv = F.last(F.when(F.col("event_type") == "signup", F.col("value")),
+                   ignorenulls=True).over(w)
+    d = ev.withColumn("signup_value", lastv).filter(F.col("event_type") == "click")
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.count("signup_value").cast("bigint").alias("n_matched"),
+        F.round(F.avg("signup_value"), 6).alias("avg_signup_value"))
+
+
+def q_topk_orders(spark, sf_dir):
+    o = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+            .select(F.col("o_custkey").cast("bigint"), F.col("o_orderkey").cast("bigint"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.col("rk").cast("bigint")))
+
+
+def q_range_join(spark, sf_dir):
+    from xgboost_spark.operators.relational import range_join
+    ev = _table(spark, sf_dir, "events")
+    spark_ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 100000.0, "high")],
+        "lo double, hi double, bucket string")
+    j = range_join(ev, spark_ranges, "value", bucket_width=100.0)
+    return j.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def q_q1_pricing(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    d = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order")))
+
+
+# --- ML end-to-end (rows-only checks; no SQL equivalent) -------------------
+
+def q_train_tree_nodes(spark, sf_dir):
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem")
+    p = TrainParams(num_boost_round=2, max_depth=3, eta=0.3, base_score=0.0)
+    model = SparkBooster(p).fit(
+        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
+        label_col="l_extendedprice")
+    return model.to_nodes_df(spark)
+
+
+def q_train_predict(spark, sf_dir):
+    _prep(spark)
+    from pyspark.sql import functions as FF
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    emb = _table(spark, sf_dir, "embeddings").withColumn(
+        "label", (FF.col("label") % 2).cast("double"))
+    p = TrainParams(objective="binary:logistic", num_boost_round=4, max_depth=3)
+    model = SparkBooster(p).fit(emb, array_col="embedding")
+    out = model.transform(emb, array_col="embedding")
+    return out.select(FF.col("vec_id").cast("bigint"),
+                      FF.round("prediction", 6).alias("prediction"))
+
+
+def q_train_importance(spark, sf_dir):
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem")
+    p = TrainParams(num_boost_round=2, max_depth=3)
+    model = SparkBooster(p).fit(
+        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
+        label_col="l_extendedprice")
+    imp_w = model.feature_importance("weight")
+    imp_g = model.feature_importance("total_gain")
+    rows = [(f, float(imp_w.get(f, 0.0)), float(imp_g.get(f, 0.0)))
+            for f in sorted(set(imp_w) | set(imp_g))]
+    return spark.createDataFrame(rows, "feature string, weight double, total_gain double")
+
+
+def q_simhash(spark, sf_dir):
+    from xgboost_spark.operators.dedup import simhash
+    docs = _table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q_train_ranker(spark, sf_dir):
+    _prep(spark)
+    from pyspark.sql import functions as FF
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        FF.least(FF.col("value") / 25.0, FF.lit(4.0)).cast("double").alias("rel"),
+        (FF.col("event_id") % 31).cast("double").alias("f_a"),
+        (FF.col("value") * 0.01).alias("f_b"),
+    ).withColumn("rel", FF.greatest(FF.col("rel"), FF.lit(0.0)))
+    p = TrainParams(objective="rank:ndcg", num_boost_round=2, max_depth=3, base_score=0.0)
+    model = SparkBooster(p).fit(ev, feature_cols=["f_a", "f_b"], label_col="rel",
+                                qid_col="user_id")
+    out = model.transform(ev, feature_cols=["f_a", "f_b"])
+    return out.select(FF.col("event_id").cast("bigint"),
+                      FF.round("prediction", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
+        "fit_stump": q_fit_stump,
+        "quantile_cuts": q_quantile_cuts,
+        "weighted_quantile": q_weighted_quantile,
+        "quantize_hist": q_quantize_hist,
+        "split_scan": q_split_scan,
+        "best_split": q_best_split,
+        "leaf_weights": q_leaf_weights,
+        "row_partition": q_row_partition,
+        "subsample": q_subsample,
+        "logistic_grad": q_logistic_grad,
+        "softmax_grad": q_softmax_grad,
+        "metric_regression": q_metric_regression,
+        "metric_logloss": q_metric_logloss,
+        "metric_auc": q_metric_auc,
+        "metric_ndcg": q_metric_ndcg,
+        "metric_map": q_metric_map,
+        "count_family": q_count_family,
+        # data-pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn": q_knn,
+        "embedding_neardup": q_embedding_neardup,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "topk_orders": q_topk_orders,
+        "range_join": q_range_join,
+        "q1_pricing": q_q1_pricing,
+        # ML end-to-end (rows-only)
+        "train_tree_nodes": q_train_tree_nodes,
+        "train_predict": q_train_predict,
+        "train_importance": q_train_importance,
+        "train_ranker": q_train_ranker,
+        "simhash": q_simhash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered)
+# ---------------------------------------------------------------------------
+
+def _best_split_sql() -> str:
+    blocks = []
+    for feat in _BS_FEATURES:
+        blocks.append(f"""
+SELECT '{feat}' AS feature, bin,
+       round(sum(38.0 - l_extendedprice / 1000.0), 4) AS sum_g,
+       CAST(count(*) AS DOUBLE) AS sum_h
+FROM (
+  SELECT l_extendedprice,
+         (SELECT count(*) FROM (
+            SELECT min(v) AS cut FROM (
+              SELECT {feat} AS v, row_number() OVER (ORDER BY {feat}) rn, count(*) OVER () n
+              FROM lineitem WHERE {feat} IS NOT NULL) rk
+            JOIN range(1, 8) t(k) ON rn = CAST(ceil(k * n / 8.0) AS BIGINT)
+            GROUP BY k) c WHERE c.cut < l.{feat}) AS bin
+  FROM lineitem l)
+GROUP BY bin""")
+    hist = " UNION ALL ".join(blocks)
+    return f"""
+WITH hist AS ({hist}),
+scan AS (
+  SELECT feature, bin,
+         sum(sum_g) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER (PARTITION BY feature) AS gt,
+         sum(sum_h) OVER (PARTITION BY feature) AS ht,
+         max(bin) OVER (PARTITION BY feature) AS mx
+  FROM hist),
+gains AS (
+  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+         gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+  FROM scan WHERE bin < mx)
+SELECT feature, bin AS best_bin, round(gain, 4) AS best_gain
+FROM (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gain DESC, bin ASC) rk FROM gains)
+WHERE rk = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle_cte = """sh AS (
+  SELECT DISTINCT doc_id AS id, sh AS shingle FROM (
+    SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                           for i in range(1, len(words) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w)
+)"""
+    return {
+        "fit_stump": """
+SELECT round(avg(l_extendedprice), 6) AS base_score,
+       CAST(count(*) AS BIGINT) AS n_rows FROM lineitem""",
+
+        "quantile_cuts": f"""
+WITH {_cuts_cte('lineitem', 'l_quantity', 16)}
+SELECT CAST(k AS BIGINT) AS k, cut FROM kcuts""",
+
+        "weighted_quantile": """
+WITH d AS (SELECT l_quantity AS v, l_tax + 0.01 AS w FROM lineitem WHERE l_quantity IS NOT NULL),
+c AS (SELECT v, sum(w) OVER (ORDER BY v, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER () AS W FROM d)
+SELECT CAST(ceil(cumw * 8 / W) AS BIGINT) AS bucket, round(max(v), 6) AS cut
+FROM c GROUP BY 1""",
+
+        "quantize_hist": f"""
+WITH {_cuts_cte('lineitem', 'l_extendedprice', 16)}
+SELECT CAST((SELECT count(*) FROM kcuts c WHERE c.cut < l.l_extendedprice) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(25.0 - l_quantity), 4) AS sum_g
+FROM lineitem l GROUP BY 1""",
+
+        "split_scan": f"""
+WITH {_cuts_cte('lineitem', 'l_extendedprice', 16)},
+hist AS (
+  SELECT CAST((SELECT count(*) FROM kcuts c WHERE c.cut < l.l_extendedprice) AS BIGINT) AS bin,
+         round(sum(25.0 - l_quantity), 4) AS sum_g,
+         CAST(count(*) AS DOUBLE) AS sum_h
+  FROM lineitem l GROUP BY 1),
+scan AS (
+  SELECT bin,
+         sum(sum_g) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER () AS gt, sum(sum_h) OVER () AS ht, max(bin) OVER () AS mx
+  FROM hist)
+SELECT bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+       round(gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0), 4) AS gain
+FROM scan WHERE bin < mx""",
+
+        "best_split": _best_split_sql(),
+
+        "leaf_weights": f"""
+WITH {_cuts_cte('lineitem', 'l_quantity', 2)}
+SELECT CASE WHEN l_quantity <= (SELECT cut FROM kcuts) THEN 'L' ELSE 'R' END AS side,
+       round(-round(sum(25.0 - l_quantity), 4) / (count(*) + 1.0), 6) AS weight,
+       CAST(count(*) AS BIGINT) AS cover
+FROM lineitem GROUP BY 1""",
+
+        "row_partition": f"""
+WITH {_cuts_cte('lineitem', 'l_quantity', 2)}
+SELECT CAST(CASE WHEN l_quantity <= (SELECT cut FROM kcuts) THEN 1 ELSE 2 END AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_extendedprice), 4) AS avg_y
+FROM lineitem GROUP BY 1""",
+
+        "subsample": """
+SELECT CAST(CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 97) % 100 < 80
+            THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem GROUP BY 1""",
+
+        "logistic_grad": """
+WITH d AS (
+  SELECT CAST(label % 2 AS BIGINT) AS label,
+         1.0/(1.0 + exp(-(embedding[1]::DOUBLE))) AS p,
+         CAST(label % 2 AS DOUBLE) AS y
+  FROM embeddings)
+SELECT label, round(sum(p - y), 6) AS sum_g,
+       round(sum(p * (1 - p)), 6) AS sum_h,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY label""",
+
+        "softmax_grad": """
+WITH m AS (
+  SELECT label % 3 AS y3,
+         embedding[1]::DOUBLE AS m0, embedding[2]::DOUBLE AS m1, embedding[3]::DOUBLE AS m2,
+         greatest(embedding[1]::DOUBLE, embedding[2]::DOUBLE, embedding[3]::DOUBLE) AS mx
+  FROM embeddings),
+e AS (SELECT y3, exp(m0 - mx) AS e0, exp(m1 - mx) AS e1, exp(m2 - mx) AS e2 FROM m),
+g AS (
+  SELECT CAST(0 AS BIGINT) AS class, e0/(e0+e1+e2) - (CASE WHEN y3 = 0 THEN 1.0 ELSE 0.0 END) AS g FROM e
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), e1/(e0+e1+e2) - (CASE WHEN y3 = 1 THEN 1.0 ELSE 0.0 END) FROM e
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), e2/(e0+e1+e2) - (CASE WHEN y3 = 2 THEN 1.0 ELSE 0.0 END) FROM e)
+SELECT class, round(sum(g), 6) AS sum_g FROM g GROUP BY class""",
+
+        "metric_regression": """
+WITH d AS (SELECT 4.5 + 3.0 * (embedding[2]::DOUBLE) AS pred, CAST(label AS DOUBLE) AS y FROM embeddings)
+SELECT round(sqrt(avg((pred - y) * (pred - y))), 6) AS rmse,
+       round(avg(abs(pred - y)), 6) AS mae FROM d""",
+
+        "metric_logloss": """
+WITH d AS (
+  SELECT embedding[1]::DOUBLE AS m, CAST(label % 2 AS DOUBLE) AS y,
+         1.0/(1.0 + exp(-(embedding[1]::DOUBLE))) AS p
+  FROM embeddings)
+SELECT round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS logloss,
+       round(avg(CASE WHEN (CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END) <> y THEN 1.0 ELSE 0.0 END), 6) AS error
+FROM d""",
+
+        "metric_auc": """
+WITH d AS (SELECT embedding[1]::DOUBLE AS s, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+g AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM d GROUP BY s),
+c AS (SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g)
+SELECT round(sum(pos * (cumneg + neg / 2)) / (sum(pos) * sum(neg)), 6) AS auc FROM c""",
+
+        "metric_ndcg": """
+WITH d AS (
+  SELECT user_id, event_id,
+         greatest(least(value, 100.0) / 10.0, 0.0) AS rel,
+         CAST(event_id % 97 AS DOUBLE) AS score
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id ASC) AS rkp,
+            row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, event_id ASC) AS rki
+  FROM d),
+pq AS (
+  SELECT user_id,
+         sum(CASE WHEN rkp <= 5 THEN rel / log2(rkp + 1) ELSE 0.0 END) AS dcg,
+         sum(CASE WHEN rki <= 5 THEN rel / log2(rki + 1) ELSE 0.0 END) AS idcg
+  FROM r GROUP BY user_id)
+SELECT round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 1.0 END), 6) AS avg_ndcg,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM pq""",
+
+        "metric_map": """
+WITH d AS (
+  SELECT user_id, event_id,
+         CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS rel,
+         CAST(event_id % 97 AS DOUBLE) AS score
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id ASC) AS rk FROM d),
+c AS (SELECT *, sum(rel) OVER (PARTITION BY user_id ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel FROM r),
+pq AS (
+  SELECT user_id,
+         sum(CASE WHEN rk <= 5 AND rel > 0 THEN cumrel / rk ELSE 0.0 END) AS apn,
+         least(sum(rel), 5.0) AS denom
+  FROM c GROUP BY user_id)
+SELECT round(avg(CASE WHEN denom > 0 THEN apn / denom ELSE 0.0 END), 6) AS avg_map FROM pq""",
+
+        "count_family": """
+SELECT round(avg(exp(3.2) - l_quantity * 3.2), 6) AS poisson_nll,
+       round(avg(2.0 * (ln(exp(3.2) / l_quantity) + l_quantity / exp(3.2) - 1.0)), 6) AS gamma_dev,
+       round(avg(-(l_quantity * exp((1 - 1.5) * 3.2) / (1 - 1.5) - exp((2 - 1.5) * 3.2) / (2 - 1.5))), 6) AS tweedie_nll
+FROM lineitem""",
+
+        "dedup_exact": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents GROUP BY source""",
+
+        "minhash_bands": f"""
+WITH {shingle_cte},
+sig AS (
+  SELECT id,
+         min(md5('p0:' || shingle)) AS mh0, min(md5('p1:' || shingle)) AS mh1,
+         min(md5('p2:' || shingle)) AS mh2, min(md5('p3:' || shingle)) AS mh3,
+         min(md5('p4:' || shingle)) AS mh4, min(md5('p5:' || shingle)) AS mh5,
+         min(md5('p6:' || shingle)) AS mh6, min(md5('p7:' || shingle)) AS mh7
+  FROM sh GROUP BY id),
+banded AS (
+  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
+  SELECT id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+  SELECT id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+  SELECT id, 3, mh6 || '|' || mh7 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.band, a.id AS ia, b.id AS ib
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY band""",
+
+        "ngram_jaccard": f"""
+WITH {shingle_cte},
+sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 8)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+       round(ninter * 1.0 / (sa.nsh + sb.nsh - ninter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib""",
+
+        "text_quality": """
+WITH d AS (
+  SELECT lang,
+         len(text) - len(replace(text, ' ', '')) + 1 AS nw,
+         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) AS pr,
+         ((len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+          + (len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
+          + (len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+          + (len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4.0
+          + (len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0)
+         * 1.0 / (len(text) - len(replace(text, ' ', '')) + 1) AS sr
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nw), 6) AS avg_words,
+       round(avg(pr), 6) AS avg_punct_ratio,
+       round(avg(sr), 6) AS avg_stopword_ratio
+FROM d GROUP BY lang""",
+
+        "token_counts": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(text) - len(replace(text, ' ', '')) + 1 END) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source""",
+
+        "doc_fingerprint": """
+WITH fp AS (
+  SELECT source, doc_id,
+         list_min([md5(text[i:i+7]) for i in range(1, greatest(len(text)-7,1)+1)]) AS f
+  FROM documents)
+SELECT source, CAST(count(DISTINCT f) AS BIGINT) AS n_fp
+FROM fp GROUP BY source""",
+
+        "knn": """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, n.vec_id AS nbr_id,
+         list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+  FROM n, q WHERE n.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+
+        "embedding_neardup": """
+WITH n AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM n a JOIN n b ON a.id < b.id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45""",
+
+        "sessionize": """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events),
+pu AS (SELECT user_id, sum(ns) AS sessions FROM d GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(sessions) AS BIGINT) AS n_sessions,
+       round(avg(sessions), 6) AS avg_sessions
+FROM pu""",
+
+        "asof_join": """
+WITH d AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_value
+  FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(signup_value) AS BIGINT) AS n_matched,
+       round(avg(signup_value), 6) AS avg_signup_value
+FROM d WHERE event_type = 'click'""",
+
+        "topk_orders": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3""",
+
+        "range_join": """
+WITH ranges(lo, hi, bucket) AS (
+  VALUES (0.0::DOUBLE, 10.0::DOUBLE, 'low'), (10.0::DOUBLE, 100.0::DOUBLE, 'mid'),
+         (100.0::DOUBLE, 100000.0::DOUBLE, 'high'))
+SELECT bucket, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+GROUP BY bucket""",
+
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    }
