@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Suite = the engine's core workloads:
+- gbdt_fit_10r_d6   : distributed hist-GBDT training, 10 rounds depth 6
+                      bin 256 on lineitem (7 features, y=l_extendedprice)
+- gbdt_predict      : batch scoring of the trained model over lineitem
+- quantize_hist     : sketch+bin+gradient-histogram query (the training
+                      inner loop as a standalone op)
+- q1_pricing        : TPC-H-Q1-style aggregation
+- minhash_bands     : MinHash-LSH dedup candidate generation (documents)
+- knn               : brute-force cosine top-5 (embeddings)
+- sessionize        : window sessionization over events
+
+Compare against BASELINE.md (single-node NumPy proxy measured on the
+same data; pip xgboost is not installed in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from xgboost_spark.session import get_session
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    from xgboost_spark.sources.tables import load_table
+    import __spark_entry__ as E
+
+    spark = get_session("bench", cpus=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    times: dict[str, float] = {}
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.count()  # warm FS cache / JVM
+    fc = ["l_quantity", "l_discount", "l_tax", "l_partkey",
+          "l_suppkey", "l_linenumber", "l_orderkey"]
+
+    t0 = time.time()
+    model = SparkBooster(
+        TrainParams(num_boost_round=10, max_depth=6, max_bin=256, eta=0.3)
+    ).fit(li, feature_cols=fc, label_col="l_extendedprice")
+    times["gbdt_fit_10r_d6"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    model.transform(li, feature_cols=fc).selectExpr("sum(prediction)").collect()
+    times["gbdt_predict"] = round(time.time() - t0, 3)
+
+    for qname in ("quantize_hist", "q1_pricing", "minhash_bands", "knn", "sessionize"):
+        q = E.queries()[qname]
+        t0 = time.time()
+        q(spark, SF_DIR).collect()
+        times[qname] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

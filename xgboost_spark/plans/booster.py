@@ -128,6 +128,7 @@ class SparkBooster:
             qid_col: str | None = None,
             evals: list[tuple[DataFrame, str]] | None = None,
             cuts: list[np.ndarray] | None = None,
+            num_partitions: int | None = None,
             verbose: bool = False) -> GBDTModel:
         p = self.params
         K = p.n_groups
@@ -140,7 +141,7 @@ class SparkBooster:
         Fn = len(fnames)
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
         has_q = qid_col is not None
-        n_part = sc.defaultParallelism
+        n_part = num_partitions or sc.defaultParallelism
         if has_q:
             raw = raw.repartition(n_part, "qid")   # co-locate ranking groups
         if cuts is None:
