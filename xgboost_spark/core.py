@@ -320,6 +320,21 @@ def _rng_mask(rng: np.random.Generator, n: int, rate: float) -> np.ndarray:
     return mask
 
 
+def _interaction_child_mask(parent_allowed: np.ndarray, fidx: int,
+                            sets: list[np.ndarray]) -> np.ndarray:
+    """Allowed-feature mask for children after splitting on ``fidx``
+    (reference `src/tree/constraints.cc:103` / `constraints.h`): a child may
+    split only on features sharing >=1 interaction set with every feature on
+    its path, i.e. allowed(child) = allowed(parent) & (U{S : fidx in S} | {fidx}).
+    """
+    m = np.zeros_like(parent_allowed)
+    m[fidx] = True
+    for s in sets:
+        if s[fidx]:
+            m |= s
+    return parent_allowed & m
+
+
 def grow_tree(
     builder: HistBuilder,
     params,
@@ -328,6 +343,7 @@ def grow_tree(
     root_h: float | None = None,
     feature_mask_tree: np.ndarray | None = None,
     monotone: np.ndarray | None = None,
+    interaction_sets: list[np.ndarray] | None = None,
 ) -> Tree:
     """Grow one tree.  Depthwise (`grow_policy=depthwise`) expands level by
     level with ONE histogram build per level; lossguide expands the
@@ -347,6 +363,17 @@ def grow_tree(
     )
     if feature_mask_tree is None:
         feature_mask_tree = np.ones(F, dtype=bool)
+    # interaction constraints: per-node allowed-feature sets
+    allowed: dict[int, np.ndarray] | None = (
+        {0: np.ones(F, dtype=bool)} if interaction_sets else None
+    )
+
+    def on_expand(nid: int, fidx: int, lid: int, rid: int):
+        if allowed is not None:
+            child = _interaction_child_mask(allowed[nid], fidx, interaction_sets)
+            allowed[lid] = child
+            allowed[rid] = child
+            allowed.pop(nid, None)
 
     hist_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -441,7 +468,14 @@ def grow_tree(
         if root_g is None:
             tree.sum_grad[0], tree.sum_hess[0] = float(hg[0, 0].sum()), float(hh[0, 0].sum())
         candidates: list[tuple[float, int, SplitResult]] = []
-        res = split_search(hg, hh, feature_mask=node_mask(level_mask()), **kw)[0]
+
+        def nmask(nid: int) -> np.ndarray:
+            m = node_mask(level_mask())
+            if allowed is not None:
+                m = m & allowed[nid]
+            return m
+
+        res = split_search(hg, hh, feature_mask=nmask(0), **kw)[0]
         if res is not None:
             candidates.append((-res.gain, 0, res))
         n_leaves = 1
@@ -460,9 +494,10 @@ def grow_tree(
             )
             n_leaves += 1
             counter += 1
+            on_expand(nid, f, lid, rid)
             hg, hh = hists_for([lid, rid])
             for child, hgi, hhi in ((lid, hg[0], hh[0]), (rid, hg[1], hh[1])):
-                r = split_search(hgi[None], hhi[None], feature_mask=node_mask(level_mask()), **kw)[0]
+                r = split_search(hgi[None], hhi[None], feature_mask=nmask(child), **kw)[0]
                 if r is not None and depth_of(child) < max_depth:
                     r = SplitResult(**{**r.__dict__})
                     candidates.append((-r.gain, child, r))
@@ -484,8 +519,12 @@ def grow_tree(
             else:
                 hg, hh = hists_for(active)
             fmask = level_mask()
-            if params.colsample_bynode < 1.0:
-                masks = np.stack([node_mask(fmask) for _ in active])
+            if params.colsample_bynode < 1.0 or allowed is not None:
+                masks = np.stack([
+                    (node_mask(fmask) & allowed[nid]) if allowed is not None
+                    else node_mask(fmask)
+                    for nid in active
+                ])
                 results = split_search(hg, hh, feature_mask=masks, **kw)
             else:
                 results = split_search(hg, hh, feature_mask=fmask, **kw)
@@ -500,6 +539,7 @@ def grow_tree(
                     res.default_left, res.gain,
                     res.g_left, res.h_left, res.g_right, res.h_right,
                 )
+                on_expand(nid, f, lid, rid)
                 nxt.extend((lid, rid))
             # free parent hists no longer needed
             for nid in active:
@@ -509,6 +549,37 @@ def grow_tree(
         for nid in active:
             commit_leaf(nid)
     return tree
+
+
+def prune_tree(tree: Tree, min_split_loss: float, eta: float,
+               reg_lambda: float, reg_alpha: float = 0.0,
+               max_delta_step: float = 0.0) -> int:
+    """Post-hoc pruner (reference `src/tree/updater_prune.cc:186`,
+    `CollapseToLeaf` `tree_model.h:220`): recursively collapse any internal
+    node whose children are both leaves and whose recorded loss change is
+    below ``min_split_loss``.  The collapsed node becomes a leaf with weight
+    from its stored (sum_grad, sum_hess).  Returns number of nodes pruned.
+    Pruned child slots stay in the arrays but become unreachable.
+    """
+    npruned = 0
+    changed = True
+    while changed:
+        changed = False
+        for nid in range(tree.n_nodes):
+            if tree.is_leaf(nid):
+                continue
+            lid, rid = tree.left[nid], tree.right[nid]
+            if tree.is_leaf(lid) and tree.is_leaf(rid) and tree.gain[nid] < min_split_loss:
+                tree.left[nid] = -1
+                tree.right[nid] = -1
+                tree.feature[nid] = -1
+                tree.leaf_value[nid] = eta * float(
+                    calc_weight(tree.sum_grad[nid], tree.sum_hess[nid],
+                                reg_lambda, reg_alpha, max_delta_step)
+                )
+                npruned += 1
+                changed = True
+    return npruned
 
 
 def bin_values(x: np.ndarray, cuts: np.ndarray) -> np.ndarray:

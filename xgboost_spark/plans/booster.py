@@ -237,6 +237,22 @@ class SparkBooster:
                 key = cname if cname in feat_names_out else None
                 idx = feat_names_out.index(cname) if key else int(cname)
                 mono[idx] = v
+        isets = None
+        if p.interaction_constraints:
+            isets = []
+            for group in p.interaction_constraints:
+                m = np.zeros(Fn, dtype=bool)
+                for cname in group:
+                    if isinstance(cname, str) and cname in feat_names_out:
+                        idx = feat_names_out.index(cname)
+                    elif isinstance(cname, int) or str(cname).isdigit():
+                        idx = int(cname)
+                    else:
+                        raise ValueError(
+                            f"interaction_constraints: unknown feature {cname!r}; "
+                            f"features are {feat_names_out}")
+                    m[idx] = True
+                isets.append(m)
 
         trees: list[list[core.Tree]] = []
         history: dict[str, dict[str, list[float]]] = {}
@@ -253,7 +269,8 @@ class SparkBooster:
                 forest = []
                 for _ in range(n_forest):
                     tree = core.grow_tree(builders[k], p, rng,
-                                          feature_mask_tree=fmask, monotone=mono)
+                                          feature_mask_tree=fmask, monotone=mono,
+                                          interaction_sets=isets)
                     forest.append(tree)
                 if n_forest > 1:
                     # random-forest round: average by scaling leaves
@@ -402,3 +419,101 @@ def train(params: dict | TrainParams, df: DataFrame, **kw) -> GBDTModel:
     (`python-package/xgboost/training.py:53`)."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
     return SparkBooster(p).fit(df, **kw)
+
+
+def refresh_leaves(model: GBDTModel, df: DataFrame,
+                   feature_cols: list[str] | None = None,
+                   array_col: str | None = None, label_col: str = "label",
+                   weight_col: str | None = None) -> GBDTModel:
+    """Refresh updater (reference `src/tree/updater_refresh.cc:153`):
+    keep every tree's structure but recompute node stats and leaf weights
+    on (possibly new) data.  Replays the boosting sequence: for each round,
+    gradients at the current margin, then one `groupBy(leaf).agg(sum g, sum h)`
+    job per tree to re-derive `leaf = eta * CalcWeight(G, H)`.
+    Single-output models only (K=1)."""
+    p = model.params
+    if p.n_groups != 1:
+        raise NotImplementedError("refresh_leaves supports single-output models")
+    obj = get_objective(p.objective, p)
+    sc = df.sparkSession.sparkContext
+    raw, fnames = assemble_features(
+        df, feature_cols=feature_cols, array_col=array_col,
+        label_col=label_col, weight_col=weight_col)
+    has_w = "weight" in raw.columns
+    bc_cuts = sc.broadcast([np.asarray(c) for c in model.cuts])
+    Fn = len(fnames)
+
+    def init_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cuts_l = bc_cuts.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {}
+            for i, c in enumerate(fnames):
+                out[f"x{i}"] = core.bin_values(
+                    pdf[c].to_numpy(dtype=np.float64, na_value=np.nan), cuts_l[i])
+            out["y"] = pdf["label"].to_numpy(dtype=np.float64)
+            out["w"] = (pdf["weight"].to_numpy(dtype=np.float64)
+                        if has_w else np.ones(len(pdf)))
+            out["m0"] = np.full(len(pdf), model.base_score, dtype=np.float64)
+            yield pd.DataFrame(out)
+
+    schema = ", ".join([f"x{i} smallint" for i in range(Fn)]
+                       + ["y double", "w double", "m0 double"])
+    binned = raw.mapInPandas(init_fn, schema=schema).localCheckpoint(eager=True)
+    fcols = [f"x{i}" for i in range(Fn)]
+    new_trees: list[list[core.Tree]] = []
+    for round_trees in model.trees:
+        refreshed = []
+        for tree in round_trees:
+            bc_tree = sc.broadcast(tree.finalize_arrays())
+
+            def stats_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                arrs = bc_tree.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    Xb = np.column_stack([
+                        pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    w = pdf["w"].to_numpy(dtype=np.float64)
+                    g, h = obj.grad_hess(y, pdf["m0"].to_numpy(dtype=np.float64), w)
+                    leaf = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                    yield pd.DataFrame({"leaf": leaf.astype(np.int32), "g": g, "h": h})
+
+            stats = (binned.mapInPandas(stats_fn, schema="leaf int, g double, h double")
+                     .groupBy("leaf").agg(F.sum("g").alias("G"), F.sum("h").alias("H"))
+                     .collect())
+            t2 = core.Tree(
+                feature=list(tree.feature), split_bin=list(tree.split_bin),
+                split_value=list(tree.split_value), default_left=list(tree.default_left),
+                left=list(tree.left), right=list(tree.right), parent=list(tree.parent),
+                leaf_value=list(tree.leaf_value), gain=list(tree.gain),
+                sum_grad=list(tree.sum_grad), sum_hess=list(tree.sum_hess))
+            for r in stats:
+                nid = int(r["leaf"])
+                t2.sum_grad[nid], t2.sum_hess[nid] = float(r["G"]), float(r["H"])
+                if t2.left[nid] == -1:
+                    t2.leaf_value[nid] = p.eta * float(core.calc_weight(
+                        r["G"], r["H"], p.reg_lambda, p.reg_alpha, p.max_delta_step))
+            refreshed.append(t2)
+        new_trees.append(refreshed)
+        bc_round = sc.broadcast([t.finalize_arrays() for t in refreshed])
+
+        def margin_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tree_arrs = bc_round.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                Xb = np.column_stack([
+                    pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
+                out = {c: pdf[c] for c in pdf.columns}
+                m = pdf["m0"].to_numpy(dtype=np.float64).copy()
+                for arrs in tree_arrs:
+                    m += arrs["leaf_value"][core.leaf_ids_from_arrays(arrs, Xb, binned=True)]
+                out["m0"] = m
+                yield pd.DataFrame(out)
+
+        binned = binned.mapInPandas(margin_fn, schema=schema).localCheckpoint(eager=True)
+    return GBDTModel(p, model.base_score, new_trees, model.feature_names, model.cuts,
+                     best_iteration=model.best_iteration, eval_history=model.eval_history)
