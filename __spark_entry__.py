@@ -606,6 +606,75 @@ def q_train_ranker(spark, sf_dir):
                       FF.round("prediction", 6).alias("score"))
 
 
+def q_cox_grad(spark, sf_dir):
+    """Cox partial-likelihood gradients via the distributed Breslow pass
+    (groupBy time + prefix scans + join; reference regression_obj.cu:598)."""
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    ev = _table(spark, sf_dir, "events")
+    t = F.col("value") + (F.col("event_id") % 1000) * 1e-6
+    delta = (F.col("event_id") % 3) != 0
+    d = ev.select(
+        (F.col("event_id") % 8).cast("bigint").alias("b"),
+        F.when(delta, t).otherwise(-t).cast("double").alias("y"),
+        F.lit(1.0).alias("w"),
+        (0.1 * (F.col("event_id") % 5)).cast("double").alias("m0"))
+    booster = SparkBooster(TrainParams(objective="survival:cox"))
+    out = booster._cox_grad_pass(
+        d, "b bigint, y double, w double, m0 double, g0 double, h0 double", None)
+    return (out.groupBy("b")
+            .agg(F.round(F.sum("g0"), 4).alias("sum_g"),
+                 F.round(F.sum("h0"), 4).alias("sum_h"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+def q_aft_grad(spark, sf_dir):
+    """AFT (logistic dist) gradients through the production kernel
+    (reference aft_obj.cu:148) over mixed censoring classes."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.functions.objectives import AFT
+    li = _table(spark, sf_dir, "lineitem")
+    ct = (F.col("l_linenumber") % 4).cast("bigint")
+    yl = F.col("l_quantity").cast("double")
+    yu = (F.when(ct == 0, F.lit(float("inf")))
+          .when(ct == 1, yl * 1.5)
+          .otherwise(yl))
+    d = li.select(ct.alias("ct"), yl.alias("yl"), yu.alias("yu"),
+                  (F.col("l_discount") * 2.0).cast("double").alias("m"))
+    obj = AFT("logistic", 1.0)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            g, h = obj.grad_hess_bounds(
+                pdf["yl"].to_numpy(dtype=np.float64),
+                pdf["yu"].to_numpy(dtype=np.float64),
+                pdf["m"].to_numpy(dtype=np.float64), None)
+            yield pd.DataFrame({"ct": pdf["ct"], "g": g, "h": h})
+
+    out = d.mapInPandas(fn, schema="ct bigint, g double, h double")
+    return (out.groupBy("ct")
+            .agg(F.round(F.sum("g"), 4).alias("sum_g"),
+                 F.round(F.sum("h"), 4).alias("sum_h"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+def q_prefix_scan(spark, sf_dir):
+    """Distributed running total (operators/scan.py) — the scale-safe
+    form of a global SUM() OVER (ORDER BY) window."""
+    _prep(spark)
+    from xgboost_spark.operators.scan import prefix_sums
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("v"))
+    out = prefix_sums(o, "o_orderkey", ["v"])
+    return out.select(F.col("o_orderkey").cast("bigint"),
+                      F.round("cum_v", 2).alias("running_total"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
@@ -636,6 +705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
+        # survival operators (SURVEY §2.5 survival:cox / survival:aft)
+        "cox_grad": q_cox_grad,
+        "aft_grad": q_aft_grad,
+        "prefix_scan": q_prefix_scan,
         "asof_join": q_asof_join,
         "topk_orders": q_topk_orders,
         "range_join": q_range_join,
@@ -701,6 +774,61 @@ def oracle_sql() -> dict[str, str]:
         "fit_stump": """
 SELECT round(avg(l_extendedprice), 6) AS base_score,
        CAST(count(*) AS BIGINT) AS n_rows FROM lineitem""",
+
+        "cox_grad": """
+WITH d AS (
+  SELECT event_id % 8 AS b,
+         value + (event_id % 1000) * 1e-6 AS t,
+         CASE WHEN event_id % 3 <> 0 THEN 1.0 ELSE 0.0 END AS ev,
+         0.1 * (event_id % 5) AS m
+  FROM events),
+per_t AS (SELECT t, sum(exp(m)) AS e, sum(ev) AS dw FROM d GROUP BY t),
+s AS (SELECT t, dw,
+        sum(e) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS S
+      FROM per_t),
+r AS (SELECT t,
+        sum(dw / S) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS R,
+        sum(dw / (S * S)) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS R2
+      FROM s)
+SELECT b, round(sum(exp(m) * R - ev), 4) AS sum_g,
+       round(sum(greatest(exp(m) * R - exp(2 * m) * R2, 1e-16)), 4) AS sum_h,
+       CAST(count(*) AS BIGINT) AS n
+FROM d JOIN r ON d.t = r.t
+GROUP BY b""",
+
+        "aft_grad": """
+WITH d AS (
+  SELECT CAST(l_linenumber % 4 AS BIGINT) AS ct,
+         CAST(l_quantity AS DOUBLE) AS yl,
+         l_discount * 2.0 AS m
+  FROM lineitem),
+z AS (
+  SELECT ct,
+         1.0 / (1.0 + exp(-(ln(yl) - m))) AS sl,
+         1.0 / (1.0 + exp(-(ln(yl * 1.5) - m))) AS su
+  FROM d),
+gh AS (
+  SELECT ct,
+    CASE WHEN ct = 0 THEN -sl                                  -- right-censored: -hazard
+         WHEN ct = 1 THEN (su*(1-su) - sl*(1-sl)) / (su - sl)  -- interval
+         ELSE 1.0 - 2.0 * sl END AS g,                         -- uncensored
+    CASE WHEN ct = 0 THEN sl * (1 - sl)
+         WHEN ct = 1 THEN ((sl*(1-sl) - su*(1-su)) * (sl*(1-sl) - su*(1-su))
+                           - (su*(1-su)*(1-2*su) - sl*(1-sl)*(1-2*sl)) * (su - sl))
+                          / ((su - sl) * (su - sl))
+         ELSE 2.0 * sl * (1 - sl) END AS h
+  FROM z)
+SELECT ct, round(sum(greatest(least(g, 15.0), -15.0)), 4) AS sum_g,
+       round(sum(greatest(least(h, 15.0), 1e-16)), 4) AS sum_h,
+       CAST(count(*) AS BIGINT) AS n
+FROM gh GROUP BY ct""",
+
+        "prefix_scan": """
+SELECT o_orderkey,
+       round(sum(round(o_totalprice, 2))
+             OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS running_total
+FROM orders""",
 
         "quantile_cuts": f"""
 WITH {_cuts_cte('lineitem', 'l_quantity', 16)}

@@ -118,6 +118,29 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def cox_nloglik(df: DataFrame, y: str = "y", margin: str = "m0",
+                weight: str | None = "w") -> float:
+    """Cox negative partial log-likelihood per event (reference
+    `src/metric/rank_metric.cc:200-204` cox-nloglik).  Distributed:
+    per-distinct-time risk-set suffix sums via operators/scan.prefix_sums,
+    then one join + agg — no single-partition window.
+    """
+    from xgboost_spark.operators.scan import prefix_sums
+    w = F.col(weight) if weight else F.lit(1.0)
+    yy = F.col(y)
+    per_t = (df.groupBy(F.abs(yy).alias("t"))
+             .agg(F.sum(w * F.exp(F.col(margin))).alias("e")))
+    tot = per_t.agg(F.sum("e").alias("te")).first()["te"]
+    s = prefix_sums(per_t, "t", ["e"])
+    s = s.select("t", F.greatest(F.lit(tot) - F.col("cum_e") + F.col("e"),
+                                 F.lit(1e-300)).alias("S"))
+    j = df.withColumn("_t", F.abs(yy)).join(s, F.col("_t") == s["t"], "left")
+    ev = (yy > 0).cast("double") * w
+    r = j.agg(F.sum(ev * (F.col(margin) - F.log("S"))).alias("L"),
+              F.sum(ev).alias("n")).first()
+    return float(-r["L"] / max(float(r["n"]), 1e-16))
+
+
 def _lgamma(c):
     # Spark has no lgamma builtin; Stirling is adequate for count labels
     # (exact for the constant term's role in relative comparisons).

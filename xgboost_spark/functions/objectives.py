@@ -34,6 +34,11 @@ class Objective:
     # residual quantile (reference "adaptive tree", regression_obj.cu:745)
     adaptive_alpha: float | None = None
     needs_qid: bool = False
+    # survival:aft — gradient is a function of (label_lower, label_upper)
+    needs_bounds: bool = False
+    # survival:cox — gradient needs risk-set sums over globally
+    # label-sorted data (reference requires sorted labels, data.h:151)
+    needs_global_sort: bool = False
 
     def grad_hess(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None):
         raise NotImplementedError
@@ -445,6 +450,187 @@ class LambdaRankPairwise(LambdaRankNDCG):
         return "map"
 
 
+class AFT(Objective):
+    """survival:aft — accelerated failure time with interval censoring
+    (reference `src/objective/aft_obj.cu:148`, loss derivations
+    `src/common/survival_util.h`; distributions
+    `src/common/probability_distribution.h:31`).
+
+    Labels are an interval [y_lower, y_upper] in the time domain:
+    uncensored y_lower == y_upper; right-censored y_upper = +inf;
+    left-censored y_lower <= 0; interval-censored otherwise.
+    With z = (ln y - margin) / sigma:
+      uncensored  loss = -ln( f(z) / (sigma * y) )
+      censored    loss = -ln( F(z_u) - F(z_l) )
+    Gradients follow by the chain rule (dz/dmargin = -1/sigma); clipped
+    like the reference (survival_util.h kMin/kMaxGradient, kMinHessian).
+    """
+
+    name = "survival:aft"
+    needs_bounds = True
+
+    _G_CLIP = 15.0
+    _H_MIN = 1e-16
+    _H_MAX = 15.0
+    _EPS_D = 1e-12
+
+    def __init__(self, dist: str = "normal", sigma: float = 1.0):
+        from xgboost_spark.functions.distributions import get_distribution
+        self.dist = get_distribution(dist)
+        self.sigma = float(sigma)
+
+    def _z(self, y, margin):
+        # clip to the range where pdf/cdf are numerically meaningful —
+        # avoids inf*0 in the distribution kernels for open-ended bounds
+        with np.errstate(divide="ignore"):
+            return np.clip((np.log(y) - margin) / self.sigma, -37.0, 37.0)
+
+    def loss_bounds(self, yl: np.ndarray, yu: np.ndarray, margin: np.ndarray) -> np.ndarray:
+        d = self.dist
+        s = self.sigma
+        uncens = np.isclose(yl, yu) & (yl > 0)
+        has_l = yl > 0
+        has_u = np.isfinite(yu)
+        zl = np.where(has_l, self._z(np.maximum(yl, _EPS), margin), -37.0)
+        zu = np.where(has_u, self._z(np.maximum(yu, _EPS), margin), 37.0)
+        # stable log-space identities: ln S = ln f - ln hazard,
+        # ln F = ln f - ln rev_hazard — no tail underflow
+        loss_r = -(d.log_pdf(zl) - np.log(np.maximum(d.hazard(zl), 1e-300)))
+        loss_l = -(d.log_pdf(zu) - np.log(np.maximum(d.rev_hazard(zu), 1e-300)))
+        D = np.maximum(d.cdf(zu) - d.cdf(zl), self._EPS_D)
+        loss_i = -np.log(D)
+        loss_u = -d.log_pdf(zl) + np.log(s * np.maximum(yl, _EPS))
+        loss = np.where(uncens, loss_u,
+                        np.where(~has_u, loss_r,
+                                 np.where(~has_l, loss_l, loss_i)))
+        return loss
+
+    def grad_hess_bounds(self, yl: np.ndarray, yu: np.ndarray,
+                         margin: np.ndarray, w: np.ndarray | None):
+        d = self.dist
+        s = self.sigma
+        uncens = np.isclose(yl, yu) & (yl > 0)
+        zl = np.where(yl > 0, self._z(np.maximum(yl, _EPS), margin), -37.0)
+        zu = np.where(np.isfinite(yu), self._z(np.maximum(yu, _EPS), margin), 37.0)
+        has_l = yl > 0
+        has_u = np.isfinite(yu)
+        # uncensored: stable log-pdf forms (pdf ratios underflow in tails)
+        g_u = d.dlog_pdf(zl) / s            # = f'/(sigma f); dz/dm = -1/sigma
+        h_u = d.neg_d2_log_pdf(zl) / (s * s)
+        # right-censored (loss = -ln S(zl)): hazard form, tail-stable
+        hz = d.hazard(zl)
+        g_r = -hz / s
+        h_r = hz * (d.dlog_pdf(zl) + hz) / (s * s)
+        # left-censored (loss = -ln F(zu)): reverse-hazard form
+        rhz = d.rev_hazard(zu)
+        g_l = rhz / s
+        h_l = rhz * (rhz - d.dlog_pdf(zu)) / (s * s)
+        # interval-censored: D = F(zu) - F(zl) (finite bounds, moderate z)
+        f_l = d.pdf(zl)
+        f_u = d.pdf(zu)
+        D = np.maximum(d.cdf(zu) - d.cdf(zl), self._EPS_D)
+        g_i = (f_u - f_l) / (s * D)
+        h_i = ((f_l - f_u) ** 2 - (d.grad_pdf(zu) - d.grad_pdf(zl)) * D) / (s * s * D * D)
+        g = np.where(uncens, g_u,
+                     np.where(~has_u, g_r, np.where(~has_l, g_l, g_i)))
+        h = np.where(uncens, h_u,
+                     np.where(~has_u, h_r, np.where(~has_l, h_l, h_i)))
+        g = np.clip(g, -self._G_CLIP, self._G_CLIP)
+        h = np.clip(h, self._H_MIN, self._H_MAX)
+        if w is not None:
+            g = g * w
+            h = h * w
+        return g, h
+
+    def grad_hess(self, y, margin, w):
+        # degenerate path: point labels = uncensored intervals
+        return self.grad_hess_bounds(y, y, margin, w)
+
+    def base_score_bounds(self, yl, yu, w) -> float:
+        g, h = self.grad_hess_bounds(yl, yu, np.zeros_like(yl, dtype=np.float64), w)
+        return float(-g.sum() / max(h.sum(), _EPS))
+
+    def pred_transform(self, margin):
+        return np.exp(margin)
+
+    def default_metric(self):
+        return "aft-nloglik"
+
+
+class CoxPH(Objective):
+    """survival:cox — Cox proportional hazards, Breslow partial
+    likelihood (reference `regression_obj.cu:598-604`; requires
+    label-sorted data, `include/xgboost/data.h:151,214`).
+
+    Label encoding follows the reference: y > 0 is an observed event at
+    time y; y < 0 is right-censoring at time |y|.  With risk-set sums
+    S(t) = sum_{j: t_j >= t} w_j e^{m_j}:
+      g_k = w_k e^{m_k} R(t_k) - delta_k w_k
+      h_k = w_k e^{m_k} R(t_k) - (w_k e^{m_k})^2 R2(t_k)
+    where R(t) = sum_{event times t' <= t} W_ev(t')/S(t') and R2 uses
+    S(t')^2.  Computed exactly via sorted prefix/suffix scans.
+    """
+
+    name = "survival:cox"
+    needs_global_sort = True
+
+    @staticmethod
+    def risk_stats(t_unique_sorted: np.ndarray, e_t: np.ndarray, dw_t: np.ndarray):
+        """Per-distinct-time Breslow terms.
+
+        e_t: sum of w*exp(m) at each time; dw_t: event weight at each
+        time.  Returns (R, R2) arrays aligned with t_unique_sorted
+        (ascending).  Shared by the NumPy kernel and the Spark pass.
+        """
+        S = np.cumsum(e_t[::-1])[::-1]            # suffix sums: risk set size
+        S = np.maximum(S, _EPS)
+        rr = np.where(dw_t > 0, dw_t / S, 0.0)
+        rr2 = np.where(dw_t > 0, dw_t / (S * S), 0.0)
+        return np.cumsum(rr), np.cumsum(rr2)
+
+    def grad_hess_global(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None):
+        n = len(y)
+        if w is None:
+            w = np.ones(n)
+        t = np.abs(y)
+        delta = (y > 0).astype(np.float64)
+        em = w * np.exp(margin - margin.max())     # stabilized; R*em rescales below
+        scale = np.exp(margin.max())
+        tu, inv = np.unique(t, return_inverse=True)
+        e_t = np.bincount(inv, weights=em, minlength=len(tu)) * scale
+        dw_t = np.bincount(inv, weights=delta * w, minlength=len(tu))
+        R, R2 = self.risk_stats(tu, e_t, dw_t)
+        emk = w * np.exp(margin)
+        g = emk * R[inv] - delta * w
+        h = np.maximum(emk * R[inv] - emk * emk * R2[inv], 1e-16)
+        return g, h
+
+    def loss_global(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None) -> float:
+        """Negative partial log-likelihood (cox-nloglik numerator)."""
+        n = len(y)
+        if w is None:
+            w = np.ones(n)
+        t = np.abs(y)
+        delta = y > 0
+        tu, inv = np.unique(t, return_inverse=True)
+        e_t = np.bincount(inv, weights=w * np.exp(margin), minlength=len(tu))
+        S = np.maximum(np.cumsum(e_t[::-1])[::-1], _EPS)
+        return float(-(w[delta] * (margin[delta] - np.log(S[inv[delta]]))).sum())
+
+    def grad_hess(self, y, margin, w):  # pragma: no cover - guarded upstream
+        raise RuntimeError("survival:cox gradients need globally sorted data; "
+                           "use grad_hess_global")
+
+    def base_score(self, y, w):
+        return 0.0
+
+    def pred_transform(self, margin):
+        return np.exp(margin)   # hazard ratio (reference cox PredTransform)
+
+    def default_metric(self):
+        return "cox-nloglik"
+
+
 def get_objective(name: str, params=None) -> Objective:
     """Objective registry (reference XGBOOST_REGISTER_OBJECTIVE)."""
     p = params
@@ -468,6 +654,9 @@ def get_objective(name: str, params=None) -> Objective:
             p.lambdarank_num_pair_per_sample if p else 1, True, p.ndcg_exp_gain if p else True
         ),
         "rank:pairwise": lambda: LambdaRankPairwise(p.lambdarank_num_pair_per_sample if p else 1),
+        "survival:aft": lambda: AFT(p.aft_loss_distribution if p else "normal",
+                                    p.aft_loss_distribution_scale if p else 1.0),
+        "survival:cox": CoxPH,
     }
     if name not in table:
         raise ValueError(f"unknown objective {name!r}")

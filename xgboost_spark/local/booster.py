@@ -76,20 +76,29 @@ class LocalBooster:
 
     # -- training -----------------------------------------------------------
     def fit(self, X: np.ndarray, y: np.ndarray, sample_weight: np.ndarray | None = None,
-            qid: np.ndarray | None = None) -> "LocalBooster":
+            qid: np.ndarray | None = None,
+            y_lower: np.ndarray | None = None,
+            y_upper: np.ndarray | None = None) -> "LocalBooster":
         p = self.params
         K = p.n_groups
         Xb = self.quantize(X)
         n = len(y)
         n_bins = max(len(c) for c in self.cuts)
         builder = _NumpyHistBuilder(Xb, self.cuts, n_bins)
-        self.base_score = (
-            p.base_score if p.base_score is not None else self.obj.base_score(y, sample_weight)
-        )
+        if p.base_score is not None:
+            self.base_score = p.base_score
+        elif self.obj.needs_bounds:
+            self.base_score = self.obj.base_score_bounds(y_lower, y_upper, sample_weight)
+        else:
+            self.base_score = self.obj.base_score(y, sample_weight)
         margin = np.full((n, K) if K > 1 else n, self.base_score, dtype=np.float64)
         rng = np.random.default_rng(p.seed)
         for it in range(p.num_boost_round):
-            if self.obj.needs_qid and qid is not None:
+            if self.obj.needs_bounds:
+                g, h = self.obj.grad_hess_bounds(y_lower, y_upper, margin, sample_weight)
+            elif self.obj.needs_global_sort:
+                g, h = self.obj.grad_hess_global(y, margin, sample_weight)
+            elif self.obj.needs_qid and qid is not None:
                 g = np.zeros(n)
                 h = np.zeros(n)
                 for q in np.unique(qid):

@@ -40,10 +40,14 @@ from xgboost_spark.plans.model import GBDTModel
 from xgboost_spark.sources.tables import assemble_features
 
 
-def _compute_grads(obj, y, m, w, q, seed, subsample, K):
+def _compute_grads(obj, y, m, w, q, seed, subsample, K, bounds=None):
     """Shared gradient kernel; subsample zeroes rows (reference
     `src/tree/hist/sampler.h:95-104` Bernoulli row sampling)."""
-    if obj.needs_qid and q is not None:
+    if obj.needs_bounds and bounds is not None:
+        mm = m[:, 0] if m.ndim > 1 else m
+        g, h = obj.grad_hess_bounds(bounds[0], bounds[1], mm, w)
+        g, h = g[:, None], h[:, None]
+    elif obj.needs_qid and q is not None:
         g = np.zeros(len(y))
         h = np.zeros(len(y))
         mm = m[:, 0] if m.ndim > 1 else m
@@ -82,9 +86,12 @@ class SparkBooster:
         self.obj = get_objective(params.objective, params)
 
     # ------------------------------------------------------------------
-    def _schema(self, Fn: int, K: int, has_q: bool, with_grads: bool) -> str:
+    def _schema(self, Fn: int, K: int, has_q: bool, with_grads: bool,
+                with_bounds: bool = False) -> str:
         parts = [f"x{i} smallint" for i in range(Fn)]
         parts += ["y double", "w double"]
+        if with_bounds:
+            parts += ["yl double", "yu double"]
         if has_q:
             parts.append("q long")
         parts += [f"m{k} double" for k in range(K)]
@@ -100,6 +107,27 @@ class SparkBooster:
         if p.base_score is not None:
             return float(p.base_score)
         name = p.objective
+        if name == "survival:cox":
+            return 0.0
+        if name == "survival:aft":
+            # distributed stump fit: partial (G, H) sums at margin 0
+            obj = self.obj
+            has_w = "weight" in raw.columns
+
+            def gh_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                G = H = 0.0
+                for pdf in it:
+                    yl = pdf["label_lower"].to_numpy(dtype=np.float64)
+                    yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64) if has_w else None)
+                    g, h = obj.grad_hess_bounds(yl, yu, np.zeros(len(pdf)), w_)
+                    G += g.sum()
+                    H += h.sum()
+                yield pd.DataFrame({"G": [G], "H": [H]})
+
+            r = (raw.mapInPandas(gh_fn, schema="G double, H double")
+                 .agg(F.sum("G").alias("G"), F.sum("H").alias("H")).first())
+            return float(-r["G"] / max(r["H"], 1e-16))
         w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
         y = F.col("label")
         if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
@@ -126,6 +154,8 @@ class SparkBooster:
             array_col: str | None = None, label_col: str = "label",
             weight_col: str | None = None, base_margin_col: str | None = None,
             qid_col: str | None = None,
+            label_lower_col: str | None = None,
+            label_upper_col: str | None = None,
             evals: list[tuple[DataFrame, str]] | None = None,
             cuts: list[np.ndarray] | None = None,
             num_partitions: int | None = None,
@@ -134,9 +164,16 @@ class SparkBooster:
         K = p.n_groups
         spark = df.sparkSession
         sc = spark.sparkContext
+        obj = self.obj
+        has_b = obj.needs_bounds
+        is_cox = obj.needs_global_sort
+        if has_b and not (label_lower_col and label_upper_col):
+            raise ValueError(f"{p.objective} needs label_lower_col and label_upper_col")
+        eff_label = label_col if (label_col in df.columns or not has_b) else None
         raw, fnames = assemble_features(
-            df, feature_cols=feature_cols, array_col=array_col, label_col=label_col,
+            df, feature_cols=feature_cols, array_col=array_col, label_col=eff_label,
             weight_col=weight_col, base_margin_col=base_margin_col, qid_col=qid_col,
+            label_lower_col=label_lower_col, label_upper_col=label_upper_col,
         )
         Fn = len(fnames)
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
@@ -147,7 +184,6 @@ class SparkBooster:
         if cuts is None:
             cuts = approx_cuts(raw, fnames, p.max_bin)
         base_score = self._base_score(raw)
-        obj = self.obj
         bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
         has_w = "weight" in raw.columns
         has_bm = "base_margin" in raw.columns
@@ -163,7 +199,16 @@ class SparkBooster:
                 for i, c in enumerate(fnames):
                     x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
                     out[f"x{i}"] = core.bin_values(x, cuts_l[i])
-                y = pdf["label"].to_numpy(dtype=np.float64)
+                bounds = None
+                if has_b:
+                    yl = pdf["label_lower"].to_numpy(dtype=np.float64)
+                    yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
+                    out["yl"], out["yu"] = yl, yu
+                    bounds = (yl, yu)
+                    y = (pdf["label"].to_numpy(dtype=np.float64)
+                         if "label" in pdf.columns else yl)
+                else:
+                    y = pdf["label"].to_numpy(dtype=np.float64)
                 w = pdf["weight"].to_numpy(dtype=np.float64) if has_w else np.ones(len(pdf))
                 out["y"] = y
                 out["w"] = w
@@ -176,25 +221,33 @@ class SparkBooster:
                     m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
                 for k in range(K):
                     out[f"m{k}"] = m0[:, k]
-                g, h = _compute_grads(obj, y, m0, w if has_w else None, q, seed, subsample, K)
+                if is_cox:
+                    g = h = np.zeros((len(pdf), K))   # filled by the cox pass
+                else:
+                    g, h = _compute_grads(obj, y, m0, w if has_w else None, q,
+                                          seed, subsample, K, bounds=bounds)
                 for k in range(K):
                     out[f"g{k}"] = g[:, k]
                     out[f"h{k}"] = h[:, k]
                 yield pd.DataFrame(out)
 
-        train_schema = self._schema(Fn, K, has_q, with_grads=True)
+        train_schema = self._schema(Fn, K, has_q, with_grads=True, with_bounds=has_b)
         binned = raw.mapInPandas(init_fn, schema=train_schema)
         if not has_q:
             binned = binned.repartition(n_part)
         binned = binned.localCheckpoint(eager=True)
+        if is_cox:
+            binned = self._cox_grad_pass(binned, train_schema, n_part)
 
         # eval sets share the training cuts (QuantileDMatrix ref= semantics,
         # reference core.py:1434/:1473)
         eval_states = []
         for ev_df, ev_name in (evals or []):
             ev_raw, _ = assemble_features(
-                ev_df, feature_cols=feature_cols, array_col=array_col, label_col=label_col,
+                ev_df, feature_cols=feature_cols, array_col=array_col,
+                label_col=(label_col if (label_col in ev_df.columns or not has_b) else None),
                 weight_col=weight_col, base_margin_col=base_margin_col, qid_col=qid_col,
+                label_lower_col=label_lower_col, label_upper_col=label_upper_col,
             )
 
             def ev_init(it: Iterator[pd.DataFrame], _has_w=("weight" in ev_raw.columns),
@@ -207,7 +260,14 @@ class SparkBooster:
                     for i, c in enumerate(fnames):
                         out[f"x{i}"] = core.bin_values(
                             pdf[c].to_numpy(dtype=np.float64, na_value=np.nan), cuts_l[i])
-                    out["y"] = pdf["label"].to_numpy(dtype=np.float64)
+                    if has_b:
+                        yl = pdf["label_lower"].to_numpy(dtype=np.float64)
+                        yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
+                        out["yl"], out["yu"] = yl, yu
+                        out["y"] = (pdf["label"].to_numpy(dtype=np.float64)
+                                    if "label" in pdf.columns else yl)
+                    else:
+                        out["y"] = pdf["label"].to_numpy(dtype=np.float64)
                     out["w"] = (pdf["weight"].to_numpy(dtype=np.float64)
                                 if _has_w else np.ones(len(pdf)))
                     if has_q:
@@ -220,7 +280,7 @@ class SparkBooster:
                     yield pd.DataFrame(out)
 
             ev_binned = ev_raw.mapInPandas(
-                ev_init, schema=self._schema(Fn, K, has_q, with_grads=False)
+                ev_init, schema=self._schema(Fn, K, has_q, with_grads=False, with_bounds=has_b)
             ).localCheckpoint(eager=True)
             eval_states.append([ev_binned, ev_name])
 
@@ -292,7 +352,9 @@ class SparkBooster:
             for st in eval_states:
                 st[0] = self._update_margins(
                     st[0], round_trees, K, fcols, has_q, with_grads=False,
-                    next_seed=0, train_schema=self._schema(Fn, K, has_q, with_grads=False),
+                    next_seed=0,
+                    train_schema=self._schema(Fn, K, has_q, with_grads=False,
+                                              with_bounds=has_b),
                 )
             # evaluation + early stopping (reference EvalOneIter
             # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
@@ -358,6 +420,8 @@ class SparkBooster:
         n_forest = len(round_trees) // K
         bc = sc.broadcast([t.finalize_arrays() for t in round_trees])
         subsample = p.subsample
+        has_b = obj.needs_bounds
+        is_cox = obj.needs_global_sort
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             tree_arrs = bc.value
@@ -370,6 +434,12 @@ class SparkBooster:
                 w = pdf["w"].to_numpy(dtype=np.float64)
                 out["y"] = y
                 out["w"] = w
+                bounds = None
+                if has_b:
+                    yl = pdf["yl"].to_numpy(dtype=np.float64)
+                    yu = pdf["yu"].to_numpy(dtype=np.float64)
+                    out["yl"], out["yu"] = yl, yu
+                    bounds = (yl, yu)
                 q = None
                 if has_q:
                     q = pdf["q"].to_numpy(dtype=np.int64)
@@ -385,17 +455,83 @@ class SparkBooster:
                 for k in range(K):
                     out[f"m{k}"] = m[:, k]
                 if with_grads:
-                    g, h = _compute_grads(obj, y, m, w, q, next_seed, subsample, K)
+                    if is_cox:
+                        g = h = np.zeros((len(pdf), K))  # filled by the cox pass
+                    else:
+                        g, h = _compute_grads(obj, y, m, w, q, next_seed, subsample, K,
+                                              bounds=bounds)
                     for k in range(K):
                         out[f"g{k}"] = g[:, k]
                         out[f"h{k}"] = h[:, k]
                 yield pd.DataFrame(out)
 
-        return df.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
+        out_df = df.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
+        if with_grads and is_cox:
+            out_df = self._cox_grad_pass(out_df, train_schema, None)
+        return out_df
+
+    def _cox_grad_pass(self, binned: DataFrame, train_schema: str,
+                       n_part: int | None) -> DataFrame:
+        """Cox partial-likelihood gradients, distributed (reference
+        `regression_obj.cu:598-604` needs label-sorted data; here the sort
+        becomes a range partition + two-phase prefix scan, operators/scan.py).
+
+        Plan: groupBy distinct time -> Breslow per-time terms via prefix
+        scans -> shuffle join back on time -> rowwise g/h expressions
+        (all JVM-side Catalyst expressions except the tiny scan offsets).
+        """
+        from xgboost_spark.operators.scan import prefix_sums
+        spark = binned.sparkSession
+        if n_part is None:
+            n_part = spark.sparkContext.defaultParallelism
+        per_t = (binned
+                 .groupBy(F.abs(F.col("y")).alias("t"))
+                 .agg(F.sum(F.col("w") * F.exp(F.col("m0"))).alias("e"),
+                      F.sum(F.when(F.col("y") > 0, F.col("w")).otherwise(0.0)).alias("dw")))
+        tot = per_t.agg(F.sum("e").alias("te")).first()["te"]
+        s1 = prefix_sums(per_t, "t", ["e"], n_part)
+        s1 = s1.withColumn("S", F.greatest(F.lit(tot) - F.col("cum_e") + F.col("e"),
+                                           F.lit(1e-300)))
+        s1 = s1.withColumn("rr", F.col("dw") / F.col("S")) \
+               .withColumn("rr2", F.col("dw") / (F.col("S") * F.col("S")))
+        s2 = prefix_sums(s1, "t", ["rr", "rr2"], n_part) \
+            .select("t", F.col("cum_rr").alias("R"), F.col("cum_rr2").alias("R2"))
+        j = binned.withColumn("_t", F.abs(F.col("y"))).join(
+            s2, F.col("_t") == s2["t"], "left").drop("t", "_t")
+        em = F.col("w") * F.exp(F.col("m0"))
+        delta = F.when(F.col("y") > 0, F.col("w")).otherwise(F.lit(0.0))
+        j = j.withColumn("g0", em * F.col("R") - delta)
+        j = j.withColumn("h0", F.greatest(em * F.col("R") - em * em * F.col("R2"),
+                                          F.lit(1e-16)))
+        cols = [c.strip().split(" ")[0] for c in train_schema.split(",")]
+        return j.select(*cols).localCheckpoint(eager=True)
 
     def _eval_metric(self, ev_binned: DataFrame, metric: str, K: int, has_q: bool) -> float:
         mcols = [f"m{k}" for k in range(K)]
         name = metric.partition("@")[0]
+        if metric == "aft-nloglik":
+            obj = self.obj
+
+            def loss_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                L = W = 0.0
+                for pdf in it:
+                    yl = pdf["yl"].to_numpy(dtype=np.float64)
+                    yu = pdf["yu"].to_numpy(dtype=np.float64)
+                    w = pdf["w"].to_numpy(dtype=np.float64)
+                    L += (w * obj.loss_bounds(yl, yu, pdf["m0"].to_numpy())).sum()
+                    W += w.sum()
+                yield pd.DataFrame({"L": [L], "W": [W]})
+
+            r = (ev_binned.mapInPandas(loss_fn, schema="L double, W double")
+                 .agg(F.sum("L").alias("L"), F.sum("W").alias("W")).first())
+            return float(r["L"] / max(r["W"], 1e-16))
+        if metric == "interval-regression-accuracy":
+            pred = F.exp(F.col("m0"))
+            return float(ev_binned.agg(F.avg(
+                ((pred >= F.col("yl")) & (pred <= F.col("yu"))).cast("double")
+            ).alias("v")).first()["v"])
+        if metric == "cox-nloglik":
+            return metrics_mod.cox_nloglik(ev_binned, y="y", margin="m0", weight="w")
         if name in ("ndcg", "map", "pre"):
             k = int(metric.partition("@")[2] or 10)
             if name == "ndcg":

@@ -59,6 +59,8 @@ def assemble_features(
     weight_col: str | None = None,
     base_margin_col: str | None = None,
     qid_col: str | None = None,
+    label_lower_col: str | None = None,
+    label_upper_col: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Normalize input into the engine's matrix convention.
 
@@ -89,6 +91,10 @@ def assemble_features(
         cols.append(F.col(base_margin_col).cast("double").alias("base_margin"))
     if qid_col:
         cols.append(F.col(qid_col).cast("long").alias("qid"))
+    if label_lower_col:
+        cols.append(F.col(label_lower_col).cast("double").alias("label_lower"))
+    if label_upper_col:
+        cols.append(F.col(label_upper_col).cast("double").alias("label_upper"))
     return df.select(*cols), names
 
 
