@@ -606,6 +606,26 @@ def q_train_ranker(spark, sf_dir):
                       FF.round("prediction", 6).alias("score"))
 
 
+def q_train_shap(spark, sf_dir):
+    """Train + TreeSHAP contributions (reference pred_contribs,
+    learner.h:116-120 / shap.cc).  Rows-only: local accuracy is asserted
+    structurally (contribs sum to the margin)."""
+    _prep(spark)
+    from pyspark.sql import functions as FF
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem")
+    p = TrainParams(num_boost_round=2, max_depth=3)
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    model = SparkBooster(p).fit(li, feature_cols=fcols, label_col="l_extendedprice")
+    out = model.transform(li.limit(500), feature_cols=fcols, pred_contribs=True)
+    return out.select(
+        FF.col("l_orderkey").cast("bigint"), FF.col("l_linenumber").cast("bigint"),
+        *[FF.round(FF.element_at("contribs", i + 1), 4).alias(f"contrib_{c}")
+          for i, c in enumerate(fcols)],
+        FF.round(FF.element_at("contribs", 4), 4).alias("bias"))
+
+
 def q_cox_grad(spark, sf_dir):
     """Cox partial-likelihood gradients via the distributed Breslow pass
     (groupBy time + prefix scans + join; reference regression_obj.cu:598)."""
@@ -718,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_predict": q_train_predict,
         "train_importance": q_train_importance,
         "train_ranker": q_train_ranker,
+        "train_shap": q_train_shap,
         "simhash": q_simhash,
     }
 

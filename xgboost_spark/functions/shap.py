@@ -1,0 +1,402 @@
+"""TreeSHAP: exact per-feature contributions for tree ensembles.
+
+Implements the polynomial-time path-dependent TreeSHAP algorithm
+(Lundberg, Erion & Lee 2018, "Consistent Individualized Feature
+Attribution for Tree Ensembles", Algorithm 2 — public knowledge; the
+reference's C++ form is `src/predictor/interpretability/shap.cc:101`).
+
+Two forms:
+- `tree_shap` — row-VECTORIZED: one recursion over the tree, per-row
+  path state held in (n_rows, path_cap) NumPy arrays.  Every row visits
+  every node (hot and cold branches both recurse), so the recursion is
+  shared and only the zero/one fractions differ per row.  ~100x faster
+  than per-row recursion inside Arrow batches.
+- `_tree_shap_row` — the scalar textbook form, kept as the testing
+  oracle for the vectorized kernel.
+
+Contract (matches the reference's `pred_contribs`):
+  phi has F+1 slots; phi[:F] are feature contributions, phi[F] is the
+  bias (the tree's cover-weighted expected value); sum(phi) equals the
+  tree's margin prediction for the row (local accuracy).
+
+`condition` (+1 / -1 on `condition_feature`) computes SHAP values with
+that feature fixed present/absent — the building block for interaction
+values (`pred_interactions`), mirroring shap.cc's interaction path.
+
+Per-node cover = training sum_hess (the reference uses the same stat).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _max_depth(a) -> int:
+    depth = np.zeros(len(a["left"]), dtype=np.int64)
+    out = 0
+    for nid in range(len(a["left"])):
+        if a["left"][nid] != -1:
+            for ch in (a["left"][nid], a["right"][nid]):
+                depth[ch] = depth[nid] + 1
+                out = max(out, int(depth[ch]))
+    return out
+
+
+def _expected_value(a, cover) -> float:
+    """Cover-weighted mean of leaves = E[f] over the training mass."""
+    leaves = a["left"] == -1
+    total = cover[0] if cover[0] > 0 else max(cover[leaves].sum(), 1e-300)
+    return float((cover[leaves] * a["leaf_value"][leaves]).sum() / total)
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernel
+# ---------------------------------------------------------------------------
+
+class _VecPath:
+    """Path state shared across rows: feature list is identical for every
+    row (it is the recursion path); zero/one fractions and weights are
+    per-row matrices."""
+
+    __slots__ = ("d", "z", "o", "w")
+
+    def __init__(self, n: int, cap: int):
+        self.d = np.full(cap, -1, dtype=np.int64)
+        self.z = np.zeros((n, cap))
+        self.o = np.zeros((n, cap))
+        self.w = np.zeros((n, cap))
+
+    def copy(self) -> "_VecPath":
+        p = _VecPath.__new__(_VecPath)
+        p.d = self.d.copy()
+        p.z = self.z.copy()
+        p.o = self.o.copy()
+        p.w = self.w.copy()
+        return p
+
+
+def _vextend(m: _VecPath, length: int, pz: np.ndarray, po: np.ndarray, pi: int) -> int:
+    m.d[length] = pi
+    m.z[:, length] = pz
+    m.o[:, length] = po
+    m.w[:, length] = 1.0 if length == 0 else 0.0
+    for i in range(length - 1, -1, -1):
+        m.w[:, i + 1] += po * m.w[:, i] * ((i + 1) / (length + 1))
+        m.w[:, i] = pz * m.w[:, i] * ((length - i) / (length + 1))
+    return length + 1
+
+
+def _vunwind(m: _VecPath, length: int, i: int) -> int:
+    """Remove path element i; handles the o==0 rows and o!=0 rows in one
+    pass with masked arithmetic."""
+    length -= 1
+    o = m.o[:, i]
+    z = m.z[:, i]
+    nz = o != 0
+    o_safe = np.where(nz, o, 1.0)
+    z_safe = np.where(z != 0, z, 1.0)
+    n_ = m.w[:, length].copy()
+    for j in range(length - 1, -1, -1):
+        t = m.w[:, j]
+        w_nz = n_ * ((length + 1) / ((j + 1))) / o_safe
+        w_z = t * ((length + 1) / (length - j)) / z_safe
+        new_w = np.where(nz, w_nz, w_z)
+        n_ = t - new_w * z * ((length - j) / (length + 1))
+        m.w[:, j] = new_w
+    for j in range(i, length):
+        m.d[j] = m.d[j + 1]
+        m.z[:, j] = m.z[:, j + 1]
+        m.o[:, j] = m.o[:, j + 1]
+    return length
+
+
+def _vunwound_sum(m: _VecPath, length: int, i: int) -> np.ndarray:
+    o = m.o[:, i]
+    z = m.z[:, i]
+    nz = o != 0
+    o_safe = np.where(nz, o, 1.0)
+    z_safe = np.where(z != 0, z, 1.0)
+    total_nz = np.zeros(m.z.shape[0])
+    total_z = np.zeros(m.z.shape[0])
+    n_ = m.w[:, length - 1].copy()
+    for j in range(length - 2, -1, -1):
+        t = n_ * (length / (j + 1)) / o_safe
+        total_nz += t
+        n_ = m.w[:, j] - t * z * ((length - 1 - j) / length)
+        total_z += m.w[:, j] * (length / (length - 1 - j)) / z_safe
+    return np.where(nz, total_nz, total_z)
+
+
+def _vrecurse(a, cover, X, phi, nid, m: _VecPath, length: int,
+              pz: np.ndarray, po: np.ndarray, pi: int,
+              condition: int, condition_feature: int, cf: np.ndarray):
+    if condition == 0 or pi != condition_feature:
+        m = m.copy()
+        length = _vextend(m, length, pz, po, pi)
+    if a["left"][nid] == -1:                                   # leaf
+        v = float(a["leaf_value"][nid])
+        for i in range(1, length):
+            w = _vunwound_sum(m, length, i)
+            contrib = w * (m.o[:, i] - m.z[:, i]) * v
+            if condition != 0:
+                contrib = contrib * cf
+            phi[:, m.d[i]] += contrib
+        return
+    f = int(a["feature"][nid])
+    lid, rid = int(a["left"][nid]), int(a["right"][nid])
+    x = X[:, f]
+    go_left = np.where(np.isnan(x), bool(a["default_left"][nid]),
+                       x <= a["split_value"][nid])
+    cj = max(cover[nid], 1e-300)
+    rl = cover[lid] / cj
+    rr = cover[rid] / cj
+    iz = np.ones(X.shape[0])
+    io = np.ones(X.shape[0])
+    k = -1
+    for i in range(1, length):
+        if m.d[i] == f:
+            k = i
+            break
+    if k >= 0:
+        iz = m.z[:, k].copy()
+        io = m.o[:, k].copy()
+        m = m.copy()
+        length = _vunwind(m, length, k)
+    # per-row hot/cold one-fractions; both children recursed once with
+    # row-wise po (hot rows keep io, cold rows get 0)
+    for child, r_c, hot_mask in ((lid, rl, go_left), (rid, rr, ~go_left)):
+        po_c = np.where(hot_mask, io, 0.0)
+        cf_c = cf
+        if condition != 0 and f == condition_feature:
+            if condition > 0:
+                cf_c = np.where(hot_mask, cf, 0.0)
+            else:
+                cf_c = cf * r_c
+        _vrecurse(a, cover, X, phi, child, m, length, iz * r_c, po_c, f,
+                  condition, condition_feature, cf_c)
+
+
+def tree_shap(a: dict, cover: np.ndarray, X: np.ndarray,
+              condition: int = 0, condition_feature: int = -1,
+              n_features: int | None = None) -> np.ndarray:
+    """SHAP values for one tree over a batch of raw-domain rows.
+
+    a: finalize_arrays() dict; cover: per-node sum_hess; X: (n, F) float64
+    with NaN for missing.  Returns (n, F+1); last column is the bias
+    (zero when conditioning, matching shap.cc).
+    """
+    n = X.shape[0]
+    F = X.shape[1] if n_features is None else n_features
+    phi = np.zeros((n, F + 1))
+    if n == 0:
+        return phi
+    if condition == 0:
+        phi[:, F] = _expected_value(a, cover)
+    if a["left"][0] == -1:          # single-leaf tree: bias only
+        return phi
+    cap = _max_depth(a) + 2
+    m = _VecPath(n, cap)
+    ones = np.ones(n)
+    _vrecurse(a, cover, X, phi, 0, m, 0, ones, ones, -1,
+              condition, condition_feature, ones)
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# scalar reference kernel (testing oracle for the vectorized form)
+# ---------------------------------------------------------------------------
+
+def _decision(a, nid: int, xrow: np.ndarray) -> bool:
+    f = a["feature"][nid]
+    v = xrow[f]
+    if np.isnan(v):
+        return bool(a["default_left"][nid])
+    return bool(v <= a["split_value"][nid])
+
+
+class _Path:
+    __slots__ = ("d", "z", "o", "w")
+
+    def __init__(self, cap: int):
+        self.d = np.full(cap, -1, dtype=np.int64)
+        self.z = np.zeros(cap)
+        self.o = np.zeros(cap)
+        self.w = np.zeros(cap)
+
+    def copy(self, length: int) -> "_Path":
+        p = _Path(len(self.d))
+        p.d[:length] = self.d[:length]
+        p.z[:length] = self.z[:length]
+        p.o[:length] = self.o[:length]
+        p.w[:length] = self.w[:length]
+        return p
+
+
+def _extend(m: _Path, length: int, pz: float, po: float, pi: int) -> int:
+    m.d[length] = pi
+    m.z[length] = pz
+    m.o[length] = po
+    m.w[length] = 1.0 if length == 0 else 0.0
+    for i in range(length - 1, -1, -1):
+        m.w[i + 1] += po * m.w[i] * (i + 1) / (length + 1)
+        m.w[i] = pz * m.w[i] * (length - i) / (length + 1)
+    return length + 1
+
+
+def _unwind(m: _Path, length: int, i: int) -> int:
+    length -= 1
+    o = m.o[i]
+    z = m.z[i]
+    n = m.w[length]
+    if o != 0:
+        for j in range(length - 1, -1, -1):
+            t = m.w[j]
+            m.w[j] = n * (length + 1) / ((j + 1) * o)
+            n = t - m.w[j] * z * (length - j) / (length + 1)
+    else:
+        for j in range(length):
+            m.w[j] = m.w[j] * (length + 1) / (z * (length - j))
+    for j in range(i, length):
+        m.d[j] = m.d[j + 1]
+        m.z[j] = m.z[j + 1]
+        m.o[j] = m.o[j + 1]
+    return length
+
+
+def _unwound_sum(m: _Path, length: int, i: int) -> float:
+    o = m.o[i]
+    z = m.z[i]
+    total = 0.0
+    n = m.w[length - 1]
+    if o != 0:
+        for j in range(length - 2, -1, -1):
+            t = n * length / ((j + 1) * o)
+            total += t
+            n = m.w[j] - t * z * (length - 1 - j) / length
+    else:
+        for j in range(length - 1):
+            total += m.w[j] * length / (z * (length - 1 - j))
+    return total
+
+
+def _recurse(a, cover, xrow, phi, nid, m: _Path, length: int,
+             pz: float, po: float, pi: int,
+             condition: int, condition_feature: int, condition_fraction: float):
+    if condition_fraction == 0.0:
+        return
+    if condition == 0 or pi != condition_feature:
+        m = m.copy(length)
+        length = _extend(m, length, pz, po, pi)
+    if a["left"][nid] == -1:
+        v = a["leaf_value"][nid]
+        for i in range(1, length):
+            w = _unwound_sum(m, length, i)
+            phi[m.d[i]] += w * (m.o[i] - m.z[i]) * v * condition_fraction
+        return
+    f = int(a["feature"][nid])
+    lid, rid = int(a["left"][nid]), int(a["right"][nid])
+    hot, cold = (lid, rid) if _decision(a, nid, xrow) else (rid, lid)
+    cj = max(cover[nid], 1e-300)
+    rh = cover[hot] / cj
+    rc = cover[cold] / cj
+    iz = io = 1.0
+    k = -1
+    for i in range(1, length):
+        if m.d[i] == f:
+            k = i
+            break
+    if k >= 0:
+        iz, io = m.z[k], m.o[k]
+        m = m.copy(length)
+        length = _unwind(m, length, k)
+    hot_cf, cold_cf = condition_fraction, condition_fraction
+    if condition > 0 and f == condition_feature:
+        cold_cf = 0.0
+    elif condition < 0 and f == condition_feature:
+        hot_cf *= rh
+        cold_cf *= rc
+    _recurse(a, cover, xrow, phi, hot, m, length, iz * rh, io, f,
+             condition, condition_feature, hot_cf)
+    _recurse(a, cover, xrow, phi, cold, m, length, iz * rc, 0.0, f,
+             condition, condition_feature, cold_cf)
+
+
+def _tree_shap_row(a: dict, cover: np.ndarray, xrow: np.ndarray,
+                   n_features: int,
+                   condition: int = 0, condition_feature: int = -1) -> np.ndarray:
+    phi = np.zeros(n_features + 1)
+    if condition == 0:
+        phi[n_features] = _expected_value(a, cover)
+    if a["left"][0] == -1:
+        return phi
+    cap = _max_depth(a) + 2
+    m = _Path(cap * (cap + 1))
+    _recurse(a, cover, xrow, phi, 0, m, 0, 1.0, 1.0, -1,
+             condition, condition_feature, 1.0)
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# Saabas + interactions
+# ---------------------------------------------------------------------------
+
+def saabas_contribs(a: dict, cover: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Approximate contributions (`approx_contribs=True`; Saabas method —
+    change in cover-weighted node expectation along the decision path).
+    Vectorized level-walk.  Returns (n, F+1); last column = root
+    expectation."""
+    n, F = X.shape
+    phi = np.zeros((n, F + 1))
+    node_val = _node_values(a, cover)
+    phi[:, F] = node_val[0]
+    nid = np.zeros(n, dtype=np.int64)
+    active = a["left"][nid] != -1
+    while active.any():
+        idx = np.nonzero(active)[0]
+        nd = nid[idx]
+        f = a["feature"][nd]
+        x = X[idx, f]
+        go_left = np.where(np.isnan(x), a["default_left"][nd], x <= a["split_value"][nd])
+        nxt = np.where(go_left, a["left"][nd], a["right"][nd])
+        np.add.at(phi, (idx, f), node_val[nxt] - node_val[nd])
+        nid[idx] = nxt
+        active = a["left"][nid] != -1
+    return phi
+
+
+def _node_values(a, cover) -> np.ndarray:
+    """Cover-weighted expected leaf value per node (bottom-up)."""
+    nn = len(a["left"])
+    val = np.zeros(nn)
+    cv = np.maximum(cover, 1e-300)
+    for nid in range(nn - 1, -1, -1):
+        if a["left"][nid] == -1:
+            val[nid] = a["leaf_value"][nid]
+        else:
+            lid, rid = int(a["left"][nid]), int(a["right"][nid])
+            val[nid] = (cv[lid] * val[lid] + cv[rid] * val[rid]) / (cv[lid] + cv[rid])
+    return val
+
+
+def tree_shap_interactions(a: dict, cover: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """SHAP interaction values for one tree: (n, F+1, F+1).
+    interaction[i][j] = (phi_i | j present  -  phi_i | j absent) / 2 for
+    i != j; the diagonal absorbs the remainder so each row sums to the
+    tree margin (reference shap.cc interaction path)."""
+    n, F = X.shape
+    M = np.zeros((n, F + 1, F + 1))
+    phi_total = tree_shap(a, cover, X)
+    used = np.unique(a["feature"][a["left"] != -1])
+    for j in used:
+        on = tree_shap(a, cover, X, condition=1, condition_feature=int(j))
+        off = tree_shap(a, cover, X, condition=-1, condition_feature=int(j))
+        inter = (on - off) / 2.0
+        inter[:, j] = 0.0
+        M[:, :, j] = inter
+    # both conditioning orders estimate the same quantity — symmetrize,
+    # then the diagonal absorbs the remainder so rows sum to phi
+    out = (M + M.transpose(0, 2, 1)) / 2.0
+    idx = np.arange(F + 1)
+    out[:, idx, idx] = 0.0
+    out[:, idx, idx] = phi_total - out.sum(axis=2)
+    return out

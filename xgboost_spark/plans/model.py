@@ -182,23 +182,33 @@ class GBDTModel:
             "objective": self.params.objective,
             "num_class": self.params.num_class,
             "trees": [[t.finalize_arrays() for t in rnd] for rnd in self.used_trees()],
+            "covers": [[np.asarray(t.sum_hess, dtype=np.float64) for t in rnd]
+                       for rnd in self.used_trees()],
         }
 
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
                   array_col: str | None = None,
                   out_cols: tuple[str, ...] = ("prediction",),
                   output_margin: bool = False,
-                  pred_leaf: bool = False) -> DataFrame:
+                  pred_leaf: bool = False,
+                  pred_contribs: bool = False,
+                  approx_contribs: bool = False,
+                  pred_interactions: bool = False) -> DataFrame:
         """Batch predict: broadcast model + Arrow-batched traversal
         (reference Spark wrapper pattern, `spark/core.py:1388`).
         Appends `prediction` (double; probability array for softprob),
-        optionally `margin` (array) and `leaf` (array<int>).
+        optionally `margin` (array), `leaf` (array<int>), `contribs`
+        (array<double>, F+1 with bias last — exact TreeSHAP, or Saabas
+        when ``approx_contribs``; reference shap.cc / learner.h:116-120)
+        and `interactions` (flattened (F+1)x(F+1) array<double>).
         """
         feature_cols = feature_cols or self.feature_names
         spark = df.sparkSession
+        K = self.params.n_groups
+        if (pred_contribs or pred_interactions) and K > 1:
+            raise NotImplementedError("contributions need single-output models")
         state = self._broadcastable()
         bc = spark.sparkContext.broadcast(state)
-        K = self.params.n_groups
         fields = list(df.schema.fields)
         if K > 1 and self.params.objective == "multi:softprob":
             fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
@@ -208,10 +218,16 @@ class GBDTModel:
             fields.append(T.StructField("margin", T.ArrayType(T.DoubleType())))
         if pred_leaf:
             fields.append(T.StructField("leaf", T.ArrayType(T.IntegerType())))
+        if pred_contribs:
+            fields.append(T.StructField("contribs", T.ArrayType(T.DoubleType())))
+        if pred_interactions:
+            fields.append(T.StructField("interactions", T.ArrayType(T.DoubleType())))
         out_schema = T.StructType(fields)
         use_array = array_col is not None
+        n_feat = len(self.feature_names)
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from xgboost_spark.functions import shap as shap_mod
             st = bc.value
             obj = get_objective(st["objective"],
                                TrainParams(objective=st["objective"], num_class=st["num_class"]))
@@ -228,12 +244,21 @@ class GBDTModel:
                 Kk = st["K"]
                 margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
                 leaves = []
-                for rnd in st["trees"]:
+                phi = np.zeros((n, n_feat + 1)) if pred_contribs else None
+                inter = (np.zeros((n, n_feat + 1, n_feat + 1)) if pred_interactions else None)
+                for ri, rnd in enumerate(st["trees"]):
                     for k, arrs in enumerate(rnd):
                         lid = core.leaf_ids_from_arrays(arrs, X, binned=False)
                         margin[:, k] += arrs["leaf_value"][lid]
                         if pred_leaf:
                             leaves.append(lid)
+                        cover = st["covers"][ri][k]
+                        if phi is not None:
+                            phi += (shap_mod.saabas_contribs(arrs, cover, X)
+                                    if approx_contribs
+                                    else shap_mod.tree_shap(arrs, cover, X))
+                        if inter is not None:
+                            inter += shap_mod.tree_shap_interactions(arrs, cover, X)
                 out = pdf.copy()
                 mm = margin if Kk > 1 else margin[:, 0]
                 pred = obj.pred_transform(mm)
@@ -243,6 +268,14 @@ class GBDTModel:
                 if pred_leaf:
                     lv = np.stack(leaves, axis=1).astype(np.int32)
                     out["leaf"] = [row.tolist() for row in lv]
+                if pred_contribs:
+                    phi_out = phi.copy()
+                    phi_out[:, -1] += st["base_score"]
+                    out["contribs"] = [row.tolist() for row in phi_out]
+                if pred_interactions:
+                    inter_out = inter.copy()
+                    inter_out[:, -1, -1] += st["base_score"]
+                    out["interactions"] = [row.reshape(-1).tolist() for row in inter_out]
                 yield out
 
         return df.mapInPandas(fn, schema=out_schema)
