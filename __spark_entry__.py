@@ -606,6 +606,36 @@ def q_train_ranker(spark, sf_dir):
                       FF.round("prediction", 6).alias("score"))
 
 
+def q_train_linear(spark, sf_dir):
+    """gblinear shotgun coordinate descent (reference
+    src/linear/updater_shotgun.cc); rows-only — weights reported."""
+    _prep(spark)
+    from pyspark.sql import functions as FF
+    from xgboost_spark.plans.booster import train
+    li = _table(spark, sf_dir, "lineitem")
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    model = train({"booster": "gblinear", "num_boost_round": 8, "eta": 0.5},
+                  li, feature_cols=fcols, label_col="l_extendedprice")
+    rows = ([(c, round(float(w), 4)) for c, w in zip(fcols, model.weights)]
+            + [("__bias__", round(model.bias + model.base_score, 4))])
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+def q_train_dart(spark, sf_dir):
+    """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
+    per-round tree weights + final train rmse."""
+    _prep(spark)
+    from pyspark.sql import functions as FF
+    from xgboost_spark.plans.booster import train
+    li = _table(spark, sf_dir, "lineitem")
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    model = train({"booster": "dart", "rate_drop": 0.5, "one_drop": True,
+                   "num_boost_round": 5, "max_depth": 3, "seed": 7},
+                  li, feature_cols=fcols, label_col="l_extendedprice")
+    rows = [(i, round(float(w), 6)) for i, w in enumerate(model.tree_weights)]
+    return spark.createDataFrame(rows, "round int, tree_weight double")
+
+
 def q_train_shap(spark, sf_dir):
     """Train + TreeSHAP contributions (reference pred_contribs,
     learner.h:116-120 / shap.cc).  Rows-only: local accuracy is asserted
@@ -739,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_importance": q_train_importance,
         "train_ranker": q_train_ranker,
         "train_shap": q_train_shap,
+        "train_linear": q_train_linear,
+        "train_dart": q_train_dart,
         "simhash": q_simhash,
     }
 

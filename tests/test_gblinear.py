@@ -1,0 +1,93 @@
+"""gblinear: shotgun coordinate descent vs closed-form ridge oracle,
+elastic-net shrinkage, JVM-side serving plan.
+Reference analog: src/linear/updater_shotgun.cc, updater_coordinate.cc."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xgboost_spark.plans.booster import train
+from xgboost_spark.plans.linear import LinearModel, train_linear
+
+
+@pytest.fixture(scope="module")
+def lin_data():
+    rng = np.random.default_rng(11)
+    n, F = 4000, 4
+    X = rng.normal(size=(n, F))
+    true_w = np.array([2.0, -1.0, 0.5, 0.0])
+    y = X @ true_w + 3.0 + rng.normal(0, 0.05, n)
+    return X, y, true_w
+
+
+@pytest.fixture(scope="module")
+def lin_df(spark, lin_data):
+    X, y, _ = lin_data
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(X.shape[1])])
+    pdf["label"] = y
+    return spark.createDataFrame(pdf)
+
+
+def test_gblinear_matches_ridge_oracle(spark, lin_df, lin_data):
+    X, y, _ = lin_data
+    lam = 1.0
+    model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
+                   "reg_lambda": lam, "reg_alpha": 0.0},
+                  lin_df, feature_cols=[f"c{i}" for i in range(4)])
+    # closed-form ridge on centered problem: (X'X + lam I) w = X'(y - ybar)
+    yc = y - y.mean()
+    Xc = X - X.mean(0)
+    w_star = np.linalg.solve(Xc.T @ Xc + lam * np.eye(4), Xc.T @ yc)
+    assert np.allclose(model.weights, w_star, atol=0.05)
+    pred = model.transform(lin_df, feature_cols=[f"c{i}" for i in range(4)]) \
+        .toPandas()["prediction"].to_numpy()
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    assert rmse < 0.1
+
+
+def test_gblinear_l1_sparsifies(spark, lin_df):
+    model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
+                   "reg_lambda": 0.0, "reg_alpha": 200.0},
+                  lin_df, feature_cols=[f"c{i}" for i in range(4)])
+    # strong L1 must zero the truly-zero coefficient (c3)
+    assert abs(model.weights[3]) < 1e-6
+    assert abs(model.weights[0]) > 0.5      # strong signal survives
+
+
+def test_gblinear_logistic_improves(spark, lin_df, lin_data):
+    X, y, _ = lin_data
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(4)])
+    pdf["label"] = (y > np.median(y)).astype(float)
+    df = lin_df.sparkSession.createDataFrame(pdf)
+    model = train_linear({"booster": "gblinear", "objective": "binary:logistic",
+                          "num_boost_round": 30, "eta": 0.5,
+                          "eval_metric": ["logloss"]},
+                         df, feature_cols=[f"c{i}" for i in range(4)],
+                         evals=[(df, "train")])
+    hist = model.eval_history["train"]["logloss"]
+    assert hist[-1] < hist[0] * 0.8
+
+
+def test_gblinear_serving_is_jvm_side(spark, sf_dir):
+    """Serving must be a pure Catalyst projection over the parquet scan —
+    no Python in the plan, whole-stage codegen applies."""
+    from xgboost_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    model = train({"booster": "gblinear", "num_boost_round": 3},
+                  li, feature_cols=fcols, label_col="l_extendedprice")
+    out = model.transform(li, feature_cols=fcols)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "*(1) Project" in plan      # whole-stage-codegen'd projection
+
+
+def test_gblinear_json_roundtrip(spark, lin_df, tmp_path):
+    model = train({"booster": "gblinear", "num_boost_round": 10},
+                  lin_df, feature_cols=[f"c{i}" for i in range(4)])
+    path = str(tmp_path / "lin.json")
+    model.save(path)
+    loaded = LinearModel.load(path)
+    assert np.allclose(loaded.weights, model.weights)
+    assert loaded.bias == pytest.approx(model.bias)
+    assert loaded.base_score == pytest.approx(model.base_score)

@@ -15,11 +15,22 @@ from dataclasses import dataclass, field, fields
 class TrainParams:
     # booster / learner
     objective: str = "reg:squarederror"
+    booster: str = "gbtree"             # gbtree | dart | gblinear
     num_boost_round: int = 10
     eta: float = 0.3                    # learning_rate
     base_score: float | None = None     # None => fit from data (fit_stump)
     num_class: int = 0                  # >1 for multi:* objectives
     seed: int = 0
+
+    # DART (reference src/gbm/gbtree.h:47,89-123)
+    rate_drop: float = 0.0
+    skip_drop: float = 0.0
+    one_drop: bool = False
+    sample_type: str = "uniform"        # uniform | weighted
+    normalize_type: str = "tree"        # tree | forest
+
+    # gblinear (reference src/linear/param.h)
+    feature_selector: str = "cyclic"    # cyclic | shuffle | random
 
     # tree growth (reference src/tree/param.h)
     max_depth: int = 6

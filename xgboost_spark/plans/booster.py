@@ -315,11 +315,35 @@ class SparkBooster:
                 isets.append(m)
 
         trees: list[list[core.Tree]] = []
+        tree_weights: list[float] = []
+        is_dart = p.booster == "dart"
         history: dict[str, dict[str, list[float]]] = {}
         best_it, best_metric = None, None
         metric_names = p.eval_metric or [obj.default_metric()]
 
         for it_round in range(p.num_boost_round):
+            # DART: select dropped rounds, refresh gradients at the
+            # dropped-out margin (reference gbtree.h:89-123 DropTrees)
+            dropped: list[int] = []
+            if is_dart and trees:
+                if not (p.skip_drop > 0.0 and rng.random() < p.skip_drop):
+                    if p.sample_type == "weighted":
+                        wts = np.asarray(tree_weights)
+                        probs = np.minimum(
+                            p.rate_drop * wts * len(wts) / max(wts.sum(), 1e-16), 1.0)
+                        mask = rng.random(len(trees)) < probs
+                    else:
+                        mask = rng.random(len(trees)) < p.rate_drop
+                    if p.one_drop and not mask.any():
+                        mask[rng.integers(0, len(trees))] = True
+                    dropped = [i for i in range(len(trees)) if mask[i]]
+                if dropped:
+                    binned = self._dart_grad_pass(
+                        binned, trees, tree_weights, dropped, K, fcols, has_q,
+                        train_schema, seed + it_round)
+                    for k in range(K):
+                        builders[k].df = binned
+
             round_trees: list[core.Tree] = []
             fmask = None
             if p.colsample_bytree < 1.0:
@@ -340,12 +364,37 @@ class SparkBooster:
             if obj.adaptive_alpha is not None:
                 for t in round_trees:
                     self._adaptive_leaf_refresh(binned, t, obj.adaptive_alpha, p.eta)
+
+            # DART weight normalization (reference normalize_type docs:
+            # tree  -> w_new = 1/(k+lr), dropped *= k/(k+lr)
+            # forest-> w_new = 1/(1+lr), dropped *= 1/(1+lr))
+            adjust: list[tuple[int, dict, float]] = []
+            kdrop = len(dropped)
+            if is_dart and kdrop > 0:
+                if p.normalize_type == "forest":
+                    w_new = 1.0 / (1.0 + p.eta)
+                    factor = 1.0 / (1.0 + p.eta)
+                else:
+                    w_new = 1.0 / (kdrop + p.eta)
+                    factor = kdrop / (kdrop + p.eta)
+                for ri in dropped:
+                    dw = tree_weights[ri] * (factor - 1.0)
+                    # round ri trees are ordered [k0_f0, .., k0_fN, k1_f0, ..]
+                    nf = len(trees[ri]) // K
+                    for k in range(K):
+                        for j in range(nf):
+                            adjust.append((k, trees[ri][k * nf + j].finalize_arrays(), dw))
+                    tree_weights[ri] *= factor
+            else:
+                w_new = 1.0
             trees.append(round_trees)
+            tree_weights.append(w_new)
 
             next_seed = seed + it_round + 1
             binned = self._update_margins(
                 binned, round_trees, K, fcols, has_q, with_grads=True,
                 next_seed=next_seed, train_schema=train_schema,
+                new_weight=w_new, adjust=adjust,
             )
             for k in range(K):
                 builders[k].df = binned
@@ -355,6 +404,7 @@ class SparkBooster:
                     next_seed=0,
                     train_schema=self._schema(Fn, K, has_q, with_grads=False,
                                               with_bounds=has_b),
+                    new_weight=w_new, adjust=adjust,
                 )
             # evaluation + early stopping (reference EvalOneIter
             # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
@@ -376,7 +426,8 @@ class SparkBooster:
                         break
 
         model = GBDTModel(p, base_score, trees, feat_names_out, cuts,
-                          best_iteration=best_it, eval_history=history)
+                          best_iteration=best_it, eval_history=history,
+                          tree_weights=(tree_weights if is_dart else None))
         return model
 
     # ------------------------------------------------------------------
@@ -413,12 +464,18 @@ class SparkBooster:
 
     def _update_margins(self, df: DataFrame, round_trees: list[core.Tree], K: int,
                         fcols: list[str], has_q: bool, with_grads: bool,
-                        next_seed: int, train_schema: str) -> DataFrame:
+                        next_seed: int, train_schema: str,
+                        new_weight: float = 1.0,
+                        adjust: list[tuple[int, dict, float]] | None = None) -> DataFrame:
+        """Margin-cache update.  ``new_weight`` scales the new trees (DART);
+        ``adjust`` applies (group, tree_arrays, delta_weight) corrections
+        for re-weighted dropped trees — one pass covers both."""
         p = self.params
         obj = self.obj
         sc = df.sparkSession.sparkContext
         n_forest = len(round_trees) // K
         bc = sc.broadcast([t.finalize_arrays() for t in round_trees])
+        bc_adj = sc.broadcast(adjust or [])
         subsample = p.subsample
         has_b = obj.needs_bounds
         is_cox = obj.needs_global_sort
@@ -450,8 +507,11 @@ class SparkBooster:
                     for _ in range(n_forest):
                         arrs = tree_arrs[ti]
                         lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
-                        m[:, k] += arrs["leaf_value"][lid]
+                        m[:, k] += new_weight * arrs["leaf_value"][lid]
                         ti += 1
+                for k_adj, arrs, dw in bc_adj.value:
+                    lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                    m[:, k_adj] += dw * arrs["leaf_value"][lid]
                 for k in range(K):
                     out[f"m{k}"] = m[:, k]
                 if with_grads:
@@ -469,6 +529,54 @@ class SparkBooster:
         if with_grads and is_cox:
             out_df = self._cox_grad_pass(out_df, train_schema, None)
         return out_df
+
+    def _dart_grad_pass(self, binned: DataFrame, trees, tree_weights,
+                        dropped: list[int], K: int, fcols: list[str],
+                        has_q: bool, train_schema: str, grad_seed: int) -> DataFrame:
+        """Recompute gradients at the dropped-out margin
+        m_eff = m - sum_{r in D} w_r * T_r(x) without touching the cached
+        margin columns (reference DART boosting, gbtree.h:89-123)."""
+        obj = self.obj
+        p = self.params
+        sc = binned.sparkSession.sparkContext
+        drop_arrs = []
+        for ri in dropped:
+            nf = len(trees[ri]) // K
+            for k in range(K):
+                for j in range(nf):
+                    drop_arrs.append((k, trees[ri][k * nf + j].finalize_arrays(),
+                                      tree_weights[ri]))
+        bc = sc.broadcast(drop_arrs)
+        subsample = p.subsample
+        has_b = obj.needs_bounds
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            arrs_l = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                Xb = np.column_stack([pdf[c].to_numpy(dtype=np.int16, na_value=-1)
+                                      for c in fcols])
+                out = {c: pdf[c] for c in pdf.columns if not c.startswith(("g", "h"))}
+                m = np.column_stack([pdf[f"m{k}"].to_numpy(dtype=np.float64)
+                                     for k in range(K)])
+                m_eff = m.copy()
+                for k_adj, arrs, w in arrs_l:
+                    lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                    m_eff[:, k_adj] -= w * arrs["leaf_value"][lid]
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                w_ = pdf["w"].to_numpy(dtype=np.float64)
+                q = pdf["q"].to_numpy(dtype=np.int64) if has_q else None
+                bounds = ((pdf["yl"].to_numpy(dtype=np.float64),
+                           pdf["yu"].to_numpy(dtype=np.float64)) if has_b else None)
+                g, h = _compute_grads(obj, y, m_eff, w_, q, grad_seed, subsample, K,
+                                      bounds=bounds)
+                for k in range(K):
+                    out[f"g{k}"] = g[:, k]
+                    out[f"h{k}"] = h[:, k]
+                yield pd.DataFrame(out)
+
+        return binned.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
 
     def _cox_grad_pass(self, binned: DataFrame, train_schema: str,
                        n_part: int | None) -> DataFrame:
@@ -550,10 +658,14 @@ def _maximize(metric: str) -> bool:
     return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre")
 
 
-def train(params: dict | TrainParams, df: DataFrame, **kw) -> GBDTModel:
+def train(params: dict | TrainParams, df: DataFrame, **kw):
     """Functional entry point mirroring `xgboost.train`
-    (`python-package/xgboost/training.py:53`)."""
+    (`python-package/xgboost/training.py:53`).  booster=gblinear routes
+    to the linear updater (returns a LinearModel)."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    if p.booster == "gblinear":
+        from xgboost_spark.plans.linear import train_linear
+        return train_linear(p, df, **kw)
     return SparkBooster(p).fit(df, **kw)
 
 

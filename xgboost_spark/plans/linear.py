@@ -1,0 +1,221 @@
+"""gblinear: regularized linear booster.
+
+Re-expresses the reference's linear updaters (coordinate descent
+`src/linear/updater_coordinate.cc:24-100`, parallel lock-free shotgun
+`src/linear/updater_shotgun.cc:96`, elastic-net soft threshold
+`CoordinateDelta`) for Spark's execution model:
+
+- per boosting round ONE Spark job computes every feature's gradient
+  sums (sum g*x_f, sum h*x_f^2) plus the bias sums as per-partition
+  partials (a treeAggregate-shaped mapInPandas + final agg);
+- the driver applies the shotgun update to ALL features at once:
+      dw_f = -ThresholdL1(sum(g x_f) + lambda*w_f, alpha) / (sum(h x_f^2) + lambda)
+      w_f += eta * dw_f;     bias += eta * (-sum g / sum h)
+- serving is a pure Catalyst expression (weights are literals), so
+  whole-stage codegen applies and no Python is in the hot path.
+
+Missing values contribute 0, matching the reference's sparse-entry
+semantics (absent entry = no contribution).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xgboost_spark.config import TrainParams
+from xgboost_spark.functions import metrics as metrics_mod
+from xgboost_spark.functions.objectives import get_objective
+from xgboost_spark.sources.tables import assemble_features
+
+
+class LinearModel:
+    """weights/bias + base_score; serving via column expressions."""
+
+    def __init__(self, params: TrainParams, base_score: float,
+                 weights: np.ndarray, bias: float, feature_names: list[str],
+                 eval_history: dict | None = None):
+        self.params = params
+        self.base_score = base_score
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+        self.feature_names = feature_names
+        self.eval_history = eval_history or {}
+        self.obj = get_objective(params.objective, params)
+
+    def margin_expr(self, feature_cols: list[str] | None = None):
+        cols = feature_cols or self.feature_names
+        e = F.lit(self.base_score + self.bias)
+        for w, c in zip(self.weights, cols):
+            if w != 0.0:
+                e = e + F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        return e
+
+    def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
+                  output_margin: bool = False) -> DataFrame:
+        m = self.margin_expr(feature_cols)
+        name = self.params.objective
+        if name in ("binary:logistic", "reg:logistic"):
+            pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        elif name in ("count:poisson", "reg:gamma", "reg:tweedie", "survival:aft"):
+            pred = F.exp(m)
+        else:
+            pred = m
+        out = df.withColumn("prediction", pred)
+        if output_margin:
+            out = out.withColumn("margin", m)
+        return out
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "learner": {
+                "gradient_booster": {
+                    "name": "gblinear",
+                    "model": {"weights": self.weights.tolist() + [self.bias]},
+                },
+                "objective": {"name": self.params.objective},
+                "feature_names": self.feature_names,
+                "learner_model_param": {"base_score": str(self.base_score)},
+            },
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "LinearModel":
+        doc = json.loads(s)["learner"]
+        wb = doc["gradient_booster"]["model"]["weights"]
+        params = TrainParams.from_dict({"objective": doc["objective"]["name"]})
+        return cls(params, float(doc["learner_model_param"]["base_score"]),
+                   np.asarray(wb[:-1]), wb[-1], list(doc["feature_names"]))
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "LinearModel":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def _threshold_l1(g: float, alpha: float) -> float:
+    if g > alpha:
+        return g - alpha
+    if g < -alpha:
+        return g + alpha
+    return 0.0
+
+
+def train_linear(params: dict | TrainParams, df: DataFrame,
+                 feature_cols: list[str] | None = None,
+                 array_col: str | None = None, label_col: str = "label",
+                 weight_col: str | None = None,
+                 evals: list[tuple[DataFrame, str]] | None = None,
+                 verbose: bool = False) -> LinearModel:
+    p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    obj = get_objective(p.objective, p)
+    raw, fnames = assemble_features(df, feature_cols=feature_cols, array_col=array_col,
+                                    label_col=label_col, weight_col=weight_col)
+    raw = raw.localCheckpoint(eager=True)
+    Fn = len(fnames)
+    has_w = "weight" in raw.columns
+    feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
+
+    # base score: distributed stump (same as the tree path)
+    w_expr = F.col("weight") if has_w else F.lit(1.0)
+    if p.base_score is not None:
+        base_score = float(p.base_score)
+    else:
+        name = p.objective
+        r = raw.agg((F.sum(F.col("label") * w_expr) / F.sum(w_expr)).alias("v")).first()
+        mean = float(r["v"])
+        if name in ("binary:logistic", "reg:logistic", "binary:logitraw"):
+            mp = min(max(mean, 1e-7), 1 - 1e-7)
+            base_score = float(np.log(mp / (1 - mp)))
+        elif name in ("count:poisson", "reg:gamma", "reg:tweedie"):
+            base_score = float(np.log(max(mean, 1e-16)))
+        else:
+            base_score = mean
+
+    weights = np.zeros(Fn)
+    bias = 0.0
+    rng = np.random.default_rng(p.seed)
+    history: dict[str, dict[str, list[float]]] = {}
+    metric_names = p.eval_metric or [obj.default_metric()]
+    sums_schema = ", ".join(
+        ["G double", "H double"]
+        + [f"gx{i} double, hx{i} double" for i in range(Fn)])
+
+    for it in range(p.num_boost_round):
+        bw = weights.copy()
+        bb = bias + base_score
+
+        def sums_fn(it_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            G = H = 0.0
+            gx = np.zeros(Fn)
+            hx = np.zeros(Fn)
+            for pdf in it_:
+                if len(pdf) == 0:
+                    continue
+                X = np.column_stack([
+                    np.nan_to_num(pdf[c].to_numpy(dtype=np.float64, na_value=np.nan))
+                    for c in fnames])
+                y = pdf["label"].to_numpy(dtype=np.float64)
+                w_ = pdf["weight"].to_numpy(dtype=np.float64) if has_w else None
+                m = bb + X @ bw
+                g, h = obj.grad_hess(y, m, w_)
+                G += g.sum()
+                H += h.sum()
+                gx += g @ X
+                hx += h @ (X * X)
+            yield pd.DataFrame({
+                "G": [G], "H": [H],
+                **{f"gx{i}": [gx[i]] for i in range(Fn)},
+                **{f"hx{i}": [hx[i]] for i in range(Fn)},
+            })
+
+        agg_cols = [F.sum(c).alias(c) for c in
+                    ["G", "H"] + [f"gx{i}" for i in range(Fn)] + [f"hx{i}" for i in range(Fn)]]
+        r = raw.mapInPandas(sums_fn, schema=sums_schema).agg(*agg_cols).first()
+
+        # shotgun update: every feature from the same gradient snapshot
+        # (reference updater_shotgun.cc); selector affects which features
+        # move this round
+        order = np.arange(Fn)
+        if p.feature_selector == "shuffle":
+            rng.shuffle(order)
+        elif p.feature_selector == "random":
+            order = rng.choice(Fn, size=max(1, Fn // 2), replace=False)
+        for f in order:
+            gf = float(r[f"gx{f}"]) + p.reg_lambda * weights[f]
+            hf = float(r[f"hx{f}"]) + p.reg_lambda
+            if hf <= 0:
+                continue
+            dw = -_threshold_l1(gf, p.reg_alpha) / hf
+            weights[f] += p.eta * dw
+        if float(r["H"]) > 0:
+            bias += p.eta * (-float(r["G"]) / float(r["H"]))
+
+        if evals:
+            model = LinearModel(p, base_score, weights, bias, feat_names_out)
+            for ev_df, ev_name in evals:
+                ev_raw, _ = assemble_features(
+                    ev_df, feature_cols=feature_cols, array_col=array_col,
+                    label_col=label_col, weight_col=weight_col)
+                scored = model.transform(
+                    ev_raw, feature_cols=fnames, output_margin=True
+                ).select(F.col("label").alias("y"), F.col("margin").alias("m0"),
+                         w_expr.alias("w"))
+                for mname in metric_names:
+                    val = metrics_mod.compute_metric(scored, mname, y="y",
+                                                     margin_cols=["m0"], weight="w")
+                    history.setdefault(ev_name, {}).setdefault(mname, []).append(val)
+                    if verbose:
+                        print(f"[{it}] {ev_name}-{mname}: {val:.6f}")
+
+    return LinearModel(p, base_score, weights, bias, feat_names_out,
+                       eval_history=history)

@@ -29,7 +29,8 @@ class GBDTModel:
                  trees: list[list[core.Tree]], feature_names: list[str],
                  cuts: list[np.ndarray] | None = None,
                  best_iteration: int | None = None,
-                 eval_history: dict | None = None):
+                 eval_history: dict | None = None,
+                 tree_weights: list[float] | None = None):
         self.params = params
         self.base_score = base_score
         self.trees = trees
@@ -37,6 +38,9 @@ class GBDTModel:
         self.cuts = cuts
         self.best_iteration = best_iteration
         self.eval_history = eval_history or {}
+        # per-round multiplicative weights (DART weight_drop,
+        # reference gbtree.h:47); None => all 1.0
+        self.tree_weights = tree_weights
         self.obj = get_objective(params.objective, params)
 
     # ------------------------------------------------------------------ ser
@@ -94,6 +98,7 @@ class GBDTModel:
             },
             # engine extension: cuts allow exact training continuation
             "xgboost_spark": {
+                "tree_weights": list(self.tree_weights) if self.tree_weights else None,
                 "cuts": [list(map(float, c)) for c in (self.cuts or [])],
                 "params": {"num_boost_round": self.params.num_boost_round,
                            "objective": self.params.objective,
@@ -148,6 +153,8 @@ class GBDTModel:
                 list(ln["feature_names"]))
         if ext.get("cuts"):
             m.cuts = [np.asarray(c) for c in ext["cuts"]]
+        if ext.get("tree_weights"):
+            m.tree_weights = [float(v) for v in ext["tree_weights"]]
         bi = ln.get("attributes", {}).get("best_iteration")
         if bi is not None:
             m.best_iteration = int(bi)
@@ -167,7 +174,9 @@ class GBDTModel:
         """Model layer slicing [begin, end) (reference `XGBoosterSlice`,
         `include/xgboost/c_api.h:1028`)."""
         return GBDTModel(self.params, self.base_score, self.trees[begin:end],
-                         self.feature_names, self.cuts)
+                         self.feature_names, self.cuts,
+                         tree_weights=(self.tree_weights[begin:end]
+                                       if self.tree_weights else None))
 
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
@@ -184,6 +193,10 @@ class GBDTModel:
             "trees": [[t.finalize_arrays() for t in rnd] for rnd in self.used_trees()],
             "covers": [[np.asarray(t.sum_hess, dtype=np.float64) for t in rnd]
                        for rnd in self.used_trees()],
+            "weights": [
+                (self.tree_weights[ri] if self.tree_weights else 1.0)
+                for ri in range(len(self.used_trees()))
+            ],
         }
 
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
@@ -247,18 +260,19 @@ class GBDTModel:
                 phi = np.zeros((n, n_feat + 1)) if pred_contribs else None
                 inter = (np.zeros((n, n_feat + 1, n_feat + 1)) if pred_interactions else None)
                 for ri, rnd in enumerate(st["trees"]):
+                    tw = st["weights"][ri]
                     for k, arrs in enumerate(rnd):
                         lid = core.leaf_ids_from_arrays(arrs, X, binned=False)
-                        margin[:, k] += arrs["leaf_value"][lid]
+                        margin[:, k] += tw * arrs["leaf_value"][lid]
                         if pred_leaf:
                             leaves.append(lid)
                         cover = st["covers"][ri][k]
                         if phi is not None:
-                            phi += (shap_mod.saabas_contribs(arrs, cover, X)
-                                    if approx_contribs
-                                    else shap_mod.tree_shap(arrs, cover, X))
+                            phi += tw * (shap_mod.saabas_contribs(arrs, cover, X)
+                                         if approx_contribs
+                                         else shap_mod.tree_shap(arrs, cover, X))
                         if inter is not None:
-                            inter += shap_mod.tree_shap_interactions(arrs, cover, X)
+                            inter += tw * shap_mod.tree_shap_interactions(arrs, cover, X)
                 out = pdf.copy()
                 mm = margin if Kk > 1 else margin[:, 0]
                 pred = obj.pred_transform(mm)
