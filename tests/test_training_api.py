@@ -1,0 +1,85 @@
+"""Training continuation (xgb_model), callbacks, cross-validation.
+Reference analogs: training.py:183 (continuation), callback.py, cv
+training.py:435."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from xgboost_spark.functions.callbacks import (EarlyStopping, EvaluationMonitor,
+                                               LearningRateScheduler,
+                                               TrainingCheckPoint)
+from xgboost_spark.plans.booster import train
+from xgboost_spark.plans.cv import cv
+from xgboost_spark.plans.model import GBDTModel
+
+FCOLS = [f"c{i}" for i in range(5)]
+
+
+def test_training_continuation_matches_single_run(spark, reg_df):
+    base = {"max_depth": 3, "base_score": 0.0, "seed": 2}
+    full = train({**base, "num_boost_round": 6}, reg_df, feature_cols=FCOLS)
+    first = train({**base, "num_boost_round": 3}, reg_df, feature_cols=FCOLS)
+    cont = train({**base, "num_boost_round": 3}, reg_df, feature_cols=FCOLS,
+                 xgb_model=first)
+    assert sum(len(r) for r in cont.trees) == 6
+    # continuation must reproduce the single 6-round run exactly: same
+    # cuts, same margins at handoff => identical trees
+    for ra, rb in zip(full.trees, cont.trees):
+        for ta, tb in zip(ra, rb):
+            assert ta.feature == tb.feature
+            assert np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-12)
+
+
+def test_learning_rate_scheduler(spark, reg_df):
+    rates = [0.5, 0.25, 0.1]
+    model = train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+                  reg_df, feature_cols=FCOLS,
+                  callbacks=[LearningRateScheduler(rates)])
+    # leaf values scale with eta: ratio of max |leaf| across rounds tracks rates
+    fixed = train({"num_boost_round": 1, "max_depth": 2, "base_score": 0.0,
+                   "eta": 0.5}, reg_df, feature_cols=FCOLS)
+    a = model.trees[0][0]
+    b = fixed.trees[0][0]
+    assert a.feature == b.feature
+    assert np.allclose(a.leaf_value, b.leaf_value, atol=1e-12)
+
+
+def test_early_stopping_callback(spark, reg_df):
+    model = train({"num_boost_round": 30, "max_depth": 2, "base_score": 0.0,
+                   "eta": 0.8}, reg_df, feature_cols=FCOLS,
+                  evals=[(reg_df, "train")],
+                  callbacks=[EarlyStopping(rounds=2)])
+    n_rounds = len(model.trees)
+    assert n_rounds < 30 or len(model.eval_history["train"]["rmse"]) == 30
+
+
+def test_checkpoint_callback(spark, reg_df, tmp_path):
+    d = str(tmp_path / "ckpt")
+    train({"num_boost_round": 4, "max_depth": 2, "base_score": 0.0},
+          reg_df, feature_cols=FCOLS,
+          callbacks=[TrainingCheckPoint(d, interval=2)])
+    files = sorted(glob.glob(os.path.join(d, "model_*.json")))
+    assert len(files) == 2
+    snap = GBDTModel.load(files[0])
+    assert sum(len(r) for r in snap.trees) == 2      # snapshot after round 1
+
+
+def test_cv_returns_fold_aggregates(spark, reg_df):
+    res = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+             reg_df, nfold=3, feature_cols=FCOLS)
+    assert "test-rmse-mean" in res and "test-rmse-std" in res
+    assert len(res["test-rmse-mean"]) == 3
+    # rmse should improve over rounds on average
+    assert res["test-rmse-mean"][-1] < res["test-rmse-mean"][0]
+
+
+def test_cv_stratified_classification(spark, reg_df):
+    from pyspark.sql import functions as F
+    df = reg_df.withColumn("label", (F.col("label") > 0).cast("double"))
+    res = cv({"objective": "binary:logistic", "num_boost_round": 2,
+              "max_depth": 2}, df, nfold=3, stratified=True,
+             metrics=["logloss"], feature_cols=FCOLS)
+    assert len(res["test-logloss-mean"]) == 2

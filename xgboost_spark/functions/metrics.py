@@ -105,6 +105,11 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
     if name == "auc":
         return auc_binary(df, y=y, score=margin_cols[0], weight=weight)
+    if name == "aucpr":
+        return aucpr_binary(df, y=y, score=margin_cols[0], weight=weight)
+    if name == "ams":
+        return ams_at_k(df, float(arg) if arg else 0.15, y=y,
+                        score=margin_cols[0], weight=weight)
     if name == "merror":
         pred = _argmax_col(margin_cols)
         return wavg((pred != yy.cast("int")).cast("double"))
@@ -173,6 +178,53 @@ def auc_binary(df: DataFrame, y: str = "y", score: str = "m0",
     if not r["P"] or not r["N"]:
         return float("nan")
     return float(r["num"] / (r["P"] * r["N"]))
+
+
+def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
+                 weight: str | None = None) -> float:
+    """Binary PR-AUC (reference `src/metric/auc.cc:513` BinaryPRAUC):
+    group by score, descending sweep, trapezoid in (recall, precision).
+    Same cardinality-bounded post-aggregation window as the ROC form.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    g = (df.groupBy(F.col(score).alias("s"))
+         .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("pos"),
+              F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg")))
+    win = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    g = (g.withColumn("tp", F.sum("pos").over(win))
+          .withColumn("fp", F.sum("neg").over(win)))
+    rows = (g.orderBy(F.col("s").desc())
+            .select("tp", "fp").toPandas())   # <= n distinct scores; driver finish
+    import numpy as _np
+    tp = rows["tp"].to_numpy(dtype=float)
+    fp = rows["fp"].to_numpy(dtype=float)
+    P = tp[-1] if len(tp) else 0.0
+    if P <= 0:
+        return float("nan")
+    recall = tp / P
+    precision = tp / _np.maximum(tp + fp, 1e-16)
+    r_prev = _np.concatenate([[0.0], recall[:-1]])
+    p_prev = _np.concatenate([[1.0], precision[:-1]])
+    return float(((recall - r_prev) * (precision + p_prev) / 2.0).sum())
+
+
+def ams_at_k(df: DataFrame, k_frac: float, y: str = "y", score: str = "m0",
+             weight: str | None = None, b_reg: float = 10.0) -> float:
+    """Approximate Median Significance at top-k fraction (reference
+    `src/metric/rank_metric.cc:200-204` EvalAMS): select the top k
+    fraction by score; s = selected positive weight, b = selected
+    negative weight; AMS = sqrt(2((s+b+br) ln(1 + s/(b+br)) - s)).
+    Threshold via percentile_approx — one scan + one agg.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    thr = df.agg(F.percentile_approx(score, float(1.0 - k_frac), 10000)
+                 .alias("t")).first()["t"]
+    r = (df.filter(F.col(score) >= thr)
+         .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("s"),
+              F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("b")).first())
+    s, b = float(r["s"] or 0.0), float(r["b"] or 0.0)
+    return math.sqrt(max(2.0 * ((s + b + b_reg) * math.log(1.0 + s / (b + b_reg)) - s),
+                         0.0))
 
 
 def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",

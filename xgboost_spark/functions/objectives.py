@@ -450,6 +450,72 @@ class LambdaRankPairwise(LambdaRankNDCG):
         return "map"
 
 
+class LambdaRankMAP(LambdaRankNDCG):
+    """rank:map — pairwise lambdas weighted by the exact |delta-AP| of
+    swapping the pair in the current ranking (reference
+    `src/objective/lambdarank_obj.cc` MAP variant, MAPStat accumulators).
+    Labels binarized at > 0.  O(1) delta via prefix sums of relevant
+    counts and 1/rank terms.
+    """
+
+    name = "rank:map"
+
+    def __init__(self, num_pair: int = 1):
+        super().__init__(num_pair=num_pair, use_ndcg_weight=False)
+
+    def grad_hess_group(self, y, margin, w, seed: int = 0):
+        n = len(y)
+        g = np.zeros(n)
+        h = np.zeros(n)
+        if n < 2:
+            return g, h + _EPS
+        rel = (y > 0).astype(np.float64)
+        R = rel.sum()
+        if R == 0 or R == n:
+            return g, h + _EPS
+        order = np.argsort(-margin, kind="stable")
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.arange(1, n + 1)            # 1-indexed rank
+        rel_sorted = rel[order]
+        m_pref = np.concatenate([[0.0], np.cumsum(rel_sorted)])   # m[r] = rel in top r
+        inv_r = np.where(rel_sorted > 0, 1.0 / np.arange(1, n + 1), 0.0)
+        s_pref = np.concatenate([[0.0], np.cumsum(inv_r)])        # sum 1/t over rel t<=r
+
+        def delta_ap(r_rel: int, r_non: int) -> float:
+            """|AP change| when the relevant doc at rank r_rel swaps with
+            the non-relevant doc at rank r_non."""
+            if r_rel < r_non:
+                r1, r2 = r_rel, r_non
+                mid = s_pref[r2 - 1] - s_pref[r1]     # rel positions in (r1, r2)
+                d = m_pref[r2] / r2 - m_pref[r1] / r1 - mid
+            else:
+                r1, r2 = r_non, r_rel
+                mid = s_pref[r2 - 1] - s_pref[r1]
+                d = (m_pref[r1] + 1.0) / r1 + mid - m_pref[r2] / r2
+            return abs(d) / R
+
+        rng = np.random.default_rng(seed)
+        for _ in range(self.num_pair):
+            j = rng.integers(0, n, size=n)
+            for i in range(n):
+                k = j[i]
+                if rel[i] == rel[k]:
+                    continue
+                hi, lo = (i, k) if rel[i] > rel[k] else (k, i)
+                d = margin[hi] - margin[lo]
+                p = 1.0 / (1.0 + np.exp(d))
+                dmap = delta_ap(int(ranks[hi]), int(ranks[lo]))
+                lam = p * dmap
+                hess = max(p * (1.0 - p), _EPS) * dmap
+                g[hi] -= lam
+                g[lo] += lam
+                h[hi] += hess
+                h[lo] += hess
+        if w is not None:
+            g, h = g * w, h * w
+        return g, np.maximum(h, _EPS)
+
+
 class AFT(Objective):
     """survival:aft — accelerated failure time with interval censoring
     (reference `src/objective/aft_obj.cu:148`, loss derivations
@@ -654,6 +720,7 @@ def get_objective(name: str, params=None) -> Objective:
             p.lambdarank_num_pair_per_sample if p else 1, True, p.ndcg_exp_gain if p else True
         ),
         "rank:pairwise": lambda: LambdaRankPairwise(p.lambdarank_num_pair_per_sample if p else 1),
+        "rank:map": lambda: LambdaRankMAP(p.lambdarank_num_pair_per_sample if p else 1),
         "survival:aft": lambda: AFT(p.aft_loss_distribution if p else "normal",
                                     p.aft_loss_distribution_scale if p else 1.0),
         "survival:cox": CoxPH,

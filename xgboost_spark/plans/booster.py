@@ -159,6 +159,8 @@ class SparkBooster:
             evals: list[tuple[DataFrame, str]] | None = None,
             cuts: list[np.ndarray] | None = None,
             num_partitions: int | None = None,
+            callbacks: list | None = None,
+            xgb_model: GBDTModel | None = None,
             verbose: bool = False) -> GBDTModel:
         p = self.params
         K = p.n_groups
@@ -181,9 +183,18 @@ class SparkBooster:
         n_part = num_partitions or sc.defaultParallelism
         if has_q:
             raw = raw.repartition(n_part, "qid")   # co-locate ranking groups
+        # training continuation (reference training.py:183 xgb_model):
+        # reuse the previous model's cuts and start margins at its output
+        prev_state = None
+        if xgb_model is not None:
+            if cuts is None and xgb_model.cuts is not None:
+                cuts = xgb_model.cuts
+            prev_state = xgb_model._broadcastable()
         if cuts is None:
             cuts = approx_cuts(raw, fnames, p.max_bin)
-        base_score = self._base_score(raw)
+        base_score = (xgb_model.base_score if xgb_model is not None
+                      else self._base_score(raw))
+        bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
         bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
         has_w = "weight" in raw.columns
         has_bm = "base_margin" in raw.columns
@@ -219,6 +230,16 @@ class SparkBooster:
                 m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
                 if has_bm:
                     m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                if bc_prev is not None:
+                    st_prev = bc_prev.value
+                    Xr = np.column_stack([
+                        pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                        for c in fnames])
+                    for ri, rnd in enumerate(st_prev["trees"]):
+                        tw = st_prev["weights"][ri]
+                        for k2, arrs in enumerate(rnd):
+                            lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
+                            m0[:, k2] += tw * arrs["leaf_value"][lid]
                 for k in range(K):
                     out[f"m{k}"] = m0[:, k]
                 if is_cox:
@@ -275,6 +296,16 @@ class SparkBooster:
                     m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
                     if _has_bm:
                         m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                    if bc_prev is not None:
+                        st_prev = bc_prev.value
+                        Xr = np.column_stack([
+                            pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                            for c in fnames])
+                        for ri, rnd in enumerate(st_prev["trees"]):
+                            tw = st_prev["weights"][ri]
+                            for k2, arrs in enumerate(rnd):
+                                lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
+                                m0[:, k2] += tw * arrs["leaf_value"][lid]
                     for k in range(K):
                         out[f"m{k}"] = m0[:, k]
                     yield pd.DataFrame(out)
@@ -321,7 +352,25 @@ class SparkBooster:
         best_it, best_metric = None, None
         metric_names = p.eval_metric or [obj.default_metric()]
 
+        from xgboost_spark.functions.callbacks import TrainingState
+
+        def _make_model():
+            return self._assemble_model(
+                trees, tree_weights, xgb_model, base_score, feat_names_out,
+                cuts, best_it, history, is_dart)
+
+        cb_state = TrainingState(p, _make_model)
+        orig_eta = p.eta
+        for cb in (callbacks or []):
+            cb.before_training(cb_state)
+
         for it_round in range(p.num_boost_round):
+            stop = False
+            for cb in (callbacks or []):
+                stop = cb.before_iteration(cb_state, it_round) or stop
+            if stop:
+                break
+            p.eta = cb_state.eta      # LearningRateScheduler applies here
             # DART: select dropped rounds, refresh gradients at the
             # dropped-out margin (reference gbtree.h:89-123 DropTrees)
             dropped: list[int] = []
@@ -424,11 +473,33 @@ class SparkBooster:
                         best_metric, best_it = last, it_round
                     elif it_round - best_it >= p.early_stopping_rounds:
                         break
+            stop = False
+            for cb in (callbacks or []):
+                stop = cb.after_iteration(cb_state, it_round, history) or stop
+            if stop:
+                break
 
-        model = GBDTModel(p, base_score, trees, feat_names_out, cuts,
-                          best_iteration=best_it, eval_history=history,
-                          tree_weights=(tree_weights if is_dart else None))
-        return model
+        p.eta = orig_eta
+        for cb in (callbacks or []):
+            cb.after_training(cb_state)
+        return _make_model()
+
+    def _assemble_model(self, trees, tree_weights, xgb_model, base_score,
+                        feat_names_out, cuts, best_it, history, is_dart) -> GBDTModel:
+        """Merge continuation trees with the previous model's."""
+        p = self.params
+        all_trees = list(trees)
+        weights = list(tree_weights) if is_dart else None
+        if xgb_model is not None:
+            prev_w = (xgb_model.tree_weights
+                      or [1.0] * len(xgb_model.trees))
+            all_trees = list(xgb_model.trees) + all_trees
+            if is_dart or xgb_model.tree_weights:
+                weights = list(prev_w) + (list(tree_weights) if tree_weights
+                                          else [1.0] * len(trees))
+        return GBDTModel(p, base_score, all_trees, feat_names_out, cuts,
+                         best_iteration=best_it, eval_history=history,
+                         tree_weights=weights)
 
     # ------------------------------------------------------------------
     def _adaptive_leaf_refresh(self, binned: DataFrame, tree: core.Tree,
@@ -655,7 +726,7 @@ class SparkBooster:
 
 
 def _maximize(metric: str) -> bool:
-    return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre")
+    return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre", "ams")
 
 
 def train(params: dict | TrainParams, df: DataFrame, **kw):

@@ -1,0 +1,64 @@
+"""k-fold cross-validation driving the Spark trainer.
+
+Mirrors `xgboost.cv` (`python-package/xgboost/training.py:435`, fold
+construction :307-434): plain k-fold by row hash, stratified folds for
+classification, group-aware folds (by qid) for ranking.  Fold slicing
+is a `filter` on a deterministic fold column — the Spark analog of
+`DMatrix::Slice` (reference `include/xgboost/data.h:688`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xgboost_spark.config import TrainParams
+from xgboost_spark.plans.booster import SparkBooster
+
+
+def _fold_column(df: DataFrame, nfold: int, seed: int, stratified: bool,
+                 label_col: str, qid_col: str | None) -> DataFrame:
+    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    if qid_col:
+        # group-aware: a whole query group lands in one fold
+        return df.withColumn("__fold__",
+                             F.pmod(F.xxhash64(F.col(qid_col), F.lit(seed)),
+                                    F.lit(nfold)).cast("int"))
+    if stratified:
+        w = Window.partitionBy(label_col).orderBy(h)
+        return df.withColumn("__fold__",
+                             F.pmod(F.row_number().over(w), F.lit(nfold)).cast("int"))
+    return df.withColumn("__fold__", F.pmod(h, F.lit(nfold)).cast("int"))
+
+
+def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
+       stratified: bool = False, metrics: list[str] | None = None,
+       seed: int = 0, label_col: str = "label",
+       qid_col: str | None = None, show_train: bool = False,
+       **fit_kw) -> dict[str, list[float]]:
+    """Returns {'test-<metric>-mean': [...], 'test-<metric>-std': [...]}
+    (+train-* when ``show_train``), one value per boosting round."""
+    p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    if nfold < 2:
+        raise ValueError(f"cv needs nfold >= 2, got {nfold}")
+    if metrics:
+        p.eval_metric = list(metrics)
+    folded = _fold_column(df, nfold, seed, stratified, label_col, qid_col) \
+        .localCheckpoint(eager=True)
+    per_fold: list[dict] = []
+    for f in range(nfold):
+        train_df = folded.filter(F.col("__fold__") != f).drop("__fold__")
+        valid_df = folded.filter(F.col("__fold__") == f).drop("__fold__")
+        evals = ([(train_df, "train")] if show_train else []) + [(valid_df, "test")]
+        model = SparkBooster(p).fit(train_df, label_col=label_col,
+                                    qid_col=qid_col, evals=evals, **fit_kw)
+        per_fold.append(model.eval_history)
+    out: dict[str, list[float]] = {}
+    for data in per_fold[0]:
+        for metric in per_fold[0][data]:
+            rounds = min(len(h[data][metric]) for h in per_fold)
+            arr = np.asarray([h[data][metric][:rounds] for h in per_fold])
+            out[f"{data}-{metric}-mean"] = arr.mean(axis=0).tolist()
+            out[f"{data}-{metric}-std"] = arr.std(axis=0).tolist()
+    return out
