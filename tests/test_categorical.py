@@ -1,0 +1,132 @@
+"""Categorical splits: one-hot and sorted set-partition.
+Reference analogs: EnumerateOneHot evaluate_splits.h:64, EnumeratePart
+:119-192, ordinal encoding src/encoder/ordinal.h."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.local.booster import LocalBooster
+from xgboost_spark.plans.booster import train
+from xgboost_spark.plans.model import GBDTModel
+
+
+@pytest.fixture(scope="module")
+def cat_data():
+    """y depends on category membership: cats {0,3,7} high, rest low,
+    plus a numeric effect."""
+    rng = np.random.default_rng(21)
+    n = 4000
+    c = rng.integers(0, 10, n).astype(float)
+    x = rng.normal(size=n)
+    y = np.where(np.isin(c, [0, 3, 7]), 5.0, -2.0) + 0.5 * x + rng.normal(0, 0.2, n)
+    X = np.column_stack([c, x])
+    return X, y
+
+
+def test_partition_split_finds_category_set(cat_data):
+    X, y = cat_data
+    p = TrainParams(num_boost_round=1, max_depth=1, base_score=0.0, eta=1.0)
+    lb = LocalBooster(p).fit(X, y, cat_features=np.array([True, False]))
+    t = lb.trees[0][0]
+    assert t.feature[0] == 0                    # split on the categorical
+    assert t.categories[0] is not None
+    # the learned left set must be exactly {0,3,7} or its complement
+    s = set(t.categories[0])
+    assert s == {0, 3, 7} or s == {1, 2, 4, 5, 6, 8, 9}
+
+
+def test_onehot_gate(cat_data):
+    rng = np.random.default_rng(5)
+    n = 2000
+    c = rng.integers(0, 3, n).astype(float)     # 3 cats < max_cat_to_onehot
+    y = np.where(c == 1, 4.0, 0.0) + rng.normal(0, 0.1, n)
+    X = np.column_stack([c, rng.normal(size=n)])
+    p = TrainParams(num_boost_round=1, max_depth=1, base_score=0.0, eta=1.0)
+    lb = LocalBooster(p).fit(X, y, cat_features=np.array([True, False]))
+    t = lb.trees[0][0]
+    assert t.categories[0] is not None
+    assert len(t.categories[0]) == 1            # one-hot: single category side
+
+
+def test_categorical_predictions_route_correctly(cat_data):
+    X, y = cat_data
+    p = TrainParams(num_boost_round=5, max_depth=3, base_score=0.0)
+    lb = LocalBooster(p).fit(X, y, cat_features=np.array([True, False]))
+    pred = lb.predict(X)
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    assert rmse < 1.0
+    # numeric-only model must be clearly worse: codes {0,3,7} are not
+    # linearly separable by <= threshold splits at depth 1
+    p1 = TrainParams(num_boost_round=1, max_depth=1, base_score=0.0, eta=1.0)
+    lb_cat = LocalBooster(p1).fit(X, y, cat_features=np.array([True, False]))
+    lb_num = LocalBooster(p1).fit(X, y)
+    r_cat = np.sqrt(np.mean((lb_cat.predict(X) - y) ** 2))
+    r_num = np.sqrt(np.mean((lb_num.predict(X) - y) ** 2))
+    assert r_cat < r_num * 0.7
+
+
+def test_spark_categorical_parity_and_json(spark, cat_data, tmp_path):
+    X, y = cat_data
+    pdf = pd.DataFrame({"cat": X[:, 0], "num": X[:, 1], "label": y})
+    df = spark.createDataFrame(pdf)
+    model = train({"num_boost_round": 5, "max_depth": 3, "base_score": 0.0},
+                  df, feature_cols=["cat", "num"], label_col="label",
+                  categorical_features=["cat"])
+    has_cat_split = any(
+        t.categories[i] is not None
+        for rnd in model.trees for t in rnd for i in range(t.n_nodes))
+    assert has_cat_split
+    out = model.transform(df, feature_cols=["cat", "num"]).toPandas()
+    rmse = float(np.sqrt(np.mean((out["prediction"].to_numpy() - y) ** 2)))
+    assert rmse < 1.0
+    # JSON round trip preserves category sets and predictions
+    path = str(tmp_path / "cat.json")
+    model.save(path)
+    loaded = GBDTModel.load(path)
+    out2 = loaded.transform(df.limit(500), feature_cols=["cat", "num"]).toPandas()
+    assert np.allclose(out["prediction"].to_numpy()[:500],
+                       out2["prediction"].to_numpy(), atol=1e-12)
+
+
+def test_spark_local_structural_parity_categorical(spark, cat_data):
+    X, y = cat_data
+    pdf = pd.DataFrame({"cat": X[:, 0], "num": X[:, 1], "label": y})
+    df = spark.createDataFrame(pdf)
+    p = TrainParams(num_boost_round=2, max_depth=3, base_score=0.0)
+    sm = train(p, df, feature_cols=["cat", "num"], label_col="label",
+               categorical_features=["cat"])
+    lb = LocalBooster(p)
+    lb.cat_features = np.array([True, False])
+    lb.cuts = sm.cuts
+    Xb = lb.bin(X)
+    from xgboost_spark.local.booster import _NumpyHistBuilder
+    builder = _NumpyHistBuilder(Xb, sm.cuts, max(len(c) for c in sm.cuts))
+    margin = np.zeros(len(y))
+    rng = np.random.default_rng(p.seed)
+    for rnd_trees in sm.trees:
+        g, h = lb.obj.grad_hess(y, margin, None)
+        builder.set_grad(g, h)
+        t_local = core.grow_tree(builder, p, rng, float(g.sum()), float(h.sum()),
+                                 cat_features=np.array([True, False]))
+        t_spark = rnd_trees[0]
+        assert t_local.feature == t_spark.feature
+        assert t_local.categories == t_spark.categories
+        assert np.allclose(t_local.leaf_value, t_spark.leaf_value, atol=1e-9)
+        margin += core.tree_predict(t_spark, Xb, binned=True)
+
+
+def test_shap_with_categorical(cat_data):
+    X, y = cat_data
+    p = TrainParams(num_boost_round=1, max_depth=3, base_score=0.0)
+    lb = LocalBooster(p).fit(X, y, cat_features=np.array([True, False]))
+    t = lb.trees[0][0]
+    from xgboost_spark.functions import shap as S
+    a = t.finalize_arrays()
+    cover = np.asarray(t.sum_hess)
+    rows = X[:20]
+    phi = S.tree_shap(a, cover, rows)
+    pred = core.tree_predict(t, rows, binned=False)
+    assert np.abs(phi.sum(1) - pred).max() < 1e-10   # local accuracy holds

@@ -51,6 +51,9 @@ class TrainParams:
 
     # quantization (reference max_bin default 256, src/tree/param.h:97)
     max_bin: int = 256
+    # categorical splits: one-hot below this cardinality, else sorted
+    # set-partition (reference evaluate_splits.h:307 gate)
+    max_cat_to_onehot: int = 4
 
     # objective-specific
     tweedie_variance_power: float = 1.5

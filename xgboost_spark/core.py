@@ -72,6 +72,9 @@ class Tree:
     gain: list[float] = field(default_factory=lambda: [0.0])
     sum_grad: list[float] = field(default_factory=lambda: [0.0])
     sum_hess: list[float] = field(default_factory=lambda: [0.0])
+    # categorical splits: category codes routed LEFT; None = numeric node
+    # (reference stores a bitset per node, tree_model.h SplitCondT :82)
+    categories: list[list[int] | None] = field(default_factory=lambda: [None])
 
     @property
     def n_nodes(self) -> int:
@@ -82,14 +85,16 @@ class Tree:
 
     def expand(self, nid: int, fidx: int, split_bin: int, split_value: float,
                default_left: bool, gain: float,
-               g_l: float, h_l: float, g_r: float, h_r: float) -> tuple[int, int]:
-        """ExpandNode (reference `tree_model.h:290` area)."""
+               g_l: float, h_l: float, g_r: float, h_r: float,
+               categories: list[int] | None = None) -> tuple[int, int]:
+        """ExpandNode / ExpandCategorical (reference `tree_model.h:290`)."""
         lid, rid = self.n_nodes, self.n_nodes + 1
         for arr, lval, rval in (
             (self.feature, -1, -1), (self.split_bin, -1, -1), (self.split_value, 0.0, 0.0),
             (self.default_left, True, True), (self.left, -1, -1), (self.right, -1, -1),
             (self.parent, nid, nid), (self.leaf_value, 0.0, 0.0), (self.gain, 0.0, 0.0),
             (self.sum_grad, g_l, g_r), (self.sum_hess, h_l, h_r),
+            (self.categories, None, None),
         ):
             arr.append(lval)
             arr.append(rval)
@@ -100,11 +105,14 @@ class Tree:
         self.left[nid] = lid
         self.right[nid] = rid
         self.gain[nid] = gain
+        self.categories[nid] = categories
         return lid, rid
 
     def finalize_arrays(self) -> dict[str, np.ndarray]:
-        """Dense numpy views for vectorized traversal."""
-        return {
+        """Dense numpy views for vectorized traversal.  ``categories`` is a
+        per-node tuple of int arrays (None for numeric nodes) — absent
+        entirely when the tree has no categorical splits."""
+        out = {
             "feature": np.asarray(self.feature, dtype=np.int32),
             "split_bin": np.asarray(self.split_bin, dtype=np.int32),
             "split_value": np.asarray(self.split_value, dtype=np.float64),
@@ -113,6 +121,11 @@ class Tree:
             "right": np.asarray(self.right, dtype=np.int32),
             "leaf_value": np.asarray(self.leaf_value, dtype=np.float64),
         }
+        if any(c is not None for c in self.categories):
+            out["categories"] = tuple(
+                None if c is None else np.asarray(c, dtype=np.int32)
+                for c in self.categories)
+        return out
 
 
 def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) -> np.ndarray:
@@ -125,6 +138,7 @@ def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) 
     (`src/predictor/cpu_predictor.cc:64-145`) but block-vectorized.
     """
     n = X.shape[0]
+    cats = a.get("categories")
     node = np.zeros(n, dtype=np.int32)
     active = a["left"][node] != -1
     while active.any():
@@ -138,6 +152,19 @@ def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) 
         else:
             miss = np.isnan(x)
             go_left = np.where(miss, a["default_left"][nd], x <= a["split_value"][nd])
+        if cats is not None:
+            # categorical nodes: membership test (category code routed
+            # left iff in the node's set); few distinct nids per wave
+            for nid in np.unique(nd):
+                cset = cats[nid]
+                if cset is None:
+                    continue
+                m = nd == nid
+                xm = x[m]
+                mm = (xm == MISSING_BIN) if binned else np.isnan(xm)
+                code = np.where(mm, -1, np.nan_to_num(xm)).astype(np.int64)
+                go_left[m] = np.where(mm, a["default_left"][nid],
+                                      np.isin(code, cset))
         node[idx] = np.where(go_left, a["left"][nd], a["right"][nd])
         active = a["left"][node] != -1
     return node
@@ -167,6 +194,7 @@ class SplitResult:
     h_left: float
     g_right: float
     h_right: float
+    categories: list[int] | None = None   # category codes routed left
 
 
 def split_search(
@@ -179,6 +207,8 @@ def split_search(
     max_delta_step: float = 0.0,
     feature_mask: np.ndarray | None = None,   # bool (n_feat,) — colsample
     monotone: np.ndarray | None = None,       # int8 (n_feat,) in {-1,0,+1}
+    cat_features: np.ndarray | None = None,   # bool (n_feat,) — categorical
+    max_cat_to_onehot: int = 4,
 ) -> list[SplitResult | None]:
     """Best split per node from node histograms.
 
@@ -228,6 +258,8 @@ def split_search(
                 invalid |= ~feature_mask[None, :, None]
             else:  # per-node mask (colsample_bynode)
                 invalid |= ~feature_mask[:, :, None]
+        if cat_features is not None:
+            invalid |= cat_features[None, :, None]   # handled separately below
         gain = np.where(invalid, -np.inf, gain)
         flat = gain.reshape(N, -1)
         idx = np.argmax(flat, axis=1)
@@ -245,6 +277,56 @@ def split_search(
                     g_right=float(g_tot[nid, f] - gl[nid, f, b]),
                     h_right=float(h_tot[nid, f] - hl[nid, f, b]),
                 )
+    # categorical enumeration (reference EnumerateOneHot
+    # `evaluate_splits.h:64` and EnumeratePart `:119-192`): one-hot when
+    # few categories, else scan categories sorted by grad/hess ratio —
+    # the sorted-prefix split is the optimal set partition
+    if cat_features is not None and cat_features.any():
+        for nid in range(N):
+            for f in np.nonzero(cat_features)[0]:
+                if feature_mask is not None:
+                    fm = feature_mask if feature_mask.ndim == 1 else feature_mask[nid]
+                    if not fm[f]:
+                        continue
+                gb = hist_g[nid, f, :B]
+                hb = hist_h[nid, f, :B]
+                gm = float(g_miss[nid, f])
+                hm = float(h_miss[nid, f])
+                present = np.nonzero((hb != 0) | (gb != 0))[0]
+                if len(present) < 2:
+                    continue
+                gt = float(gb.sum() + gm)
+                ht = float(hb.sum() + hm)
+                pgain = float(calc_gain(gt, ht, reg_lambda, reg_alpha, max_delta_step))
+                if len(present) < max_cat_to_onehot:
+                    # one-hot: {c} vs rest, missing on either side
+                    cand = [([c], float(gb[c]), float(hb[c])) for c in present]
+                else:
+                    ratio = gb[present] / (hb[present] + reg_lambda)
+                    order = present[np.argsort(ratio, kind="stable")]
+                    cg = np.cumsum(gb[order])
+                    ch = np.cumsum(hb[order])
+                    cand = [(order[: j + 1].tolist(), float(cg[j]), float(ch[j]))
+                            for j in range(len(order) - 1)]
+                for cats_left, gl_, hl_ in cand:
+                    for direction in (0, 1):        # 0: missing right, 1: left
+                        gl2 = gl_ + (gm if direction else 0.0)
+                        hl2 = hl_ + (hm if direction else 0.0)
+                        gr2 = gt - gl2
+                        hr2 = ht - hl2
+                        if hl2 < min_child_weight or hr2 < min_child_weight:
+                            continue
+                        gn = float(
+                            calc_gain(gl2, hl2, reg_lambda, reg_alpha, max_delta_step)
+                            + calc_gain(gr2, hr2, reg_lambda, reg_alpha, max_delta_step)
+                            - pgain)
+                        if gn > best_gain[nid] + 1e-12:
+                            best_gain[nid] = gn
+                            best[nid] = SplitResult(
+                                nid=nid, gain=gn, fidx=int(f), split_bin=-1,
+                                default_left=bool(direction),
+                                g_left=gl2, h_left=hl2, g_right=gr2, h_right=hr2,
+                                categories=sorted(int(c) for c in cats_left))
     for nid in range(N):
         r = best[nid]
         if r is None or r.gain <= gamma or not np.isfinite(r.gain):
@@ -344,6 +426,7 @@ def grow_tree(
     feature_mask_tree: np.ndarray | None = None,
     monotone: np.ndarray | None = None,
     interaction_sets: list[np.ndarray] | None = None,
+    cat_features: np.ndarray | None = None,
 ) -> Tree:
     """Grow one tree.  Depthwise (`grow_policy=depthwise`) expands level by
     level with ONE histogram build per level; lossguide expands the
@@ -359,7 +442,8 @@ def grow_tree(
     kw = dict(
         reg_lambda=params.reg_lambda, reg_alpha=params.reg_alpha, gamma=params.gamma,
         min_child_weight=params.min_child_weight, max_delta_step=params.max_delta_step,
-        monotone=monotone,
+        monotone=monotone, cat_features=cat_features,
+        max_cat_to_onehot=getattr(params, "max_cat_to_onehot", 4),
     )
     if feature_mask_tree is None:
         feature_mask_tree = np.ones(F, dtype=bool)
@@ -487,10 +571,12 @@ def grow_tree(
                 commit_leaf(nid)
                 continue
             f = res.fidx
+            sv = 0.0 if res.categories is not None else builder.split_value(f, res.split_bin)
             lid, rid = tree.expand(
-                nid, f, res.split_bin, builder.split_value(f, res.split_bin),
+                nid, f, res.split_bin, sv,
                 res.default_left, res.gain,
                 res.g_left, res.h_left, res.g_right, res.h_right,
+                categories=res.categories,
             )
             n_leaves += 1
             counter += 1
@@ -534,10 +620,13 @@ def grow_tree(
                     commit_leaf(nid)
                     continue
                 f = res.fidx
+                sv = (0.0 if res.categories is not None
+                      else builder.split_value(f, res.split_bin))
                 lid, rid = tree.expand(
-                    nid, f, res.split_bin, builder.split_value(f, res.split_bin),
+                    nid, f, res.split_bin, sv,
                     res.default_left, res.gain,
                     res.g_left, res.h_left, res.g_right, res.h_right,
+                    categories=res.categories,
                 )
                 on_expand(nid, f, lid, rid)
                 nxt.extend((lid, rid))
@@ -580,6 +669,15 @@ def prune_tree(tree: Tree, min_split_loss: float, eta: float,
                 npruned += 1
                 changed = True
     return npruned
+
+
+def bin_categorical(x: np.ndarray, n_cats: int) -> np.ndarray:
+    """Categorical 'binning': the ordinal code IS the bin (reference
+    categorical bins = category codes, hist_util.h HistogramCuts).
+    NaN -> MISSING_BIN; out-of-range codes clamp into the last bin."""
+    code = np.where(np.isnan(x), MISSING_BIN,
+                    np.clip(np.nan_to_num(x), 0, n_cats - 1))
+    return code.astype(np.int16)
 
 
 def bin_values(x: np.ndarray, cuts: np.ndarray) -> np.ndarray:

@@ -145,8 +145,15 @@ def _vrecurse(a, cover, X, phi, nid, m: _VecPath, length: int,
     f = int(a["feature"][nid])
     lid, rid = int(a["left"][nid]), int(a["right"][nid])
     x = X[:, f]
-    go_left = np.where(np.isnan(x), bool(a["default_left"][nid]),
-                       x <= a["split_value"][nid])
+    node_cats = a.get("categories", (None,) * len(a["left"]))[nid] \
+        if "categories" in a else None
+    if node_cats is not None:
+        code = np.where(np.isnan(x), -1, np.nan_to_num(x)).astype(np.int64)
+        go_left = np.where(np.isnan(x), bool(a["default_left"][nid]),
+                           np.isin(code, node_cats))
+    else:
+        go_left = np.where(np.isnan(x), bool(a["default_left"][nid]),
+                           x <= a["split_value"][nid])
     cj = max(cover[nid], 1e-300)
     rl = cover[lid] / cj
     rr = cover[rid] / cj
@@ -211,6 +218,8 @@ def _decision(a, nid: int, xrow: np.ndarray) -> bool:
     v = xrow[f]
     if np.isnan(v):
         return bool(a["default_left"][nid])
+    if "categories" in a and a["categories"][nid] is not None:
+        return bool(np.isin(np.int64(v), a["categories"][nid]))
     return bool(v <= a["split_value"][nid])
 
 
@@ -350,6 +359,7 @@ def saabas_contribs(a: dict, cover: np.ndarray, X: np.ndarray) -> np.ndarray:
     node_val = _node_values(a, cover)
     phi[:, F] = node_val[0]
     nid = np.zeros(n, dtype=np.int64)
+    cats = a.get("categories")
     active = a["left"][nid] != -1
     while active.any():
         idx = np.nonzero(active)[0]
@@ -357,6 +367,15 @@ def saabas_contribs(a: dict, cover: np.ndarray, X: np.ndarray) -> np.ndarray:
         f = a["feature"][nd]
         x = X[idx, f]
         go_left = np.where(np.isnan(x), a["default_left"][nd], x <= a["split_value"][nd])
+        if cats is not None:
+            for u in np.unique(nd):
+                if cats[u] is None:
+                    continue
+                m = nd == u
+                xm = x[m]
+                code = np.where(np.isnan(xm), -1, np.nan_to_num(xm)).astype(np.int64)
+                go_left[m] = np.where(np.isnan(xm), a["default_left"][u],
+                                      np.isin(code, cats[u]))
         nxt = np.where(go_left, a["left"][nd], a["right"][nd])
         np.add.at(phi, (idx, f), node_val[nxt] - node_val[nd])
         nid[idx] = nxt

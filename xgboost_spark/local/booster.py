@@ -64,24 +64,37 @@ class LocalBooster:
         self.cuts: list[np.ndarray] = []
 
     # -- data prep ----------------------------------------------------------
-    def quantize(self, X: np.ndarray, weights: np.ndarray | None = None):
-        self.cuts = [core.make_cuts(X[:, f], self.params.max_bin, weights) for f in range(X.shape[1])]
+    def quantize(self, X: np.ndarray, weights: np.ndarray | None = None,
+                 cat_features: np.ndarray | None = None):
+        self.cat_features = cat_features
+        self.cuts = []
+        for f in range(X.shape[1]):
+            if cat_features is not None and cat_features[f]:
+                n_cats = int(np.nanmax(X[:, f])) + 1 if np.isfinite(np.nanmax(X[:, f])) else 2
+                self.cuts.append(np.arange(max(n_cats, 2), dtype=np.float64))
+            else:
+                self.cuts.append(core.make_cuts(X[:, f], self.params.max_bin, weights))
         return self.bin(X)
 
     def bin(self, X: np.ndarray) -> np.ndarray:
         Xb = np.empty(X.shape, dtype=np.int16)
+        cf = getattr(self, "cat_features", None)
         for f in range(X.shape[1]):
-            Xb[:, f] = core.bin_values(X[:, f], self.cuts[f])
+            if cf is not None and cf[f]:
+                Xb[:, f] = core.bin_categorical(X[:, f], len(self.cuts[f]))
+            else:
+                Xb[:, f] = core.bin_values(X[:, f], self.cuts[f])
         return Xb
 
     # -- training -----------------------------------------------------------
     def fit(self, X: np.ndarray, y: np.ndarray, sample_weight: np.ndarray | None = None,
             qid: np.ndarray | None = None,
             y_lower: np.ndarray | None = None,
-            y_upper: np.ndarray | None = None) -> "LocalBooster":
+            y_upper: np.ndarray | None = None,
+            cat_features: np.ndarray | None = None) -> "LocalBooster":
         p = self.params
         K = p.n_groups
-        Xb = self.quantize(X)
+        Xb = self.quantize(X, cat_features=cat_features)
         n = len(y)
         n_bins = max(len(c) for c in self.cuts)
         builder = _NumpyHistBuilder(Xb, self.cuts, n_bins)
@@ -128,7 +141,7 @@ class LocalBooster:
                 builder.set_grad(gk, hk)
                 tree = core.grow_tree(
                     builder, p, rng, float(gk.sum()), float(hk.sum()),
-                    feature_mask_tree=fmask,
+                    feature_mask_tree=fmask, cat_features=cat_features,
                 )
                 if self.obj.adaptive_alpha is not None:
                     self._adaptive_leaves(tree, Xb, y, margin if K == 1 else margin[:, k])

@@ -161,6 +161,7 @@ class SparkBooster:
             num_partitions: int | None = None,
             callbacks: list | None = None,
             xgb_model: GBDTModel | None = None,
+            categorical_features: list | None = None,
             verbose: bool = False) -> GBDTModel:
         p = self.params
         K = p.n_groups
@@ -190,12 +191,36 @@ class SparkBooster:
             if cuts is None and xgb_model.cuts is not None:
                 cuts = xgb_model.cuts
             prev_state = xgb_model._broadcastable()
+        # categorical features: ordinal codes are the bins; cuts become
+        # identity ranges sized by the observed max code
+        cat_mask = None
+        if categorical_features:
+            cat_mask = np.zeros(Fn, dtype=bool)
+            cat_idx = []
+            for cname in categorical_features:
+                if isinstance(cname, str) and cname in feat_names_out:
+                    idx = feat_names_out.index(cname)
+                elif isinstance(cname, int) or str(cname).isdigit():
+                    idx = int(cname)
+                else:
+                    raise ValueError(
+                        f"categorical_features: unknown feature {cname!r}; "
+                        f"features are {feat_names_out}")
+                cat_mask[idx] = True
+                cat_idx.append(idx)
         if cuts is None:
             cuts = approx_cuts(raw, fnames, p.max_bin)
+        if cat_mask is not None and cuts is not None:
+            maxes = raw.agg(*[F.max(fnames[i]).alias(f"m{i}") for i in cat_idx]).first()
+            cuts = list(cuts)
+            for j, i in enumerate(cat_idx):
+                n_cats = int(maxes[f"m{j}"] or 0) + 1
+                cuts[i] = np.arange(max(n_cats, 2), dtype=np.float64)
         base_score = (xgb_model.base_score if xgb_model is not None
                       else self._base_score(raw))
         bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
         bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
+        bc_catmask = sc.broadcast(cat_mask)
         has_w = "weight" in raw.columns
         has_bm = "base_margin" in raw.columns
         subsample = p.subsample
@@ -203,13 +228,16 @@ class SparkBooster:
 
         def init_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cuts_l = bc_cuts.value
+            cm = bc_catmask.value
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 out = {}
                 for i, c in enumerate(fnames):
                     x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
-                    out[f"x{i}"] = core.bin_values(x, cuts_l[i])
+                    out[f"x{i}"] = (core.bin_categorical(x, len(cuts_l[i]))
+                                    if cm is not None and cm[i]
+                                    else core.bin_values(x, cuts_l[i]))
                 bounds = None
                 if has_b:
                     yl = pdf["label_lower"].to_numpy(dtype=np.float64)
@@ -274,13 +302,16 @@ class SparkBooster:
             def ev_init(it: Iterator[pd.DataFrame], _has_w=("weight" in ev_raw.columns),
                         _has_bm=("base_margin" in ev_raw.columns)) -> Iterator[pd.DataFrame]:
                 cuts_l = bc_cuts.value
+                cm = bc_catmask.value
                 for pdf in it:
                     if len(pdf) == 0:
                         continue
                     out = {}
                     for i, c in enumerate(fnames):
-                        out[f"x{i}"] = core.bin_values(
-                            pdf[c].to_numpy(dtype=np.float64, na_value=np.nan), cuts_l[i])
+                        x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                        out[f"x{i}"] = (core.bin_categorical(x, len(cuts_l[i]))
+                                        if cm is not None and cm[i]
+                                        else core.bin_values(x, cuts_l[i]))
                     if has_b:
                         yl = pdf["label_lower"].to_numpy(dtype=np.float64)
                         yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
@@ -403,7 +434,8 @@ class SparkBooster:
                 for _ in range(n_forest):
                     tree = core.grow_tree(builders[k], p, rng,
                                           feature_mask_tree=fmask, monotone=mono,
-                                          interaction_sets=isets)
+                                          interaction_sets=isets,
+                                          cat_features=cat_mask)
                     forest.append(tree)
                 if n_forest > 1:
                     # random-forest round: average by scaling leaves

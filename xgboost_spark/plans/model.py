@@ -56,6 +56,9 @@ class GBDTModel:
                     "tree_param": {"num_nodes": str(n)},
                     "split_indices": [max(t.feature[i], 0) for i in range(n)],
                     "split_conditions": split_conditions,
+                    "split_type": [int(t.categories[i] is not None) for i in range(n)],
+                    "categories": [list(t.categories[i]) if t.categories[i] else []
+                                   for i in range(n)],
                     "default_left": [int(b) for b in t.default_left],
                     "left_children": list(t.left),
                     "right_children": list(t.right),
@@ -143,6 +146,12 @@ class GBDTModel:
             t.sum_hess = list(td["sum_hessian"])
             t.sum_grad = [0.0] * n
             t.split_bin = [-1] * n
+            cats = td.get("categories")
+            st = td.get("split_type")
+            t.categories = [
+                (list(map(int, cats[i])) if cats and st and st[i] else None)
+                for i in range(n)
+            ]
             group.append(t)
             if len(group) == K:
                 trees.append(group)
