@@ -51,6 +51,9 @@ class TrainParams:
 
     # quantization (reference max_bin default 256, src/tree/param.h:97)
     max_bin: int = 256
+    # hist = global cuts reused all rounds; approx = per-round
+    # hessian-weighted re-sketch (reference updater_approx.cc:95-130)
+    tree_method: str = "hist"
     # categorical splits: one-hot below this cardinality, else sorted
     # set-partition (reference evaluate_splits.h:307 gate)
     max_cat_to_onehot: int = 4

@@ -26,18 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
-def prefix_sums(df: DataFrame, order_col: str, value_cols: list[str],
+def prefix_sums(df: DataFrame, order_col: str | list[str], value_cols: list[str],
                 n_part: int | None = None) -> DataFrame:
     """Append inclusive running totals ``cum_<c>`` for each value column,
-    ordered globally by ``order_col`` (ascending).  Rows with equal keys
-    are accumulated in their within-partition order — for set semantics,
-    pre-aggregate to distinct keys first (as the Cox pass does).
+    ordered globally by ``order_col`` (ascending; may be a list for
+    lexicographic order).  Rows with equal keys are accumulated in their
+    within-partition order — for set semantics, pre-aggregate to
+    distinct keys first (as the Cox pass does).
     """
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_part is None:
         n_part = spark.sparkContext.defaultParallelism
-    d = (df.repartitionByRange(n_part, order_col)
-           .sortWithinPartitions(order_col))
+    d = (df.repartitionByRange(n_part, *order_cols)
+           .sortWithinPartitions(*order_cols))
     d = d.localCheckpoint(eager=True)  # pin partitioning for both passes
 
     part_schema = T.StructType(

@@ -87,8 +87,10 @@ class SparkBooster:
 
     # ------------------------------------------------------------------
     def _schema(self, Fn: int, K: int, has_q: bool, with_grads: bool,
-                with_bounds: bool = False) -> str:
+                with_bounds: bool = False, with_raw: bool = False) -> str:
         parts = [f"x{i} smallint" for i in range(Fn)]
+        if with_raw:
+            parts += [f"rawx{i} double" for i in range(Fn)]
         parts += ["y double", "w double"]
         if with_bounds:
             parts += ["yl double", "yu double"]
@@ -170,6 +172,15 @@ class SparkBooster:
         obj = self.obj
         has_b = obj.needs_bounds
         is_cox = obj.needs_global_sort
+        is_approx = p.tree_method == "approx"
+        if is_approx and (p.n_groups > 1 or p.booster == "dart"
+                          or obj.adaptive_alpha is not None):
+            raise NotImplementedError(
+                "tree_method=approx supports single-output gbtree objectives "
+                "without adaptive leaves")
+        if p.tree_method not in ("hist", "approx"):
+            raise ValueError(f"unsupported tree_method {p.tree_method!r} "
+                             "(exact greedy is not distributed; use hist)")
         if has_b and not (label_lower_col and label_upper_col):
             raise ValueError(f"{p.objective} needs label_lower_col and label_upper_col")
         eff_label = label_col if (label_col in df.columns or not has_b) else None
@@ -238,6 +249,8 @@ class SparkBooster:
                     out[f"x{i}"] = (core.bin_categorical(x, len(cuts_l[i]))
                                     if cm is not None and cm[i]
                                     else core.bin_values(x, cuts_l[i]))
+                    if is_approx:
+                        out[f"rawx{i}"] = x
                 bounds = None
                 if has_b:
                     yl = pdf["label_lower"].to_numpy(dtype=np.float64)
@@ -280,7 +293,8 @@ class SparkBooster:
                     out[f"h{k}"] = h[:, k]
                 yield pd.DataFrame(out)
 
-        train_schema = self._schema(Fn, K, has_q, with_grads=True, with_bounds=has_b)
+        train_schema = self._schema(Fn, K, has_q, with_grads=True, with_bounds=has_b,
+                                    with_raw=is_approx)
         binned = raw.mapInPandas(init_fn, schema=train_schema)
         if not has_q:
             binned = binned.repartition(n_part)
@@ -312,6 +326,8 @@ class SparkBooster:
                         out[f"x{i}"] = (core.bin_categorical(x, len(cuts_l[i]))
                                         if cm is not None and cm[i]
                                         else core.bin_values(x, cuts_l[i]))
+                        if is_approx:
+                            out[f"rawx{i}"] = x
                     if has_b:
                         yl = pdf["label_lower"].to_numpy(dtype=np.float64)
                         yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
@@ -342,7 +358,8 @@ class SparkBooster:
                     yield pd.DataFrame(out)
 
             ev_binned = ev_raw.mapInPandas(
-                ev_init, schema=self._schema(Fn, K, has_q, with_grads=False, with_bounds=has_b)
+                ev_init, schema=self._schema(Fn, K, has_q, with_grads=False, with_bounds=has_b,
+                                             with_raw=is_approx)
             ).localCheckpoint(eager=True)
             eval_states.append([ev_binned, ev_name])
 
@@ -395,6 +412,7 @@ class SparkBooster:
         for cb in (callbacks or []):
             cb.before_training(cb_state)
 
+        cat_idx_skip = (list(np.nonzero(cat_mask)[0]) if cat_mask is not None else [])
         for it_round in range(p.num_boost_round):
             stop = False
             for cb in (callbacks or []):
@@ -402,6 +420,22 @@ class SparkBooster:
             if stop:
                 break
             p.eta = cb_state.eta      # LearningRateScheduler applies here
+
+            if is_approx:
+                # per-round hessian-weighted re-sketch + re-quantization
+                # (reference approx updater, updater_approx.cc:95-130)
+                from xgboost_spark.operators.sketch import weighted_cuts_all
+                new_cuts = weighted_cuts_all(
+                    binned, [f"rawx{i}" for i in range(Fn)], "h0",
+                    p.max_bin, n_part, skip=cat_idx_skip)
+                cuts = [c if nc is None else nc for c, nc in zip(cuts, new_cuts)]
+                bc_it_cuts = sc.broadcast([np.asarray(c) for c in cuts])
+                binned = self._rebin_pass(binned, bc_it_cuts, Fn, cat_mask,
+                                          train_schema)
+                builders = [
+                    SparkHistBuilder(binned, fcols, cuts, gcol=f"g{k}", hcol=f"h{k}")
+                    for k in range(K)
+                ]
             # DART: select dropped rounds, refresh gradients at the
             # dropped-out margin (reference gbtree.h:89-123 DropTrees)
             dropped: list[int] = []
@@ -475,7 +509,7 @@ class SparkBooster:
             binned = self._update_margins(
                 binned, round_trees, K, fcols, has_q, with_grads=True,
                 next_seed=next_seed, train_schema=train_schema,
-                new_weight=w_new, adjust=adjust,
+                new_weight=w_new, adjust=adjust, use_raw=is_approx,
             )
             for k in range(K):
                 builders[k].df = binned
@@ -484,8 +518,9 @@ class SparkBooster:
                     st[0], round_trees, K, fcols, has_q, with_grads=False,
                     next_seed=0,
                     train_schema=self._schema(Fn, K, has_q, with_grads=False,
-                                              with_bounds=has_b),
-                    new_weight=w_new, adjust=adjust,
+                                              with_bounds=has_b,
+                                              with_raw=is_approx),
+                    new_weight=w_new, adjust=adjust, use_raw=is_approx,
                 )
             # evaluation + early stopping (reference EvalOneIter
             # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
@@ -569,10 +604,13 @@ class SparkBooster:
                         fcols: list[str], has_q: bool, with_grads: bool,
                         next_seed: int, train_schema: str,
                         new_weight: float = 1.0,
-                        adjust: list[tuple[int, dict, float]] | None = None) -> DataFrame:
+                        adjust: list[tuple[int, dict, float]] | None = None,
+                        use_raw: bool = False) -> DataFrame:
         """Margin-cache update.  ``new_weight`` scales the new trees (DART);
         ``adjust`` applies (group, tree_arrays, delta_weight) corrections
-        for re-weighted dropped trees — one pass covers both."""
+        for re-weighted dropped trees — one pass covers both.  ``use_raw``
+        routes rows by raw-domain thresholds (approx mode: bin ids change
+        per round, raw split values do not)."""
         p = self.params
         obj = self.obj
         sc = df.sparkSession.sparkContext
@@ -588,8 +626,15 @@ class SparkBooster:
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                Xb = np.column_stack([pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
-                out = {c: pdf[c] for c in fcols}
+                if use_raw:
+                    Xb = np.column_stack([
+                        pdf[f"rawx{i}"].to_numpy(dtype=np.float64, na_value=np.nan)
+                        for i in range(len(fcols))])
+                else:
+                    Xb = np.column_stack([
+                        pdf[c].to_numpy(dtype=np.int16, na_value=-1) for c in fcols])
+                out = {c: pdf[c] for c in pdf.columns
+                       if c in fcols or c.startswith("rawx")}
                 y = pdf["y"].to_numpy(dtype=np.float64)
                 w = pdf["w"].to_numpy(dtype=np.float64)
                 out["y"] = y
@@ -609,11 +654,11 @@ class SparkBooster:
                 for k in range(K):
                     for _ in range(n_forest):
                         arrs = tree_arrs[ti]
-                        lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                        lid = core.leaf_ids_from_arrays(arrs, Xb, binned=not use_raw)
                         m[:, k] += new_weight * arrs["leaf_value"][lid]
                         ti += 1
                 for k_adj, arrs, dw in bc_adj.value:
-                    lid = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
+                    lid = core.leaf_ids_from_arrays(arrs, Xb, binned=not use_raw)
                     m[:, k_adj] += dw * arrs["leaf_value"][lid]
                 for k in range(K):
                     out[f"m{k}"] = m[:, k]
@@ -632,6 +677,27 @@ class SparkBooster:
         if with_grads and is_cox:
             out_df = self._cox_grad_pass(out_df, train_schema, None)
         return out_df
+
+    def _rebin_pass(self, binned: DataFrame, bc_cuts, Fn: int,
+                    cat_mask, train_schema: str) -> DataFrame:
+        """Re-quantize numeric features against fresh cuts (approx mode);
+        raw columns and everything else pass through untouched."""
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cuts_l = bc_cuts.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                out = {c: pdf[c] for c in pdf.columns}
+                for i in range(Fn):
+                    if cat_mask is not None and cat_mask[i]:
+                        continue
+                    out[f"x{i}"] = core.bin_values(
+                        pdf[f"rawx{i}"].to_numpy(dtype=np.float64, na_value=np.nan),
+                        cuts_l[i])
+                yield pd.DataFrame(out)
+
+        return binned.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
 
     def _dart_grad_pass(self, binned: DataFrame, trees, tree_weights,
                         dropped: list[int], K: int, fcols: list[str],
