@@ -656,6 +656,18 @@ def q_train_shap(spark, sf_dir):
         FF.round(FF.element_at("contribs", 4), 4).alias("bias"))
 
 
+def q_metric_aucpr(spark, sf_dir):
+    """Binary PR-AUC (reference `src/metric/auc.cc:513` BinaryPRAUC):
+    descending score sweep + trapezoid over recall."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import aucpr_binary
+    emb = _table(spark, sf_dir, "embeddings")
+    d = emb.select(((F.col("label") % 2) == 1).cast("double").alias("y"),
+                   F.element_at("embedding", 1).cast("double").alias("m0"))
+    v = aucpr_binary(d, y="y", score="m0")
+    return spark.createDataFrame([(round(v, 6),)], "aucpr double")
+
+
 def q_cox_grad(spark, sf_dir):
     """Cox partial-likelihood gradients via the distributed Breslow pass
     (groupBy time + prefix scans + join; reference regression_obj.cu:598)."""
@@ -742,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_regression": q_metric_regression,
         "metric_logloss": q_metric_logloss,
         "metric_auc": q_metric_auc,
+        "metric_aucpr": q_metric_aucpr,
         "metric_ndcg": q_metric_ndcg,
         "metric_map": q_metric_map,
         "count_family": q_count_family,
@@ -988,6 +1001,21 @@ c AS (SELECT pos, neg,
              coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
       FROM g)
 SELECT round(sum(pos * (cumneg + neg / 2)) / (sum(pos) * sum(neg)), 6) AS auc FROM c""",
+
+        "metric_aucpr": """
+WITH d AS (SELECT embedding[1]::DOUBLE AS s, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+g AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM d GROUP BY s),
+c AS (SELECT s,
+             sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(pos) OVER () AS P
+      FROM g),
+t AS (SELECT tp / P AS recall,
+             tp / greatest(tp + fp, 1e-16) AS prec,
+             lag(tp / P, 1, 0.0) OVER (ORDER BY s DESC) AS r_prev,
+             lag(tp / greatest(tp + fp, 1e-16), 1, 1.0) OVER (ORDER BY s DESC) AS p_prev
+      FROM c)
+SELECT round(sum((recall - r_prev) * (prec + p_prev) / 2.0), 6) AS aucpr FROM t""",
 
         "metric_ndcg": """
 WITH d AS (
