@@ -1,0 +1,142 @@
+"""Barrier-mode trainer (plans/barrier.py) + ring allreduce (collective.py).
+
+Mirrors the reference's collective tests (`tests/python/test_collective.py`,
+`tests/cpp/collective/`) and its Spark-wrapper equivalence tests
+(`tests/test_distributed/test_with_spark/test_spark.py`: fit-predict
+equivalence vs single-node, empty partitions `:731`).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from xgboost_spark import collective
+from xgboost_spark.config import TrainParams
+from xgboost_spark.plans.booster import SparkBooster
+
+
+class _FakeCtx:
+    """Thread-backed stand-in for BarrierTaskContext rendezvous."""
+
+    def __init__(self, rank, nranks, barrier, box):
+        self._rank = rank
+        self._barrier = barrier
+        self._box = box
+        self._n = nranks
+
+    def partitionId(self):
+        return self._rank
+
+    def allGather(self, msg):
+        self._box[self._rank] = msg
+        self._barrier.wait()
+        out = [self._box[i] for i in range(self._n)]
+        self._barrier.wait()   # don't let a fast rank mutate box early
+        return out
+
+
+def _run_ring(nranks, payloads):
+    barrier = threading.Barrier(nranks)
+    box = {}
+    results = {}
+    errors = []
+
+    def worker(rank):
+        try:
+            comm = collective.RingComm.create(_FakeCtx(rank, nranks, barrier, box))
+            try:
+                for arr in payloads:
+                    results.setdefault(rank, []).append(
+                        comm.allreduce_sum(arr + rank))
+            finally:
+                comm.close()
+        except Exception as e:   # pragma: no cover
+            errors.append((rank, e))
+
+    ts = [threading.Thread(target=worker, args=(r,)) for r in range(nranks)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errors, errors
+    return results
+
+
+@pytest.mark.parametrize("nranks", [2, 3, 5])
+def test_ring_allreduce_sum(nranks):
+    rng = np.random.default_rng(0)
+    payloads = [rng.normal(size=(4, 7)), rng.normal(size=1000),
+                np.zeros(1), rng.normal(size=3)]
+    results = _run_ring(nranks, payloads)
+    for i, arr in enumerate(payloads):
+        expect = arr * nranks + sum(range(nranks))
+        for rank in range(nranks):
+            got = results[rank][i]
+            np.testing.assert_allclose(got, expect, rtol=1e-12)
+            # bit-identical across ranks (determinism contract)
+            assert np.array_equal(got, results[0][i])
+
+
+def test_loopback():
+    c = collective.Loopback()
+    a = np.arange(5, dtype=np.float64)
+    np.testing.assert_array_equal(c.allreduce_sum(a), a)
+    assert c.allreduce_scalar(2.0, 3.0) == (2.0, 3.0)
+
+
+def _structurally_equal(ma, mb):
+    for ra, rb in zip(ma.trees, mb.trees):
+        for ta, tb in zip(ra, rb):
+            if list(ta.feature) != list(tb.feature):
+                return False
+            if list(ta.split_bin) != list(tb.split_bin):
+                return False
+            if not np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-9):
+                return False
+    return True
+
+
+def test_barrier_matches_dataframe_path(spark, reg_df):
+    kw = dict(num_boost_round=4, max_depth=4, max_bin=32, eta=0.4, seed=3)
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        reg_df, feature_cols=[f"c{i}" for i in range(5)], label_col="label")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        reg_df, feature_cols=[f"c{i}" for i in range(5)], label_col="label")
+    assert _structurally_equal(mb, md)
+
+
+def test_barrier_multiclass_parity(spark):
+    rng = np.random.default_rng(11)
+    n = 2000
+    X = rng.normal(size=(n, 4))
+    y = (X[:, 0] + X[:, 1] > 0).astype(int) + (X[:, 2] > 0.5).astype(int)
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({**{f"f{i}": X[:, i] for i in range(4)}, "label": y}))
+    kw = dict(objective="multi:softprob", num_class=3, num_boost_round=3,
+              max_depth=3, max_bin=32, seed=5)
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        df, feature_cols=[f"f{i}" for i in range(4)], label_col="label")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        df, feature_cols=[f"f{i}" for i in range(4)], label_col="label")
+    assert _structurally_equal(mb, md)
+
+
+def test_barrier_empty_partitions(spark):
+    # 5 rows into 8 barrier tasks -> at least 3 empty partitions
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "f0": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "label": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    m = SparkBooster(TrainParams(exec_mode="barrier", num_boost_round=2,
+                                 max_depth=2, max_bin=4)).fit(
+        df, feature_cols=["f0"], label_col="label", num_partitions=8)
+    assert len(m.trees) == 2
+
+
+def test_exec_mode_barrier_rejects_unsupported(spark, reg_df):
+    with pytest.raises(ValueError, match="barrier unsupported"):
+        SparkBooster(TrainParams(exec_mode="barrier", booster="dart",
+                                 num_boost_round=2)).fit(
+            reg_df, feature_cols=["c0"], label_col="label")

@@ -49,6 +49,15 @@ class TrainParams:
     interaction_constraints: list[list[str]] | None = None
     num_parallel_tree: int = 1          # >1 = random-forest rounds
 
+    # execution strategy:
+    #   auto      -> one-job barrier training (plans/barrier.py, the fast
+    #                path mirroring the reference's own Spark wrapper)
+    #                when the objective/params allow, else DataFrame path
+    #   barrier   -> force barrier; raise if unsupported
+    #   dataframe -> force the per-level DataFrame path (declarative,
+    #                oracle-checkable; required for cox/adaptive/evals)
+    exec_mode: str = "auto"
+
     # quantization (reference max_bin default 256, src/tree/param.h:97)
     max_bin: int = 256
     # hist = global cuts reused all rounds; approx = per-round

@@ -1,5 +1,15 @@
 """Distributed boosting driver — the Spark-native `xgb.train`.
 
+Two execution strategies (`TrainParams.exec_mode`):
+
+- **barrier** (default via ``auto`` when supported): the whole boosting
+  loop in one `mapInPandas(barrier=True)` job with ring-allreduce
+  histogram sync — see `plans/barrier.py`.  ~100× fewer Spark jobs.
+- **dataframe** (this module's loop): one job per tree level +
+  one margin pass per round; fully declarative and oracle-checkable;
+  required for global-context training (cox, adaptive leaves, approx
+  re-sketch, eval sets/early stopping, DART, continuation).
+
 Lifecycle mirrors the reference (`src/learner.cc:1114-1139`,
 `src/gbm/gbtree.cc:182-275`) re-expressed for Spark's execution model:
 
@@ -229,6 +239,23 @@ class SparkBooster:
                 cuts[i] = np.arange(max(n_cats, 2), dtype=np.float64)
         base_score = (xgb_model.base_score if xgb_model is not None
                       else self._base_score(raw))
+        mono = self._parse_monotone(feat_names_out, Fn)
+        isets = self._parse_interactions(feat_names_out, Fn)
+
+        # fast path: whole boosting loop in ONE barrier job with in-job
+        # ring-allreduce histogram sync (plans/barrier.py; the reference's
+        # own Spark wrapper architecture, spark/core.py:1128)
+        if p.exec_mode in ("auto", "barrier"):
+            from xgboost_spark.plans.barrier import fit_barrier, supports_barrier
+            ok, why = supports_barrier(p, obj, evals, callbacks, xgb_model)
+            if ok:
+                trees = fit_barrier(p, obj, raw, fnames, cuts, cat_mask,
+                                    base_score, mono, isets, n_part)
+                return self._assemble_model(
+                    trees, [1.0] * len(trees), None, base_score,
+                    feat_names_out, cuts, None, {}, False)
+            if p.exec_mode == "barrier":
+                raise ValueError(f"exec_mode=barrier unsupported here: {why}")
         bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
         bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
         bc_catmask = sc.broadcast(cat_mask)
@@ -369,30 +396,6 @@ class SparkBooster:
             for k in range(K)
         ]
         rng = np.random.default_rng(p.seed)
-        mono = None
-        if p.monotone_constraints:
-            mono = np.zeros(Fn, dtype=np.int8)
-            for cname, v in p.monotone_constraints.items():
-                key = cname if cname in feat_names_out else None
-                idx = feat_names_out.index(cname) if key else int(cname)
-                mono[idx] = v
-        isets = None
-        if p.interaction_constraints:
-            isets = []
-            for group in p.interaction_constraints:
-                m = np.zeros(Fn, dtype=bool)
-                for cname in group:
-                    if isinstance(cname, str) and cname in feat_names_out:
-                        idx = feat_names_out.index(cname)
-                    elif isinstance(cname, int) or str(cname).isdigit():
-                        idx = int(cname)
-                    else:
-                        raise ValueError(
-                            f"interaction_constraints: unknown feature {cname!r}; "
-                            f"features are {feat_names_out}")
-                    m[idx] = True
-                isets.append(m)
-
         trees: list[list[core.Tree]] = []
         tree_weights: list[float] = []
         is_dart = p.booster == "dart"
@@ -550,6 +553,37 @@ class SparkBooster:
         for cb in (callbacks or []):
             cb.after_training(cb_state)
         return _make_model()
+
+    def _parse_monotone(self, feat_names_out: list[str], Fn: int):
+        p = self.params
+        if not p.monotone_constraints:
+            return None
+        mono = np.zeros(Fn, dtype=np.int8)
+        for cname, v in p.monotone_constraints.items():
+            key = cname if cname in feat_names_out else None
+            idx = feat_names_out.index(cname) if key else int(cname)
+            mono[idx] = v
+        return mono
+
+    def _parse_interactions(self, feat_names_out: list[str], Fn: int):
+        p = self.params
+        if not p.interaction_constraints:
+            return None
+        isets = []
+        for group in p.interaction_constraints:
+            m = np.zeros(Fn, dtype=bool)
+            for cname in group:
+                if isinstance(cname, str) and cname in feat_names_out:
+                    idx = feat_names_out.index(cname)
+                elif isinstance(cname, int) or str(cname).isdigit():
+                    idx = int(cname)
+                else:
+                    raise ValueError(
+                        f"interaction_constraints: unknown feature {cname!r}; "
+                        f"features are {feat_names_out}")
+                m[idx] = True
+            isets.append(m)
+        return isets
 
     def _assemble_model(self, trees, tree_weights, xgb_model, base_score,
                         feat_names_out, cuts, best_it, history, is_dart) -> GBDTModel:
