@@ -697,8 +697,49 @@ class CoxPH(Objective):
         return "cox-nloglik"
 
 
+class CustomObjective(Objective):
+    """User-supplied objective (reference custom-objective surface:
+    `Learner::BoostOneIter` `include/xgboost/learner.h:90`, Python
+    ``xgb.train(obj=...)`` `training.py:53`): a callable
+    ``fn(y, margin, weight) -> (grad, hess)`` evaluated rowwise inside
+    the Arrow-batched gradient pass — the engine's UDF surface.
+
+    ``pred_transform`` / ``base_score`` / ``default_metric`` may be
+    overridden via constructor args; defaults are identity / Newton
+    stump on the callable / rmse.
+    """
+
+    name = "custom"
+
+    def __init__(self, fn, pred_transform_fn=None, base_score_value=None,
+                 metric: str = "rmse"):
+        self._fn = fn
+        self._pt = pred_transform_fn
+        self._bs = base_score_value
+        self._metric = metric
+
+    def grad_hess(self, y, margin, w):
+        g, h = self._fn(y, margin, w)
+        return np.asarray(g, dtype=np.float64), np.asarray(h, dtype=np.float64)
+
+    def base_score(self, y, w):
+        if self._bs is not None:
+            return float(self._bs)
+        return super().base_score(y, w)
+
+    def pred_transform(self, margin):
+        return self._pt(margin) if self._pt is not None else margin
+
+    def default_metric(self):
+        return self._metric
+
+
 def get_objective(name: str, params=None) -> Objective:
     """Objective registry (reference XGBOOST_REGISTER_OBJECTIVE)."""
+    if isinstance(name, Objective):
+        return name
+    if callable(name):
+        return CustomObjective(name)
     p = params
     table: dict[str, callable] = {
         "reg:squarederror": SquaredError,

@@ -91,9 +91,12 @@ class SparkBooster:
             df, feature_cols=[...], label_col="y")
     """
 
-    def __init__(self, params: TrainParams):
+    def __init__(self, params: TrainParams, obj=None):
+        """``obj``: optional custom objective — an `Objective` instance or
+        a callable ``fn(y, margin, weight) -> (grad, hess)`` (the
+        reference's ``xgb.train(obj=...)`` surface, `training.py:53`)."""
         self.params = params
-        self.obj = get_objective(params.objective, params)
+        self.obj = get_objective(obj if obj is not None else params.objective, params)
 
     # ------------------------------------------------------------------
     def _schema(self, Fn: int, K: int, has_q: bool, with_grads: bool,
@@ -140,6 +143,27 @@ class SparkBooster:
             r = (raw.mapInPandas(gh_fn, schema="G double, H double")
                  .agg(F.sum("G").alias("G"), F.sum("H").alias("H")).first())
             return float(-r["G"] / max(r["H"], 1e-16))
+        from xgboost_spark.functions.objectives import CustomObjective
+        if isinstance(self.obj, CustomObjective):
+            if self.obj._bs is not None:
+                return float(self.obj._bs)
+            # generic distributed Newton stump on the custom gradient
+            obj = self.obj
+            has_w = "weight" in raw.columns
+
+            def gh0_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                G = H = 0.0
+                for pdf in it:
+                    yv = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64) if has_w else None)
+                    g, h = obj.grad_hess(yv, np.zeros(len(pdf)), w_)
+                    G += g.sum()
+                    H += h.sum()
+                yield pd.DataFrame({"G": [G], "H": [H]})
+
+            r = (raw.mapInPandas(gh0_fn, schema="G double, H double")
+                 .agg(F.sum("G").alias("G"), F.sum("H").alias("H")).first())
+            return float(-r["G"] / max(r["H"], 1e-16))
         w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
         y = F.col("label")
         if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
@@ -174,7 +198,13 @@ class SparkBooster:
             callbacks: list | None = None,
             xgb_model: GBDTModel | None = None,
             categorical_features: list | None = None,
+            custom_metric=None, maximize: bool | None = None,
             verbose: bool = False) -> GBDTModel:
+        """``custom_metric``: callable ``fn(eval_df) -> (name, value)``
+        over the internal eval frame (columns ``y``, ``w``, ``m0..mK-1``
+        [, ``q``]) — the reference's ``feval`` surface (`training.py:53`
+        ``custom_metric``).  ``maximize`` overrides the early-stopping
+        direction (else inferred from the last metric's name)."""
         p = self.params
         K = p.n_groups
         spark = df.sparkSession
@@ -529,6 +559,7 @@ class SparkBooster:
             # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
             if eval_states:
                 last = None
+                last_name = metric_names[-1]
                 for ev_binned, ev_name in eval_states:
                     for mname in metric_names:
                         val = self._eval_metric(ev_binned, mname, K, has_q)
@@ -536,9 +567,14 @@ class SparkBooster:
                         last = val
                         if verbose:
                             print(f"[{it_round}] {ev_name}-{mname}: {val:.6f}")
+                    if custom_metric is not None:
+                        cname, val = custom_metric(ev_binned)
+                        history.setdefault(ev_name, {}).setdefault(cname, []).append(val)
+                        last, last_name = val, cname
                 if p.early_stopping_rounds and last is not None:
+                    mx = maximize if maximize is not None else _maximize(last_name)
                     better = (best_metric is None or
-                              (last > best_metric if _maximize(metric_names[-1]) else last < best_metric))
+                              (last > best_metric if mx else last < best_metric))
                     if better:
                         best_metric, best_it = last, it_round
                     elif it_round - best_it >= p.early_stopping_rounds:
@@ -598,9 +634,11 @@ class SparkBooster:
             if is_dart or xgb_model.tree_weights:
                 weights = list(prev_w) + (list(tree_weights) if tree_weights
                                           else [1.0] * len(trees))
-        return GBDTModel(p, base_score, all_trees, feat_names_out, cuts,
-                         best_iteration=best_it, eval_history=history,
-                         tree_weights=weights)
+        model = GBDTModel(p, base_score, all_trees, feat_names_out, cuts,
+                          best_iteration=best_it, eval_history=history,
+                          tree_weights=weights)
+        model.obj = self.obj      # keeps custom objectives' pred_transform
+        return model
 
     # ------------------------------------------------------------------
     def _adaptive_leaf_refresh(self, binned: DataFrame, tree: core.Tree,
@@ -861,15 +899,17 @@ def _maximize(metric: str) -> bool:
     return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre", "ams")
 
 
-def train(params: dict | TrainParams, df: DataFrame, **kw):
+def train(params: dict | TrainParams, df: DataFrame, obj=None, **kw):
     """Functional entry point mirroring `xgboost.train`
-    (`python-package/xgboost/training.py:53`).  booster=gblinear routes
-    to the linear updater (returns a LinearModel)."""
+    (`python-package/xgboost/training.py:53`): ``obj`` = custom
+    objective callable/instance, ``custom_metric``/``maximize`` pass
+    through to `SparkBooster.fit`.  booster=gblinear routes to the
+    linear updater (returns a LinearModel)."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
     if p.booster == "gblinear":
         from xgboost_spark.plans.linear import train_linear
         return train_linear(p, df, **kw)
-    return SparkBooster(p).fit(df, **kw)
+    return SparkBooster(p, obj=obj).fit(df, **kw)
 
 
 def refresh_leaves(model: GBDTModel, df: DataFrame,

@@ -194,10 +194,17 @@ class GBDTModel:
 
     # ------------------------------------------------------------- serving
     def _broadcastable(self):
+        from pyspark import cloudpickle
+        from xgboost_spark.functions.objectives import CustomObjective
         return {
             "base_score": self.base_score,
             "K": self.params.n_groups,
             "objective": self.params.objective,
+            # custom objective instances ride along for pred_transform;
+            # cloudpickle (not plain pickle: sc.broadcast uses the latter)
+            # so closures/lambdas work
+            "obj_pickle": (cloudpickle.dumps(self.obj)
+                           if isinstance(self.obj, CustomObjective) else None),
             "num_class": self.params.num_class,
             "trees": [[t.finalize_arrays() for t in rnd] for rnd in self.used_trees()],
             "covers": [[np.asarray(t.sum_hess, dtype=np.float64) for t in rnd]
@@ -251,8 +258,13 @@ class GBDTModel:
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from xgboost_spark.functions import shap as shap_mod
             st = bc.value
-            obj = get_objective(st["objective"],
-                               TrainParams(objective=st["objective"], num_class=st["num_class"]))
+            if st.get("obj_pickle"):
+                import pickle as _pkl
+                obj = _pkl.loads(st["obj_pickle"])
+            else:
+                obj = get_objective(
+                    st["objective"],
+                    TrainParams(objective=st["objective"], num_class=st["num_class"]))
             for pdf in it:
                 if len(pdf) == 0:
                     continue
