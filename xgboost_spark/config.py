@@ -67,6 +67,11 @@ class TrainParams:
     # set-partition (reference evaluate_splits.h:307 gate)
     max_cat_to_onehot: int = 4
 
+    # multi-class strategy (reference `include/xgboost/learner.h:327,345`):
+    # one_output_per_tree = K trees per round; multi_output_tree = one
+    # tree per round with vector leaves
+    multi_strategy: str = "one_output_per_tree"
+
     # objective-specific
     tweedie_variance_power: float = 1.5
     quantile_alpha: tuple[float, ...] = (0.5,)

@@ -195,6 +195,157 @@ class SplitResult:
     g_right: float
     h_right: float
     categories: list[int] | None = None   # category codes routed left
+    # multi-target (multi_strategy=multi_output_tree): per-target child
+    # stat vectors for vector leaf weights (reference
+    # `include/xgboost/multi_target_tree_model.h`)
+    g_left_vec: np.ndarray | None = None
+    h_left_vec: np.ndarray | None = None
+
+
+def split_search_multi(
+    hist_g: np.ndarray,          # (K, n_nodes, n_feat, n_bins+1)
+    hist_h: np.ndarray,
+    reg_lambda: float = 1.0,
+    reg_alpha: float = 0.0,
+    gamma: float = 0.0,
+    min_child_weight: float = 1.0,
+    max_delta_step: float = 0.0,
+    feature_mask: np.ndarray | None = None,
+) -> list[SplitResult | None]:
+    """Best split per node for a vector-leaf tree: one shared structure,
+    gain summed over the K output targets (reference multi-target trees,
+    `src/tree/multi_target_tree_model.cc`, strategy gate
+    `include/xgboost/learner.h:327,345`).  ``min_child_weight`` applies
+    to the per-target MEAN hessian so its scale matches single-output.
+    """
+    K, N, F, Bp1 = hist_g.shape
+    B = Bp1 - 1
+    if B < 2:
+        return [None] * N
+    g_miss = hist_g[:, :, :, B]
+    h_miss = hist_h[:, :, :, B]
+    g_tot = hist_g.sum(axis=3)                       # (K, N, F)
+    h_tot = hist_h.sum(axis=3)
+    gl_fwd = np.cumsum(hist_g[:, :, :, :B], axis=3)[:, :, :, : B - 1]
+    hl_fwd = np.cumsum(hist_h[:, :, :, :B], axis=3)[:, :, :, : B - 1]
+    gl_bwd = gl_fwd + g_miss[:, :, :, None]
+    hl_bwd = hl_fwd + h_miss[:, :, :, None]
+    parent_gain = calc_gain(g_tot, h_tot, reg_lambda, reg_alpha,
+                            max_delta_step).sum(axis=0)          # (N, F)
+
+    best_gain = np.full(N, -np.inf)
+    best: list[SplitResult | None] = [None] * N
+    for direction, (gl, hl) in enumerate(((gl_fwd, hl_fwd), (gl_bwd, hl_bwd))):
+        gr = g_tot[:, :, :, None] - gl
+        hr = h_tot[:, :, :, None] - hl
+        gain = (
+            calc_gain(gl, hl, reg_lambda, reg_alpha, max_delta_step)
+            + calc_gain(gr, hr, reg_lambda, reg_alpha, max_delta_step)
+        ).sum(axis=0) - parent_gain[:, :, None]                   # (N, F, B-1)
+        invalid = ((hl.mean(axis=0) < min_child_weight)
+                   | (hr.mean(axis=0) < min_child_weight))
+        if feature_mask is not None:
+            if feature_mask.ndim == 1:
+                invalid |= ~feature_mask[None, :, None]
+            else:
+                invalid |= ~feature_mask[:, :, None]
+        gain = np.where(invalid, -np.inf, gain)
+        flat = gain.reshape(N, -1)
+        idx = np.argmax(flat, axis=1)
+        val = flat[np.arange(N), idx]
+        for nid in range(N):
+            if val[nid] > best_gain[nid] + (0.0 if direction == 0 else 1e-12):
+                f, b = divmod(int(idx[nid]), B - 1)
+                glv = gl[:, nid, f, b].copy()
+                hlv = hl[:, nid, f, b].copy()
+                best_gain[nid] = val[nid]
+                best[nid] = SplitResult(
+                    nid=nid, gain=float(val[nid]), fidx=f, split_bin=b,
+                    default_left=(direction == 1),
+                    g_left=float(glv.sum()), h_left=float(hlv.sum()),
+                    g_right=float(g_tot[:, nid, f].sum() - glv.sum()),
+                    h_right=float(h_tot[:, nid, f].sum() - hlv.sum()),
+                    g_left_vec=glv, h_left_vec=hlv)
+    out: list[SplitResult | None] = []
+    for nid in range(N):
+        r = best[nid]
+        if r is None or r.gain <= gamma or not np.isfinite(r.gain):
+            out.append(None)
+        else:
+            out.append(r)
+    return out
+
+
+def grow_tree_multi(builder, params, rng: np.random.Generator,
+                    feature_mask_tree: np.ndarray | None = None) -> Tree:
+    """Grow ONE tree with vector leaves for all K outputs
+    (``multi_strategy=multi_output_tree``; reference
+    `src/tree/multi_target_tree_model.cc`).  Depthwise, all nodes of a
+    level in one histogram batch; ``builder.build`` returns
+    (K, nodes, F, B+1) g/h stacks.  ``tree.leaf_value[nid]`` is a
+    length-K list; scalar node stats hold target-summed G/H.
+    """
+    F = builder.n_features
+    K = builder.K
+    tree = Tree()
+    node_stats: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if feature_mask_tree is None:
+        feature_mask_tree = np.ones(F, dtype=bool)
+
+    def level_mask() -> np.ndarray:
+        m = feature_mask_tree.copy()
+        if params.colsample_bylevel < 1.0:
+            sub = _rng_mask(rng, int(m.sum()), params.colsample_bylevel)
+            idx = np.nonzero(m)[0]
+            m = np.zeros_like(m)
+            m[idx[sub]] = True
+        return m
+
+    def commit_leaf(nid: int):
+        Gv, Hv = node_stats[nid]
+        tree.leaf_value[nid] = [
+            params.eta * float(calc_weight(Gv[k], Hv[k], params.reg_lambda,
+                                           params.reg_alpha, params.max_delta_step))
+            for k in range(K)
+        ]
+
+    max_depth = params.max_depth if params.max_depth > 0 else 1_000
+    active = [0]
+    for depth in range(max_depth):
+        if not active:
+            break
+        hg, hh = builder.build(tree, active)          # (K, |active|, F, B+1)
+        if depth == 0:
+            node_stats[0] = (hg[:, 0, 0, :].sum(axis=1), hh[:, 0, 0, :].sum(axis=1))
+            tree.sum_grad[0] = float(node_stats[0][0].sum())
+            tree.sum_hess[0] = float(node_stats[0][1].sum())
+        results = split_search_multi(
+            hg, hh, reg_lambda=params.reg_lambda, reg_alpha=params.reg_alpha,
+            gamma=params.gamma, min_child_weight=params.min_child_weight,
+            max_delta_step=params.max_delta_step, feature_mask=level_mask())
+        nxt = []
+        for i, nid in enumerate(active):
+            res = results[i]
+            if res is None:
+                commit_leaf(nid)
+                continue
+            sv = builder.split_value(res.fidx, res.split_bin)
+            lid, rid = tree.expand(
+                nid, res.fidx, res.split_bin, sv, res.default_left, res.gain,
+                res.g_left, res.h_left, res.g_right, res.h_right)
+            Gp, Hp = node_stats.pop(nid)
+            node_stats[lid] = (res.g_left_vec, res.h_left_vec)
+            node_stats[rid] = (Gp - res.g_left_vec, Hp - res.h_left_vec)
+            nxt.extend([lid, rid])
+        active = nxt
+    for nid in active:
+        commit_leaf(nid)
+    # uniform (n_nodes, K) leaf matrix: internal nodes get zero vectors so
+    # finalize_arrays yields a dense 2-D array
+    for nid in range(tree.n_nodes):
+        if not isinstance(tree.leaf_value[nid], list):
+            tree.leaf_value[nid] = [0.0] * K
+    return tree
 
 
 def split_search(

@@ -55,6 +55,35 @@ class _NumpyHistBuilder(core.HistBuilder):
         return hg, hh
 
 
+class _NumpyMultiHistBuilder(_NumpyHistBuilder):
+    """K-target stacked histograms for multi_output_tree (reference
+    multi-target hist path, `src/tree/multi_target_tree_model.cc`)."""
+
+    def __init__(self, Xb: np.ndarray, cuts: list[np.ndarray], n_bins: int, K: int):
+        super().__init__(Xb, cuts, n_bins)
+        self.K = K
+
+    def build(self, tree: core.Tree, nids: list[int]):
+        node_of_row = core.tree_leaf_ids(tree, self.Xb, binned=True)
+        B, F, K = self.n_bins, self.n_features, self.K
+        hg = np.zeros((K, len(nids), F, B + 1))
+        hh = np.zeros((K, len(nids), F, B + 1))
+        for i, nid in enumerate(nids):
+            rows = node_of_row == nid
+            if not rows.any():
+                continue
+            Xn = self.Xb[rows]
+            for f in range(F):
+                b = Xn[:, f].astype(np.int64)
+                b = np.where(b == core.MISSING_BIN, B, b)
+                for k in range(K):
+                    hg[k, i, f] = np.bincount(b, weights=self.g[rows, k],
+                                              minlength=B + 1)[: B + 1]
+                    hh[k, i, f] = np.bincount(b, weights=self.h[rows, k],
+                                              minlength=B + 1)[: B + 1]
+        return hg, hh
+
+
 class LocalBooster:
     def __init__(self, params: TrainParams):
         self.params = params
@@ -135,6 +164,15 @@ class LocalBooster:
             fmask = None
             if p.colsample_bytree < 1.0:
                 fmask = core._rng_mask(rng, X.shape[1], p.colsample_bytree)
+            if K > 1 and p.multi_strategy == "multi_output_tree":
+                if not isinstance(builder, _NumpyMultiHistBuilder):
+                    builder = _NumpyMultiHistBuilder(Xb, self.cuts, n_bins, K)
+                builder.set_grad(g, h)
+                tree = core.grow_tree_multi(builder, p, rng,
+                                            feature_mask_tree=fmask)
+                margin += core.tree_predict(tree, Xb, binned=True)
+                self.trees.append([tree])
+                continue
             for k in range(K):
                 gk = g[:, k] if K > 1 else g
                 hk = h[:, k] if K > 1 else h
@@ -174,7 +212,9 @@ class LocalBooster:
         for round_trees in self.trees:
             for k, tree in enumerate(round_trees):
                 d = core.tree_predict(tree, X, binned=False)
-                if K > 1:
+                if d.ndim > 1:          # multi_output_tree: vector leaves
+                    margin += d
+                elif K > 1:
                     margin[:, k] += d
                 else:
                     margin += d

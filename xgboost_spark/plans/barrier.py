@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 from xgboost_spark import core
 from xgboost_spark.collective import RingComm
 from xgboost_spark.config import TrainParams
-from xgboost_spark.local.booster import _NumpyHistBuilder
+from xgboost_spark.local.booster import (_NumpyHistBuilder,
+                                          _NumpyMultiHistBuilder)
 
 
 class _AllreduceHistBuilder(_NumpyHistBuilder):
@@ -48,6 +49,19 @@ class _AllreduceHistBuilder(_NumpyHistBuilder):
 
     def __init__(self, Xb, cuts, n_bins, comm):
         super().__init__(Xb, cuts, n_bins)
+        self.comm = comm
+
+    def build(self, tree: core.Tree, nids: list[int]):
+        hg, hh = super().build(tree, nids)
+        red = self.comm.allreduce_sum(np.stack([hg, hh]))
+        return red[0], red[1]
+
+
+class _AllreduceMultiHistBuilder(_NumpyMultiHistBuilder):
+    """K-target stacked histograms + one allreduce (multi_output_tree)."""
+
+    def __init__(self, Xb, cuts, n_bins, K, comm):
+        super().__init__(Xb, cuts, n_bins, K)
         self.comm = comm
 
     def build(self, tree: core.Tree, nids: list[int]):
@@ -136,7 +150,10 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 margin += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
 
             n_bins = max(len(c) for c in cuts_l)
-            builder = _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm)
+            is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
+            builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
+                       if is_multi
+                       else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
             rng = np.random.default_rng(p.seed)
             n_forest = max(p.num_parallel_tree, 1)
             trees: list[list[core.Tree]] = []
@@ -146,6 +163,13 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 fmask = None
                 if p.colsample_bytree < 1.0:
                     fmask = core._rng_mask(rng, Fn, p.colsample_bytree)
+                if is_multi:
+                    builder.set_grad(g, h)
+                    tree = core.grow_tree_multi(builder, p, rng,
+                                                feature_mask_tree=fmask)
+                    margin += core.tree_predict(tree, Xb, binned=True)
+                    trees.append([tree])
+                    continue
                 round_trees: list[core.Tree] = []
                 for k in range(K):
                     builder.set_grad(g[:, k], h[:, k])

@@ -275,6 +275,7 @@ class SparkBooster:
         # fast path: whole boosting loop in ONE barrier job with in-job
         # ring-allreduce histogram sync (plans/barrier.py; the reference's
         # own Spark wrapper architecture, spark/core.py:1128)
+        why = "exec_mode=dataframe"
         if p.exec_mode in ("auto", "barrier"):
             from xgboost_spark.plans.barrier import fit_barrier, supports_barrier
             ok, why = supports_barrier(p, obj, evals, callbacks, xgb_model)
@@ -286,6 +287,10 @@ class SparkBooster:
                     feat_names_out, cuts, None, {}, False)
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
+        if K > 1 and p.multi_strategy == "multi_output_tree":
+            raise NotImplementedError(
+                "multi_output_tree trains on the barrier path "
+                f"(exec_mode=auto|barrier); blocked because: {why}")
         bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
         bc_cuts = sc.broadcast([np.asarray(c) for c in cuts])
         bc_catmask = sc.broadcast(cat_mask)

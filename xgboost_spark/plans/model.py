@@ -284,7 +284,10 @@ class GBDTModel:
                     tw = st["weights"][ri]
                     for k, arrs in enumerate(rnd):
                         lid = core.leaf_ids_from_arrays(arrs, X, binned=False)
-                        margin[:, k] += tw * arrs["leaf_value"][lid]
+                        if arrs["leaf_value"].ndim == 2:   # multi_output_tree
+                            margin += tw * arrs["leaf_value"][lid]
+                        else:
+                            margin[:, k] += tw * arrs["leaf_value"][lid]
                         if pred_leaf:
                             leaves.append(lid)
                         cover = st["covers"][ri][k]
