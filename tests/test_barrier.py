@@ -140,3 +140,44 @@ def test_exec_mode_barrier_rejects_unsupported(spark, reg_df):
         SparkBooster(TrainParams(exec_mode="barrier", booster="dart",
                                  num_boost_round=2)).fit(
             reg_df, feature_cols=["c0"], label_col="label")
+
+
+def test_barrier_evals_early_stopping(spark, reg_df):
+    p = TrainParams(num_boost_round=30, max_depth=3, max_bin=32,
+                    eval_metric=["rmse", "mae"], early_stopping_rounds=4)
+    m = SparkBooster(p).fit(reg_df, feature_cols=[f"c{i}" for i in range(5)],
+                            label_col="label", evals=[(reg_df, "train")])
+    h = m.eval_history["train"]
+    assert "rmse" in h and "mae" in h
+    assert h["rmse"][-1] < h["rmse"][0]          # training rmse decreases
+    assert len(h["rmse"]) == len(h["mae"])
+
+
+def test_barrier_eval_matches_dataframe_eval(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(num_boost_round=4, max_depth=3, max_bin=32,
+              eval_metric=["rmse"])
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label", evals=[(reg_df, "v")])
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label", evals=[(reg_df, "v")])
+    np.testing.assert_allclose(mb.eval_history["v"]["rmse"],
+                               md.eval_history["v"]["rmse"], rtol=1e-9)
+
+
+def test_barrier_ranking_eval(spark):
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    n = 3000
+    q = rng.integers(0, 60, n)
+    x = rng.normal(size=n)
+    rel = (x + rng.normal(0, 0.5, n) > 0.5).astype(float) * 2
+    df = spark.createDataFrame(pd.DataFrame(
+        {"f0": x, "f1": rng.normal(size=n), "label": rel, "qid": q}))
+    p = TrainParams(objective="rank:ndcg", num_boost_round=6, max_depth=3,
+                    max_bin=32, eval_metric=["ndcg@5"])
+    m = SparkBooster(p).fit(df, feature_cols=["f0", "f1"], label_col="label",
+                            qid_col="qid", evals=[(df, "train")])
+    h = m.eval_history["train"]["ndcg@5"]
+    assert len(h) == 6
+    assert h[-1] > 0.9        # high ndcg on this separable set

@@ -278,3 +278,139 @@ def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: s
         d.groupBy(F.col(qid).alias("qid"))
         .agg((F.sum((F.col(y) > 0).cast("double")) / F.lit(float(k))).alias("prec"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NumPy metric partials for barrier-mode evaluation: each worker computes
+# (weighted loss sum, weight sum [, extra]) on its rows; the ring
+# allreduce is the reference's metric allreduce
+# (`src/metric/elementwise_metric.cu:368-408` Reduce + rabit sync).
+# ---------------------------------------------------------------------------
+
+def _np_sigmoid(x):
+    import numpy as np
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+#: metric families computable from local partial sums inside a barrier job
+BARRIER_ELEMENTWISE = {
+    "rmse", "rmsle", "mae", "mape", "mphe", "logloss", "error",
+    "poisson-nloglik", "gamma-nloglik", "gamma-deviance", "tweedie-nloglik",
+    "quantile", "merror", "mlogloss", "aft-nloglik",
+    "interval-regression-accuracy",
+}
+#: per-query metrics: local when groups are co-partitioned by qid
+BARRIER_RANKING = {"ndcg", "map", "pre"}
+
+
+def barrier_metric_supported(metric: str, has_qid: bool) -> bool:
+    name = metric.partition("@")[0]
+    if name in BARRIER_ELEMENTWISE:
+        return True
+    return has_qid and name in BARRIER_RANKING
+
+
+def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
+                      qid=None, exp_gain: bool = True):
+    """Local partial (num, den) for ``metric`` over NumPy rows.
+    ``margin``: (n, K).  Finalize with `metric_finalize`."""
+    import numpy as np
+    name, _, arg = metric.partition("@")
+    n = len(y) if y is not None else len(margin)
+    if w is None:
+        w = np.ones(n)
+    m = margin[:, 0] if margin.ndim > 1 else margin
+    W = float(w.sum())
+    if name in BARRIER_RANKING:
+        k = int(arg or 10)
+        num = den = 0.0
+        for qv in np.unique(qid):
+            rows = qid == qv
+            num += _query_rank_metric(name, k, y[rows], m[rows], exp_gain)
+            den += 1.0
+        return num, den
+    if name == "rmse":
+        return float((w * (m - y) ** 2).sum()), W
+    if name == "rmsle":
+        return float((w * (np.log1p(m) - np.log1p(y)) ** 2).sum()), W
+    if name == "mae":
+        return float((w * np.abs(m - y)).sum()), W
+    if name == "mape":
+        return float((w * np.abs((m - y) / y)).sum()), W
+    if name == "mphe":
+        slope = float(arg) if arg else 1.0
+        z = (m - y) / slope
+        return float((w * slope ** 2 * (np.sqrt(1.0 + z ** 2) - 1.0)).sum()), W
+    if name == "logloss":
+        p = np.clip(_np_sigmoid(m), 1e-16, 1 - 1e-16)
+        return float((-w * (y * np.log(p) + (1 - y) * np.log(1 - p))).sum()), W
+    if name == "error":
+        t = float(arg) if arg else 0.5
+        thr = float(np.log(t / (1 - t))) if 0 < t < 1 else 0.0
+        return float((w * ((m > thr) != (y > 0.5))).sum()), W
+    if name == "poisson-nloglik":
+        import math as _math
+        lg = np.vectorize(_math.lgamma)
+        return float((w * (np.exp(m) - y * m + lg(y + 1.0))).sum()), W
+    if name == "gamma-nloglik":
+        return float((w * (y / np.exp(m) + m)).sum()), W
+    if name == "gamma-deviance":
+        mu = np.exp(m)
+        return 2.0 * float((w * (np.log(mu / y) + y / mu - 1.0)).sum()), W
+    if name == "tweedie-nloglik":
+        rho = float(arg) if arg else 1.5
+        return float((-w * (y * np.exp((1 - rho) * m) / (1 - rho)
+                            - np.exp((2 - rho) * m) / (2 - rho))).sum()), W
+    if name == "quantile":
+        alpha = float(arg) if arg else 0.5
+        d = y - m
+        return float((w * np.where(d >= 0, alpha * d, (alpha - 1.0) * d)).sum()), W
+    if name == "merror":
+        pred = margin.argmax(axis=1)
+        return float((w * (pred != y.astype(int))).sum()), W
+    if name == "mlogloss":
+        mx = margin.max(axis=1, keepdims=True)
+        e = np.exp(margin - mx)
+        p = e / e.sum(axis=1, keepdims=True)
+        pi = p[np.arange(n), y.astype(int)]
+        return float((-w * np.log(np.clip(pi, 1e-16, None))).sum()), W
+    if name == "aft-nloglik":
+        yl, yu = bounds
+        return float((w * obj.loss_bounds(yl, yu, m)).sum()), W
+    if name == "interval-regression-accuracy":
+        yl, yu = bounds
+        pred = np.exp(m)
+        return float((w * ((pred >= yl) & (pred <= yu))).sum()), W
+    raise ValueError(f"metric {metric!r} not barrier-computable")
+
+
+def _query_rank_metric(name: str, k: int, y, score, exp_gain: bool) -> float:
+    import numpy as np
+    order = np.lexsort((-y, -score))        # score desc, label desc on ties
+    if name == "pre":
+        top = order[:k]
+        return float((y[top] > 0).sum()) / float(k)
+    if name == "map":
+        top = order[:k]
+        rel = (y[top] > 0).astype(np.float64)
+        if rel.sum() == 0 and (y > 0).sum() == 0:
+            return 0.0
+        cum = np.cumsum((y[order] > 0).astype(np.float64))[:k]
+        ap = (rel * cum[: len(rel)] / np.arange(1, len(rel) + 1)).sum()
+        denom = min(float((y > 0).sum()), float(k))
+        return float(ap / denom) if denom > 0 else 0.0
+    # ndcg
+    gain = (2.0 ** y - 1.0) if exp_gain else y.astype(np.float64)
+    disc = 1.0 / np.log2(np.arange(2, len(y) + 2))
+    dcg = float((gain[order][:k] * disc[:k]).sum())
+    ideal = np.sort(gain)[::-1]
+    idcg = float((ideal[:k] * disc[:k]).sum())
+    return dcg / idcg if idcg > 0 else 1.0
+
+
+def metric_finalize(metric: str, num: float, den: float) -> float:
+    name = metric.partition("@")[0]
+    v = num / max(den, 1e-16)
+    if name in ("rmse", "rmsle"):
+        return math.sqrt(v)
+    return v

@@ -70,7 +70,9 @@ class _AllreduceMultiHistBuilder(_NumpyMultiHistBuilder):
         return red[0], red[1]
 
 
-def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model) -> tuple[bool, str]:
+def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model,
+                     has_qid: bool = False) -> tuple[bool, str]:
+    from xgboost_spark.functions.metrics import barrier_metric_supported
     if p.tree_method != "hist":
         return False, "tree_method=approx re-sketches per round (DataFrame path)"
     if p.booster != "gbtree":
@@ -79,8 +81,14 @@ def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model) -> tuple[
         return False, "survival:cox needs a global sort (DataFrame path)"
     if obj.adaptive_alpha is not None:
         return False, "adaptive-leaf objectives need global quantiles (DataFrame path)"
-    if evals or callbacks or p.early_stopping_rounds:
-        return False, "eval sets / callbacks run on the DataFrame path"
+    if callbacks:
+        return False, "callbacks run on the DataFrame path"
+    if evals:
+        metric_names = p.eval_metric or [obj.default_metric()]
+        for mname in metric_names:
+            if not barrier_metric_supported(mname, has_qid):
+                return False, (f"metric {mname!r} needs a global sort "
+                               "(DataFrame path)")
     if xgb_model is not None:
         return False, "training continuation runs on the DataFrame path"
     return True, ""
@@ -88,8 +96,21 @@ def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model) -> tuple[
 
 def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 cuts: list[np.ndarray], cat_mask, base_score: float,
-                mono, isets, n_part: int) -> list[list[core.Tree]]:
-    """Run the boosting loop in one barrier job; returns trees per round."""
+                mono, isets, n_part: int,
+                evals_raw: list[tuple[DataFrame, str]] | None = None,
+                ) -> tuple[list[list[core.Tree]], dict, int | None]:
+    """Run the boosting loop in one barrier job.
+
+    Eval sets ride in the SAME job: tagged with a ``_role`` column,
+    co-partitioned with the training rows, re-binned with the training
+    cuts (QuantileDMatrix ``ref=`` semantics); per-round metrics are
+    allreduced partial sums (`functions/metrics.py metric_partial_np`,
+    reference metric allreduce `src/metric/elementwise_metric.cu`), so
+    early stopping decides identically on every rank.
+
+    Returns (trees per round, eval history, best_iteration).
+    """
+    import pyspark.sql.functions as F
     p = params
     K = p.n_groups
     spark = raw.sparkSession
@@ -100,20 +121,33 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     has_q = "qid" in raw.columns
     has_b = obj.needs_bounds
     has_y = "label" in raw.columns
+    evals_raw = evals_raw or []
+    eval_names = [nm for _, nm in evals_raw]
+    metric_names = (p.eval_metric or [obj.default_metric()]) if evals_raw else []
+    esr = p.early_stopping_rounds
 
     need = list(fnames)
     for c, flag in (("label", has_y), ("weight", has_w), ("base_margin", has_bm),
                     ("qid", has_q), ("label_lower", has_b), ("label_upper", has_b)):
         if flag:
             need.append(c)
-    sel = raw.select(*need)
+    sel = raw.select(*need).withColumn("_role", F.lit(0))
+    for i, (ev_raw, _nm) in enumerate(evals_raw):
+        ev = ev_raw
+        for c in need:      # tolerate absent optional cols on eval frames
+            if c not in ev.columns:
+                ev = ev.withColumn(
+                    c, F.lit(1.0 if c == "weight" else 0.0).cast("double"))
+        sel = sel.unionByName(ev.select(*need).withColumn("_role", F.lit(i + 1)))
+    need_r = need + ["_role"]
     sel = sel.repartition(n_part, "qid") if has_q else sel.repartition(n_part)
 
     bc_cuts = sc.broadcast([np.asarray(c, dtype=np.float64) for c in cuts])
     bc_cat = sc.broadcast(cat_mask)
     seed = p.seed
 
-    from xgboost_spark.plans.booster import _compute_grads
+    from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
+    from xgboost_spark.plans.booster import _compute_grads, _maximize
 
     def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import BarrierTaskContext
@@ -124,30 +158,46 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             cm = bc_cat.value
             parts = [pdf for pdf in it if len(pdf)]
             if parts:
-                pdf = pd.concat(parts, ignore_index=True)
+                full = pd.concat(parts, ignore_index=True)
             else:
-                pdf = pd.DataFrame({c: pd.Series([], dtype="float64") for c in need})
-            n = len(pdf)
+                full = pd.DataFrame({c: pd.Series([], dtype="float64")
+                                     for c in need_r})
+
             Fn = len(fnames)
-            Xb = np.empty((n, Fn), dtype=np.int16)
-            for i, c in enumerate(fnames):
-                x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
-                Xb[:, i] = (core.bin_categorical(x, len(cuts_l[i]))
-                            if cm is not None and cm[i]
-                            else core.bin_values(x, cuts_l[i]))
-            bounds = None
-            if has_b:
-                yl = pdf["label_lower"].to_numpy(dtype=np.float64)
-                yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
-                bounds = (yl, yu)
-                y = (pdf["label"].to_numpy(dtype=np.float64) if has_y else yl)
-            else:
-                y = pdf["label"].to_numpy(dtype=np.float64)
-            w = pdf["weight"].to_numpy(dtype=np.float64) if has_w else None
-            q = pdf["qid"].to_numpy(dtype=np.int64) if has_q else None
-            margin = np.full((n, K), base_score, dtype=np.float64)
-            if has_bm:
-                margin += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+
+            def load_rows(pdf):
+                """(Xb, y, w, q, bounds, margin) for one role's rows."""
+                nn = len(pdf)
+                Xb_ = np.empty((nn, Fn), dtype=np.int16)
+                for i, c in enumerate(fnames):
+                    x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                    Xb_[:, i] = (core.bin_categorical(x, len(cuts_l[i]))
+                                 if cm is not None and cm[i]
+                                 else core.bin_values(x, cuts_l[i]))
+                bounds_ = None
+                if has_b:
+                    yl = pdf["label_lower"].to_numpy(dtype=np.float64)
+                    yu = pdf["label_upper"].to_numpy(dtype=np.float64,
+                                                     na_value=np.inf)
+                    bounds_ = (yl, yu)
+                    y_ = (pdf["label"].to_numpy(dtype=np.float64)
+                          if has_y else yl)
+                else:
+                    y_ = pdf["label"].to_numpy(dtype=np.float64)
+                w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                      if has_w else None)
+                q_ = (pdf["qid"].to_numpy(dtype=np.int64) if has_q else None)
+                m_ = np.full((nn, K), base_score, dtype=np.float64)
+                if has_bm:
+                    m_ += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                return Xb_, y_, w_, q_, bounds_, m_
+
+            role = (full["_role"].to_numpy(dtype=np.int64)
+                    if "_role" in full.columns else np.zeros(len(full), np.int64))
+            Xb, y, w, q, bounds, margin = load_rows(full[role == 0])
+            n = len(y)
+            ev_states = [load_rows(full[role == i + 1])
+                         for i in range(len(eval_names))]
 
             n_bins = max(len(c) for c in cuts_l)
             is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
@@ -157,40 +207,75 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             rng = np.random.default_rng(p.seed)
             n_forest = max(p.num_parallel_tree, 1)
             trees: list[list[core.Tree]] = []
+            history: dict[str, dict[str, list[float]]] = {}
+            best_it = None
+            best_metric = None
             for it_round in range(p.num_boost_round):
                 g, h = _compute_grads(obj, y, margin, w, q, seed + it_round,
                                       p.subsample, K, bounds=bounds)
                 fmask = None
                 if p.colsample_bytree < 1.0:
                     fmask = core._rng_mask(rng, Fn, p.colsample_bytree)
+                round_trees: list[core.Tree] = []
                 if is_multi:
                     builder.set_grad(g, h)
                     tree = core.grow_tree_multi(builder, p, rng,
                                                 feature_mask_tree=fmask)
                     margin += core.tree_predict(tree, Xb, binned=True)
-                    trees.append([tree])
-                    continue
-                round_trees: list[core.Tree] = []
-                for k in range(K):
-                    builder.set_grad(g[:, k], h[:, k])
-                    forest = []
-                    for _ in range(n_forest):
-                        # root stats derive from the allreduced root histogram,
-                        # matching the DataFrame path bit-for-bit
-                        tree = core.grow_tree(
-                            builder, p, rng,
-                            feature_mask_tree=fmask, monotone=mono,
-                            interaction_sets=isets, cat_features=cm)
-                        forest.append(tree)
-                    if n_forest > 1:
+                    round_trees = [tree]
+                else:
+                    for k in range(K):
+                        builder.set_grad(g[:, k], h[:, k])
+                        forest = []
+                        for _ in range(n_forest):
+                            # root stats derive from the allreduced root
+                            # histogram, matching the DataFrame path
+                            tree = core.grow_tree(
+                                builder, p, rng,
+                                feature_mask_tree=fmask, monotone=mono,
+                                interaction_sets=isets, cat_features=cm)
+                            forest.append(tree)
+                        if n_forest > 1:
+                            for t in forest:
+                                t.leaf_value = [v / n_forest
+                                                for v in t.leaf_value]
                         for t in forest:
-                            t.leaf_value = [v / n_forest for v in t.leaf_value]
-                    for t in forest:
-                        margin[:, k] += core.tree_predict(t, Xb, binned=True)
-                    round_trees.extend(forest)
+                            margin[:, k] += core.tree_predict(t, Xb, binned=True)
+                        round_trees.extend(forest)
                 trees.append(round_trees)
+                # eval-set margins + allreduced metrics (EvalOneIter,
+                # reference learner.cc:1164-1194)
+                last = None
+                for ei, (Xe, ye, we, qe, be, me) in enumerate(ev_states):
+                    if is_multi:
+                        me += core.tree_predict(round_trees[0], Xe, binned=True)
+                    else:
+                        ti = 0
+                        for k in range(K):
+                            for _ in range(n_forest):
+                                me[:, k] += core.tree_predict(
+                                    round_trees[ti], Xe, binned=True)
+                                ti += 1
+                    for mname in metric_names:
+                        num, den = metric_partial_np(
+                            mname, ye, me, we, bounds=be, obj=obj, qid=qe,
+                            exp_gain=p.ndcg_exp_gain)
+                        rn, rd = comm.allreduce_scalar(num, den)
+                        val = metric_finalize(mname, rn, rd)
+                        history.setdefault(eval_names[ei], {}).setdefault(
+                            mname, []).append(val)
+                        last = val
+                if esr and last is not None:
+                    better = (best_metric is None or
+                              (last > best_metric if _maximize(metric_names[-1])
+                               else last < best_metric))
+                    if better:
+                        best_metric, best_it = last, it_round
+                    elif it_round - best_it >= esr:
+                        break
             if comm.rank == 0:
-                yield pd.DataFrame({"model": [pickle.dumps(trees)]})
+                yield pd.DataFrame(
+                    {"model": [pickle.dumps((trees, history, best_it))]})
         finally:
             comm.close()
 

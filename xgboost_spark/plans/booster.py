@@ -276,15 +276,27 @@ class SparkBooster:
         # ring-allreduce histogram sync (plans/barrier.py; the reference's
         # own Spark wrapper architecture, spark/core.py:1128)
         why = "exec_mode=dataframe"
-        if p.exec_mode in ("auto", "barrier"):
+        if p.exec_mode in ("auto", "barrier") and custom_metric is None:
             from xgboost_spark.plans.barrier import fit_barrier, supports_barrier
-            ok, why = supports_barrier(p, obj, evals, callbacks, xgb_model)
+            ok, why = supports_barrier(p, obj, evals, callbacks, xgb_model,
+                                       has_qid=has_q)
             if ok:
-                trees = fit_barrier(p, obj, raw, fnames, cuts, cat_mask,
-                                    base_score, mono, isets, n_part)
+                evals_raw = []
+                for ev_df, ev_name in (evals or []):
+                    ev_raw, _ = assemble_features(
+                        ev_df, feature_cols=feature_cols, array_col=array_col,
+                        label_col=(label_col if (label_col in ev_df.columns
+                                                 or not has_b) else None),
+                        weight_col=weight_col, base_margin_col=base_margin_col,
+                        qid_col=qid_col, label_lower_col=label_lower_col,
+                        label_upper_col=label_upper_col)
+                    evals_raw.append((ev_raw, ev_name))
+                trees, history, best_it = fit_barrier(
+                    p, obj, raw, fnames, cuts, cat_mask,
+                    base_score, mono, isets, n_part, evals_raw=evals_raw)
                 return self._assemble_model(
                     trees, [1.0] * len(trees), None, base_score,
-                    feat_names_out, cuts, None, {}, False)
+                    feat_names_out, cuts, best_it, history, False)
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
         if K > 1 and p.multi_strategy == "multi_output_tree":
