@@ -181,3 +181,21 @@ def test_barrier_ranking_eval(spark):
     h = m.eval_history["train"]["ndcg@5"]
     assert len(h) == 6
     assert h[-1] > 0.9        # high ndcg on this separable set
+
+
+def test_barrier_training_continuation(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(max_depth=3, max_bin=32, seed=4)
+    m1 = SparkBooster(TrainParams(num_boost_round=3, **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    m2 = SparkBooster(TrainParams(num_boost_round=2, **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label", xgb_model=m1)
+    m5 = SparkBooster(TrainParams(num_boost_round=5, **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    assert sum(len(r) for r in m2.trees) == 5
+    # continued model == one-shot 5-round model (same cuts, same margins)
+    for ra, rb in zip(m2.trees, m5.trees):
+        for ta, tb in zip(ra, rb):
+            assert list(ta.feature) == list(tb.feature)
+            assert list(ta.split_bin) == list(tb.split_bin)
+            np.testing.assert_allclose(ta.leaf_value, tb.leaf_value, atol=1e-8)

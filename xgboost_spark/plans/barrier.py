@@ -89,8 +89,6 @@ def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model,
             if not barrier_metric_supported(mname, has_qid):
                 return False, (f"metric {mname!r} needs a global sort "
                                "(DataFrame path)")
-    if xgb_model is not None:
-        return False, "training continuation runs on the DataFrame path"
     return True, ""
 
 
@@ -98,6 +96,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 cuts: list[np.ndarray], cat_mask, base_score: float,
                 mono, isets, n_part: int,
                 evals_raw: list[tuple[DataFrame, str]] | None = None,
+                prev_state: dict | None = None,
                 ) -> tuple[list[list[core.Tree]], dict, int | None]:
     """Run the boosting loop in one barrier job.
 
@@ -144,6 +143,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
 
     bc_cuts = sc.broadcast([np.asarray(c, dtype=np.float64) for c in cuts])
     bc_cat = sc.broadcast(cat_mask)
+    bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
     seed = p.seed
 
     from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
@@ -190,6 +190,22 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 m_ = np.full((nn, K), base_score, dtype=np.float64)
                 if has_bm:
                     m_ += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                if bc_prev is not None:
+                    # training continuation (reference xgb_model,
+                    # training.py:183): previous model's margin, raw-domain
+                    # traversal on this task's rows
+                    st_prev = bc_prev.value
+                    Xr = np.column_stack([
+                        pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                        for c in fnames]) if nn else np.empty((0, Fn))
+                    for ri, rnd in enumerate(st_prev["trees"]):
+                        tw = st_prev["weights"][ri]
+                        for k2, arrs in enumerate(rnd):
+                            lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
+                            if arrs["leaf_value"].ndim == 2:
+                                m_ += tw * arrs["leaf_value"][lid]
+                            else:
+                                m_[:, k2] += tw * arrs["leaf_value"][lid]
                 return Xb_, y_, w_, q_, bounds_, m_
 
             role = (full["_role"].to_numpy(dtype=np.int64)

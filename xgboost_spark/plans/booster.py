@@ -293,9 +293,10 @@ class SparkBooster:
                     evals_raw.append((ev_raw, ev_name))
                 trees, history, best_it = fit_barrier(
                     p, obj, raw, fnames, cuts, cat_mask,
-                    base_score, mono, isets, n_part, evals_raw=evals_raw)
+                    base_score, mono, isets, n_part, evals_raw=evals_raw,
+                    prev_state=prev_state)
                 return self._assemble_model(
-                    trees, [1.0] * len(trees), None, base_score,
+                    trees, [1.0] * len(trees), xgb_model, base_score,
                     feat_names_out, cuts, best_it, history, False)
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
