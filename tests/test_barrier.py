@@ -137,7 +137,7 @@ def test_barrier_empty_partitions(spark):
 
 def test_exec_mode_barrier_rejects_unsupported(spark, reg_df):
     with pytest.raises(ValueError, match="barrier unsupported"):
-        SparkBooster(TrainParams(exec_mode="barrier", booster="dart",
+        SparkBooster(TrainParams(exec_mode="barrier", objective="survival:cox",
                                  num_boost_round=2)).fit(
             reg_df, feature_cols=["c0"], label_col="label")
 
@@ -199,3 +199,29 @@ def test_barrier_training_continuation(spark, reg_df):
             assert list(ta.feature) == list(tb.feature)
             assert list(ta.split_bin) == list(tb.split_bin)
             np.testing.assert_allclose(ta.leaf_value, tb.leaf_value, atol=1e-8)
+
+
+def test_feature_weights_bias_column_sampling(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    # colsample_bytree=0.2 -> ONE feature per tree, drawn ~ feature_weights;
+    # with all mass on c3 every tree can only split c3
+    p = TrainParams(num_boost_round=6, max_depth=3, max_bin=32,
+                    colsample_bytree=0.2,
+                    feature_weights={"c3": 1000.0, "c0": 1e-6, "c1": 1e-6,
+                                     "c2": 1e-6, "c4": 1e-6})
+    m = SparkBooster(p).fit(reg_df, feature_cols=fc, label_col="label")
+    split_feats = {f for rnd in m.trees for t in rnd
+                   for f, l in zip(t.feature, t.left) if l != -1}
+    assert split_feats <= {3}
+
+
+def test_barrier_dart_matches_dataframe(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(booster="dart", rate_drop=0.4, one_drop=True,
+              num_boost_round=5, max_depth=3, max_bin=32, seed=9)
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    assert _structurally_equal(mb, md)
+    np.testing.assert_allclose(mb.tree_weights, md.tree_weights, rtol=1e-12)

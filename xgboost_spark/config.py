@@ -46,6 +46,10 @@ class TrainParams:
     colsample_bylevel: float = 1.0
     colsample_bynode: float = 1.0
     monotone_constraints: dict[str, int] | None = None
+    # per-feature sampling weights for colsample_* (reference
+    # ColumnSampler feature_weights, src/common/random.h:70-98);
+    # list aligned to feature order, or dict feature-name -> weight
+    feature_weights: list | dict | None = None
     interaction_constraints: list[list[str]] | None = None
     num_parallel_tree: int = 1          # >1 = random-forest rounds
 

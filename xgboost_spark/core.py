@@ -295,8 +295,11 @@ def grow_tree_multi(builder, params, rng: np.random.Generator,
     def level_mask() -> np.ndarray:
         m = feature_mask_tree.copy()
         if params.colsample_bylevel < 1.0:
-            sub = _rng_mask(rng, int(m.sum()), params.colsample_bylevel)
+            fw = getattr(params, "feature_weights", None)
+            fw = np.asarray(fw, dtype=np.float64) if fw is not None else None
             idx = np.nonzero(m)[0]
+            sub = _rng_mask(rng, len(idx), params.colsample_bylevel,
+                            weights=fw[idx] if fw is not None else None)
             m = np.zeros_like(m)
             m[idx[sub]] = True
         return m
@@ -544,9 +547,23 @@ class HistBuilder:
         raise NotImplementedError
 
 
-def _rng_mask(rng: np.random.Generator, n: int, rate: float) -> np.ndarray:
+def _rng_mask(rng: np.random.Generator, n: int, rate: float,
+              weights: np.ndarray | None = None) -> np.ndarray:
+    """Column-sampling mask.  Unweighted: Bernoulli(rate).  With
+    ``weights``: floor-ish(n*rate) draws WITHOUT replacement,
+    probability proportional to weight (reference ColumnSampler with
+    feature_weights, `src/common/random.h:70-98`)."""
     if rate >= 1.0:
         return np.ones(n, dtype=bool)
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+        pos = w > 0
+        k = min(max(1, int(round(n * rate))), int(pos.sum()))
+        prob = np.where(pos, w, 0.0)
+        prob = prob / prob.sum()
+        mask = np.zeros(n, dtype=bool)
+        mask[rng.choice(n, size=k, replace=False, p=prob)] = True
+        return mask
     mask = rng.random(n) < rate
     if not mask.any():
         mask[rng.integers(0, n)] = True
@@ -598,6 +615,8 @@ def grow_tree(
     )
     if feature_mask_tree is None:
         feature_mask_tree = np.ones(F, dtype=bool)
+    fw = getattr(params, "feature_weights", None)
+    fw = np.asarray(fw, dtype=np.float64) if fw is not None else None
     # interaction constraints: per-node allowed-feature sets
     allowed: dict[int, np.ndarray] | None = (
         {0: np.ones(F, dtype=bool)} if interaction_sets else None
@@ -615,8 +634,9 @@ def grow_tree(
     def level_mask() -> np.ndarray:
         m = feature_mask_tree.copy()
         if params.colsample_bylevel < 1.0:
-            sub = _rng_mask(rng, int(m.sum()), params.colsample_bylevel)
             idx = np.nonzero(m)[0]
+            sub = _rng_mask(rng, len(idx), params.colsample_bylevel,
+                            weights=fw[idx] if fw is not None else None)
             m = np.zeros_like(m)
             m[idx[sub]] = True
         return m
@@ -624,8 +644,9 @@ def grow_tree(
     def node_mask(base: np.ndarray) -> np.ndarray:
         if params.colsample_bynode >= 1.0:
             return base
-        sub = _rng_mask(rng, int(base.sum()), params.colsample_bynode)
         idx = np.nonzero(base)[0]
+        sub = _rng_mask(rng, len(idx), params.colsample_bynode,
+                        weights=fw[idx] if fw is not None else None)
         m = np.zeros_like(base)
         m[idx[sub]] = True
         return m

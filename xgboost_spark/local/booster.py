@@ -134,6 +134,8 @@ class LocalBooster:
         else:
             self.base_score = self.obj.base_score(y, sample_weight)
         margin = np.full((n, K) if K > 1 else n, self.base_score, dtype=np.float64)
+        fw = (np.asarray(p.feature_weights, dtype=np.float64)
+              if p.feature_weights is not None else None)
         rng = np.random.default_rng(p.seed)
         for it in range(p.num_boost_round):
             if self.obj.needs_bounds:
@@ -163,7 +165,7 @@ class LocalBooster:
             round_trees = []
             fmask = None
             if p.colsample_bytree < 1.0:
-                fmask = core._rng_mask(rng, X.shape[1], p.colsample_bytree)
+                fmask = core._rng_mask(rng, X.shape[1], p.colsample_bytree, weights=fw)
             if K > 1 and p.multi_strategy == "multi_output_tree":
                 if not isinstance(builder, _NumpyMultiHistBuilder):
                     builder = _NumpyMultiHistBuilder(Xb, self.cuts, n_bins, K)

@@ -75,8 +75,10 @@ def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model,
     from xgboost_spark.functions.metrics import barrier_metric_supported
     if p.tree_method != "hist":
         return False, "tree_method=approx re-sketches per round (DataFrame path)"
-    if p.booster != "gbtree":
+    if p.booster not in ("gbtree", "dart"):
         return False, f"booster={p.booster} uses the DataFrame path"
+    if p.booster == "dart" and p.multi_strategy == "multi_output_tree":
+        return False, "dart + multi_output_tree is unsupported"
     if obj.needs_global_sort:
         return False, "survival:cox needs a global sort (DataFrame path)"
     if obj.adaptive_alpha is not None:
@@ -220,18 +222,50 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
                        if is_multi
                        else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
+            fw = (np.asarray(p.feature_weights, dtype=np.float64)
+                  if p.feature_weights is not None else None)
             rng = np.random.default_rng(p.seed)
             n_forest = max(p.num_parallel_tree, 1)
+            is_dart = p.booster == "dart"
+            tree_weights: list[float] = []
             trees: list[list[core.Tree]] = []
             history: dict[str, dict[str, list[float]]] = {}
             best_it = None
             best_metric = None
             for it_round in range(p.num_boost_round):
-                g, h = _compute_grads(obj, y, margin, w, q, seed + it_round,
-                                      p.subsample, K, bounds=bounds)
+                # DART dropout (reference gbtree.h:89-123 DropTrees):
+                # selection draws are deterministic from the shared rng,
+                # margin corrections are local rows
+                dropped: list[int] = []
+                if is_dart and trees:
+                    if not (p.skip_drop > 0.0 and rng.random() < p.skip_drop):
+                        if p.sample_type == "weighted":
+                            wts = np.asarray(tree_weights)
+                            probs = np.minimum(
+                                p.rate_drop * wts * len(wts)
+                                / max(wts.sum(), 1e-16), 1.0)
+                            mask = rng.random(len(trees)) < probs
+                        else:
+                            mask = rng.random(len(trees)) < p.rate_drop
+                        if p.one_drop and not mask.any():
+                            mask[rng.integers(0, len(trees))] = True
+                        dropped = [i for i in range(len(trees)) if mask[i]]
+                if dropped:
+                    m_eff = margin.copy()
+                    for ri in dropped:
+                        nf = len(trees[ri]) // K
+                        for k2 in range(K):
+                            for j in range(nf):
+                                m_eff[:, k2] -= tree_weights[ri] * core.tree_predict(
+                                    trees[ri][k2 * nf + j], Xb, binned=True)
+                    g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
+                                          p.subsample, K, bounds=bounds)
+                else:
+                    g, h = _compute_grads(obj, y, margin, w, q, seed + it_round,
+                                          p.subsample, K, bounds=bounds)
                 fmask = None
                 if p.colsample_bytree < 1.0:
-                    fmask = core._rng_mask(rng, Fn, p.colsample_bytree)
+                    fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
                 round_trees: list[core.Tree] = []
                 if is_multi:
                     builder.set_grad(g, h)
@@ -255,10 +289,35 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                             for t in forest:
                                 t.leaf_value = [v / n_forest
                                                 for v in t.leaf_value]
-                        for t in forest:
-                            margin[:, k] += core.tree_predict(t, Xb, binned=True)
                         round_trees.extend(forest)
+                # DART normalization (reference normalize_type semantics)
+                kdrop = len(dropped)
+                if is_dart and kdrop > 0:
+                    if p.normalize_type == "forest":
+                        w_new = 1.0 / (1.0 + p.eta)
+                        factor = 1.0 / (1.0 + p.eta)
+                    else:
+                        w_new = 1.0 / (kdrop + p.eta)
+                        factor = kdrop / (kdrop + p.eta)
+                    for ri in dropped:
+                        dw = tree_weights[ri] * (factor - 1.0)
+                        nf = len(trees[ri]) // K
+                        for k2 in range(K):
+                            for j in range(nf):
+                                margin[:, k2] += dw * core.tree_predict(
+                                    trees[ri][k2 * nf + j], Xb, binned=True)
+                        tree_weights[ri] *= factor
+                else:
+                    w_new = 1.0
+                if not is_multi:
+                    ti = 0
+                    for k in range(K):
+                        for _ in range(n_forest):
+                            margin[:, k] += w_new * core.tree_predict(
+                                round_trees[ti], Xb, binned=True)
+                            ti += 1
                 trees.append(round_trees)
+                tree_weights.append(w_new)
                 # eval-set margins + allreduced metrics (EvalOneIter,
                 # reference learner.cc:1164-1194)
                 last = None
@@ -266,10 +325,20 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     if is_multi:
                         me += core.tree_predict(round_trees[0], Xe, binned=True)
                     else:
+                        if is_dart and kdrop > 0:
+                            # dropped trees were re-weighted w_old -> w_old*factor;
+                            # apply the delta (tree_weights[ri] is already new)
+                            for ri in dropped:
+                                dw = tree_weights[ri] * (1.0 - 1.0 / factor)
+                                nf = len(trees[ri]) // K
+                                for k2 in range(K):
+                                    for j in range(nf):
+                                        me[:, k2] += dw * core.tree_predict(
+                                            trees[ri][k2 * nf + j], Xe, binned=True)
                         ti = 0
                         for k in range(K):
                             for _ in range(n_forest):
-                                me[:, k] += core.tree_predict(
+                                me[:, k] += w_new * core.tree_predict(
                                     round_trees[ti], Xe, binned=True)
                                 ti += 1
                     for mname in metric_names:
@@ -291,7 +360,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         break
             if comm.rank == 0:
                 yield pd.DataFrame(
-                    {"model": [pickle.dumps((trees, history, best_it))]})
+                    {"model": [pickle.dumps(
+                        (trees, history, best_it, tree_weights))]})
         finally:
             comm.close()
 

@@ -231,6 +231,17 @@ class SparkBooster:
         )
         Fn = len(fnames)
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
+        if p.feature_weights is not None:
+            if isinstance(p.feature_weights, dict):
+                fwl = [float(p.feature_weights.get(c, 1.0)) for c in feat_names_out]
+            else:
+                fwl = [float(v) for v in p.feature_weights]
+            if len(fwl) != Fn:
+                raise ValueError(
+                    f"feature_weights: {len(fwl)} weights for {Fn} features")
+            p.feature_weights = fwl      # normalized; grow_tree reads it
+        fw = (np.asarray(p.feature_weights, dtype=np.float64)
+              if p.feature_weights is not None else None)
         has_q = qid_col is not None
         n_part = num_partitions or sc.defaultParallelism
         if has_q:
@@ -291,13 +302,14 @@ class SparkBooster:
                         qid_col=qid_col, label_lower_col=label_lower_col,
                         label_upper_col=label_upper_col)
                     evals_raw.append((ev_raw, ev_name))
-                trees, history, best_it = fit_barrier(
+                trees, history, best_it, bar_weights = fit_barrier(
                     p, obj, raw, fnames, cuts, cat_mask,
                     base_score, mono, isets, n_part, evals_raw=evals_raw,
                     prev_state=prev_state)
                 return self._assemble_model(
-                    trees, [1.0] * len(trees), xgb_model, base_score,
-                    feat_names_out, cuts, best_it, history, False)
+                    trees, bar_weights, xgb_model, base_score,
+                    feat_names_out, cuts, best_it, history,
+                    p.booster == "dart")
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
         if K > 1 and p.multi_strategy == "multi_output_tree":
@@ -512,7 +524,7 @@ class SparkBooster:
             round_trees: list[core.Tree] = []
             fmask = None
             if p.colsample_bytree < 1.0:
-                fmask = core._rng_mask(rng, Fn, p.colsample_bytree)
+                fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
             for k in range(K):
                 n_forest = max(p.num_parallel_tree, 1)
                 forest = []
