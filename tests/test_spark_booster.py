@@ -172,3 +172,22 @@ def test_lossguide_spark(spark, reg_df):
     n_leaves = sum(1 for nid in range(model.trees[0][0].n_nodes)
                    if model.trees[0][0].left[nid] == -1)
     assert n_leaves <= 8
+
+
+def test_vector_udt_ingestion(spark):
+    """MLlib sparse/dense vector features (reference CSR ingestion
+    surface, `c_api.h:221`) densify JVM-side via vector_to_array."""
+    from pyspark.ml.linalg import Vectors
+
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    rows = [(Vectors.sparse(4, {0: float(i % 3), 2: float(i % 5)}),
+             float(i % 3) * 2 + float(i % 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    m = SparkBooster(TrainParams(num_boost_round=3, max_depth=3, max_bin=16)
+                     ).fit(df, array_col="features", label_col="label")
+    pred = m.transform(df, array_col="features")
+    import pyspark.sql.functions as F
+    rmse = pred.agg(
+        F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))).first()[0]
+    assert rmse < 1.5

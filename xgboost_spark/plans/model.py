@@ -232,6 +232,13 @@ class GBDTModel:
         and `interactions` (flattened (F+1)x(F+1) array<double>).
         """
         feature_cols = feature_cols or self.feature_names
+        if array_col is not None:
+            dt = df.schema[array_col].dataType
+            if type(dt).__name__ == "VectorUDT":
+                # MLlib vectors densify JVM-side; output column becomes
+                # array<double>
+                from pyspark.ml.functions import vector_to_array
+                df = df.withColumn(array_col, vector_to_array(F.col(array_col)))
         spark = df.sparkSession
         K = self.params.n_groups
         if (pred_contribs or pred_interactions) and K > 1:

@@ -73,10 +73,20 @@ def assemble_features(
     cols = []
     names: list[str] = []
     if array_col is not None:
-        n = len(df.select(array_col).first()[0])
+        src = F.col(array_col)
+        dt = df.schema[array_col].dataType
+        if dt.typeName() == "udt" and getattr(dt, "pyUDT", "").endswith("VectorUDT") \
+                or type(dt).__name__ == "VectorUDT":
+            # MLlib sparse/dense vectors (the reference's CSR ingestion
+            # surface, c_api.h:221): densify JVM-side via vector_to_array
+            from pyspark.ml.functions import vector_to_array
+            src = vector_to_array(src)
+            n = len(df.select(src.alias("_v")).first()[0])
+        else:
+            n = len(df.select(array_col).first()[0])
         for i in range(n):
             names.append(f"f{i}")
-            cols.append(F.element_at(F.col(array_col), i + 1).cast("double").alias(f"f{i}"))
+            cols.append(F.element_at(src, i + 1).cast("double").alias(f"f{i}"))
     if feature_cols:
         for i, c in enumerate(feature_cols, start=len(names)):
             names.append(f"f{i}")
