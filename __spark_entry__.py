@@ -45,15 +45,11 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _exact_cut_values(spark, sf_dir, table, col, B) -> list[float]:
     """Exact type-1 quantile boundaries k/B, k=1..B-1 (values at exact
-    ranks — identical in any engine).  Tiny driver collect (B-1 floats)."""
-    d = _table(spark, sf_dir, table).select(F.col(col).cast("double").alias("v"))
-    d = d.filter(F.col("v").isNotNull())
-    ranked = d.select(
-        "v", F.row_number().over(Window.orderBy("v")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"))
-    ks = spark.range(1, B).select(F.col("id").alias("k"))
-    rows = (ranked.join(ks, ranked.rn == F.ceil(ks.k * ranked.n / B), "inner")
-            .groupBy("k").agg(F.min("v").alias("cut")).orderBy("k").collect())
+    ranks — identical in any engine).  Computed with the distributed
+    prefix scan (no single-partition global window); tiny driver collect
+    (B-1 floats)."""
+    from xgboost_spark.operators.sketch import exact_quantiles
+    rows = exact_quantiles(_table(spark, sf_dir, table), col, B).collect()
     return [r["cut"] for r in rows]
 
 
@@ -112,13 +108,15 @@ def q_quantile_cuts(spark, sf_dir):
 
 
 def q_weighted_quantile(spark, sf_dir):
+    """Weighted-quantile buckets; the SQL twin is a global cumulative
+    window, the Spark side runs the distributed prefix scan instead."""
+    from xgboost_spark.operators.scan import prefix_sums
     li = _table(spark, sf_dir, "lineitem")
     d = li.select(F.col("l_quantity").alias("v"), (F.col("l_tax") + 0.01).alias("w"))
     d = d.filter(F.col("v").isNotNull())
-    wc = Window.orderBy("v", "w").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    d = d.withColumn("cumw", F.sum("w").over(wc)).withColumn("W", F.sum("w").over(wall))
-    return (d.withColumn("bucket", F.ceil(F.col("cumw") * 8 / F.col("W")).cast("bigint"))
+    W = d.agg(F.sum("w")).first()[0]
+    d = prefix_sums(d, ["v", "w"], ["w"])
+    return (d.withColumn("bucket", F.ceil(F.col("cum_w") * 8 / F.lit(W)).cast("bigint"))
             .groupBy("bucket").agg(F.round(F.max("v"), 6).alias("cut")))
 
 
@@ -297,8 +295,11 @@ def q_metric_auc(spark, sf_dir):
     d = emb.select(F.element_at("embedding", 1).cast("double").alias("s"),
                    (F.col("label") % 2).cast("double").alias("y"))
     g = d.groupBy("s").agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
-    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    g = g.withColumn("cumneg", F.coalesce(F.sum("neg").over(wcum), F.lit(0.0)))
+    # exclusive cumulative negatives via the distributed prefix scan
+    # (SQL twin: SUM(neg) OVER (ORDER BY s ROWS ... AND 1 PRECEDING))
+    from xgboost_spark.operators.scan import prefix_sums
+    g = prefix_sums(g, "s", ["neg"]).withColumn(
+        "cumneg", F.col("cum_neg") - F.col("neg"))
     return g.agg(F.round(
         F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2))
         / (F.sum("pos") * F.sum("neg")), 6).alias("auc"))

@@ -58,8 +58,11 @@ def test_approx_training_close_to_hist(spark, reg_df, reg_data):
 
 
 def test_approx_rejects_unsupported_combos(spark, reg_df):
+    # approx+dart needs the barrier path's per-round fine-bin re-sketch;
+    # forcing the DataFrame path is an explicit error
     with pytest.raises(NotImplementedError):
-        train({"tree_method": "approx", "booster": "dart", "num_boost_round": 1},
+        train({"tree_method": "approx", "booster": "dart",
+               "exec_mode": "dataframe", "num_boost_round": 1},
               reg_df, feature_cols=FCOLS)
     with pytest.raises(ValueError):
         train({"tree_method": "exact", "num_boost_round": 1},

@@ -225,3 +225,69 @@ def test_barrier_dart_matches_dataframe(spark, reg_df):
         reg_df, feature_cols=fc, label_col="label")
     assert _structurally_equal(mb, md)
     np.testing.assert_allclose(mb.tree_weights, md.tree_weights, rtol=1e-12)
+
+
+def test_barrier_adaptive_leaves_close_to_dataframe(spark, reg_df):
+    """reg:absoluteerror adaptive leaves: barrier's histogram quantile vs
+    the DataFrame path's percentile_approx — same accuracy class."""
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(objective="reg:absoluteerror", num_boost_round=5,
+              max_depth=3, max_bin=32, seed=2)
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    from pyspark.sql import functions as F
+    mae_b = mb.transform(reg_df, feature_cols=fc).agg(
+        F.avg(F.abs(F.col("prediction") - F.col("label")))).first()[0]
+    mae_d = md.transform(reg_df, feature_cols=fc).agg(
+        F.avg(F.abs(F.col("prediction") - F.col("label")))).first()[0]
+    assert abs(mae_b - mae_d) < 0.05 * max(mae_b, mae_d) + 0.02
+    # round-1 structure identical (refresh happens after growth); later
+    # rounds may diverge: MAE's sign gradient flips for rows whose
+    # residual is near zero, amplifying the two paths' (both
+    # approximate) quantile differences
+    for ta, tb in zip(mb.trees[0], md.trees[0]):
+        assert list(ta.feature) == list(tb.feature)
+
+
+def test_barrier_approx_accuracy(spark, reg_df):
+    """barrier approx (fine-bin re-sketch) vs DataFrame approx (raw
+    re-sketch): different sketch mechanics, same accuracy class."""
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(tree_method="approx", num_boost_round=6, max_depth=3,
+              max_bin=16, seed=7)
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    from pyspark.sql import functions as F
+
+    def rmse(m):
+        return m.transform(reg_df, feature_cols=fc).agg(F.sqrt(F.avg(
+            F.pow(F.col("prediction") - F.col("label"), 2)))).first()[0]
+    rb, rd = rmse(mb), rmse(md)
+    assert abs(rb - rd) < 0.05 * max(rb, rd) + 0.02
+    # hist on the same data should not beat approx by much (sanity that
+    # the re-sketch isn't destroying signal)
+    mh = SparkBooster(TrainParams(exec_mode="barrier", **{
+        **kw, "tree_method": "hist"})).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    assert rb < rmse(mh) * 1.10 + 0.02
+
+
+def test_barrier_approx_dart_and_evals(spark, reg_df):
+    """approx + dart + eval-set early stopping only exists on the
+    barrier path; check it runs and the metric decreases."""
+    fc = [f"c{i}" for i in range(5)]
+    m = SparkBooster(TrainParams(
+        tree_method="approx", booster="dart", rate_drop=0.2,
+        num_boost_round=8, max_depth=3, max_bin=16, seed=1,
+        eval_metric=["rmse"], early_stopping_rounds=6)).fit(
+        reg_df, feature_cols=fc, label_col="label",
+        evals=[(reg_df, "train")])
+    h = m.eval_history["train"]["rmse"]
+    assert h[-1] < h[0]
+    # serving traverses raw-domain split_value: finite predictions
+    preds = m.transform(reg_df, feature_cols=fc).select("prediction")
+    assert preds.filter("prediction is null or isnan(prediction)").count() == 0

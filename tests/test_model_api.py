@@ -78,3 +78,56 @@ def test_libsvm_roundtrip(spark, tmp_path):
                                   == F.col("label")).cast("double")) \
               .agg(F.avg("hit")).first()[0]
     assert acc > 0.9
+
+
+def test_num_parallel_tree_transform_and_continuation(spark, reg_df):
+    """RF rounds (num_parallel_tree>1): serving and continuation must
+    map tree i -> group i // n_forest, not i (regression test)."""
+    kw = dict(num_boost_round=2, num_parallel_tree=3, max_depth=3,
+              max_bin=16, seed=4)
+    m = SparkBooster(TrainParams(**kw)).fit(reg_df, feature_cols=FC,
+                                            label_col="label")
+    assert all(len(r) == 3 for r in m.trees)
+    out = m.transform(reg_df, feature_cols=FC)
+    assert out.filter("prediction is null").count() == 0
+    m2 = SparkBooster(TrainParams(num_boost_round=1, num_parallel_tree=3,
+                                  max_depth=3, max_bin=16, seed=4)).fit(
+        reg_df, feature_cols=FC, label_col="label", xgb_model=m)
+    assert len(m2.trees) == 3
+    assert m2.transform(reg_df, feature_cols=FC).count() == reg_df.count()
+
+
+def test_transform_expr_matches_udf(spark, reg_df, model):
+    """Catalyst-expression serving == broadcast-UDF serving, bitwise-ish."""
+    pu = model.transform(reg_df, feature_cols=FC).select("prediction").toPandas()
+    pe = model.transform_expr(reg_df, feature_cols=FC).select("prediction").toPandas()
+    np.testing.assert_allclose(pu["prediction"], pe["prediction"], rtol=1e-12)
+    # margins too
+    me = model.transform_expr(reg_df, feature_cols=FC, output_margin=True)
+    assert me.filter("prediction is null").count() == 0
+
+
+def test_transform_expr_logistic_and_softprob(spark, reg_df):
+    import pandas as pd
+    rng = np.random.default_rng(2)
+    n = 1500
+    X = rng.normal(size=(n, 3))
+    df = spark.createDataFrame(pd.DataFrame({
+        **{f"f{i}": X[:, i] for i in range(3)},
+        "yb": (X[:, 0] > 0).astype(float),
+        "ym": ((X[:, 0] > 0).astype(int) + (X[:, 1] > 0).astype(int)).astype(float)}))
+    fb = [f"f{i}" for i in range(3)]
+    mb = SparkBooster(TrainParams(objective="binary:logistic", num_boost_round=3,
+                                  max_depth=3, max_bin=16)).fit(
+        df, feature_cols=fb, label_col="yb")
+    pu = mb.transform(df, feature_cols=fb).select("prediction").toPandas()
+    pe = mb.transform_expr(df, feature_cols=fb).select("prediction").toPandas()
+    np.testing.assert_allclose(pu["prediction"], pe["prediction"], rtol=1e-12)
+    mm = SparkBooster(TrainParams(objective="multi:softprob", num_class=3,
+                                  num_boost_round=3, max_depth=3, max_bin=16)).fit(
+        df, feature_cols=fb, label_col="ym")
+    pu = np.stack(mm.transform(df, feature_cols=fb).select("prediction")
+                  .toPandas()["prediction"].to_numpy())
+    pe = np.stack(mm.transform_expr(df, feature_cols=fb).select("prediction")
+                  .toPandas()["prediction"].to_numpy())
+    np.testing.assert_allclose(pu, pe, atol=1e-12)

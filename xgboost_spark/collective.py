@@ -52,19 +52,35 @@ class Comm:
     rank: int = 0
     nranks: int = 1
 
-    def allreduce_sum(self, arr: np.ndarray) -> np.ndarray:
+    def allreduce(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
+        """op in {sum, min, max} (reference `Op` enum, comm.h:184)."""
         raise NotImplementedError
+
+    def allreduce_sum(self, arr: np.ndarray) -> np.ndarray:
+        return self.allreduce(arr, "sum")
 
     def allreduce_scalar(self, *vals: float) -> tuple[float, ...]:
         out = self.allreduce_sum(np.asarray(vals, dtype=np.float64))
         return tuple(float(v) for v in out)
 
+    def allreduce_minmax(self, mins: np.ndarray, maxs: np.ndarray):
+        """Elementwise global (min, max) in ONE allreduce: min over the
+        concatenation of ``[mins, -maxs]``."""
+        both = np.concatenate([np.asarray(mins, dtype=np.float64).ravel(),
+                               -np.asarray(maxs, dtype=np.float64).ravel()])
+        red = self.allreduce(both, "min")
+        k = len(red) // 2
+        return red[:k], -red[k:]
+
     def close(self):
         pass
 
 
+_OPS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
 class Loopback(Comm):
-    def allreduce_sum(self, arr: np.ndarray) -> np.ndarray:
+    def allreduce(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
         return np.asarray(arr, dtype=np.float64)
 
 
@@ -139,7 +155,8 @@ class RingComm(Comm):
                 si += snd.send(sview[si:si + (1 << 20)])
 
     # -- ring allreduce (reference allreduce.cc:21-129) ----------------
-    def allreduce_sum(self, arr: np.ndarray) -> np.ndarray:
+    def allreduce(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
+        reduce_fn = _OPS[op]
         a = np.ascontiguousarray(arr, dtype=np.float64)
         shape = a.shape
         buf = a.ravel().copy()
@@ -160,7 +177,7 @@ class RingComm(Comm):
             rs, re = off[(r - step - 1) % p]
             rv = tmp[: re - rs]
             self._exchange(buf[ss:se].tobytes(), memoryview(rv).cast("B"))
-            buf[rs:re] += rv
+            buf[rs:re] = reduce_fn(buf[rs:re], rv)
         # allgather
         for step in range(p - 1):
             ss, se = off[(r + 1 - step) % p]

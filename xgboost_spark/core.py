@@ -179,6 +179,24 @@ def tree_predict(tree: Tree, X: np.ndarray, binned: bool) -> np.ndarray:
     return a["leaf_value"][leaf_ids_from_arrays(a, X, binned)]
 
 
+def apply_model_margin(m: np.ndarray, trees, weights, X: np.ndarray,
+                       binned: bool, K: int) -> np.ndarray:
+    """``m (n,K) += ensemble margin`` from broadcastable tree-array dicts.
+    Round layout is k-major: K output groups x num_parallel_tree forest
+    members (reference `GBTree::BoostNewTrees`, gbtree.cc:315); 2-D
+    leaf_value = multi_output_tree (vector leaves)."""
+    for ri, rnd in enumerate(trees):
+        tw = weights[ri]
+        nf = max(len(rnd) // K, 1)
+        for i, arrs in enumerate(rnd):
+            lid = leaf_ids_from_arrays(arrs, X, binned)
+            if arrs["leaf_value"].ndim == 2:
+                m += tw * arrs["leaf_value"][lid]
+            else:
+                m[:, i // nf] += tw * arrs["leaf_value"][lid]
+    return m
+
+
 # ---------------------------------------------------------------------------
 # split search over aggregated histograms
 # ---------------------------------------------------------------------------

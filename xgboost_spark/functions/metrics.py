@@ -168,8 +168,9 @@ def auc_binary(df: DataFrame, y: str = "y", score: str = "m0",
             F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg"),
         )
     )
-    win = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    g = g.withColumn("cumneg", F.coalesce(F.sum("neg").over(win), F.lit(0.0)))
+    from xgboost_spark.operators.scan import prefix_sums
+    g = prefix_sums(g, "s", ["neg"]).withColumn(
+        "cumneg", F.col("cum_neg") - F.col("neg"))
     r = g.agg(
         F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2)).alias("num"),
         F.sum("pos").alias("P"),
@@ -190,9 +191,14 @@ def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
     g = (df.groupBy(F.col(score).alias("s"))
          .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("pos"),
               F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg")))
-    win = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    g = (g.withColumn("tp", F.sum("pos").over(win))
-          .withColumn("fp", F.sum("neg").over(win)))
+    # descending cumulative tp/fp from an ASCENDING distributed prefix
+    # scan: tp_desc(s) = P - (cum_pos_asc(s) - pos(s))
+    from xgboost_spark.operators.scan import prefix_sums
+    g = prefix_sums(g, "s", ["pos", "neg"])
+    tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N")).first()
+    P_, N_ = float(tot["P"] or 0.0), float(tot["N"] or 0.0)
+    g = (g.withColumn("tp", F.lit(P_) - F.col("cum_pos") + F.col("pos"))
+          .withColumn("fp", F.lit(N_) - F.col("cum_neg") + F.col("neg")))
     rows = (g.orderBy(F.col("s").desc())
             .select("tp", "fp").toPandas())   # <= n distinct scores; driver finish
     import numpy as _np

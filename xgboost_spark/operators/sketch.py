@@ -13,6 +13,8 @@ cumulative-weight query — no single-partition global sort, so it scales.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -148,24 +150,24 @@ def weighted_cuts_all(df: DataFrame, value_cols: list[str], weight_col: str,
 
 
 def exact_quantiles(df: DataFrame, col: str, n_bins: int) -> DataFrame:
-    """Exact type-1 quantiles at k/n_bins via a rank window — the
-    SQL-expressible oracle form of the sketch (matches DuckDB exactly).
-    Returns DataFrame (k, cut).
-    """
+    """Exact type-1 quantiles at k/n_bins — value at global rank
+    ``ceil(k*n/B)``.  SQL-oracle-equivalent to a `row_number() OVER
+    (ORDER BY v)` query, but computed scale-safely with the distributed
+    prefix scan (`operators/scan.py`) instead of a single-partition
+    global window.  Returns DataFrame (k, cut)."""
+    from xgboost_spark.operators.scan import prefix_sums
     spark = df.sparkSession
-    d = df.select(F.col(col).cast("double").alias("v")).filter(F.col("v").isNotNull())
-    ranked = d.select(
-        "v",
-        F.row_number().over(Window.orderBy("v")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    ks = spark.range(1, n_bins).select(F.col("id").alias("k"))
-    return (
-        ranked.join(
-            ks,
-            ranked.rn == F.ceil(ks.k * ranked.n / n_bins),
-            "inner",
-        )
-        .groupBy("k").agg(F.min("v").alias("cut"))
-        .orderBy("k")
-    )
+    d = (df.select(F.col(col).cast("double").alias("v"))
+           .filter(F.col("v").isNotNull())
+           .withColumn("one", F.lit(1.0)))
+    ranked = prefix_sums(d, "v", ["one"]).withColumn(
+        "rn", F.col("cum_one").cast("bigint"))
+    n = (ranked.agg(F.max("rn")).first()[0] or 0)  # over the checkpointed scan
+    if n == 0:
+        return spark.createDataFrame([], "k bigint, cut double")
+    ks = spark.createDataFrame(
+        [(k, int(math.ceil(k * n / n_bins))) for k in range(1, n_bins)],
+        "k bigint, trn bigint")
+    return (ranked.join(F.broadcast(ks), ranked.rn == ks.trn, "inner")
+            .groupBy("k").agg(F.min("v").alias("cut"))
+            .orderBy("k"))

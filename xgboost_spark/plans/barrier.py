@@ -70,19 +70,129 @@ class _AllreduceMultiHistBuilder(_NumpyMultiHistBuilder):
         return red[0], red[1]
 
 
+
+
+def _approx_rebin(comm, Xb_fine, h, fine_cuts, cat_mask, max_bin):
+    """Per-round hessian-weighted re-sketch (reference approx updater,
+    `updater_approx.cc:95-130`) without touching raw values: features are
+    pre-binned at fine resolution (4x max_bin); the weighted quantile
+    boundaries are picked from ONE allreduced (feature x fine-bin)
+    hessian histogram, and re-quantization is a per-feature LUT.  Error
+    is bounded by the fine grid — the same approximation class as a
+    direct weighted sketch at 4x resolution.
+
+    Trees grown on the coarse binning are remapped back to the FINE bin
+    space afterwards (`_remap_split_bins`), so margins, eval sets and
+    DART corrections all traverse one consistent binned matrix.
+
+    Returns (Xb_coarse, coarse_cuts, bounds_list) where
+    ``bounds_list[f]`` maps coarse bin -> last fine bin it covers
+    (None = feature not re-binned)."""
+    n, Fn = Xb_fine.shape
+    fineB = max(len(c) for c in fine_cuts)
+    hist = np.zeros(Fn * (fineB + 1))
+    if n:
+        hw = np.abs(h).sum(axis=1) if h.ndim == 2 else np.abs(h)
+        for f in range(Fn):
+            b = Xb_fine[:, f].astype(np.int64)
+            b = np.where(b == core.MISSING_BIN, fineB, b)
+            hist[f * (fineB + 1):(f + 1) * (fineB + 1)] += np.bincount(
+                b, weights=hw, minlength=fineB + 1)[: fineB + 1]
+    hist = comm.allreduce_sum(hist).reshape(Fn, fineB + 1)
+    Xb_c = Xb_fine.copy()
+    coarse_cuts = []
+    bounds_list = []
+    for f in range(Fn):
+        nf = len(fine_cuts[f])
+        if (cat_mask is not None and cat_mask[f]) or nf <= max_bin:
+            coarse_cuts.append(np.asarray(fine_cuts[f], dtype=np.float64))
+            bounds_list.append(None)
+            continue
+        w = hist[f, :nf]
+        W = w.sum()
+        if W <= 0:      # no hessian mass this round: even fine-bin merge
+            bounds = np.linspace(0, nf - 1, max_bin).astype(np.int64)
+        else:
+            cum = np.cumsum(w)
+            targets = W * np.arange(1, max_bin) / max_bin
+            bounds = np.searchsorted(cum, targets, side="left")
+            bounds = np.unique(np.append(bounds, nf - 1))
+        lut = np.searchsorted(bounds, np.arange(nf), side="left").astype(np.int16)
+        bounds_list.append(bounds)
+        coarse_cuts.append(np.asarray(fine_cuts[f], dtype=np.float64)[bounds])
+        col = Xb_fine[:, f]
+        Xb_c[:, f] = np.where(col == core.MISSING_BIN, core.MISSING_BIN,
+                              lut[np.maximum(col, 0)])
+    return Xb_c, coarse_cuts, bounds_list
+
+
+def _remap_split_bins(tree: core.Tree, bounds_list) -> None:
+    """Rewrite a tree grown in a round's coarse bin space back into the
+    global FINE bin space: coarse split ``b <= sb`` == fine split
+    ``b_fine <= bounds[sb]`` (the LUT is monotone).  ``split_value`` is
+    already the raw-domain boundary and needs no change."""
+    for nid in range(tree.n_nodes):
+        f = tree.feature[nid]
+        if f < 0 or tree.categories[nid] is not None:
+            continue
+        b = bounds_list[f]
+        if b is not None:
+            tree.split_bin[nid] = int(b[tree.split_bin[nid]])
+
+
+def _leaf_quantile_refresh(comm, tree, Xb, resid, w, alpha, eta, n_hist=2048):
+    """UpdateTreeLeaf for adaptive objectives in barrier mode (reference
+    `regression_obj.cu:745-753`): per-leaf weighted residual quantiles
+    from ONE min/max allreduce + ONE histogram allreduce.  Quantile error
+    is bounded by (max-min)/n_hist — the same accuracy class as the
+    DataFrame path's percentile_approx."""
+    n_nodes = tree.n_nodes
+    if len(resid):
+        mn_l, mx_l = float(resid.min()), float(resid.max())
+    else:
+        mn_l, mx_l = np.inf, -np.inf
+    mn, mx = comm.allreduce_minmax(np.array([mn_l]), np.array([mx_l]))
+    mn, mx = float(mn[0]), float(mx[0])
+    if not np.isfinite(mn):
+        return
+    scale = (mx - mn) or 1.0
+    hist = np.zeros(n_nodes * n_hist)
+    if len(resid):
+        leaf = core.tree_leaf_ids(tree, Xb, binned=True)
+        b = np.clip(((resid - mn) / scale * n_hist).astype(np.int64),
+                    0, n_hist - 1)
+        ww = w if w is not None else np.ones(len(resid))
+        hist = np.bincount(leaf.astype(np.int64) * n_hist + b, weights=ww,
+                           minlength=n_nodes * n_hist)
+    hist = comm.allreduce_sum(hist).reshape(n_nodes, n_hist)
+    for nid in range(n_nodes):
+        if tree.left[nid] != -1:
+            continue
+        row = hist[nid]
+        tot = row.sum()
+        if tot <= 0:
+            continue
+        cum = np.cumsum(row)
+        t = alpha * tot
+        i = int(np.searchsorted(cum, t))
+        i = min(i, n_hist - 1)
+        prev = cum[i - 1] if i > 0 else 0.0
+        frac = (t - prev) / row[i] if row[i] > 0 else 0.5
+        tree.leaf_value[nid] = eta * (mn + (i + frac) * scale / n_hist)
+
+
 def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model,
                      has_qid: bool = False) -> tuple[bool, str]:
     from xgboost_spark.functions.metrics import barrier_metric_supported
-    if p.tree_method != "hist":
-        return False, "tree_method=approx re-sketches per round (DataFrame path)"
+    if p.tree_method not in ("hist", "approx"):
+        return False, f"tree_method={p.tree_method} is unsupported"
     if p.booster not in ("gbtree", "dart"):
         return False, f"booster={p.booster} uses the DataFrame path"
     if p.booster == "dart" and p.multi_strategy == "multi_output_tree":
         return False, "dart + multi_output_tree is unsupported"
     if obj.needs_global_sort:
         return False, "survival:cox needs a global sort (DataFrame path)"
-    if obj.adaptive_alpha is not None:
-        return False, "adaptive-leaf objectives need global quantiles (DataFrame path)"
+
     if callbacks:
         return False, "callbacks run on the DataFrame path"
     if evals:
@@ -200,14 +310,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     Xr = np.column_stack([
                         pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
                         for c in fnames]) if nn else np.empty((0, Fn))
-                    for ri, rnd in enumerate(st_prev["trees"]):
-                        tw = st_prev["weights"][ri]
-                        for k2, arrs in enumerate(rnd):
-                            lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
-                            if arrs["leaf_value"].ndim == 2:
-                                m_ += tw * arrs["leaf_value"][lid]
-                            else:
-                                m_[:, k2] += tw * arrs["leaf_value"][lid]
+                    core.apply_model_margin(m_, st_prev["trees"],
+                                            st_prev["weights"], Xr, False, K)
                 return Xb_, y_, w_, q_, bounds_, m_
 
             role = (full["_role"].to_numpy(dtype=np.int64)
@@ -219,6 +323,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
 
             n_bins = max(len(c) for c in cuts_l)
             is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
+            is_approx = p.tree_method == "approx"
             builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
                        if is_multi
                        else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
@@ -266,12 +371,22 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 fmask = None
                 if p.colsample_bytree < 1.0:
                     fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
+                bounds_list = None
+                if is_approx:
+                    # per-round hessian-weighted re-quantization
+                    Xb_c, coarse_cuts, bounds_list = _approx_rebin(
+                        comm, Xb, h, cuts_l, cm, p.max_bin)
+                    nb_c = max(len(c) for c in coarse_cuts)
+                    builder = (_AllreduceMultiHistBuilder(
+                                   Xb_c, coarse_cuts, nb_c, K, comm)
+                               if is_multi else
+                               _AllreduceHistBuilder(
+                                   Xb_c, coarse_cuts, nb_c, comm))
                 round_trees: list[core.Tree] = []
                 if is_multi:
                     builder.set_grad(g, h)
                     tree = core.grow_tree_multi(builder, p, rng,
                                                 feature_mask_tree=fmask)
-                    margin += core.tree_predict(tree, Xb, binned=True)
                     round_trees = [tree]
                 else:
                     for k in range(K):
@@ -290,6 +405,19 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                 t.leaf_value = [v / n_forest
                                                 for v in t.leaf_value]
                         round_trees.extend(forest)
+                if bounds_list is not None:
+                    # back to the global fine bin space: all later
+                    # traversals use the one persistent binned matrix
+                    for t in round_trees:
+                        _remap_split_bins(t, bounds_list)
+                if is_multi:
+                    margin += core.tree_predict(round_trees[0], Xb,
+                                                binned=True)
+                if obj.adaptive_alpha is not None:
+                    for t in round_trees:
+                        _leaf_quantile_refresh(
+                            comm, t, Xb, y - margin[:, 0], w,
+                            obj.adaptive_alpha, p.eta)
                 # DART normalization (reference normalize_type semantics)
                 kdrop = len(dropped)
                 if is_dart and kdrop > 0:

@@ -213,11 +213,6 @@ class SparkBooster:
         has_b = obj.needs_bounds
         is_cox = obj.needs_global_sort
         is_approx = p.tree_method == "approx"
-        if is_approx and (p.n_groups > 1 or p.booster == "dart"
-                          or obj.adaptive_alpha is not None):
-            raise NotImplementedError(
-                "tree_method=approx supports single-output gbtree objectives "
-                "without adaptive leaves")
         if p.tree_method not in ("hist", "approx"):
             raise ValueError(f"unsupported tree_method {p.tree_method!r} "
                              "(exact greedy is not distributed; use hist)")
@@ -270,8 +265,19 @@ class SparkBooster:
                         f"features are {feat_names_out}")
                 cat_mask[idx] = True
                 cat_idx.append(idx)
+        barrier_eligible = False
+        if p.exec_mode in ("auto", "barrier") and custom_metric is None:
+            from xgboost_spark.plans.barrier import supports_barrier
+            barrier_eligible, _ = supports_barrier(
+                p, obj, evals, callbacks, xgb_model, has_qid=has_q)
         if cuts is None:
-            cuts = approx_cuts(raw, fnames, p.max_bin)
+            sketch_bins = p.max_bin
+            if is_approx and barrier_eligible:
+                # barrier approx pre-bins at 4x resolution; per-round
+                # hessian-weighted re-sketch merges fine bins in-job
+                # (plans/barrier.py _approx_rebin)
+                sketch_bins = min(4 * p.max_bin, 2048)
+            cuts = approx_cuts(raw, fnames, sketch_bins)
         if cat_mask is not None and cuts is not None:
             maxes = raw.agg(*[F.max(fnames[i]).alias(f"m{i}") for i in cat_idx]).first()
             cuts = list(cuts)
@@ -312,6 +318,12 @@ class SparkBooster:
                     p.booster == "dart")
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
+        if is_approx and (p.n_groups > 1 or p.booster == "dart"
+                          or obj.adaptive_alpha is not None):
+            raise NotImplementedError(
+                "tree_method=approx with multi-output, dart, or adaptive "
+                "leaves trains on the barrier path (exec_mode=auto|barrier); "
+                f"blocked because: {why}")
         if K > 1 and p.multi_strategy == "multi_output_tree":
             raise NotImplementedError(
                 "multi_output_tree trains on the barrier path "
@@ -363,11 +375,8 @@ class SparkBooster:
                     Xr = np.column_stack([
                         pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
                         for c in fnames])
-                    for ri, rnd in enumerate(st_prev["trees"]):
-                        tw = st_prev["weights"][ri]
-                        for k2, arrs in enumerate(rnd):
-                            lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
-                            m0[:, k2] += tw * arrs["leaf_value"][lid]
+                    core.apply_model_margin(m0, st_prev["trees"],
+                                            st_prev["weights"], Xr, False, K)
                 for k in range(K):
                     out[f"m{k}"] = m0[:, k]
                 if is_cox:
@@ -435,11 +444,8 @@ class SparkBooster:
                         Xr = np.column_stack([
                             pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
                             for c in fnames])
-                        for ri, rnd in enumerate(st_prev["trees"]):
-                            tw = st_prev["weights"][ri]
-                            for k2, arrs in enumerate(rnd):
-                                lid = core.leaf_ids_from_arrays(arrs, Xr, binned=False)
-                                m0[:, k2] += tw * arrs["leaf_value"][lid]
+                        core.apply_model_margin(m0, st_prev["trees"],
+                                                st_prev["weights"], Xr, False, K)
                     for k in range(K):
                         out[f"m{k}"] = m0[:, k]
                     yield pd.DataFrame(out)

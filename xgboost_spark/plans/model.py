@@ -215,6 +215,104 @@ class GBDTModel:
             ],
         }
 
+    # ------------------------------------------- codegen (pure-JVM) serving
+    def _node_expr(self, t: core.Tree, nid: int, feats: list):
+        """One tree node as a Catalyst expression (nested CASE WHEN)."""
+        if t.left[nid] == -1:
+            return F.lit(float(t.leaf_value[nid]))
+        c = feats[t.feature[nid]]
+        left = self._node_expr(t, t.left[nid], feats)
+        right = self._node_expr(t, t.right[nid], feats)
+        dflt = left if t.default_left[nid] else right
+        cats = t.categories[nid]
+        if cats is not None:
+            cond = c.cast("long").isin(*[int(v) for v in cats])
+        else:
+            cond = c <= F.lit(float(t.split_value[nid]))
+        return (F.when(c.isNull() | F.isnan(c), dflt)
+                 .when(cond, left).otherwise(right))
+
+    def margin_exprs(self, feats: list) -> list:
+        """The ensemble's K margin columns as pure Catalyst expressions —
+        every tree becomes a nested CASE WHEN over the raw feature
+        columns, so serving runs entirely inside whole-stage codegen (no
+        Python/Arrow boundary).  The declarative twin of the broadcast-UDF
+        traversal in :meth:`transform`; same raw-domain semantics
+        (``x <= split_value`` left, NULL/NaN -> learned default;
+        reference `GetLeafIndex`, cpu_predictor.cc:64-145)."""
+        K = self.params.n_groups
+        used = self.used_trees()
+        margins = [F.lit(float(self.base_score)) for _ in range(K)]
+        for ri, rnd in enumerate(used):
+            tw = float(self.tree_weights[ri]) if self.tree_weights else 1.0
+            nf = max(len(rnd) // K, 1)
+            for i, t in enumerate(rnd):
+                if any(np.ndim(v) for v in t.leaf_value):
+                    raise NotImplementedError(
+                        "multi_output_tree serves via the UDF path")
+                e = self._node_expr(t, 0, feats)
+                if tw != 1.0:
+                    e = F.lit(tw) * e
+                margins[i // nf] = margins[i // nf] + e
+        return margins
+
+    def transform_expr(self, df: DataFrame,
+                       feature_cols: list[str] | None = None,
+                       array_col: str | None = None,
+                       output_margin: bool = False,
+                       out_col: str = "prediction") -> DataFrame:
+        """Catalyst-expression batch predict: appends ``prediction`` built
+        from :meth:`margin_exprs` + the objective's link inverse as SQL.
+        Supports scalar-leaf models whose pred_transform is expressible
+        (identity / sigmoid / exp / hinge / softprob / softmax); others —
+        and the pred_leaf / SHAP outputs — use :meth:`transform`.
+
+        Perf (measured sf0.1, 600k rows, local[32]): bit-identical to
+        :meth:`transform`, but ~2x slower at 10 trees x depth 6 — the
+        ensemble expression exceeds the JVM's 64KB codegen method limit
+        and partially falls back to interpreted eval, while the Arrow UDF
+        stays vectorized.  Use it for small models, for keeping a scoring
+        pipeline entirely JVM-side (no Python workers provisioned), or as
+        the basis of a model->SQL export; the UDF path is the default."""
+        feature_cols = feature_cols or self.feature_names
+        if array_col is not None:
+            dt = df.schema[array_col].dataType
+            col = F.col(array_col)
+            if type(dt).__name__ == "VectorUDT":
+                from pyspark.ml.functions import vector_to_array
+                col = vector_to_array(col)
+            feats = [col.getItem(i).cast("double")
+                     for i in range(len(self.feature_names))]
+        else:
+            feats = [F.col(c).cast("double") for c in feature_cols]
+        margins = self.margin_exprs(feats)
+        name = self.params.objective
+        if output_margin:
+            out = F.array(*margins) if len(margins) > 1 else margins[0]
+            return df.withColumn(out_col, out)
+        if len(margins) > 1:
+            if name == "multi:softmax":
+                # argmax: margins are exact copies of the greatest() input,
+                # so the equality inside array_position is bitwise-safe
+                out = (F.array_position(F.array(*margins),
+                                        F.greatest(*margins)) - 1).cast("double")
+            else:
+                mx = F.greatest(*margins)
+                exps = [F.exp(m - mx) for m in margins]
+                tot = exps[0]
+                for e in exps[1:]:
+                    tot = tot + e
+                out = F.array(*[e / tot for e in exps])
+        elif name in ("binary:logistic", "reg:logistic"):
+            out = F.lit(1.0) / (F.lit(1.0) + F.exp(-margins[0]))
+        elif name in ("count:poisson", "reg:gamma", "reg:tweedie"):
+            out = F.exp(margins[0])
+        elif name == "binary:hinge":
+            out = F.when(margins[0] > 0, 1.0).otherwise(0.0).cast("double")
+        else:
+            out = margins[0]
+        return df.withColumn(out_col, out)
+
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
                   array_col: str | None = None,
                   out_cols: tuple[str, ...] = ("prediction",),
@@ -289,7 +387,10 @@ class GBDTModel:
                 inter = (np.zeros((n, n_feat + 1, n_feat + 1)) if pred_interactions else None)
                 for ri, rnd in enumerate(st["trees"]):
                     tw = st["weights"][ri]
-                    for k, arrs in enumerate(rnd):
+                    # k-major round layout: K groups x num_parallel_tree
+                    nf = max(len(rnd) // Kk, 1)
+                    for i, arrs in enumerate(rnd):
+                        k = i // nf
                         lid = core.leaf_ids_from_arrays(arrs, X, binned=False)
                         if arrs["leaf_value"].ndim == 2:   # multi_output_tree
                             margin += tw * arrs["leaf_value"][lid]
@@ -297,7 +398,7 @@ class GBDTModel:
                             margin[:, k] += tw * arrs["leaf_value"][lid]
                         if pred_leaf:
                             leaves.append(lid)
-                        cover = st["covers"][ri][k]
+                        cover = st["covers"][ri][i]
                         if phi is not None:
                             phi += tw * (shap_mod.saabas_contribs(arrs, cover, X)
                                          if approx_contribs
