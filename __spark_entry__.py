@@ -64,6 +64,11 @@ def _cuts_cte(table, col, B) -> str:
 )"""
 
 
+def _par(df: DataFrame) -> DataFrame:
+    from xgboost_spark.operators.util import ensure_parallelism
+    return ensure_parallelism(df)
+
+
 def _bin_expr(col, cuts: list[float]):
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     return F.size(F.filter(arr, lambda c: c < F.col(col))).cast("bigint")
@@ -405,7 +410,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents").select("lang", "text"))
     t = F.col("text")
     n_chars = F.length(t)
     n_words = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
@@ -441,7 +446,7 @@ def q_token_counts(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Min-hash fingerprint of char 8-grams per doc -> distinct
     fingerprints per source (content-signature dedup primitive)."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents").select("source", "text"))
     t = F.col("text")
     idxs = F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1)))
     fp = F.array_min(F.transform(idxs, lambda i: F.md5(t.substr(i, F.lit(8)))))
@@ -462,7 +467,7 @@ def q_knn(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _table(spark, sf_dir, "embeddings").withColumn(
+    emb = _par(_table(spark, sf_dir, "embeddings")).withColumn(
         "v", F.col("embedding").cast("array<double>"))
     nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
     d = emb.select(F.col("vec_id").alias("id"), "v", nrm.alias("nrm"))

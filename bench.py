@@ -48,6 +48,22 @@ def main():
     fc = ["l_quantity", "l_discount", "l_tax", "l_partkey",
           "l_suppkey", "l_linenumber", "l_orderkey"]
 
+    # Warm-up at the smallest SF: compiles the codegen'd plans, starts
+    # the Python worker pool, and JITs the hot JVM paths so the timed
+    # section below measures steady-state throughput, not first-call
+    # compilation.  (Skipped silently if the tiny SF is absent.)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        wmodel = SparkBooster(
+            TrainParams(num_boost_round=2, max_depth=3, max_bin=64, eta=0.3)
+        ).fit(load_table(spark, warm_dir, "lineitem"),
+              feature_cols=fc, label_col="l_extendedprice")
+        wmodel.transform(load_table(spark, warm_dir, "lineitem"),
+                         feature_cols=fc).selectExpr("sum(prediction)").collect()
+        for qname in ("quantize_hist", "q1_pricing", "minhash_bands",
+                      "knn", "sessionize"):
+            E.queries()[qname](spark, warm_dir).collect()
+
     t0 = time.time()
     model = SparkBooster(
         TrainParams(num_boost_round=10, max_depth=6, max_bin=256, eta=0.3)

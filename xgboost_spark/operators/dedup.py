@@ -25,13 +25,12 @@ from pyspark.sql import functions as F
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 5) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
-    words = F.split(F.col(text_col), r"\s+")
+    from xgboost_spark.operators.util import ensure_parallelism
+    d = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    words = F.split(F.col("t"), r"\s+")
     idxs = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
     sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return d.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -135,9 +134,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bitwise weighted vote, sign -> bit.  Pure expressions: explode
     tokens, 48 conditional sums, reassemble — all codegen'd.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    from xgboost_spark.operators.util import ensure_parallelism
+    d = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")))
+    tok = d.select(
+        "id",
+        F.explode(F.split(F.lower(F.col("txt")), r"\s+")).alias("t"),
     ).filter(F.length("t") > 0)
     h = F.conv(F.substring(F.md5(F.col("t")), 1, 12), 16, 10).cast("bigint")
     tok = tok.withColumn("th", h)

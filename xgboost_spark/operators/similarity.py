@@ -37,10 +37,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     join is a broadcast nested loop — no corpus shuffle; top-k presorts
     per partition before the final per-query merge (rank window).
     """
+    from xgboost_spark.operators.util import ensure_parallelism
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
-                      _norm(F.col(vec_col)).alias("cn"))
+    c = ensure_parallelism(corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"))) \
+        .withColumn("cn", _norm(F.col("cv")))
     q = queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"),
                        _norm(F.col(q_vec_col)).alias("qn"))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("nbr_id"))

@@ -30,12 +30,20 @@ def _finish_cuts(qs: list[float], vmax: float) -> np.ndarray:
     return cuts
 
 
-def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int = 10_000) -> list[np.ndarray]:
+def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int | None = None) -> list[np.ndarray]:
     """Per-feature bin boundaries via Spark's distributed GK sketch.
 
     One job for all features; equivalent role to `HistogramCuts` build
-    (`src/common/hist_util.h:39-147`).
+    (`src/common/hist_util.h:39-147`).  Accuracy defaults to 8x the bin
+    count (rank error 1/8 of a bin's mass) — the sketch insert/merge
+    cost grows with accuracy, and bin boundaries don't need more.  NB
+    measured: repartitioning before the sketch HURTS (the per-partition
+    partials are cheap; merging many high-accuracy partials is not), so
+    unlike the hashing/shingling operators this one takes the scan's
+    natural partitioning.
     """
+    if accuracy is None:
+        accuracy = max(2048, 8 * max_bin)
     probs = [i / max_bin for i in range(1, max_bin + 1)]
     aggs = []
     for c in cols:
@@ -149,25 +157,95 @@ def weighted_cuts_all(df: DataFrame, value_cols: list[str], weight_col: str,
     return out
 
 
-def exact_quantiles(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+def exact_quantiles(df: DataFrame, col: str, n_bins: int,
+                    coarse: int = 8192, collect_threshold: int = 200_000) -> DataFrame:
     """Exact type-1 quantiles at k/n_bins — value at global rank
     ``ceil(k*n/B)``.  SQL-oracle-equivalent to a `row_number() OVER
-    (ORDER BY v)` query, but computed scale-safely with the distributed
-    prefix scan (`operators/scan.py`) instead of a single-partition
-    global window.  Returns DataFrame (k, cut)."""
-    from xgboost_spark.operators.scan import prefix_sums
+    (ORDER BY v)` query, computed scale-safely by iterative histogram
+    refinement (distributed selection): each round is ONE full-parallel
+    scan with a map-side-combinable `groupBy(bin).agg(count,min,max)`
+    over ≤ ``coarse`` bins — no data shuffle, no global window, no
+    Python workers.  Every round shrinks each target rank's candidate
+    interval ~``coarse``×, so 100 TB needs only 3-4 cheap scans; a bin
+    whose min==max (ties) resolves immediately, and once all candidate
+    sets fit ``collect_threshold`` the remainders are solved driver-side.
+    Returns DataFrame (k, cut)."""
     spark = df.sparkSession
     d = (df.select(F.col(col).cast("double").alias("v"))
-           .filter(F.col("v").isNotNull())
-           .withColumn("one", F.lit(1.0)))
-    ranked = prefix_sums(d, "v", ["one"]).withColumn(
-        "rn", F.col("cum_one").cast("bigint"))
-    n = (ranked.agg(F.max("rn")).first()[0] or 0)  # over the checkpointed scan
+           .filter(F.col("v").isNotNull() & ~F.isnan("v")))
+    first = d.agg(F.count("*").alias("n"), F.min("v").alias("lo"),
+                  F.max("v").alias("hi")).first()
+    n = first["n"]
     if n == 0:
         return spark.createDataFrame([], "k bigint, cut double")
-    ks = spark.createDataFrame(
-        [(k, int(math.ceil(k * n / n_bins))) for k in range(1, n_bins)],
-        "k bigint, trn bigint")
-    return (ranked.join(F.broadcast(ks), ranked.rn == ks.trn, "inner")
-            .groupBy("k").agg(F.min("v").alias("cut"))
-            .orderBy("k"))
+    # per-target state: global rank t, candidate interval [lo, hi]
+    # (data min/max of the set), #rows below lo, #candidates in interval
+    state = {k: {"t": int(math.ceil(k * n / n_bins)), "lo": float(first["lo"]),
+                 "hi": float(first["hi"]), "below": 0, "cnt": int(n)}
+             for k in range(1, n_bins)}
+    resolved: dict[int, float] = {}
+    for k, s in list(state.items()):
+        if s["lo"] == s["hi"]:
+            resolved[k] = s["lo"]
+            del state[k]
+    while state:
+        active = {k: s for k, s in state.items() if s["cnt"] > collect_threshold}
+        # Distinct candidate intervals needing refinement.  Invariant:
+        # every round, all targets' intervals are pairwise identical or
+        # disjoint (round 0 they are all [min,max]; afterwards each is
+        # the (mn,mx) of one bin of a shared partitioning, and bins of a
+        # partitioning never straddle each other) — so dedup by value is
+        # enough and every bin below belongs wholly to each target whose
+        # interval it refines.
+        merged = sorted({(s["lo"], s["hi"]) for s in active.values()})
+        if merged:
+            # one scan: histogram of every merged interval at once
+            iv_expr = None
+            bin_expr = None
+            for i, (lo, hi) in enumerate(merged):
+                w = (hi - lo) / coarse
+                in_iv = (F.col("v") >= lo) & (F.col("v") <= hi)
+                b = F.least(F.floor((F.col("v") - lo) / w), F.lit(coarse - 1))
+                iv_expr = F.when(in_iv, i) if iv_expr is None else iv_expr.when(in_iv, i)
+                bin_expr = F.when(in_iv, b) if bin_expr is None else bin_expr.when(in_iv, b)
+            hist = (d.withColumn("_iv", iv_expr).filter(F.col("_iv").isNotNull())
+                    .withColumn("_b", bin_expr)
+                    .groupBy("_iv", "_b")
+                    .agg(F.count("*").alias("c"), F.min("v").alias("mn"),
+                         F.max("v").alias("mx"))
+                    .collect())
+            bins: dict[int, list] = {}
+            for r in hist:
+                bins.setdefault(int(r["_iv"]), []).append(
+                    (int(r["_b"]), int(r["c"]), float(r["mn"]), float(r["mx"])))
+            for k, s in list(active.items()):
+                iv = merged.index((s["lo"], s["hi"]))
+                local = s["t"] - s["below"]
+                cum = 0
+                for b, c, mn, mx in sorted(bins.get(iv, [])):
+                    if cum + c >= local:
+                        s["below"] += cum
+                        s["cnt"] = c
+                        s["lo"], s["hi"] = mn, mx
+                        break
+                    cum += c
+                if s["lo"] == s["hi"]:
+                    resolved[k] = s["lo"]
+                    del state[k]
+        # solve all small-candidate targets with one driver collect
+        small = {k: s for k, s in state.items() if s["cnt"] <= collect_threshold}
+        if small:
+            ivs = sorted({(s["lo"], s["hi"]) for s in small.values()})
+            cond = None
+            for lo, hi in ivs:
+                c = (F.col("v") >= lo) & (F.col("v") <= hi)
+                cond = c if cond is None else cond | c
+            vals = np.sort(np.array(
+                [r["v"] for r in d.filter(cond).collect()], dtype=np.float64))
+            for k, s in small.items():
+                lo, hi = s["lo"], s["hi"]
+                sub = vals[(vals >= lo) & (vals <= hi)]
+                resolved[k] = float(sub[s["t"] - s["below"] - 1])
+                del state[k]
+    return spark.createDataFrame(
+        sorted((k, v) for k, v in resolved.items()), "k bigint, cut double")

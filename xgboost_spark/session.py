@@ -32,6 +32,11 @@ def get_session(app_name: str = "xgboost_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # codegen-heavy plans (wide CASE WHEN ensembles, md5 chains)
+        # overflow the default 240m JIT code cache, causing eviction
+        # storms that deoptimize unrelated hot paths; size it generously
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the harness parquet uses TIMESTAMP(NANOS); Spark reads them as
