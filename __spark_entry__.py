@@ -743,6 +743,92 @@ def q_prefix_scan(spark, sf_dir):
                       F.round("cum_v", 2).alias("running_total"))
 
 
+_STREAM_SEQ = [0]
+
+
+def q_stream_window(spark, sf_dir):
+    """Structured Streaming: watermarked 1h-tumbling-window aggregation
+    over the events stream (file source, availableNow trigger, memory
+    sink), returned as a batch DataFrame.  The oracle is the identical
+    windowed GROUP BY in plain SQL — streaming and batch agree on
+    bounded input."""
+    _prep(spark)
+    import tempfile
+    path = f"{sf_dir}/events.parquet"
+    # the file-stream source requires a DIRECTORY; expose the single
+    # parquet file through a symlink dir (testdata itself is read-only)
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).parquet(stream_dir)
+    # same NANOS->micros conversion as sources/tables.load_table
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_window_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.unix_micros(F.col("w.start")).alias("w_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style 3-table join: broadcast the filtered customer dim,
+    shuffle-join orders x lineitem on the order key, top-10 revenue.
+    Filters sit directly on the scans (parquet pushdown)."""
+    cu = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(cu), o.o_custkey == cu.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+            .select(F.col("l_orderkey").cast("bigint"),
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    .alias("o_odate"),
+                    "o_orderpriority", "revenue"))
+
+
+def q_knn_lsh(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH buckets, exact rerank of
+    candidates only (rows-only check; recall vs brute force is asserted
+    in tests/test_pipeline_ops.py)."""
+    from xgboost_spark.operators.similarity import cosine_topk_lsh
+    emb = _table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_lsh(emb, q, k=5)
+    return out.select(F.col("query_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
+                      F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
+
+
+def q_knn_ivf(spark, sf_dir):
+    """ANN scale path: IVF inverted lists, n_probe nearest lists per
+    query (rows-only check; recall asserted in tests)."""
+    from xgboost_spark.operators.similarity import cosine_topk_ivf
+    emb = _table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(emb, q, k=5)
+    return out.select(F.col("query_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
+                      F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
@@ -782,6 +868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "range_join": q_range_join,
         "q1_pricing": q_q1_pricing,
+        "shipping_priority": q_shipping_priority,
+        # structured streaming (oracle = same agg in batch SQL)
+        "stream_window": q_stream_window,
+        # ANN scale paths (rows-only; recall asserted in tests)
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         # ML end-to-end (rows-only)
         "train_tree_nodes": q_train_tree_nodes,
         "train_predict": q_train_predict,
@@ -1209,4 +1301,26 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+
+        "shipping_priority": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       epoch_us(o_orderdate) AS o_odate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+
+        "stream_window": """
+SELECT epoch_us(date_trunc('hour', ts)) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2""",
     }

@@ -121,20 +121,23 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
     cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
 
     def assign(df):
-        best = None
-        best_d = None
+        # argmin over an ARRAY of per-centroid distances: expression size
+        # stays linear in n_centroids (a chained when(d2<best,...) would
+        # embed the running tree twice per centroid -> exponential blowup
+        # that stalls the analyzer)
         v = F.col(vec_col)
+        d2s = []
         for ci in range(len(cents)):
             carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
-            d2 = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                             F.lit(0.0), lambda acc, x: acc + x)
-            if best is None:
-                best, best_d = F.lit(ci), d2
-            else:
-                cond = d2 < best_d
-                best = F.when(cond, F.lit(ci)).otherwise(best)
-                best_d = F.when(cond, d2).otherwise(best_d)
-        return df.withColumn("list_id", best)
+            d2s.append(F.aggregate(
+                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        return (df.withColumn("_d2s", F.array(*d2s))
+                .withColumn("list_id",
+                            (F.array_position(F.col("_d2s"),
+                                              F.array_min(F.col("_d2s"))) - 1
+                             ).cast("int"))
+                .drop("_d2s"))
 
     for _ in range(iters):
         assigned = assign(corpus)

@@ -343,6 +343,12 @@ class GBDTModel:
             raise NotImplementedError("contributions need single-output models")
         state = self._broadcastable()
         bc = spark.sparkContext.broadcast(state)
+        if not (output_margin or pred_leaf or pred_contribs or pred_interactions):
+            # fast path: scalar pandas_udf — only the feature columns
+            # cross the Arrow boundary (Catalyst prunes the scan to
+            # them); every other column stays JVM-side instead of
+            # round-tripping through Python as mapInPandas would
+            return self._transform_udf(df, feature_cols, array_col, bc, K)
         fields = list(df.schema.fields)
         if K > 1 and self.params.objective == "multi:softprob":
             fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
@@ -425,6 +431,43 @@ class GBDTModel:
                 yield out
 
         return df.mapInPandas(fn, schema=out_schema)
+
+    def _transform_udf(self, df: DataFrame, feature_cols: list[str],
+                       array_col: str | None, bc, K: int) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+        multi = K > 1 and self.params.objective == "multi:softprob"
+        ret_type = "array<double>" if multi else "double"
+        use_array = array_col is not None
+
+        @pandas_udf(ret_type)
+        def predict_udf(*cols: pd.Series) -> pd.Series:
+            st = bc.value
+            if st.get("obj_pickle"):
+                import pickle as _pkl
+                obj = _pkl.loads(st["obj_pickle"])
+            else:
+                obj = get_objective(
+                    st["objective"],
+                    TrainParams(objective=st["objective"], num_class=st["num_class"]))
+            n = len(cols[0])
+            if n == 0:
+                return pd.Series([], dtype=object if multi else np.float64)
+            if use_array:
+                X = np.stack(cols[0].to_numpy()).astype(np.float64)
+            else:
+                X = np.column_stack([
+                    c.to_numpy(dtype=np.float64, na_value=np.nan) for c in cols])
+            Kk = st["K"]
+            margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
+            core.apply_model_margin(margin, st["trees"], st["weights"], X, False, Kk)
+            pred = obj.pred_transform(margin if Kk > 1 else margin[:, 0])
+            if pred.ndim > 1:
+                return pd.Series([r.tolist() for r in pred])
+            return pd.Series(pred)
+
+        args = ([F.col(array_col)] if use_array
+                else [F.col(c).cast("double") for c in feature_cols])
+        return df.withColumn("prediction", predict_udf(*args))
 
     # ----------------------------------------------------- model-as-a-table
     def to_nodes_df(self, spark: SparkSession) -> DataFrame:
