@@ -1,0 +1,93 @@
+"""pyspark.ml Estimator/Model surface: Params, fit/transform, tuning
+integration (ParamGridBuilder/CrossValidator — the reference exercises
+CrossValidator in tests/test_distributed/test_with_spark/test_spark.py:752),
+and ML-writer persistence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.plans.estimator import (
+    SparkGBDTClassifier,
+    SparkGBDTClassifierModel,
+    SparkGBDTRanker,
+    SparkGBDTRegressor,
+    SparkGBDTRegressorModel,
+)
+
+
+def test_regressor_fit_transform(spark, reg_df):
+    est = SparkGBDTRegressor(label_col="label", features_col=[f"c{i}" for i in range(5)],
+                             num_boost_round=5, max_depth=3, seed=1)
+    assert est.getOrDefault(est.max_depth) == 3
+    assert est.train_params.num_boost_round == 5
+    model = est.fit(reg_df)
+    scored = model.transform(reg_df)
+    assert "prediction" in scored.columns
+    rmse = scored.agg(F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))).first()[0]
+    base = reg_df.agg(F.stddev("label")).first()[0]
+    assert rmse < base  # beats the constant predictor
+
+
+def test_param_aliases_and_validation():
+    est = SparkGBDTRegressor(n_estimators=7, learning_rate=0.2)
+    assert est.train_params.num_boost_round == 7
+    assert abs(est.train_params.eta - 0.2) < 1e-9
+    with pytest.raises(ValueError):
+        SparkGBDTRegressor(not_a_param=1)
+
+
+def test_param_grid_copy(reg_df):
+    est = SparkGBDTRegressor(label_col="label", features_col=["c0", "c1"],
+                             num_boost_round=3)
+    from pyspark.ml.tuning import ParamGridBuilder
+    grid = (ParamGridBuilder()
+            .addGrid(est.max_depth, [2, 4])
+            .addGrid(est.eta, [0.1, 0.5]).build())
+    assert len(grid) == 4
+    depths = sorted({est.copy(g).train_params.max_depth for g in grid})
+    assert depths == [2, 4]
+    # copy must not disturb the original
+    assert est.train_params.max_depth == 6
+
+
+def test_cross_validator(spark, reg_df):
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+    est = SparkGBDTRegressor(label_col="label", features_col=[f"c{i}" for i in range(5)],
+                             num_boost_round=3, max_depth=3, seed=1)
+    grid = ParamGridBuilder().addGrid(est.eta, [0.05, 0.5]).build()
+    cv = CrossValidator(estimator=est, estimatorParamMaps=grid,
+                        evaluator=RegressionEvaluator(labelCol="label"),
+                        numFolds=2, seed=3)
+    cvm = cv.fit(reg_df)
+    assert len(cvm.avgMetrics) == 2
+    assert "prediction" in cvm.bestModel.transform(reg_df).columns
+
+
+def test_classifier_auto_num_class_and_label(spark, reg_df):
+    df = reg_df.withColumn("label", (F.abs(F.col("label")) % 3).cast("int"))
+    est = SparkGBDTClassifier(label_col="label", features_col=[f"c{i}" for i in range(5)],
+                              objective="multi:softprob", num_boost_round=3, max_depth=3)
+    model = est.fit(df)
+    assert model.core.params.num_class == 3
+    scored = model.transform_with_label(df)
+    labels = [r["predicted_label"] for r in scored.select("predicted_label").distinct().collect()]
+    assert set(labels) <= {0, 1, 2}
+
+
+def test_ranker_requires_qid(reg_df):
+    with pytest.raises(ValueError):
+        SparkGBDTRanker(label_col="label", features_col=["c0"]).fit(reg_df)
+
+
+def test_model_save_load(spark, reg_df, tmp_path):
+    est = SparkGBDTRegressor(label_col="label", features_col=[f"c{i}" for i in range(5)],
+                             num_boost_round=3, max_depth=3, seed=5)
+    model = est.fit(reg_df)
+    p = str(tmp_path / "model.json")
+    model.save(p)
+    loaded = SparkGBDTRegressorModel.load(p)
+    a = model.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
+    b = loaded.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=1e-12)

@@ -91,3 +91,24 @@ def test_gblinear_json_roundtrip(spark, lin_df, tmp_path):
     assert np.allclose(loaded.weights, model.weights)
     assert loaded.bias == pytest.approx(model.bias)
     assert loaded.base_score == pytest.approx(model.base_score)
+
+
+def test_gblinear_greedy_thrifty_selectors(spark, lin_df, lin_data):
+    """greedy/thrifty selectors (reference src/linear/param.h): rank
+    features by univariate Newton-step magnitude; top_k restricts the
+    update set per round."""
+    X, y, true_w = lin_data
+    fc = [f"c{i}" for i in range(4)]
+    for sel in ("greedy", "thrifty"):
+        model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
+                       "reg_lambda": 1.0, "feature_selector": sel},
+                      lin_df, feature_cols=fc)
+        pred = model.transform(lin_df, feature_cols=fc).toPandas()["prediction"].to_numpy()
+        assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.1
+    # top_k=1: only the strongest coordinate moves each round; with few
+    # rounds the second-largest true weight must stay behind the largest
+    m1 = train({"booster": "gblinear", "num_boost_round": 3, "eta": 0.5,
+                "feature_selector": "greedy", "top_k": 1},
+               lin_df, feature_cols=fc)
+    w = np.abs(np.asarray(m1.weights))
+    assert w.argmax() == 0 and (w > 1e-12).sum() <= 3

@@ -30,7 +30,8 @@ class TrainParams:
     normalize_type: str = "tree"        # tree | forest
 
     # gblinear (reference src/linear/param.h)
-    feature_selector: str = "cyclic"    # cyclic | shuffle | random
+    feature_selector: str = "cyclic"    # cyclic|shuffle|random|greedy|thrifty
+    top_k: int = 0                      # greedy/thrifty: 0 = all features
 
     # tree growth (reference src/tree/param.h)
     max_depth: int = 6

@@ -6,6 +6,12 @@ SparkXGBRegressor / SparkXGBClassifier / SparkXGBRanker), param-for-param
 where sensible, but the training underneath is the Spark-native boosting
 driver (plans/booster.py) instead of barrier-mode native workers.
 
+The tunable hyper-parameters are real ``pyspark.ml.param.Param``s, so the
+estimators compose with ``ParamGridBuilder`` / ``CrossValidator`` /
+``TrainValidationSplit`` exactly like the reference's wrapper does
+(its test suite exercises CrossValidator at
+`tests/test_distributed/test_with_spark/test_spark.py:752`).
+
 Usage::
 
     est = SparkGBDTClassifier(label_col="label", features_col="embedding",
@@ -13,11 +19,18 @@ Usage::
     model = est.fit(train_df)
     scored = model.transform(test_df)        # adds prediction columns
     model.write().save("/tmp/m.json"); SparkGBDTClassifierModel.load(...)
+
+    grid = (ParamGridBuilder()
+            .addGrid(est.max_depth, [3, 5])
+            .addGrid(est.eta, [0.1, 0.3]).build())
+    cv = CrossValidator(estimator=est, estimatorParamMaps=grid,
+                        evaluator=RegressionEvaluator(labelCol="label"))
 """
 
 from __future__ import annotations
 
 from pyspark.ml.base import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,9 +38,43 @@ from xgboost_spark.config import TrainParams
 from xgboost_spark.plans.booster import SparkBooster
 from xgboost_spark.plans.model import GBDTModel
 
+# (name, TypeConverter, doc) — names match TrainParams fields 1:1 so a
+# grid entry maps straight into the training config
+_TUNABLES = [
+    ("objective", TypeConverters.toString, "learning objective name"),
+    ("booster", TypeConverters.toString, "gbtree | dart | gblinear"),
+    ("num_boost_round", TypeConverters.toInt, "boosting rounds"),
+    ("eta", TypeConverters.toFloat, "learning rate"),
+    ("max_depth", TypeConverters.toInt, "max tree depth"),
+    ("max_leaves", TypeConverters.toInt, "max leaves (lossguide)"),
+    ("grow_policy", TypeConverters.toString, "depthwise | lossguide"),
+    ("min_child_weight", TypeConverters.toFloat, "min sum hessian per child"),
+    ("reg_lambda", TypeConverters.toFloat, "L2 regularization"),
+    ("reg_alpha", TypeConverters.toFloat, "L1 regularization"),
+    ("gamma", TypeConverters.toFloat, "min split loss"),
+    ("max_delta_step", TypeConverters.toFloat, "max delta step"),
+    ("subsample", TypeConverters.toFloat, "row subsample rate"),
+    ("colsample_bytree", TypeConverters.toFloat, "per-tree column sample"),
+    ("colsample_bylevel", TypeConverters.toFloat, "per-level column sample"),
+    ("colsample_bynode", TypeConverters.toFloat, "per-node column sample"),
+    ("max_bin", TypeConverters.toInt, "histogram bins"),
+    ("tree_method", TypeConverters.toString, "hist | approx"),
+    ("num_class", TypeConverters.toInt, "number of classes (multi:*)"),
+    ("num_parallel_tree", TypeConverters.toInt, "forest size per round"),
+    ("seed", TypeConverters.toInt, "random seed"),
+    ("scale_pos_weight", TypeConverters.toFloat, "positive-class weight"),
+]
+_TUNABLE_NAMES = {n for n, _, _ in _TUNABLES}
+
 
 class _GBDTEstimator(Estimator):
     _default_objective = "reg:squarederror"
+
+    # class-level Param declarations (re-parented per instance by
+    # Params.__init__/_copy_params — the standard pyspark.ml pattern)
+    for _n, _conv, _doc in _TUNABLES:
+        locals()[_n] = Param(Params._dummy(), _n, _doc, typeConverter=_conv)
+    del _n, _conv, _doc
 
     def __init__(self, label_col: str = "label", features_col: str | list[str] = "features",
                  weight_col: str | None = None, base_margin_col: str | None = None,
@@ -40,24 +87,42 @@ class _GBDTEstimator(Estimator):
         self.base_margin_col = base_margin_col
         self.qid_col = qid_col
         self.validation_indicator_col = validation_indicator_col
-        params.setdefault("objective", self._default_objective)
-        self.params = TrainParams.from_dict(params)
+        # defaults come from TrainParams so the two surfaces can't drift
+        base = TrainParams(objective=self._default_objective)
+        self._setDefault(**{n: getattr(base, n) for n in _TUNABLE_NAMES})
+        declared, extra = {}, {}
+        for k, v in params.items():
+            k = TrainParams.ALIASES.get(k, k)
+            (declared if k in _TUNABLE_NAMES else extra)[k] = v
+        self._set(**declared)
+        self._extra_params = extra        # non-tunable knobs pass through
+        TrainParams.from_dict({**extra, **declared})  # validate eagerly
+
+    @property
+    def train_params(self) -> TrainParams:
+        """Materialize the effective TrainParams (declared Params merged
+        over the pass-through dict)."""
+        d = dict(self._extra_params)
+        for n in _TUNABLE_NAMES:
+            d[n] = self.getOrDefault(getattr(self, n))
+        return TrainParams.from_dict(d)
 
     def _feature_kw(self, df: DataFrame) -> dict:
         if isinstance(self.features_col, str):
             dtype = dict(df.dtypes).get(self.features_col, "")
-            if dtype.startswith("array"):
+            if dtype.startswith("array") or dtype == "vector":
                 return {"array_col": self.features_col}
             return {"feature_cols": [self.features_col]}
         return {"feature_cols": list(self.features_col)}
 
     def _fit(self, dataset: DataFrame):
+        p = self.train_params
         evals = None
         train_df = dataset
         if self.validation_indicator_col:
             train_df = dataset.filter(~F.col(self.validation_indicator_col))
             evals = [(dataset.filter(F.col(self.validation_indicator_col)), "validation")]
-        booster = SparkBooster(self.params)
+        booster = SparkBooster(p)
         core_model = booster.fit(
             train_df, label_col=self.label_col, weight_col=self.weight_col,
             base_margin_col=self.base_margin_col, qid_col=self.qid_col,
@@ -71,18 +136,18 @@ class _GBDTEstimator(Estimator):
 
 
 class _GBDTModel(Model):
-    def __init__(self, core_model: GBDTModel, feature_kw: dict):
+    def __init__(self, core_model: GBDTModel | None = None, feature_kw: dict | None = None):
         super().__init__()
         self.core = core_model
-        self._feature_kw = feature_kw
+        self._feature_kw = feature_kw or {}
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         return self.core.transform(dataset, **self._feature_kw)
 
-    def transform(self, dataset: DataFrame, **kw) -> DataFrame:
+    def transform(self, dataset: DataFrame, params=None, **kw) -> DataFrame:
         if kw:
             return self.core.transform(dataset, **self._feature_kw, **kw)
-        return self._transform(dataset)
+        return super().transform(dataset, params)
 
     # ml-writer-style persistence (reference `_SparkXGBModel`
     # MLReadable/MLWritable, spark/core.py:569)
@@ -114,19 +179,24 @@ class SparkGBDTRegressor(_GBDTEstimator):
     """Analog of SparkXGBRegressor (`spark/estimator.py:80`)."""
     _default_objective = "reg:squarederror"
 
+    @property
+    def _model_cls(self):
+        return SparkGBDTRegressorModel
+
 
 class SparkGBDTClassifier(_GBDTEstimator):
     """Analog of SparkXGBClassifier (`spark/estimator.py:249`).
     Binary by default; pass objective='multi:softprob', num_class=K for
     multiclass.  transform() adds `prediction` (probability / prob array);
-    `predict_label` adds the hard class.
+    `transform_with_label` adds the hard class.
     """
     _default_objective = "binary:logistic"
 
     def _fit(self, dataset: DataFrame):
-        if self.params.objective.startswith("multi:") and self.params.num_class <= 1:
+        p = self.train_params
+        if p.objective.startswith("multi:") and p.num_class <= 1:
             k = dataset.agg(F.max(self.label_col)).first()[0]
-            self.params.num_class = int(k) + 1
+            self._set(num_class=int(k) + 1)
         return super()._fit(dataset)
 
     @property
@@ -158,3 +228,11 @@ class SparkGBDTRanker(_GBDTEstimator):
         if not self.qid_col:
             raise ValueError("SparkGBDTRanker requires qid_col")
         return super()._fit(dataset)
+
+    @property
+    def _model_cls(self):
+        return SparkGBDTRankerModel
+
+
+class SparkGBDTRankerModel(_GBDTModel):
+    pass

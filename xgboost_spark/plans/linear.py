@@ -190,6 +190,19 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
             rng.shuffle(order)
         elif p.feature_selector == "random":
             order = rng.choice(Fn, size=max(1, Fn // 2), replace=False)
+        elif p.feature_selector in ("greedy", "thrifty"):
+            # reference greedy/thrifty selectors (src/linear/param.h,
+            # coord_descent updater): rank features by the magnitude of
+            # their univariate Newton step from this round's gradient
+            # snapshot, update the top_k largest first (top_k=0 => all)
+            mag = np.empty(Fn)
+            for i in range(Fn):
+                gi = float(r[f"gx{i}"]) + p.reg_lambda * weights[i]
+                hi = float(r[f"hx{i}"]) + p.reg_lambda
+                mag[i] = abs(_threshold_l1(gi, p.reg_alpha)) / max(hi, 1e-16)
+            order = np.argsort(-mag)
+            if p.top_k > 0:
+                order = order[:p.top_k]
         for f in order:
             gf = float(r[f"gx{f}"]) + p.reg_lambda * weights[f]
             hf = float(r[f"hx{f}"]) + p.reg_lambda
