@@ -804,6 +804,35 @@ def q_shipping_priority(spark, sf_dir):
                     "o_orderpriority", "revenue"))
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState with
+    per-key open-session state + event-time timeout) driven to
+    completion over the bounded events stream; rows-only check (the
+    still-open tail session per user never emits on bounded input —
+    exact-match oracle covered in tests/test_stateful_streaming.py)."""
+    _prep(spark)
+    import tempfile
+    from xgboost_spark.streaming.stateful import (
+        run_update_to_memory, stateful_sessionize)
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(link).schema
+    src = spark.readStream.schema(sch).parquet(stream_dir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    sess = stateful_sessionize(src, gap_minutes=30, watermark="1 hour")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_SEQ[0]}"
+    run_update_to_memory(sess, name)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_closed"),
+                 F.sum("n_events").cast("bigint").alias("n_events")))
+
+
 def q_knn_lsh(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH buckets, exact rerank of
     candidates only (rows-only check; recall vs brute force is asserted
@@ -871,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         # structured streaming (oracle = same agg in batch SQL)
         "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
         # ANN scale paths (rows-only; recall asserted in tests)
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
