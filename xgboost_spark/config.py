@@ -88,6 +88,10 @@ class TrainParams:
     lambdarank_num_pair_per_sample: int = 1
     lambdarank_pair_method: str = "topk"
     ndcg_exp_gain: bool = True
+    # position-debiased LambdaRank (Unbiased LambdaMART; reference
+    # lambdarank_unbiased / lambdarank_bias_norm, ranking_utils.h:64-90)
+    lambdarank_unbiased: bool = False
+    lambdarank_bias_norm: float = 2.0
 
     # early stopping / evals
     early_stopping_rounds: int | None = None

@@ -387,10 +387,59 @@ class LambdaRankNDCG(Objective):
     name = "rank:ndcg"
     needs_qid = True
 
-    def __init__(self, num_pair: int = 1, use_ndcg_weight: bool = True, exp_gain: bool = True):
+    #: fixed truncation for the position-bias tables (ranks clamp here);
+    #: bounded so the cross-worker allreduce buffer has a static size
+    BIAS_TRUNC = 64
+
+    def __init__(self, num_pair: int = 1, use_ndcg_weight: bool = True, exp_gain: bool = True,
+                 unbiased: bool = False, bias_norm: float = 2.0):
         self.num_pair = num_pair
         self.use_ndcg_weight = use_ndcg_weight
         self.exp_gain = exp_gain
+        # position-debiased LambdaRank (reference `lambdarank_unbiased` /
+        # `lambdarank_bias_norm`, src/common/ranking_utils.h:64-90 and
+        # lambdarank_obj.cc; method of Hu et al., "Unbiased LambdaMART",
+        # WWW'19): examination propensities t+ (clicked/positive slot)
+        # and t- (unclicked/negative slot) are estimated from the
+        # accumulated pair losses each round and divide the pair lambdas
+        self.unbiased = unbiased
+        self.bias_norm = bias_norm
+        T = self.BIAS_TRUNC
+        self.t_plus = np.ones(T)
+        self.t_minus = np.ones(T)
+        self._cost_plus = np.zeros(T)
+        self._cost_minus = np.zeros(T)
+
+    def _debias_factor(self, r_hi: int, r_lo: int) -> float:
+        """1/(t+ . t-) for a pair at (positive rank, negative rank)."""
+        T = self.BIAS_TRUNC
+        return 1.0 / max(self.t_plus[min(r_hi, T - 1)]
+                         * self.t_minus[min(r_lo, T - 1)], _EPS)
+
+    def _accumulate_bias_cost(self, r_hi: int, r_lo: int, cost: float):
+        T = self.BIAS_TRUNC
+        self._cost_plus[min(r_hi, T - 1)] += cost / max(
+            self.t_minus[min(r_lo, T - 1)], _EPS)
+        self._cost_minus[min(r_lo, T - 1)] += cost / max(
+            self.t_plus[min(r_hi, T - 1)], _EPS)
+
+    def take_round_costs(self) -> np.ndarray:
+        """Drain this round's local (cost+, cost-) accumulators — the
+        caller allreduces them across workers before apply_position_bias."""
+        out = np.concatenate([self._cost_plus, self._cost_minus])
+        self._cost_plus = np.zeros(self.BIAS_TRUNC)
+        self._cost_minus = np.zeros(self.BIAS_TRUNC)
+        return out
+
+    def apply_position_bias(self, costs: np.ndarray):
+        """Update t± from globally-summed costs: t_i = (c_i/c_0)^(1/(η+1))."""
+        T = self.BIAS_TRUNC
+        cp, cm = costs[:T], costs[T:]
+        ex = 1.0 / (self.bias_norm + 1.0)
+        if cp[0] > _EPS:
+            self.t_plus = np.maximum((cp / cp[0]) ** ex, _EPS)
+        if cm[0] > _EPS:
+            self.t_minus = np.maximum((cm / cm[0]) ** ex, _EPS)
 
     def base_score(self, y, w):
         return 0.5
@@ -428,6 +477,14 @@ class LambdaRankNDCG(Objective):
                     dg = abs(gain[hi] - gain[lo]) * abs(inv_discount[ranks[hi]] - inv_discount[ranks[lo]]) / idcg
                     lam *= dg
                     hess *= dg
+                if self.unbiased:
+                    # pairwise logistic loss of the pair drives the
+                    # propensity estimate; lambdas shrink by 1/(t+ t-)
+                    cost = float(np.log1p(np.exp(-d)))
+                    self._accumulate_bias_cost(int(ranks[hi]), int(ranks[lo]), cost)
+                    f = self._debias_factor(int(ranks[hi]), int(ranks[lo]))
+                    lam *= f
+                    hess *= f
                 g[hi] -= lam
                 g[lo] += lam
                 h[hi] += hess
@@ -443,8 +500,9 @@ class LambdaRankNDCG(Objective):
 class LambdaRankPairwise(LambdaRankNDCG):
     name = "rank:pairwise"
 
-    def __init__(self, num_pair: int = 1):
-        super().__init__(num_pair=num_pair, use_ndcg_weight=False)
+    def __init__(self, num_pair: int = 1, unbiased: bool = False, bias_norm: float = 2.0):
+        super().__init__(num_pair=num_pair, use_ndcg_weight=False,
+                         unbiased=unbiased, bias_norm=bias_norm)
 
     def default_metric(self):
         return "map"
@@ -758,9 +816,15 @@ def get_objective(name: str, params=None) -> Objective:
         "multi:softprob": lambda: SoftProb(p.num_class if p else 2),
         "multi:softmax": lambda: SoftMax(p.num_class if p else 2),
         "rank:ndcg": lambda: LambdaRankNDCG(
-            p.lambdarank_num_pair_per_sample if p else 1, True, p.ndcg_exp_gain if p else True
+            p.lambdarank_num_pair_per_sample if p else 1, True, p.ndcg_exp_gain if p else True,
+            unbiased=p.lambdarank_unbiased if p else False,
+            bias_norm=p.lambdarank_bias_norm if p else 2.0,
         ),
-        "rank:pairwise": lambda: LambdaRankPairwise(p.lambdarank_num_pair_per_sample if p else 1),
+        "rank:pairwise": lambda: LambdaRankPairwise(
+            p.lambdarank_num_pair_per_sample if p else 1,
+            unbiased=p.lambdarank_unbiased if p else False,
+            bias_norm=p.lambdarank_bias_norm if p else 2.0,
+        ),
         "rank:map": lambda: LambdaRankMAP(p.lambdarank_num_pair_per_sample if p else 1),
         "survival:aft": lambda: AFT(p.aft_loss_distribution if p else "normal",
                                     p.aft_loss_distribution_scale if p else 1.0),

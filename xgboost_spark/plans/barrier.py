@@ -368,6 +368,13 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 else:
                     g, h = _compute_grads(obj, y, margin, w, q, seed + it_round,
                                           p.subsample, K, bounds=bounds)
+                if getattr(obj, "unbiased", False):
+                    # position-bias update: sum this round's pair-cost
+                    # accumulators over all workers, then every worker
+                    # applies the SAME t+/t- tables (one tiny allreduce,
+                    # mirroring the reference's distributed estimation)
+                    costs = comm.allreduce_sum(obj.take_round_costs())
+                    obj.apply_position_bias(costs)
                 fmask = None
                 if p.colsample_bytree < 1.0:
                     fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)

@@ -318,6 +318,11 @@ class SparkBooster:
                     p.booster == "dart")
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
+        if getattr(obj, "unbiased", False):
+            raise NotImplementedError(
+                "lambdarank_unbiased trains on the barrier path (the t+/t- "
+                "position-bias state is allreduced across rounds inside one "
+                f"job; exec_mode=auto|barrier); blocked because: {why}")
         if is_approx and (p.n_groups > 1 or p.booster == "dart"
                           or obj.adaptive_alpha is not None):
             raise NotImplementedError(
