@@ -484,7 +484,7 @@ def q_embedding_neardup(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     ev = _table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.lag(us).over(w)
     new_s = F.when(prev.isNull() | ((us - prev) > 30 * 60 * 1000000), 1).otherwise(0)
     d = ev.select("user_id", new_s.alias("ns"))
@@ -778,7 +778,7 @@ def q_stream_window(spark, sf_dir):
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination()
     return (spark.table(name)
-            .select(F.unix_micros(F.col("w.start")).alias("w_start"),
+            .select(F.unix_micros(F.col("w.start").cast("timestamp")).alias("w_start"),
                     "event_type", "n", "sum_value"))
 
 

@@ -61,7 +61,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
     out = l_keyed.join(matched, "_rowid", "left")
     if tolerance_seconds is not None:
         within = (
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_last_on"))
+            F.unix_timestamp(F.col(on).cast("timestamp"))
+            - F.unix_timestamp(F.col("_last_on").cast("timestamp"))
             <= F.lit(float(tolerance_seconds))
         )
         for c in rcols:
@@ -99,7 +100,8 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
     the same user exceeds the threshold; session_id = cumulative count
     of session starts.  One shuffle on user."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    ts_ltz = F.col(ts_col).cast("timestamp")
+    gap = F.unix_timestamp(ts_ltz) - F.unix_timestamp(F.lag(ts_ltz).over(w))
     d = df.withColumn("_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return d.withColumn("session_id", F.sum("_new").over(wc)).drop("_new")
