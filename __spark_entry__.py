@@ -765,9 +765,10 @@ def q_stream_window(spark, sf_dir):
         os.symlink(path, link)
     sch = spark.read.parquet(path).schema
     src = spark.readStream.schema(sch).parquet(stream_dir)
-    # same NANOS->micros conversion as sources/tables.load_table
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    # normalize ts to TIMESTAMP whether the footer decoded it as bigint
+    # nanos or TIMESTAMP_NTZ (sources/tables.ensure_event_time)
+    from xgboost_spark.sources.tables import ensure_event_time
+    src = ensure_event_time(src, "ts")
     agg = (src.withWatermark("ts", "1 hour")
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count("*").cast("bigint").alias("n"),
@@ -822,8 +823,8 @@ def q_stream_sessions(spark, sf_dir):
         os.symlink(f"{sf_dir}/events.parquet", link)
     sch = spark.read.parquet(link).schema
     src = spark.readStream.schema(sch).parquet(stream_dir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    from xgboost_spark.sources.tables import ensure_event_time
+    src = ensure_event_time(src, "ts")
     sess = stateful_sessionize(src, gap_minutes=30, watermark="1 hour")
     _STREAM_SEQ[0] += 1
     name = f"stream_sessions_{_STREAM_SEQ[0]}"

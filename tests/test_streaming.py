@@ -29,6 +29,47 @@ def test_windowed_event_stats(spark, sf_dir, tmp_path):
     assert out["n"].sum() <= batch["n"].sum()  # watermark may hold back tail windows
 
 
+def test_windowed_event_stats_ntz(spark, sf_dir, tmp_path):
+    """Regression: a TIMESTAMP_NTZ event-time column (how the harness
+    parquet decodes when nanosAsLong isn't set before the first footer
+    read) must be normalized before withWatermark — round-1 failure
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    p = str(tmp_path / "events_stream_ntz")
+    ev.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(ev.schema).parquet(p)
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+    agg = scoring.windowed_event_stats(stream, window="60 minutes", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("winagg_ntz").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from winagg_ntz").toPandas()
+    assert len(out) > 0
+
+
+def test_stateful_sessionize_ntz(spark, tmp_path):
+    """Same regression for the applyInPandasWithState path."""
+    from xgboost_spark.streaming.stateful import (
+        run_update_to_memory, stateful_sessionize)
+    pdf = pd.DataFrame({
+        "user_id": [1] * 4 + [2] * 2,
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 12:00",
+            "2024-01-01 12:01", "2024-01-01 09:00", "2024-01-01 16:00"]),
+    })
+    df = spark.createDataFrame(pdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    p = str(tmp_path / "sess_ntz")
+    df.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+    sess = stateful_sessionize(stream, gap_minutes=30, watermark="1 hour")
+    run_update_to_memory(sess, "sess_ntz_out")
+    out = spark.sql("select * from sess_ntz_out").toPandas()
+    # user 1's 10:00-10:05 session closes via the 12:00 gap event
+    assert ((out["user_id"] == 1) & (out["n_events"] == 2)).any()
+
+
 def test_streaming_scoring(spark, reg_df, reg_data, tmp_path):
     X, y = reg_data
     fc = [f"c{i}" for i in range(X.shape[1])]

@@ -33,6 +33,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
     range partition when ``by`` is None); no range-explosion theta join,
     skew handled by AQE.  (Spark lacks a native as-of join; pandas
     ``merge_asof`` semantics.)
+
+    ``tolerance_seconds`` on non-TIMESTAMP inputs (TIMESTAMP_NTZ /
+    string) casts through the session timezone; the check depends only
+    on the DIFFERENCE of two same-zone casts, so the zone cancels except
+    across a DST gap — pin ``spark.sql.session.timeZone=UTC`` (as the
+    harness does) for zone-independent results.
     """
     rcols = [c for c in right.columns if c not in (on, by)]
     rtypes = dict(right.dtypes)
@@ -98,9 +104,14 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30) -> DataFrame:
     """Sessionization: new session when the gap to the previous event of
     the same user exceeds the threshold; session_id = cumulative count
-    of session starts.  One shuffle on user."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    of session starts.  One shuffle on user.
+
+    Non-TIMESTAMP ``ts_col`` inputs (TIMESTAMP_NTZ / string) are cast to
+    session-zone TIMESTAMP; gap arithmetic depends only on differences,
+    so the session timezone cancels out, and the window orders by the
+    SAME casted expression so ordering and gaps always agree."""
     ts_ltz = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(user_col).orderBy(ts_ltz)
     gap = F.unix_timestamp(ts_ltz) - F.unix_timestamp(F.lag(ts_ltz).over(w))
     d = df.withColumn("_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -29,13 +29,30 @@ NANO_TS_COLS = {
 }
 
 
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP so watermarks/windows
+    accept it, whatever way the parquet footer was decoded:
+
+    - ``bigint`` (nanosAsLong session conf): nanos -> micros with integer
+      DIV (nanos exceed double's 53 bits; matches DuckDB's truncation)
+    - ``timestamp_ntz`` (conf not yet set at first footer read): cast to
+      session-zone TIMESTAMP — the harness pins the session to UTC, so
+      this is a pure type change, not a wall-clock shift
+    - ``string``/``date``: plain cast
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))"))
+    if dt is not None and dt != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            # integer DIV keeps full precision (nanos exceed double's 53
-            # bits) and matches DuckDB's nanos->micros truncation
-            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
+        if c in df.columns:
+            df = ensure_event_time(df, c)
     return df
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xgboost_spark.plans.model import GBDTModel
+from xgboost_spark.sources.tables import ensure_event_time
 
 
 def score_stream(model: GBDTModel, stream_df: DataFrame,
@@ -31,6 +32,7 @@ def windowed_event_stats(stream_df: DataFrame, ts_col: str = "ts",
                          watermark: str = "10 minutes") -> DataFrame:
     """Watermarked sliding-window aggregation over an event stream —
     late rows beyond the watermark are dropped, state is bounded."""
+    stream_df = ensure_event_time(stream_df, ts_col)
     w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         stream_df.withWatermark(ts_col, watermark)
@@ -44,6 +46,7 @@ def streaming_dedup(stream_df: DataFrame, text_col: str = "text",
                     ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: dropDuplicates on content digest within
     the watermark horizon — the streaming form of operators/dedup.py."""
+    stream_df = ensure_event_time(stream_df, ts_col)
     return (
         stream_df.withColumn("_dig", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)

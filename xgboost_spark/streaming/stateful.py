@@ -82,8 +82,10 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
                  "session_end": [c[1] for c in closed],
                  "n_events": [c[2] for c in closed]})
 
+    from xgboost_spark.sources.tables import ensure_event_time
+    stream_df = ensure_event_time(stream_df, ts_col)
     d = (stream_df
-         .withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+         .withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
          .withWatermark(ts_col, watermark))
     return (d.groupBy(F.col(user_col).cast("bigint").alias("user_id"))
             .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,
