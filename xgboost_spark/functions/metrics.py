@@ -192,26 +192,26 @@ def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
          .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("pos"),
               F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg")))
     # descending cumulative tp/fp from an ASCENDING distributed prefix
-    # scan: tp_desc(s) = P - (cum_pos_asc(s) - pos(s))
+    # scan: tp_desc(s) = P - (cum_pos_asc(s) - pos(s)).  The trapezoid's
+    # "previous" sweep point is the cumulative over strictly-HIGHER
+    # scores — i.e. (tp - pos, fp - neg) — so the whole area is one
+    # closed-form agg: no window lag, no sort, no driver-side finish.
     from xgboost_spark.operators.scan import prefix_sums
     g = prefix_sums(g, "s", ["pos", "neg"])
     tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N")).first()
     P_, N_ = float(tot["P"] or 0.0), float(tot["N"] or 0.0)
-    g = (g.withColumn("tp", F.lit(P_) - F.col("cum_pos") + F.col("pos"))
-          .withColumn("fp", F.lit(N_) - F.col("cum_neg") + F.col("neg")))
-    rows = (g.orderBy(F.col("s").desc())
-            .select("tp", "fp").toPandas())   # <= n distinct scores; driver finish
-    import numpy as _np
-    tp = rows["tp"].to_numpy(dtype=float)
-    fp = rows["fp"].to_numpy(dtype=float)
-    P = tp[-1] if len(tp) else 0.0
-    if P <= 0:
+    if P_ <= 0:
         return float("nan")
-    recall = tp / P
-    precision = tp / _np.maximum(tp + fp, 1e-16)
-    r_prev = _np.concatenate([[0.0], recall[:-1]])
-    p_prev = _np.concatenate([[1.0], precision[:-1]])
-    return float(((recall - r_prev) * (precision + p_prev) / 2.0).sum())
+    g = (g.withColumn("tp", F.lit(P_) - F.col("cum_pos") + F.col("pos"))
+          .withColumn("fp", F.lit(N_) - F.col("cum_neg") + F.col("neg"))
+          .withColumn("tp_prev", F.col("tp") - F.col("pos"))
+          .withColumn("fp_prev", F.col("fp") - F.col("neg")))
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1e-16))
+    # the top-score point has no predecessor: precision starts at 1.0
+    prec_prev = F.when(F.col("tp_prev") + F.col("fp_prev") <= 0, F.lit(1.0)).otherwise(
+        F.col("tp_prev") / F.greatest(F.col("tp_prev") + F.col("fp_prev"), F.lit(1e-16)))
+    area = (F.col("tp") - F.col("tp_prev")) / F.lit(P_) * (prec + prec_prev) / 2.0
+    return float(g.agg(F.sum(area).alias("a")).first()["a"])
 
 
 def ams_at_k(df: DataFrame, k_frac: float, y: str = "y", score: str = "m0",
