@@ -1,0 +1,137 @@
+"""Import of genuine reference-xgboost model JSON.
+
+Fixture hand-authored to the reference save format
+(`src/tree/tree_model.cc:1044-1082` SaveModel/SaveCategoricalSplit,
+`src/learner.cc` LearnerModelParam: output-space "[5E-1]" base_score,
+categorical splits as flat categories/categories_nodes arrays with
+in-set-category rows routed RIGHT, `src/common/categorical.h:50`).
+Expected predictions are hand-traced from those semantics.
+"""
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.plans.model import GBDTModel
+
+
+def _ref_doc():
+    return {
+        "version": [3, 0, 2],
+        "learner": {
+            "attributes": {},
+            "feature_names": [],
+            "feature_types": [],
+            "learner_model_param": {
+                "base_score": "[5E-1]", "num_class": "0",
+                "num_feature": "2", "num_target": "1",
+            },
+            "objective": {"name": "binary:logistic",
+                          "reg_loss_param": {"scale_pos_weight": "1"}},
+            "gradient_booster": {
+                "name": "gbtree",
+                "model": {
+                    "gbtree_model_param": {"num_trees": "2",
+                                           "num_parallel_tree": "1"},
+                    "iteration_indptr": [0, 1, 2],
+                    "tree_info": [0, 0],
+                    "trees": [
+                        {   # numeric: f0 <= 2.0, missing goes left
+                            "tree_param": {"num_nodes": "3", "num_feature": "2",
+                                           "size_leaf_vector": "1"},
+                            "split_indices": [0, 0, 0],
+                            "split_conditions": [2.0, 0.5, -0.3],
+                            "split_type": [0, 0, 0],
+                            "categories": [], "categories_nodes": [],
+                            "categories_segments": [], "categories_sizes": [],
+                            "default_left": [1, 0, 0],
+                            "left_children": [1, -1, -1],
+                            "right_children": [2, -1, -1],
+                            "parents": [2147483647, 0, 0],
+                            "loss_changes": [10.0, 0.0, 0.0],
+                            "sum_hessian": [20.0, 12.0, 8.0],
+                            "base_weights": [0.1, 0.5, -0.3],
+                        },
+                        {   # categorical on f1: {1,3} -> RIGHT, missing right
+                            "tree_param": {"num_nodes": "3", "num_feature": "2",
+                                           "size_leaf_vector": "1"},
+                            "split_indices": [1, 0, 0],
+                            "split_conditions": [0.0, -1.0, 2.0],
+                            "split_type": [1, 0, 0],
+                            "categories": [1, 3], "categories_nodes": [0],
+                            "categories_segments": [0], "categories_sizes": [2],
+                            "default_left": [0, 0, 0],
+                            "left_children": [1, -1, -1],
+                            "right_children": [2, -1, -1],
+                            "parents": [2147483647, 0, 0],
+                            "loss_changes": [5.0, 0.0, 0.0],
+                            "sum_hessian": [20.0, 9.0, 11.0],
+                            "base_weights": [0.0, -1.0, 2.0],
+                        },
+                    ],
+                },
+            },
+        },
+    }
+
+
+#: (f0, f1) -> expected margin per the reference's traversal rules
+CASES = [
+    ((1.0, 3.0), 0.5 + 2.0),        # f0<=2 left; f1=3 in set -> right
+    ((5.0, 2.0), -0.3 + -1.0),      # f0>2 right; 2 not in set -> left
+    ((np.nan, np.nan), 0.5 + 2.0),  # dflt: tree0 left, tree1 right
+    ((3.0, 1.0), -0.3 + 2.0),       # in set -> right
+]
+
+
+def test_ref_json_predictions(spark):
+    m = GBDTModel.from_json(json.dumps(_ref_doc()))
+    assert m.base_score == pytest.approx(0.0)   # logit(0.5)
+    assert m.feature_names == ["f0", "f1"]
+    pdf = pd.DataFrame([c[0] for c in CASES], columns=["f0", "f1"])
+    df = spark.createDataFrame(pdf)
+    out = (m.transform(df, feature_cols=["f0", "f1"], output_margin=True)
+           .toPandas().sort_values("f0", na_position="first"))
+    expect = sorted(CASES, key=lambda c: (not math.isnan(c[0][0]), c[0][0]))
+    for got_m, got_p, (_, want) in zip(out["margin"], out["prediction"], expect):
+        assert got_m[0] == pytest.approx(want)
+        assert got_p == pytest.approx(1.0 / (1.0 + math.exp(-want)))
+
+
+def test_ref_json_roundtrip(spark):
+    """Engine save -> load keeps semantics AND emits the reference's
+    flat categorical arrays (in-set right) on disk."""
+    m = GBDTModel.from_json(json.dumps(_ref_doc()))
+    saved = json.loads(m.to_json())
+    t1 = saved["learner"]["gradient_booster"]["model"]["trees"][1]
+    assert t1["categories_nodes"] == [0]
+    assert t1["categories"] == [1, 3]
+    assert t1["categories_sizes"] == [2]
+    # output-space intercept on disk, like the reference
+    assert float(saved["learner"]["learner_model_param"]["base_score"]) \
+        == pytest.approx(0.5)
+    m2 = GBDTModel.from_json(json.dumps(saved))
+    pdf = pd.DataFrame([c[0] for c in CASES], columns=["f0", "f1"])
+    df = spark.createDataFrame(pdf)
+    a = m.transform(df, feature_cols=["f0", "f1"]).toPandas()["prediction"]
+    b = m2.transform(df, feature_cols=["f0", "f1"]).toPandas()["prediction"]
+    assert np.allclose(np.sort(a), np.sort(b))
+
+
+def test_ref_json_jvm_expr_path(spark):
+    """The pure-Catalyst serving path honors the flipped categorical
+    direction too."""
+    m = GBDTModel.from_json(json.dumps(_ref_doc()))
+    pdf = pd.DataFrame([c[0] for c in CASES if not math.isnan(c[0][0])],
+                       columns=["f0", "f1"])
+    df = spark.createDataFrame(pdf)
+    out = (m.transform_expr(df, feature_cols=["f0", "f1"], output_margin=True)
+           .orderBy("f0").toPandas())
+    expect = sorted((c for c in CASES if not math.isnan(c[0][0])),
+                    key=lambda c: c[0][0])
+    for got, (_, want) in zip(out["prediction"], expect):
+        assert got == pytest.approx(want)

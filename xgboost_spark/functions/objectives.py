@@ -792,6 +792,35 @@ class CustomObjective(Objective):
         return self._metric
 
 
+#: objectives whose model-JSON intercept lives in log space / logit space
+#: (reference ObjFunction::ProbToMargin, applied at model load —
+#: src/learner.cc:397; the JSON stores base_score post-transform)
+_LOGIT_LINK = {"binary:logistic", "reg:logistic", "binary:logitraw"}
+_LOG_LINK = {"count:poisson", "reg:gamma", "reg:tweedie", "survival:aft"}
+
+
+def prob_to_margin(objective: str, v: float) -> float:
+    """Output-space intercept -> margin space (reference ProbToMargin)."""
+    import math
+    if objective in _LOGIT_LINK:
+        v = min(max(v, _EPS), 1.0 - _EPS)
+        return math.log(v / (1.0 - v))
+    if objective in _LOG_LINK:
+        return math.log(max(v, _EPS))
+    return v
+
+
+def margin_to_prob(objective: str, v: float) -> float:
+    """Margin-space intercept -> output space (inverse of prob_to_margin);
+    used when SAVING so the JSON matches the reference's convention."""
+    import math
+    if objective in _LOGIT_LINK:
+        return 1.0 / (1.0 + math.exp(-v))
+    if objective in _LOG_LINK:
+        return math.exp(v)
+    return v
+
+
 def get_objective(name: str, params=None) -> Objective:
     """Objective registry (reference XGBOOST_REGISTER_OBJECTIVE)."""
     if isinstance(name, Objective):

@@ -45,6 +45,18 @@ class GBDTModel:
 
     # ------------------------------------------------------------------ ser
     def to_json(self) -> str:
+        """Serialize in the reference's JSON dialect
+        (`src/tree/tree_model.cc:1044-1082` SaveCategoricalSplit /
+        SaveModel): categorical splits as flat ``categories`` +
+        ``categories_nodes/segments/sizes`` arrays, and the categorical
+        DIRECTION flipped at the boundary — the reference routes
+        in-set-category rows RIGHT (`src/common/categorical.h:50`
+        Decision returns left when NOT matching) while this engine
+        routes them left, so children and default_left swap on
+        categorical nodes.  ``base_score`` is stored in output space
+        (reference applies ProbToMargin at load, `src/learner.cc:397`).
+        """
+        from xgboost_spark.functions.objectives import margin_to_prob
         trees_json = []
         for rnd in self.trees:
             for k, t in enumerate(rnd):
@@ -52,16 +64,31 @@ class GBDTModel:
                 split_conditions = [
                     t.leaf_value[i] if t.left[i] == -1 else t.split_value[i] for i in range(n)
                 ]
+                cat_nodes = [i for i in range(n) if t.categories[i] is not None]
+                cats_flat: list[int] = []
+                segments, sizes = [], []
+                for i in cat_nodes:
+                    segments.append(len(cats_flat))
+                    cs = sorted(int(c) for c in t.categories[i])
+                    cats_flat.extend(cs)
+                    sizes.append(len(cs))
+                cat_set = set(cat_nodes)
+                left = [t.right[i] if i in cat_set else t.left[i] for i in range(n)]
+                right = [t.left[i] if i in cat_set else t.right[i] for i in range(n)]
+                dleft = [int(not t.default_left[i]) if i in cat_set
+                         else int(t.default_left[i]) for i in range(n)]
                 trees_json.append({
                     "tree_param": {"num_nodes": str(n)},
                     "split_indices": [max(t.feature[i], 0) for i in range(n)],
                     "split_conditions": split_conditions,
                     "split_type": [int(t.categories[i] is not None) for i in range(n)],
-                    "categories": [list(t.categories[i]) if t.categories[i] else []
-                                   for i in range(n)],
-                    "default_left": [int(b) for b in t.default_left],
-                    "left_children": list(t.left),
-                    "right_children": list(t.right),
+                    "categories": cats_flat,
+                    "categories_nodes": cat_nodes,
+                    "categories_segments": segments,
+                    "categories_sizes": sizes,
+                    "default_left": dleft,
+                    "left_children": left,
+                    "right_children": right,
                     "parents": list(t.parent),
                     "loss_changes": list(t.gain),
                     "sum_hessian": list(t.sum_hess),
@@ -82,7 +109,8 @@ class GBDTModel:
                 "feature_names": self.feature_names,
                 "feature_types": ["float"] * len(self.feature_names),
                 "learner_model_param": {
-                    "base_score": str(self.base_score),
+                    "base_score": str(margin_to_prob(self.params.objective,
+                                                     self.base_score)),
                     "num_class": str(self.params.num_class),
                     "num_feature": str(len(self.feature_names)),
                 },
@@ -101,6 +129,7 @@ class GBDTModel:
             },
             # engine extension: cuts allow exact training continuation
             "xgboost_spark": {
+                "base_score_margin": float(self.base_score),
                 "tree_weights": list(self.tree_weights) if self.tree_weights else None,
                 "cuts": [list(map(float, c)) for c in (self.cuts or [])],
                 "params": {"num_boost_round": self.params.num_boost_round,
@@ -114,6 +143,20 @@ class GBDTModel:
 
     @classmethod
     def from_json(cls, s: str) -> "GBDTModel":
+        """Load a model JSON — either this engine's own saves or a
+        genuine reference-produced document (`src/tree/tree_model.cc:975`
+        LoadCategoricalSplit, `src/learner.cc:397` ProbToMargin):
+
+        - categorical splits come as flat ``categories`` +
+          ``categories_nodes/segments/sizes`` arrays and route in-set
+          rows RIGHT — converted here to this engine's in-set-left
+          convention by swapping children/default_left (the legacy
+          per-node ``categories`` list-of-lists dialect is still read);
+        - without the ``xgboost_spark`` extension block, ``base_score``
+          is an OUTPUT-space intercept (possibly the "[5E-1]" array-
+          string form) and is mapped through prob_to_margin.
+        """
+        from xgboost_spark.functions.objectives import prob_to_margin
         doc = json.loads(s)
         ln = doc["learner"]
         num_class = int(ln["learner_model_param"]["num_class"])
@@ -147,19 +190,50 @@ class GBDTModel:
             t.sum_grad = [0.0] * n
             t.split_bin = [-1] * n
             cats = td.get("categories")
+            cat_nodes = td.get("categories_nodes")
             st = td.get("split_type")
-            t.categories = [
-                (list(map(int, cats[i])) if cats and st and st[i] else None)
-                for i in range(n)
-            ]
+            if cat_nodes is not None:
+                # reference flat layout; in-set goes right -> swap back
+                segs = td.get("categories_segments", [])
+                sizes = td.get("categories_sizes", [])
+                per_node: list[list[int] | None] = [None] * n
+                for j, nid in enumerate(cat_nodes):
+                    beg = int(segs[j])
+                    per_node[int(nid)] = sorted(
+                        int(c) for c in cats[beg:beg + int(sizes[j])])
+                for nid in range(n):
+                    if per_node[nid] is not None:
+                        t.left[nid], t.right[nid] = t.right[nid], t.left[nid]
+                        t.default_left[nid] = not t.default_left[nid]
+                        t.split_value[nid] = 0.0
+                t.categories = per_node
+            else:
+                # legacy per-node list-of-lists dialect (engine's own
+                # pre-round-2 saves; in-set already routes left)
+                t.categories = [
+                    (list(map(int, cats[i])) if cats and st and st[i] else None)
+                    for i in range(n)
+                ]
             group.append(t)
             if len(group) == K:
                 trees.append(group)
                 group = []
         if group:
             trees.append(group)
-        m = cls(params, float(ln["learner_model_param"]["base_score"]), trees,
-                list(ln["feature_names"]))
+        raw_bs = str(ln["learner_model_param"]["base_score"]).strip()
+        if raw_bs.startswith("["):
+            raw_bs = raw_bs.strip("[]").split(",")[0]
+        if "base_score_margin" in ext:
+            base_score = float(ext["base_score_margin"])
+        elif ext:
+            base_score = float(raw_bs)   # legacy own saves: margin space
+        else:
+            base_score = prob_to_margin(objective, float(raw_bs))
+        feature_names = list(ln.get("feature_names") or [])
+        if not feature_names:
+            nf = int(ln["learner_model_param"].get("num_feature", 0))
+            feature_names = [f"f{i}" for i in range(nf)]
+        m = cls(params, base_score, trees, feature_names)
         if ext.get("cuts"):
             m.cuts = [np.asarray(c) for c in ext["cuts"]]
         if ext.get("tree_weights"):
