@@ -187,6 +187,42 @@ class SparkBooster:
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, feature_cols: list[str] | None = None,
+            array_col: str | None = None,
+            categorical_features: list | None = None,
+            evals: list[tuple[DataFrame, str]] | None = None,
+            **kw) -> GBDTModel:
+        """Train; see :meth:`_fit_impl` for the full surface.  STRING
+        feature columns are ordinal-encoded here first (reference
+        `src/encoder/ordinal.h` CatContainer: dictionary learned at fit,
+        stored in the model, applied at predict) and routed through the
+        categorical split path; a string column is treated as
+        categorical whether or not it is listed in
+        ``categorical_features``."""
+        from xgboost_spark.sources.encoder import (
+            encode_ordinal, fit_ordinal_encoder)
+        dt = dict(df.dtypes)
+        listed = list(categorical_features or [])
+        str_cats = [c for c in (feature_cols or [])
+                    if dt.get(c) == "string"]
+        for c in listed:
+            if isinstance(c, str) and dt.get(c) == "string" and c not in str_cats:
+                str_cats.append(c)
+        mapping = {}
+        if str_cats:
+            mapping = fit_ordinal_encoder(df, str_cats)
+            df = encode_ordinal(df, mapping)
+            evals = [(encode_ordinal(ev, mapping), name)
+                     for ev, name in (evals or [])] or None
+            listed = listed + [c for c in str_cats if c not in listed]
+        model = self._fit_impl(df, feature_cols=feature_cols,
+                               array_col=array_col,
+                               categorical_features=listed or None,
+                               evals=evals, **kw)
+        if mapping:
+            model.category_maps = mapping
+        return model
+
+    def _fit_impl(self, df: DataFrame, feature_cols: list[str] | None = None,
             array_col: str | None = None, label_col: str = "label",
             weight_col: str | None = None, base_margin_col: str | None = None,
             qid_col: str | None = None,

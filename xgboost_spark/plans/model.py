@@ -41,6 +41,9 @@ class GBDTModel:
         # per-round multiplicative weights (DART weight_drop,
         # reference gbtree.h:47); None => all 1.0
         self.tree_weights = tree_weights
+        # string-categorical dictionaries learned at fit (reference
+        # CatContainer, src/encoder/ordinal.h): {feature -> sorted cats}
+        self.category_maps: dict[str, list[str]] | None = None
         self.obj = get_objective(params.objective, params)
 
     # ------------------------------------------------------------------ ser
@@ -130,6 +133,7 @@ class GBDTModel:
             # engine extension: cuts allow exact training continuation
             "xgboost_spark": {
                 "base_score_margin": float(self.base_score),
+                "category_maps": self.category_maps,
                 "tree_weights": list(self.tree_weights) if self.tree_weights else None,
                 "cuts": [list(map(float, c)) for c in (self.cuts or [])],
                 "params": {"num_boost_round": self.params.num_boost_round,
@@ -236,6 +240,9 @@ class GBDTModel:
         m = cls(params, base_score, trees, feature_names)
         if ext.get("cuts"):
             m.cuts = [np.asarray(c) for c in ext["cuts"]]
+        if ext.get("category_maps"):
+            m.category_maps = {k: [str(v) for v in vs]
+                               for k, vs in ext["category_maps"].items()}
         if ext.get("tree_weights"):
             m.tree_weights = [float(v) for v in ext["tree_weights"]]
         bi = ln.get("attributes", {}).get("best_iteration")
@@ -256,10 +263,12 @@ class GBDTModel:
     def slice(self, begin: int, end: int) -> "GBDTModel":
         """Model layer slicing [begin, end) (reference `XGBoosterSlice`,
         `include/xgboost/c_api.h:1028`)."""
-        return GBDTModel(self.params, self.base_score, self.trees[begin:end],
-                         self.feature_names, self.cuts,
-                         tree_weights=(self.tree_weights[begin:end]
-                                       if self.tree_weights else None))
+        m = GBDTModel(self.params, self.base_score, self.trees[begin:end],
+                      self.feature_names, self.cuts,
+                      tree_weights=(self.tree_weights[begin:end]
+                                    if self.tree_weights else None))
+        m.category_maps = self.category_maps
+        return m
 
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
@@ -267,6 +276,26 @@ class GBDTModel:
         return self.trees
 
     # ------------------------------------------------------------- serving
+    def _encode_strings(self, df: DataFrame, feature_cols: list[str]):
+        """Recode string categorical inputs through the stored fit-time
+        dictionaries (reference Recode, `src/encoder/ordinal.h:349`);
+        unknown categories -> NULL -> learned missing direction.  Codes
+        land in temp columns so the caller's columns pass through
+        unchanged; returns (df, feature_cols, temp_cols_to_drop)."""
+        if not self.category_maps:
+            return df, feature_cols, []
+        from xgboost_spark.sources.encoder import encode_col
+        dt = dict(df.dtypes)
+        cols = list(feature_cols)
+        added = []
+        for i, c in enumerate(cols):
+            if c in self.category_maps and dt.get(c) == "string":
+                tmp = f"__cat_{c}"
+                df = df.withColumn(tmp, encode_col(F.col(c), self.category_maps[c]))
+                cols[i] = tmp
+                added.append(tmp)
+        return df, cols, added
+
     def _broadcastable(self):
         from pyspark import cloudpickle
         from xgboost_spark.functions.objectives import CustomObjective
@@ -358,7 +387,16 @@ class GBDTModel:
             feats = [col.getItem(i).cast("double")
                      for i in range(len(self.feature_names))]
         else:
-            feats = [F.col(c).cast("double") for c in feature_cols]
+            # string categoricals recode inline (no column mutation)
+            dt = dict(df.dtypes)
+            feats = []
+            for c in feature_cols:
+                if self.category_maps and c in self.category_maps \
+                        and dt.get(c) == "string":
+                    from xgboost_spark.sources.encoder import encode_col
+                    feats.append(encode_col(F.col(c), self.category_maps[c]))
+                else:
+                    feats.append(F.col(c).cast("double"))
         margins = self.margin_exprs(feats)
         name = self.params.objective
         if output_margin:
@@ -404,6 +442,7 @@ class GBDTModel:
         and `interactions` (flattened (F+1)x(F+1) array<double>).
         """
         feature_cols = feature_cols or self.feature_names
+        df, feature_cols, enc_tmp = self._encode_strings(df, feature_cols)
         if array_col is not None:
             dt = df.schema[array_col].dataType
             if type(dt).__name__ == "VectorUDT":
@@ -422,7 +461,8 @@ class GBDTModel:
             # cross the Arrow boundary (Catalyst prunes the scan to
             # them); every other column stays JVM-side instead of
             # round-tripping through Python as mapInPandas would
-            return self._transform_udf(df, feature_cols, array_col, bc, K)
+            out = self._transform_udf(df, feature_cols, array_col, bc, K)
+            return out.drop(*enc_tmp) if enc_tmp else out
         fields = list(df.schema.fields)
         if K > 1 and self.params.objective == "multi:softprob":
             fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
@@ -504,7 +544,8 @@ class GBDTModel:
                     out["interactions"] = [row.reshape(-1).tolist() for row in inter_out]
                 yield out
 
-        return df.mapInPandas(fn, schema=out_schema)
+        res = df.mapInPandas(fn, schema=out_schema)
+        return res.drop(*enc_tmp) if enc_tmp else res
 
     def _transform_udf(self, df: DataFrame, feature_cols: list[str],
                        array_col: str | None, bc, K: int) -> DataFrame:
