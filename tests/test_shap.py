@@ -8,6 +8,7 @@ from math import factorial
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from xgboost_spark import core
 from xgboost_spark.config import TrainParams
@@ -116,6 +117,27 @@ def test_spark_transform_contribs(spark, reg_df, reg_data):
     margin = np.stack(out["margin"].to_numpy())[:, 0]
     assert contribs.shape[1] == 6
     assert np.abs(contribs.sum(1) - margin).max() < 1e-9   # local accuracy e2e
+
+
+def test_spark_multiclass_contribs(spark, reg_df):
+    """Per-class contributions for K>1 (reference multiclass
+    pred_contribs, tests/python/test_shap.py): sum(contribs_k) equals
+    margin_k for every class."""
+    fcols = [f"c{i}" for i in range(5)]
+    labels = (F.abs(F.hash(*[F.col(c) for c in fcols])) % 3).cast("double")
+    df3 = reg_df.withColumn("label", labels)
+    model = train({"num_boost_round": 3, "max_depth": 3,
+                   "objective": "multi:softprob", "num_class": 3},
+                  df3, feature_cols=fcols)
+    out = model.transform(df3.limit(100), feature_cols=fcols,
+                          output_margin=True, pred_contribs=True,
+                          pred_interactions=True).toPandas()
+    contribs = np.stack([np.stack(r) for r in out["contribs"]])   # (n,3,6)
+    inter = np.stack([np.stack(r) for r in out["interactions"]]).reshape(-1, 3, 6, 6)
+    margin = np.stack(out["margin"].to_numpy())                   # (n,3)
+    assert contribs.shape[1:] == (3, 6)
+    assert np.abs(contribs.sum(2) - margin).max() < 1e-9
+    assert np.abs(inter.sum(3) - contribs).max() < 1e-9
 
 
 def test_spark_transform_interactions(spark, reg_df):

@@ -363,7 +363,8 @@ class GBDTModel:
                        feature_cols: list[str] | None = None,
                        array_col: str | None = None,
                        output_margin: bool = False,
-                       out_col: str = "prediction") -> DataFrame:
+                       out_col: str = "prediction",
+                       base_margin_col: str | None = None) -> DataFrame:
         """Catalyst-expression batch predict: appends ``prediction`` built
         from :meth:`margin_exprs` + the objective's link inverse as SQL.
         Supports scalar-leaf models whose pred_transform is expressible
@@ -398,6 +399,14 @@ class GBDTModel:
                 else:
                     feats.append(F.col(c).cast("double"))
         margins = self.margin_exprs(feats)
+        if base_margin_col is not None:
+            bm_dt = dict(df.dtypes).get(base_margin_col, "")
+            if bm_dt.startswith("array") and len(margins) > 1:
+                margins = [m + F.col(base_margin_col).getItem(k).cast("double")
+                           for k, m in enumerate(margins)]
+            else:
+                margins = [m + F.col(base_margin_col).cast("double")
+                           for m in margins]
         name = self.params.objective
         if output_margin:
             out = F.array(*margins) if len(margins) > 1 else margins[0]
@@ -432,7 +441,8 @@ class GBDTModel:
                   pred_leaf: bool = False,
                   pred_contribs: bool = False,
                   approx_contribs: bool = False,
-                  pred_interactions: bool = False) -> DataFrame:
+                  pred_interactions: bool = False,
+                  base_margin_col: str | None = None) -> DataFrame:
         """Batch predict: broadcast model + Arrow-batched traversal
         (reference Spark wrapper pattern, `spark/core.py:1388`).
         Appends `prediction` (double; probability array for softprob),
@@ -440,6 +450,14 @@ class GBDTModel:
         (array<double>, F+1 with bias last — exact TreeSHAP, or Saabas
         when ``approx_contribs``; reference shap.cc / learner.h:116-120)
         and `interactions` (flattened (F+1)x(F+1) array<double>).
+
+        ``base_margin_col``: per-row margin offset added on top of
+        base_score, mirroring the training-side column (reference
+        predict with base_margin, `include/xgboost/predictor.h`
+        PredictionCacheEntry + spark/core.py base_margin_col); a scalar
+        column broadcasts across classes, an array column supplies one
+        offset per class.  With ``pred_contribs`` the offset lands in
+        the bias term so local accuracy still holds.
         """
         feature_cols = feature_cols or self.feature_names
         df, feature_cols, enc_tmp = self._encode_strings(df, feature_cols)
@@ -452,8 +470,10 @@ class GBDTModel:
                 df = df.withColumn(array_col, vector_to_array(F.col(array_col)))
         spark = df.sparkSession
         K = self.params.n_groups
-        if (pred_contribs or pred_interactions) and K > 1:
-            raise NotImplementedError("contributions need single-output models")
+        if (pred_contribs or pred_interactions) and any(
+                np.ndim(v) for rnd in self.trees for t in rnd for v in t.leaf_value):
+            raise NotImplementedError(
+                "contributions not supported for multi_output_tree leaves")
         state = self._broadcastable()
         bc = spark.sparkContext.broadcast(state)
         if not (output_margin or pred_leaf or pred_contribs or pred_interactions):
@@ -461,7 +481,8 @@ class GBDTModel:
             # cross the Arrow boundary (Catalyst prunes the scan to
             # them); every other column stays JVM-side instead of
             # round-tripping through Python as mapInPandas would
-            out = self._transform_udf(df, feature_cols, array_col, bc, K)
+            out = self._transform_udf(df, feature_cols, array_col, bc, K,
+                                      base_margin_col=base_margin_col)
             return out.drop(*enc_tmp) if enc_tmp else out
         fields = list(df.schema.fields)
         if K > 1 and self.params.objective == "multi:softprob":
@@ -472,10 +493,15 @@ class GBDTModel:
             fields.append(T.StructField("margin", T.ArrayType(T.DoubleType())))
         if pred_leaf:
             fields.append(T.StructField("leaf", T.ArrayType(T.IntegerType())))
+        # multiclass: one contribution vector per class (reference
+        # multiclass pred_contribs shape (n, K, F+1), cpu_predictor.cc
+        # PredictContribution over all groups)
+        _contrib_t = (T.ArrayType(T.ArrayType(T.DoubleType())) if K > 1
+                      else T.ArrayType(T.DoubleType()))
         if pred_contribs:
-            fields.append(T.StructField("contribs", T.ArrayType(T.DoubleType())))
+            fields.append(T.StructField("contribs", _contrib_t))
         if pred_interactions:
-            fields.append(T.StructField("interactions", T.ArrayType(T.DoubleType())))
+            fields.append(T.StructField("interactions", _contrib_t))
         out_schema = T.StructType(fields)
         use_array = array_col is not None
         n_feat = len(self.feature_names)
@@ -502,9 +528,17 @@ class GBDTModel:
                 n = len(pdf)
                 Kk = st["K"]
                 margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
+                bm = None
+                if base_margin_col is not None:
+                    raw_bm = pdf[base_margin_col].to_numpy()
+                    bm = (np.stack(raw_bm).astype(np.float64)
+                          if raw_bm.dtype == object
+                          else raw_bm.astype(np.float64)[:, None])
+                    margin += bm
                 leaves = []
-                phi = np.zeros((n, n_feat + 1)) if pred_contribs else None
-                inter = (np.zeros((n, n_feat + 1, n_feat + 1)) if pred_interactions else None)
+                phi = np.zeros((n, Kk, n_feat + 1)) if pred_contribs else None
+                inter = (np.zeros((n, Kk, n_feat + 1, n_feat + 1))
+                         if pred_interactions else None)
                 for ri, rnd in enumerate(st["trees"]):
                     tw = st["weights"][ri]
                     # k-major round layout: K groups x num_parallel_tree
@@ -520,11 +554,13 @@ class GBDTModel:
                             leaves.append(lid)
                         cover = st["covers"][ri][i]
                         if phi is not None:
-                            phi += tw * (shap_mod.saabas_contribs(arrs, cover, X)
-                                         if approx_contribs
-                                         else shap_mod.tree_shap(arrs, cover, X))
+                            phi[:, k, :] += tw * (
+                                shap_mod.saabas_contribs(arrs, cover, X)
+                                if approx_contribs
+                                else shap_mod.tree_shap(arrs, cover, X))
                         if inter is not None:
-                            inter += tw * shap_mod.tree_shap_interactions(arrs, cover, X)
+                            inter[:, k, :, :] += tw * shap_mod.tree_shap_interactions(
+                                arrs, cover, X)
                 out = pdf.copy()
                 mm = margin if Kk > 1 else margin[:, 0]
                 pred = obj.pred_transform(mm)
@@ -536,23 +572,37 @@ class GBDTModel:
                     out["leaf"] = [row.tolist() for row in lv]
                 if pred_contribs:
                     phi_out = phi.copy()
-                    phi_out[:, -1] += st["base_score"]
-                    out["contribs"] = [row.tolist() for row in phi_out]
+                    phi_out[:, :, -1] += st["base_score"]
+                    if bm is not None:
+                        phi_out[:, :, -1] += bm
+                    if Kk > 1:
+                        out["contribs"] = [[c.tolist() for c in row] for row in phi_out]
+                    else:
+                        out["contribs"] = [row.tolist() for row in phi_out[:, 0, :]]
                 if pred_interactions:
                     inter_out = inter.copy()
-                    inter_out[:, -1, -1] += st["base_score"]
-                    out["interactions"] = [row.reshape(-1).tolist() for row in inter_out]
+                    inter_out[:, :, -1, -1] += st["base_score"]
+                    if bm is not None:
+                        inter_out[:, :, -1, -1] += bm
+                    if Kk > 1:
+                        out["interactions"] = [
+                            [c.reshape(-1).tolist() for c in row] for row in inter_out]
+                    else:
+                        out["interactions"] = [
+                            row.reshape(-1).tolist() for row in inter_out[:, 0, :, :]]
                 yield out
 
         res = df.mapInPandas(fn, schema=out_schema)
         return res.drop(*enc_tmp) if enc_tmp else res
 
     def _transform_udf(self, df: DataFrame, feature_cols: list[str],
-                       array_col: str | None, bc, K: int) -> DataFrame:
+                       array_col: str | None, bc, K: int,
+                       base_margin_col: str | None = None) -> DataFrame:
         from pyspark.sql.functions import pandas_udf
         multi = K > 1 and self.params.objective == "multi:softprob"
         ret_type = "array<double>" if multi else "double"
         use_array = array_col is not None
+        has_bm = base_margin_col is not None
 
         @pandas_udf(ret_type)
         def predict_udf(*cols: pd.Series) -> pd.Series:
@@ -567,13 +617,19 @@ class GBDTModel:
             n = len(cols[0])
             if n == 0:
                 return pd.Series([], dtype=object if multi else np.float64)
+            feat_cols = cols[:-1] if has_bm else cols
             if use_array:
-                X = np.stack(cols[0].to_numpy()).astype(np.float64)
+                X = np.stack(feat_cols[0].to_numpy()).astype(np.float64)
             else:
                 X = np.column_stack([
-                    c.to_numpy(dtype=np.float64, na_value=np.nan) for c in cols])
+                    c.to_numpy(dtype=np.float64, na_value=np.nan) for c in feat_cols])
             Kk = st["K"]
             margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
+            if has_bm:
+                raw_bm = cols[-1].to_numpy()
+                margin += (np.stack(raw_bm).astype(np.float64)
+                           if raw_bm.dtype == object
+                           else raw_bm.astype(np.float64)[:, None])
             core.apply_model_margin(margin, st["trees"], st["weights"], X, False, Kk)
             pred = obj.pred_transform(margin if Kk > 1 else margin[:, 0])
             if pred.ndim > 1:
@@ -582,6 +638,8 @@ class GBDTModel:
 
         args = ([F.col(array_col)] if use_array
                 else [F.col(c).cast("double") for c in feature_cols])
+        if has_bm:
+            args.append(F.col(base_margin_col))
         return df.withColumn("prediction", predict_udf(*args))
 
     # ----------------------------------------------------- model-as-a-table
