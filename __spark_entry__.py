@@ -627,6 +627,25 @@ def q_train_linear(spark, sf_dir):
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
+def q_linear_one_round(spark, sf_dir):
+    """gblinear, ONE shotgun round (reference updater_shotgun.cc:96):
+    with w=0 and base=mean(y) the update has the closed form
+      w_f = eta * -(sum((base - y) * x_f)) / (sum(x_f^2) + lambda)
+      bias = eta * -(n*base - sum y) / n          (~0)
+    which the DuckDB oracle computes directly — promoting gblinear from
+    a rows-only check to a hash-matched one."""
+    _prep(spark)
+    from xgboost_spark.plans.booster import train
+    li = _table(spark, sf_dir, "lineitem")
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    model = train({"booster": "gblinear", "num_boost_round": 1, "eta": 0.5},
+                  li, feature_cols=fcols, label_col="l_extendedprice")
+    rows = ([(c, float(w)) for c, w in zip(fcols, model.weights)]
+            + [("__bias__", float(model.bias + model.base_score))])
+    return (spark.createDataFrame(rows, "feature string, weight double")
+            .select("feature", F.round("weight", 4).alias("weight")))
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -912,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_ranker": q_train_ranker,
         "train_shap": q_train_shap,
         "train_linear": q_train_linear,
+        "linear_one_round": q_linear_one_round,
         "train_dart": q_train_dart,
         "simhash": q_simhash,
     }
@@ -956,6 +976,28 @@ gains AS (
 SELECT feature, bin AS best_bin, round(gain, 4) AS best_gain
 FROM (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gain DESC, bin ASC) rk FROM gains)
 WHERE rk = 1"""
+
+
+def _simhash_oracle_sql(n_bits: int = 48) -> str:
+    """DuckDB twin of operators/dedup.simhash: same md5-derived 48-bit
+    token hashes, same bitwise vote (generated per-bit expressions)."""
+    s_terms = ",\n         ".join(
+        f"sum(((th // {2 ** j}) % 2) * 2 - 1) AS s{j}" for j in range(n_bits))
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(n_bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents) u
+  WHERE length(t) > 0
+), th AS (
+  SELECT id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS th FROM tok
+), votes AS (
+  SELECT id, {s_terms}
+  FROM th GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST({sig} AS BIGINT) AS simhash FROM votes"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1354,4 +1396,20 @@ SELECT epoch_us(date_trunc('hour', ts)) AS w_start, event_type,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2""",
+
+        "linear_one_round": """
+WITH b AS (SELECT avg(l_extendedprice) AS bs, CAST(count(*) AS DOUBLE) AS n,
+                  sum(l_extendedprice) AS sy FROM lineitem),
+s AS (SELECT
+    sum((bs - l_extendedprice) * l_quantity) AS g0, sum(l_quantity * l_quantity) AS h0,
+    sum((bs - l_extendedprice) * l_discount) AS g1, sum(l_discount * l_discount) AS h1,
+    sum((bs - l_extendedprice) * l_tax) AS g2, sum(l_tax * l_tax) AS h2,
+    any_value(bs) AS bs, any_value(n) AS n, any_value(sy) AS sy
+  FROM lineitem, b)
+SELECT 'l_quantity' AS feature, round(0.5 * (-g0 / (h0 + 1.0)), 4) AS weight FROM s
+UNION ALL SELECT 'l_discount', round(0.5 * (-g1 / (h1 + 1.0)), 4) FROM s
+UNION ALL SELECT 'l_tax', round(0.5 * (-g2 / (h2 + 1.0)), 4) FROM s
+UNION ALL SELECT '__bias__', round(bs + 0.5 * (-(n * bs - sy) / n), 4) FROM s""",
+
+        "simhash": _simhash_oracle_sql(),
     }

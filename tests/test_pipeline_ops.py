@@ -54,6 +54,35 @@ def test_minhash_dedup_end_to_end(spark, docs):
     assert {0, 1, 2, 3} <= ids
 
 
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 5), (2, 5), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[5] == 1          # star collapses
+    assert comp[10] == comp[11] == comp[12] == comp[13] == 10   # chain
+    assert comp[20] == comp[21] == 20
+    assert comp[1] != comp[10] != comp[20]
+
+
+def test_minhash_dedup_transitive_star(spark):
+    """Star A~hub, B~hub with A!~B: one-level keeps {A, B}; transitive
+    collapses the whole component to one representative."""
+    words = [f"w{i}" for i in range(30)]
+    hub = " ".join(words)
+    d1 = " ".join(["x0", "x1", "x2", "x3", "x4"] + words[5:])    # head changed
+    d2 = " ".join(words[:25] + ["z0", "z1", "z2", "z3", "z4"])   # tail changed
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (5, hub)], "doc_id long, text string")
+    kw = dict(n_hashes=16, bands=8, shingle_n=5, threshold=0.6)
+    one_level = {r["doc_id"] for r in dedup.minhash_dedup(docs, **kw).collect()}
+    assert one_level == {1, 2}           # hub dropped, leaves both kept
+    trans = {r["doc_id"] for r in
+             dedup.minhash_dedup(docs, transitive=True, **kw).collect()}
+    assert trans == {1}                  # one representative per component
+
+
 def test_simhash_near_pairs(spark, docs):
     sig = dedup.simhash(docs).toPandas()
     assert sig["simhash"].nunique() >= 4

@@ -123,5 +123,9 @@ class TrainParams:
 
     @property
     def n_groups(self) -> int:
-        """Number of output groups (trees per boosting round per forest)."""
+        """Number of output groups (trees per boosting round per forest).
+        Multi-alpha quantile regression trains one group per alpha
+        (reference quantile_obj.cu:272 vector alpha)."""
+        if self.objective == "reg:quantileerror" and len(self.quantile_alpha) > 1:
+            return len(self.quantile_alpha)
         return self.num_class if self.is_multiclass and self.num_class > 1 else 1

@@ -207,15 +207,37 @@ class AbsoluteError(Objective):
 
 
 class QuantileError(Objective):
-    """reg:quantileerror pinball loss (src/objective/quantile_obj.cu:272)."""
+    """reg:quantileerror pinball loss (src/objective/quantile_obj.cu:272).
+
+    ``alpha`` may be a VECTOR (reference quantile_loss_utils.h
+    QuantileLossParam): one model trains all alphas at once, one output
+    group per alpha — margin is (n, K) and group k's gradient uses
+    alpha_k.  The shared intercept is the first alpha's label quantile;
+    per-group adaptive leaf refresh (alpha_k residual quantiles) makes
+    each output converge to its own quantile.
+    """
 
     name = "reg:quantileerror"
 
-    def __init__(self, alpha: float = 0.5):
-        self.alpha = alpha
-        self.adaptive_alpha = alpha
+    def __init__(self, alpha=0.5):
+        if isinstance(alpha, (tuple, list, np.ndarray)):
+            self.alphas = tuple(float(a) for a in alpha)
+        else:
+            self.alphas = (float(alpha),)
+        self.alpha = self.alphas[0]
+        # per-group refresh targets; trainers index with the tree's group
+        self.adaptive_alpha = (self.alphas if len(self.alphas) > 1
+                               else self.alphas[0])
 
     def grad_hess(self, y, margin, w):
+        if margin.ndim == 2 and margin.shape[1] > 1:
+            err = margin - y[:, None]
+            al = np.asarray(self.alphas, dtype=np.float64)[None, :]
+            g = np.where(err >= 0, al, al - 1.0) * np.ones_like(err)
+            h = np.ones_like(err)
+            if w is not None:
+                g, h = g * w[:, None], h * w[:, None]
+            return g, h
         err = margin - y
         # grad of pinball wrt margin: alpha if margin>=y else alpha-1
         g = np.where(err >= 0, self.alpha, self.alpha - 1.0)
@@ -837,7 +859,7 @@ def get_objective(name: str, params=None) -> Objective:
         "binary:hinge": Hinge,
         "reg:pseudohubererror": lambda: PseudoHuber(p.huber_slope if p else 1.0),
         "reg:absoluteerror": AbsoluteError,
-        "reg:quantileerror": lambda: QuantileError(p.quantile_alpha[0] if p else 0.5),
+        "reg:quantileerror": lambda: QuantileError(p.quantile_alpha if p else 0.5),
         "count:poisson": lambda: Poisson(p.max_delta_step if p and p.max_delta_step else 0.7),
         "reg:gamma": Gamma,
         "reg:tweedie": lambda: Tweedie(p.tweedie_variance_power if p else 1.5),

@@ -93,16 +93,64 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) for an undirected edge list (id_a, id_b):
+    iterated min-label propagation — each round every node takes the min
+    label in its closed neighborhood; fixpoint when no label changes.
+
+    Converges in O(graph diameter) rounds; near-dup graphs are
+    star/chain shaped (diameter ~ a few), so 3-4 rounds in practice.
+    Each round is one shuffle-join + one groupBy; lineage is cut with
+    localCheckpoint so plans stay flat at scale.  (For adversarial
+    long-path graphs use the large-star/small-star variant; dedup
+    graphs do not need it.)
+    """
+    edges = pairs.select(F.col("id_a").cast("long").alias("a"),
+                         F.col("id_b").cast("long").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = (edges.select(F.col("a").alias("id"))
+              .union(edges.select(F.col("b").alias("id"))).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("id").alias("b"),
+                                      F.col("comp").alias("comp_b")), "b")
+               .groupBy("a").agg(F.min("comp_b").alias("nbr_min")))
+        new = (labels.join(nbr, labels["id"] == nbr["a"], "left")
+               .select(labels["id"],
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+                       (F.coalesce(F.col("nbr_min"), F.col("comp"))
+                        < F.col("comp")).alias("chg"))
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("chg")).limit(1).count()
+        labels = new.drop("chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n_hashes: int = 16, bands: int = 4, shingle_n: int = 5,
-                  threshold: float = 0.7) -> DataFrame:
-    """Full near-dedup: LSH candidates -> exact Jaccard -> connected
-    representatives (min-id union, one level — adequate for dedup).
+                  threshold: float = 0.7, transitive: bool = False) -> DataFrame:
+    """Full near-dedup: LSH candidates -> exact Jaccard -> representatives.
     Returns df minus near-duplicate non-representatives.
+
+    Default representative rule is one-level min-id (drop every id_b of
+    a verified pair) — one extra shuffle, adequate for dedup.  With
+    ``transitive=True`` duplicate chains/stars collapse to ONE
+    representative per connected component (iterated min-label
+    propagation), e.g. pairs (1,5),(2,5) keep only doc 1 instead of
+    {1, 2}.
     """
     pairs = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, shingle_n)
     verified = ngram_jaccard_on_pairs(df, pairs, text_col, id_col, shingle_n)
     dup = verified.filter(F.col("jaccard") >= threshold)
+    if transitive:
+        comp = connected_components(dup)
+        drop = comp.filter(F.col("id") != F.col("component")) \
+                   .select(F.col("id").alias(id_col))
+        return df.join(drop, id_col, "left_anti")
     # representative = min id over each pair-neighborhood
     drop = dup.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")

@@ -421,10 +421,12 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     margin += core.tree_predict(round_trees[0], Xb,
                                                 binned=True)
                 if obj.adaptive_alpha is not None:
-                    for t in round_trees:
+                    aa = obj.adaptive_alpha
+                    for ti, t in enumerate(round_trees):
+                        k_r = ti // n_forest
                         _leaf_quantile_refresh(
-                            comm, t, Xb, y - margin[:, 0], w,
-                            obj.adaptive_alpha, p.eta)
+                            comm, t, Xb, y - margin[:, k_r], w,
+                            aa[k_r] if isinstance(aa, tuple) else aa, p.eta)
                 # DART normalization (reference normalize_type semantics)
                 kdrop = len(dropped)
                 if is_dart and kdrop > 0:

@@ -587,8 +587,13 @@ class SparkBooster:
                         t.leaf_value = [v / n_forest for v in t.leaf_value]
                 round_trees.extend(forest)
             if obj.adaptive_alpha is not None:
-                for t in round_trees:
-                    self._adaptive_leaf_refresh(binned, t, obj.adaptive_alpha, p.eta)
+                nf_r = max(len(round_trees) // K, 1)
+                aa = obj.adaptive_alpha
+                for i, t in enumerate(round_trees):
+                    k_r = i // nf_r
+                    alpha_k = aa[k_r] if isinstance(aa, tuple) else aa
+                    self._adaptive_leaf_refresh(binned, t, alpha_k, p.eta,
+                                                group=k_r)
 
             # DART weight normalization (reference normalize_type docs:
             # tree  -> w_new = 1/(k+lr), dropped *= k/(k+lr)
@@ -719,13 +724,16 @@ class SparkBooster:
 
     # ------------------------------------------------------------------
     def _adaptive_leaf_refresh(self, binned: DataFrame, tree: core.Tree,
-                               alpha: float, eta: float):
+                               alpha: float, eta: float, group: int = 0):
         """UpdateTreeLeaf for adaptive objectives (reference
         `regression_obj.cu:745-753`): leaf <- eta * quantile_alpha(y - margin),
-        computed as one groupBy(leaf).percentile_approx job."""
+        computed as one groupBy(leaf).percentile_approx job.  ``group``
+        selects the margin column (multi-alpha quantile: group k's tree
+        refreshes against margin m_k with alpha_k)."""
         sc = binned.sparkSession.sparkContext
         bc = sc.broadcast(tree.finalize_arrays())
         fcols = [c for c in binned.columns if c.startswith("x")]
+        mcol = f"m{group}"
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             arrs = bc.value
@@ -736,7 +744,7 @@ class SparkBooster:
                 leaf = core.leaf_ids_from_arrays(arrs, Xb, binned=True)
                 yield pd.DataFrame({
                     "leaf": leaf.astype(np.int32),
-                    "resid": pdf["y"].to_numpy() - pdf["m0"].to_numpy(),
+                    "resid": pdf["y"].to_numpy() - pdf[mcol].to_numpy(),
                 })
 
         q = (

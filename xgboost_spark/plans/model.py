@@ -140,7 +140,8 @@ class GBDTModel:
                            "objective": self.params.objective,
                            "num_class": self.params.num_class,
                            "eta": self.params.eta,
-                           "max_depth": self.params.max_depth},
+                           "max_depth": self.params.max_depth,
+                           "quantile_alpha": list(self.params.quantile_alpha)},
             },
         }
         return json.dumps(doc)
@@ -170,6 +171,8 @@ class GBDTModel:
         for k in ("eta", "max_depth", "num_boost_round"):
             if k in ext.get("params", {}):
                 pd_[k] = ext["params"][k]
+        if ext.get("params", {}).get("quantile_alpha"):
+            pd_["quantile_alpha"] = tuple(ext["params"]["quantile_alpha"])
         params = TrainParams.from_dict(pd_)
         K = params.n_groups
         tree_docs = ln["gradient_booster"]["model"]["trees"]
@@ -417,6 +420,9 @@ class GBDTModel:
                 # so the equality inside array_position is bitwise-safe
                 out = (F.array_position(F.array(*margins),
                                         F.greatest(*margins)) - 1).cast("double")
+            elif name == "reg:quantileerror":
+                # multi-alpha: identity link, one value per alpha
+                out = F.array(*margins)
             else:
                 mx = F.greatest(*margins)
                 exps = [F.exp(m - mx) for m in margins]
@@ -485,7 +491,10 @@ class GBDTModel:
                                       base_margin_col=base_margin_col)
             return out.drop(*enc_tmp) if enc_tmp else out
         fields = list(df.schema.fields)
-        if K > 1 and self.params.objective == "multi:softprob":
+        # vector prediction: class probabilities (softprob) or one value
+        # per quantile alpha (multi-alpha quantileerror)
+        if K > 1 and self.params.objective in ("multi:softprob",
+                                               "reg:quantileerror"):
             fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
         else:
             fields.append(T.StructField("prediction", T.DoubleType()))
@@ -599,7 +608,8 @@ class GBDTModel:
                        array_col: str | None, bc, K: int,
                        base_margin_col: str | None = None) -> DataFrame:
         from pyspark.sql.functions import pandas_udf
-        multi = K > 1 and self.params.objective == "multi:softprob"
+        multi = K > 1 and self.params.objective in ("multi:softprob",
+                                                    "reg:quantileerror")
         ret_type = "array<double>" if multi else "double"
         use_array = array_col is not None
         has_bm = base_margin_col is not None
