@@ -627,6 +627,90 @@ def q_train_linear(spark, sf_dir):
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup grouping: connected components (iterated
+    min-label propagation, operators/dedup.connected_components) over
+    exact word-3-gram Jaccard >= 0.5 edges.  Oracle: DuckDB recursive
+    reachability + min-id — verifying the fixpoint, not just one hop."""
+    _prep(spark)
+    from xgboost_spark.operators.dedup import connected_components, word_shingles
+    docs = _table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", 3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("ninter"))
+             .filter(F.col("ninter") >= 8))
+    edges = (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nb"), "id_b")
+        .filter(F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")) >= 0.5)
+        .select("id_a", "id_b"))
+    comp = connected_components(edges)
+    return comp.select(F.col("id").cast("bigint").alias("id"),
+                       F.col("component").cast("bigint").alias("component"))
+
+
+def q_ordinal_encode(spark, sf_dir):
+    """String-categorical ordinal encoding (sources/encoder.py, reference
+    src/encoder/ordinal.h): sorted-distinct dictionary -> code.  Oracle:
+    dense_rank over the same ordering."""
+    _prep(spark)
+    from xgboost_spark.sources.encoder import encode_col, fit_ordinal_encoder
+    docs = _table(spark, sf_dir, "documents")
+    mapping = fit_ordinal_encoder(docs, ["lang"])
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       encode_col(F.col("lang"), mapping["lang"]).alias("code"))
+
+
+def q_train_string_cat(spark, sf_dir):
+    """End-to-end training on a STRING categorical feature (ordinal
+    encode -> categorical splits -> string-input predict); rows-only —
+    returns per-language mean prediction."""
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("tlen"),
+        (F.length("text") % 97).cast("double").alias("f_x"))
+    m = SparkBooster(TrainParams(num_boost_round=3, max_depth=3, max_bin=32,
+                                 seed=7)).fit(
+        docs, feature_cols=["lang", "f_x"], label_col="tlen")
+    out = m.transform(docs, feature_cols=["lang", "f_x"])
+    return (out.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("prediction"), 2).alias("avg_pred")))
+
+
+def q_train_multi_quantile(spark, sf_dir):
+    """Multi-alpha quantile regression (one model, 3 outputs; reference
+    quantile_obj.cu vector alpha); rows-only — empirical coverage per
+    alpha must bracket the target."""
+    _prep(spark)
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice")
+    m = SparkBooster(TrainParams(objective="reg:quantileerror",
+                                 quantile_alpha=(0.25, 0.5, 0.75),
+                                 num_boost_round=4, max_depth=4, max_bin=64,
+                                 seed=3)).fit(
+        li, feature_cols=["l_quantity", "l_discount"],
+        label_col="l_extendedprice")
+    out = m.transform(li, feature_cols=["l_quantity", "l_discount"])
+    pred = F.col("prediction")
+    return out.agg(
+        F.round(F.avg((F.col("l_extendedprice") <= pred.getItem(0)).cast("double")), 3)
+        .alias("cov_25"),
+        F.round(F.avg((F.col("l_extendedprice") <= pred.getItem(1)).cast("double")), 3)
+        .alias("cov_50"),
+        F.round(F.avg((F.col("l_extendedprice") <= pred.getItem(2)).cast("double")), 3)
+        .alias("cov_75"),
+        F.count("*").cast("bigint").alias("n"))
+
+
 def q_linear_one_round(spark, sf_dir):
     """gblinear, ONE shotgun round (reference updater_shotgun.cc:96):
     with w=0 and base=mean(y) the update has the closed form
@@ -903,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -934,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_one_round": q_linear_one_round,
         "train_dart": q_train_dart,
         "simhash": q_simhash,
+        # round-2 additions
+        "ordinal_encode": q_ordinal_encode,
+        "train_string_cat": q_train_string_cat,
+        "train_multi_quantile": q_train_multi_quantile,
     }
 
 
@@ -1412,4 +1501,30 @@ UNION ALL SELECT 'l_tax', round(0.5 * (-g2 / (h2 + 1.0)), 4) FROM s
 UNION ALL SELECT '__bias__', round(bs + 0.5 * (-(n * bs - sy) / n), 4) FROM s""",
 
         "simhash": _simhash_oracle_sql(),
+
+        "dedup_components": f"""
+WITH RECURSIVE {shingle_cte},
+sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 8),
+edges AS (
+  SELECT ia, ib FROM inter
+  JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+  WHERE ninter * 1.0 / (sa.nsh + sb.nsh - ninter) >= 0.5),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION ALL SELECT ib, ia FROM edges),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT s.a AS id, reach.r FROM sym s JOIN reach ON reach.id = s.b
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id""",
+
+        "ordinal_encode": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(dense_rank() OVER (ORDER BY lang) - 1 AS DOUBLE) AS code
+FROM documents""",
     }

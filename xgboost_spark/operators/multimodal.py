@@ -101,18 +101,23 @@ def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row[content_col]) if row[content_col] is not None else b""
-                n_frames = max(len(content) // max(every_n, 1), 1)
-                for fi in range(min(n_frames, max_frames)):
-                    r = dict(row)
-                    r["frame_idx"] = fi
-                    start = fi * every_n
-                    r["frame_content"] = content[start:start + every_n]
-                    rows.append(r)
-            if rows:
-                yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            contents = [bytes(c) if c is not None else b""
+                        for c in pdf[content_col]]
+            n_frames = np.minimum(
+                np.maximum([len(c) // max(every_n, 1) for c in contents], 1),
+                max_frames)
+            # vectorized row replication: one repeat + per-frame slices
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            frame_idx = np.concatenate([np.arange(n) for n in n_frames])
+            out["frame_idx"] = frame_idx.astype(np.int32)
+            out["frame_content"] = [
+                contents[i][fi * every_n:(fi + 1) * every_n]
+                for i, fi in zip(idx, frame_idx)
+            ]
+            yield out
 
     return df.mapInPandas(fn, schema=T.StructType(fields))
 

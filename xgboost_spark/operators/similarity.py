@@ -106,26 +106,39 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
-              id_col: str = "vec_id", iters: int = 2, seed: int = 42) -> tuple[DataFrame, np.ndarray]:
+              id_col: str = "vec_id", iters: int = 2, seed: int = 42,
+              train_fraction: float = 1.0) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: deterministic-sample centroids, refine with
     ``iters`` Lloyd steps (each step = one groupBy(cluster) agg of
     per-dimension means — a single shuffle), assign corpus to nearest
     centroid.  Returns (assigned_corpus(list_id, ...), centroids).
+
+    Scale contract: the Lloyd loop scans its training set once per
+    iteration, so the projected training set is persisted
+    (MEMORY_AND_DISK) for the duration of the build instead of re-running
+    the full input lineage each step.  At 100 TB, set ``train_fraction``
+    so the seeded sample is ~1M rows — centroid quality needs a sample,
+    not the full corpus; the final assignment still covers every row.
     """
     dim = len(corpus.select(vec_col).first()[0])
+    train = corpus.select(F.col(vec_col).alias("v"))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    from pyspark import StorageLevel
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = (
-        corpus.select(F.col(vec_col).alias("v"))
+        train
         .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("string"), F.lit(str(seed)))))
         .limit(n_centroids).collect()
     )
     cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
 
-    def assign(df):
+    def assign(df, col=None):
         # argmin over an ARRAY of per-centroid distances: expression size
         # stays linear in n_centroids (a chained when(d2<best,...) would
         # embed the running tree twice per centroid -> exponential blowup
         # that stalls the analyzer)
-        v = F.col(vec_col)
+        v = F.col(col or vec_col)
         d2s = []
         for ci in range(len(cents)):
             carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
@@ -140,14 +153,15 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
                 .drop("_d2s"))
 
     for _ in range(iters):
-        assigned = assign(corpus)
+        assigned = assign(train, col="v")
         means = (
-            assigned.select("list_id", F.posexplode(vec_col).alias("d", "x"))
+            assigned.select("list_id", F.posexplode("v").alias("d", "x"))
             .groupBy("list_id", "d").agg(F.avg("x").alias("mx"))
             .collect()
         )
         for r in means:
             cents[r["list_id"], r["d"]] = r["mx"]
+    train.unpersist()
     return assign(corpus), cents
 
 
@@ -157,6 +171,13 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
     The corpus side is pre-partitioned by list_id (bucketing in a real
     deployment); the probe join is an equi-join on list_id.
+
+    Contract: the QUERY set is collected to the driver to compute its
+    probe lists (then broadcast back), so it must be driver-sized —
+    thousands of queries, not millions.  The corpus side never moves
+    through the driver and is unbounded.  For a query set too large to
+    collect, assign queries to lists distributedly with the same
+    ``assign`` expression ivf_build uses and equi-join on list_id.
     """
     assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col, seed=seed)
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
