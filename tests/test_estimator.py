@@ -51,6 +51,23 @@ def test_param_grid_copy(reg_df):
     assert est.train_params.max_depth == 6
 
 
+def test_estimator_base_margin_and_categorical(spark, reg_df):
+    """Reference-wrapper parity: a configured base_margin_col applies at
+    PREDICT when the scoring frame carries it; string feature columns
+    train categorically through the estimator surface."""
+    df = reg_df.withColumn("bm", F.lit(2.0)).withColumn(
+        "grp", F.when(F.coalesce(F.col("c0"), F.lit(0.0)) > 0, "hi").otherwise("lo"))
+    est = SparkGBDTRegressor(label_col="label", features_col=["grp", "c1"],
+                             base_margin_col="bm",
+                             num_boost_round=3, max_depth=3, max_bin=16)
+    model = est.fit(df)
+    assert model.core.category_maps == {"grp": ["hi", "lo"]}
+    with_bm = model.transform(df.limit(100)).toPandas()["prediction"]
+    without = model.core.transform(df.limit(100),
+                                   feature_cols=["grp", "c1"]).toPandas()["prediction"]
+    assert np.allclose(np.sort(with_bm), np.sort(without + 2.0), rtol=1e-9)
+
+
 def test_cross_validator(spark, reg_df):
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder

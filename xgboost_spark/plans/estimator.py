@@ -79,6 +79,7 @@ class _GBDTEstimator(Estimator):
     def __init__(self, label_col: str = "label", features_col: str | list[str] = "features",
                  weight_col: str | None = None, base_margin_col: str | None = None,
                  qid_col: str | None = None, validation_indicator_col: str | None = None,
+                 categorical_features: list | None = None,
                  **params):
         super().__init__()
         self.label_col = label_col
@@ -87,6 +88,7 @@ class _GBDTEstimator(Estimator):
         self.base_margin_col = base_margin_col
         self.qid_col = qid_col
         self.validation_indicator_col = validation_indicator_col
+        self.categorical_features = categorical_features
         # defaults come from TrainParams so the two surfaces can't drift
         base = TrainParams(objective=self._default_objective)
         self._setDefault(**{n: getattr(base, n) for n in _TUNABLE_NAMES})
@@ -126,9 +128,13 @@ class _GBDTEstimator(Estimator):
         core_model = booster.fit(
             train_df, label_col=self.label_col, weight_col=self.weight_col,
             base_margin_col=self.base_margin_col, qid_col=self.qid_col,
+            categorical_features=self.categorical_features,
             evals=evals, **self._feature_kw(train_df),
         )
-        return self._model_cls(core_model, self._feature_kw(train_df))
+        # like the reference wrapper, a configured base_margin_col also
+        # applies at predict when the scoring frame carries the column
+        return self._model_cls(core_model, self._feature_kw(train_df),
+                               base_margin_col=self.base_margin_col)
 
     @property
     def _model_cls(self):
@@ -136,17 +142,25 @@ class _GBDTEstimator(Estimator):
 
 
 class _GBDTModel(Model):
-    def __init__(self, core_model: GBDTModel | None = None, feature_kw: dict | None = None):
+    def __init__(self, core_model: GBDTModel | None = None, feature_kw: dict | None = None,
+                 base_margin_col: str | None = None):
         super().__init__()
         self.core = core_model
         self._feature_kw = feature_kw or {}
+        self._base_margin_col = base_margin_col
+
+    def _predict_kw(self, dataset: DataFrame) -> dict:
+        kw = dict(self._feature_kw)
+        if self._base_margin_col and self._base_margin_col in dataset.columns:
+            kw["base_margin_col"] = self._base_margin_col
+        return kw
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
-        return self.core.transform(dataset, **self._feature_kw)
+        return self.core.transform(dataset, **self._predict_kw(dataset))
 
     def transform(self, dataset: DataFrame, params=None, **kw) -> DataFrame:
         if kw:
-            return self.core.transform(dataset, **self._feature_kw, **kw)
+            return self.core.transform(dataset, **self._predict_kw(dataset), **kw)
         return super().transform(dataset, params)
 
     # ml-writer-style persistence (reference `_SparkXGBModel`
@@ -155,6 +169,7 @@ class _GBDTModel(Model):
         import json
         doc = json.loads(self.core.to_json())
         doc["xgboost_spark"]["feature_kw"] = self._feature_kw
+        doc["xgboost_spark"]["base_margin_col"] = self._base_margin_col
         with open(path, "w") as f:
             json.dump(doc, f)
 
@@ -163,9 +178,10 @@ class _GBDTModel(Model):
         import json
         with open(path) as f:
             doc = json.load(f)
-        fkw = doc.get("xgboost_spark", {}).get("feature_kw", {})
+        ext = doc.get("xgboost_spark", {})
         core_model = GBDTModel.from_json(json.dumps(doc))
-        return cls(core_model, fkw)
+        return cls(core_model, ext.get("feature_kw", {}),
+                   base_margin_col=ext.get("base_margin_col"))
 
     def get_feature_importances(self, importance_type: str = "weight"):
         return self.core.feature_importance(importance_type)
