@@ -161,8 +161,14 @@ class GBDTModel:
           is an OUTPUT-space intercept (possibly the "[5E-1]" array-
           string form) and is mapped through prob_to_margin.
         """
+        return cls.from_doc(json.loads(s))
+
+    @classmethod
+    def from_doc(cls, doc: dict) -> "GBDTModel":
+        """Load from an already-parsed model document (shared by the
+        JSON and UBJSON surfaces — reference `XGBoosterLoadModel`
+        dispatches on extension, c_api.h:1353-1389)."""
         from xgboost_spark.functions.objectives import prob_to_margin
-        doc = json.loads(s)
         ln = doc["learner"]
         num_class = int(ln["learner_model_param"]["num_class"])
         objective = ln["objective"]["name"]
@@ -254,13 +260,28 @@ class GBDTModel:
         return m
 
     def save(self, path: str):
+        """JSON by default; ``.ubj``/``.ubjson`` extension writes UBJSON
+        (reference XGBoosterSaveModel extension dispatch)."""
+        if path.endswith((".ubj", ".ubjson")):
+            from xgboost_spark.sources import ubjson
+            with open(path, "wb") as f:
+                f.write(ubjson.dumps(json.loads(self.to_json())))
+            return
         with open(path, "w") as f:
             f.write(self.to_json())
 
     @classmethod
     def load(cls, path: str) -> "GBDTModel":
-        with open(path) as f:
-            return cls.from_json(f.read())
+        with open(path, "rb") as f:
+            data = f.read()
+        if path.endswith((".ubj", ".ubjson")):
+            from xgboost_spark.sources import ubjson
+            return cls.from_doc(ubjson.loads(data))
+        try:
+            return cls.from_json(data.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            from xgboost_spark.sources import ubjson
+            return cls.from_doc(ubjson.loads(data))
 
     # ------------------------------------------------------------- slicing
     def slice(self, begin: int, end: int) -> "GBDTModel":
