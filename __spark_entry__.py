@@ -653,6 +653,33 @@ def q_dedup_components(spark, sf_dir):
                        F.col("component").cast("bigint").alias("component"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (operators/
+    sampling.hash_split): md5-uniformized key, engine-independent —
+    oracle recomputes the identical assignment in DuckDB."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import hash_split
+    docs = _table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.length("text")).cast("bigint").alias("chars")))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy linear sequence packing to a char budget via the
+    distributed prefix scan; oracle = window cumsum in DuckDB."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import pack_sequences
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("tok"))
+    out = pack_sequences(docs, "doc_id", "tok", budget=8192)
+    return (out.groupBy("pack_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("tok").cast("bigint").alias("tokens")))
+
+
 def q_ordinal_encode(spark, sf_dir):
     """String-categorical ordinal encoding (sources/encoder.py, reference
     src/encoder/ordinal.h): sorted-distinct dictionary -> code.  Oracle:
@@ -1023,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_encode": q_ordinal_encode,
         "train_string_cat": q_train_string_cat,
         "train_multi_quantile": q_train_multi_quantile,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1527,4 +1556,28 @@ FROM reach GROUP BY id""",
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(dense_rank() OVER (ORDER BY lang) - 1 AS DOUBLE) AS code
 FROM documents""",
+
+        "hash_split": """
+WITH u AS (
+  SELECT text,
+         ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM u GROUP BY 1""",
+
+        "pack_sequences": """
+WITH s AS (
+  SELECT doc_id, length(text) AS tok,
+         sum(length(text)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT CAST(floor((cum - tok) / 8192.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS tokens
+FROM s GROUP BY 1""",
     }

@@ -54,6 +54,35 @@ def test_minhash_dedup_end_to_end(spark, docs):
     assert {0, 1, 2, 3} <= ids
 
 
+def test_hash_split_deterministic(spark, docs):
+    from xgboost_spark.operators.sampling import hash_split
+    a = hash_split(docs, "doc_id", {"train": 0.7, "val": 0.3}).toPandas()
+    b = hash_split(docs, "doc_id", {"train": 0.7, "val": 0.3}).toPandas()
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert ma == mb                      # reproducible across runs
+    assert set(ma.values()) <= {"train", "val"}
+    # key-stable: restricting the input never reassigns surviving rows
+    sub = hash_split(docs.filter(F.col("doc_id") < 3), "doc_id",
+                     {"train": 0.7, "val": 0.3}).toPandas()
+    for _, r in sub.iterrows():
+        assert ma[r["doc_id"]] == r["split"]
+    # subsample mode: rows beyond the total fraction get NULL
+    keep = hash_split(docs, "doc_id", {"train": 0.5}).toPandas()
+    assert keep["split"].isna().sum() > 0 or len(keep) < 8
+
+
+def test_pack_sequences(spark):
+    from xgboost_spark.operators.sampling import pack_sequences
+    rows = [(i, 100) for i in range(10)]          # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = pack_sequences(df, "doc_id", "tok", budget=250).toPandas()
+    got = dict(zip(out["doc_id"], out["pack_id"]))
+    # starts: 0,100,200 -> pack 0; 300,400 -> 1; ...; 900 -> 3
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2,
+                   8: 3, 9: 3}
+
+
 def test_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 5), (2, 5), (10, 11), (11, 12), (12, 13), (20, 21)],

@@ -1,0 +1,61 @@
+"""Dataset curation operators: deterministic splits and sequence packing.
+
+A training-data pipeline needs reproducible, engine-independent dataset
+partitioning — `df.sample`/`randomSplit` depend on partitioning and RNG
+state, so two runs (or two engines) disagree.  These operators derive
+everything from content hashes / prefix scans, so the same row lands in
+the same split on any engine at any scale (both have exact DuckDB
+oracles in `__spark_entry__.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
+               salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Assign each row to a named split by hashing its key: the first 8
+    md5 hex chars of (salt || key) uniformize to u in [0,1); cumulative
+    fraction thresholds pick the split.  Deterministic, key-stable
+    (adding rows never moves existing rows between splits), no shuffle —
+    a pure projection that fuses into the scan.
+
+    ``fractions`` values should sum to <= 1.0; rows falling beyond the
+    total get NULL (useful for subsampling: {"train": 0.01} keeps 1%).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                           F.col(key_col).cast("string"))),
+                            1, 8), 16, 10).cast("double")
+         / F.lit(float(2 ** 32)))
+    col = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += float(frac)
+        col = (F.when(u < cum, name) if col is None
+               else col.when(u < cum, name))
+    return df.withColumn(out_col, col)
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   budget: int, out_col: str = "pack_id") -> DataFrame:
+    """Linear greedy sequence packing: documents in stable ``id_col``
+    order are laid end-to-end and cut into packs of ~``budget`` tokens —
+    a document belongs to the pack its START offset falls in.
+
+    Distributed via operators/scan.prefix_sums (range repartition +
+    per-partition windows + broadcast offsets), so no single-partition
+    global window at any scale.  The budget is approximate by one
+    document at pack boundaries — the standard streaming-packing
+    tradeoff; exact bin packing is NP-hard and order-unstable.
+    """
+    from xgboost_spark.operators.scan import prefix_sums
+    s = prefix_sums(df, id_col, [token_col])
+    start = F.col(f"cum_{token_col}") - F.col(token_col)
+    return (s.withColumn(out_col, F.floor(start / F.lit(float(budget)))
+                         .cast("bigint"))
+            .drop(f"cum_{token_col}"))
