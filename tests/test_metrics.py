@@ -73,6 +73,45 @@ def test_multiclass_metrics(spark):
         mll, rel=1e-7)
 
 
+def test_multiclass_auc_ovr(spark):
+    """Prevalence-weighted one-vs-rest AUC (reference auc.cc MultiAUC):
+    checked against a direct NumPy replication of the formula."""
+    rng = np.random.default_rng(5)
+    n, K = 1500, 3
+    y = rng.integers(0, K, n).astype(float)
+    m = rng.normal(0, 1, (n, K))
+    m[np.arange(n), y.astype(int)] += 1.2
+    pdf = pd.DataFrame({"y": y, **{f"m{k}": m[:, k] for k in range(K)}})
+    df = spark.createDataFrame(pdf)
+    got = M.compute_metric(df, "auc", margin_cols=[f"m{k}" for k in range(K)])
+
+    e = np.exp(m - m.max(axis=1, keepdims=True))
+    p = e / e.sum(axis=1, keepdims=True)
+
+    def np_auc(yy, ss):
+        order = np.argsort(ss)
+        ys, s_sorted = yy[order], ss[order]
+        # tie-aware: group by score
+        num = pos_seen = neg_seen = 0.0
+        i = 0
+        while i < len(ss):
+            j = i
+            while j < len(ss) and s_sorted[j] == s_sorted[i]:
+                j += 1
+            pos = ys[i:j].sum(); neg = (j - i) - pos
+            num += pos * (neg_seen + neg / 2)
+            neg_seen += neg; pos_seen += pos
+            i = j
+        return num / (pos_seen * neg_seen)
+
+    num = den = 0.0
+    for k in range(K):
+        yk = (y == k).astype(float)
+        num += np_auc(yk, p[:, k]) * yk.sum()
+        den += yk.sum()
+    assert got == pytest.approx(num / den, rel=1e-9)
+
+
 def test_ndcg_and_map(spark):
     pdf = pd.DataFrame({
         "q": [1, 1, 1, 1, 2, 2, 2],

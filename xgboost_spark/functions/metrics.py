@@ -104,8 +104,13 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         d = yy - m
         return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
     if name == "auc":
+        if len(margin_cols) > 1:
+            return auc_multiclass(df, y=y, margin_cols=margin_cols, weight=weight)
         return auc_binary(df, y=y, score=margin_cols[0], weight=weight)
     if name == "aucpr":
+        if len(margin_cols) > 1:
+            return auc_multiclass(df, y=y, margin_cols=margin_cols,
+                                  weight=weight, curve="pr")
         return aucpr_binary(df, y=y, score=margin_cols[0], weight=weight)
     if name == "ams":
         return ams_at_k(df, float(arg) if arg else 0.15, y=y,
@@ -212,6 +217,35 @@ def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
         F.col("tp_prev") / F.greatest(F.col("tp_prev") + F.col("fp_prev"), F.lit(1e-16)))
     area = (F.col("tp") - F.col("tp_prev")) / F.lit(P_) * (prec + prec_prev) / 2.0
     return float(g.agg(F.sum(area).alias("a")).first()["a"])
+
+
+def auc_multiclass(df: DataFrame, y: str = "y",
+                   margin_cols: list[str] | None = None,
+                   weight: str | None = None, curve: str = "roc") -> float:
+    """Prevalence-weighted one-vs-rest AUC for multiclass models
+    (reference `src/metric/auc.cc:82-146` MultiAUC kMultiClass):
+    per class c, binary AUC of softprob_c against label==c; classes are
+    averaged weighted by their positive weight; NaN if any class has an
+    undefined curve — matching the reference's early-NaN contract.
+    Runs K binary-AUC queries, each fully distributed."""
+    margin_cols = margin_cols or ["m0"]
+    probs = _softprob_cols(margin_cols)
+    w = F.col(weight) if weight else F.lit(1.0)
+    num = 0.0
+    den = 0.0
+    fn = auc_binary if curve == "roc" else aucpr_binary
+    for c, pcol in enumerate(probs):
+        d = df.select(
+            (F.col(y).cast("int") == c).cast("double").alias("_yc"),
+            pcol.alias("_sc"), w.alias("_w"))
+        auc_c = fn(d, y="_yc", score="_sc", weight="_w")
+        if math.isnan(auc_c):
+            return float("nan")
+        p_c = float(d.agg(F.sum(F.col("_w") * F.col("_yc")).alias("p"))
+                    .first()["p"] or 0.0)
+        num += auc_c * p_c
+        den += p_c
+    return num / den if den > 0 else float("nan")
 
 
 def ams_at_k(df: DataFrame, k_frac: float, y: str = "y", score: str = "m0",
