@@ -964,6 +964,36 @@ def q_stream_sessions(spark, sf_dir):
                  F.sum("n_events").cast("bigint").alias("n_events")))
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/scoring.streaming_dedup:
+    dropDuplicates on content digest within the watermark horizon)
+    driven over the bounded events stream; only the deterministic
+    distinct keys are returned (which physical row survives is
+    arrival-order dependent).  Oracle: batch DISTINCT."""
+    _prep(spark)
+    import tempfile
+    from xgboost_spark.sources.tables import ensure_event_time
+    from xgboost_spark.streaming.scoring import streaming_dedup
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(link).schema
+    src = spark.readStream.schema(sch).parquet(stream_dir)
+    src = ensure_event_time(src, "ts")
+    # unbounded horizon => exact distinct on bounded input
+    ded = streaming_dedup(src, text_col="event_type", ts_col="ts",
+                          watermark="87600 hours")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_dedup_{_STREAM_SEQ[0]}"
+    q = (ded.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("event_type").distinct()
+
+
 def q_knn_lsh(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH buckets, exact rerank of
     candidates only (rows-only check; recall vs brute force is asserted
@@ -1033,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (oracle = same agg in batch SQL)
         "stream_window": q_stream_window,
         "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         # ANN scale paths (rows-only; recall asserted in tests)
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1556,6 +1587,9 @@ FROM reach GROUP BY id""",
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(dense_rank() OVER (ORDER BY lang) - 1 AS DOUBLE) AS code
 FROM documents""",
+
+        "stream_dedup": """
+SELECT DISTINCT event_type FROM events""",
 
         "hash_split": """
 WITH u AS (

@@ -38,6 +38,25 @@ def test_partition_split_finds_category_set(cat_data):
     assert s == {0, 3, 7} or s == {1, 2, 4, 5, 6, 8, 9}
 
 
+def test_max_cat_threshold_bounds_partition(cat_data):
+    """max_cat_threshold (reference param.h:42): the partition scan
+    considers at most thr-1 set sizes from each end of the sorted
+    order, so the chosen split has a small side of <= thr-1 cats."""
+    X, y = cat_data
+    p = TrainParams(num_boost_round=1, max_depth=1, base_score=0.0,
+                    eta=1.0, max_cat_threshold=3, max_cat_to_onehot=1)
+    lb = LocalBooster(p).fit(X, y, cat_features=np.array([True, False]))
+    t = lb.trees[0][0]
+    if t.categories[0] is not None:
+        n_left = len(t.categories[0])
+        n_present = 10
+        assert min(n_left, n_present - n_left) <= 2
+    # default threshold (64) is unconstraining: identical to unbounded
+    p2 = TrainParams(num_boost_round=1, max_depth=1, base_score=0.0, eta=1.0)
+    t2 = LocalBooster(p2).fit(X, y, cat_features=np.array([True, False])).trees[0][0]
+    assert set(t2.categories[0]) in ({0, 3, 7}, {1, 2, 4, 5, 6, 8, 9})
+
+
 def test_onehot_gate(cat_data):
     rng = np.random.default_rng(5)
     n = 2000

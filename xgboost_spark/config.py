@@ -71,6 +71,9 @@ class TrainParams:
     # categorical splits: one-hot below this cardinality, else sorted
     # set-partition (reference evaluate_splits.h:307 gate)
     max_cat_to_onehot: int = 4
+    # partition-based splits scan <= thr-1 set sizes from each end of
+    # the sorted category order (reference param.h:42)
+    max_cat_threshold: int = 64
 
     # multi-class strategy (reference `include/xgboost/learner.h:327,345`):
     # one_output_per_tree = K trees per round; multi_output_tree = one

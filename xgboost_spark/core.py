@@ -381,6 +381,7 @@ def split_search(
     monotone: np.ndarray | None = None,       # int8 (n_feat,) in {-1,0,+1}
     cat_features: np.ndarray | None = None,   # bool (n_feat,) — categorical
     max_cat_to_onehot: int = 4,
+    max_cat_threshold: int = 64,
 ) -> list[SplitResult | None]:
     """Best split per node from node histograms.
 
@@ -478,8 +479,16 @@ def split_search(
                     order = present[np.argsort(ratio, kind="stable")]
                     cg = np.cumsum(gb[order])
                     ch = np.cumsum(hb[order])
+                    # max_cat_threshold (reference param.h:42 default 64,
+                    # evaluate_splits.h:148): scan at most thr-1 set
+                    # sizes from EACH end of the sorted order — bounds
+                    # work and over-fitting for huge-cardinality splits
+                    thr = max(int(max_cat_threshold), 1)
+                    n_sets = len(order) - 1
                     cand = [(order[: j + 1].tolist(), float(cg[j]), float(ch[j]))
-                            for j in range(len(order) - 1)]
+                            for j in range(n_sets)
+                            if (j + 1 <= thr - 1
+                                or n_sets - j <= thr - 1)]
                 for cats_left, gl_, hl_ in cand:
                     for direction in (0, 1):        # 0: missing right, 1: left
                         gl2 = gl_ + (gm if direction else 0.0)
@@ -630,6 +639,7 @@ def grow_tree(
         min_child_weight=params.min_child_weight, max_delta_step=params.max_delta_step,
         monotone=monotone, cat_features=cat_features,
         max_cat_to_onehot=getattr(params, "max_cat_to_onehot", 4),
+        max_cat_threshold=getattr(params, "max_cat_threshold", 64),
     )
     if feature_mask_tree is None:
         feature_mask_tree = np.ones(F, dtype=bool)
