@@ -667,6 +667,17 @@ def q_hash_split(spark, sf_dir):
                  F.sum(F.length("text")).cast("bigint").alias("chars")))
 
 
+def q_stratified_take(spark, sf_dir):
+    """Deterministic exactly-n-per-stratum sample (operators/sampling.
+    stratified_take): md5-ranked within stratum, WindowGroupLimit plan;
+    oracle = identical row_number window in DuckDB."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import stratified_take
+    docs = _table(spark, sf_dir, "documents")
+    out = stratified_take(docs, "lang", "doc_id", 5)
+    return out.select("lang", F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy linear sequence packing to a char budget via the
     distributed prefix scan; oracle = window cumsum in DuckDB."""
@@ -1083,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_multi_quantile": q_train_multi_quantile,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "stratified_take": q_stratified_take,
     }
 
 
@@ -1603,6 +1615,14 @@ SELECT CASE WHEN u < 0.8 THEN 'train'
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(length(text)) AS BIGINT) AS chars
 FROM u GROUP BY 1""",
+
+        "stratified_take": """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5('take' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rk <= 5""",
 
         "pack_sequences": """
 WITH s AS (

@@ -72,6 +72,19 @@ def test_hash_split_deterministic(spark, docs):
     assert keep["split"].isna().sum() > 0 or len(keep) < 8
 
 
+def test_stratified_take(spark, docs):
+    from xgboost_spark.operators.sampling import stratified_take
+    out = stratified_take(docs, "text", "doc_id", 1).toPandas()
+    # one row per distinct text, deterministic winner
+    again = stratified_take(docs, "text", "doc_id", 1).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    assert len(out) == 5        # 6 docs, one exact dup text
+    # plan uses WindowGroupLimit (map-side partial top-n, no full sort)
+    plan = stratified_take(docs, "text", "doc_id", 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_pack_sequences(spark):
     from xgboost_spark.operators.sampling import pack_sequences
     rows = [(i, 100) for i in range(10)]          # 10 docs x 100 tokens

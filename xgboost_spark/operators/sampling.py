@@ -41,6 +41,23 @@ def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
     return df.withColumn(out_col, col)
 
 
+def stratified_take(df: DataFrame, strata_col: str, key_col: str, n_per: int,
+                    salt: str = "take") -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rows rank by
+    md5(salt || key) within their stratum; the n smallest win.  Unlike
+    ``sampleBy`` this is engine-independent and gives exact counts.
+
+    Scale: the rank window compiles to WindowGroupLimit (map-side
+    partial top-n before the shuffle), so a giant stratum never sorts
+    fully — each task keeps at most n rows per stratum.
+    """
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per).drop("_rk"))
+
+
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,
                    budget: int, out_col: str = "pack_id") -> DataFrame:
     """Linear greedy sequence packing: documents in stable ``id_col``
