@@ -25,6 +25,20 @@ def test_model_slice(spark, reg_df, model):
     assert sl.trees[0][0] is model.trees[1][0]
 
 
+def test_predict_iteration_range(spark, reg_df, model):
+    """predict(iteration_range=(a,b)) (reference core.py Booster.predict)
+    scores with rounds [a,b) only — identical to slicing first."""
+    import numpy as np
+    sample = reg_df.limit(200)
+    a = (model.transform(sample, feature_cols=FC, iteration_range=(0, 2))
+         .toPandas()["prediction"])
+    b = (model.slice(0, 2).transform(sample, feature_cols=FC)
+         .toPandas()["prediction"])
+    full = model.transform(sample, feature_cols=FC).toPandas()["prediction"]
+    assert np.allclose(np.sort(a), np.sort(b), rtol=0)
+    assert not np.allclose(np.sort(a), np.sort(full))
+
+
 def test_pred_leaf(spark, reg_df, model):
     """pred_leaf (reference cpu_predictor.cc:535-558): leaf id per tree."""
     out = model.transform(reg_df, feature_cols=FC, pred_leaf=True)

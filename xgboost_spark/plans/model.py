@@ -469,7 +469,8 @@ class GBDTModel:
                   pred_contribs: bool = False,
                   approx_contribs: bool = False,
                   pred_interactions: bool = False,
-                  base_margin_col: str | None = None) -> DataFrame:
+                  base_margin_col: str | None = None,
+                  iteration_range: tuple[int, int] | None = None) -> DataFrame:
         """Batch predict: broadcast model + Arrow-batched traversal
         (reference Spark wrapper pattern, `spark/core.py:1388`).
         Appends `prediction` (double; probability array for softprob),
@@ -486,6 +487,16 @@ class GBDTModel:
         offset per class.  With ``pred_contribs`` the offset lands in
         the bias term so local accuracy still holds.
         """
+        if iteration_range is not None:
+            # reference predict(iteration_range=(a, b)), core.py Booster
+            # .predict: score with boosting rounds [a, b) only
+            return self.slice(*iteration_range).transform(
+                df, feature_cols=feature_cols, array_col=array_col,
+                out_cols=out_cols, output_margin=output_margin,
+                pred_leaf=pred_leaf, pred_contribs=pred_contribs,
+                approx_contribs=approx_contribs,
+                pred_interactions=pred_interactions,
+                base_margin_col=base_margin_col)
         feature_cols = feature_cols or self.feature_names
         df, feature_cols, enc_tmp = self._encode_strings(df, feature_cols)
         if array_col is not None:
