@@ -168,6 +168,12 @@ def test_lsh_and_ivf_topk_recall(spark):
     brute = similarity.cosine_topk(df, q, k=5).toPandas()
     lsh = similarity.cosine_topk_lsh(df, q, k=5, n_planes=9, bands=3).toPandas()
     ivf = similarity.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=4).toPandas()
+    # the distributed probe-assignment path must return the SAME result
+    ivf_d = similarity.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=4,
+                                       broadcast_queries=False).toPandas()
+    key = ["query_id", "nbr_id", "rank"]
+    assert (ivf.sort_values(key).reset_index(drop=True)[key]
+            .equals(ivf_d.sort_values(key).reset_index(drop=True)[key]))
     for approx, min_recall in ((lsh, 0.3), (ivf, 0.5)):
         rec = []
         for qid in range(5):

@@ -167,35 +167,58 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
 
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    n_centroids: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+                    n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+                    broadcast_queries: bool = True) -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
     The corpus side is pre-partitioned by list_id (bucketing in a real
     deployment); the probe join is an equi-join on list_id.
 
-    Contract: the QUERY set is collected to the driver to compute its
-    probe lists (then broadcast back), so it must be driver-sized —
-    thousands of queries, not millions.  The corpus side never moves
-    through the driver and is unbounded.  For a query set too large to
-    collect, assign queries to lists distributedly with the same
-    ``assign`` expression ivf_build uses and equi-join on list_id.
+    Query-side contracts:
+    - ``broadcast_queries=True`` (default): the query set is collected
+      to the driver to compute probe lists, then broadcast back — right
+      for driver-sized query sets (thousands), one corpus scan, no
+      corpus shuffle.
+    - ``broadcast_queries=False``: probe lists are computed as a pure
+      Catalyst expression (array_sort over per-centroid distance
+      structs) and the candidate join shuffles BOTH sides on list_id —
+      unbounded query sets, e.g. corpus-vs-corpus kNN joins.
+    The corpus never moves through the driver in either mode.
     """
     assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col, seed=seed)
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
                         _norm(F.col(vec_col)).alias("cn"), "list_id")
-    # driver-side probe list per query is tiny: compute via pandas
-    qp = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
-    qv = np.stack(qp["qv"].to_numpy()).astype(np.float64)
-    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-    probes = np.argsort(d2, axis=1)[:, :n_probe]
-    rows = [
-        (int(qp["query_id"][i]), [float(x) for x in qv[i]], [int(p) for p in probes[i]])
-        for i in range(len(qp))
-    ]
-    spark = corpus.sparkSession
-    qdf = spark.createDataFrame(rows, "query_id long, qv array<double>, probe array<int>")
-    qdf = qdf.select("query_id", "qv", F.explode("probe").alias("list_id"),
-                     _norm(F.col("qv")).alias("qn"))
-    cand = c.join(F.broadcast(qdf), "list_id").filter(F.col("query_id") != F.col("nbr_id"))
+    if broadcast_queries:
+        # driver-side probe list per query is tiny: compute via pandas
+        qp = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
+        qv = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+        d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        probes = np.argsort(d2, axis=1)[:, :n_probe]
+        rows = [
+            (int(qp["query_id"][i]), [float(x) for x in qv[i]], [int(p) for p in probes[i]])
+            for i in range(len(qp))
+        ]
+        spark = corpus.sparkSession
+        qdf = spark.createDataFrame(rows, "query_id long, qv array<double>, probe array<int>")
+        qdf = qdf.select("query_id", "qv", F.explode("probe").alias("list_id"),
+                         _norm(F.col("qv")).alias("qn"))
+        qdf = F.broadcast(qdf)
+    else:
+        # distributed probe assignment: array_sort over (d2, list) pairs
+        # picks the n_probe nearest centroids JVM-side, no driver hop
+        v = F.col(vec_col)
+        pairs = []
+        for ci in range(len(cents)):
+            carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
+            d2e = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            pairs.append(F.struct(d2e.alias("d"), F.lit(ci).alias("i")))
+        top = F.slice(F.array_sort(F.array(*pairs)), 1, n_probe)
+        qdf = (queries.select(F.col(id_col).alias("query_id"),
+                              F.col(vec_col).alias("qv"),
+                              _norm(F.col(vec_col)).alias("qn"),
+                              F.explode(F.transform(top, lambda s: s["i"]))
+                              .alias("list_id")))
+    cand = c.join(qdf, "list_id").filter(F.col("query_id") != F.col("nbr_id"))
     scored = cand.withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
