@@ -122,6 +122,50 @@ def test_ref_json_roundtrip(spark):
     assert np.allclose(np.sort(a), np.sort(b))
 
 
+def test_ref_json_vector_base_score(spark):
+    """Newer reference versions store one intercept per class
+    (learner.cc ParamArray base_score, e.g. '[0.2,0.5,0.3]'); each
+    class margin must start from its own intercept."""
+    doc = _ref_doc()
+    lp = doc["learner"]["learner_model_param"]
+    lp["base_score"] = "[0.25,0.75,0.5]"
+    lp["num_class"] = "3"
+    doc["learner"]["objective"] = {"name": "multi:softprob"}
+    gb = doc["learner"]["gradient_booster"]["model"]
+    # 3 single-leaf trees, one per class, leaf values 1/2/3
+    gb["gbtree_model_param"] = {"num_trees": "3", "num_parallel_tree": "1"}
+    gb["tree_info"] = [0, 1, 2]
+    gb["trees"] = []
+    for k in range(3):
+        gb["trees"].append({
+            "tree_param": {"num_nodes": "1", "num_feature": "2",
+                           "size_leaf_vector": "1"},
+            "split_indices": [0], "split_conditions": [float(k + 1)],
+            "split_type": [0], "categories": [], "categories_nodes": [],
+            "categories_segments": [], "categories_sizes": [],
+            "default_left": [0], "left_children": [-1],
+            "right_children": [-1], "parents": [2147483647],
+            "loss_changes": [0.0], "sum_hessian": [1.0],
+            "base_weights": [float(k + 1)],
+        })
+    m = GBDTModel.from_json(json.dumps(doc))
+    assert m.base_score_vec is not None
+    df = spark.createDataFrame(pd.DataFrame({"f0": [0.0], "f1": [0.0]}))
+    out = m.transform(df, feature_cols=["f0", "f1"],
+                      output_margin=True).toPandas()
+    # margin_k = bs_k + leaf_k (multiclass intercepts are identity-link)
+    assert np.allclose(out["margin"][0], [1.25, 2.75, 3.5])
+    # round trip keeps the vector
+    m2 = GBDTModel.from_json(m.to_json())
+    out2 = m2.transform(df, feature_cols=["f0", "f1"],
+                        output_margin=True).toPandas()
+    assert np.allclose(out2["margin"][0], [1.25, 2.75, 3.5])
+    # the pure-Catalyst path agrees
+    out3 = m.transform_expr(df, feature_cols=["f0", "f1"],
+                            output_margin=True).toPandas()
+    assert np.allclose(out3["prediction"][0], [1.25, 2.75, 3.5])
+
+
 def test_ref_json_jvm_expr_path(spark):
     """The pure-Catalyst serving path honors the flipped categorical
     direction too."""

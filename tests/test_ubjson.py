@@ -50,6 +50,30 @@ def test_typed_and_counted_containers():
     assert ubjson.loads(buf) == pytest.approx(1e-3)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _json_scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-2**63, max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=40))
+    _json_docs = st.recursive(
+        _json_scalars,
+        lambda child: st.one_of(
+            st.lists(child, max_size=6),
+            st.dictionaries(st.text(max_size=10), child, max_size=6)),
+        max_leaves=25)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_json_docs)
+    def test_ubjson_roundtrip_property(doc):
+        assert ubjson.loads(ubjson.dumps(doc)) == doc
+except ImportError:      # pragma: no cover
+    pass
+
+
 def test_model_ubj_save_load(spark, reg_df):
     from xgboost_spark.config import TrainParams
     from xgboost_spark.plans.booster import SparkBooster

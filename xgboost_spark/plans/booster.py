@@ -281,6 +281,10 @@ class SparkBooster:
         # reuse the previous model's cuts and start margins at its output
         prev_state = None
         if xgb_model is not None:
+            if getattr(xgb_model, "base_score_vec", None) is not None:
+                raise NotImplementedError(
+                    "training continuation from a vector-intercept model "
+                    "is unsupported; serve it with transform() instead")
             if cuts is None and xgb_model.cuts is not None:
                 cuts = xgb_model.cuts
             prev_state = xgb_model._broadcastable()

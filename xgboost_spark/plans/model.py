@@ -44,7 +44,18 @@ class GBDTModel:
         # string-categorical dictionaries learned at fit (reference
         # CatContainer, src/encoder/ordinal.h): {feature -> sorted cats}
         self.category_maps: dict[str, list[str]] | None = None
+        # per-class intercepts of an imported reference model (newer
+        # reference versions store base_score as a vector, one entry per
+        # output — learner.cc ParamArray); None => scalar base_score
+        self.base_score_vec: np.ndarray | None = None
         self.obj = get_objective(params.objective, params)
+
+    def _bs_row(self, K: int) -> np.ndarray:
+        """Intercept as a (K,) vector for margin initialization."""
+        if self.base_score_vec is not None:
+            v = np.asarray(self.base_score_vec, dtype=np.float64)
+            return v if len(v) == K else np.full(K, float(v[0]))
+        return np.full(K, float(self.base_score))
 
     # ------------------------------------------------------------------ ser
     def to_json(self) -> str:
@@ -112,8 +123,13 @@ class GBDTModel:
                 "feature_names": self.feature_names,
                 "feature_types": ["float"] * len(self.feature_names),
                 "learner_model_param": {
-                    "base_score": str(margin_to_prob(self.params.objective,
-                                                     self.base_score)),
+                    "base_score": (
+                        "[" + ",".join(
+                            str(margin_to_prob(self.params.objective, float(v)))
+                            for v in self.base_score_vec) + "]"
+                        if self.base_score_vec is not None
+                        else str(margin_to_prob(self.params.objective,
+                                                self.base_score))),
                     "num_class": str(self.params.num_class),
                     "num_feature": str(len(self.feature_names)),
                 },
@@ -133,6 +149,9 @@ class GBDTModel:
             # engine extension: cuts allow exact training continuation
             "xgboost_spark": {
                 "base_score_margin": float(self.base_score),
+                "base_score_margin_vec": (
+                    [float(v) for v in self.base_score_vec]
+                    if self.base_score_vec is not None else None),
                 "category_maps": self.category_maps,
                 "tree_weights": list(self.tree_weights) if self.tree_weights else None,
                 "cuts": [list(map(float, c)) for c in (self.cuts or [])],
@@ -235,18 +254,29 @@ class GBDTModel:
             trees.append(group)
         raw_bs = str(ln["learner_model_param"]["base_score"]).strip()
         if raw_bs.startswith("["):
-            raw_bs = raw_bs.strip("[]").split(",")[0]
+            bs_vals = [float(x) for x in raw_bs.strip("[]").split(",") if x]
+        else:
+            bs_vals = [float(raw_bs)]
+        bs_vec = None
         if "base_score_margin" in ext:
             base_score = float(ext["base_score_margin"])
+            if ext.get("base_score_margin_vec"):
+                bs_vec = np.asarray(ext["base_score_margin_vec"], dtype=np.float64)
         elif ext:
-            base_score = float(raw_bs)   # legacy own saves: margin space
+            base_score = bs_vals[0]      # legacy own saves: margin space
         else:
-            base_score = prob_to_margin(objective, float(raw_bs))
+            # genuine reference JSON: output-space intercepts, possibly
+            # one per class (learner.cc ParamArray base_score)
+            margins = [prob_to_margin(objective, v) for v in bs_vals]
+            base_score = margins[0]
+            if len(margins) > 1:
+                bs_vec = np.asarray(margins, dtype=np.float64)
         feature_names = list(ln.get("feature_names") or [])
         if not feature_names:
             nf = int(ln["learner_model_param"].get("num_feature", 0))
             feature_names = [f"f{i}" for i in range(nf)]
         m = cls(params, base_score, trees, feature_names)
+        m.base_score_vec = bs_vec
         if ext.get("cuts"):
             m.cuts = [np.asarray(c) for c in ext["cuts"]]
         if ext.get("category_maps"):
@@ -292,6 +322,7 @@ class GBDTModel:
                       tree_weights=(self.tree_weights[begin:end]
                                     if self.tree_weights else None))
         m.category_maps = self.category_maps
+        m.base_score_vec = self.base_score_vec
         return m
 
     def used_trees(self) -> list[list[core.Tree]]:
@@ -324,7 +355,8 @@ class GBDTModel:
         from pyspark import cloudpickle
         from xgboost_spark.functions.objectives import CustomObjective
         return {
-            "base_score": self.base_score,
+            # (K,) vector — scalar models broadcast their intercept
+            "base_score": self._bs_row(self.params.n_groups),
             "K": self.params.n_groups,
             "objective": self.params.objective,
             # custom objective instances ride along for pred_transform;
@@ -369,7 +401,8 @@ class GBDTModel:
         reference `GetLeafIndex`, cpu_predictor.cc:64-145)."""
         K = self.params.n_groups
         used = self.used_trees()
-        margins = [F.lit(float(self.base_score)) for _ in range(K)]
+        bs = self._bs_row(K)
+        margins = [F.lit(float(bs[k])) for k in range(K)]
         for ri, rnd in enumerate(used):
             tw = float(self.tree_weights[ri]) if self.tree_weights else 1.0
             nf = max(len(rnd) // K, 1)
