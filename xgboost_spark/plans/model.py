@@ -421,7 +421,8 @@ class GBDTModel:
                        array_col: str | None = None,
                        output_margin: bool = False,
                        out_col: str = "prediction",
-                       base_margin_col: str | None = None) -> DataFrame:
+                       base_margin_col: str | None = None,
+                       iteration_range: tuple[int, int] | None = None) -> DataFrame:
         """Catalyst-expression batch predict: appends ``prediction`` built
         from :meth:`margin_exprs` + the objective's link inverse as SQL.
         Supports scalar-leaf models whose pred_transform is expressible
@@ -435,6 +436,11 @@ class GBDTModel:
         stays vectorized.  Use it for small models, for keeping a scoring
         pipeline entirely JVM-side (no Python workers provisioned), or as
         the basis of a model->SQL export; the UDF path is the default."""
+        if iteration_range is not None:
+            return self.slice(*iteration_range).transform_expr(
+                df, feature_cols=feature_cols, array_col=array_col,
+                output_margin=output_margin, out_col=out_col,
+                base_margin_col=base_margin_col)
         feature_cols = feature_cols or self.feature_names
         if array_col is not None:
             dt = df.schema[array_col].dataType
