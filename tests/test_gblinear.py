@@ -45,6 +45,19 @@ def test_gblinear_matches_ridge_oracle(spark, lin_df, lin_data):
     assert rmse < 0.1
 
 
+def test_gblinear_pred_contribs(spark, lin_df):
+    """Linear contributions (reference gblinear.cc PredictContribution):
+    contribs = [w_f * x_f ..., bias]; sum == margin exactly."""
+    fc = [f"c{i}" for i in range(4)]
+    model = train({"booster": "gblinear", "num_boost_round": 10, "eta": 0.5},
+                  lin_df, feature_cols=fc)
+    out = model.transform(lin_df.limit(100), feature_cols=fc,
+                          output_margin=True, pred_contribs=True).toPandas()
+    contribs = np.stack(out["contribs"].to_numpy())
+    assert contribs.shape[1] == 5
+    assert np.abs(contribs.sum(1) - out["margin"].to_numpy()).max() < 1e-12
+
+
 def test_gblinear_l1_sparsifies(spark, lin_df):
     model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
                    "reg_lambda": 0.0, "reg_alpha": 200.0},

@@ -57,7 +57,12 @@ class LinearModel:
         return e
 
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
-                  output_margin: bool = False) -> DataFrame:
+                  output_margin: bool = False,
+                  pred_contribs: bool = False) -> DataFrame:
+        """``pred_contribs``: per-feature contribution array (w_f * x_f,
+        bias+intercept last) — the reference's gblinear contribution
+        semantics (`src/gbm/gblinear.cc:153-194` PredictContribution:
+        linear terms are exact Shapley values).  Pure expressions."""
         m = self.margin_expr(feature_cols)
         name = self.params.objective
         if name in ("binary:logistic", "reg:logistic"):
@@ -69,6 +74,13 @@ class LinearModel:
         out = df.withColumn("prediction", pred)
         if output_margin:
             out = out.withColumn("margin", m)
+        if pred_contribs:
+            cols = feature_cols or self.feature_names
+            terms = [
+                (F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+                for w, c in zip(self.weights, cols)
+            ] + [F.lit(float(self.bias + self.base_score))]
+            out = out.withColumn("contribs", F.array(*terms))
         return out
 
     def to_json(self) -> str:
