@@ -653,6 +653,19 @@ def q_dedup_components(spark, sf_dir):
                        F.col("component").cast("bigint").alias("component"))
 
 
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (operators/textstats.normalize_text): lower +
+    punctuation strip + whitespace collapse; oracle replays the same
+    regexes in DuckDB."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import normalize_text
+    docs = _table(spark, sf_dir, "documents")
+    out = normalize_text(docs, strip_punct=True)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.md5("text_norm").alias("norm_digest"),
+                      F.length("text_norm").cast("bigint").alias("norm_len"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (operators/
     sampling.hash_split): md5-uniformized key, engine-independent —
@@ -1095,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "stratified_take": q_stratified_take,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1602,6 +1616,16 @@ FROM documents""",
 
         "stream_dedup": """
 SELECT DISTINCT event_type FROM events""",
+
+        "normalize_text": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', '', 'g'),
+             '\\s+', ' ', 'g')) AS tn
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(tn) AS norm_digest,
+       CAST(length(tn) AS BIGINT) AS norm_len FROM n""",
 
         "hash_split": """
 WITH u AS (

@@ -33,6 +33,25 @@ def _count_token(text_col, token: str):
     ).cast("int")
 
 
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm",
+                   lowercase: bool = True,
+                   collapse_whitespace: bool = True,
+                   strip_punct: bool = False) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, collapse whitespace runs to single spaces and trim,
+    optionally strip ASCII punctuation.  Pure regexp expressions —
+    fuses into the scan, replayable in any engine."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
 def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
     """Whitespace token count: len - len(without spaces) + 1."""
     t = F.col(text_col)
