@@ -72,6 +72,26 @@ def test_multi_alpha_matches_single_alpha_pinball(spark, qreg_df):
         assert jl <= sl * 1.25 + 1e-6, (a, jl, sl)
 
 
+def test_multi_alpha_eval_metric(spark, qreg_df):
+    """Default eval metric for vector alpha is the MEAN pinball over
+    (row, alpha) pairs (reference vector-alpha QuantileLoss), evaluated
+    on the matching margin column per alpha."""
+    df, pdf = qreg_df
+    m = SparkBooster(TrainParams(objective="reg:quantileerror",
+                                 quantile_alpha=ALPHAS, num_boost_round=3,
+                                 max_depth=3, max_bin=32, seed=5)).fit(
+        df, feature_cols=["x", "x2"], evals=[(df, "train")])
+    hist = m.eval_history["train"]
+    key = "quantile@" + ",".join(str(a) for a in ALPHAS)
+    assert key in hist and len(hist[key]) == 3
+    out = m.transform(df, feature_cols=["x", "x2"]).toPandas()
+    preds = np.stack(out["prediction"].to_numpy())
+    y = out["label"].to_numpy()
+    want = np.mean([_pinball(y, preds[:, k], a)
+                    for k, a in enumerate(ALPHAS)])
+    assert hist[key][-1] == pytest.approx(want, rel=1e-6)
+
+
 def test_multi_alpha_save_load_roundtrip(spark, qreg_df, tmp_path):
     df, _ = qreg_df
     m = SparkBooster(TrainParams(objective="reg:quantileerror",

@@ -100,7 +100,18 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
             -(yy * F.exp((1 - rho) * m) / (1 - rho) - F.exp((2 - rho) * m) / (2 - rho))
         )
     if name == "quantile":
-        alpha = float(arg) if arg else 0.5
+        # "quantile@0.25,0.5,0.75" with K margin columns: mean pinball
+        # over (row, alpha) pairs — the reference's vector-alpha
+        # QuantileLoss aggregate (src/metric/elementwise_metric.cu)
+        alphas = ([float(a) for a in arg.split(",")] if arg else [0.5])
+        if len(alphas) > 1 and len(alphas) == len(margin_cols):
+            tot = None
+            for a, mc in zip(alphas, margin_cols):
+                d = yy - F.col(mc)
+                t = F.when(d >= 0, a * d).otherwise((a - 1.0) * d)
+                tot = t if tot is None else tot + t
+            return wavg(tot / float(len(alphas)))
+        alpha = alphas[0]
         d = yy - m
         return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
     if name == "auc":
@@ -402,7 +413,13 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         return float((-w * (y * np.exp((1 - rho) * m) / (1 - rho)
                             - np.exp((2 - rho) * m) / (2 - rho))).sum()), W
     if name == "quantile":
-        alpha = float(arg) if arg else 0.5
+        alphas = [float(a) for a in arg.split(",")] if arg else [0.5]
+        if len(alphas) > 1 and margin.ndim > 1 and margin.shape[1] == len(alphas):
+            d = y[:, None] - margin
+            al = np.asarray(alphas)[None, :]
+            pin = np.where(d >= 0, al * d, (al - 1.0) * d).mean(axis=1)
+            return float((w * pin).sum()), W
+        alpha = alphas[0]
         d = y - m
         return float((w * np.where(d >= 0, alpha * d, (alpha - 1.0) * d)).sum()), W
     if name == "merror":

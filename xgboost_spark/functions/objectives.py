@@ -250,7 +250,7 @@ class QuantileError(Objective):
         return float(np.quantile(y, self.alpha))
 
     def default_metric(self):
-        return f"quantile@{self.alpha}"
+        return "quantile@" + ",".join(str(a) for a in self.alphas)
 
 
 class Poisson(Objective):
