@@ -252,6 +252,11 @@ class SparkBooster:
         if p.tree_method not in ("hist", "approx"):
             raise ValueError(f"unsupported tree_method {p.tree_method!r} "
                              "(exact greedy is not distributed; use hist)")
+        if p.multi_strategy == "multi_output_tree" and obj.adaptive_alpha is not None:
+            raise NotImplementedError(
+                "adaptive-leaf objectives (absoluteerror/quantileerror) need "
+                "scalar leaves; the reference's UpdateTreeLeaf has the same "
+                "restriction — use multi_strategy='one_output_per_tree'")
         if has_b and not (label_lower_col and label_upper_col):
             raise ValueError(f"{p.objective} needs label_lower_col and label_upper_col")
         eff_label = label_col if (label_col in df.columns or not has_b) else None
