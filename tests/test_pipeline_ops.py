@@ -230,6 +230,21 @@ def test_asof_join(spark):
     assert got[(1, "b")] == 200.0
     assert got[(2, "c")] == 300.0
     assert np.isnan(got[(1, "d")])
+    # forward direction: earliest right with right.t >= left.t
+    fwd = relational.asof_join(lts, rts, on="t", by="uid",
+                               direction="forward").toPandas()
+    gf = {(r["uid"], r["payload"]): r["price"] for _, r in fwd.iterrows()}
+    assert gf[(1, "d")] == 100.0       # 5 -> 8
+    assert gf[(1, "a")] == 200.0       # 10 -> 18
+    assert np.isnan(gf[(1, "b")])      # nothing after 20
+    assert np.isnan(gf[(2, "c")])      # nothing after 15 for uid 2
+    # forward tolerance bounds the wait ahead
+    fwd_tol = relational.asof_join(lts, rts, on="t", by="uid",
+                                   direction="forward",
+                                   tolerance_seconds=3).toPandas()
+    gt = {(r["uid"], r["payload"]): r["price"] for _, r in fwd_tol.iterrows()}
+    assert gt[(1, "d")] == 100.0       # gap 3 <= 3
+    assert np.isnan(gt[(1, "a")])      # gap 8 > 3
 
 
 def test_range_join_and_sessionize(spark, sf_dir):

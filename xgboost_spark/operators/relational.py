@@ -23,9 +23,12 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int,
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
-              tolerance_seconds: float | None = None) -> DataFrame:
-    """As-of (backward) join: for each left row, the latest right row
-    with ``right.on <= left.on`` in the same ``by`` group.
+              tolerance_seconds: float | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (``direction="backward"``, default) or the
+    earliest with ``right.on >= left.on`` (``"forward"``) in the same
+    ``by`` group — pandas ``merge_asof`` directions.
 
     Implementation: union-and-window — tag both sides, order by
     (by, on, side) in one window, carry the last-seen right payload
@@ -53,10 +56,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
         F.lit(None).cast("long").alias("_rowid"), F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     u = l_sel.unionByName(r_sel)
     part = [by] if by else []
+    # forward = the same carry-last trick over the REVERSED order: the
+    # last right row seen scanning desc(on) is the earliest one >= on;
+    # at equal keys _side asc puts right(0) before left(1) either way,
+    # so exact-timestamp matches join in both directions
+    on_order = (F.col("_on").asc() if direction == "backward"
+                else F.col("_on").desc())
     w = (Window.partitionBy(*part)
-         .orderBy(F.col("_on").asc(), F.col("_side").asc())
+         .orderBy(on_order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     for c in rcols:
         u = u.withColumn(f"_last_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
@@ -66,11 +77,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
         "_rowid", "_last_on", *[F.col(f"_last_{c}").alias(c) for c in rcols])
     out = l_keyed.join(matched, "_rowid", "left")
     if tolerance_seconds is not None:
-        within = (
-            F.unix_timestamp(F.col(on).cast("timestamp"))
-            - F.unix_timestamp(F.col("_last_on").cast("timestamp"))
-            <= F.lit(float(tolerance_seconds))
-        )
+        gap = (F.unix_timestamp(F.col(on).cast("timestamp"))
+               - F.unix_timestamp(F.col("_last_on").cast("timestamp")))
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(float(tolerance_seconds))
         for c in rcols:
             out = out.withColumn(c, F.when(within, F.col(c)))
     return out.drop("_rowid", "_last_on")
