@@ -666,6 +666,40 @@ def q_normalize_text(spark, sf_dir):
                       F.length("text_norm").cast("bigint").alias("norm_len"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.ngram_contamination):
+    per-corpus-doc word-3-gram overlap against a 'benchmark' slice
+    (sources src0/src1) — the standard n-gram contamination check
+    (GPT-3 appendix C style).  Benchmark side collapses to a distinct
+    shingle set that Spark broadcasts; no doc-pair blowup."""
+    _prep(spark)
+    from xgboost_spark.operators.dedup import ngram_contamination
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    corpus = docs.filter(~F.col("source").isin("src0", "src1"))
+    out = ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                      F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                      F.round("contamination", 6).alias("contamination"))
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/textstats.
+    repetition_stats): top / duplicate word-2-gram fractions per doc,
+    aggregated per source for a compact oracle surface."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import repetition_stats
+    docs = _par(_table(spark, sf_dir, "documents"))
+    rep = repetition_stats(docs, "text", "doc_id", n=2)
+    joined = rep.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("sum_grams"),
+        F.round(F.avg("top_gram_frac"), 6).alias("avg_top_gram_frac"),
+        F.round(F.avg("dup_gram_frac"), 6).alias("avg_dup_gram_frac"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (operators/
     sampling.hash_split): md5-uniformized key, engine-independent —
@@ -1109,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_take": q_stratified_take,
         "normalize_text": q_normalize_text,
+        "contamination": q_contamination,
+        "repetition": q_repetition,
     }
 
 
@@ -1626,6 +1662,40 @@ WITH n AS (
   FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(tn) AS norm_digest,
        CAST(length(tn) AS BIGINT) AS norm_len FROM n""",
+
+        "contamination": """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id, source,
+             unnest([array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)]) AS sh
+      FROM w),
+corp AS (SELECT DISTINCT doc_id AS id, sh FROM g
+         WHERE source NOT IN ('src0', 'src1')),
+bench AS (SELECT DISTINCT sh FROM g WHERE source IN ('src0', 'src1')),
+sizes AS (SELECT id, count(*) AS n_shingles FROM corp GROUP BY id),
+hits AS (SELECT id, count(*) AS n_overlap
+         FROM corp JOIN bench USING (sh) GROUP BY id)
+SELECT CAST(s.id AS BIGINT) AS id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / n_shingles, 6) AS contamination
+FROM sizes s LEFT JOIN hits USING (id)""",
+
+        "repetition": """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id, source,
+             unnest([array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))]) AS gram
+      FROM w),
+pg AS (SELECT doc_id, source, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+per AS (SELECT doc_id, source, sum(cnt) AS n_grams, max(cnt) AS top,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+        FROM pg GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+       round(avg(top * 1.0 / n_grams), 6) AS avg_top_gram_frac,
+       round(avg(dup * 1.0 / n_grams), 6) AS avg_dup_gram_frac
+FROM per GROUP BY source""",
 
         "hash_split": """
 WITH u AS (

@@ -266,3 +266,39 @@ def test_topk_per_group(spark, sf_dir):
     out = relational.topk_per_group(orders, ["o_custkey"], "o_totalprice", 3,
                                     tie_col="o_orderkey").toPandas()
     assert out.groupby("o_custkey").size().le(3).all()
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),          # 2-grams: ab ba ab ba ab -> top=3/5, dup=5/5
+         (1, "u v w x y z"),          # all 5 bigrams unique
+         (2, "solo")],                # < 2 words: no grams, omitted
+        "doc_id long, text string")
+    out = {r["id"]: r for r in textstats.repetition_stats(df, n=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_grams"] == 5
+    assert abs(out[0]["top_gram_frac"] - 3 / 5) < 1e-9
+    assert abs(out[0]["dup_gram_frac"] - 1.0) < 1e-9
+    assert out[1]["n_grams"] == 5
+    assert abs(out[1]["top_gram_frac"] - 1 / 5) < 1e-9
+    assert out[1]["dup_gram_frac"] == 0.0
+
+
+def test_ngram_contamination(spark, docs):
+    # benchmark = doc 0's text; corpus includes its exact dup (doc 4)
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = {r["id"]: r for r in
+           dedup.ngram_contamination(corpus, bench, n=3).collect()}
+    assert abs(out[4]["contamination"] - 1.0) < 1e-9      # exact dup: fully contaminated
+    assert out[1]["n_overlap"] == 0                        # unrelated doc: clean
+    assert all(r["n_shingles"] > 0 for r in out.values())
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([(0, "one two"), (1, "a b c d")],
+                               "doc_id long, text string")
+    sh = dedup.word_shingles(df, n=3).collect()
+    ids = {r["id"] for r in sh}
+    assert ids == {1}                       # 2-word doc yields no 3-grams
+    assert {r["shingle"] for r in sh} == {"a b c", "b c d"}

@@ -28,7 +28,11 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from xgboost_spark.operators.util import ensure_parallelism
     d = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
     words = F.split(F.col("t"), r"\s+")
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) steps BACKWARD to [1, 0] in Spark, so a doc
+    # with < n words must short-circuit to an empty gram list
+    idxs = F.when(F.size(words) >= n,
+                  F.sequence(F.lit(1), F.size(words) - (n - 1))
+                  ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return d.select("id", F.explode(sh).alias("shingle")).distinct()
 
@@ -154,6 +158,35 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # representative = min id over each pair-neighborhood
     drop = dup.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13) -> DataFrame:
+    """Benchmark decontamination check (the standard n-gram-overlap
+    method, GPT-3 appendix C / Lee et al. dedup style): for each corpus
+    document, how many of its distinct word ``n``-grams also occur
+    anywhere in the benchmark set.
+
+    Returns ``(id, n_shingles, n_overlap, contamination)`` with
+    ``contamination = n_overlap / n_shingles``; rows only for documents
+    with at least one n-gram (empty/short docs can't be contaminated).
+
+    Scale: both sides reduce to distinct-shingle sets; the benchmark
+    side is additionally collapsed to DISTINCT shingles (its doc ids
+    don't matter), so the join is corpus-shingles ⋈ benchmark-shingle-set
+    — an equi-join on the shingle string, no pairwise doc×doc work.
+    A typical benchmark is tiny relative to the corpus, so Spark/AQE
+    broadcasts the right side; the corpus side streams map-side.
+    """
+    sh_c = word_shingles(corpus, text_col, id_col, n)
+    sh_b = word_shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    sizes = sh_c.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (sh_c.join(sh_b, "shingle")
+            .groupBy("id").agg(F.count("*").alias("n_overlap")))
+    return (sizes.join(hits, "id", "left").fillna({"n_overlap": 0})
+            .withColumn("contamination", F.col("n_overlap") / F.col("n_shingles"))
+            .select("id", "n_shingles", "n_overlap", "contamination"))
 
 
 def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",

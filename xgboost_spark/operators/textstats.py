@@ -107,6 +107,42 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams (Rae et al. 2021 §A1.1 "repetition" filters):
+
+    - ``n_grams``        total n-gram positions in the doc
+    - ``top_gram_frac``  occurrences of the MOST frequent n-gram / total
+    - ``dup_gram_frac``  fraction of positions whose n-gram occurs >1×
+
+    Docs with fewer than ``n`` words produce no n-grams and are omitted
+    (a 3-word doc can't repeat a 5-gram).
+
+    Scale: explode → two key-prefixed aggregations.  The heavy shuffle
+    is groupBy(id, gram) — partial (map-side) aggregation collapses the
+    per-doc duplicates before the exchange, and the second groupBy(id)
+    reuses the same key prefix so AQE coalesces it cheaply.  No per-row
+    O(len²) array scans, so pathological long documents stay linear.
+    """
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    words = F.split(F.col("t"), r"\s+")
+    # sequence(1, 0) steps backward to [1, 0]: short docs need the guard
+    idxs = F.when(F.size(words) >= n,
+                  F.sequence(F.lit(1), F.size(words) - (n - 1))
+                  ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    per_gram = (d.select("id", F.explode(grams).alias("gram"))
+                .groupBy("id", "gram").agg(F.count("*").alias("cnt")))
+    return (per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("_top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("_dup"))
+        .withColumn("top_gram_frac", F.col("_top") / F.col("n_grams"))
+        .withColumn("dup_gram_frac", F.col("_dup") / F.col("n_grams"))
+        .select("id", "n_grams", "top_gram_frac", "dup_gram_frac"))
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-vote language ID: count hits from each language's list;
     argmax with deterministic tie-break (language order)."""
