@@ -302,3 +302,31 @@ def test_word_shingles_short_doc_guard(spark):
     ids = {r["id"] for r in sh}
     assert ids == {1}                       # 2-word doc yields no 3-grams
     assert {r["shingle"] for r in sh} == {"a b c", "b c d"}
+
+
+def test_asof_join_global_no_by(spark):
+    # by=None exercises the range-partitioned global as-of path
+    left = spark.createDataFrame(
+        [(i, f"L{i}") for i in range(0, 100, 7)], "t long, payload string")
+    right = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100, 10)], "t long, price double")
+    out = relational.asof_join(left, right, on="t").toPandas()
+    for _, r in out.iterrows():
+        assert r["price"] == (r["t"] // 10) * 10.0       # latest right <= t
+    fwd = relational.asof_join(left, right, on="t", direction="forward").toPandas()
+    for _, r in fwd.iterrows():
+        expect = -((-r["t"]) // 10) * 10.0               # earliest right >= t
+        if expect <= 90:
+            assert fwd is not None and r["price"] == expect
+        else:
+            assert np.isnan(r["price"])
+
+
+def test_asof_join_null_right_column_row_integrity(spark):
+    # a NULL in one right column must NOT be backfilled from an OLDER row
+    left = spark.createDataFrame([(1, 30, "x")], "uid long, t long, p string")
+    right = spark.createDataFrame(
+        [(1, 10, 111.0, "old"), (1, 20, None, "new")],
+        "uid long, t long, price double, tag string")
+    out = relational.asof_join(left, right, on="t", by="uid").collect()[0]
+    assert out["tag"] == "new" and out["price"] is None

@@ -1,0 +1,72 @@
+"""Physical-plan audits: the scale contracts that local-mode row counts
+can't catch.  A query can be CORRECT at sf0.01 and still carry a
+single-partition window or an unpushed filter that kills it at 100 TB —
+these tests pin the plan shape itself.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.operators import relational, textstats
+from xgboost_spark.operators.scan import prefix_sums
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_sessionize_no_global_window(spark, events):
+    p = plan_of(relational.sessionize(events, "user_id", "ts", 30))
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_topk_no_global_window(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = plan_of(relational.topk_per_group(orders, ["o_custkey"], "o_totalprice", 3))
+    assert "SinglePartition" not in p
+
+
+def test_repetition_stats_no_global_exchange(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(textstats.repetition_stats(docs))
+    assert "SinglePartition" not in p
+    # the heavy groupBy(id, gram) must partial-aggregate before the shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("source") == "src0").select("doc_id", "n_chars")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src0)]" in p
+    # column pruning: the scan must not read the wide text column
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_prefix_sums_no_global_window(spark, events):
+    out = prefix_sums(events.select("event_id", "value"), "event_id", ["value"])
+    p = plan_of(out)
+    assert "SinglePartition" not in p
+
+
+def test_asof_join_global_path_windows_are_partitioned(spark, events):
+    # by=None as-of: the DATA-side window must be partitioned by _pid.
+    # (The n_partitions-row boundary-carry table legitimately uses one
+    # global window — that's metadata scale, bounded by cluster size.)
+    left = events.select("event_id", "ts", "user_id")
+    right = events.select("ts", F.col("value").alias("quote"))
+    out = relational.asof_join(left, right, on="ts")
+    p = plan_of(out, mode="simple").replace(" ", "")
+    assert "[_pid" in p and "windowspecdefinition(_pid" in p.lower()

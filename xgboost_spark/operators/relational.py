@@ -59,22 +59,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     u = l_sel.unionByName(r_sel)
-    part = [by] if by else []
     # forward = the same carry-last trick over the REVERSED order: the
     # last right row seen scanning desc(on) is the earliest one >= on;
     # at equal keys _side asc puts right(0) before left(1) either way,
     # so exact-timestamp matches join in both directions
-    on_order = (F.col("_on").asc() if direction == "backward"
-                else F.col("_on").desc())
-    w = (Window.partitionBy(*part)
-         .orderBy(on_order, F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    for c in rcols:
-        u = u.withColumn(f"_last_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
-    u = u.withColumn(
-        "_last_on", F.last(F.when(F.col("_side") == 0, F.col("_on")), ignorenulls=True).over(w))
-    matched = u.filter(F.col("_side") == 1).select(
-        "_rowid", "_last_on", *[F.col(f"_last_{c}").alias(c) for c in rcols])
+    asc = direction == "backward"
+    on_order = F.col("_on").asc() if asc else F.col("_on").desc()
+    # the matched right row travels as ONE struct so all its columns come
+    # from the SAME row (per-column last(ignorenulls) would mix rows when
+    # a right column is legitimately NULL)
+    rstruct = F.struct(F.col("_on").alias("_m_on"),
+                       *[F.col(f"_r_{c}").alias(c) for c in rcols])
+    carry_in = F.when(F.col("_side") == 0, rstruct)
+    if by is not None:
+        w = (Window.partitionBy(by)
+             .orderBy(on_order, F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        m = u.withColumn("_m", F.last(carry_in, ignorenulls=True).over(w))
+    else:
+        # no grouping key: a bare window would collapse to ONE partition
+        # (WindowExec "No Partition Defined") — instead range-partition
+        # on the time axis, carry within each partition in parallel, and
+        # stitch partitions with a tiny (n_partitions-row) boundary
+        # table, exactly the operators/scan.prefix_sums pattern
+        spark = u.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        d = (u.repartitionByRange(n_part, F.col("_on"), F.col("_side"))
+               .sortWithinPartitions("_on", "_side")
+               .withColumn("_pid", F.spark_partition_id()))
+        d = d.localCheckpoint(eager=True)  # pin partitioning for both passes
+        w = (Window.partitionBy("_pid")
+             .orderBy(on_order, F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        d = d.withColumn("_m", F.last(carry_in, ignorenulls=True).over(w))
+        # per-partition extreme right row (the value carried OUT of the
+        # partition in scan order), then a prefix carry-last over the
+        # n_part boundary rows (metadata-scale; its global window is
+        # bounded by the partition count, not the data)
+        extreme = F.max_by if asc else F.min_by
+        bnd = (d.filter(F.col("_side") == 0)
+                 .groupBy("_pid").agg(extreme(rstruct, F.col("_on")).alias("_bm")))
+        pids = spark.range(n_part).select(F.col("id").cast("int").alias("_pid"))
+        wb = (Window.orderBy(F.col("_pid").asc() if asc else F.col("_pid").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (pids.join(bnd, "_pid", "left")
+                 .withColumn("_carry", F.last("_bm", ignorenulls=True).over(wb))
+                 .select("_pid", "_carry"))
+        m = (d.join(F.broadcast(carry), "_pid")
+              .withColumn("_m", F.coalesce(F.col("_m"), F.col("_carry"))))
+    matched = m.filter(F.col("_side") == 1).select(
+        "_rowid", F.col("_m._m_on").alias("_last_on"),
+        *[F.col(f"_m.{c}").alias(c) for c in rcols])
     out = l_keyed.join(matched, "_rowid", "left")
     if tolerance_seconds is not None:
         gap = (F.unix_timestamp(F.col(on).cast("timestamp"))
