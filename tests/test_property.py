@@ -1,0 +1,132 @@
+"""Hypothesis property tests for the pure numeric kernels, mirroring the
+reference's randomized test strategy (tests/python/test_updaters.py uses
+hypothesis the same way).  Everything here is NumPy-local — no Spark
+session — so hundreds of generated cases stay fast.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from xgboost_spark import core
+from xgboost_spark.functions import objectives as obj
+
+finite = st.floats(-50, 50, allow_nan=False, allow_infinity=False)
+
+
+def brute_force_best(hg, hh, lam, alpha, mcw):
+    """Exhaustive split enumeration (loops), both missing directions,
+    using the same gain kernel — pins the vectorized cumsum enumeration
+    in core.split_search against the obvious O(F·B) reference loop."""
+    F_, Bp1 = hg.shape
+    B = Bp1 - 1
+    best_gain, found = -np.inf, False
+    for f in range(F_):
+        gtot, htot = hg[f].sum(), hh[f].sum()
+        parent = core.calc_gain(gtot, htot, lam, alpha)
+        for b in range(B - 1):
+            for miss_left in (False, True):
+                gl = hg[f, : b + 1].sum() + (hg[f, B] if miss_left else 0.0)
+                hl = hh[f, : b + 1].sum() + (hh[f, B] if miss_left else 0.0)
+                gr, hr = gtot - gl, htot - hl
+                if hl < mcw or hr < mcw:
+                    continue
+                gain = (core.calc_gain(gl, hl, lam, alpha)
+                        + core.calc_gain(gr, hr, lam, alpha) - parent)
+                if gain > best_gain:
+                    best_gain, found = gain, True
+    return best_gain if found else None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 4), st.integers(3, 8),
+       st.floats(0.0, 10.0), st.floats(0.0, 2.0), st.floats(0.0, 3.0),
+       st.integers(0, 2**31 - 1))
+def test_split_search_matches_bruteforce(n_feat, n_bin, lam, alpha, mcw, seed):
+    rng = np.random.default_rng(seed)
+    hg = rng.normal(scale=3.0, size=(1, n_feat, n_bin + 1))
+    hh = np.abs(rng.normal(size=(1, n_feat, n_bin + 1))) + 0.01
+    # per-feature totals must agree (every feature sees the same rows)
+    tg, th = hg[0, 0].sum(), hh[0, 0].sum()
+    for f in range(1, n_feat):
+        hg[0, f] += (tg - hg[0, f].sum()) / (n_bin + 1)
+        hh[0, f] *= th / hh[0, f].sum()
+    res = core.split_search(hg, hh, reg_lambda=lam, reg_alpha=alpha,
+                            min_child_weight=mcw, gamma=-1e12)[0]
+    bf = brute_force_best(hg[0], hh[0], lam, alpha, mcw)
+    if res is None:
+        assert bf is None or bf <= -1e12
+    else:
+        assert res.gain == pytest.approx(bf, rel=1e-8, abs=1e-8)
+
+
+# (objective, label strategy, margin strategy, hess / d(grad)/dm factor)
+# Poisson's factor is exp(max_delta_step): the reference deliberately
+# inflates the hessian for stability (poisson_obj, max_delta_step=0.7)
+SMOOTH = [
+    (obj.SquaredError(), finite, finite, 1.0),
+    (obj.Logistic(), st.floats(0.0, 1.0), st.floats(-20, 20), 1.0),
+    (obj.PseudoHuber(), finite, finite, 1.0),
+    (obj.Poisson(), st.floats(0.0, 50.0), st.floats(-5, 5), float(np.exp(0.7))),
+    (obj.Gamma(), st.floats(0.01, 50.0), st.floats(-5, 5), 1.0),
+    (obj.Tweedie(), st.floats(0.0, 50.0), st.floats(-5, 5), 1.0),
+    (obj.Expectile(), finite, finite, 1.0),
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, len(SMOOTH) - 1), st.data())
+def test_hessian_is_gradient_derivative(idx, data):
+    """hess must equal d(grad)/d(margin): the Newton step the whole
+    trainer is built on (reference regression_loss.h kernels)."""
+    o, y_st, m_st, factor = SMOOTH[idx]
+    y = np.array([data.draw(y_st)])
+    m = np.array([data.draw(m_st)])
+    eps = 1e-5 * max(1.0, abs(float(m[0])))
+    g_plus, _ = o.grad_hess(y, m + eps, None)
+    g_minus, _ = o.grad_hess(y, m - eps, None)
+    _, h = o.grad_hess(y, m, None)
+    num_h = (g_plus - g_minus) / (2 * eps)
+    # some objectives clamp the hessian away from 0 for stability; only
+    # check where the numeric derivative itself is in the clamped range
+    if num_h[0] > 1e-6:
+        assert h[0] == pytest.approx(factor * num_h[0], rel=2e-3, abs=2e-4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, len(SMOOTH) - 1), st.floats(0.1, 10.0), st.data())
+def test_instance_weight_scales_grad_and_hess(idx, w, data):
+    o, y_st, m_st, _factor = SMOOTH[idx]
+    y = np.array([data.draw(y_st)])
+    m = np.array([data.draw(m_st)])
+    g1, h1 = o.grad_hess(y, m, None)
+    gw, hw = o.grad_hess(y, m, np.array([w]))
+    assert gw[0] == pytest.approx(w * g1[0], rel=1e-9, abs=1e-12)
+    assert hw[0] == pytest.approx(w * h1[0], rel=1e-9, abs=1e-12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-30, 30), st.floats(0.01, 30), st.floats(0.0, 10),
+       st.floats(0.0, 5))
+def test_calc_weight_l1_soft_threshold(G, H, lam, alpha):
+    """L1: |G| <= alpha zeroes the leaf; otherwise alpha shrinks the
+    numerator toward zero (reference param.h ThresholdL1)."""
+    w = core.calc_weight(G, H, lam, reg_alpha=alpha)
+    if abs(G) <= alpha:
+        assert w == 0.0
+    else:
+        expect = -(G - np.sign(G) * alpha) / (H + lam)
+        assert w == pytest.approx(expect, rel=1e-12)
+        assert abs(w) <= abs(core.calc_weight(G, H, lam, reg_alpha=0.0)) + 1e-15
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-100, 100, allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=40),
+       st.floats(0.1, 10.0))
+def test_base_score_squarederror_is_weighted_mean(ys, w):
+    y = np.asarray(ys, dtype=np.float64)
+    o = obj.SquaredError()
+    assert o.base_score(y, None) == pytest.approx(float(y.mean()), abs=1e-9)
+    ww = np.full_like(y, w)
+    assert o.base_score(y, ww) == pytest.approx(float(y.mean()), abs=1e-9)
