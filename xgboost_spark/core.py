@@ -382,6 +382,7 @@ def split_search(
     cat_features: np.ndarray | None = None,   # bool (n_feat,) — categorical
     max_cat_to_onehot: int = 4,
     max_cat_threshold: int = 64,
+    node_bounds: np.ndarray | None = None,    # (n_nodes, 2) [lower, upper] weight bounds
 ) -> list[SplitResult | None]:
     """Best split per node from node histograms.
 
@@ -423,6 +424,25 @@ def split_search(
         if monotone is not None and monotone.any():
             wl = calc_weight(gl, hl, reg_lambda, reg_alpha, max_delta_step)
             wr = calc_weight(gr, hr, reg_lambda, reg_alpha, max_delta_step)
+            if node_bounds is not None:
+                # clamp child weights to the node's inherited interval and
+                # re-score with the given-weight gain — the reference's
+                # monotone evaluator (split_evaluator.h; CalcGainGivenWeight
+                # param.h:233-283).  Without this, the immediate wl<wr check
+                # holds but grandchildren can still cross their uncles.
+                lo = node_bounds[:, 0][:, None, None]
+                hi = node_bounds[:, 1][:, None, None]
+                wl = np.clip(wl, lo, hi)
+                wr = np.clip(wr, lo, hi)
+                wp = np.clip(
+                    calc_weight(g_tot, h_tot, reg_lambda, reg_alpha, max_delta_step),
+                    node_bounds[:, 0][:, None], node_bounds[:, 1][:, None])
+                parent_c = -(2.0 * g_tot * wp + (h_tot + reg_lambda) * wp * wp)
+                gain = (
+                    -(2.0 * gl * wl + (hl + reg_lambda) * wl * wl)
+                    + -(2.0 * gr * wr + (hr + reg_lambda) * wr * wr)
+                    - parent_c[:, :, None]
+                )
             mono = monotone[None, :, None]
             invalid |= (mono > 0) & (wl >= wr)
             invalid |= (mono < 0) & (wl <= wr)
@@ -457,6 +477,8 @@ def split_search(
     if cat_features is not None and cat_features.any():
         for nid in range(N):
             for f in np.nonzero(cat_features)[0]:
+                if monotone is not None and monotone[f] != 0:
+                    continue  # monotonicity is undefined over category sets
                 if feature_mask is not None:
                     fm = feature_mask if feature_mask.ndim == 1 else feature_mask[nid]
                     if not fm[f]:
@@ -650,12 +672,44 @@ def grow_tree(
         {0: np.ones(F, dtype=bool)} if interaction_sets else None
     )
 
-    def on_expand(nid: int, fidx: int, lid: int, rid: int):
+    # monotone constraints: per-node [lower, upper] weight bounds,
+    # tightened at each constrained split by the child-weight midpoint
+    # (reference split_evaluator.h MonotoneConstraint)
+    mono_active = monotone is not None and np.asarray(monotone).any()
+    bounds: dict[int, tuple[float, float]] | None = (
+        {0: (-np.inf, np.inf)} if mono_active else None
+    )
+
+    def node_bounds_for(nids: list[int]) -> np.ndarray | None:
+        if bounds is None:
+            return None
+        return np.array([bounds[n] for n in nids], dtype=np.float64)
+
+    def on_expand(nid: int, fidx: int, lid: int, rid: int,
+                  res: "SplitResult | None" = None):
         if allowed is not None:
             child = _interaction_child_mask(allowed[nid], fidx, interaction_sets)
             allowed[lid] = child
             allowed[rid] = child
             allowed.pop(nid, None)
+        if bounds is not None:
+            lo, hi = bounds.pop(nid)
+            lo_l, hi_l, lo_r, hi_r = lo, hi, lo, hi
+            c = int(monotone[fidx])
+            if c != 0 and res is not None and res.categories is None:
+                wl = float(np.clip(calc_weight(res.g_left, res.h_left,
+                                               params.reg_lambda, params.reg_alpha,
+                                               params.max_delta_step), lo, hi))
+                wr = float(np.clip(calc_weight(res.g_right, res.h_right,
+                                               params.reg_lambda, params.reg_alpha,
+                                               params.max_delta_step), lo, hi))
+                mid = (wl + wr) / 2.0
+                if c > 0:
+                    hi_l, lo_r = min(hi_l, mid), max(lo_r, mid)
+                else:
+                    lo_l, hi_r = max(lo_l, mid), min(hi_r, mid)
+            bounds[lid] = (lo_l, hi_l)
+            bounds[rid] = (lo_r, hi_r)
 
     hist_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -732,10 +786,13 @@ def grow_tree(
         return g, h
 
     def commit_leaf(nid: int):
-        tree.leaf_value[nid] = params.eta * float(
-            calc_weight(tree.sum_grad[nid], tree.sum_hess[nid],
-                        params.reg_lambda, params.reg_alpha, params.max_delta_step)
-        )
+        w = float(calc_weight(tree.sum_grad[nid], tree.sum_hess[nid],
+                              params.reg_lambda, params.reg_alpha,
+                              params.max_delta_step))
+        if bounds is not None and nid in bounds:
+            lo, hi = bounds[nid]
+            w = min(max(w, lo), hi)
+        tree.leaf_value[nid] = params.eta * w
 
     def depth_of(nid: int) -> int:
         d = 0
@@ -759,7 +816,8 @@ def grow_tree(
                 m = m & allowed[nid]
             return m
 
-        res = split_search(hg, hh, feature_mask=nmask(0), **kw)[0]
+        res = split_search(hg, hh, feature_mask=nmask(0),
+                           node_bounds=node_bounds_for([0]), **kw)[0]
         if res is not None:
             candidates.append((-res.gain, 0, res))
         n_leaves = 1
@@ -780,10 +838,11 @@ def grow_tree(
             )
             n_leaves += 1
             counter += 1
-            on_expand(nid, f, lid, rid)
+            on_expand(nid, f, lid, rid, res)
             hg, hh = hists_for([lid, rid])
             for child, hgi, hhi in ((lid, hg[0], hh[0]), (rid, hg[1], hh[1])):
-                r = split_search(hgi[None], hhi[None], feature_mask=nmask(child), **kw)[0]
+                r = split_search(hgi[None], hhi[None], feature_mask=nmask(child),
+                                 node_bounds=node_bounds_for([child]), **kw)[0]
                 if r is not None and depth_of(child) < max_depth:
                     r = SplitResult(**{**r.__dict__})
                     candidates.append((-r.gain, child, r))
@@ -811,9 +870,11 @@ def grow_tree(
                     else node_mask(fmask)
                     for nid in active
                 ])
-                results = split_search(hg, hh, feature_mask=masks, **kw)
+                results = split_search(hg, hh, feature_mask=masks,
+                                       node_bounds=node_bounds_for(active), **kw)
             else:
-                results = split_search(hg, hh, feature_mask=fmask, **kw)
+                results = split_search(hg, hh, feature_mask=fmask,
+                                       node_bounds=node_bounds_for(active), **kw)
             nxt = []
             for nid, res in zip(active, results):
                 if res is None:
@@ -828,7 +889,7 @@ def grow_tree(
                     res.g_left, res.h_left, res.g_right, res.h_right,
                     categories=res.categories,
                 )
-                on_expand(nid, f, lid, rid)
+                on_expand(nid, f, lid, rid, res)
                 nxt.extend((lid, rid))
             # free parent hists no longer needed
             for nid in active:
