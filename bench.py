@@ -7,6 +7,9 @@ Prints ONE JSON line:
 Suite = the engine's core workloads:
 - gbdt_fit_10r_d6   : distributed hist-GBDT training, 10 rounds depth 6
                       bin 256 on lineitem (7 features, y=l_extendedprice)
+- gbdt_fit_100r_d6  : same at 100 rounds — amortizes the fixed barrier
+                      startup, so it shows steady-state per-tree
+                      throughput (BASELINE.md proxy: 60.4 s at sf0.1)
 - gbdt_predict      : batch scoring of the trained model over lineitem
 - quantize_hist     : sketch+bin+gradient-histogram query (the training
                       inner loop as a standalone op)
@@ -85,6 +88,14 @@ def main():
     # hypervisor-steal swings between identical runs
     times["gbdt_fit_10r_d6"] = timed(fit_once, n=3)
     model = model_box["m"]
+
+    # 100 rounds amortizes per-job startup: the per-tree steady-state
+    # number the KDD'16 anchors speak to.  Single attempt — the 10-round
+    # best-of-3 above has already warmed every path it uses.
+    p100 = TrainParams(num_boost_round=100, max_depth=6, max_bin=256, eta=0.3)
+    times["gbdt_fit_100r_d6"] = timed(
+        lambda: SparkBooster(p100).fit(
+            li, feature_cols=fc, label_col="l_extendedprice"), n=1)
     times["gbdt_predict"] = timed(
         lambda: model.transform(li, feature_cols=fc)
         .selectExpr("sum(prediction)").collect())
