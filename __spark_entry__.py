@@ -700,6 +700,30 @@ def q_repetition(spark, sf_dir):
         F.round(F.avg("dup_gram_frac"), 6).alias("avg_dup_gram_frac"))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (operators/textstats.redact_pii): deterministic synthetic
+    emails/phones/IPs are appended to documents, then redacted with pure
+    regexp expressions; oracle replays the same regexes in DuckDB."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import redact_pii
+    docs = _table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" contact user"),
+                                      did.cast("string"),
+                                      F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" call +1 (555) 010-7788 today")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" from 10.0.0."),
+                                      (did % 255).cast("string"))).otherwise(F.lit(""))))
+    out = redact_pii(aug)
+    return out.select(did.cast("bigint").alias("doc_id"),
+                      F.col("n_email").cast("bigint").alias("n_email"),
+                      F.col("n_phone").cast("bigint").alias("n_phone"),
+                      F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+                      F.md5("text_redacted").alias("red_digest"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (operators/
     sampling.hash_split): md5-uniformized key, engine-independent —
@@ -1145,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "contamination": q_contamination,
         "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1696,6 +1721,28 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(top * 1.0 / n_grams), 6) AS avg_top_gram_frac,
        round(avg(dup * 1.0 / n_grams), 6) AS avg_dup_gram_frac
 FROM per GROUP BY source""",
+
+        "redact_pii": """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-7788 today' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IPV4]', 'g')) AS red_digest
+FROM aug""",
 
         "hash_split": """
 WITH u AS (

@@ -58,3 +58,25 @@ def test_unconstrained_fits_the_wiggle(spark):
     preds = (model.transform(spark.createDataFrame(grid), feature_cols=["x0", "x1"])
              .toPandas().sort_values("x0")["prediction"].to_numpy())
     assert (np.diff(preds) < -1e-6).any() and (np.diff(preds) > 1e-6).any()
+
+
+def test_monotone_parity_across_exec_modes(spark):
+    # bound propagation lives in core.grow_tree, shared by both exec
+    # modes — constrained training must produce identical trees
+    rng = np.random.default_rng(11)
+    n = 2000
+    pdf = pd.DataFrame({
+        "x0": rng.uniform(0, 10, n), "x1": rng.uniform(0, 10, n)})
+    pdf["y"] = 3.0 * np.sin(pdf.x0) + 0.5 * pdf.x1 + rng.normal(0, 0.1, n)
+    df = spark.createDataFrame(pdf)
+    kw = dict(num_boost_round=4, max_depth=4, max_bin=32, eta=0.4, seed=3,
+              monotone_constraints={"x0": 1, "x1": -1})
+    mb = SparkBooster(TrainParams(exec_mode="barrier", **kw)).fit(
+        df, feature_cols=["x0", "x1"], label_col="y")
+    md = SparkBooster(TrainParams(exec_mode="dataframe", **kw)).fit(
+        df, feature_cols=["x0", "x1"], label_col="y")
+    for ra, rb in zip(mb.trees, md.trees):
+        for ta, tb in zip(ra, rb):
+            assert list(ta.feature) == list(tb.feature)
+            assert list(ta.split_bin) == list(tb.split_bin)
+            assert np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-9)

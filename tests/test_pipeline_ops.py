@@ -330,3 +330,19 @@ def test_asof_join_null_right_column_row_integrity(spark):
         "uid long, t long, price double, tag string")
     out = relational.asof_join(left, right, on="t", by="uid").collect()[0]
     assert out["tag"] == "new" and out["price"] is None
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "mail me at a.b@x.co or call +1 (555) 010-7788, host 10.0.0.7"),
+         (1, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    r0 = out[0]
+    assert (r0["n_email"], r0["n_phone"], r0["n_ipv4"]) == (1, 1, 1)
+    red = r0["text_redacted"]
+    assert "[EMAIL]" in red and "[PHONE]" in red and "[IPV4]" in red
+    assert "a.b@x.co" not in red and "555" not in red and "10.0.0.7" not in red
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (0, 0, 0)
+    assert r1["text_redacted"] == "nothing sensitive here"

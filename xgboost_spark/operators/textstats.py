@@ -107,6 +107,32 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.withColumn("quality_score", F.round(score, 6))
 
 
+PII_PATTERNS = {
+    # deliberately simple, deterministic regexes (fancy validators differ
+    # across engines; these replay identically in any POSIX-regex SQL)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted",
+               patterns: dict[str, str] | None = None) -> DataFrame:
+    """Scrub common PII shapes from a text column, appending the
+    redacted text plus one ``n_<kind>`` count column per pattern.
+    Pure ``regexp_replace`` / ``regexp_count`` expressions — fuses into
+    the scan, no UDFs, replayable in any SQL engine."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    out = df
+    red = c
+    for kind, pat in pats.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn(out_col, red)
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 2) -> DataFrame:
     """Gopher-style within-document repetition signals over word
