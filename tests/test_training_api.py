@@ -83,3 +83,23 @@ def test_cv_stratified_classification(spark, reg_df):
               "max_depth": 2}, df, nfold=3, stratified=True,
              metrics=["logloss"], feature_cols=FCOLS)
     assert len(res["test-logloss-mean"]) == 2
+
+
+def test_invalid_labels_fail_fast(spark, reg_df):
+    # reference MetaInfo::Validate / CheckLabel parity: NaN labels,
+    # out-of-range logistic labels, negative weights all raise before
+    # any tree is grown (a NaN label would silently poison every leaf)
+    from pyspark.sql import functions as F
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(num_boost_round=1, max_depth=2, max_bin=8)
+    bad = reg_df.withColumn(
+        "label", F.when(F.rand(1) < 0.01, float("nan")).otherwise(F.col("label")))
+    with pytest.raises(ValueError, match="label contains"):
+        train(kw, bad, feature_cols=fc, label_col="label")
+    with pytest.raises(ValueError, match="label contains"):
+        train({**kw, "objective": "binary:logistic"}, reg_df,
+              feature_cols=fc, label_col="label")
+    wdf = reg_df.withColumn(
+        "w", F.lit(1.0) - F.lit(2.0) * (F.rand(2) < 0.01).cast("double"))
+    with pytest.raises(ValueError, match="weights must be"):
+        train(kw, wdf, feature_cols=fc, label_col="label", weight_col="w")

@@ -39,6 +39,10 @@ class Objective:
     # survival:cox — gradient needs risk-set sums over globally
     # label-sorted data (reference requires sorted labels, data.h:151)
     needs_global_sort: bool = False
+    # valid label interval (lo, hi, lo_exclusive) — the reference's
+    # per-objective CheckLabel (e.g. regression_loss.h "label must be in
+    # [0,1] for logistic regression", gamma "label must be positive")
+    label_range: tuple[float, float, bool] | None = None
 
     def grad_hess(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None):
         raise NotImplementedError
@@ -72,6 +76,7 @@ class SquaredLogError(Objective):
     """reg:squaredlogerror (regression_loss.h:58). Requires y > -1."""
 
     name = "reg:squaredlogerror"
+    label_range = (-1.0, float("inf"), True)
 
     def grad_hess(self, y, margin, w):
         p = np.maximum(margin, -1 + 1e-6)
@@ -90,6 +95,7 @@ class Logistic(Objective):
     """binary:logistic (regression_loss.h:91); margin = log-odds."""
 
     name = "binary:logistic"
+    label_range = (0.0, 1.0, False)
 
     def __init__(self, scale_pos_weight: float = 1.0):
         self.scale_pos_weight = scale_pos_weight
@@ -139,6 +145,7 @@ class Hinge(Objective):
     """binary:hinge (src/objective/hinge.cc:60); labels 0/1."""
 
     name = "binary:hinge"
+    label_range = (0.0, 1.0, False)
 
     def grad_hess(self, y, margin, w):
         yy = 2.0 * y - 1.0
@@ -257,6 +264,7 @@ class Poisson(Objective):
     """count:poisson (src/objective/poisson_obj.cc:80); margin = log(mean)."""
 
     name = "count:poisson"
+    label_range = (0.0, float("inf"), False)
 
     def __init__(self, max_delta_step: float = 0.7):
         self.max_delta_step = max_delta_step
@@ -284,6 +292,7 @@ class Gamma(Objective):
     """reg:gamma deviance (regression_loss.h:141); margin = log(mean)."""
 
     name = "reg:gamma"
+    label_range = (0.0, float("inf"), True)
 
     def grad_hess(self, y, margin, w):
         mu = np.exp(margin)
@@ -308,6 +317,7 @@ class Tweedie(Objective):
     """reg:tweedie (src/objective/tweedie_obj.cc:89); margin = log(mean)."""
 
     name = "reg:tweedie"
+    label_range = (0.0, float("inf"), False)
 
     def __init__(self, rho: float = 1.5):
         self.rho = rho

@@ -84,6 +84,41 @@ def _compute_grads(obj, y, m, w, q, seed, subsample, K, bounds=None):
     return g, h
 
 
+def validate_meta(raw: DataFrame, obj, objective_name: str) -> None:
+    """Fail fast on invalid labels/weights — the reference's
+    MetaInfo::Validate + per-objective CheckLabel (src/data/data.cc
+    "Label contains NaN/Inf", regression_loss.h label-range checks).
+    One column-pruned aggregation; without it a single NaN label
+    silently poisons every leaf/coefficient in the model."""
+    checks, msgs = [], []
+    if "label" in raw.columns:
+        y = F.col("label")
+        bad = y.isNull() | F.isnan(y) | (F.abs(y) > 1e308)
+        rng = getattr(obj, "label_range", None)
+        if rng is not None:
+            lo, hi, lo_excl = rng
+            if np.isfinite(lo):
+                bad = bad | ((y <= lo) if lo_excl else (y < lo))
+            if np.isfinite(hi):
+                bad = bad | (y > hi)
+        checks.append(F.sum(bad.cast("long")).alias("bad_label"))
+        msgs.append(("bad_label",
+                     f"label contains NaN/Inf/null or values outside the "
+                     f"valid range for objective {objective_name!r}"))
+    if "weight" in raw.columns:
+        wc = F.col("weight")
+        badw = wc.isNull() | F.isnan(wc) | (wc < 0)
+        checks.append(F.sum(badw.cast("long")).alias("bad_weight"))
+        msgs.append(("bad_weight", "weights must be finite and >= 0"))
+    if not checks:
+        return
+    row = raw.agg(*checks).first()
+    for key, msg in msgs:
+        n = row[key] or 0
+        if n > 0:
+            raise ValueError(f"{msg} ({n} offending rows)")
+
+
 class SparkBooster:
     """Train driver.  Usage::
 
@@ -114,6 +149,9 @@ class SparkBooster:
             parts += [f"g{k} double" for k in range(K)]
             parts += [f"h{k} double" for k in range(K)]
         return ", ".join(parts)
+
+    def _validate_meta(self, raw: DataFrame) -> None:
+        validate_meta(raw, self.obj, self.params.objective)
 
     def _base_score(self, raw: DataFrame) -> float:
         """Distributed fit_stump (reference `src/tree/fit_stump.h:34`,
@@ -266,6 +304,7 @@ class SparkBooster:
             label_lower_col=label_lower_col, label_upper_col=label_upper_col,
         )
         Fn = len(fnames)
+        self._validate_meta(raw)
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
         if p.feature_weights is not None:
             if isinstance(p.feature_weights, dict):

@@ -132,6 +132,8 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
     obj = get_objective(p.objective, p)
     raw, fnames = assemble_features(df, feature_cols=feature_cols, array_col=array_col,
                                     label_col=label_col, weight_col=weight_col)
+    from xgboost_spark.plans.booster import validate_meta
+    validate_meta(raw, obj, p.objective)
     raw = raw.localCheckpoint(eager=True)
     Fn = len(fnames)
     has_w = "weight" in raw.columns
