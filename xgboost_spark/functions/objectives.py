@@ -370,6 +370,8 @@ class SoftProb(Objective):
 
     def __init__(self, num_class: int):
         self.num_class = num_class
+        # reference multiclass_obj CheckLabel: label in [0, num_class)
+        self.label_range = (0.0, float(num_class) - 1.0, False)
 
     def grad_hess(self, y, margin, w):
         m = margin - margin.max(axis=1, keepdims=True)

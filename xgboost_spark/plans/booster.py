@@ -110,6 +110,16 @@ def validate_meta(raw: DataFrame, obj, objective_name: str) -> None:
         badw = wc.isNull() | F.isnan(wc) | (wc < 0)
         checks.append(F.sum(badw.cast("long")).alias("bad_weight"))
         msgs.append(("bad_weight", "weights must be finite and >= 0"))
+    if "label_lower" in raw.columns and "label_upper" in raw.columns:
+        lo, hi = F.col("label_lower"), F.col("label_upper")
+        # AFT censored intervals: lower finite >= 0, lower <= upper
+        # (upper may be +inf or NULL for right-censored rows)
+        badb = (lo.isNull() | F.isnan(lo) | (lo < 0)
+                | (hi.isNotNull() & (F.isnan(hi) | (lo > hi))))
+        checks.append(F.sum(badb.cast("long")).alias("bad_bounds"))
+        msgs.append(("bad_bounds",
+                     "survival bounds must satisfy 0 <= label_lower <= "
+                     "label_upper (upper may be +inf)"))
     if not checks:
         return
     row = raw.agg(*checks).first()
