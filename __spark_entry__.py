@@ -724,6 +724,18 @@ def q_redact_pii(spark, sf_dir):
                       F.md5("text_redacted").alias("red_digest"))
 
 
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID (operators/textstats.language_id)
+    — confusion counts of true lang vs predicted.  Oracle replays the
+    identical vote arithmetic (generated from the same stopword lists)."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import language_id
+    docs = _par(_table(spark, sf_dir, "documents").select("lang", "text"))
+    out = language_id(docs)
+    return (out.groupBy("lang", "lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (operators/
     sampling.hash_split): md5-uniformized key, engine-independent —
@@ -1170,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
     }
 
 
@@ -1234,6 +1247,32 @@ WITH tok AS (
   FROM th GROUP BY id
 )
 SELECT CAST(id AS BIGINT) AS id, CAST({sig} AS BIGINT) AS simhash FROM votes"""
+
+
+def _lang_id_oracle_sql() -> str:
+    """Generate the stopword-vote SQL from the SAME lists the operator
+    uses — argmax with earliest-language tie-break, 'unknown' when no
+    stopword hits (textstats.language_id semantics)."""
+    from xgboost_spark.operators.textstats import STOPWORDS
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        terms = []
+        for w in words:
+            k = len(w) + 2
+            terms.append(
+                f"CAST((len(p) - len(replace(p, ' {w} ', ''))) / {k} AS BIGINT)")
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    langs = list(STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE WHEN " + m + " <= 0 THEN 'unknown' "
+    for l in langs[:-1]:
+        pred += f"WHEN s_{l} = {m} THEN '{l}' "
+    pred += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (SELECT lang, {', '.join(score_exprs)} FROM p)
+SELECT lang, {pred} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1721,6 +1760,8 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(top * 1.0 / n_grams), 6) AS avg_top_gram_frac,
        round(avg(dup * 1.0 / n_grams), 6) AS avg_dup_gram_frac
 FROM per GROUP BY source""",
+
+        "lang_id": _lang_id_oracle_sql(),
 
         "redact_pii": """
 WITH aug AS (
