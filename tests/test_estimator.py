@@ -108,3 +108,31 @@ def test_model_save_load(spark, reg_df, tmp_path):
     a = model.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
     b = loaded.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_pyspark_ml_pipeline_persistence(spark, reg_df, tmp_path):
+    # reference parity: _SparkXGBEstimator/_SparkXGBModel are
+    # MLReadable/MLWritable so Pipeline / PipelineModel round-trip
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.feature import VectorAssembler
+    import numpy as np
+    va = VectorAssembler(inputCols=[f"c{i}" for i in range(5)], outputCol="fvec",
+                         handleInvalid="keep")
+    est = SparkGBDTRegressor(features_col="fvec", label_col="label",
+                             num_boost_round=3, max_depth=3)
+    pipe = Pipeline(stages=[va, est])
+
+    p_unfit = str(tmp_path / "pipe_unfit")
+    pipe.write().overwrite().save(p_unfit)
+    pipe2 = Pipeline.load(p_unfit)
+    est2 = pipe2.getStages()[1]
+    assert est2.getOrDefault(est2.num_boost_round) == 3
+    assert est2.features_col == "fvec"
+
+    pm = pipe.fit(reg_df)
+    a = pm.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
+    p_fit = str(tmp_path / "pipe_fit")
+    pm.write().overwrite().save(p_fit)
+    pm2 = PipelineModel.load(p_fit)
+    b = pm2.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
+    assert np.allclose(a, b)

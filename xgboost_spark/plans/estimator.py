@@ -29,14 +29,87 @@ Usage::
 
 from __future__ import annotations
 
+import os
+
 from pyspark.ml.base import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.sql import DataFrame
+from pyspark.ml.util import (DefaultParamsReader, DefaultParamsWriter,
+                             MLReadable, MLReader, MLWritable, MLWriter)
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xgboost_spark.config import TrainParams
 from xgboost_spark.plans.booster import SparkBooster
 from xgboost_spark.plans.model import GBDTModel
+
+
+# -- pyspark.ml persistence (reference _SparkXGBEstimator/_SparkXGBModel
+# are MLReadable/MLWritable, spark/core.py:569 — required for
+# Pipeline / PipelineModel / CrossValidatorModel save round-trips) -----
+
+class _EstimatorWriter(MLWriter):
+    def __init__(self, instance):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path):
+        inst = self.instance
+        ctor = {"label_col": inst.label_col, "features_col": inst.features_col,
+                "weight_col": inst.weight_col,
+                "base_margin_col": inst.base_margin_col,
+                "qid_col": inst.qid_col,
+                "validation_indicator_col": inst.validation_indicator_col,
+                "categorical_features": inst.categorical_features,
+                "extra_params": inst._extra_params}
+        DefaultParamsWriter.saveMetadata(inst, path, self.sc,
+                                         extraMetadata={"ctor": ctor})
+
+
+class _EstimatorReader(MLReader):
+    def __init__(self, cls):
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path):
+        meta = DefaultParamsReader.loadMetadata(path, self.sc)
+        ctor = dict(meta["ctor"])
+        extra = ctor.pop("extra_params", None) or {}
+        est = self._cls(**ctor, **extra)
+        DefaultParamsReader.getAndSetParams(est, meta)
+        return est
+
+
+class _ModelWriter(MLWriter):
+    def __init__(self, instance):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path):
+        m = self.instance
+        DefaultParamsWriter.saveMetadata(
+            m, path, self.sc,
+            extraMetadata={"feature_kw": m._feature_kw,
+                           "base_margin_col": m._base_margin_col})
+        spark = SparkSession.getActiveSession()
+        # model JSON is a single line; write through Spark so any
+        # supported filesystem (local/HDFS/object store) works
+        (spark.createDataFrame([(m.core.to_json(),)], "value string")
+         .coalesce(1).write.mode("overwrite")
+         .text(os.path.join(path, "model")))
+
+
+class _ModelReader(MLReader):
+    def __init__(self, cls):
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path):
+        meta = DefaultParamsReader.loadMetadata(path, self.sc)
+        spark = SparkSession.getActiveSession()
+        rows = spark.read.text(os.path.join(path, "model")).collect()
+        core = GBDTModel.from_json("".join(r["value"] for r in rows))
+        return self._cls(core, meta.get("feature_kw") or {},
+                         base_margin_col=meta.get("base_margin_col"))
 
 # (name, TypeConverter, doc) — names match TrainParams fields 1:1 so a
 # grid entry maps straight into the training config
@@ -67,7 +140,7 @@ _TUNABLES = [
 _TUNABLE_NAMES = {n for n, _, _ in _TUNABLES}
 
 
-class _GBDTEstimator(Estimator):
+class _GBDTEstimator(Estimator, MLReadable, MLWritable):
     _default_objective = "reg:squarederror"
 
     # class-level Param declarations (re-parented per instance by
@@ -140,8 +213,15 @@ class _GBDTEstimator(Estimator):
     def _model_cls(self):
         return _GBDTModel
 
+    def write(self) -> MLWriter:
+        return _EstimatorWriter(self)
 
-class _GBDTModel(Model):
+    @classmethod
+    def read(cls) -> MLReader:
+        return _EstimatorReader(cls)
+
+
+class _GBDTModel(Model, MLReadable, MLWritable):
     def __init__(self, core_model: GBDTModel | None = None, feature_kw: dict | None = None,
                  base_margin_col: str | None = None):
         super().__init__()
@@ -163,8 +243,16 @@ class _GBDTModel(Model):
             return self.core.transform(dataset, **self._predict_kw(dataset), **kw)
         return super().transform(dataset, params)
 
-    # ml-writer-style persistence (reference `_SparkXGBModel`
-    # MLReadable/MLWritable, spark/core.py:569)
+    def write(self) -> MLWriter:
+        return _ModelWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelReader(cls)
+
+    # single-file persistence kept alongside the MLWriter surface
+    # (reference `_SparkXGBModel` MLReadable/MLWritable, spark/core.py:569;
+    # Pipeline/CrossValidator save goes through write()/read() above)
     def save(self, path: str):
         import json
         doc = json.loads(self.core.to_json())
@@ -176,6 +264,9 @@ class _GBDTModel(Model):
     @classmethod
     def load(cls, path: str) -> "_GBDTModel":
         import json
+        if os.path.isdir(path):
+            # MLWriter layout (Pipeline/CrossValidator stage dirs)
+            return cls.read().load(path)
         with open(path) as f:
             doc = json.load(f)
         ext = doc.get("xgboost_spark", {})
