@@ -593,6 +593,21 @@ def q_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-LSH near-pairs (operators/dedup.simhash_near_pairs).
+    With bands-1 >= max_hamming the banded join is EXHAUSTIVE (pigeonhole:
+    <=3 differing bits leave one of 4 bands intact), so the oracle is the
+    plain all-pairs bit_count(xor) <= 3 — verifying both the candidate
+    generation and the Hamming arithmetic."""
+    _prep(spark)
+    from xgboost_spark.operators.dedup import simhash_near_pairs
+    docs = _table(spark, sf_dir, "documents")
+    out = simhash_near_pairs(docs, n_bits=48, bands=4, max_hamming=3)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"),
+                      F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def q_train_ranker(spark, sf_dir):
     _prep(spark)
     from pyspark.sql import functions as FF
@@ -1183,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1687,6 +1703,13 @@ UNION ALL SELECT 'l_tax', round(0.5 * (-g2 / (h2 + 1.0)), 4) FROM s
 UNION ALL SELECT '__bias__', round(bs + 0.5 * (-(n * bs - sy) / n), 4) FROM s""",
 
         "simhash": _simhash_oracle_sql(),
+
+        "simhash_pairs": f"""
+WITH sig AS ({_simhash_oracle_sql()})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
         "dedup_components": f"""
 WITH RECURSIVE {shingle_cte},
