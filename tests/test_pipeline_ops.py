@@ -346,3 +346,77 @@ def test_redact_pii(spark):
     r1 = out[1]
     assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (0, 0, 0)
     assert r1["text_redacted"] == "nothing sensitive here"
+
+
+def _wav_bytes(x: np.ndarray, rate: int = 8000) -> bytes:
+    import struct
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def test_real_image_codecs(spark):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    # PPM round-trip is exact
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+    # BMP: construct a bottom-up 24-bit BMP by hand and decode it
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for r in range(h - 1, -1, -1):
+        bgr = img[r, :, ::-1].tobytes()
+        rows += bgr + b"\x00" * (stride - len(bgr))
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+           + rows)
+    assert (multimodal.decode_bmp(bmp) == img).all()
+
+    # the Spark path extracts REAL pixel features: a black PPM gives an
+    # all-zero vector, a white one all-ones
+    black = multimodal.encode_ppm(np.zeros((6, 6, 3), np.uint8))
+    white = multimodal.encode_ppm(np.full((6, 6, 3), 255, np.uint8))
+    df = spark.createDataFrame([(0, bytearray(black)), (1, bytearray(white))],
+                               "media_id long, content binary")
+    out = {r["media_id"]: r["features"]
+           for r in multimodal.image_features(df, out_dim=4).collect()}
+    assert out[0] == [0.0, 0.0, 0.0, 0.0]
+    assert all(abs(v - 1.0) < 1e-6 for v in out[1])
+
+
+def test_real_audio_codec(spark):
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    silence = np.zeros(8000)
+    x, rate = multimodal.decode_wav(_wav_bytes(sine))
+    assert rate == 8000 and abs(len(x) - 8000) <= 1
+    assert abs(float(np.sqrt(np.mean(x ** 2))) - 0.5 / np.sqrt(2)) < 1e-3
+    df = spark.createDataFrame(
+        [(0, bytearray(_wav_bytes(sine))), (1, bytearray(_wav_bytes(silence)))],
+        "media_id long, content binary")
+    out = {r["media_id"]: r["features"]
+           for r in multimodal.audio_features(df, out_dim=4).collect()}
+    assert out[0][0] > 0.3            # sine RMS ~ 0.354
+    assert out[1][0] == 0.0           # silence has zero energy
+    assert out[0][1] > 0.0            # sine crosses zero
+
+
+def test_raw_video_frame_sampling(spark):
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (20, 4, 5, 3), dtype=np.uint8)
+    vid = multimodal.encode_raw_video(frames)
+    df = spark.createDataFrame([(7, bytearray(vid))], "media_id long, content binary")
+    out = multimodal.frame_sample(df, every_n=10, max_frames=8).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1]       # frames 0 and 10
+    got0 = multimodal.decode_ppm(bytes(out[0]["frame_content"]))
+    assert (got0 == frames[0]).all()                     # real pixels round-trip
+    got1 = multimodal.decode_ppm(bytes(out[1]["frame_content"]))
+    assert (got1 == frames[10]).all()
+    # sampled frames feed straight into image_features
+    fdf = spark.createDataFrame(
+        [(int(r["frame_idx"]), bytearray(r["frame_content"])) for r in out],
+        "frame_idx long, content binary")
+    feats = multimodal.image_features(fdf, out_dim=4).collect()
+    assert all(len(r["features"]) == 4 for r in feats)

@@ -2,11 +2,22 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema conventions, Arrow-batched decode
-UDFs, partition sizing, frame sampling — is real and tested; the actual
-codec step is STUBBED (image/audio libraries are not in this container):
-`decode_image` uses PIL if importable, else a clearly-marked
-deterministic fake derived from the bytes, and raises
-NotImplementedError only in `strict` mode.
+UDFs, partition sizing, frame sampling — is real and tested, and so are
+the codecs for UNCOMPRESSED formats, implemented in pure NumPy (no
+image/audio libraries exist in this container):
+
+- images: PPM (P6) and BMP (24-bit uncompressed) decode -> HxWx3 uint8,
+  grayscale + nearest-neighbor resize -> feature vector
+- audio: RIFF/WAV PCM16 decode -> mono float32, windowed RMS +
+  zero-crossing-rate features
+- video: a raw-frame container (magic ``XGVR``) decodes to real frames;
+  unknown containers fall back to byte-window sampling
+
+Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external
+libraries: with PIL importable it is used for images; otherwise those
+formats raise NotImplementedError in ``strict`` mode and fall back to a
+clearly-marked deterministic fake so the distributed plumbing stays
+testable.
 
 Schema conventions:
     media struct: content binary, meta struct<format string, width int,
@@ -16,6 +27,7 @@ Schema conventions:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,6 +51,8 @@ MEDIA_META = T.StructType([
     T.StructField("duration_ms", T.LongType()),
 ])
 
+VIDEO_MAGIC = b"XGVR"  # raw-frame container: magic, w, h, n_frames, RGB24 frames
+
 
 def attach_media_meta(df: DataFrame, content_col: str, fmt: str) -> DataFrame:
     """Wrap a raw binary column into the media convention."""
@@ -55,9 +69,123 @@ def attach_media_meta(df: DataFrame, content_col: str, fmt: str) -> DataFrame:
     )
 
 
+# -- pure-NumPy codecs (uncompressed formats) -------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8.  Pure NumPy header parse."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens (comments start with #)
+    toks, i, tok = [], 2, b""
+    while len(toks) < 3 and i < len(b):
+        c = b[i:i + 1]
+        if c == b"#":                     # comment to end of line
+            while i < len(b) and b[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                toks.append(tok)
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 (RGB).  Rows are stored
+    bottom-up, 4-byte aligned, BGR order — all undone here."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h), offset=data_off)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:                              # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()         # BGR -> RGB
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 -> (mono float32 in [-1, 1], sample_rate)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(b)
+    n_ch, rate, bits, data = 1, 0, 16, b""
+    while i + 8 <= n:
+        cid, sz = b[i:i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        body = b[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)             # chunks are word-aligned
+    x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> HxW float32 luma (ITU-R 601)."""
+    f = img.astype(np.float32)
+    return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index maps — vectorized, any dtype."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.intp)
+    ci = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.intp)
+    return img[ri][:, ci]
+
+
+def _image_feature_vec(img: np.ndarray, out_dim: int) -> np.ndarray:
+    """Grayscale thumbnail features: g x g nearest-neighbor grid in
+    [0, 1], truncated/padded to out_dim."""
+    g = max(int(np.ceil(np.sqrt(out_dim))), 1)
+    thumb = resize_nn(to_grayscale(img), g, g).reshape(-1) / 255.0
+    out = np.zeros(out_dim, dtype=np.float32)
+    k = min(out_dim, thumb.size)
+    out[:k] = thumb[:k]
+    return out
+
+
+def _decode_image_bytes(b: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes; None when only a compressed codec fits."""
+    if b.startswith(b"P6"):
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if _HAS_PIL:  # pragma: no cover - PIL not in this image
+        import io
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    return None
+
+
 def _fake_decode(content: bytes, out_dim: int) -> np.ndarray:
-    """Deterministic stand-in for a codec: features from the content
-    digest.  STUB — replace with PIL/librosa decode in a full image."""
+    """Deterministic stand-in for a COMPRESSED codec: features from the
+    content digest.  STUB — only reached for formats that genuinely need
+    an external library (JPEG/PNG/...)."""
     h = hashlib.sha256(content or b"").digest()
     raw = np.frombuffer((h * (out_dim * 4 // len(h) + 1))[: out_dim * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
@@ -67,12 +195,11 @@ def image_features(df: DataFrame, content_col: str = "content", out_dim: int = 1
                    strict: bool = False) -> DataFrame:
     """Decode + feature-extract images into array<float>.
 
-    Arrow-batched mapInPandas; each batch decodes vectorized.  With PIL
-    present this resizes to 8x8 grayscale and flattens; otherwise the
-    deterministic fake keeps the plumbing testable.
+    Arrow-batched mapInPandas.  PPM/BMP decode in pure NumPy (real
+    pixels -> grayscale thumbnail features); compressed formats use PIL
+    when importable, else raise in ``strict`` mode or fall back to the
+    deterministic fake.
     """
-    if strict and not _HAS_PIL:
-        raise NotImplementedError("image decode requires PIL; not in this container")
     fields = list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,7 +207,20 @@ def image_features(df: DataFrame, content_col: str = "content", out_dim: int = 1
             feats = []
             for content in pdf[content_col]:
                 b = bytes(content) if content is not None else b""
-                feats.append([float(x) for x in _fake_decode(b, out_dim)])
+                img = None
+                try:
+                    img = _decode_image_bytes(b)
+                except ValueError:
+                    img = None
+                if img is not None:
+                    v = _image_feature_vec(img, out_dim)
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed image codec required (PIL not in this "
+                        "container); supply PPM/BMP or install PIL")
+                else:
+                    v = _fake_decode(b, out_dim)
+                feats.append([float(x) for x in v])
             out = pdf.copy()
             out["features"] = feats
             yield out
@@ -88,11 +228,23 @@ def image_features(df: DataFrame, content_col: str = "content", out_dim: int = 1
     return df.mapInPandas(fn, schema=T.StructType(fields))
 
 
+def encode_raw_video(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> raw-frame container bytes."""
+    n, h, w = frames.shape[:3]
+    return (VIDEO_MAGIC + struct.pack("<III", w, h, n)
+            + frames.astype(np.uint8).tobytes())
+
+
 def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
                  max_frames: int = 8) -> DataFrame:
-    """Video frame sampling plumbing: emits one row per sampled frame
-    (frame_idx, frame_content).  Codec STUBBED: frames are deterministic
-    byte slices standing in for decoded frames.
+    """Video frame sampling: emits one row per sampled frame
+    (frame_idx, frame_content).
+
+    Raw-frame containers (magic ``XGVR``) decode to REAL frames — every
+    ``every_n``-th frame up to ``max_frames``, each emitted as PPM bytes
+    ready for ``image_features``.  Unknown containers fall back to
+    deterministic byte-window sampling so the distributed row-explosion
+    plumbing still runs (a compressed-video codec would slot in here).
     """
     fields = list(df.schema.fields) + [
         T.StructField("frame_idx", T.IntegerType()),
@@ -105,18 +257,30 @@ def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
                 continue
             contents = [bytes(c) if c is not None else b""
                         for c in pdf[content_col]]
-            n_frames = np.minimum(
-                np.maximum([len(c) // max(every_n, 1) for c in contents], 1),
-                max_frames)
-            # vectorized row replication: one repeat + per-frame slices
-            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            n_out, frames_per_row = [], []
+            for b in contents:
+                if b[:4] == VIDEO_MAGIC:
+                    w, h, nf = struct.unpack_from("<III", b, 4)
+                    take = min(max(-(-nf // max(every_n, 1)), 1), max_frames)
+                    fsz = w * h * 3
+                    frs = []
+                    for k in range(take):
+                        fi = min(k * every_n, nf - 1)
+                        off = 16 + fi * fsz
+                        frame = np.frombuffer(b, np.uint8, fsz, off).reshape(h, w, 3)
+                        frs.append(encode_ppm(frame))
+                    frames_per_row.append(frs)
+                    n_out.append(take)
+                else:
+                    take = int(min(max(len(b) // max(every_n, 1), 1), max_frames))
+                    frames_per_row.append(
+                        [b[k * every_n:(k + 1) * every_n] for k in range(take)])
+                    n_out.append(take)
+            idx = np.repeat(np.arange(len(pdf)), n_out)
             out = pdf.iloc[idx].reset_index(drop=True)
-            frame_idx = np.concatenate([np.arange(n) for n in n_frames])
-            out["frame_idx"] = frame_idx.astype(np.int32)
-            out["frame_content"] = [
-                contents[i][fi * every_n:(fi + 1) * every_n]
-                for i, fi in zip(idx, frame_idx)
-            ]
+            out["frame_idx"] = np.concatenate(
+                [np.arange(n) for n in n_out]).astype(np.int32)
+            out["frame_content"] = [f for frs in frames_per_row for f in frs]
             yield out
 
     return df.mapInPandas(fn, schema=T.StructType(fields))
@@ -124,7 +288,40 @@ def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
 
 def audio_features(df: DataFrame, content_col: str = "content", out_dim: int = 8,
                    strict: bool = False) -> DataFrame:
-    """Audio feature extraction plumbing (decode STUBBED like images)."""
-    if strict:
-        raise NotImplementedError("audio decode requires librosa/soundfile; not in this container")
-    return image_features(df, content_col, out_dim)
+    """Audio features: PCM16 WAV decodes in pure NumPy; the signal is
+    split into ``out_dim // 2`` windows and each contributes RMS energy
+    and zero-crossing rate.  Compressed audio (MP3/OGG/...) raises in
+    strict mode, else falls back to the deterministic fake."""
+    fields = list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    n_win = max(out_dim // 2, 1)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for content in pdf[content_col]:
+                b = bytes(content) if content is not None else b""
+                try:
+                    x, _rate = decode_wav(b)
+                except ValueError:
+                    x = None
+                if x is not None and len(x):
+                    wins = np.array_split(x, n_win)
+                    v = np.zeros(out_dim, dtype=np.float32)
+                    for j, wnd in enumerate(wins):
+                        if 2 * j < out_dim:
+                            v[2 * j] = float(np.sqrt(np.mean(wnd ** 2)))
+                        if 2 * j + 1 < out_dim and len(wnd) > 1:
+                            v[2 * j + 1] = float(
+                                np.mean(np.abs(np.diff(np.signbit(wnd).astype(np.int8)))))
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed audio codec required (librosa/soundfile "
+                        "not in this container); supply PCM16 WAV")
+                else:
+                    v = _fake_decode(b, out_dim)
+                feats.append([float(x_) for x_ in v])
+            out = pdf.copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(fn, schema=T.StructType(fields))
