@@ -593,6 +593,68 @@ def q_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def q_stream_score(spark, sf_dir):
+    """Streaming model serving (streaming/scoring.score_stream): a tiny
+    GBDT trains on the batch events table, then the same table replays
+    as a file stream and is scored micro-batch by micro-batch with the
+    identical broadcast-model Arrow plan; per-event_type prediction sums
+    come back from the memory sink.  Rows-only by design: trained leaf
+    values aren't SQL-expressible (same as the train_* family)."""
+    _prep(spark)
+    import tempfile
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    from xgboost_spark.streaming.scoring import run_available_now, score_stream
+    ev = _table(spark, sf_dir, "events")
+    fc = ["user_id", "event_id"]
+    model = SparkBooster(TrainParams(num_boost_round=3, max_depth=3,
+                                     max_bin=32, seed=5)).fit(
+        ev, feature_cols=fc, label_col="value")
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(link).schema
+    src = spark.readStream.schema(sch).parquet(stream_dir)
+    scored = score_stream(model, src, feature_cols=fc)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_score_{_STREAM_SEQ[0]}"
+    run_available_now(scored.select("event_type", "prediction"), name)
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("prediction"), 3).alias("sum_pred")))
+
+
+def q_image_pipeline(spark, sf_dir):
+    """Multimodal pipeline (operators/multimodal): deterministic raw
+    videos are built per document, frame-sampled to real PPM frames, and
+    pushed through the pure-NumPy image decode + thumbnail featurizer;
+    returns per-media feature aggregates.  Rows-only: binary codecs
+    aren't SQL-expressible."""
+    _prep(spark)
+    import numpy as np
+    from xgboost_spark.operators.multimodal import (encode_raw_video,
+                                                    frame_sample,
+                                                    image_features)
+    rows = []
+    for did in range(24):
+        rng = np.random.default_rng(did)
+        frames = rng.integers(0, 256, (6, 4, 4, 3), dtype=np.uint8)
+        rows.append((did, bytearray(encode_raw_video(frames))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    frames_df = frame_sample(media, every_n=2, max_frames=3)
+    feats = image_features(
+        frames_df.drop("content")
+        .withColumnRenamed("frame_content", "content"), out_dim=8)
+    return (feats.select("media_id", "frame_idx",
+                         F.explode("features").alias("v"))
+            .groupBy("media_id")
+            .agg(F.count("*").cast("bigint").alias("n_vals"),
+                 F.round(F.sum("v"), 6).alias("sum_feat")))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-LSH near-pairs (operators/dedup.simhash_near_pairs).
     With bands-1 >= max_hamming the banded join is EXHAUSTIVE (pigeonhole:
@@ -1199,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "simhash_pairs": q_simhash_pairs,
+        "stream_score": q_stream_score,
+        "image_pipeline": q_image_pipeline,
     }
 
 
