@@ -145,3 +145,20 @@ def test_transform_expr_logistic_and_softprob(spark, reg_df):
     pe = np.stack(mm.transform_expr(df, feature_cols=fb).select("prediction")
                   .toPandas()["prediction"].to_numpy())
     np.testing.assert_allclose(pu, pe, atol=1e-12)
+
+
+def test_get_dump_text_format(spark, reg_df):
+    import re
+    model = SparkBooster(TrainParams(num_boost_round=2, max_depth=3, max_bin=16)).fit(
+        reg_df, feature_cols=[f"c{i}" for i in range(5)], label_col="label")
+    dumps = model.get_dump(with_stats=True)
+    assert len(dumps) == 2
+    for d in dumps:
+        lines = d.strip().split("\n")
+        assert re.match(r"^0:\[c\d<[-\d.e+]+\] yes=\d+,no=\d+,missing=\d+,"
+                        r"gain=[-\d.e+]+,cover=[\d.e+-]+$", lines[0]), lines[0]
+        n_leaf = sum(1 for ln in lines if ":leaf=" in ln)
+        n_split = len(lines) - n_leaf
+        assert n_leaf == n_split + 1          # binary tree invariant
+        # children indented one tab deeper than their parent
+        assert lines[1].startswith("\t") and not lines[0].startswith("\t")

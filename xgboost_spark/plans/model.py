@@ -773,6 +773,48 @@ class GBDTModel:
             }[importance_type]
         return out
 
+    def get_dump(self, with_stats: bool = False) -> list[str]:
+        """Text dump, one string per tree, in the reference's format
+        (`src/tree/tree_model.cc:232-299` TextGenerator):
+        ``{nid}:[{fname}<{cond}] yes=l,no=r,missing=m`` with tab
+        indentation by depth, leaves as ``{nid}:leaf={v}``; categorical
+        splits as ``[{fname}:{c1,c2}] yes=r,no=l`` (in-set goes right in
+        the reference's convention, so children swap like to_json)."""
+        dumps = []
+        for rnd in self.trees:
+            for t in rnd:
+                lines: list[str] = []
+
+                def walk(nid: int, depth: int, t=t, lines=lines):
+                    tabs = "\t" * depth
+                    if t.left[nid] == -1:
+                        s = f"{tabs}{nid}:leaf={t.leaf_value[nid]:.9g}"
+                        if with_stats:
+                            s += f",cover={t.sum_hess[nid]:.9g}"
+                        lines.append(s)
+                        return
+                    fname = self.feature_names[t.feature[nid]]
+                    l, r = int(t.left[nid]), int(t.right[nid])
+                    cats = t.categories[nid] if t.categories is not None else None
+                    if cats:
+                        cond = ",".join(str(int(c)) for c in sorted(cats))
+                        miss = r if t.default_left[nid] else l
+                        s = (f"{tabs}{nid}:[{fname}:{{{cond}}}] "
+                             f"yes={r},no={l},missing={miss}")
+                    else:
+                        miss = l if t.default_left[nid] else r
+                        s = (f"{tabs}{nid}:[{fname}<{t.split_value[nid]:.9g}] "
+                             f"yes={l},no={r},missing={miss}")
+                    if with_stats:
+                        s += f",gain={t.gain[nid]:.9g},cover={t.sum_hess[nid]:.9g}"
+                    lines.append(s)
+                    walk(l, depth + 1)
+                    walk(r, depth + 1)
+
+                walk(0, 0)
+                dumps.append("\n".join(lines) + "\n")
+        return dumps
+
     def split_value_histogram(self, feature: str, bins: int = 10) -> dict:
         """Histogram of split thresholds for one feature (reference
         `core.py:3327 get_split_value_histogram`)."""
