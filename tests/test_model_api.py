@@ -162,3 +162,17 @@ def test_get_dump_text_format(spark, reg_df):
         assert n_leaf == n_split + 1          # binary tree invariant
         # children indented one tab deeper than their parent
         assert lines[1].startswith("\t") and not lines[0].startswith("\t")
+
+
+def test_register_sql_udf(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    model = SparkBooster(TrainParams(num_boost_round=3, max_depth=3, max_bin=16)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+    model.register_sql_udf(spark, "gbdt_score")
+    reg_df.createOrReplaceTempView("t_sql_udf")
+    arr = ", ".join(f"cast(c{i} as double)" for i in range(5))
+    got = spark.sql(
+        f"SELECT gbdt_score(array({arr})) AS p FROM t_sql_udf").toPandas()["p"]
+    want = (model.transform(reg_df, feature_cols=fc)
+            .select("prediction").toPandas()["prediction"])
+    assert np.allclose(sorted(got), sorted(want), rtol=1e-12)

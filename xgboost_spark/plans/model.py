@@ -675,15 +675,28 @@ class GBDTModel:
         res = df.mapInPandas(fn, schema=out_schema)
         return res.drop(*enc_tmp) if enc_tmp else res
 
-    def _transform_udf(self, df: DataFrame, feature_cols: list[str],
-                       array_col: str | None, bc, K: int,
-                       base_margin_col: str | None = None) -> DataFrame:
+    def register_sql_udf(self, spark: SparkSession, name: str):
+        """Register batch predict as a Spark SQL function so models serve
+        straight from SQL::
+
+            model.register_sql_udf(spark, "gbdt_score")
+            spark.sql("SELECT gbdt_score(array(c1, c2, c3)) FROM t")
+
+        Same broadcast-model Arrow-batched kernel as ``transform()``'s
+        fast path — the UDF takes one ``array<double>`` feature argument
+        (build it with ``array(...)`` / ``vector_to_array`` in the query).
+        """
+        bc = spark.sparkContext.broadcast(self._broadcastable())
+        fn = self._predict_pandas_udf(bc, self.params.n_groups,
+                                      use_array=True, has_bm=False)
+        spark.udf.register(name, fn)
+        return fn
+
+    def _predict_pandas_udf(self, bc, K: int, use_array: bool, has_bm: bool):
         from pyspark.sql.functions import pandas_udf
         multi = K > 1 and self.params.objective in ("multi:softprob",
                                                     "reg:quantileerror")
         ret_type = "array<double>" if multi else "double"
-        use_array = array_col is not None
-        has_bm = base_margin_col is not None
 
         @pandas_udf(ret_type)
         def predict_udf(*cols: pd.Series) -> pd.Series:
@@ -717,6 +730,14 @@ class GBDTModel:
                 return pd.Series([r.tolist() for r in pred])
             return pd.Series(pred)
 
+        return predict_udf
+
+    def _transform_udf(self, df: DataFrame, feature_cols: list[str],
+                       array_col: str | None, bc, K: int,
+                       base_margin_col: str | None = None) -> DataFrame:
+        use_array = array_col is not None
+        has_bm = base_margin_col is not None
+        predict_udf = self._predict_pandas_udf(bc, K, use_array, has_bm)
         args = ([F.col(array_col)] if use_array
                 else [F.col(c).cast("double") for c in feature_cols])
         if has_bm:
