@@ -801,6 +801,21 @@ def q_redact_pii(spark, sf_dir):
                       F.md5("text_redacted").alias("red_digest"))
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic shard writer (operators/sampling.shuffle_shards):
+    the oracle hashes each shard's FULL ordered key sequence, so both
+    membership and within-shard order are verified engine-independently."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import shuffle_shards
+    docs = _table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", 8)
+    ordered = F.array_sort(F.collect_list(
+        F.concat(F.col("sort_key"), F.lit("|"), F.col("doc_id").cast("string"))))
+    return (out.groupBy("shard")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.md5(F.array_join(ordered, ",")).alias("order_digest")))
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID (operators/textstats.language_id)
     — confusion counts of true lang vs predicted.  Oracle replays the
@@ -1261,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "simhash_pairs": q_simhash_pairs,
+        "shuffle_shards": q_shuffle_shards,
         "stream_score": q_stream_score,
         "image_pipeline": q_image_pipeline,
     }
@@ -1849,6 +1865,17 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY source""",
 
         "lang_id": _lang_id_oracle_sql(),
+
+        "shuffle_shards": """
+WITH s AS (
+  SELECT doc_id, md5('shard' || CAST(doc_id AS VARCHAR)) AS sk,
+         CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INTEGER) AS shard
+  FROM documents)
+SELECT shard, CAST(count(*) AS BIGINT) AS n,
+       md5(string_agg(sk || '|' || CAST(doc_id AS VARCHAR), ','
+                      ORDER BY sk || '|' || CAST(doc_id AS VARCHAR))) AS order_digest
+FROM s GROUP BY shard""",
 
         "redact_pii": """
 WITH aug AS (

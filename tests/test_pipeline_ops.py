@@ -420,3 +420,16 @@ def test_raw_video_frame_sampling(spark):
         "frame_idx long, content binary")
     feats = multimodal.image_features(fdf, out_dim=4).collect()
     assert all(len(r["features"]) == 4 for r in feats)
+
+
+def test_shuffle_shards_deterministic(spark, docs):
+    from xgboost_spark.operators import sampling
+    a = sampling.shuffle_shards(docs, "doc_id", 4).select("doc_id", "shard", "sort_key")
+    b = sampling.shuffle_shards(docs.repartition(7), "doc_id", 4) \
+        .select("doc_id", "shard", "sort_key")
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)                       # partitioning-independent
+    assert pa["shard"].between(0, 3).all()
+    with pytest.raises(ValueError):
+        sampling.shuffle_shards(docs, "doc_id", 0)

@@ -41,6 +41,25 @@ def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
     return df.withColumn(out_col, col)
 
 
+def shuffle_shards(df: DataFrame, key_col: str, n_shards: int,
+                   salt: str = "shard") -> DataFrame:
+    """Deterministic global shuffle for training-data shard writers:
+    appends ``shard`` (int in [0, n_shards)) and ``sort_key`` (the md5
+    digest of salt||key).  Writing
+    ``.repartition(n_shards, "shard").sortWithinPartitions("sort_key")``
+    yields byte-identical shards on any engine, any input partitioning,
+    any cluster size — the property epoch-reproducible LLM data loaders
+    need.  Pure projections (shard choice and order both derive from the
+    content hash); the only shuffle is the writer's own repartition.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    return (df.withColumn("sort_key", h)
+            .withColumn("shard", shard.cast("int")))
+
+
 def stratified_take(df: DataFrame, strata_col: str, key_col: str, n_per: int,
                     salt: str = "take") -> DataFrame:
     """Exactly-n-per-stratum deterministic sample: rows rank by
