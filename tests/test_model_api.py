@@ -176,3 +176,13 @@ def test_register_sql_udf(spark, reg_df):
     want = (model.transform(reg_df, feature_cols=fc)
             .select("prediction").toPandas()["prediction"])
     assert np.allclose(sorted(got), sorted(want), rtol=1e-12)
+
+
+def test_get_dot_and_evals_result(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    model = SparkBooster(TrainParams(num_boost_round=2, max_depth=2, max_bin=8)).fit(
+        reg_df, feature_cols=fc, label_col="label", evals=[(reg_df, "train")])
+    assert "train" in model.evals_result()
+    dot = model.get_dot(0, with_stats=True)
+    assert dot.startswith("digraph {") and dot.rstrip().endswith("}")
+    assert "leaf=" in dot and "->" in dot and "missing" in dot

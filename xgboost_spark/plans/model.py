@@ -836,6 +836,37 @@ class GBDTModel:
                 dumps.append("\n".join(lines) + "\n")
         return dumps
 
+    def evals_result(self) -> dict:
+        """Per-eval-set metric history — the reference's
+        ``Booster.evals_result()`` / ``evals_result`` out-param of
+        ``xgboost.train`` (training.py)."""
+        return self.eval_history
+
+    def get_dot(self, tree_idx: int = 0, with_stats: bool = False) -> str:
+        """Graphviz dot source for one tree (reference
+        `src/tree/tree_model.cc:610-700` GraphvizGenerator)."""
+        flat = [t for rnd in self.trees for t in rnd]
+        t = flat[tree_idx]
+        lines = ["digraph {", "    graph [ rankdir=TB ]"]
+        for nid in range(t.n_nodes):
+            cover = f"\ncover={t.sum_hess[nid]:.9g}" if with_stats else ""
+            if t.left[nid] == -1:
+                lines.append(
+                    f'    {nid} [ label="leaf={t.leaf_value[nid]:.9g}{cover}" ]')
+                continue
+            fname = self.feature_names[t.feature[nid]]
+            gain = f"\ngain={t.gain[nid]:.9g}" if with_stats else ""
+            lines.append(
+                f'    {nid} [ label="{fname}<{t.split_value[nid]:.9g}{gain}{cover}" ]')
+            yes, no = int(t.left[nid]), int(t.right[nid])
+            miss = yes if t.default_left[nid] else no
+            lines.append(f'    {nid} -> {yes} [ label="yes, missing" ]'
+                         if miss == yes else f'    {nid} -> {yes} [ label="yes" ]')
+            lines.append(f'    {nid} -> {no} [ label="no, missing" ]'
+                         if miss == no else f'    {nid} -> {no} [ label="no" ]')
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
     def split_value_histogram(self, feature: str, bins: int = 10) -> dict:
         """Histogram of split thresholds for one feature (reference
         `core.py:3327 get_split_value_histogram`)."""
