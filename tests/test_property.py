@@ -130,3 +130,36 @@ def test_base_score_squarederror_is_weighted_mean(ys, w):
     assert o.base_score(y, None) == pytest.approx(float(y.mean()), abs=1e-9)
     ww = np.full_like(y, w)
     assert o.base_score(y, ww) == pytest.approx(float(y.mean()), abs=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=2, max_size=200),
+       st.integers(2, 32))
+def test_make_cuts_bin_values_invariants(xs, max_bin):
+    """Cuts are strictly increasing and cover max; every finite value
+    bins into (prev_cut, cut]; NaN maps to the missing bin — the
+    SearchBin contract (hist_util.h:122)."""
+    x = np.asarray(xs, dtype=np.float64)
+    cuts = core.make_cuts(x, max_bin)
+    assert np.all(np.diff(cuts) > 0)
+    assert cuts[-1] > x.max()                       # final boundary bumped
+    b = core.bin_values(x, cuts)
+    assert b.min() >= 0 and b.max() < len(cuts)
+    lo = np.concatenate([[-np.inf], cuts[:-1]])
+    assert np.all(x > lo[b]) and np.all(x <= cuts[b])
+    withnan = np.append(x, np.nan)
+    bn = core.bin_values(withnan, cuts)
+    assert bn[-1] == core.MISSING_BIN
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=4, max_size=200),
+       st.integers(2, 16))
+def test_binning_preserves_order(xs, max_bin):
+    """Quantization is monotone: x1 <= x2 implies bin(x1) <= bin(x2)."""
+    x = np.sort(np.asarray(xs, dtype=np.float64))
+    cuts = core.make_cuts(x, max_bin)
+    b = core.bin_values(x, cuts)
+    assert np.all(np.diff(b.astype(np.int32)) >= 0)
