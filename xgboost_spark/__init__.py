@@ -27,3 +27,23 @@ Layout
 __version__ = "0.1.0"
 
 from xgboost_spark.config import TrainParams  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level API (mirrors `import xgboost; xgboost.train/...`)
+    # without importing pyspark at package-import time
+    lazy = {
+        "train": ("xgboost_spark.plans.booster", "train"),
+        "cv": ("xgboost_spark.plans.cv", "cv"),
+        "SparkBooster": ("xgboost_spark.plans.booster", "SparkBooster"),
+        "GBDTModel": ("xgboost_spark.plans.model", "GBDTModel"),
+        "SparkGBDTRegressor": ("xgboost_spark.plans.estimator", "SparkGBDTRegressor"),
+        "SparkGBDTClassifier": ("xgboost_spark.plans.estimator", "SparkGBDTClassifier"),
+        "SparkGBDTRanker": ("xgboost_spark.plans.estimator", "SparkGBDTRanker"),
+        "get_session": ("xgboost_spark.session", "get_session"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'xgboost_spark' has no attribute {name!r}")
