@@ -295,6 +295,24 @@ def q_metric_logloss(spark, sf_dir):
                    F.round(F.avg(err), 6).alias("error"))
 
 
+def q_metric_multiclass(spark, sf_dir):
+    """merror + mlogloss through functions/metrics.compute_metric over a
+    deterministic 3-class margin synthesized from embeddings; oracle
+    replays the softmax arithmetic in SQL."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import compute_metric
+    emb = _table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        (F.col("label") % 3).cast("double").alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("m0"),
+        F.element_at("embedding", 2).cast("double").alias("m1"),
+        F.element_at("embedding", 3).cast("double").alias("m2"))
+    me = compute_metric(d, "merror", y="y", margin_cols=["m0", "m1", "m2"])
+    ml = compute_metric(d, "mlogloss", y="y", margin_cols=["m0", "m1", "m2"])
+    return spark.createDataFrame([(round(me, 6), round(ml, 6))],
+                                 "merror double, mlogloss double")
+
+
 def q_metric_auc(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     d = emb.select(F.element_at("embedding", 1).cast("double").alias("s"),
@@ -1221,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_grad": q_softmax_grad,
         "metric_regression": q_metric_regression,
         "metric_logloss": q_metric_logloss,
+        "metric_multiclass": q_metric_multiclass,
         "metric_auc": q_metric_auc,
         "metric_aucpr": q_metric_aucpr,
         "metric_ndcg": q_metric_ndcg,
@@ -1865,6 +1884,26 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY source""",
 
         "lang_id": _lang_id_oracle_sql(),
+
+        "metric_multiclass": """
+WITH d AS (
+  SELECT CAST(label % 3 AS INTEGER) AS y,
+         embedding[1]::DOUBLE AS m0, embedding[2]::DOUBLE AS m1,
+         embedding[3]::DOUBLE AS m2
+  FROM embeddings),
+p AS (
+  SELECT y,
+         CASE WHEN m0 >= m1 AND m0 >= m2 THEN 0
+              WHEN m1 >= m2 THEN 1 ELSE 2 END AS pred,
+         exp(m0 - greatest(m0, m1, m2)) AS e0,
+         exp(m1 - greatest(m0, m1, m2)) AS e1,
+         exp(m2 - greatest(m0, m1, m2)) AS e2
+  FROM d)
+SELECT round(avg(CASE WHEN pred <> y THEN 1.0 ELSE 0.0 END), 6) AS merror,
+       round(avg(-ln(greatest(
+           CASE y WHEN 0 THEN e0 WHEN 1 THEN e1 ELSE e2 END
+           / (e0 + e1 + e2), 1e-16))), 6) AS mlogloss
+FROM p""",
 
         "shuffle_shards": """
 WITH s AS (
