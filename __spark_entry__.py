@@ -313,6 +313,28 @@ def q_metric_multiclass(spark, sf_dir):
                                  "merror double, mlogloss double")
 
 
+def q_metric_ams_cox(spark, sf_dir):
+    """ams@k + cox-nloglik through functions/metrics over deterministic
+    events-derived data.  Scores are bucketized to heavy ties so the
+    top-k threshold lands identically under Spark's GK sketch and
+    DuckDB's discrete quantile; cox risk sets replay as SQL suffix sums."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import ams_at_k, cox_nloglik
+    ev = _table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("event_id") % 2).cast("double").alias("y"),
+        (F.floor(F.col("value") / 20.0) / 10.0).alias("m0"),
+        (F.col("value") + (F.col("event_id") % 1000) / 1000.0).alias("t_raw"),
+        F.when(F.col("event_id") % 3 == 0, -1.0).otherwise(1.0).alias("sgn"),
+        ((F.col("event_id") % 7).cast("double") / 7.0 - 0.5).alias("mc"))
+    ams = ams_at_k(d, 0.3, y="y", score="m0")
+    dc = d.select((F.col("t_raw") * F.col("sgn")).alias("y"),
+                  F.col("mc").alias("m0"))
+    cx = cox_nloglik(dc, y="y", margin="m0", weight=None)
+    return spark.createDataFrame([(round(ams, 6), round(cx, 6))],
+                                 "ams double, cox_nll double")
+
+
 def q_metric_auc(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     d = emb.select(F.element_at("embedding", 1).cast("double").alias("s"),
@@ -1240,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_regression": q_metric_regression,
         "metric_logloss": q_metric_logloss,
         "metric_multiclass": q_metric_multiclass,
+        "metric_ams_cox": q_metric_ams_cox,
         "metric_auc": q_metric_auc,
         "metric_aucpr": q_metric_aucpr,
         "metric_ndcg": q_metric_ndcg,
@@ -1884,6 +1907,33 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY source""",
 
         "lang_id": _lang_id_oracle_sql(),
+
+        "metric_ams_cox": """
+WITH d AS (
+  SELECT CAST(event_id % 2 AS DOUBLE) AS y,
+         floor(value / 20.0) / 10.0 AS m0,
+         (value + (event_id % 1000) / 1000.0)
+           * (CASE WHEN event_id % 3 = 0 THEN -1.0 ELSE 1.0 END) AS yc,
+         CAST(event_id % 7 AS DOUBLE) / 7.0 - 0.5 AS mc
+  FROM events),
+thr AS (SELECT quantile_disc(m0, 0.7) AS t FROM d),
+sel AS (
+  SELECT sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS s,
+         sum(CASE WHEN y = 1 THEN 0.0 ELSE 1.0 END) AS b
+  FROM d, thr WHERE m0 >= t),
+ams AS (
+  SELECT sqrt(greatest(2.0 * ((s + b + 10.0) * ln(1.0 + s / (b + 10.0)) - s),
+                       0.0)) AS v
+  FROM sel),
+per_t AS (SELECT abs(yc) AS t, sum(exp(mc)) AS e FROM d GROUP BY 1),
+rs AS (SELECT t, sum(e) OVER (ORDER BY t DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+       FROM per_t),
+cox AS (
+  SELECT -sum(mc - ln(S)) / count(*) AS v
+  FROM d JOIN rs ON abs(d.yc) = rs.t
+  WHERE d.yc > 0)
+SELECT round(ams.v, 6) AS ams, round(cox.v, 6) AS cox_nll FROM ams, cox""",
 
         "metric_multiclass": """
 WITH d AS (
