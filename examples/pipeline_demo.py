@@ -1,0 +1,100 @@
+"""End-to-end LLM training-data pipeline on the synthetic test tables:
+
+    documents -> normalize -> quality/repetition filter -> language gate
+    -> exact + MinHash near-dedup -> benchmark decontamination
+    -> PII redaction -> deterministic split -> token counting
+    -> sequence packing -> sharded write
+    and a GBDT quality model trained on the extracted text signals.
+
+Run:  python examples/pipeline_demo.py [sf_dir]      (default sf0.01)
+
+Every step is a composition of the library operators — the same ones the
+oracle harness checks — so this file doubles as living documentation of
+how they chain.  At 100 TB the only changes are the input path and the
+shard count.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from xgboost_spark.session import get_session  # noqa: E402
+from xgboost_spark.config import TrainParams  # noqa: E402
+from xgboost_spark.plans.booster import SparkBooster  # noqa: E402
+from xgboost_spark.operators.dedup import (minhash_dedup,  # noqa: E402
+                                           ngram_contamination)
+from xgboost_spark.operators.sampling import (hash_split,  # noqa: E402
+                                              pack_sequences, shuffle_shards)
+from xgboost_spark.operators.textstats import (language_id,  # noqa: E402
+                                               normalize_text, redact_pii,
+                                               repetition_stats, text_quality,
+                                               token_count)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01"):
+    spark = get_session("pipeline-demo", cpus=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. normalize + per-doc quality/repetition/language signals
+    d = normalize_text(docs, strip_punct=False)
+    d = text_quality(d)
+    d = language_id(d)
+    rep = repetition_stats(d, "text", "doc_id", n=2)
+    d = d.join(rep.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+
+    # 2. filter: quality floor, repetition ceiling, language gate
+    kept = d.filter((F.col("quality_score") >= 0.3)
+                    & (F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)) <= 0.9)
+                    & (F.col("lang_pred") != "unknown"))
+    n_filtered = kept.count()
+
+    # 3. near-dedup (exact dup groups collapse too; transitive chains
+    #    resolve to one representative)
+    deduped = minhash_dedup(kept, "text", "doc_id", shingle_n=3,
+                            threshold=0.7, transitive=True)
+    n_dedup = deduped.count()
+
+    # 4. decontaminate against a benchmark slice (here: sources src0/src1)
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    cont = ngram_contamination(deduped, bench, n=3)
+    dirty = cont.filter(F.col("contamination") > 0.8).select(
+        F.col("id").alias("doc_id"))
+    clean = deduped.join(dirty, "doc_id", "left_anti")
+    n_clean = clean.count()
+
+    # 5. PII scrub + token budget + splits
+    clean = redact_pii(clean, text_col="text", out_col="text_clean")
+    clean = token_count(clean, "text_clean", "n_tokens")
+    clean = hash_split(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    # 6. pack the train split into 256-token sequences, shard for writers
+    train = clean.filter(F.col("split") == "train")
+    packed = pack_sequences(train, "doc_id", "n_tokens", budget=256)
+    sharded = shuffle_shards(train, "doc_id", n_shards=4)
+    n_seq = packed.agg(F.countDistinct("pack_id")).first()[0]
+
+    # 7. train a quality model on the extracted signals
+    fc = ["n_words", "avg_word_len", "punct_ratio", "stopword_ratio",
+          "max_word_repeat_ratio"]
+    model = SparkBooster(TrainParams(num_boost_round=10, max_depth=4,
+                                     max_bin=32)).fit(
+        d.fillna(0.0, fc), feature_cols=fc, label_col="quality_score")
+    scored = model.transform(d.fillna(0.0, fc), feature_cols=fc)
+    rmse = scored.agg(F.sqrt(F.avg(
+        (F.col("prediction") - F.col("quality_score")) ** 2))).first()[0]
+
+    print(f"docs={n0} -> filtered={n_filtered} -> deduped={n_dedup} "
+          f"-> decontaminated={n_clean}; packed {n_seq} sequences; "
+          f"shards={sharded.select('shard').distinct().count()}; "
+          f"quality-model rmse={rmse:.4f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

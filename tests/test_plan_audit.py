@@ -36,6 +36,9 @@ def test_topk_no_global_window(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     p = plan_of(relational.topk_per_group(orders, ["o_custkey"], "o_totalprice", 3))
     assert "SinglePartition" not in p
+    # rank<=k must compile to WindowGroupLimit: map-side partial top-k
+    # BEFORE the shuffle, so a giant group never fully sorts
+    assert "WindowGroupLimit" in p
 
 
 def test_repetition_stats_no_global_exchange(spark, sf_dir):
