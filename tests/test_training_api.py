@@ -103,3 +103,19 @@ def test_invalid_labels_fail_fast(spark, reg_df):
         "w", F.lit(1.0) - F.lit(2.0) * (F.rand(2) < 0.01).cast("double"))
     with pytest.raises(ValueError, match="weights must be"):
         train(kw, wdf, feature_cols=fc, label_col="label", weight_col="w")
+
+
+def test_reference_params_tolerated():
+    # migrating configs carry environment params (nthread, verbosity,
+    # device=cpu, ...) — accepted and ignored, but asking for behavior
+    # we don't implement (GPU, gradient_based sampling, missing != NaN)
+    # still raises
+    from xgboost_spark.config import TrainParams
+    p = TrainParams.from_dict({"nthread": 8, "verbosity": 2, "device": "cpu",
+                               "missing": float("nan"),
+                               "learning_rate": 0.2, "max_depth": 3})
+    assert p.eta == 0.2 and p.max_depth == 3
+    with pytest.raises(ValueError, match="unsupported"):
+        TrainParams.from_dict({"device": "cuda"})
+    with pytest.raises(ValueError, match="unknown parameter"):
+        TrainParams.from_dict({"bogus": 1})

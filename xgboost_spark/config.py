@@ -109,12 +109,44 @@ class TrainParams:
         "random_state": "seed",
     }
 
+    # reference params that are environment/no-op on Spark: accepted and
+    # ignored so migrating configs run unchanged (the reference itself
+    # only warns on unknown params unless validate_parameters).  Each
+    # entry optionally restricts the ignorable VALUES — asking for
+    # behavior we don't implement still raises.
+    IGNORED = {
+        "nthread": None, "n_jobs": None,            # Spark owns threading
+        "verbosity": None, "silent": None,
+        "validate_parameters": None,
+        "device": ("cpu",),                          # no GPU path
+        "predictor": ("auto", "cpu_predictor"),
+        "single_precision_histogram": None,          # always f64 here
+        "sketch_eps": None,                          # superseded by max_bin
+        "refresh_leaf": None,
+        "process_type": ("default",),                # 'update' = refresh_leaves API
+        "sampling_method": ("uniform",),             # no gradient_based
+        "enable_categorical": None,                  # auto-detected
+        "importance_type": None,                     # chosen at query time
+        "missing": (float("nan"),),                  # NaN is the only missing marker
+    }
+
     @classmethod
     def from_dict(cls, d: dict) -> "TrainParams":
         known = {f.name for f in fields(cls)}
         kw = {}
         for k, v in d.items():
             k = cls.ALIASES.get(k, k)
+            if k in cls.IGNORED:
+                allowed = cls.IGNORED[k]
+                if allowed is not None:
+                    ok = any((isinstance(a, float) and isinstance(v, float)
+                              and (v != v) == (a != a)) or v == a
+                             for a in allowed)
+                    if not ok:
+                        raise ValueError(
+                            f"parameter {k!r}={v!r} requests unsupported "
+                            f"behavior (accepted values: {allowed})")
+                continue
             if k not in known:
                 raise ValueError(f"unknown parameter: {k!r}")
             kw[k] = v
