@@ -119,3 +119,26 @@ def test_reference_params_tolerated():
         TrainParams.from_dict({"device": "cuda"})
     with pytest.raises(ValueError, match="unknown parameter"):
         TrainParams.from_dict({"bogus": 1})
+
+
+def test_process_type_update(spark, reg_df):
+    fc = [f"c{i}" for i in range(5)]
+    base = train({"num_boost_round": 3, "max_depth": 3, "max_bin": 16,
+                  "gamma": 0.0}, reg_df, feature_cols=fc, label_col="label")
+    # refresh on the same data keeps structure; leaves stay finite
+    upd = train({"num_boost_round": 3, "max_depth": 3, "max_bin": 16,
+                 "process_type": "update", "updater": "refresh"},
+                reg_df, feature_cols=fc, label_col="label", xgb_model=base)
+    for ra, rb in zip(base.trees, upd.trees):
+        for ta, tb in zip(ra, rb):
+            assert list(ta.feature) == list(tb.feature)
+    # prune with a huge gamma collapses every tree to a stump/leaf
+    pruned = train({"process_type": "update", "updater": "prune",
+                    "gamma": 1e12}, reg_df,
+                   feature_cols=fc, label_col="label", xgb_model=base)
+    assert all(t.is_leaf(0) for rnd in pruned.trees for t in rnd)
+    # original model untouched
+    assert any(not t.is_leaf(0) for rnd in base.trees for t in rnd)
+    with pytest.raises(ValueError, match="requires xgb_model"):
+        train({"process_type": "update"}, reg_df,
+              feature_cols=fc, label_col="label")

@@ -68,6 +68,11 @@ class TrainParams:
     # hist = global cuts reused all rounds; approx = per-round
     # hessian-weighted re-sketch (reference updater_approx.cc:95-130)
     tree_method: str = "hist"
+    # reference process_type/updater (gbtree.h): process_type=update
+    # re-runs updaters ('refresh', 'prune') on an existing model's trees
+    # instead of growing new ones
+    process_type: str = "default"
+    updater: str | None = None
     # categorical splits: one-hot below this cardinality, else sorted
     # set-partition (reference evaluate_splits.h:307 gate)
     max_cat_to_onehot: int = 4
@@ -123,7 +128,6 @@ class TrainParams:
         "single_precision_histogram": None,          # always f64 here
         "sketch_eps": None,                          # superseded by max_bin
         "refresh_leaf": None,
-        "process_type": ("default",),                # 'update' = refresh_leaves API
         "sampling_method": ("uniform",),             # no gradient_based
         "enable_categorical": None,                  # auto-detected
         "importance_type": None,                     # chosen at query time

@@ -1049,6 +1049,32 @@ def train(params: dict | TrainParams, df: DataFrame, obj=None, **kw):
     through to `SparkBooster.fit`.  booster=gblinear routes to the
     linear updater (returns a LinearModel)."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    if p.process_type == "update":
+        # reference gbtree process_type=update: re-run updaters on an
+        # existing model's trees instead of growing new ones
+        model = kw.pop("xgb_model", None)
+        if model is None:
+            raise ValueError("process_type='update' requires xgb_model")
+        for u in (p.updater or "refresh").split(","):
+            u = u.strip()
+            if u == "refresh":
+                model = refresh_leaves(
+                    model, df,
+                    feature_cols=kw.get("feature_cols"),
+                    array_col=kw.get("array_col"),
+                    label_col=kw.get("label_col", "label"),
+                    weight_col=kw.get("weight_col"))
+            elif u == "prune":
+                import copy as _copy
+                model = _copy.deepcopy(model)
+                for rnd in model.trees:
+                    for t in rnd:
+                        core.prune_tree(t, p.gamma, p.eta, p.reg_lambda,
+                                        p.reg_alpha, p.max_delta_step)
+            else:
+                raise ValueError(
+                    f"process_type='update' supports updater refresh|prune, got {u!r}")
+        return model
     if p.booster == "gblinear":
         from xgboost_spark.plans.linear import train_linear
         return train_linear(p, df, **kw)
