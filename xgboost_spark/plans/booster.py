@@ -732,10 +732,16 @@ class SparkBooster:
 
     def _parse_monotone(self, feat_names_out: list[str], Fn: int):
         p = self.params
-        if not p.monotone_constraints:
+        mc = p.monotone_constraints
+        if not mc:
             return None
+        if isinstance(mc, str):
+            # reference string form "(1,-1,0)" — positional directions
+            mc = [int(t) for t in mc.strip("()[] ").split(",") if t.strip()]
+        if isinstance(mc, (list, tuple)):
+            mc = {str(i): int(v) for i, v in enumerate(mc)}
         mono = np.zeros(Fn, dtype=np.int8)
-        for cname, v in p.monotone_constraints.items():
+        for cname, v in mc.items():
             key = cname if cname in feat_names_out else None
             idx = feat_names_out.index(cname) if key else int(cname)
             mono[idx] = v
@@ -743,10 +749,15 @@ class SparkBooster:
 
     def _parse_interactions(self, feat_names_out: list[str], Fn: int):
         p = self.params
-        if not p.interaction_constraints:
+        ic = p.interaction_constraints
+        if not ic:
             return None
+        if isinstance(ic, str):
+            # reference string form '[[0, 1], [2, 3]]'
+            import json as _json
+            ic = _json.loads(ic)
         isets = []
-        for group in p.interaction_constraints:
+        for group in ic:
             m = np.zeros(Fn, dtype=bool)
             for cname in group:
                 if isinstance(cname, str) and cname in feat_names_out:
