@@ -1245,6 +1245,86 @@ def q_knn_ivf(spark, sf_dir):
                       F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping word-window chunking (operators/textstats.
+    chunk_documents): the context-window pre-tokenization step of an LLM
+    data pipeline.  Shuffle-free (explode fuses into the scan); the
+    oracle replays slice arithmetic with DuckDB list slicing."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import chunk_documents
+    docs = _table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_words=32, overlap=8)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                      F.md5("chunk_text").alias("chunk_digest"),
+                      F.col("chunk_n_words").cast("bigint").alias("chunk_n_words"))
+
+
+def q_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/textstats.
+    tfidf_top_terms): two hash aggs + vocabulary equi-join + windowed
+    top-k.  idf rounded to 9 dp before the tf multiply, so scores are
+    exact IEEE products in both engines; ties broken by term asc."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import tfidf_top_terms
+    docs = _table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      "term",
+                      F.col("tf").cast("bigint").alias("tf"),
+                      F.col("df").cast("bigint").alias("df"),
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6-shaped forecast-revenue-change query: tight range
+    predicates + a single agg.  All three predicates reach the parquet
+    scan as PushedFilters (asserted in tests/test_plan_audit.py), so at
+    100 TB this reads only row groups whose min/max stats overlap
+    1996 x the discount band."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped multi-way star join: region -> nation -> customer
+    -> orders -> lineitem -> supplier with the customer-nation =
+    supplier-nation colocation condition, grouped by nation.  Tiny dims
+    (region/nation) broadcast explicitly; customer and supplier join
+    declaratively — at bench SF AQE turns them into broadcasts, at 100 TB
+    they fall back to shuffle hash joins on their equi-keys, which is the
+    right plan (customer is ~1/10 of lineitem — never broadcastable).
+    The fact-fact shuffle is orders |><| lineitem on orderkey only."""
+    _prep(spark)
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _table(spark, sf_dir, "nation")
+    cust = _table(spark, sf_dir, "customer")
+    sup = _table(spark, sf_dir, "supplier")
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _table(spark, sf_dir, "lineitem")
+    dim = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+               .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    j = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+         .join(dim, orders.o_custkey == dim.c_custkey)
+         .join(sup, (li.l_suppkey == sup.s_suppkey)
+               & (sup.s_nationkey == dim.c_nationkey)))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_rows"))
+            .orderBy(F.col("revenue").desc()))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
@@ -1321,6 +1401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "stream_score": q_stream_score,
         "image_pipeline": q_image_pipeline,
+        # round-2 additions, second pass
+        "chunk_docs": q_chunk_docs,
+        "tfidf": q_tfidf,
+        "revenue_forecast": q_revenue_forecast,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -2019,4 +2104,59 @@ SELECT CAST(floor((cum - tok) / 8192.0) AS BIGINT) AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(tok) AS BIGINT) AS tokens
 FROM s GROUP BY 1""",
+
+        "chunk_docs": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+c AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(words) - 32, 0) / 24.0) AS INT))) AS chunk_id
+  FROM w)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       md5(array_to_string(words[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)], ' ')) AS chunk_digest,
+       CAST(least(chunk_id * 24 + 32, n) - chunk_id * 24 AS BIGINT) AS chunk_n_words
+FROM c""",
+
+        "tfidf": r"""
+WITH t AS (
+  SELECT id, term FROM (
+    SELECT doc_id AS id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents) u
+  WHERE length(term) > 0),
+tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT id) AS df FROM t GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT id, term, tf, df,
+         tf * round(ln((1.0 + n) / (1.0 + df)) + 1.0, 9) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT CAST(id AS BIGINT) AS id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+WHERE rank <= 3""",
+
+        "revenue_forecast": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+        "local_supplier_volume": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name""",
     }

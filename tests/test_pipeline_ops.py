@@ -433,3 +433,40 @@ def test_shuffle_shards_deterministic(spark, docs):
     assert pa["shard"].between(0, 3).all()
     with pytest.raises(ValueError):
         sampling.shuffle_shards(docs, "doc_id", 0)
+
+
+def test_chunk_documents(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "solo"), (3, "")],
+                               "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_words=10, overlap=4).toPandas()
+    c1 = out[out.id == 1].sort_values("chunk_id")
+    # 25 words, window 10, stride 6 -> chunks start at 0,6,12,18 (covers 25)
+    assert list(c1.chunk_id) == [0, 1, 2, 3]
+    assert list(c1.chunk_n_words) == [10, 10, 10, 7]
+    assert c1.iloc[0].chunk_text == " ".join(f"w{i}" for i in range(10))
+    assert c1.iloc[3].chunk_text == " ".join(f"w{i}" for i in range(18, 25))
+    # every word appears in at least one chunk; overlap duplicates words
+    joined = " ".join(c1.chunk_text)
+    assert all(f"w{i}" in joined.split() for i in range(25))
+    # short / empty docs -> exactly one chunk
+    assert len(out[out.id == 2]) == 1
+    assert out[out.id == 2].iloc[0].chunk_text == "solo"
+    assert len(out[out.id == 3]) == 1
+
+
+def test_tfidf_top_terms(spark, docs):
+    out = textstats.tfidf_top_terms(docs, k=2).toPandas()
+    # every doc gets exactly k rows (docs have >= 2 distinct terms)
+    assert (out.groupby("id").size() == 2).all()
+    assert (out.groupby("id")["rank"].max() == 2).all()
+    # 'the' appears twice in doc 0 but is common (docs 0 and 4 dup);
+    # a doc-unique term must outrank any term shared by all docs
+    d1 = out[out.id == 1]
+    assert set(d1.term) <= {"completely", "different", "document", "about",
+                            "spark", "query", "engines", "and", "planning", "a"}
+    assert "and" not in set(d1.term)  # 'and' is in several docs -> low idf
+    # scores are positive and ranked descending
+    for _, g in out.groupby("id"):
+        g = g.sort_values("rank")
+        assert g.score.iloc[0] >= g.score.iloc[1] > 0

@@ -9,7 +9,7 @@ analog built from md5 so the DuckDB oracle can replay it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny built-in stopword lists; enough for a deterministic n-gram
@@ -206,3 +206,73 @@ def char_ngram_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = 
         F.col(id_col).alias("id"),
         F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins).alias("fingerprint"),
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_words: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    pre-tokenization step for LLM training / embedding pipelines (context
+    windows with stride = chunk_words - overlap).
+
+    Pure column expressions: split + sequence + slice + array_join, so
+    the whole thing stays in whole-stage codegen and fuses into the scan
+    (no shuffle at all — chunking is embarrassingly row-parallel, and the
+    output explodes rows by ~n_words/stride, which Spark handles by
+    splitting input partitions, not by shuffling).
+
+    Returns (id, chunk_id, chunk_text, chunk_n_words).  Every word
+    appears in at least one chunk; the final chunk may be shorter.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    step = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # number of stride positions whose chunk adds at least one new word:
+    # 1 + ceil(max(0, n - chunk_words) / step)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_words, F.lit(0)) / F.lit(step)).cast("int")
+    d = (df.withColumn("_words", words)
+           .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))))
+    chunk = F.slice(F.col("_words"), F.col("chunk_id") * step + 1, chunk_words)
+    return d.select(
+        F.col(id_col).alias("id"),
+        F.col("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("chunk_n_words"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed sklearn-style idf:
+    ln((1+N)/(1+df)) + 1).
+
+    Plan: explode lowercased whitespace tokens -> two hash aggregations
+    (term frequency per (doc, term); document frequency per term, both
+    with map-side partial aggregation) -> shuffle equi-join on term ->
+    per-doc window top-k (WindowGroupLimit pushes the rank filter before
+    the sort materializes).  No driver collection; the doc-frequency side
+    is vocabulary-sized, not corpus-sized, and the join key (term) is the
+    same key docfreq was grouped by, so AQE can reuse the exchange.
+
+    Determinism for cross-engine hash-matching: idf is rounded to 9 dp
+    BEFORE the tf multiply, making the score an exact IEEE product of
+    identical doubles in any engine; ties broken by term asc.
+
+    Returns (id, term, tf, df, score, rank).
+    """
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    t = (df.select(F.col(id_col).alias("id"), toks.alias("term"))
+           .filter(F.length("term") > 0))
+    tf = t.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    dfreq = t.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.round(F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0, 9)
+    scored = (tf.join(dfreq, "term")
+                .withColumn("score", F.col("tf") * idf))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "term", "tf", "df", "score", "rank"))
