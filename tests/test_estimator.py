@@ -136,3 +136,82 @@ def test_pyspark_ml_pipeline_persistence(spark, reg_df, tmp_path):
     pm2 = PipelineModel.load(p_fit)
     b = pm2.transform(reg_df).select("prediction").toPandas()["prediction"].to_numpy()
     assert np.allclose(a, b)
+
+
+def test_rf_wrappers(spark, reg_df):
+    # reference XGBRF*: one boosting round of n_estimators bagged trees
+    from xgboost_spark.plans.estimator import SparkGBDTRFRegressor, SparkGBDTRFClassifier
+    fc = [f"c{i}" for i in range(5)]
+    est = SparkGBDTRFRegressor(label_col="label", features_col=fc,
+                               n_estimators=6, max_depth=3)
+    p = est.train_params
+    assert (p.num_boost_round, p.num_parallel_tree, p.eta) == (1, 6, 1.0)
+    assert (p.subsample, p.colsample_bynode) == (0.8, 0.8)
+    m = est.fit(reg_df)
+    assert len(m.core.trees) == 1 and len(m.core.trees[0]) == 6
+    pred = m.transform(reg_df).select("prediction").toPandas()["prediction"]
+    assert np.isfinite(pred).all()
+    # forest = average of bagged trees, so prediction correlates with label
+    lab = reg_df.select("label").toPandas()["label"]
+    assert np.corrcoef(pred, lab)[0, 1] > 0.5
+
+    with pytest.raises(ValueError):
+        SparkGBDTRFRegressor(num_boost_round=3)
+    with pytest.raises(ValueError):
+        SparkGBDTRFClassifier(learning_rate=0.3)
+    c = SparkGBDTRFClassifier(n_estimators=4)
+    assert c.train_params.objective == "binary:logistic"
+
+
+def test_global_config_and_build_info(capsys):
+    import xgboost_spark as xs
+    assert xs.get_config()["verbosity"] == 1
+    with xs.config_context(verbosity=0):
+        assert xs.get_config()["verbosity"] == 0
+        with xs.config_context(verbosity=3):
+            assert xs.get_config()["verbosity"] == 3
+        assert xs.get_config()["verbosity"] == 0
+    assert xs.get_config()["verbosity"] == 1
+    with pytest.raises(ValueError):
+        xs.set_config(nonexistent_knob=1)
+    info = xs.build_info()
+    assert info["pyspark"] and info["version"]
+
+    # verbosity=0 silences the EvaluationMonitor
+    from xgboost_spark.functions.callbacks import EvaluationMonitor
+
+    class _S:  # minimal TrainingState stand-in
+        pass
+    mon = EvaluationMonitor(period=1)
+    log = {"train": {"rmse": [1.0]}}
+    with xs.config_context(verbosity=0):
+        mon.after_iteration(_S(), 0, log)
+    assert capsys.readouterr().out == ""
+    mon.after_iteration(_S(), 0, log)
+    assert "train-rmse" in capsys.readouterr().out
+
+
+def test_plotting_surface(spark, reg_df):
+    import xgboost_spark as xs
+    from xgboost_spark.plotting import importance_series, to_graphviz
+    fc = [f"c{i}" for i in range(5)]
+    est = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=3, max_depth=3)
+    m = est.fit(reg_df)
+    items = importance_series(m, "gain")
+    assert items and all(s >= 0 for _, s in items)
+    assert [s for _, s in items] == sorted(s for _, s in items)
+    top1 = importance_series(m, "weight", max_num_features=1)
+    assert len(top1) == 1
+    dot = to_graphviz(m, num_trees=0, rankdir="LR")
+    src = dot if isinstance(dot, str) else dot.source
+    assert "digraph" in src and 'rankdir="LR"' in src
+    # matplotlib is absent from the image: a clear ImportError, not a crash
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(ImportError):
+            xs.plot_importance(m)

@@ -40,7 +40,18 @@ def __getattr__(name):
         "SparkGBDTRegressor": ("xgboost_spark.plans.estimator", "SparkGBDTRegressor"),
         "SparkGBDTClassifier": ("xgboost_spark.plans.estimator", "SparkGBDTClassifier"),
         "SparkGBDTRanker": ("xgboost_spark.plans.estimator", "SparkGBDTRanker"),
+        "SparkGBDTRFRegressor": ("xgboost_spark.plans.estimator", "SparkGBDTRFRegressor"),
+        "SparkGBDTRFClassifier": ("xgboost_spark.plans.estimator", "SparkGBDTRFClassifier"),
         "get_session": ("xgboost_spark.session", "get_session"),
+        # global configuration + build info (reference config.py / build_info)
+        "set_config": ("xgboost_spark.config", "set_config"),
+        "get_config": ("xgboost_spark.config", "get_config"),
+        "config_context": ("xgboost_spark.config", "config_context"),
+        "build_info": ("xgboost_spark.config", "build_info"),
+        # plotting (reference plotting.py; matplotlib/graphviz optional)
+        "plot_importance": ("xgboost_spark.plotting", "plot_importance"),
+        "plot_tree": ("xgboost_spark.plotting", "plot_tree"),
+        "to_graphviz": ("xgboost_spark.plotting", "to_graphviz"),
     }
     if name in lazy:
         import importlib

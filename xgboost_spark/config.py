@@ -168,3 +168,72 @@ class TrainParams:
         if self.objective == "reg:quantileerror" and len(self.quantile_alpha) > 1:
             return len(self.quantile_alpha)
         return self.num_class if self.is_multiclass and self.num_class > 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# global configuration (reference python-package/xgboost/config.py:127-201
+# set_config/get_config/config_context; backed by GlobalConfiguration in
+# src/global_config.cc — here a plain process-local dict, since there is
+# no C library to hold it)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_CONFIG: dict = {"verbosity": 1, "use_rmm": False}
+
+
+def set_config(**new_config) -> None:
+    """Set global configuration.  Supported parameters mirror the
+    reference: ``verbosity`` (0=silent, 1=warning, 2=info, 3=debug —
+    gates the EvaluationMonitor callback's per-round printing) and
+    ``use_rmm`` (accepted for API compatibility; no GPU allocator
+    here).  Unknown keys raise, like the reference's C API does."""
+    for k, v in new_config.items():
+        if v is None:
+            continue
+        if k not in _GLOBAL_CONFIG:
+            raise ValueError(f"unknown global configuration parameter: {k!r}")
+        if k == "verbosity":
+            v = int(v)
+            if not 0 <= v <= 3:
+                raise ValueError("verbosity must be in [0, 3]")
+        _GLOBAL_CONFIG[k] = v
+
+
+def get_config() -> dict:
+    """Current values of the global configuration (a copy)."""
+    return dict(_GLOBAL_CONFIG)
+
+
+class config_context:
+    """Context manager for global configuration; restores ALL previous
+    settings on exit (reference config.py:180 semantics).  Not
+    thread-safe, same as the reference."""
+
+    def __init__(self, **new_config):
+        self._new = new_config
+        self._saved: dict | None = None
+
+    def __enter__(self):
+        self._saved = get_config()
+        set_config(**self._new)
+        return self
+
+    def __exit__(self, *exc):
+        assert self._saved is not None
+        _GLOBAL_CONFIG.clear()
+        _GLOBAL_CONFIG.update(self._saved)
+        return False
+
+
+def build_info() -> dict:
+    """Build/runtime information (reference ``xgboost.build_info()``):
+    engine version plus the versions of the execution substrate."""
+    import pyarrow
+    import pyspark
+    info = {"version": "0.1.0", "pyspark": pyspark.__version__,
+            "pyarrow": pyarrow.__version__, "engine": "pyspark-dataframe"}
+    try:
+        import numpy
+        info["numpy"] = numpy.__version__
+    except ImportError:  # pragma: no cover
+        pass
+    return info

@@ -66,6 +66,9 @@ class EvaluationMonitor(TrainingCallback):
         self.period = max(period, 1)
 
     def after_iteration(self, state, epoch, evals_log):
+        from xgboost_spark.config import get_config
+        if get_config()["verbosity"] < 1:
+            return False
         if epoch % self.period == 0:
             parts = []
             for data, metrics in evals_log.items():

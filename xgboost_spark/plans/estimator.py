@@ -343,3 +343,30 @@ class SparkGBDTRanker(_GBDTEstimator):
 
 class SparkGBDTRankerModel(_GBDTModel):
     pass
+
+class _RFDefaults:
+    """Random-forest parameterization (reference sklearn.py XGBRFRegressor /
+    XGBRFClassifier): ONE boosting round of ``n_estimators`` bagged trees
+    (num_parallel_tree), learning rate 1, row/column subsampling on, tiny
+    L2 — so the ensemble is a random forest, not a boosted chain."""
+
+    def __init__(self, *args, n_estimators: int = 100, **kw):
+        merged = dict(eta=1.0, subsample=0.8, colsample_bynode=0.8,
+                      reg_lambda=1e-5)
+        merged.update({TrainParams.ALIASES.get(k, k): v for k, v in kw.items()})
+        merged["num_parallel_tree"] = int(n_estimators)
+        if merged.setdefault("num_boost_round", 1) != 1:
+            # reference XGBRFModel._get_num_boosting_rounds raises too
+            raise ValueError("random forest runs exactly one boosting round; "
+                             "set n_estimators for forest size")
+        if merged["eta"] != 1.0:
+            raise ValueError("random forest requires learning_rate=1")
+        super().__init__(*args, **merged)
+
+
+class SparkGBDTRFRegressor(_RFDefaults, SparkGBDTRegressor):
+    """Analog of XGBRFRegressor (reference sklearn.py:2018-2084)."""
+
+
+class SparkGBDTRFClassifier(_RFDefaults, SparkGBDTClassifier):
+    """Analog of XGBRFClassifier (reference sklearn.py:1937-2015)."""
