@@ -1325,6 +1325,51 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Char-bigram LM perplexity quality filter (operators/textstats.
+    bigram_logprob_score — CCNet-style scoring with the LM trained on
+    the corpus itself).  The model side is character-vocabulary sized
+    and broadcasts; ppl is exp() of the 9-dp-rounded avg_nll so both
+    engines exponentiate the identical double."""
+    _prep(spark)
+    from xgboost_spark.operators.textstats import bigram_logprob_score
+    docs = _table(spark, sf_dir, "documents")
+    out = bigram_logprob_score(docs)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                      F.round("avg_nll", 6).alias("avg_nll"),
+                      F.round(F.exp(F.round("avg_nll", 9)), 6).alias("ppl"))
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dimension (broadcast — the canonical streaming
+    enrichment plan; the static side is re-scannable per micro-batch),
+    aggregated per market segment.  On bounded input the availableNow
+    run equals the batch join — which is exactly the oracle."""
+    _prep(spark)
+    import tempfile
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(link).schema
+    src = spark.readStream.schema(sch).parquet(stream_dir)
+    cust = _table(spark, sf_dir, "customer")
+    j = src.join(F.broadcast(cust), src.user_id == cust.c_custkey)
+    agg = (j.groupBy("c_mktsegment")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_enrich_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("c_mktsegment", "n", "sum_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
@@ -1406,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "revenue_forecast": q_revenue_forecast,
         "local_supplier_volume": q_local_supplier_volume,
+        "bigram_ppl": q_bigram_ppl,
+        "stream_enrich": q_stream_enrich,
     }
 
 
@@ -2159,4 +2206,29 @@ JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name""",
+
+        "bigram_ppl": """
+WITH d AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+g AS (
+  SELECT id, unnest([substr(t, i, 2) for i in range(1, length(t))]) AS bg FROM d),
+bgc AS (SELECT bg, count(*) AS c2 FROM g GROUP BY 1),
+pre AS (SELECT substr(bg, 1, 1) AS c1, count(*) AS c1n FROM g GROUP BY 1),
+v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vocab FROM g),
+model AS (
+  SELECT bg, ln((c2 + 1.0) / (c1n + 1.0 * vocab)) AS logp
+  FROM bgc JOIN pre ON substr(bgc.bg, 1, 1) = pre.c1 CROSS JOIN v),
+s AS (
+  SELECT id, count(*) AS n_bigrams, -avg(logp) AS avg_nll
+  FROM g JOIN model USING (bg) GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(avg_nll, 6) AS avg_nll,
+       round(exp(round(avg_nll, 9)), 6) AS ppl
+FROM s""",
+
+        "stream_enrich": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment""",
     }

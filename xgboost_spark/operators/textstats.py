@@ -276,3 +276,43 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("id", "term", "tf", "df", "score", "rank"))
+
+
+def bigram_logprob_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         alpha: float = 1.0) -> DataFrame:
+    """Character-bigram language-model quality score (CCNet-style
+    perplexity filtering, here with a char-bigram LM trained on the
+    corpus itself): per-doc average negative log-probability and
+    perplexity under an add-alpha-smoothed conditional model
+    p(c2|c1) = (count(c1c2) + alpha) / (count(c1*) + alpha*V).
+
+    Plan: one pass explodes lowercased character bigrams (pure
+    transform/sequence expressions); the model is two hash aggregations
+    whose output is CHARACTER-VOCABULARY sized (bigram types, not
+    corpus-sized), so it broadcasts back onto the exploded stream for
+    the scoring join — corpus never reshuffles on a data-sized key.
+
+    Returns (id, n_bigrams, avg_nll, ppl), rounded upstream by callers.
+    """
+    t = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - 1), "
+        f"i -> substring(lower({text_col}), i, 2))")
+    g = (df.filter(F.length(t) >= 2)
+           .select(F.col(id_col).alias("id"), F.explode(grams).alias("bg")))
+    bg_counts = g.groupBy("bg").agg(F.count("*").alias("c2"))
+    pre_counts = (g.select(F.substring("bg", 1, 1).alias("c1"))
+                    .groupBy("c1").agg(F.count("*").alias("c1n")))
+    vocab = g.select(F.substring("bg", 2, 1).alias("ch")).distinct().count()
+    model = (bg_counts.withColumn("c1", F.substring("bg", 1, 1))
+             .join(F.broadcast(pre_counts), "c1")
+             .withColumn("logp", F.log(
+                 (F.col("c2") + F.lit(float(alpha)))
+                 / (F.col("c1n") + F.lit(float(alpha) * vocab))))
+             .select("bg", "logp"))
+    scored = (g.join(F.broadcast(model), "bg")
+                .groupBy("id")
+                .agg(F.count("*").alias("n_bigrams"),
+                     (-F.avg("logp")).alias("avg_nll")))
+    return scored.withColumn("ppl", F.exp(F.col("avg_nll")))
