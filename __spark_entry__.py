@@ -1782,16 +1782,20 @@ FROM documents GROUP BY source""",
 WITH {shingle_cte},
 sig AS (
   SELECT id,
-         min(md5('p0:' || shingle)) AS mh0, min(md5('p1:' || shingle)) AS mh1,
-         min(md5('p2:' || shingle)) AS mh2, min(md5('p3:' || shingle)) AS mh3,
-         min(md5('p4:' || shingle)) AS mh4, min(md5('p5:' || shingle)) AS mh5,
-         min(md5('p6:' || shingle)) AS mh6, min(md5('p7:' || shingle)) AS mh7
+         min(('0x' || substr(md5('p0:' || shingle), 1, 12))::BIGINT) AS mh0,
+         min(('0x' || substr(md5('p0:' || shingle), 13, 12))::BIGINT) AS mh1,
+         min(('0x' || substr(md5('p1:' || shingle), 1, 12))::BIGINT) AS mh2,
+         min(('0x' || substr(md5('p1:' || shingle), 13, 12))::BIGINT) AS mh3,
+         min(('0x' || substr(md5('p2:' || shingle), 1, 12))::BIGINT) AS mh4,
+         min(('0x' || substr(md5('p2:' || shingle), 13, 12))::BIGINT) AS mh5,
+         min(('0x' || substr(md5('p3:' || shingle), 1, 12))::BIGINT) AS mh6,
+         min(('0x' || substr(md5('p3:' || shingle), 13, 12))::BIGINT) AS mh7
   FROM sh GROUP BY id),
 banded AS (
-  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
-  SELECT id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
-  SELECT id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
-  SELECT id, 3, mh6 || '|' || mh7 FROM sig),
+  SELECT id, 0 AS band, mh0::VARCHAR || '|' || mh1::VARCHAR AS bucket FROM sig UNION ALL
+  SELECT id, 1, mh2::VARCHAR || '|' || mh3::VARCHAR FROM sig UNION ALL
+  SELECT id, 2, mh4::VARCHAR || '|' || mh5::VARCHAR FROM sig UNION ALL
+  SELECT id, 3, mh6::VARCHAR || '|' || mh7::VARCHAR FROM sig),
 pairs AS (
   SELECT DISTINCT a.band, a.id AS ia, b.id AS ib
   FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)

@@ -73,3 +73,16 @@ def test_asof_join_global_path_windows_are_partitioned(spark, events):
     out = relational.asof_join(left, right, on="ts")
     p = plan_of(out, mode="simple").replace(" ", "")
     assert "[_pid" in p and "windowspecdefinition(_pid" in p.lower()
+
+
+def test_minhash_signature_agg_is_hash_aggregate(spark, sf_dir):
+    # bigint (fixed-width) min buffers keep the signature aggregation a
+    # HashAggregate; string mins would fall back to SortAggregate, which
+    # sorts the whole exploded shingle stream — the dominant cost at scale
+    from xgboost_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(docs, "text", "doc_id", 3), 8)
+    p = plan_of(sig)
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p

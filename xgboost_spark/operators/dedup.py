@@ -62,11 +62,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """(id, sig array<string>): per-permutation min of salted md5.
-    One groupBy(id) — the per-doc signature is a map-side-combinable agg.
+    """(id, sig array<bigint>): per-permutation min of a salted 48-bit
+    hash (the first 12 hex chars of md5, decimal-decoded — replayable as
+    ('0x'||substr(md5(..),1,12))::BIGINT in any SQL engine).
+
+    One groupBy(id); the per-doc signature is a map-side-combinable agg.
+    The hashes are BIGINTs rather than md5 hex STRINGS deliberately:
+    fixed-width min buffers keep the aggregate a HashAggregate — with
+    string mins Spark falls back to SortAggregate, which sorts the whole
+    exploded shingle stream (corpus × words rows) per side, the dominant
+    cost at 100 TB.  Numerically-min vs lexicographically-min are equally
+    valid uniform permutations for MinHash.
     """
-    aggs = [F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(n_hashes)]
+    def h48(i):
+        # two independent 48-bit hashes per md5 evaluation (hex chars
+        # 1-12 and 13-24 of the same digest) — md5 is the per-row cost
+        # driver, so this halves the hashing work per shingle
+        salted = F.md5(F.concat(F.lit(f"p{i // 2}:"), F.col("shingle")))
+        off = 1 + 12 * (i % 2)
+        return F.conv(F.substring(salted, off, 12), 16, 10).cast("bigint")
+    aggs = [F.min(h48(i)).alias(f"mh{i}") for i in range(n_hashes)]
     d = shingles.groupBy("id").agg(*aggs)
     return d.select("id", F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"))
 
