@@ -1221,14 +1221,16 @@ def q_stream_dedup(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """ANN scale path: random-hyperplane LSH buckets, exact rerank of
-    candidates only (rows-only check; recall vs brute force is asserted
-    in tests/test_pipeline_ops.py)."""
+    """ANN scale path: hyperplane sign-LSH buckets, exact rerank of
+    candidates only.  Planes are md5-derived (`similarity.hash_planes`)
+    so the DuckDB oracle regenerates the identical planes and replays
+    the bucketing + rerank exactly; recall vs brute force is separately
+    asserted in tests/test_pipeline_ops.py."""
     from xgboost_spark.operators.similarity import cosine_topk_lsh
     emb = _table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk_lsh(emb, q, k=5)
+    out = cosine_topk_lsh(emb, q, k=5, plane_source="hash")
     return out.select(F.col("query_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
                       F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
 
@@ -1417,7 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        # ANN scale paths (rows-only; recall asserted in tests)
+        # ANN scale paths (knn_lsh oracle-replayed via md5 planes;
+        # knn_ivf rows-only, recall asserted in tests)
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         # ML end-to-end (rows-only)
@@ -2235,4 +2238,35 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "knn_lsh": """
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+pl AS (
+  SELECT p, [('0x' || substr(md5('pl' || p::VARCHAR || ':d' || j::VARCHAR), 1, 12))::BIGINT
+             / 140737488355328.0 - 1.0 for j in range(0, 64)] AS pv
+  FROM range(12) t(p)),
+bits AS (
+  SELECT e.id, CAST(p // 4 AS INT) AS band, p,
+         CASE WHEN list_dot_product(e.v, pl.pv) > 0 THEN '1' ELSE '0' END AS bit
+  FROM e CROSS JOIN pl),
+sg AS (
+  SELECT id, band, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY id, band),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS nbr_id
+  FROM sg q JOIN sg c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.id < 5 AND q.id <> c.id),
+scored AS (
+  SELECT cand.query_id, cand.nbr_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM cand JOIN e a ON a.id = cand.query_id JOIN e b ON b.id = cand.nbr_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5""",
     }

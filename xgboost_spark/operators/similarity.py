@@ -55,6 +55,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def hash_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic uniform[-1, 1) hyperplanes derived from md5: plane
+    p component j = ('0x'||substr(md5('pl{p}:d{j}'),1,12))::BIGINT /
+    2^47 - 1.  The 48-bit integer fits a double exactly and the divisor
+    is a power of two, so the values are BIT-IDENTICAL in any engine
+    that evaluates the same expression — which makes sign-LSH bucketing
+    replayable in SQL (the DuckDB oracle for `knn_lsh` regenerates the
+    very same planes).  Uniform components are a standard substitute
+    for gaussian ones in sign-LSH (the bucketing stays locality
+    sensitive; only the angular uniformity constant changes)."""
+    import hashlib
+    return np.array([
+        [int(hashlib.md5(f"pl{p}:d{j}".encode()).hexdigest()[:12], 16) / 2.0 ** 47 - 1.0
+         for j in range(dim)]
+        for p in range(n_planes)])
+
+
 def _plane_sig(vec_col, planes: np.ndarray):
     dim = planes.shape[1]
     return F.concat(*[
@@ -66,15 +83,23 @@ def _plane_sig(vec_col, planes: np.ndarray):
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    n_planes: int = 12, bands: int = 3, seed: int = 42) -> DataFrame:
+                    n_planes: int = 12, bands: int = 3, seed: int = 42,
+                    plane_source: str = "seeded") -> DataFrame:
     """LSH-bucketed ANN top-k: signature split into ``bands``; a
     candidate must share >= 1 band with the query.  Equi-join on
     (band, bucket) — shuffle keyed on short strings, then exact rerank
     within candidates only.
+
+    ``plane_source``: "seeded" (gaussian, numpy seeded RNG) or "hash"
+    (md5-derived uniform planes, `hash_planes` — engine-independent, so
+    results are exactly replayable in SQL).
     """
     dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    if plane_source == "hash":
+        planes = hash_planes(n_planes, dim)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(n_planes, dim))
     r = n_planes // bands
     band_arr_exprs = []
     for b in range(bands):
