@@ -186,3 +186,22 @@ def test_get_dot_and_evals_result(spark, reg_df):
     dot = model.get_dot(0, with_stats=True)
     assert dot.startswith("digraph {") and dot.rstrip().endswith("}")
     assert "leaf=" in dot and "->" in dot and "missing" in dot
+
+
+def test_booster_attributes_roundtrip(model, tmp_path):
+    # reference Booster.attr/set_attr/attributes (core.py): string
+    # key-values persisted under learner.attributes in the model JSON
+    m = model
+    assert m.attr("nope") is None
+    m.set_attr(run_id="abc123", fold=3)
+    assert m.attr("run_id") == "abc123"
+    assert m.attributes() == {"run_id": "abc123", "fold": "3"}
+    m.set_attr(fold=None)
+    assert m.attributes() == {"run_id": "abc123"}
+    p = str(tmp_path / "attr_model.json")
+    m.save(p)
+    from xgboost_spark.plans.model import GBDTModel
+    m2 = GBDTModel.load(p)
+    assert m2.attr("run_id") == "abc123"
+    assert m2.best_iteration == m.best_iteration
+    m.set_attr(run_id=None)

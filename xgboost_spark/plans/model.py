@@ -48,7 +48,28 @@ class GBDTModel:
         # reference versions store base_score as a vector, one entry per
         # output — learner.cc ParamArray); None => scalar base_score
         self.base_score_vec: np.ndarray | None = None
+        # user attributes (reference Booster.attr/set_attr, core.py:
+        # string key-value pairs persisted under learner.attributes)
+        self.attributes_: dict[str, str] = {}
         self.obj = get_objective(params.objective, params)
+
+    # ----------------------------------------------------------- attributes
+    def attr(self, key: str) -> str | None:
+        """Attribute value, or None if unset (reference Booster.attr)."""
+        return self.attributes_.get(key)
+
+    def set_attr(self, **kwargs) -> None:
+        """Set/delete attributes (reference Booster.set_attr): values are
+        stored as strings; passing None deletes the key."""
+        for k, v in kwargs.items():
+            if v is None:
+                self.attributes_.pop(k, None)
+            else:
+                self.attributes_[k] = str(v)
+
+    def attributes(self) -> dict[str, str]:
+        """All user attributes (a copy; reference Booster.attributes)."""
+        return dict(self.attributes_)
 
     def _bs_row(self, K: int) -> np.ndarray:
         """Intercept as a (K,) vector for margin initialization."""
@@ -116,9 +137,10 @@ class GBDTModel:
             "version": [0, 1, 0],
             "learner": {
                 "attributes": {
-                    k: str(v) for k, v in (
+                    **self.attributes_,
+                    **{k: str(v) for k, v in (
                         {"best_iteration": self.best_iteration} if self.best_iteration is not None else {}
-                    ).items()
+                    ).items()},
                 },
                 "feature_names": self.feature_names,
                 "feature_types": ["float"] * len(self.feature_names),
@@ -284,7 +306,10 @@ class GBDTModel:
                                for k, vs in ext["category_maps"].items()}
         if ext.get("tree_weights"):
             m.tree_weights = [float(v) for v in ext["tree_weights"]]
-        bi = ln.get("attributes", {}).get("best_iteration")
+        attrs = ln.get("attributes", {}) or {}
+        m.attributes_ = {k: str(v) for k, v in attrs.items()
+                         if k != "best_iteration"}
+        bi = attrs.get("best_iteration")
         if bi is not None:
             m.best_iteration = int(bi)
         return m
