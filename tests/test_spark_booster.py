@@ -191,3 +191,26 @@ def test_vector_udt_ingestion(spark):
     rmse = pred.agg(
         F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))).first()[0]
     assert rmse < 1.5
+
+
+def test_training_with_empty_partitions(spark):
+    # reference test_spark.py:731 trains with empty input partitions; a
+    # skewed filter over many partitions must not break either exec mode
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(rng.normal(size=(200, 3)), columns=list("abc"))
+    pdf["y"] = pdf.a * 2 + rng.normal(size=200) * 0.1
+    df = spark.createDataFrame(pdf).repartition(64).filter("a > 1.0")
+    n = df.count()
+    assert 0 < n < 64  # more partitions than surviving rows
+    preds = {}
+    for mode in ("barrier", "dataframe"):
+        m = SparkBooster(TrainParams(num_boost_round=3, max_depth=3,
+                                     exec_mode=mode, seed=5)).fit(
+            df, feature_cols=["a", "b", "c"], label_col="y")
+        assert len(m.trees) == 3
+        preds[mode] = (m.transform(df, feature_cols=["a", "b", "c"])
+                       .toPandas()["prediction"].to_numpy())
+    # the two exec modes grow identical trees regardless of partitioning
+    assert np.allclose(np.sort(preds["barrier"]), np.sort(preds["dataframe"]))
