@@ -1327,6 +1327,48 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream inner join (view -> purchase attribution within 1
+    hour per user): the canonical two-stream correlation.  Inner joins
+    need no watermark for correctness — each matching pair is emitted
+    exactly once from the symmetric state store — so on bounded input
+    the availableNow run equals the batch self-join, which is the
+    oracle.  (Production deployments add watermarks purely to bound
+    state retention.)  The pair stream lands in a memory sink; the
+    final count aggregation runs batch over the sink."""
+    _prep(spark)
+    import tempfile
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(link).schema
+    from xgboost_spark.sources.tables import ensure_event_time
+
+    def side(etype, pref):
+        s = ensure_event_time(spark.readStream.schema(sch).parquet(stream_dir), "ts")
+        return (s.filter(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(f"{pref}_id"),
+                        F.col("user_id").alias(f"{pref}_user"),
+                        F.unix_micros(F.col("ts")).alias(f"{pref}_us")))
+
+    v, p = side("view", "v"), side("purchase", "p")
+    pairs = v.join(p, (F.col("v_user") == F.col("p_user"))
+                   & (F.col("p_us") >= F.col("v_us"))
+                   & (F.col("p_us") - F.col("v_us") < 3_600_000_000))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_join_{_STREAM_SEQ[0]}"
+    q = (pairs.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .agg(F.count("*").cast("bigint").alias("n_attributed"),
+                 F.countDistinct("v_user").cast("bigint").alias("n_users"),
+                 F.countDistinct("p_id").cast("bigint").alias("n_purchases")))
+
+
 def q_bigram_ppl(spark, sf_dir):
     """Char-bigram LM perplexity quality filter (operators/textstats.
     bigram_logprob_score — CCNet-style scoring with the LM trained on
@@ -1456,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "bigram_ppl": q_bigram_ppl,
         "stream_enrich": q_stream_enrich,
+        "stream_join": q_stream_join,
     }
 
 
@@ -2238,6 +2281,16 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "stream_join": """
+SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
 
         "knn_lsh": """
 WITH e AS (
