@@ -1327,6 +1327,23 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_sample_mix(spark, sf_dir):
+    """Deterministic per-source downsampling (operators/sampling.
+    sample_by_rates): the corpus-mixing step.  Oracle replays the
+    md5-uniformization and per-stratum thresholds."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import sample_by_rates
+    docs = _table(spark, sf_dir, "documents")
+    out = sample_by_rates(docs, {"src0": 1.0, "src1": 0.25, "src2": 0.5},
+                          key_col="doc_id", strat_col="source",
+                          default_rate=0.1)
+    return (out.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.min("doc_id").cast("bigint").alias("min_id"),
+                 F.md5(F.array_join(F.array_sort(F.collect_list(
+                     F.col("doc_id").cast("string"))), ",")).alias("ids_digest")))
+
+
 def q_stream_join(spark, sf_dir):
     """Stream-stream inner join (view -> purchase attribution within 1
     hour per user): the canonical two-stream correlation.  Inner joins
@@ -1499,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": q_bigram_ppl,
         "stream_enrich": q_stream_enrich,
         "stream_join": q_stream_join,
+        "sample_mix": q_sample_mix,
     }
 
 
@@ -2281,6 +2299,18 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "sample_mix": """
+WITH u AS (
+  SELECT *, ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0 AS u,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.5 ELSE 0.1 END AS rate
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       md5(array_to_string(list_sort(list(doc_id::VARCHAR)), ',')) AS ids_digest
+FROM u WHERE u < rate GROUP BY source""",
 
         "stream_join": """
 SELECT CAST(count(*) AS BIGINT) AS n_attributed,

@@ -470,3 +470,18 @@ def test_tfidf_top_terms(spark, docs):
     for _, g in out.groupby("id"):
         g = g.sort_values("rank")
         assert g.score.iloc[0] >= g.score.iloc[1] > 0
+
+
+def test_sample_by_rates(spark, docs):
+    from xgboost_spark.operators import sampling
+    d = docs.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    out = sampling.sample_by_rates(d, {"0": 1.0, "1": 0.0},
+                                   key_col="doc_id", strat_col="src")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {r.doc_id for r in d.filter("src = '0'").collect()}
+    # key-stable: a grown corpus keeps exactly the previously-kept rows
+    half = sampling.sample_by_rates(d.filter("doc_id < 3"), {"0": 1.0, "1": 0.0},
+                                    key_col="doc_id", strat_col="src")
+    assert {r.doc_id for r in half.collect()} == {k for k in kept if k < 3}
+    with pytest.raises(ValueError):
+        sampling.sample_by_rates(d, {"0": 1.5}, key_col="doc_id", strat_col="src")

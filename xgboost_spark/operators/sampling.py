@@ -95,3 +95,32 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
     return (s.withColumn(out_col, F.floor(start / F.lit(float(budget)))
                          .cast("bigint"))
             .drop(f"cum_{token_col}"))
+
+
+def sample_by_rates(df: DataFrame, rates: dict[str, float],
+                    key_col: str, strat_col: str,
+                    salt: str = "mix", default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing step of
+    an LLM corpus pipeline (keep source A at 100%, B at 25%, ...).
+
+    A row survives iff its md5-uniformized key u(salt||key) < rate of
+    its stratum.  Pure projection + filter (fuses into the scan, no
+    shuffle); key-stable, so re-running over a grown corpus keeps
+    exactly the rows it kept before.  Rates must be in [0, 1] —
+    upweighting (>1) needs replication, which is a different operator.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= float(default_rate) <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                           F.col(key_col).cast("string"))),
+                            1, 8), 16, 10).cast("double")
+         / F.lit(float(2 ** 32)))
+    rate = None
+    for s, r in rates.items():
+        rate = (F.when(F.col(strat_col) == s, float(r)) if rate is None
+                else rate.when(F.col(strat_col) == s, float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
+    return df.filter(u < rate)
