@@ -1344,6 +1344,23 @@ def q_sample_mix(spark, sf_dir):
                      F.col("doc_id").cast("string"))), ",")).alias("ids_digest")))
 
 
+def q_replicate_mix(spark, sf_dir):
+    """Deterministic per-source upweighting (operators/sampling.
+    replicate_by_rates): floor/ceil copies so the expected multiplier is
+    the exact rate; fractional copies keyed by the same md5 hash as
+    sample_by_rates.  Oracle replays the copy-count arithmetic."""
+    _prep(spark)
+    from xgboost_spark.operators.sampling import replicate_by_rates
+    docs = _table(spark, sf_dir, "documents")
+    out = replicate_by_rates(docs, {"src0": 2.0, "src1": 1.5},
+                             key_col="doc_id", strat_col="source",
+                             default_rate=1.0)
+    return (out.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.sum("copy").cast("bigint").alias("sum_copy")))
+
+
 def q_stream_join(spark, sf_dir):
     """Stream-stream inner join (view -> purchase attribution within 1
     hour per user): the canonical two-stream correlation.  Inner joins
@@ -1517,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "stream_join": q_stream_join,
         "sample_mix": q_sample_mix,
+        "replicate_mix": q_replicate_mix,
     }
 
 
@@ -2311,6 +2329,26 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(min(doc_id) AS BIGINT) AS min_id,
        md5(array_to_string(list_sort(list(doc_id::VARCHAR)), ',')) AS ids_digest
 FROM u WHERE u < rate GROUP BY source""",
+
+        "replicate_mix": """
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT
+         / 4294967296.0 AS u,
+         CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5
+                     ELSE 1.0 END AS rate
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS INT) + CASE WHEN u < rate - floor(rate)
+                                         THEN 1 ELSE 0 END AS n
+  FROM u),
+r AS (
+  SELECT doc_id, source, unnest(range(0, n)) AS copy FROM n WHERE n > 0)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(copy) AS BIGINT) AS sum_copy
+FROM r GROUP BY source""",
 
         "stream_join": """
 SELECT CAST(count(*) AS BIGINT) AS n_attributed,

@@ -485,3 +485,19 @@ def test_sample_by_rates(spark, docs):
     assert {r.doc_id for r in half.collect()} == {k for k in kept if k < 3}
     with pytest.raises(ValueError):
         sampling.sample_by_rates(d, {"0": 1.5}, key_col="doc_id", strat_col="src")
+
+
+def test_replicate_by_rates(spark, docs):
+    from xgboost_spark.operators import sampling
+    d = docs.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    out = sampling.replicate_by_rates(d, {"0": 2.0, "1": 0.5},
+                                      key_col="doc_id", strat_col="src").toPandas()
+    # integral rate: exactly 2 copies of every src-0 row, copy ids 0/1
+    z = out[out.src == "0"]
+    assert (z.groupby("doc_id").size() == 2).all()
+    assert set(z.copy_idx if "copy_idx" in z else z["copy"]) == {0, 1}
+    # fractional rate: src-1 rows appear 0 or 1 times, per the same hash
+    # threshold sample_by_rates uses -> the two operators compose
+    kept = sampling.sample_by_rates(d.filter("src = '1'"), {"1": 0.5},
+                                    key_col="doc_id", strat_col="src")
+    assert set(out[out.src == "1"].doc_id) == {r.doc_id for r in kept.collect()}

@@ -124,3 +124,38 @@ def sample_by_rates(df: DataFrame, rates: dict[str, float],
                 else rate.when(F.col(strat_col) == s, float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
     return df.filter(u < rate)
+
+
+def replicate_by_rates(df: DataFrame, rates: dict[str, float],
+                       key_col: str, strat_col: str,
+                       salt: str = "mix", default_rate: float = 1.0,
+                       out_col: str = "copy") -> DataFrame:
+    """Deterministic per-stratum UPweighting: each row appears
+    floor(rate) or ceil(rate) times so the stratum's expected multiplier
+    is exactly ``rate`` (epoch-style oversampling of premium sources).
+    The fractional extra copy goes to rows whose md5-uniformized key
+    falls under frac(rate) — the same hash as `sample_by_rates`, so a
+    rate of 0.25 there and 2.5 here compose coherently.  Appends
+    ``out_col`` (0-based copy index) to keep output keys unique.
+    Pure explode over a per-row sequence — no shuffle.
+    """
+    vals = dict(rates, __default__=default_rate)
+    for s, r in vals.items():
+        if float(r) < 0.0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                           F.col(key_col).cast("string"))),
+                            1, 8), 16, 10).cast("double")
+         / F.lit(float(2 ** 32)))
+    n = None
+    for s, r in rates.items():
+        r = float(r)
+        expr = F.lit(int(r)) + (u < (r - int(r))).cast("int")
+        n = (F.when(F.col(strat_col) == s, expr) if n is None
+             else n.when(F.col(strat_col) == s, expr))
+    dr = float(default_rate)
+    d_expr = F.lit(int(dr)) + (u < (dr - int(dr))).cast("int")
+    n = d_expr if n is None else n.otherwise(d_expr)
+    return (df.withColumn("_n", n).filter(F.col("_n") > 0)
+            .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n"))
