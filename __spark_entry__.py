@@ -1327,6 +1327,48 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_rolling_window(spark, sf_dir):
+    """Per-user trailing-1h rolling aggregates (operators/features.
+    rolling_agg): RANGE-framed window over epoch seconds — frame
+    membership is order-independent, so the result is engine-exact.
+    One shuffle on user_id; no global window."""
+    _prep(spark)
+    from xgboost_spark.operators.features import rolling_agg
+    ev = _table(spark, sf_dir, "events")
+    out = rolling_agg(ev, "user_id", "ts", "value", 3600)
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.round("value_roll_sum", 6).alias("roll_sum"),
+                      F.round("value_roll_avg", 6).alias("roll_avg"),
+                      F.col("value_roll_count").cast("bigint").alias("roll_count"))
+
+
+def q_lag_features(spark, sf_dir):
+    """Per-user lag-1/lag-2 value features (operators/features.
+    lag_features) with a total order (ts, event_id) so both engines
+    shift identically."""
+    _prep(spark)
+    from xgboost_spark.operators.features import lag_features
+    ev = _table(spark, sf_dir, "events")
+    out = lag_features(ev, "user_id", "ts", "value", lags=(1, 2),
+                       tiebreak_col="event_id")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.round("value_lag_1", 6).alias("lag1"),
+                      F.round("value_lag_2", 6).alias("lag2"))
+
+
+def q_target_encode(spark, sf_dir):
+    """Smoothed mean target encoding (operators/features.target_encode,
+    empirical-Bayes shrinkage toward the global mean).  The category
+    stats table broadcasts; verified per category."""
+    _prep(spark)
+    from xgboost_spark.operators.features import target_encode
+    li = _table(spark, sf_dir, "lineitem")
+    out = target_encode(li, "l_returnflag", "l_extendedprice", smoothing=10.0)
+    return (out.groupBy("l_returnflag")
+            .agg(F.round(F.min("l_returnflag_te"), 4).alias("te"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
 def q_sample_mix(spark, sf_dir):
     """Deterministic per-source downsampling (operators/sampling.
     sample_by_rates): the corpus-mixing step.  Oracle replays the
@@ -1535,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "sample_mix": q_sample_mix,
         "replicate_mix": q_replicate_mix,
+        "rolling_window": q_rolling_window,
+        "lag_features": q_lag_features,
+        "target_encode": q_target_encode,
     }
 
 
@@ -2317,6 +2362,34 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "rolling_window": """
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_avg,
+       CAST(count(value) OVER w AS BIGINT) AS roll_count
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+
+        "lag_features": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(lag(value, 1) OVER w, 6) AS lag1,
+       round(lag(value, 2) OVER w, 6) AS lag2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
+
+        "target_encode": """
+WITH g AS (SELECT avg(l_extendedprice) AS gm FROM lineitem),
+s AS (
+  SELECT l_returnflag, sum(l_extendedprice) AS sy, count(l_extendedprice) AS n
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag,
+       round((sy + 10.0 * gm) / (n + 10.0), 4) AS te,
+       CAST(n AS BIGINT) AS n
+FROM s CROSS JOIN g""",
 
         "sample_mix": """
 WITH u AS (

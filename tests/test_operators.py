@@ -93,3 +93,36 @@ def test_split_query_matches_core(spark):
     assert res is not None
     assert int(out["best_bin"][0]) == res.split_bin
     assert out["best_gain"][0] == pytest.approx(res.gain, abs=1e-5)
+
+
+def test_feature_engineering_ops(spark):
+    import pandas as pd
+    from xgboost_spark.operators import features
+    pdf = pd.DataFrame({
+        "uid": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+                              "2024-01-01 02:00:00", "2024-01-01 00:00:00",
+                              "2024-01-01 00:10:00"]),
+        "eid": [0, 1, 2, 3, 4],
+        "v": [1.0, 2.0, 4.0, 10.0, 20.0],
+        "cat": ["a", "a", "b", "b", "b"],
+    })
+    df = spark.createDataFrame(pdf)
+
+    roll = (features.rolling_agg(df, "uid", "ts", "v", 3600)
+            .orderBy("eid").toPandas())
+    # event 1 sees events 0+1 (30 min apart); event 2 only itself (90 min)
+    assert list(roll.v_roll_sum) == [1.0, 3.0, 4.0, 10.0, 30.0]
+    assert list(roll.v_roll_count) == [1, 2, 1, 1, 2]
+
+    lag = (features.lag_features(df, "uid", "ts", "v", lags=(1, 2),
+                                 tiebreak_col="eid").orderBy("eid").toPandas())
+    assert list(lag.v_lag_1.fillna(-1)) == [-1, 1.0, 2.0, -1, 10.0]
+    assert list(lag.v_lag_2.fillna(-1)) == [-1, -1, 1.0, -1, -1]
+
+    te = features.target_encode(df, "cat", "v", smoothing=1.0).toPandas()
+    gm = pdf.v.mean()
+    exp_a = (3.0 + gm) / 3.0
+    exp_b = (34.0 + gm) / 4.0
+    assert abs(te[te.cat == "a"].cat_te.iloc[0] - exp_a) < 1e-12
+    assert abs(te[te.cat == "b"].cat_te.iloc[0] - exp_b) < 1e-12

@@ -1,0 +1,93 @@
+"""Feature-engineering operators for tabular ML pipelines.
+
+The reference engine consumes feature matrices; real deployments build
+those matrices with exactly these transformations (rolling windows, lag
+features, target encoding) before training.  Everything here is pure
+window / aggregation plans — partitioned by the entity key, so no
+single-partition global windows at any scale — and each has a DuckDB
+oracle in `__spark_entry__.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_agg(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                window_seconds: int,
+                aggs: tuple[str, ...] = ("sum", "avg", "count")) -> DataFrame:
+    """Per-key rolling aggregates over a trailing event-time window
+    (inclusive of the current row): the standard "activity in the last
+    hour" feature family.
+
+    Plan: one shuffle on the key; a RANGE-framed window over epoch
+    seconds per key.  Rows with equal timestamps inside a key all see
+    the same frame (RANGE semantics), which keeps the result
+    order-independent — and therefore engine-independent.
+
+    Appends ``<value>_roll_<agg>`` columns.
+    """
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(key_col).orderBy(sec)
+         .rangeBetween(-int(window_seconds), 0))
+    out = df
+    v = F.col(value_col)
+    fns = {"sum": F.sum(v), "avg": F.avg(v), "count": F.count(v),
+           "min": F.min(v), "max": F.max(v)}
+    for a in aggs:
+        if a not in fns:
+            raise ValueError(f"unsupported agg {a!r} (have {sorted(fns)})")
+        out = out.withColumn(f"{value_col}_roll_{a}", fns[a].over(w))
+    return out
+
+
+def lag_features(df: DataFrame, key_col: str, order_col: str,
+                 value_col: str, lags: tuple[int, ...] = (1,),
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """Per-key lagged values (previous event's metric, the one before,
+    ...): appends ``<value>_lag_<k>`` columns, NULL where the history is
+    shorter than ``k``.
+
+    One shuffle on the key; ordering must be made total for
+    engine-independence — pass ``tiebreak_col`` (a unique id) whenever
+    ``order_col`` can repeat within a key.
+    """
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    out = df
+    for k in lags:
+        if k <= 0:
+            raise ValueError("lags must be positive")
+        out = out.withColumn(f"{value_col}_lag_{k}",
+                             F.lag(value_col, int(k)).over(w))
+    return out
+
+
+def target_encode(df: DataFrame, cat_col: str, label_col: str,
+                  smoothing: float = 10.0,
+                  out_col: str | None = None) -> DataFrame:
+    """Smoothed mean target encoding of a categorical column:
+
+        enc(c) = (sum_y(c) + smoothing * global_mean) / (n(c) + smoothing)
+
+    (the empirical-Bayes shrinkage form; categories with few rows pull
+    toward the global mean).  Plan: one scalar agg for the global mean,
+    one groupBy(cat) for the per-category stats — that table is
+    CATEGORY-cardinality sized, so it broadcasts back onto the input;
+    the data never shuffles on a data-sized key.
+    """
+    gm = df.select(F.avg(label_col)).first()[0]
+    if gm is None:
+        raise ValueError(f"no non-null {label_col!r} values to encode against")
+    stats = (df.groupBy(cat_col)
+             .agg(F.sum(label_col).alias("_sy"), F.count(label_col).alias("_n")))
+    enc = ((F.col("_sy") + float(smoothing) * float(gm))
+           / (F.col("_n") + float(smoothing)))
+    stats = stats.select(cat_col, enc.alias("_enc"))
+    out_col = out_col or f"{cat_col}_te"
+    return (df.join(F.broadcast(stats), cat_col, "left")
+            .withColumn(out_col, F.coalesce(F.col("_enc"), F.lit(float(gm))))
+            .drop("_enc"))
