@@ -86,3 +86,22 @@ def test_minhash_signature_agg_is_hash_aggregate(spark, sf_dir):
     p = plan_of(sig)
     assert "SortAggregate" not in p
     assert "HashAggregate" in p
+
+
+def test_feature_ops_windows_are_partitioned(spark, events):
+    # rolling/lag windows must partition by the entity key — a global
+    # window would serialize the whole table through one task
+    from xgboost_spark.operators import features
+    p1 = plan_of(features.rolling_agg(events, "user_id", "ts", "value", 3600))
+    p2 = plan_of(features.lag_features(events, "user_id", "ts", "value",
+                                       lags=(1,), tiebreak_col="event_id"))
+    for p in (p1, p2):
+        assert "Window" in p
+        assert "SinglePartition" not in p
+
+
+def test_target_encode_broadcasts_stats(spark, sf_dir):
+    from xgboost_spark.operators import features
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan_of(features.target_encode(li, "l_returnflag", "l_extendedprice"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
