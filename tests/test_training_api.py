@@ -54,6 +54,10 @@ def test_early_stopping_callback(spark, reg_df):
                   callbacks=[EarlyStopping(rounds=2)])
     n_rounds = len(model.trees)
     assert n_rounds < 30 or len(model.eval_history["train"]["rmse"]) == 30
+    # reference Booster.best_score: metric value at best_iteration
+    if model.best_iteration is not None:
+        assert model.best_score == pytest.approx(
+            model.eval_history["train"]["rmse"][model.best_iteration])
 
 
 def test_checkpoint_callback(spark, reg_df, tmp_path):

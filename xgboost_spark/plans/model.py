@@ -53,6 +53,21 @@ class GBDTModel:
         self.attributes_: dict[str, str] = {}
         self.obj = get_objective(params.objective, params)
 
+    @property
+    def best_score(self) -> float | None:
+        """Eval metric value at ``best_iteration`` — the last eval set's
+        last metric, matching what the reference's EarlyStopping callback
+        records as Booster.best_score.  None without early stopping."""
+        if self.best_iteration is None or not self.eval_history:
+            return None
+        metrics = self.eval_history[list(self.eval_history)[-1]]
+        if not metrics:
+            return None
+        vals = metrics[list(metrics)[-1]]
+        if not vals:
+            return None
+        return float(vals[min(self.best_iteration, len(vals) - 1)])
+
     # ----------------------------------------------------------- attributes
     def attr(self, key: str) -> str | None:
         """Attribute value, or None if unset (reference Booster.attr)."""
