@@ -205,3 +205,30 @@ def test_booster_attributes_roundtrip(model, tmp_path):
     assert m2.attr("run_id") == "abc123"
     assert m2.best_iteration == m.best_iteration
     m.set_attr(run_id=None)
+
+
+def test_num_features_rounds_and_feature_types(model, spark):
+    assert model.num_features() == 5
+    assert model.num_boosted_rounds() == 5
+    import json
+    doc = json.loads(model.to_json())
+    assert doc["learner"]["feature_types"] == ["float"] * 5
+
+
+def test_categorical_feature_types_in_json(spark):
+    import json
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    cat = rng.integers(0, 8, 1200)
+    num = rng.normal(size=1200)
+    y = np.where(np.isin(cat, (0, 3, 7)), 2.0, -1.0) + 0.1 * num
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cat": cat.astype(float), "num": num, "label": y}))
+    m = SparkBooster(TrainParams(num_boost_round=3, max_depth=3,
+                                 base_score=0.0)).fit(
+        df, feature_cols=["cat", "num"], label_col="label",
+        categorical_features=["cat"])
+    doc = json.loads(m.to_json())
+    ft = dict(zip(doc["learner"]["feature_names"],
+                  doc["learner"]["feature_types"]))
+    assert ft == {"cat": "c", "num": "float"}

@@ -93,6 +93,24 @@ class GBDTModel:
             return v if len(v) == K else np.full(K, float(v[0]))
         return np.full(K, float(self.base_score))
 
+    def _categorical_features(self) -> set[str]:
+        cats = set(self.category_maps or {})
+        for rnd in self.trees:
+            for t in rnd:
+                for nid in range(t.n_nodes):
+                    if t.categories[nid] is not None and t.feature[nid] >= 0:
+                        cats.add(self.feature_names[t.feature[nid]])
+        return cats
+
+    def num_features(self) -> int:
+        """Number of features (reference Booster.num_features)."""
+        return len(self.feature_names)
+
+    def num_boosted_rounds(self) -> int:
+        """Number of boosting rounds (reference
+        Booster.num_boosted_rounds)."""
+        return len(self.trees)
+
     # ------------------------------------------------------------------ ser
     def to_json(self) -> str:
         """Serialize in the reference's JSON dialect
@@ -158,7 +176,13 @@ class GBDTModel:
                     ).items()},
                 },
                 "feature_names": self.feature_names,
-                "feature_types": ["float"] * len(self.feature_names),
+                # "c" marks categorical features (reference core.py
+                # feature_types contract) — a feature is categorical if
+                # any node splits it categorically or it has a stored
+                # string dictionary
+                "feature_types": [
+                    "c" if n in self._categorical_features() else "float"
+                    for n in self.feature_names],
                 "learner_model_param": {
                     "base_score": (
                         "[" + ",".join(
