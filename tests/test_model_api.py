@@ -232,3 +232,14 @@ def test_categorical_feature_types_in_json(spark):
     ft = dict(zip(doc["learner"]["feature_names"],
                   doc["learner"]["feature_types"]))
     assert ft == {"cat": "c", "num": "float"}
+
+
+def test_transform_aligns_shuffled_feature_cols(model, reg_df):
+    # reference validate_features: names are authoritative — a caller
+    # passing the training columns in a different order must get the
+    # same predictions, not silently permuted features
+    base = (model.transform(reg_df.limit(300), feature_cols=FC)
+            .toPandas()["prediction"].to_numpy())
+    shuffled = (model.transform(reg_df.limit(300), feature_cols=FC[::-1])
+                .toPandas()["prediction"].to_numpy())
+    assert np.allclose(np.sort(base), np.sort(shuffled))

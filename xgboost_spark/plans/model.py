@@ -600,7 +600,16 @@ class GBDTModel:
                 approx_contribs=approx_contribs,
                 pred_interactions=pred_interactions,
                 base_margin_col=base_margin_col)
-        feature_cols = feature_cols or self.feature_names
+        if feature_cols is None:
+            feature_cols = self.feature_names
+        elif (set(feature_cols) == set(self.feature_names)
+              and list(feature_cols) != list(self.feature_names)):
+            # align by NAME when the caller passes the training columns
+            # in a different order (reference validate_features: names
+            # are authoritative; silent positional mapping would
+            # mispredict).  Differently-NAMED columns keep positional
+            # semantics — that is the explicit remapping API.
+            feature_cols = list(self.feature_names)
         df, feature_cols, enc_tmp = self._encode_strings(df, feature_cols)
         if array_col is not None:
             dt = df.schema[array_col].dataType
