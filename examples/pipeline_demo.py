@@ -1,8 +1,9 @@
 """End-to-end LLM training-data pipeline on the synthetic test tables:
 
-    documents -> normalize -> quality/repetition filter -> language gate
-    -> exact + MinHash near-dedup -> benchmark decontamination
-    -> PII redaction -> deterministic split -> token counting
+    documents -> normalize -> quality/repetition/perplexity filter
+    -> language gate -> exact + MinHash near-dedup -> benchmark
+    decontamination -> per-source mixing -> PII redaction
+    -> deterministic split -> token counting -> context-window chunking
     -> sequence packing -> sharded write
     and a GBDT quality model trained on the extracted text signals.
 
@@ -29,8 +30,10 @@ from xgboost_spark.plans.booster import SparkBooster  # noqa: E402
 from xgboost_spark.operators.dedup import (minhash_dedup,  # noqa: E402
                                            ngram_contamination)
 from xgboost_spark.operators.sampling import (hash_split,  # noqa: E402
-                                              pack_sequences, shuffle_shards)
-from xgboost_spark.operators.textstats import (language_id,  # noqa: E402
+                                              pack_sequences, sample_by_rates,
+                                              shuffle_shards)
+from xgboost_spark.operators.textstats import (bigram_logprob_score,  # noqa: E402
+                                               chunk_documents, language_id,
                                                normalize_text, redact_pii,
                                                repetition_stats, text_quality,
                                                token_count)
@@ -47,10 +50,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     d = language_id(d)
     rep = repetition_stats(d, "text", "doc_id", n=2)
     d = d.join(rep.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    ppl = bigram_logprob_score(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "ppl")
+    d = d.join(ppl, "doc_id", "left")
 
-    # 2. filter: quality floor, repetition ceiling, language gate
+    # 2. filter: quality floor, repetition ceiling, LM-perplexity band,
+    #    language gate
     kept = d.filter((F.col("quality_score") >= 0.3)
                     & (F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)) <= 0.9)
+                    & F.col("ppl").between(5.0, 40.0)
                     & (F.col("lang_pred") != "unknown"))
     n_filtered = kept.count()
 
@@ -68,13 +76,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     clean = deduped.join(dirty, "doc_id", "left_anti")
     n_clean = clean.count()
 
+    # 4b. per-source mixing: premium sources kept whole, the rest thinned
+    clean = sample_by_rates(clean, {"src0": 1.0, "src1": 1.0},
+                            key_col="doc_id", strat_col="source",
+                            default_rate=0.8)
+    n_mixed = clean.count()
+
     # 5. PII scrub + token budget + splits
     clean = redact_pii(clean, text_col="text", out_col="text_clean")
     clean = token_count(clean, "text_clean", "n_tokens")
     clean = hash_split(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
 
-    # 6. pack the train split into 256-token sequences, shard for writers
+    # 6. chunk long docs into 64-word context windows, pack the train
+    #    split into 256-token sequences, shard for writers
     train = clean.filter(F.col("split") == "train")
+    chunks = chunk_documents(train, "text_clean", "doc_id",
+                             chunk_words=64, overlap=8)
+    n_chunks = chunks.count()
     packed = pack_sequences(train, "doc_id", "n_tokens", budget=256)
     sharded = shuffle_shards(train, "doc_id", n_shards=4)
     n_seq = packed.agg(F.countDistinct("pack_id")).first()[0]
@@ -90,7 +108,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         (F.col("prediction") - F.col("quality_score")) ** 2))).first()[0]
 
     print(f"docs={n0} -> filtered={n_filtered} -> deduped={n_dedup} "
-          f"-> decontaminated={n_clean}; packed {n_seq} sequences; "
+          f"-> decontaminated={n_clean} -> mixed={n_mixed}; "
+          f"{n_chunks} chunks; packed {n_seq} sequences; "
           f"shards={sharded.select('shard').distinct().count()}; "
           f"quality-model rmse={rmse:.4f}")
     spark.stop()
