@@ -1327,6 +1327,37 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_time_rollup(spark, sf_dir):
+    """Multi-granularity time rollup (hour + day + grand total) in ONE
+    pass via ROLLUP grouping sets — the hypertable/continuous-aggregate
+    pattern.  Spark expands grouping sets inside a single shuffle
+    (Expand + one hash agg), no per-granularity rescans."""
+    _prep(spark)
+    ev = _table(spark, sf_dir, "events")
+    d = (ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+           .withColumn("hour", F.date_trunc("hour", F.col("ts"))))
+    out = (d.rollup("day", "hour")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    return out.select(
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.unix_micros(F.col("hour").cast("timestamp")).alias("hour_us"),
+        "n", "sum_value")
+
+
+def q_pivot_events(spark, sf_dir):
+    """Per-user event-type pivot (long -> wide feature columns).  The
+    pivot values are enumerated explicitly, so the plan is one hash
+    aggregation with map-side partials — no second pass to discover
+    distinct keys."""
+    _prep(spark)
+    ev = _table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0))
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
+
+
 def q_rolling_window(spark, sf_dir):
     """Per-user trailing-1h rolling aggregates (operators/features.
     rolling_agg): RANGE-framed window over epoch seconds — frame
@@ -1580,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "lag_features": q_lag_features,
         "target_encode": q_target_encode,
+        "time_rollup": q_time_rollup,
+        "pivot_events": q_pivot_events,
     }
 
 
@@ -2362,6 +2395,23 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "time_rollup": """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       epoch_us(date_trunc('hour', ts)) AS hour_us,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (1, 2)""",
+
+        "pivot_events": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id""",
 
         "rolling_window": """
 WITH e AS (
