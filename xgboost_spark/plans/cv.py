@@ -36,9 +36,18 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
        stratified: bool = False, metrics: list[str] | None = None,
        seed: int = 0, label_col: str = "label",
        qid_col: str | None = None, show_train: bool = False,
+       share_cuts: bool = True,
        **fit_kw) -> dict[str, list[float]]:
     """Returns {'test-<metric>-mean': [...], 'test-<metric>-std': [...]}
-    (+train-* when ``show_train``), one value per boosting round."""
+    (+train-* when ``show_train``), one value per boosting round.
+
+    ``share_cuts`` (default True): the quantile sketch from fold 0 is
+    reused by every later fold — the QuantileDMatrix-slice pattern
+    (reference `data.h:688` DMatrix::Slice keeps the parent's cut
+    layout), turning k full sketch passes into one.  Cuts built from
+    (k-1)/k of the data are statistically indistinguishable from
+    full-data cuts; pass False to re-sketch each fold.
+    """
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
     if nfold < 2:
         raise ValueError(f"cv needs nfold >= 2, got {nfold}")
@@ -47,12 +56,16 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
     folded = _fold_column(df, nfold, seed, stratified, label_col, qid_col) \
         .localCheckpoint(eager=True)
     per_fold: list[dict] = []
+    shared = fit_kw.pop("cuts", None)
     for f in range(nfold):
         train_df = folded.filter(F.col("__fold__") != f).drop("__fold__")
         valid_df = folded.filter(F.col("__fold__") == f).drop("__fold__")
         evals = ([(train_df, "train")] if show_train else []) + [(valid_df, "test")]
         model = SparkBooster(p).fit(train_df, label_col=label_col,
-                                    qid_col=qid_col, evals=evals, **fit_kw)
+                                    qid_col=qid_col, evals=evals,
+                                    cuts=shared, **fit_kw)
+        if share_cuts and shared is None:
+            shared = model.cuts
         per_fold.append(model.eval_history)
     out: dict[str, list[float]] = {}
     for data in per_fold[0]:
