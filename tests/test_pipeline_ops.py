@@ -501,3 +501,24 @@ def test_replicate_by_rates(spark, docs):
     kept = sampling.sample_by_rates(d.filter("src = '1'"), {"1": 0.5},
                                     key_col="doc_id", strat_col="src")
     assert set(out[out.src == "1"].doc_id) == {r.doc_id for r in kept.collect()}
+
+
+@pytest.mark.parametrize("cw,ov", [(5, 0), (5, 2), (8, 7), (16, 4)])
+def test_chunk_documents_invariants(spark, cw, ov):
+    import math
+    lengths = [1, 2, cw - 1, cw, cw + 1, 3 * cw, 3 * cw + 1, 50]
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in lengths]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_words=cw, overlap=ov).toPandas()
+    step = cw - ov
+    for n in lengths:
+        c = out[out.id == n].sort_values("chunk_id")
+        expected = 1 + max(0, math.ceil((n - cw) / step))
+        assert len(c) == expected, (n, cw, ov)
+        words = [t.split() for t in c.chunk_text]
+        assert all(len(w) <= cw for w in words)
+        # coverage: every word index appears; adjacent chunks overlap ov
+        seen = set(w for ws in words for w in ws)
+        assert seen == {f"w{i}" for i in range(n)}
+        for a, b in zip(words, words[1:]):
+            assert b[0] == a[step] if len(a) > step else True

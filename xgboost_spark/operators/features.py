@@ -26,6 +26,12 @@ def rolling_agg(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     the same frame (RANGE semantics), which keeps the result
     order-independent — and therefore engine-independent.
 
+    Skew note: one key's full history lands in one task (inherent to
+    per-key windows).  A key with billions of events needs a coarser
+    pre-aggregation first (e.g. per (key, minute) partial sums via
+    groupBy, then this window over the minute series) — same answer
+    for sum/count, bounded per-task state.
+
     Appends ``<value>_roll_<agg>`` columns.
     """
     sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
