@@ -1327,6 +1327,22 @@ def q_local_supplier_volume(spark, sf_dir):
             .orderBy(F.col("revenue").desc()))
 
 
+def q_melt_measures(spark, sf_dir):
+    """Wide -> long unpivot (DataFrame.unpivot / SQL stack): the inverse
+    of pivot, one Expand node — each input row fans out to one row per
+    measure with no shuffle; the per-measure agg then map-side combines."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    long = li.unpivot("l_orderkey",
+                      ["l_quantity", "l_discount", "l_tax"],
+                      "measure", "val")
+    return (long.groupBy("measure")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("val"), 2).alias("sum_val"),
+                 F.round(F.min("val"), 6).alias("min_val"),
+                 F.round(F.max("val"), 6).alias("max_val")))
+
+
 def q_time_rollup(spark, sf_dir):
     """Multi-granularity time rollup (hour + day + grand total) in ONE
     pass via ROLLUP grouping sets — the hypertable/continuous-aggregate
@@ -1613,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "time_rollup": q_time_rollup,
         "pivot_events": q_pivot_events,
+        "melt_measures": q_melt_measures,
     }
 
 
@@ -2395,6 +2412,17 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "melt_measures": """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       round(sum(val), 2) AS sum_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM long GROUP BY measure""",
 
         "time_rollup": """
 SELECT epoch_us(date_trunc('day', ts)) AS day_us,

@@ -243,3 +243,10 @@ def test_transform_aligns_shuffled_feature_cols(model, reg_df):
     shuffled = (model.transform(reg_df.limit(300), feature_cols=FC[::-1])
                 .toPandas()["prediction"].to_numpy())
     assert np.allclose(np.sort(base), np.sort(shuffled))
+
+
+def test_reference_named_aliases(model, spark):
+    assert model.get_fscore() == model.feature_importance("weight")
+    assert model.get_score("gain") == model.feature_importance("gain")
+    a = model.trees_to_dataframe(spark).count()
+    assert a == model.to_nodes_df(spark).count() > 0

@@ -845,6 +845,20 @@ class GBDTModel:
                   "gain double, cover double, leaf_value double")
         return spark.createDataFrame(rows, schema)
 
+    def trees_to_dataframe(self, spark: SparkSession) -> DataFrame:
+        """Reference-named alias of :meth:`to_nodes_df`
+        (`core.py Booster.trees_to_dataframe`)."""
+        return self.to_nodes_df(spark)
+
+    def get_fscore(self, importance_type: str = "weight") -> dict[str, float]:
+        """Reference-named alias of :meth:`feature_importance`
+        (`core.py Booster.get_fscore` — split counts by default)."""
+        return self.feature_importance(importance_type)
+
+    def get_score(self, importance_type: str = "weight") -> dict[str, float]:
+        """Reference-named alias (`core.py Booster.get_score`)."""
+        return self.feature_importance(importance_type)
+
     def feature_importance(self, importance_type: str = "gain") -> dict[str, float]:
         """weight/gain/cover/total_gain/total_cover (reference
         `XGBoosterFeatureScore` `c_api.h:1608`, `core.py:3036`)."""
