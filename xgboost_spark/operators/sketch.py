@@ -30,7 +30,8 @@ def _finish_cuts(qs: list[float], vmax: float) -> np.ndarray:
     return cuts
 
 
-def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int | None = None) -> list[np.ndarray]:
+def approx_cuts(df: DataFrame, cols: list[str], max_bin: int,
+                accuracy: int | None = None, extra_aggs=None):
     """Per-feature bin boundaries via Spark's distributed GK sketch.
 
     One job for all features; equivalent role to `HistogramCuts` build
@@ -41,6 +42,11 @@ def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int | No
     partials are cheap; merging many high-accuracy partials is not), so
     unlike the hashing/shingling operators this one takes the scan's
     natural partitioning.
+
+    ``extra_aggs``: optional additional aggregate Columns to ride the
+    SAME job (e.g. the trainer fuses its intercept sums here so cuts +
+    base score cost one scan, not two).  When given, returns
+    ``(cuts, row)`` so the caller can read its extra results.
     """
     if accuracy is None:
         accuracy = max(2048, 8 * max_bin)
@@ -49,13 +55,15 @@ def approx_cuts(df: DataFrame, cols: list[str], max_bin: int, accuracy: int | No
     for c in cols:
         aggs.append(F.percentile_approx(F.col(c), F.lit(probs), F.lit(accuracy)).alias(f"q_{c}"))
         aggs.append(F.max(c).alias(f"m_{c}"))
+    if extra_aggs:
+        aggs.extend(extra_aggs)
     row = df.agg(*aggs).first()
     out = []
     for c in cols:
         qs = row[f"q_{c}"] or []
         vmax = row[f"m_{c}"]
         out.append(_finish_cuts([q for q in qs if q is not None], vmax if vmax is not None else np.nan))
-    return out
+    return (out, row) if extra_aggs else out
 
 
 def weighted_cuts(df: DataFrame, col: str, weight_col: str, max_bin: int,

@@ -163,6 +163,37 @@ class SparkBooster:
     def _validate_meta(self, raw: DataFrame) -> None:
         validate_meta(raw, self.obj, self.params.objective)
 
+    _FUSED_BS_OBJECTIVES = (
+        "reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
+        "reg:expectileerror", "binary:logistic", "binary:logitraw",
+        "reg:logistic", "count:poisson", "reg:gamma", "reg:tweedie")
+
+    def _base_score_fuse_aggs(self, raw: DataFrame):
+        """Aggregate Columns for the mean-family intercept, to ride the
+        cuts-sketch job (see _fit_impl); None when the objective needs
+        its own pass (AFT/custom/median) or has a fixed intercept."""
+        from xgboost_spark.functions.objectives import CustomObjective
+        if (self.params.objective not in self._FUSED_BS_OBJECTIVES
+                or isinstance(self.obj, CustomObjective)
+                or "label" not in raw.columns):
+            return None
+        w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
+        return [F.sum(F.col("label") * w).alias("_bs_sy"),
+                F.sum(w).alias("_bs_sw")]
+
+    def _base_score_from_fused(self, row) -> float | None:
+        sy, sw = row["_bs_sy"], row["_bs_sw"]
+        if sy is None or not sw:
+            return None
+        v = float(sy) / float(sw)
+        name = self.params.objective
+        if name in ("binary:logistic", "binary:logitraw", "reg:logistic"):
+            pmean = min(max(v, 1e-7), 1 - 1e-7)
+            return float(np.log(pmean / (1 - pmean)))
+        if name in ("count:poisson", "reg:gamma", "reg:tweedie"):
+            return float(np.log(max(v, 1e-16)))
+        return v
+
     def _base_score(self, raw: DataFrame) -> float:
         """Distributed fit_stump (reference `src/tree/fit_stump.h:34`,
         `src/objective/init_estimation.h:13-18`)."""
@@ -364,6 +395,7 @@ class SparkBooster:
             from xgboost_spark.plans.barrier import supports_barrier
             barrier_eligible, _ = supports_barrier(
                 p, obj, evals, callbacks, xgb_model, has_qid=has_q)
+        fused_bs = None
         if cuts is None:
             sketch_bins = p.max_bin
             if is_approx and barrier_eligible:
@@ -371,7 +403,17 @@ class SparkBooster:
                 # hessian-weighted re-sketch merges fine bins in-job
                 # (plans/barrier.py _approx_rebin)
                 sketch_bins = min(4 * p.max_bin, 2048)
-            cuts = approx_cuts(raw, fnames, sketch_bins)
+            # the mean-family intercept is a plain agg over the same
+            # frame — ride the sketch job so cuts + base score cost ONE
+            # scan instead of two (fixed per-fit latency at any scale)
+            bs_aggs = (self._base_score_fuse_aggs(raw)
+                       if (p.base_score is None and xgb_model is None) else None)
+            if bs_aggs:
+                cuts, _bs_row = approx_cuts(raw, fnames, sketch_bins,
+                                            extra_aggs=bs_aggs)
+                fused_bs = self._base_score_from_fused(_bs_row)
+            else:
+                cuts = approx_cuts(raw, fnames, sketch_bins)
         if cat_mask is not None and cuts is not None:
             maxes = raw.agg(*[F.max(fnames[i]).alias(f"m{i}") for i in cat_idx]).first()
             cuts = list(cuts)
@@ -379,7 +421,8 @@ class SparkBooster:
                 n_cats = int(maxes[f"m{j}"] or 0) + 1
                 cuts[i] = np.arange(max(n_cats, 2), dtype=np.float64)
         base_score = (xgb_model.base_score if xgb_model is not None
-                      else self._base_score(raw))
+                      else (fused_bs if fused_bs is not None
+                            else self._base_score(raw)))
         mono = self._parse_monotone(feat_names_out, Fn)
         isets = self._parse_interactions(feat_names_out, Fn)
 
