@@ -214,3 +214,32 @@ def test_training_with_empty_partitions(spark):
                        .toPandas()["prediction"].to_numpy())
     # the two exec modes grow identical trees regardless of partitioning
     assert np.allclose(np.sort(preds["barrier"]), np.sort(preds["dataframe"]))
+
+
+def test_missing_sentinel_value(spark):
+    # reference DMatrix(missing=0.0): sentinel values route down default
+    # directions exactly like NaN does
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(2000, 3)) + 5.0          # keep natural zeros out
+    mask = rng.random((2000, 3)) < 0.25
+    y = 2.0 * np.where(mask[:, 0], 1.0, X[:, 0]) + rng.normal(0, 0.1, 2000)
+    Xnan = X.copy(); Xnan[mask] = np.nan          # ground truth: NaN-missing
+    Xzero = X.copy(); Xzero[mask] = 0.0           # same data, 0-as-missing
+    cols = ["a", "b", "c"]
+    df_nan = spark.createDataFrame(pd.DataFrame(Xnan, columns=cols).assign(label=y))
+    df_zero = spark.createDataFrame(pd.DataFrame(Xzero, columns=cols).assign(label=y))
+    p = TrainParams(num_boost_round=4, max_depth=3, seed=3, base_score=0.0)
+    m_nan = SparkBooster(p).fit(df_nan, feature_cols=cols, label_col="label")
+    m_zero = SparkBooster(p).fit(df_zero, feature_cols=cols, label_col="label",
+                                 missing=0.0)
+    # identical trees: same splits, same leaf values
+    for rn, rz in zip(m_nan.trees, m_zero.trees):
+        for tn, tz in zip(rn, rz):
+            assert tn.feature == tz.feature
+            assert np.allclose(tn.leaf_value, tz.leaf_value)
+    # transform reapplies the fit-time sentinel automatically
+    a = (m_nan.transform(df_nan, feature_cols=cols)
+         .toPandas()["prediction"].to_numpy())
+    b = (m_zero.transform(df_zero, feature_cols=cols)
+         .toPandas()["prediction"].to_numpy())
+    assert np.allclose(np.sort(a), np.sort(b))

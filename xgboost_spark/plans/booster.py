@@ -299,6 +299,7 @@ class SparkBooster:
                                evals=evals, **kw)
         if mapping:
             model.category_maps = mapping
+        model.missing = kw.get("missing")
         return model
 
     def _fit_impl(self, df: DataFrame, feature_cols: list[str] | None = None,
@@ -314,6 +315,7 @@ class SparkBooster:
             xgb_model: GBDTModel | None = None,
             categorical_features: list | None = None,
             custom_metric=None, maximize: bool | None = None,
+            missing: float | None = None,
             verbose: bool = False) -> GBDTModel:
         """``custom_metric``: callable ``fn(eval_df) -> (name, value)``
         over the internal eval frame (columns ``y``, ``w``, ``m0..mK-1``
@@ -343,6 +345,7 @@ class SparkBooster:
             df, feature_cols=feature_cols, array_col=array_col, label_col=eff_label,
             weight_col=weight_col, base_margin_col=base_margin_col, qid_col=qid_col,
             label_lower_col=label_lower_col, label_upper_col=label_upper_col,
+            missing=missing,
         )
         Fn = len(fnames)
         self._validate_meta(raw)
@@ -443,7 +446,7 @@ class SparkBooster:
                                                  or not has_b) else None),
                         weight_col=weight_col, base_margin_col=base_margin_col,
                         qid_col=qid_col, label_lower_col=label_lower_col,
-                        label_upper_col=label_upper_col)
+                        label_upper_col=label_upper_col, missing=missing)
                     evals_raw.append((ev_raw, ev_name))
                 trees, history, best_it, bar_weights = fit_barrier(
                     p, obj, raw, fnames, cuts, cat_mask,

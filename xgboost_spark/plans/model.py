@@ -51,6 +51,9 @@ class GBDTModel:
         # user attributes (reference Booster.attr/set_attr, core.py:
         # string key-value pairs persisted under learner.attributes)
         self.attributes_: dict[str, str] = {}
+        # sentinel feature value treated as missing at fit time
+        # (reference DMatrix missing=); reapplied by transform()
+        self.missing: float | None = None
         self.obj = get_objective(params.objective, params)
 
     @property
@@ -573,7 +576,8 @@ class GBDTModel:
                   approx_contribs: bool = False,
                   pred_interactions: bool = False,
                   base_margin_col: str | None = None,
-                  iteration_range: tuple[int, int] | None = None) -> DataFrame:
+                  iteration_range: tuple[int, int] | None = None,
+                  missing: float | None = None) -> DataFrame:
         """Batch predict: broadcast model + Arrow-batched traversal
         (reference Spark wrapper pattern, `spark/core.py:1388`).
         Appends `prediction` (double; probability array for softprob),
@@ -599,7 +603,7 @@ class GBDTModel:
                 pred_leaf=pred_leaf, pred_contribs=pred_contribs,
                 approx_contribs=approx_contribs,
                 pred_interactions=pred_interactions,
-                base_margin_col=base_margin_col)
+                base_margin_col=base_margin_col, missing=missing)
         if feature_cols is None:
             feature_cols = self.feature_names
         elif (set(feature_cols) == set(self.feature_names)
@@ -618,6 +622,26 @@ class GBDTModel:
                 # array<double>
                 from pyspark.ml.functions import vector_to_array
                 df = df.withColumn(array_col, vector_to_array(F.col(array_col)))
+        # sentinel-as-missing (reference DMatrix missing=): NULL the
+        # matching values so they route down default directions, same as
+        # at fit time.  Explicit argument wins over the fit-time value.
+        mv = missing if missing is not None else self.missing
+        if mv is not None:
+            mvf = float(mv)
+            if array_col is not None:
+                df = df.withColumn(array_col, F.transform(
+                    F.col(array_col),
+                    lambda x: F.when(x.cast("double") == mvf,
+                                     F.lit(None).cast("double"))
+                    .otherwise(x.cast("double"))))
+            else:
+                dts = dict(df.dtypes)
+                for c in feature_cols:
+                    if dts.get(c) != "string":
+                        df = df.withColumn(c, F.when(
+                            F.col(c).cast("double") == mvf,
+                            F.lit(None).cast("double"))
+                            .otherwise(F.col(c).cast("double")))
         spark = df.sparkSession
         K = self.params.n_groups
         if (pred_contribs or pred_interactions) and any(

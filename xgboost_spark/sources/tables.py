@@ -78,6 +78,7 @@ def assemble_features(
     qid_col: str | None = None,
     label_lower_col: str | None = None,
     label_upper_col: str | None = None,
+    missing: float | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Normalize input into the engine's matrix convention.
 
@@ -86,9 +87,20 @@ def assemble_features(
     ``base_margin``, ``qid`` columns.  An ``array<float/double>`` column
     (e.g. embeddings) is unpacked into scalar columns — element access is
     a Catalyst expression, so this stays JVM-side and columnar.
+
+    ``missing``: sentinel feature value to treat as missing (reference
+    ``DMatrix(..., missing=)``, `c_api.h:221`): matching values become
+    NULL, routing those rows down each node's default direction —
+    e.g. ``missing=0.0`` reproduces zero-as-missing sparse semantics.
+    NaN is always missing.
     """
     cols = []
     names: list[str] = []
+    def _m(c):
+        if missing is None:
+            return c
+        return F.when(c == float(missing), F.lit(None).cast("double")).otherwise(c)
+
     if array_col is not None:
         src = F.col(array_col)
         dt = df.schema[array_col].dataType
@@ -103,11 +115,11 @@ def assemble_features(
             n = len(df.select(array_col).first()[0])
         for i in range(n):
             names.append(f"f{i}")
-            cols.append(F.element_at(src, i + 1).cast("double").alias(f"f{i}"))
+            cols.append(_m(F.element_at(src, i + 1).cast("double")).alias(f"f{i}"))
     if feature_cols:
         for i, c in enumerate(feature_cols, start=len(names)):
             names.append(f"f{i}")
-            cols.append(F.col(c).cast("double").alias(f"f{i}"))
+            cols.append(_m(F.col(c).cast("double")).alias(f"f{i}"))
     if not names:
         raise ValueError("no features given")
     if label_col:
