@@ -250,3 +250,18 @@ def test_reference_named_aliases(model, spark):
     assert model.get_score("gain") == model.feature_importance("gain")
     a = model.trees_to_dataframe(spark).count()
     assert a == model.to_nodes_df(spark).count() > 0
+
+
+def test_save_config_and_sharded_sink(model, spark, reg_df, tmp_path):
+    import json
+    cfg = json.loads(model.save_config())
+    assert cfg["learner"]["objective"] == "reg:squarederror"
+    assert cfg["learner"]["params"]["max_depth"] == 3
+
+    from xgboost_spark.sources.sinks import write_shards
+    out = str(tmp_path / "shards")
+    write_shards(reg_df.withColumn("rid", F.monotonically_increasing_id()),
+                 "rid", out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == reg_df.count()
+    assert back.select("shard").distinct().count() == 4

@@ -114,6 +114,19 @@ class GBDTModel:
         Booster.num_boosted_rounds)."""
         return len(self.trees)
 
+    def save_config(self) -> str:
+        """Training configuration as JSON (reference
+        Booster.save_config / learner.cc SaveConfig): the effective
+        parameter surface, for experiment logging and reproduction."""
+        from dataclasses import asdict
+        cfg = {"learner": {
+            "objective": self.params.objective,
+            "learner_train_param": {"booster": self.params.booster},
+            "gradient_booster": {"name": self.params.booster},
+            "params": {k: v for k, v in asdict(self.params).items()
+                       if v is not None}}}
+        return json.dumps(cfg)
+
     # ------------------------------------------------------------------ ser
     def to_json(self) -> str:
         """Serialize in the reference's JSON dialect
