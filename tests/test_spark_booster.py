@@ -243,3 +243,21 @@ def test_missing_sentinel_value(spark):
     b = (m_zero.transform(df_zero, feature_cols=cols)
          .toPandas()["prediction"].to_numpy())
     assert np.allclose(np.sort(a), np.sort(b))
+
+
+def test_degenerate_inputs(spark):
+    # single row, constant features, an all-missing column: all train;
+    # an empty frame raises a clear error (not an obscure TypeError)
+    p = TrainParams(num_boost_round=2, max_depth=2)
+    one = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, y double")
+    m = SparkBooster(p).fit(one, feature_cols=["a", "b"], label_col="y")
+    assert m.transform(one, feature_cols=["a", "b"]).count() == 1
+    const = spark.createDataFrame(
+        [(1.0, 2.0, float(i)) for i in range(40)], "a double, b double, y double")
+    m2 = SparkBooster(p).fit(const, feature_cols=["a", "b"], label_col="y")
+    # nothing to split on -> stump predictions = base score
+    pred = m2.transform(const, feature_cols=["a", "b"]).toPandas()["prediction"]
+    assert pred.nunique() == 1
+    empty = spark.createDataFrame([], "a double, b double, y double")
+    with pytest.raises(ValueError, match="empty"):
+        SparkBooster(p).fit(empty, feature_cols=["a", "b"], label_col="y")

@@ -183,7 +183,10 @@ class SparkBooster:
 
     def _base_score_from_fused(self, row) -> float | None:
         sy, sw = row["_bs_sy"], row["_bs_sw"]
-        if sy is None or not sw:
+        if sw is None or sw == 0.0:
+            raise ValueError("training dataset is empty (no rows / zero "
+                             "total weight)")
+        if sy is None:
             return None
         v = float(sy) / float(sw)
         name = self.params.objective
@@ -248,6 +251,9 @@ class SparkBooster:
         if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
                     "reg:expectileerror"):
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
+            if r["v"] is None:
+                raise ValueError("training dataset is empty (no rows / "
+                                 "zero total weight)")
             return float(r["v"])
         if name in ("binary:logistic", "binary:logitraw", "reg:logistic"):
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
