@@ -1374,6 +1374,25 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_feature_drift(spark, sf_dir):
+    """PSI feature-drift monitor (operators/features.
+    population_stability): early vs late shipping windows of
+    l_extendedprice over exact decile edges of the full column (exact
+    ranks so both engines bin identically).  Each side is one scan +
+    one 10-row aggregation."""
+    _prep(spark)
+    from xgboost_spark.operators.features import population_stability
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_extendedprice", 8)
+    li = _table(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < "1998-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1998-01-01")
+    out = population_stability(ref, cur, "l_extendedprice", cuts=cuts)
+    return out.select(F.col("bin").cast("bigint").alias("bin"),
+                      F.round("ref_frac", 6).alias("ref_frac"),
+                      F.round("cur_frac", 6).alias("cur_frac"),
+                      F.round("psi_term", 9).alias("psi_term"))
+
+
 def q_rolling_window(spark, sf_dir):
     """Per-user trailing-1h rolling aggregates (operators/features.
     rolling_agg): RANGE-framed window over epoch seconds — frame
@@ -1630,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "pivot_events": q_pivot_events,
         "melt_measures": q_melt_measures,
+        "feature_drift": q_feature_drift,
     }
 
 
@@ -2412,6 +2432,35 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "feature_drift": f"""
+WITH {_cuts_cte('lineitem', 'l_extendedprice', 8)},
+rb AS (
+  SELECT (SELECT count(*) FROM kcuts WHERE cut < l_extendedprice) AS bin,
+         count(*) AS n_ref
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_extendedprice IS NOT NULL GROUP BY 1),
+cb AS (
+  SELECT (SELECT count(*) FROM kcuts WHERE cut < l_extendedprice) AS bin,
+         count(*) AS n_cur
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_extendedprice IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+f AS (
+  SELECT bin,
+         n_ref / (SELECT sum(n_ref)::DOUBLE FROM j) AS ref_frac,
+         n_cur / (SELECT sum(n_cur)::DOUBLE FROM j) AS cur_frac
+  FROM j)
+SELECT CAST(bin AS BIGINT) AS bin,
+       round(ref_frac, 6) AS ref_frac,
+       round(cur_frac, 6) AS cur_frac,
+       round((greatest(cur_frac, 1e-6) - greatest(ref_frac, 1e-6))
+             * ln(greatest(cur_frac, 1e-6) / greatest(ref_frac, 1e-6)), 9)
+       AS psi_term
+FROM f""",
 
         "melt_measures": """
 WITH long AS (

@@ -97,3 +97,47 @@ def target_encode(df: DataFrame, cat_col: str, label_col: str,
     return (df.join(F.broadcast(stats), cat_col, "left")
             .withColumn(out_col, F.coalesce(F.col("_enc"), F.lit(float(gm))))
             .drop("_enc"))
+
+
+def population_stability(ref: DataFrame, cur: DataFrame, col: str,
+                         cuts: list[float] | None = None,
+                         bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a reference window and a
+    current window of one feature — the standard production drift
+    monitor (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    ``cuts``: explicit bin edges; default = the reference window's
+    ``bins``-quantile edges via percentile_approx (pass exact edges for
+    engine-exact replication).  Plan: each side is one scan + one
+    vocabulary-sized (bins) aggregation; the two tiny histograms join on
+    bin id.  Returns one row per bin (bin, ref_frac, cur_frac, psi_term)
+    — ``sum(psi_term)`` is the PSI.
+    """
+    if cuts is None:
+        probs = [i / bins for i in range(1, bins)]
+        cuts = [float(c) for c in
+                ref.agg(F.percentile_approx(col, F.lit(probs),
+                                            F.lit(10000)).alias("q"))
+                .first()["q"]]
+
+    def binned(df, name):
+        b = F.lit(0)
+        for c in cuts:
+            b = b + (F.col(col) > float(c)).cast("int")
+        return (df.filter(F.col(col).isNotNull())
+                .groupBy(b.alias("bin"))
+                .agg(F.count("*").alias(f"n_{name}")))
+
+    r, c = binned(ref, "ref"), binned(cur, "cur")
+    tot_r = F.sum("n_ref").over(Window.partitionBy())
+    tot_c = F.sum("n_cur").over(Window.partitionBy())
+    j = (r.join(c, "bin", "full")
+         .na.fill({"n_ref": 0, "n_cur": 0}))
+    # the totals window runs over the BINS table (<= bins+1 rows), not
+    # the data — a "global" window here is metadata-scale by design
+    j = (j.withColumn("ref_frac", F.col("n_ref") / tot_r)
+          .withColumn("cur_frac", F.col("n_cur") / tot_c))
+    pr = F.greatest(F.col("ref_frac"), F.lit(float(eps)))
+    pc = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
+    return j.withColumn("psi_term", (pc - pr) * F.log(pc / pr)) \
+            .select("bin", "ref_frac", "cur_frac", "psi_term")
