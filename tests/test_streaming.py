@@ -104,3 +104,37 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("select * from dedup_out").toPandas()
     assert sorted(out["text"]) == ["a", "b", "c", "d"]
+
+
+def test_streaming_incremental_training(spark, reg_df, tmp_path):
+    # two micro-batches of the regression set -> continuation adds
+    # rounds_per_batch trees per batch; cuts freeze on batch one
+    import numpy as np
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.streaming.training import StreamingTrainer
+    fc = [f"c{i}" for i in range(5)]
+    src_dir = str(tmp_path / "stream_src")
+    half = reg_df.count() // 2
+    a = reg_df.limit(half)
+    b = reg_df.subtract(a)
+    a.coalesce(1).write.parquet(src_dir)
+    b.coalesce(1).write.mode("append").parquet(src_dir)
+    sch = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    ckpt = str(tmp_path / "models")
+    st = StreamingTrainer(TrainParams(max_depth=3, max_bin=32, seed=2),
+                          rounds_per_batch=3, checkpoint_dir=ckpt,
+                          feature_cols=fc, label_col="label")
+    q = st.start(stream)
+    q.awaitTermination()
+    assert st.batches_trained == 2
+    assert len(st.model.trees) == 6          # 3 rounds x 2 batches
+    # frozen cuts: continuation reuses batch-one bin edges
+    import os
+    assert os.path.exists(os.path.join(ckpt, "latest.json"))
+    pred = (st.model.transform(reg_df, feature_cols=fc)
+            .toPandas()["prediction"].to_numpy())
+    assert np.isfinite(pred).all()
+    lab = reg_df.toPandas()["label"].to_numpy()
+    assert np.corrcoef(pred, lab)[0, 1] > 0.8
