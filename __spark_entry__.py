@@ -1374,6 +1374,38 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_train_stream(spark, sf_dir):
+    """Incremental streaming training (streaming/training.
+    StreamingTrainer): two lineitem micro-batches, continuation adds
+    rounds each batch with cuts frozen from batch one.  Rows-only (ML
+    end-to-end)."""
+    _prep(spark)
+    import tempfile
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.streaming.training import StreamingTrainer
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"xgbspark_trstream{sf_tag}")
+    if not os.path.isdir(d):
+        li0 = _table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_orderkey")
+        li0.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(d)
+        li0.filter(F.col("l_orderkey") % 2 == 1).coalesce(1) \
+           .write.mode("append").parquet(d)
+    sch = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    st = StreamingTrainer(TrainParams(max_depth=3, max_bin=32, seed=7),
+                          rounds_per_batch=2,
+                          feature_cols=["l_quantity", "l_discount", "l_tax"],
+                          label_col="l_extendedprice")
+    st.start(stream).awaitTermination()
+    m = st.model
+    return spark.createDataFrame(
+        [(st.batches_trained, len(m.trees),
+          sum(t.n_nodes for rnd in m.trees for t in rnd) > 0)],
+        "n_batches int, n_rounds int, has_nodes boolean")
+
+
 def q_feature_drift(spark, sf_dir):
     """PSI feature-drift monitor (operators/features.
     population_stability): early vs late shipping windows of
@@ -1650,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "melt_measures": q_melt_measures,
         "feature_drift": q_feature_drift,
+        "train_stream": q_train_stream,   # rows-only (streaming ML)
     }
 
 
