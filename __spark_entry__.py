@@ -1374,6 +1374,39 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_profile_columns(spark, sf_dir):
+    """One-scan data-quality profile (operators/features.
+    profile_columns): per-column n / null_frac / min / max / mean /
+    stddev for the training-matrix audit."""
+    _prep(spark)
+    from xgboost_spark.operators.features import profile_columns
+    li = _table(spark, sf_dir, "lineitem")
+    out = profile_columns(li, ["l_quantity", "l_discount", "l_extendedprice"])
+    return out.select("column",
+                      F.col("n").cast("bigint").alias("n"),
+                      F.round("null_frac", 6).alias("null_frac"),
+                      F.round("min", 6).alias("min"),
+                      F.round("max", 6).alias("max"),
+                      F.round("mean", 6).alias("mean"),
+                      F.round("stddev", 6).alias("stddev"))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-proof salted equi-join (operators/relational.salted_join):
+    orders x customer salted 8 ways; result equals the plain join —
+    which IS the oracle."""
+    _prep(spark)
+    from xgboost_spark.operators.relational import salted_join
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                    "o_totalprice")
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    j = salted_join(orders, cust, "o_custkey", salt_factor=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
 def q_train_stream(spark, sf_dir):
     """Incremental streaming training (streaming/training.
     StreamingTrainer): two lineitem micro-batches, continuation adds
@@ -1683,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_measures": q_melt_measures,
         "feature_drift": q_feature_drift,
         "train_stream": q_train_stream,   # rows-only (streaming ML)
+        "profile_columns": q_profile_columns,
+        "salted_join": q_salted_join,
     }
 
 
@@ -2464,6 +2499,31 @@ FROM s""",
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment""",
+
+        "profile_columns": """
+WITH cols(c) AS (VALUES ('l_quantity'), ('l_discount'), ('l_extendedprice'))
+SELECT c AS "column", CAST(count(*) AS BIGINT) AS n,
+       round(0.0, 6) AS null_frac,
+       round(min(CASE c WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_discount' THEN l_discount
+                        ELSE l_extendedprice END), 6) AS min,
+       round(max(CASE c WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_discount' THEN l_discount
+                        ELSE l_extendedprice END), 6) AS max,
+       round(avg(CASE c WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_discount' THEN l_discount
+                        ELSE l_extendedprice END), 6) AS mean,
+       round(stddev_pop(CASE c WHEN 'l_quantity' THEN l_quantity
+                               WHEN 'l_discount' THEN l_discount
+                               ELSE l_extendedprice END), 6) AS stddev
+FROM lineitem CROSS JOIN cols
+GROUP BY c""",
+
+        "salted_join": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
 
         "feature_drift": f"""

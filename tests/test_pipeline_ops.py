@@ -522,3 +522,20 @@ def test_chunk_documents_invariants(spark, cw, ov):
         assert seen == {f"w{i}" for i in range(n)}
         for a, b in zip(words, words[1:]):
             assert b[0] == a[step] if len(a) > step else True
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = orders.join(cust, "o_custkey").count()
+    salted = relational.salted_join(orders, cust, "o_custkey",
+                                    salt_factor=4).count()
+    assert plain == salted
+    # left join keeps unmatched rows exactly once
+    some = cust.filter("o_custkey % 3 = 0")
+    pl = orders.join(some, "o_custkey", "left").count()
+    sl = relational.salted_join(orders, some, "o_custkey",
+                                salt_factor=4, how="left").count()
+    assert pl == sl

@@ -141,3 +141,35 @@ def population_stability(ref: DataFrame, cur: DataFrame, col: str,
     pc = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
     return j.withColumn("psi_term", (pc - pr) * F.log(pc / pr)) \
             .select("bin", "ref_frac", "cur_frac", "psi_term")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column with n, null_frac, min,
+    max, mean, stddev — the audit a pipeline runs before training
+    (schema drift, null explosions, constant columns).
+
+    ONE scan: all per-column aggregates ride a single job, then a
+    metadata-sized reshape to long form (explode of a columns-count
+    array literal — no second pass over the data).
+    """
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        v = F.col(c)
+        aggs += [F.count(v).alias(f"nn_{c}"),
+                 F.min(v).cast("double").alias(f"mn_{c}"),
+                 F.max(v).cast("double").alias(f"mx_{c}"),
+                 F.avg(v).alias(f"av_{c}"),
+                 F.stddev_pop(v).alias(f"sd_{c}")]
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("_n").alias("n"),
+                 ((F.col("_n") - F.col(f"nn_{c}")) / F.col("_n")).alias("null_frac"),
+                 F.col(f"mn_{c}").alias("min"),
+                 F.col(f"mx_{c}").alias("max"),
+                 F.col(f"av_{c}").alias("mean"),
+                 F.col(f"sd_{c}").alias("stddev"))
+        for c in cols])
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

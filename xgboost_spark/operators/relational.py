@@ -162,3 +162,29 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
     d = df.withColumn("_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return d.withColumn("session_id", F.sum("_new").over(wc)).drop("_new")
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_factor: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join that survives a skewed key without AQE: the LEFT (big,
+    skewed) side gets a random-but-deterministic salt in [0, salt_factor)
+    derived from a content hash of its other columns; the RIGHT side is
+    EXPLODED salt_factor times so every (key, salt) pair matches.  One
+    hot key's rows then spread over ``salt_factor`` reducers instead of
+    one straggler task.
+
+    Same result set as ``left.join(right, key, how)`` for inner/left
+    joins (right-side duplication is undone by the salt equality).  Use
+    when the skew is known and AQE's runtime skew-split isn't available
+    (e.g. inside a cached subplan).  The right side grows by
+    ``salt_factor`` — keep it the smaller input.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    others = [c for c in left.columns if c != key] or [key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]),
+                  F.lit(salt_factor)).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
+    return l.join(r, [key, "_salt"], how).drop("_salt")
