@@ -1374,6 +1374,22 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order clustering key (operators/relational.zorder_key) over
+    (l_partkey, l_suppkey) at 8 bits/dim with pinned ranges; verified by
+    per-zkey-bucket counts.  Oracle replays the normalize+interleave
+    arithmetic bit by bit."""
+    _prep(spark)
+    from xgboost_spark.operators.relational import zorder_key
+    li = _table(spark, sf_dir, "lineitem")
+    out = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8,
+                     ranges={"l_partkey": (0.0, 20000.0),
+                             "l_suppkey": (0.0, 1000.0)})
+    return (out.groupBy((F.col("zkey") / 256).cast("bigint").alias("zbucket"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("zkey").cast("bigint").alias("sum_zkey")))
+
+
 def q_profile_columns(spark, sf_dir):
     """One-scan data-quality profile (operators/features.
     profile_columns): per-column n / null_frac / min / max / mean /
@@ -1718,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_stream": q_train_stream,   # rows-only (streaming ML)
         "profile_columns": q_profile_columns,
         "salted_join": q_salted_join,
+        "zorder": q_zorder,
     }
 
 
@@ -1808,6 +1825,24 @@ WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
 s AS (SELECT lang, {', '.join(score_exprs)} FROM p)
 SELECT lang, {pred} AS lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM s GROUP BY 1, 2"""
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of q_zorder: same normalize + clamp + bit interleave
+    (generated shift/AND expressions, 8 bits x 2 dims)."""
+    dims = [("l_partkey", 0.0, 20000.0), ("l_suppkey", 0.0, 1000.0)]
+    qs = ", ".join(
+        f"greatest(0, least(255, CAST(floor(({c} - {lo}) / {hi - lo} * 255 + 0.5) AS BIGINT))) AS q{i}"
+        for i, (c, lo, hi) in enumerate(dims))
+    z = " + ".join(f"(((q{i} >> {b}) & 1) << {2 * b + i})"
+                   for b in range(8) for i in range(len(dims)))
+    return f"""
+WITH q AS (SELECT {qs} FROM lineitem),
+z AS (SELECT {z} AS zkey FROM q)
+SELECT CAST(zkey // 256 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(zkey) AS BIGINT) AS sum_zkey
+FROM z GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2500,6 +2535,8 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
+
+        "zorder": _zorder_oracle_sql(),
 
         "profile_columns": """
 WITH cols(c) AS (VALUES ('l_quantity'), ('l_discount'), ('l_extendedprice'))

@@ -539,3 +539,29 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     sl = relational.salted_join(orders, some, "o_custkey",
                                 salt_factor=4, how="left").count()
     assert pl == sl
+
+
+def test_zorder_key_interleave(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.0, 255.0), (255.0, 0.0), (0.0, 255.0), (3.0, 5.0)],
+        "x double, y double")
+    out = (relational.zorder_key(df, ["x", "y"], bits=8,
+                                 ranges={"x": (0.0, 255.0), "y": (0.0, 255.0)})
+           .toPandas())
+
+    def morton(a, b):
+        z = 0
+        for bit in range(8):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    exp = {(0, 0): morton(0, 0), (255, 255): morton(255, 255),
+           (255, 0): morton(255, 0), (0, 255): morton(0, 255),
+           (3, 5): morton(3, 5)}
+    for _, r in out.iterrows():
+        assert r.zkey == exp[(int(r.x), int(r.y))]
+    with pytest.raises(ValueError):
+        relational.zorder_key(df, ["x"], bits=8)
+    with pytest.raises(ValueError):
+        relational.zorder_key(df, ["x", "y"], bits=40)

@@ -188,3 +188,42 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
+               out_col: str = "zkey",
+               ranges: dict[str, tuple[float, float]] | None = None) -> DataFrame:
+    """Z-order (Morton) clustering key over 2+ numeric columns: each
+    column min-max-normalizes to a ``bits``-bit integer and the bits
+    interleave, so sorting by ``out_col`` co-locates rows that are close
+    in EVERY dimension — the layout trick behind multi-column data
+    skipping (write sorted by zkey; parquet row-group min/max stats then
+    prune on any of the columns, not just the leading sort key).
+
+    ``ranges``: optional {col: (min, max)}; default = one tiny agg for
+    all columns.  The key itself is a pure column expression (shifts and
+    ORs), so the only cost beyond the scan is the final sort-for-write.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a signed long")
+    if ranges is None:
+        row = df.agg(*[f for c in cols
+                       for f in (F.min(c).alias(f"mn_{c}"),
+                                 F.max(c).alias(f"mx_{c}"))]).first()
+        ranges = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = ranges[c]
+        span = (hi - lo) or 1.0
+        q = F.floor((F.col(c) - lo) / span * top + 0.5).cast("bigint")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            # bit b of column i lands at position b*len(cols)+i
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit.cast("bigint"), b * len(cols) + i)
+    return df.withColumn(out_col, z)
