@@ -126,3 +126,22 @@ def test_feature_engineering_ops(spark):
     exp_b = (34.0 + gm) / 4.0
     assert abs(te[te.cat == "a"].cat_te.iloc[0] - exp_a) < 1e-12
     assert abs(te[te.cat == "b"].cat_te.iloc[0] - exp_b) < 1e-12
+
+
+def test_scaler_and_winsorize(spark):
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.operators import features
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 10.0, 10.0, 10.0]})
+    df = spark.createDataFrame(pdf)
+    st = features.fit_scaler(df, ["a", "b"], "standard")
+    assert st["a"][0] == pytest.approx(2.5)
+    assert st["b"] == (10.0, 1.0)       # zero stddev -> scale 1 (no div0)
+    out = features.apply_scaler(df, st).toPandas()
+    assert out.a_scaled.mean() == pytest.approx(0.0)
+    assert np.std(out.a_scaled) == pytest.approx(1.0)
+    mm = features.fit_scaler(df, ["a"], "minmax")
+    o2 = features.apply_scaler(df, mm).toPandas()
+    assert o2.a_scaled.min() == 0.0 and o2.a_scaled.max() == 1.0
+    w = features.winsorize(df, ["a"], {"a": (1.5, 3.5)}).toPandas()
+    assert w.a.min() == 1.5 and w.a.max() == 3.5

@@ -173,3 +173,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                  F.col(f"sd_{c}").alias("stddev"))
         for c in cols])
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def fit_scaler(df: DataFrame, cols: list[str],
+               method: str = "standard") -> dict[str, tuple[float, float]]:
+    """One-scan scaler fit: {col: (center, scale)}.
+
+    ``standard``: (mean, stddev_pop); ``minmax``: (min, max - min).
+    The stats dict is tiny (per column) — store it next to the model and
+    apply with :func:`apply_scaler` at serving time, exactly like the
+    category maps.
+    """
+    if method == "standard":
+        aggs = [a for c in cols for a in (F.avg(c).alias(f"c_{c}"),
+                                          F.stddev_pop(c).alias(f"s_{c}"))]
+    elif method == "minmax":
+        aggs = [a for c in cols
+                for a in (F.min(c).cast("double").alias(f"c_{c}"),
+                          (F.max(c) - F.min(c)).cast("double").alias(f"s_{c}"))]
+    else:
+        raise ValueError("method must be standard|minmax")
+    row = df.agg(*aggs).first()
+    return {c: (float(row[f"c_{c}"]), float(row[f"s_{c}"]) or 1.0) for c in cols}
+
+
+def apply_scaler(df: DataFrame, stats: dict[str, tuple[float, float]],
+                 suffix: str = "_scaled") -> DataFrame:
+    """(x - center) / scale per column — a pure projection that fuses
+    into the scan."""
+    for c, (center, scale) in stats.items():
+        df = df.withColumn(f"{c}{suffix}",
+                           (F.col(c) - float(center)) / float(scale))
+    return df
+
+
+def winsorize(df: DataFrame, cols: list[str],
+              limits: dict[str, tuple[float, float]]) -> DataFrame:
+    """Clip outliers to explicit [lo, hi] bounds per column (pass
+    quantile edges from `operators/sketch.exact_quantiles` or
+    percentile_approx for p1/p99 winsorization).  Pure projection."""
+    for c in cols:
+        lo, hi = limits[c]
+        df = df.withColumn(c, F.least(F.greatest(F.col(c), F.lit(float(lo))),
+                                      F.lit(float(hi))))
+    return df
