@@ -1434,12 +1434,17 @@ def q_train_stream(spark, sf_dir):
     from xgboost_spark.streaming.training import StreamingTrainer
     sf_tag = sf_dir.rstrip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"xgbspark_trstream{sf_tag}")
-    if not os.path.isdir(d):
+    marker = os.path.join(d, "_BOTH_BATCHES_DONE")
+    if not os.path.exists(marker):
+        # a crashed previous attempt leaves a partial dir: rebuild it
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
         li0 = _table(spark, sf_dir, "lineitem").select(
             "l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_orderkey")
         li0.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(d)
         li0.filter(F.col("l_orderkey") % 2 == 1).coalesce(1) \
            .write.mode("append").parquet(d)
+        open(marker, "w").close()
     sch = spark.read.parquet(d).schema
     stream = (spark.readStream.schema(sch)
               .option("maxFilesPerTrigger", 1).parquet(d))
