@@ -149,3 +149,33 @@ def test_regression_family_metrics(spark):
     assert got == pytest.approx(pois + const, rel=0.02)
     gd = 2 * (np.log(mu / y) + y / mu - 1).mean()
     assert M.compute_metric(df, "gamma-deviance") == pytest.approx(gd, rel=1e-9)
+
+
+def test_platt_and_isotonic_calibration(spark):
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.functions.calibration import (apply_isotonic,
+                                                     apply_platt,
+                                                     fit_isotonic, fit_platt)
+    rng = np.random.default_rng(5)
+    m = rng.normal(0, 2.0, 4000)
+    # true generating process: sigmoid(0.8*m - 0.5)
+    p = 1.0 / (1.0 + np.exp(-(0.8 * m - 0.5)))
+    y = (rng.random(4000) < p).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"m": m, "y": y}))
+    a, b = fit_platt(df, "m", "y")
+    assert abs(a - 0.8) < 0.15 and abs(b + 0.5) < 0.15
+    cal = apply_platt(df, "m", (a, b)).toPandas()
+    assert cal.calibrated.between(0, 1).all()
+    # calibrated log-loss beats the raw sigmoid(m) baseline
+    eps = 1e-12
+    ll_cal = -np.mean(y * np.log(cal.calibrated + eps)
+                      + (1 - y) * np.log(1 - cal.calibrated + eps))
+    raw = 1.0 / (1.0 + np.exp(-m))
+    ll_raw = -np.mean(y * np.log(raw + eps) + (1 - y) * np.log(1 - raw + eps))
+    assert ll_cal < ll_raw
+
+    iso = fit_isotonic(df, "m", "y")
+    out = apply_isotonic(df, "m", iso).toPandas().sort_values("m")
+    assert out.calibrated.between(0, 1).all()
+    assert (np.diff(out.calibrated) >= -1e-12).all()   # monotone
