@@ -565,3 +565,26 @@ def test_zorder_key_interleave(spark):
         relational.zorder_key(df, ["x"], bits=8)
     with pytest.raises(ValueError):
         relational.zorder_key(df, ["x", "y"], bits=40)
+
+
+def test_png_codec_through_spark_pipeline(spark):
+    import numpy as np
+    from xgboost_spark.operators.multimodal import (decode_png, encode_png,
+                                                    image_features)
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(4)]
+    pal = np.zeros((10, 10), dtype=np.uint8)      # grayscale variant
+    rows = ([(i, bytearray(encode_png(im))) for i, im in enumerate(imgs)]
+            + [(99, bytearray(encode_png(pal)))])
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = image_features(df, strict=True).toPandas()   # strict: no stub path
+    assert len(out) == 5
+    feats = np.stack(out.features.to_numpy())
+    assert np.isfinite(feats).all()
+    # real pixels in -> features vary across images, constant for zeros
+    z = feats[out.id.to_numpy() == 99][0]
+    assert np.allclose(z, z[0])
+    assert feats[:4].std() > 0
+    # RGBA and palette-type coverage at the codec level
+    rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
