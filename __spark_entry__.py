@@ -1374,6 +1374,23 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull ``k`` out of the events JSON
+    ``props`` column (get_json_object — Jackson-backed, fuses into the
+    scan) and aggregate per event type.  SURVEY §2.8 notes the reference
+    has no JSON functions; Spark's built-ins cover the need."""
+    _prep(spark)
+    ev = _table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.sum((F.col("k") > 50).cast("long")).cast("bigint").alias("n_gt50"),
+                 F.min("k").cast("bigint").alias("min_k"),
+                 F.max("k").cast("bigint").alias("max_k")))
+
+
 def q_zorder(spark, sf_dir):
     """Z-order clustering key (operators/relational.zorder_key) over
     (l_partkey, l_suppkey) at 8 bits/dim with pinned ranges; verified by
@@ -1740,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "salted_join": q_salted_join,
         "zorder": q_zorder,
+        "json_extract": q_json_extract,
     }
 
 
@@ -2542,6 +2560,15 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "json_extract": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50,
+       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type""",
 
         "profile_columns": """
 WITH cols(c) AS (VALUES ('l_quantity'), ('l_discount'), ('l_extendedprice'))
