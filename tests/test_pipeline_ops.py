@@ -588,3 +588,31 @@ def test_png_codec_through_spark_pipeline(spark):
     # RGBA and palette-type coverage at the codec level
     rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
     assert (decode_png(encode_png(rgba)) == rgba).all()
+
+
+def test_aiff_codec(spark):
+    import struct
+    import math
+    import numpy as np
+    from xgboost_spark.operators.multimodal import audio_features, decode_aiff
+
+    def encode_aiff(x, rate):
+        pcm = (np.clip(x, -1, 1) * 32767).astype(">i2").tobytes()
+        exp = int(math.floor(math.log2(rate)))
+        mant = int(rate / 2.0 ** (exp - 63))
+        comm = (struct.pack(">hIh", 1, len(x), 16)
+                + struct.pack(">HQ", exp + 16383, mant))
+        ssnd = struct.pack(">II", 0, 0) + pcm
+        body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    t = np.linspace(0, 1, 4000, dtype=np.float32)
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    y, r = decode_aiff(encode_aiff(x, 8000))
+    assert r == 8000 and np.abs(y - x).max() < 1e-3
+    df = spark.createDataFrame([(1, bytearray(encode_aiff(x, 8000)))],
+                               "id long, content binary")
+    out = audio_features(df, strict=True).toPandas()
+    v = np.array(out.features.iloc[0])
+    assert v[0] > 0.3                  # RMS of a 0.5-amplitude sine ~ 0.35

@@ -11,8 +11,8 @@ image/audio libraries exist in this container):
   DEFLATE via stdlib zlib, chunk parsing + all five row filters here)
   decode -> HxWx3 uint8, grayscale + nearest-neighbor resize -> feature
   vector
-- audio: RIFF/WAV PCM16 decode -> mono float32, windowed RMS +
-  zero-crossing-rate features
+- audio: RIFF/WAV and AIFF PCM16 decode -> mono float32, windowed RMS
+  + zero-crossing-rate features
 - video: a raw-frame container (magic ``XGVR``) decodes to real frames;
   unknown containers fall back to byte-window sampling
 
@@ -145,6 +145,41 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return x, rate
+
+
+def decode_aiff(b: bytes) -> tuple[np.ndarray, int]:
+    """AIFF PCM16 (big-endian) -> (mono float32 in [-1, 1], sample_rate).
+    The FORM/COMM/SSND chunk walk mirrors decode_wav; the sample rate is
+    an 80-bit IEEE 754 extended float, decoded manually."""
+    if b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    i, n = 12, len(b)
+    n_ch, rate, bits, data = 1, 0, 16, b""
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        sz = struct.unpack_from(">I", b, i + 4)[0]
+        body = b[i + 8:i + 8 + sz]
+        if cid == b"COMM":
+            n_ch, _frames, bits = struct.unpack_from(">hIh", body, 0)
+            if bits != 16:
+                raise ValueError("only PCM16 AIFF supported")
+            exp = struct.unpack_from(">H", body, 8)[0] & 0x7FFF
+            mant = struct.unpack_from(">Q", body, 10)[0]
+            rate = int(mant * 2.0 ** (exp - 16383 - 63))
+        elif cid == b"SSND":
+            off = struct.unpack_from(">I", body, 0)[0]
+            data = body[8 + off:]
+        i += 8 + sz + (sz & 1)
+    x = np.frombuffer(data, dtype=">i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _decode_audio_bytes(b: bytes) -> tuple[np.ndarray, int]:
+    if b[:4] == b"FORM":
+        return decode_aiff(b)
+    return decode_wav(b)
 
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:
@@ -309,7 +344,7 @@ def audio_features(df: DataFrame, content_col: str = "content", out_dim: int = 8
             for content in pdf[content_col]:
                 b = bytes(content) if content is not None else b""
                 try:
-                    x, _rate = decode_wav(b)
+                    x, _rate = _decode_audio_bytes(b)
                 except ValueError:
                     x = None
                 if x is not None and len(x):
