@@ -616,3 +616,22 @@ def test_aiff_codec(spark):
     out = audio_features(df, strict=True).toPandas()
     v = np.array(out.features.iloc[0])
     assert v[0] > 0.3                  # RMS of a 0.5-amplitude sine ~ 0.35
+
+
+def test_gif_codec_through_spark_pipeline(spark):
+    import numpy as np
+    from xgboost_spark.operators.multimodal import (decode_gif, encode_gif,
+                                                    image_features)
+    rng = np.random.default_rng(21)
+    idx = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    out3 = decode_gif(encode_gif(idx))
+    assert out3.shape == (20, 30, 3) and (out3[:, :, 0] == idx).all()
+    # LZW table growth + KwKwK path: repetitive data compresses for real
+    rep = np.tile(np.arange(8, dtype=np.uint8).repeat(8), (64, 2))
+    g = encode_gif(rep)
+    assert len(g) < rep.size // 4
+    assert (decode_gif(g)[:, :, 0] == rep).all()
+    df = spark.createDataFrame([(1, bytearray(encode_gif(idx)))],
+                               "id long, content binary")
+    feats = image_features(df, strict=True).toPandas().features.iloc[0]
+    assert np.isfinite(np.array(feats)).all()

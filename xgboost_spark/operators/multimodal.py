@@ -6,18 +6,18 @@ UDFs, partition sizing, frame sampling — is real and tested, and so are
 the codecs for UNCOMPRESSED formats, implemented in pure NumPy (no
 image/audio libraries exist in this container):
 
-- images: PPM (P6), BMP (24-bit uncompressed) AND PNG (8-bit
-  gray/RGB/RGBA/palette, non-interlaced — a real compressed codec:
-  DEFLATE via stdlib zlib, chunk parsing + all five row filters here)
-  decode -> HxWx3 uint8, grayscale + nearest-neighbor resize -> feature
-  vector
+- images: PPM (P6), BMP (24-bit uncompressed), PNG (8-bit gray/RGB/
+  RGBA/palette, non-interlaced — DEFLATE via stdlib zlib, chunk parsing
+  + all five row filters here) and GIF (variable-width LZW implemented
+  here in both directions, interlace undone) decode -> HxWx3 uint8,
+  grayscale + nearest-neighbor resize -> feature vector
 - audio: RIFF/WAV and AIFF PCM16 decode -> mono float32, windowed RMS
   + zero-crossing-rate features
 - video: a raw-frame container (magic ``XGVR``) decodes to real frames;
   unknown containers fall back to byte-window sampling
 
 Remaining compressed codecs (JPEG/MP3/H.264) genuinely need external
-libraries: with PIL importable it is used for images; otherwise those
+libraries (DCT/psychoacoustic/motion pipelines): with PIL importable it is used for images; otherwise those
 formats raise NotImplementedError in ``strict`` mode and fall back to a
 clearly-marked deterministic fake so the distributed plumbing stays
 testable.
@@ -218,6 +218,8 @@ def _decode_image_bytes(b: bytes) -> np.ndarray | None:
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)
         return img[:, :, :3]            # drop alpha for feature extraction
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     if _HAS_PIL:  # pragma: no cover - PIL not in this image
         import io
         from PIL import Image
@@ -510,3 +512,165 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError("palette PNG missing PLTE")
         img = plte[img[:, :, 0]]
     return img
+
+
+# ---------------------------------------------------------------------------
+# GIF — second fully-real compressed image codec, no dependency at all:
+# variable-width LZW implemented here in both directions.  8-bit
+# palette, GIF87a/89a, first image frame; interlaced row order undone.
+# ---------------------------------------------------------------------------
+
+def _lzw_compress(indices: np.ndarray, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width = end + 1, min_code + 1
+    out_bits, out_len = bytearray(), 0
+    acc = accn = 0
+
+    def emit(code, w):
+        nonlocal acc, accn
+        acc |= code << accn
+        accn += w
+        while accn >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            accn -= 8
+
+    emit(clear, width)
+    cur = b""
+    for ix in indices:
+        nxt = cur + bytes([int(ix)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code, width = end + 1, min_code + 1
+        cur = nxt[-1:]
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if accn:
+        out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
+
+
+def _lzw_decompress(data: bytes, min_code: int) -> np.ndarray:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = accn = pos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while accn < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            acc |= data[pos] << accn
+            pos += 1
+            accn += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        accn -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return np.frombuffer(bytes(out), dtype=np.uint8)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                                   # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        if prev is not None and len(table) - 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    raise AssertionError  # pragma: no cover
+
+
+def encode_gif(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """HxW uint8 palette INDICES (+ a 256x3 palette, default gray ramp)
+    -> single-frame GIF89a with real LZW compression."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_gif takes palette indices (HxW)")
+    h, w = img.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
+    out += np.ascontiguousarray(palette[:256], dtype=np.uint8).tobytes().ljust(768, b"\0")
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(8)                                    # LZW min code size
+    comp = _lzw_compress(img.reshape(-1), 8)
+    for i in range(0, len(comp), 255):
+        blk = comp[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> HxWx3 uint8 (palette applied,
+    interlacing undone)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:                              # extension: skip
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:                            # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i] != 0:
+                ln = b[i]
+                data += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _lzw_decompress(bytes(data), min_code)[: w * h].reshape(h, w)
+            if iflags & 0x40:                        # interlaced: reorder
+                order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                        np.arange(2, h, 4), np.arange(1, h, 2)])
+                un = np.empty_like(idx)
+                un[order] = idx
+                idx = un
+            if pal is None:
+                raise ValueError("GIF frame has no palette")
+            return pal[idx]
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image frame")
