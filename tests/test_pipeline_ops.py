@@ -635,3 +635,27 @@ def test_gif_codec_through_spark_pipeline(spark):
                                "id long, content binary")
     feats = image_features(df, strict=True).toPandas().features.iloc[0]
     assert np.isfinite(np.array(feats)).all()
+
+
+def test_mulaw_wav_decode(spark):
+    import struct
+    import numpy as np
+    from xgboost_spark.operators.multimodal import decode_wav
+
+    def mulaw_encode(x):
+        x = np.clip(x, -1, 1) * 32124
+        sign = (x < 0).astype(np.uint8) * 0x80
+        x = np.abs(x).astype(np.int32) + 0x84
+        exp = (np.floor(np.log2(x)) - 7).clip(0, 7).astype(np.int32)
+        mant = ((x >> (exp + 3)) & 0x0F).astype(np.uint8)
+        return (~(sign | (exp.astype(np.uint8) << 4) | mant)).astype(np.uint8)
+
+    t = np.linspace(0, 1, 2000)
+    x = 0.5 * np.sin(2 * np.pi * 110 * t)
+    pcm = mulaw_encode(x).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    y, r = decode_wav(wav)
+    assert r == 8000 and np.abs(y - x).max() < 0.02

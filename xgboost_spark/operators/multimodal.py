@@ -136,12 +136,23 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt_tag != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV supported")
+            if not ((fmt_tag == 1 and bits == 16)
+                    or (fmt_tag == 7 and bits == 8)):
+                raise ValueError("only PCM16 or mu-law WAV supported")
         elif cid == b"data":
             data = body
         i += 8 + sz + (sz & 1)             # chunks are word-aligned
-    x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if fmt_tag == 7:
+        # G.711 mu-law expansion (the telephony/callcenter archive format)
+        u = ~np.frombuffer(data, dtype=np.uint8)
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exp = (u >> 4) & 7
+        mant = (u & 0x0F).astype(np.int32)
+        lin = ((mant << 3) + 0x84).astype(np.int32) << exp
+        x = sign * (lin - 0x84) / 32124.0
+        x = x.astype(np.float32)
+    else:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return x, rate
