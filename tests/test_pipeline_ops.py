@@ -659,3 +659,36 @@ def test_mulaw_wav_decode(spark):
            + b"data" + struct.pack("<I", len(pcm)) + pcm)
     y, r = decode_wav(wav)
     assert r == 8000 and np.abs(y - x).max() < 0.02
+
+
+def test_jpeg_codec(spark):
+    import numpy as np
+    from xgboost_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from xgboost_spark.operators.multimodal import image_features
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([np.clip(yy * 3, 0, 255), np.clip(xx * 2, 0, 255),
+                    np.clip(xx + yy, 0, 255)], axis=2).astype(np.uint8)
+    # both chroma modes reconstruct a smooth image faithfully
+    assert psnr(img, decode_jpeg(encode_jpeg(img, 90, subsample=False))) > 40
+    assert psnr(img, decode_jpeg(encode_jpeg(img, 85, subsample=True))) > 38
+    # restart markers decode to the IDENTICAL pixels as the plain stream
+    a = decode_jpeg(encode_jpeg(img, 90, subsample=True))
+    b = decode_jpeg(encode_jpeg(img, 90, subsample=True, restart_interval=2))
+    assert (a == b).all()
+    # grayscale + odd sizes keep exact dimensions
+    g = np.clip(yy * 5, 0, 255).astype(np.uint8)[:41, :33]
+    og = decode_jpeg(encode_jpeg(g, 90))
+    assert og.shape == (41, 33, 3)
+    assert psnr(np.stack([g] * 3, 2), og) > 40
+    # lossy but compressed: smooth image well under raw size
+    assert len(encode_jpeg(img, 85)) < img.size // 4
+    # end-to-end through the Spark feature pipeline, strict mode
+    df = spark.createDataFrame([(1, bytearray(encode_jpeg(img, 85)))],
+                               "id long, content binary")
+    feats = image_features(df, strict=True).toPandas().features.iloc[0]
+    assert np.isfinite(np.array(feats)).all() and np.array(feats).std() > 0

@@ -8,16 +8,18 @@ image/audio libraries exist in this container):
 
 - images: PPM (P6), BMP (24-bit uncompressed), PNG (8-bit gray/RGB/
   RGBA/palette, non-interlaced — DEFLATE via stdlib zlib, chunk parsing
-  + all five row filters here) and GIF (variable-width LZW implemented
-  here in both directions, interlace undone) decode -> HxWx3 uint8,
-  grayscale + nearest-neighbor resize -> feature vector
+  + all five row filters here), GIF (variable-width LZW implemented
+  here in both directions, interlace undone) and baseline JPEG
+  (operators/jpeg.py: matrix DCT, Annex-K Huffman/quant tables, 4:2:0 /
+  4:4:4, restart markers) decode -> HxWx3 uint8, grayscale +
+  nearest-neighbor resize -> feature vector
 - audio: RIFF/WAV and AIFF PCM16 decode -> mono float32, windowed RMS
   + zero-crossing-rate features
 - video: a raw-frame container (magic ``XGVR``) decodes to real frames;
   unknown containers fall back to byte-window sampling
 
-Remaining compressed codecs (JPEG/MP3/H.264) genuinely need external
-libraries (DCT/psychoacoustic/motion pipelines): with PIL importable it is used for images; otherwise those
+Remaining compressed codecs (MP3/H.264 and progressive/arithmetic
+JPEG) genuinely need external libraries: with PIL importable it is used for images; otherwise those
 formats raise NotImplementedError in ``strict`` mode and fall back to a
 clearly-marked deterministic fake so the distributed plumbing stays
 testable.
@@ -231,6 +233,9 @@ def _decode_image_bytes(b: bytes) -> np.ndarray | None:
         return img[:, :, :3]            # drop alpha for feature extraction
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
+    if b[:2] == b"\xFF\xD8":
+        from xgboost_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(b)
     if _HAS_PIL:  # pragma: no cover - PIL not in this image
         import io
         from PIL import Image
