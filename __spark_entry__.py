@@ -675,7 +675,9 @@ def q_image_pipeline(spark, sf_dir):
     aren't SQL-expressible."""
     _prep(spark)
     import numpy as np
-    from xgboost_spark.operators.multimodal import (encode_raw_video,
+    from xgboost_spark.operators.jpeg import encode_jpeg
+    from xgboost_spark.operators.multimodal import (encode_gif, encode_png,
+                                                    encode_raw_video,
                                                     frame_sample,
                                                     image_features)
     rows = []
@@ -688,11 +690,27 @@ def q_image_pipeline(spark, sf_dir):
     feats = image_features(
         frames_df.drop("content")
         .withColumnRenamed("frame_content", "content"), out_dim=8)
-    return (feats.select("media_id", "frame_idx",
-                         F.explode("features").alias("v"))
-            .groupBy("media_id")
-            .agg(F.count("*").cast("bigint").alias("n_vals"),
-                 F.round(F.sum("v"), 6).alias("sum_feat")))
+    vid = (feats.select("media_id", "frame_idx",
+                        F.explode("features").alias("v"))
+           .groupBy("media_id")
+           .agg(F.count("*").cast("bigint").alias("n_vals"),
+                F.round(F.sum("v"), 6).alias("sum_feat")))
+    # compressed still images through the SAME featurizer, strict mode:
+    # in-repo PNG / GIF / JPEG codecs (multimodal.py, jpeg.py)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([np.clip(yy * 16, 0, 255), np.clip(xx * 16, 0, 255),
+                    np.clip(8 * (xx + yy), 0, 255)], axis=2).astype(np.uint8)
+    stills = spark.createDataFrame(
+        [(1001, bytearray(encode_png(img))),
+         (1002, bytearray(encode_gif(np.clip(yy * 16, 0, 255).astype(np.uint8)))),
+         (1003, bytearray(encode_jpeg(img, quality=90)))],
+        "media_id long, content binary")
+    sf = image_features(stills, out_dim=8, strict=True)
+    still_agg = (sf.select("media_id", F.explode("features").alias("v"))
+                 .groupBy("media_id")
+                 .agg(F.count("*").cast("bigint").alias("n_vals"),
+                      F.round(F.sum("v"), 6).alias("sum_feat")))
+    return vid.unionByName(still_agg)
 
 
 def q_simhash_pairs(spark, sf_dir):
