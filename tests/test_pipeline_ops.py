@@ -692,3 +692,27 @@ def test_jpeg_codec(spark):
                                "id long, content binary")
     feats = image_features(df, strict=True).toPandas().features.iloc[0]
     assert np.isfinite(np.array(feats)).all() and np.array(feats).std() > 0
+
+
+def test_avi_mjpeg_through_frame_sample(spark):
+    import numpy as np
+    from xgboost_spark.operators.multimodal import (decode_avi_mjpeg,
+                                                    encode_avi_mjpeg,
+                                                    frame_sample,
+                                                    image_features)
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = np.stack([
+        np.stack([np.clip(yy * 12 + k * 9, 0, 255), np.clip(xx * 9, 0, 255),
+                  np.full_like(yy, 40 + 25 * k)], axis=2).astype(np.uint8)
+        for k in range(6)])
+    avi = encode_avi_mjpeg(frames, quality=90)
+    assert len(decode_avi_mjpeg(avi)) == 6
+    df = spark.createDataFrame([(7, bytearray(avi))], "media_id long, content binary")
+    fr = frame_sample(df, every_n=2, max_frames=3)
+    rows = fr.select("frame_idx", "frame_content").collect()
+    assert len(rows) == 3                       # frames 0, 2, 4
+    feats = image_features(
+        fr.drop("content").withColumnRenamed("frame_content", "content"),
+        strict=True).toPandas()
+    assert len(feats) == 3
+    assert np.isfinite(np.stack(feats.features.to_numpy())).all()

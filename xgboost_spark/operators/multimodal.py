@@ -301,11 +301,12 @@ def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
     """Video frame sampling: emits one row per sampled frame
     (frame_idx, frame_content).
 
-    Raw-frame containers (magic ``XGVR``) decode to REAL frames — every
+    Raw-frame containers (magic ``XGVR``) and MJPEG-in-AVI (RIFF
+    parsing + the in-repo JPEG decoder) decode to REAL frames — every
     ``every_n``-th frame up to ``max_frames``, each emitted as PPM bytes
     ready for ``image_features``.  Unknown containers fall back to
     deterministic byte-window sampling so the distributed row-explosion
-    plumbing still runs (a compressed-video codec would slot in here).
+    plumbing still runs.
     """
     fields = list(df.schema.fields) + [
         T.StructField("frame_idx", T.IntegerType()),
@@ -320,7 +321,13 @@ def frame_sample(df: DataFrame, content_col: str = "content", every_n: int = 10,
                         for c in pdf[content_col]]
             n_out, frames_per_row = [], []
             for b in contents:
-                if b[:4] == VIDEO_MAGIC:
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    frs_all = decode_avi_mjpeg(b, max_frames=max_frames
+                                               * max(every_n, 1))
+                    picked = frs_all[::max(every_n, 1)][:max_frames] or frs_all[:1]
+                    frames_per_row.append([encode_ppm(f) for f in picked])
+                    n_out.append(len(picked))
+                elif b[:4] == VIDEO_MAGIC:
                     w, h, nf = struct.unpack_from("<III", b, 4)
                     take = min(max(-(-nf // max(every_n, 1)), 1), max_frames)
                     fsz = w * h * 3
@@ -690,3 +697,62 @@ def decode_gif(b: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad GIF block 0x{blk:02x}")
     raise ValueError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI — real compressed VIDEO: RIFF/AVI container parsing with
+# JPEG frames decoded by operators/jpeg.py.  Still the format of choice
+# for camera archives and intermediate pipelines.
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25,
+                     quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 -> minimal AVI with one MJPG video stream."""
+    from xgboost_spark.operators.jpeg import encode_jpeg
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(frames[k], quality=quality) for k in range(n)]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, 0, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(b: bytes, max_frames: int = 64) -> list[np.ndarray]:
+    """AVI bytes -> list of HxWx3 uint8 frames (MJPG '..dc' chunks
+    decoded with the in-repo JPEG decoder)."""
+    from xgboost_spark.operators.jpeg import decode_jpeg
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    frames: list[np.ndarray] = []
+
+    def walk(data: bytes):
+        i = 0
+        while i + 8 <= len(data) and len(frames) < max_frames:
+            tag = data[i:i + 4]
+            sz = struct.unpack_from("<I", data, i + 4)[0]
+            body = data[i + 8:i + 8 + sz]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag[2:4] in (b"dc", b"db") and body[:2] == b"\xFF\xD8":
+                frames.append(decode_jpeg(body))
+            i += 8 + sz + (sz & 1)
+
+    walk(b[12:])
+    if not frames:
+        raise ValueError("AVI contains no MJPG frames")
+    return frames
