@@ -163,3 +163,38 @@ def test_binning_preserves_order(xs, max_bin):
     cuts = core.make_cuts(x, max_bin)
     b = core.bin_values(x, cuts)
     assert np.all(np.diff(b.astype(np.int32)) >= 0)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_png_gif_lossless_roundtrip(h, w, kind, seed):
+    import numpy as np
+    from xgboost_spark.operators.multimodal import (decode_gif, decode_png,
+                                                    encode_gif, encode_png)
+    rng = np.random.default_rng(seed)
+    if kind == 0:        # grayscale PNG
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert (decode_png(encode_png(img))[:, :, 0] == img).all()
+    elif kind == 1:      # RGB PNG
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+    else:                # GIF indices
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert (decode_gif(encode_gif(img))[:, :, 0] == img).all()
+
+
+@given(st.integers(1, 33), st.integers(1, 33), st.booleans(),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_shape_and_range_invariants(h, w, sub, seed):
+    import numpy as np
+    from xgboost_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    # lossy, but a CONSTANT image must survive almost exactly
+    flat = np.full((h, w, 3), 137, dtype=np.uint8)
+    oflat = decode_jpeg(encode_jpeg(flat, quality=90, subsample=sub))
+    assert np.abs(oflat.astype(int) - 137).max() <= 4
