@@ -716,3 +716,35 @@ def test_avi_mjpeg_through_frame_sample(spark):
         strict=True).toPandas()
     assert len(feats) == 3
     assert np.isfinite(np.stack(feats.features.to_numpy())).all()
+
+
+def test_codec_edge_cases(spark):
+    import numpy as np
+    import pytest as pt
+    from xgboost_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from xgboost_spark.operators.multimodal import (decode_gif, decode_png,
+                                                    encode_gif)
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([np.clip(yy * 8, 0, 255), np.clip(xx * 5, 0, 255),
+                    np.clip(xx + yy, 0, 255)], axis=2).astype(np.uint8)
+
+    # 4:2:2 chroma
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample="422"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 3
+
+    # interlaced GIF rows come back in display order
+    gi = np.clip(yy * 9 + xx, 0, 255).astype(np.uint8)
+    assert (decode_gif(encode_gif(gi, interlace=True))[:, :, 0] == gi).all()
+
+    # unsupported variants raise cleanly, not garbage
+    prog = bytearray(encode_jpeg(img))
+    sof = prog.find(b"\xFF\xC0")
+    prog[sof + 1] = 0xC2                        # pretend progressive
+    with pt.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    with pt.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-really")
+    with pt.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)

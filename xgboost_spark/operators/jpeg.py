@@ -216,7 +216,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = True,
                 restart_interval: int = 0) -> bytes:
     """HxW (gray) or HxWx3 RGB uint8 -> baseline JFIF bytes.
-    ``subsample=True`` writes 4:2:0 chroma, else 4:4:4;
+    ``subsample``: True -> 4:2:0, False -> 4:4:4, "422" -> 4:2:2;
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the error-resilience feature real camera files use)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
@@ -237,14 +237,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
         cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
         cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
-        if subsample:
-            def ds(p):
-                ph = (p.shape[0] + 1) // 2 * 2
-                pw = (p.shape[1] + 1) // 2 * 2
-                pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                            mode="edge")
-                return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            planes = [y - 128.0, ds(cb) - 128.0, ds(cr) - 128.0]
+        def ds(p, fy, fx):
+            ph = (p.shape[0] + fy - 1) // fy * fy
+            pw = (p.shape[1] + fx - 1) // fx * fx
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        if subsample == "422":
+            planes = [y - 128.0, ds(cb, 1, 2) - 128.0, ds(cr, 1, 2) - 128.0]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
+            planes = [y - 128.0, ds(cb, 2, 2) - 128.0, ds(cr, 2, 2) - 128.0]
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
             planes = [y - 128.0, cb - 128.0, cr - 128.0]

@@ -623,20 +623,26 @@ def _lzw_decompress(data: bytes, min_code: int) -> np.ndarray:
     raise AssertionError  # pragma: no cover
 
 
-def encode_gif(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+def encode_gif(img: np.ndarray, palette: np.ndarray | None = None,
+               interlace: bool = False) -> bytes:
     """HxW uint8 palette INDICES (+ a 256x3 palette, default gray ramp)
-    -> single-frame GIF89a with real LZW compression."""
+    -> single-frame GIF89a with real LZW compression; ``interlace``
+    writes Adam-style four-pass row order."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("encode_gif takes palette indices (HxW)")
     h, w = img.shape
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        img = img[order]
     if palette is None:
         g = np.arange(256, dtype=np.uint8)
         palette = np.stack([g, g, g], axis=1)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT, 256 entries
     out += np.ascontiguousarray(palette[:256], dtype=np.uint8).tobytes().ljust(768, b"\0")
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
     out.append(8)                                    # LZW min code size
     comp = _lzw_compress(img.reshape(-1), 8)
     for i in range(0, len(comp), 255):
@@ -650,8 +656,8 @@ def encode_gif(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
 def decode_gif(b: bytes) -> np.ndarray:
     """GIF87a/89a first frame -> HxWx3 uint8 (palette applied,
     interlacing undone)."""
-    if b[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
+        raise ValueError("not a GIF (or truncated header)")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     i = 13
     gct = None
