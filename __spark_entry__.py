@@ -1392,6 +1392,30 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): per user,
+    each later stage must happen strictly AFTER the user's first
+    occurrence of the previous stage.  One groupBy(user) with
+    conditional min aggregates — no joins, no windows; the classic
+    product-analytics query."""
+    _prep(spark)
+    ev = _table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+                     F.collect_list(F.when(F.col("event_type") == "click", us)).alias("clicks"),
+                     F.collect_list(F.when(F.col("event_type") == "purchase", us)).alias("purchases")))
+    t_click = F.array_min(F.filter("clicks", lambda c: c > F.col("t_view")))
+    d = (per_user.withColumn("t_click", t_click)
+         .withColumn("t_buy", F.array_min(
+             F.filter("purchases", lambda p: p > F.col("t_click")))))
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).cast("bigint").alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).cast("bigint").alias("n_view_click"),
+        F.sum(F.col("t_buy").isNotNull().cast("long")).cast("bigint").alias("n_full_funnel"))
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull ``k`` out of the events JSON
     ``props`` column (get_json_object — Jackson-backed, fuses into the
@@ -1776,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "zorder": q_zorder,
         "json_extract": q_json_extract,
+        "funnel": q_funnel,
     }
 
 
@@ -2578,6 +2603,31 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "funnel": """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT p.user_id, p.t_view,
+         min(CASE WHEN e.event_type = 'click'
+                   AND epoch_us(e.ts) > p.t_view
+                  THEN epoch_us(e.ts) END) AS t_click
+  FROM per_user p JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.t_view),
+b AS (
+  SELECT c.user_id, c.t_view, c.t_click,
+         min(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) > c.t_click
+                  THEN epoch_us(e.ts) END) AS t_buy
+  FROM c JOIN events e ON e.user_id = c.user_id
+  GROUP BY c.user_id, c.t_view, c.t_click)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM b""",
 
         "json_extract": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
