@@ -1416,6 +1416,21 @@ def q_funnel(spark, sf_dir):
         F.sum(F.col("t_buy").isNotNull().cast("long")).cast("bigint").alias("n_full_funnel"))
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they appear.  Two
+    aggregations + a broadcast of the (user, cohort) table — the classic
+    growth-analytics query."""
+    _prep(spark)
+    ev = _table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).cast("bigint")
+    d = ev.select("user_id", wk.alias("wk"))
+    first = d.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    j = d.join(F.broadcast(first), "user_id")
+    return (j.groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_active")))
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull ``k`` out of the events JSON
     ``props`` column (get_json_object — Jackson-backed, fuses into the
@@ -1801,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -2603,6 +2619,17 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "retention": """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+first AS (
+  SELECT user_id, min(wk) AS cohort FROM d GROUP BY user_id)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(wk - cohort AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM d JOIN first ON d.user_id = first.user_id
+GROUP BY cohort, wk - cohort""",
 
         "funnel": """
 WITH per_user AS (
