@@ -1392,6 +1392,43 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer+nation, top 20.  Fact-fact shuffle on orderkey; the
+    customer/nation dims join declaratively (AQE broadcast at bench SF,
+    shuffle hash at 100 TB)."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select(F.col("c_custkey").cast("bigint"), "c_name", "n_name",
+                    F.round("c_acctbal", 2).alias("c_acctbal"), "revenue"))
+
+
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12-shaped order-priority split per line status: one
+    shuffle join + conditional aggregation."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    orders = _table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (j.groupBy("l_linestatus")
+            .agg(F.sum(hi.cast("long")).cast("bigint").alias("high_line_count"),
+                 F.sum((~hi).cast("long")).cast("bigint").alias("low_line_count")))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel conversion (view -> click -> purchase): per user,
     each later stage must happen strictly AFTER the user's first
@@ -1817,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "funnel": q_funnel,
         "retention": q_retention,
+        "returned_items": q_returned_items,
+        "priority_lines": q_priority_lines,
     }
 
 
@@ -2619,6 +2658,32 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "returned_items": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       round(c_acctbal, 2) AS c_acctbal,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
+
+        "priority_lines": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus""",
 
         "retention": """
 WITH d AS (
