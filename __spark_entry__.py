@@ -1392,6 +1392,29 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_vocab(spark, sf_dir):
+    """Corpus vocabulary: top-50 lowercased whitespace tokens with
+    counts and document frequency — the tokenizer-training precursor.
+    One explode + two key-prefixed hash aggs; ties broken by term asc
+    so the cutoff is deterministic in any engine."""
+    _prep(spark)
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    t = (docs.select(F.col("doc_id").alias("id"), toks.alias("term"))
+         .filter(F.length("term") > 0))
+    agg = t.groupBy("term").agg(F.count("*").alias("tf"),
+                                F.countDistinct("id").alias("df"))
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # partial top-50 merged on the driver — a 10^8-term vocabulary never
+    # sorts in one task.  Ranks attach after the limit (50 rows).
+    top = agg.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(50)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("term", F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
 def q_returned_items(spark, sf_dir):
     """TPC-H Q10-shaped returned-item report: revenue lost to returns
     per customer+nation, top 20.  Fact-fact shuffle on orderkey; the
@@ -1856,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "returned_items": q_returned_items,
         "priority_lines": q_priority_lines,
+        "vocab": q_vocab,
     }
 
 
@@ -2658,6 +2682,20 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "vocab": """
+WITH t AS (
+  SELECT id, term FROM (
+    SELECT doc_id AS id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents) u
+  WHERE length(term) > 0),
+agg AS (
+  SELECT term, count(*) AS tf, count(DISTINCT id) AS df FROM t GROUP BY term)
+SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank FROM agg)
+WHERE rank <= 50""",
 
         "returned_items": """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
