@@ -1479,14 +1479,17 @@ def q_funnel(spark, sf_dir):
 def q_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted as retained in each later week they appear.  Two
-    aggregations + a broadcast of the (user, cohort) table — the classic
-    growth-analytics query."""
+    aggregations + an equi-join back on user_id — both sides are already
+    hash-partitioned on the join key, so the exchange is reused; the
+    (user, cohort) side is user-count sized, which at 10^9 users is NOT
+    broadcastable, so no broadcast hint (AQE may still choose one at
+    small SF)."""
     _prep(spark)
     ev = _table(spark, sf_dir, "events")
     wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).cast("bigint")
     d = ev.select("user_id", wk.alias("wk"))
     first = d.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    j = d.join(F.broadcast(first), "user_id")
+    j = d.join(first, "user_id")
     return (j.groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
             .agg(F.countDistinct("user_id").cast("bigint").alias("n_active")))
 
