@@ -1755,7 +1755,10 @@ def q_stream_enrich(spark, sf_dir):
     static customer dimension (broadcast — the canonical streaming
     enrichment plan; the static side is re-scannable per micro-batch),
     aggregated per market segment.  On bounded input the availableNow
-    run equals the batch join — which is exactly the oracle."""
+    run equals the batch join — which is exactly the oracle.  Contract:
+    the static side must fit a broadcast; a dimension too large for
+    that moves to a keyed state store (applyInPandasWithState) or a
+    per-batch shuffle join via foreachBatch."""
     _prep(spark)
     import tempfile
     sf_tag = sf_dir.rstrip("/").replace("/", "_")
