@@ -265,3 +265,14 @@ def test_save_config_and_sharded_sink(model, spark, reg_df, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == reg_df.count()
     assert back.select("shard").distinct().count() == 4
+
+
+def test_eval_df(model, reg_df):
+    # reference Booster.eval: post-hoc metric over a frame
+    rmse = model.eval_df(reg_df, "rmse", feature_cols=FC, label_col="label")
+    # cross-check against a manual computation
+    joined = model.transform(reg_df, feature_cols=FC).select("label", "prediction").toPandas()
+    manual = float(np.sqrt(np.mean((joined.label - joined.prediction) ** 2)))
+    assert rmse == pytest.approx(manual, rel=1e-9)
+    mae = model.eval_df(reg_df, "mae", feature_cols=FC, label_col="label")
+    assert mae == pytest.approx(float(np.abs(joined.label - joined.prediction).mean()), rel=1e-9)

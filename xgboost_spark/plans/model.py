@@ -114,6 +114,31 @@ class GBDTModel:
         Booster.num_boosted_rounds)."""
         return len(self.trees)
 
+    def eval_df(self, df: DataFrame, metric: str | None = None,
+                feature_cols: list[str] | None = None,
+                array_col: str | None = None,
+                label_col: str = "label",
+                weight_col: str | None = None) -> float:
+        """Post-hoc evaluation on a frame (reference ``Booster.eval``):
+        score with output_margin and reduce with the named metric (or
+        the objective's default).  One distributed pass; returns the
+        scalar."""
+        from xgboost_spark.functions.metrics import compute_metric
+        if metric is None:
+            metric = (self.params.eval_metric[0] if self.params.eval_metric
+                      else self.obj.default_metric)
+        K = self.params.n_groups
+        scored = self.transform(df, feature_cols=feature_cols,
+                                array_col=array_col, output_margin=True)
+        sel = [F.col(label_col).cast("double").alias("y")]
+        sel += [F.col("margin").getItem(k).alias(f"m{k}") for k in range(max(K, 1))]
+        if weight_col:
+            sel.append(F.col(weight_col).cast("double").alias("w"))
+        frame = scored.select(*sel)
+        return compute_metric(frame, metric,
+                              margin_cols=[f"m{k}" for k in range(max(K, 1))],
+                              weight="w" if weight_col else None)
+
     def save_config(self) -> str:
         """Training configuration as JSON (reference
         Booster.save_config / learner.cc SaveConfig): the effective
