@@ -748,3 +748,15 @@ def test_codec_edge_cases(spark):
         decode_png(b"\x89PNG\r\n\x1a\nnot-really")
     with pt.raises(ValueError):
         decode_gif(b"GIF89a" + b"\x00" * 4)
+
+
+def test_jpeg_422_odd_sizes(spark):
+    import numpy as np
+    from xgboost_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(0)
+    for shp in [(7, 9), (15, 17), (8, 11), (1, 3)]:
+        img = rng.integers(0, 256, (*shp, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(img, 90, subsample="422")).shape == img.shape
+    flat = np.full((13, 21, 3), 90, np.uint8)
+    o = decode_jpeg(encode_jpeg(flat, 90, subsample="422"))
+    assert np.abs(o.astype(int) - 90).max() <= 4
