@@ -1392,6 +1392,27 @@ def q_pivot_events(spark, sf_dir):
                       *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds])
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (p25/p50/p75 of l_extendedprice per
+    return flag) via rank arithmetic inside a partitioned window — the
+    same type-1 quantile definition the adaptive-leaf objectives use
+    per leaf, here exposed as a relational query.  One shuffle on the
+    group key; no global window."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    d = (li.select("l_returnflag", "l_extendedprice")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag"))))
+    outs = []
+    for name, k in (("p25", 1), ("p50", 2), ("p75", 3)):
+        outs.append(F.min(F.when(
+            F.col("rn") == F.ceil(k * F.col("n") / 4).cast("bigint"),
+            F.col("l_extendedprice"))).alias(name))
+    return (d.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"), *outs))
+
+
 def q_vocab(spark, sf_dir):
     """Corpus vocabulary: top-50 lowercased whitespace tokens with
     counts and document frequency — the tokenizer-training precursor.
@@ -1886,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "priority_lines": q_priority_lines,
         "vocab": q_vocab,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2688,6 +2710,22 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment""",
 
         "zorder": _zorder_oracle_sql(),
+
+        "group_quantiles": """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       min(CASE WHEN rn = CAST(ceil(1 * n / 4.0) AS BIGINT)
+                THEN l_extendedprice END) AS p25,
+       min(CASE WHEN rn = CAST(ceil(2 * n / 4.0) AS BIGINT)
+                THEN l_extendedprice END) AS p50,
+       min(CASE WHEN rn = CAST(ceil(3 * n / 4.0) AS BIGINT)
+                THEN l_extendedprice END) AS p75
+FROM r GROUP BY l_returnflag""",
 
         "vocab": """
 WITH t AS (
