@@ -1182,9 +1182,11 @@ def q_shipping_priority(spark, sf_dir):
 def q_stream_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState with
     per-key open-session state + event-time timeout) driven to
-    completion over the bounded events stream; rows-only check (the
-    still-open tail session per user never emits on bounded input —
-    exact-match oracle covered in tests/test_stateful_streaming.py)."""
+    completion over the bounded events stream.  Deterministic closure
+    rule on bounded input (oracle-checked): a session emits iff a later
+    same-user event breaks the 30-min gap, OR the final watermark
+    (max ts - 1 h, ms precision) passes its end + gap, in which case the
+    no-data micro-batch fires the event-time timeout."""
     _prep(spark)
     import tempfile
     from xgboost_spark.streaming.stateful import (
@@ -1803,6 +1805,207 @@ def q_stream_enrich(spark, sf_dir):
     return spark.table(name).select("c_mktsegment", "n", "sum_value")
 
 
+# ---------------------------------------------------------------------------
+# round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
+# ---------------------------------------------------------------------------
+
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS semi-join: orders in one quarter that have
+    at least one line shipped after the order date, counted per
+    priority.  LEFT SEMI join — the probe side never duplicates order
+    rows, so the agg input stays |orders|-bounded at any scale; the
+    quarter filter is a parquet PushedFilter on the orders scan."""
+    _prep(spark)
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01"))
+    li = _table(spark, sf_dir, "lineitem")
+    j = orders.join(li, (orders.o_orderkey == li.l_orderkey)
+                    & (li.l_shipdate > orders.o_orderdate), "leftsemi")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q7-shaped bilateral trade volume: supplier-nation x
+    customer-nation revenue per ship year for one nation pair, both
+    directions.  Both nation dims broadcast; the only big shuffle is
+    lineitem |><| orders on orderkey."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    sup = _table(spark, sf_dir, "supplier")
+    n1 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(F.broadcast(sup.join(F.broadcast(n1), sup.s_nationkey == n1.sn_key)),
+                 li.l_suppkey == F.col("s_suppkey"))
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust.join(F.broadcast(n2), cust.c_nationkey == n2.cn_key),
+               orders.o_custkey == F.col("c_custkey"))
+         .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: of all ECONOMY-part revenue sold to
+    ASIA-region customers, the fraction supplied by NATION_3, per order
+    year.  part/supplier/nation/region dims broadcast; customer joins
+    declaratively (AQE broadcast at bench SF, shuffle-hash at 100 TB);
+    the share is a conditional-sum ratio inside one agg — no second
+    pass."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _table(spark, sf_dir, "supplier")
+    nat_s = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    nat_c = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nat_c), F.col("c_nationkey") == nat_c.n_nationkey)
+            .join(F.broadcast(region), nat_c.n_regionkey == region.r_regionkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(F.broadcast(sup.join(F.broadcast(nat_s), sup.s_nationkey == nat_s.sn_key)),
+               li.l_suppkey == F.col("s_suppkey"))
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == F.col("c_custkey")))
+    return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev), 6).alias("mkt_share"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_custdist(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    zero-order customers survive, two cascaded aggs.  The first agg keys
+    on custkey (same key as the join — no extra shuffle under AQE); the
+    second agg input is one row per customer."""
+    _prep(spark)
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("bigint").alias("custdist"))
+            .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist"))
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped promo revenue share: one month of lineitem
+    against the broadcast part dim; the percentage is a conditional-sum
+    ratio in a single agg."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01"))
+    part = _table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev), 6).alias("promo_revenue"),
+        F.count("*").cast("bigint").alias("n_rows"))
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: lines of one brand's
+    parts whose quantity is below 20% of that part's average quantity.
+    The per-part average is a window over the ALREADY part-filtered join
+    output (the brand restricts partkeys, so the window sees each
+    surviving part's full line set) — no self-join, one shuffle on
+    partkey."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    d = j.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (d.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    exceeds 300, with customer attribution, top 20 by total price.  The
+    HAVING agg runs on lineitem alone first (map-side combine on
+    orderkey), and only the ~1e-3 surviving keys join orders/customer —
+    the classic agg-before-join pushdown, done by hand because Spark
+    won't reorder through HAVING."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    j = (big.join(orders, big.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    return (j.orderBy(F.col("o_totalprice").desc(), F.col("l_orderkey").asc())
+            .limit(20)
+            .select(F.col("c_custkey").cast("bigint"), "c_name",
+                    F.col("l_orderkey").cast("bigint").alias("o_orderkey"),
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_odate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty")))
+
+
+def q_bundle_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand x size x quantity-band) bundles over lineitem x part.  The
+    part side broadcasts with the brand/size disjunction pre-applied, so
+    the fact scan only pays the join + residual quantity filter."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    keep = (((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30)))
+    return (j.filter(keep)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22-shaped dormant high-balance customers: above the
+    average positive account balance but with NO orders since 2000,
+    summarized per nation.  The scalar average broadcasts via a cross
+    join (1 row); the anti-join's right side is pre-filtered and
+    distinct on custkey."""
+    _prep(spark)
+    cust = _table(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    recent = (_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey").distinct())
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (idle.groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+            .agg(F.count("*").cast("bigint").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6/2.8)
@@ -1908,6 +2111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": q_priority_lines,
         "vocab": q_vocab,
         "group_quantiles": q_group_quantiles,
+        # round-3 TPC-H join shapes
+        "order_priority_check": q_order_priority_check,
+        "nation_volume": q_nation_volume,
+        "market_share": q_market_share,
+        "custdist": q_custdist,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "bundle_revenue": q_bundle_revenue,
+        "idle_customers": q_idle_customers,
     }
 
 
@@ -2471,6 +2684,29 @@ FROM documents""",
         "stream_dedup": """
 SELECT DISTINCT event_type FROM events""",
 
+        # closed sessions on bounded input: gap-broken sessions plus the
+        # tail session when the final watermark (max ts - 1 h, ms
+        # precision) passes its end + 30-min gap (event-time timeout
+        # fired by the no-data micro-batch)
+        "stream_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+b AS (SELECT user_id, t,
+        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e),
+g AS (SELECT user_id, t,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b),
+sess AS (SELECT user_id, sid, count(*) AS ne, max(t) AS send FROM g GROUP BY user_id, sid),
+m AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY user_id),
+mx AS (SELECT max(t) AS maxt FROM e)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_closed,
+       CAST(sum(s.ne) AS BIGINT) AS n_events
+FROM sess s JOIN m USING (user_id)
+WHERE s.sid < m.mx
+   OR ((s.send // 1000) + 1800000 <= (SELECT (maxt // 1000) - 3600000 FROM mx))
+GROUP BY s.user_id""",
+
         "normalize_text": """
 WITH n AS (
   SELECT doc_id,
@@ -2740,6 +2976,113 @@ SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank FROM agg)
 WHERE rank <= 50""",
+
+        "order_priority_check": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""",
+
+        "nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
+
+        "market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1""",
+
+        "custdist": """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count""",
+
+        "promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'""",
+
+        "small_qty_revenue": """
+WITH j AS (
+  SELECT l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13')
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM j WHERE l_quantity < 0.2 * avg_qty""",
+
+        "large_orders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       epoch_us(o_orderdate) AS o_odate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20""",
+
+        "bundle_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)""",
+
+        "idle_customers": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey""",
 
         "returned_items": """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
