@@ -1806,6 +1806,88 @@ def q_stream_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup at 10-word-segment granularity
+    (operators/dedup.segment_dedup — the scalable stand-in for
+    suffix-array substring dedup).  One shuffle on the segment string."""
+    from xgboost_spark.operators.dedup import segment_dedup
+    docs = _par(_table(spark, sf_dir, "documents"))
+    out = segment_dedup(docs, id_col="doc_id", text_col="text", seg_words=10)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      "n_segs", "n_owned", "dup_frac")
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher hard quality gate (operators/textstats.gopher_rules)
+    summarized per source: how many documents each published rejection
+    rule passes, and the overall keep count.  Rule evaluation is pure
+    map-side column expressions; one tiny agg shuffle on source."""
+    from xgboost_spark.operators.textstats import gopher_rules
+    docs = _par(_table(spark, sf_dir, "documents"))
+    d = gopher_rules(docs)
+    cnt = lambda c: F.sum(F.col(c).cast("long")).cast("bigint").alias(c)  # noqa: E731
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 cnt("r_word_count"), cnt("r_mean_word_len"),
+                 cnt("r_hash_ratio"), cnt("r_ellipsis_ratio"),
+                 cnt("r_alpha_words"), cnt("r_stop_hits"),
+                 F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_keep"),
+                 F.round(F.avg("mean_word_len"), 6).alias("avg_mean_word_len")))
+
+
+def q_reservoir_group(spark, sf_dir):
+    """Deterministic reservoir sample: exactly 4 lineitem rows per
+    (returnflag, linestatus) stratum, chosen by md5 priority
+    (operators/sampling.reservoir_per_group).  Output bounded by
+    k x |groups| at any input scale."""
+    from xgboost_spark.operators.sampling import reservoir_per_group
+    li = _table(spark, sf_dir, "lineitem")
+    out = reservoir_per_group(li, ["l_returnflag", "l_linestatus"],
+                              ["l_orderkey", "l_linenumber"], k=4)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+                      F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+                      "rsv_rank")
+
+
+def q_scalar_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (operators/similarity.scalar_quantize): per-dimension ranges from
+    one scalar agg, codes + reconstruction MSE as map-side expressions.
+    Output: per-vector code checksum + MSE (engine-exact doubles)."""
+    from xgboost_spark.operators.similarity import scalar_quantize
+    emb = _par(_table(spark, sf_dir, "embeddings"))
+    out = scalar_quantize(emb, vec_col="embedding", id_col="vec_id", bits=8)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.aggregate("codes", F.lit(0), lambda a, c: a + c)
+        .cast("bigint").alias("sum_code"),
+        F.round("mse", 10).alias("mse"))
+
+
+def q_knn_ivf0(spark, sf_dir):
+    """IVF ANN with an engine-replayable quantizer: seeds chosen by
+    md5(vec_id), zero Lloyd iterations, distributed probe-list
+    assignment (no driver hop), equi-join on list_id.  Unlike `knn_ivf`
+    (refined centroids, rows-only), every step here is a deterministic
+    SQL-expressible function — the DuckDB oracle regenerates seeds,
+    assignment, probe lists, and the final top-k bit-for-bit."""
+    from xgboost_spark.operators.similarity import cosine_topk_ivf
+    emb = _par(_table(spark, sf_dir, "embeddings")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(emb, q, k=5, n_centroids=8, n_probe=3,
+                          iters=0, seed_by="id", broadcast_queries=False)
+    return out.select(F.col("query_id").cast("bigint"),
+                      F.col("nbr_id").cast("bigint"),
+                      F.round("cos", 6).alias("cos"),
+                      F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
 # round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
 # ---------------------------------------------------------------------------
 
@@ -2111,6 +2193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": q_priority_lines,
         "vocab": q_vocab,
         "group_quantiles": q_group_quantiles,
+        # round-3 pipeline operators
+        "segment_dedup": q_segment_dedup,
+        "gopher_rules": q_gopher_rules,
+        "reservoir_group": q_reservoir_group,
+        "scalar_quantize": q_scalar_quantize,
+        "knn_ivf0": q_knn_ivf0,
         # round-3 TPC-H join shapes
         "order_priority_check": q_order_priority_check,
         "nation_volume": q_nation_volume,
@@ -2211,6 +2299,52 @@ WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
 s AS (SELECT lang, {', '.join(score_exprs)} FROM p)
 SELECT lang, {pred} AS lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM s GROUP BY 1, 2"""
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of operators/textstats.gopher_rules aggregated per
+    source — the rule expressions are regenerated from the SAME
+    stopword list and thresholds the operator uses."""
+    from xgboost_spark.operators.textstats import GOPHER_EN_STOPS
+    stop_hits = " + ".join(
+        f"(CASE WHEN contains(' ' || lower(text) || ' ', ' {s} ') THEN 1 ELSE 0 END)"
+        for s in GOPHER_EN_STOPS)
+    return f"""
+WITH w AS (
+  SELECT source, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+m AS (
+  SELECT source, text, words,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+             / greatest(len(words), 1) AS mean_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         CAST(floor((length(text) - length(replace(text, '...', ''))) / 3.0) AS BIGINT) AS n_ellip,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         {stop_hits} AS stop_hits
+  FROM w),
+r AS (
+  SELECT source, n_words, mean_wl,
+         (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+         (n_hash <= 0.1 * n_words) AS r_hash_ratio,
+         (n_ellip <= 0.1 * n_words) AS r_ellipsis_ratio,
+         (n_alpha >= 0.8 * n_words) AS r_alpha_words,
+         (stop_hits >= 2) AS r_stop_hits
+  FROM m)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS r_word_count,
+       CAST(sum(CASE WHEN r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS r_mean_word_len,
+       CAST(sum(CASE WHEN r_hash_ratio THEN 1 ELSE 0 END) AS BIGINT) AS r_hash_ratio,
+       CAST(sum(CASE WHEN r_ellipsis_ratio THEN 1 ELSE 0 END) AS BIGINT) AS r_ellipsis_ratio,
+       CAST(sum(CASE WHEN r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS r_alpha_words,
+       CAST(sum(CASE WHEN r_stop_hits THEN 1 ELSE 0 END) AS BIGINT) AS r_stop_hits,
+       CAST(sum(CASE WHEN r_word_count AND r_mean_word_len AND r_hash_ratio
+                      AND r_ellipsis_ratio AND r_alpha_words AND r_stop_hits
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(mean_wl), 6) AS avg_mean_word_len
+FROM r GROUP BY source"""
 
 
 def _zorder_oracle_sql() -> str:
@@ -2976,6 +3110,110 @@ SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank FROM agg)
 WHERE rank <= 50""",
+
+        "segment_dedup": """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT id, u.r.seg AS seg, u.r.i AS seg_idx
+  FROM (SELECT id,
+               unnest([{'seg': array_to_string(words[i*10+1 : i*10+10], ' '),
+                        'i': i}
+                       for i in generate_series(0,
+                           CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)]) AS r
+        FROM w) u),
+o AS (
+  SELECT id,
+         CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY id, seg_idx) = 1
+              THEN 1 ELSE 0 END AS own
+  FROM s)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(own) AS BIGINT) AS n_owned,
+       round(1.0 - sum(own) * 1.0 / count(*), 6) AS dup_frac
+FROM o GROUP BY id""",
+
+        "gopher_rules": _gopher_oracle_sql(),
+
+        "reservoir_group": """
+SELECT l_returnflag, l_linestatus,
+       CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(rsv_rank AS BIGINT) AS rsv_rank
+FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY md5(concat_ws('|', 'rsv', CAST(l_orderkey AS VARCHAR),
+                                      CAST(l_linenumber AS VARCHAR)))) AS rsv_rank
+      FROM lineitem)
+WHERE rsv_rank <= 4""",
+
+        "scalar_quantize": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, i, v[i] AS x
+      FROM n, (SELECT unnest(generate_series(1, 64)) AS i)),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+lim AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+q AS (
+  SELECT vec_id,
+         [CASE WHEN mxs[i] > mns[i]
+               THEN greatest(0.0, least(255.0,
+                    floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)))
+               ELSE 0.0 END
+          for i in generate_series(1, len(v))] AS cd,
+         v
+  FROM n, lim),
+d AS (
+  SELECT vec_id, cd,
+         [mns[i] + cd[i] * (mxs[i] - mns[i]) / 255.0
+          for i in generate_series(1, len(cd))] AS dq,
+         v
+  FROM q, lim)
+SELECT CAST(vec_id AS BIGINT) AS id,
+       CAST(list_sum(cd) AS BIGINT) AS sum_code,
+       round(list_sum([(v[i] - dq[i]) * (v[i] - dq[i])
+                       for i in generate_series(1, len(v))]) / 64.0, 10) AS mse
+FROM d""",
+
+        "knn_ivf0": """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS list_id
+  FROM (SELECT v AS cv, md5(CAST(vec_id AS VARCHAR) || ':ivf') AS h
+        FROM n ORDER BY h LIMIT 8)),
+d2 AS (
+  SELECT n.vec_id, s.list_id,
+         list_sum([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                   for i in generate_series(1, len(n.v))]) AS d2
+  FROM n CROSS JOIN seeds s),
+assign AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d2)
+  WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d2 WHERE vec_id < 5)
+  WHERE rk <= 3),
+cand AS (
+  SELECT p.query_id, a.vec_id AS nbr_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
+s AS (
+  SELECT c.query_id, c.nbr_id,
+         list_dot_product(cn.v, qn.v) / (cn.nrm * qn.nrm) AS cos
+  FROM cand c JOIN n cn ON cn.vec_id = c.nbr_id JOIN n qn ON qn.vec_id = c.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
 
         "order_priority_check": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -760,3 +760,87 @@ def test_jpeg_422_odd_sizes(spark):
     flat = np.full((13, 21, 3), 90, np.uint8)
     o = decode_jpeg(encode_jpeg(flat, 90, subsample="422"))
     assert np.abs(o.astype(int) - 90).max() <= 4
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup(spark, docs):
+    out = dedup.segment_dedup(docs, seg_words=3).toPandas().set_index("id")
+    # every document accounts for all of its segments
+    assert (out["n_owned"] <= out["n_segs"]).all()
+    # doc 4 is an exact copy of doc 0 -> owns none of its segments
+    assert out.loc[4, "n_owned"] == 0
+    assert out.loc[4, "dup_frac"] == 1.0
+    # doc 0 (the first occurrence) owns all of its segments
+    assert out.loc[0, "n_owned"] == out.loc[0, "n_segs"]
+    # global ownership is a partition: each distinct segment owned once
+    segs = (docs.select(F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(F.split(F.trim(F.lower("text")), r"\s+")) / 3.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.split(F.trim(F.lower("text")), r"\s+"), i * 3 + 1, 3), " ")))
+        .alias("i", "seg")).select("seg").distinct().count())
+    assert int(out["n_owned"].sum()) == segs
+
+
+def test_gopher_rules(spark, docs):
+    out = textstats.gopher_rules(docs, min_words=5, min_stop_hits=1).toPandas()
+    rules = ["r_word_count", "r_mean_word_len", "r_hash_ratio",
+             "r_ellipsis_ratio", "r_alpha_words", "r_stop_hits"]
+    # keep == conjunction of all rules
+    assert (out["keep"] == out[rules].all(axis=1)).all()
+    # these short english sentences pass the relaxed gate
+    assert out["keep"].any()
+    # a degenerate doc fails
+    bad = spark.createDataFrame([(99, "# # # # ...")], "doc_id long, text string")
+    b = textstats.gopher_rules(bad, min_words=5, min_stop_hits=1).toPandas()
+    assert not b["keep"].iloc[0]
+
+
+def test_reservoir_per_group(spark, sf_dir):
+    from xgboost_spark.operators.sampling import reservoir_per_group
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = reservoir_per_group(li, ["l_returnflag"], ["l_orderkey", "l_linenumber"], k=7)
+    pdf = out.groupBy("l_returnflag").count().toPandas()
+    sizes = li.groupBy("l_returnflag").count().toPandas().set_index("l_returnflag")["count"]
+    for _, r in pdf.iterrows():
+        assert r["count"] == min(7, sizes[r["l_returnflag"]])
+    # deterministic: same call -> same rows
+    a = sorted(map(tuple, out.select("l_orderkey", "l_linenumber").collect()))
+    b = sorted(map(tuple, reservoir_per_group(
+        li, ["l_returnflag"], ["l_orderkey", "l_linenumber"], k=7)
+        .select("l_orderkey", "l_linenumber").collect()))
+    assert a == b
+
+
+def test_scalar_quantize(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    out = similarity.scalar_quantize(emb).toPandas()
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.min() >= 0 and codes.max() <= 255
+    # reconstruction error is far below the per-dimension variance
+    src = emb.toPandas()
+    v = np.stack(src["embedding"].to_numpy()).astype(np.float64)
+    assert out["mse"].max() < v.var(axis=0).mean() * 0.01
+    # numpy replay of the same formula matches exactly
+    mn, mx = v.min(0), v.max(0)
+    scale = np.where(mx > mn, mx - mn, 1.0)
+    exp = np.clip(np.floor((v - mn) / scale * 255.0 + 0.5), 0, 255)
+    exp = np.where(mx > mn, exp, 0.0)
+    got = codes[np.argsort(out["id"].to_numpy())]
+    exp = exp[np.argsort(src["vec_id"].to_numpy())]
+    assert (got == exp).all()
+
+
+def test_ivf0_recall(spark, sf_dir):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).toPandas()
+    approx = similarity.cosine_topk_ivf(
+        emb, q, k=5, n_centroids=8, n_probe=4, iters=0,
+        seed_by="id", broadcast_queries=False).toPandas()
+    e = set(map(tuple, exact[["query_id", "nbr_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "nbr_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall

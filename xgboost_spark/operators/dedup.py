@@ -318,3 +318,36 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str 
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos")
     )
+
+
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seg_words: int = 10) -> DataFrame:
+    """Sub-document exact dedup at fixed word-window granularity (the
+    scalable stand-in for suffix-array substring dedup, cf. Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    split each document into consecutive ``seg_words``-word segments,
+    give each distinct segment string ONE owner (the globally first
+    occurrence by (doc id, position)), and report the per-document
+    duplicate-segment fraction.
+
+    One shuffle keyed on the segment string; segment cardinality is
+    bounded by total corpus words / seg_words, and the window per
+    segment group is tiny (the duplicate multiplicity), so this holds at
+    100 TB.  Returns (id, n_segs, n_owned, dup_frac).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_segs = F.ceil(F.size(words) / float(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "))
+    e = (df.select(F.col(id_col).alias("id"), segs.alias("_segs"))
+           .select("id", F.posexplode("_segs").alias("seg_idx", "seg")))
+    w = Window.partitionBy("seg").orderBy("id", "seg_idx")
+    owned = (e.withColumn("_rk", F.row_number().over(w))
+              .withColumn("_own", (F.col("_rk") == 1).cast("int")))
+    return (owned.groupBy("id")
+            .agg(F.count("*").cast("bigint").alias("n_segs"),
+                 F.sum("_own").cast("bigint").alias("n_owned"))
+            .withColumn("dup_frac",
+                        F.round(1.0 - F.col("n_owned") / F.col("n_segs"), 6)))

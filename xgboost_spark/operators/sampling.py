@@ -10,7 +10,7 @@ oracles in `__spark_entry__.py`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,3 +159,24 @@ def replicate_by_rates(df: DataFrame, rates: dict[str, float],
     return (df.withColumn("_n", n).filter(F.col("_n") > 0)
             .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
             .drop("_n"))
+
+
+def reservoir_per_group(df: DataFrame, group_cols: list[str],
+                        key_cols: list[str], k: int,
+                        salt: str = "rsv") -> DataFrame:
+    """Deterministic reservoir-style sample of exactly min(k, |group|)
+    rows per group: each row's priority is the md5 of (salt, unique
+    key), and the k smallest priorities win — the hash plays the role
+    of the reservoir algorithm's random draws, so the sample is uniform
+    in distribution yet reproducible in any engine.
+
+    One shuffle on the group key; the per-group window sorts only that
+    group's rows and emits k, so output size is bounded by
+    k x |groups| regardless of group skew.  Appends ``rsv_rank``.
+    """
+    pr = F.md5(F.concat_ws(
+        "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.partitionBy(*group_cols).orderBy(pr.asc())
+    return (df.withColumn("rsv_rank",
+                          F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rsv_rank") <= k))

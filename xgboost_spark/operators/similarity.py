@@ -130,9 +130,89 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to
+    ``bits``-bit integer codes (the storage-compression half of
+    SQ-flavored ANN indexes: 4x smaller than float32 at 8 bits).
+
+    Two phases, both scale-clean:
+    1. one aggregation computes per-dimension min/max (2 x dim scalar
+       aggs in a single pass — driver result is dim-sized, row-count
+       independent, no shuffle beyond the scalar agg);
+    2. codes + reconstruction error are pure map-side expressions with
+       the ranges inlined as array literals — no second shuffle, no UDF.
+
+    Returns (id, codes array<int>, mse double).  code = round((x-mn)/
+    (mx-mn)*levels), clamped; constant dimensions code to 0.  Every step
+    is a reproducible double-precision expression (left-to-right folds),
+    so the output is exactly replayable in SQL.
+    """
+    levels = float((1 << bits) - 1)
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(df.select(vec_col).first()[0])
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(v, i + 1)
+        aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
+    mm = df.agg(*aggs).first()
+    mns = [float(mm[f"mn{i}"]) for i in range(dim)]
+    mxs = [float(mm[f"mx{i}"]) for i in range(dim)]
+    mn_arr = F.array(*[F.lit(x) for x in mns])
+    mx_arr = F.array(*[F.lit(x) for x in mxs])
+
+    def code_expr(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        raw = F.floor((x - mn) / (mx - mn) * levels + 0.5)
+        c = F.greatest(F.lit(0.0), F.least(F.lit(levels), raw.cast("double")))
+        return F.when(mx > mn, c).otherwise(F.lit(0.0))
+
+    def deq_expr(c, i):
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        return mn + c * (mx - mn) / levels
+
+    d = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    d = d.withColumn("_cd", F.transform(F.col("_v"), code_expr))
+    d = d.withColumn("_dq", F.transform(F.col("_cd"), deq_expr))
+    mse = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_dq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x) / float(dim)
+    return d.select(
+        "id",
+        F.transform(F.col("_cd"), lambda c: c.cast("int")).alias("codes"),
+        mse.alias("mse"))
+
+
+def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, ties -> lowest list_id).
+
+    argmin over an ARRAY of per-centroid distances: expression size
+    stays linear in n_centroids (a chained when(d2<best,...) would embed
+    the running tree twice per centroid -> exponential blowup that
+    stalls the analyzer).  Each distance is a left-to-right fold over
+    dimensions, so the doubles are reproducible across engines.
+    """
+    v = F.col(vec_col)
+    d2s = []
+    for ci in range(len(cents)):
+        carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
+        d2s.append(F.aggregate(
+            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return (df.withColumn("_d2s", F.array(*d2s))
+            .withColumn("list_id",
+                        (F.array_position(F.col("_d2s"),
+                                          F.array_min(F.col("_d2s"))) - 1
+                         ).cast("int"))
+            .drop("_d2s"))
+
+
 def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", iters: int = 2, seed: int = 42,
-              train_fraction: float = 1.0) -> tuple[DataFrame, np.ndarray]:
+              train_fraction: float = 1.0,
+              seed_by: str = "vector") -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: deterministic-sample centroids, refine with
     ``iters`` Lloyd steps (each step = one groupBy(cluster) agg of
     per-dimension means — a single shuffle), assign corpus to nearest
@@ -144,38 +224,37 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
     the full input lineage each step.  At 100 TB, set ``train_fraction``
     so the seeded sample is ~1M rows — centroid quality needs a sample,
     not the full corpus; the final assignment still covers every row.
+
+    ``seed_by="id"`` picks the seed rows by md5 of the ROW ID instead of
+    the vector text: with ``iters=0`` the whole quantizer is then an
+    engine-independent deterministic function of the ids, so the full
+    IVF search is replayable in plain SQL (the `knn_ivf0` DuckDB oracle
+    regenerates the identical seeds, assignment, and probe lists).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if seed_by == "id":
+        seed_rows = (
+            corpus.select(F.col(vec_col).alias("v"),
+                          F.md5(F.concat(F.col(id_col).cast("string"),
+                                         F.lit(":ivf"))).alias("_h"))
+            .orderBy("_h").limit(n_centroids).collect())
+        cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        if iters == 0:
+            return _assign_lists(corpus, cents, vec_col), cents
     train = corpus.select(F.col(vec_col).alias("v"))
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
     from pyspark import StorageLevel
     train = train.persist(StorageLevel.MEMORY_AND_DISK)
-    seed_rows = (
-        train
-        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("string"), F.lit(str(seed)))))
-        .limit(n_centroids).collect()
-    )
-    cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    if seed_by != "id":
+        seed_rows = (
+            train
+            .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("string"), F.lit(str(seed)))))
+            .limit(n_centroids).collect()
+        )
+        cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
 
     def assign(df, col=None):
-        # argmin over an ARRAY of per-centroid distances: expression size
-        # stays linear in n_centroids (a chained when(d2<best,...) would
-        # embed the running tree twice per centroid -> exponential blowup
-        # that stalls the analyzer)
-        v = F.col(col or vec_col)
-        d2s = []
-        for ci in range(len(cents)):
-            carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
-            d2s.append(F.aggregate(
-                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x))
-        return (df.withColumn("_d2s", F.array(*d2s))
-                .withColumn("list_id",
-                            (F.array_position(F.col("_d2s"),
-                                              F.array_min(F.col("_d2s"))) - 1
-                             ).cast("int"))
-                .drop("_d2s"))
+        return _assign_lists(df, cents, col or vec_col)
 
     for _ in range(iters):
         assigned = assign(train, col="v")
@@ -193,7 +272,8 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
-                    broadcast_queries: bool = True) -> DataFrame:
+                    broadcast_queries: bool = True, iters: int = 2,
+                    seed_by: str = "vector") -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
     The corpus side is pre-partitioned by list_id (bucketing in a real
     deployment); the probe join is an equi-join on list_id.
@@ -209,7 +289,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
       unbounded query sets, e.g. corpus-vs-corpus kNN joins.
     The corpus never moves through the driver in either mode.
     """
-    assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col, seed=seed)
+    assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col,
+                                seed=seed, iters=iters, seed_by=seed_by)
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
                         _norm(F.col(vec_col)).alias("cn"), "list_id")
     if broadcast_queries:

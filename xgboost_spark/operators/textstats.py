@@ -316,3 +316,60 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
                 .agg(F.count("*").alias("n_bigrams"),
                      (-F.avg("logp")).alias("avg_nll")))
     return scored.withColumn("ppl", F.exp(F.col("avg_nll")))
+
+
+GOPHER_EN_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_hash_ratio: float = 0.1,
+                 max_ellipsis_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style hard quality gate (Rae et al. 2021, "Scaling
+    Language Models", table A1 repetition/quality filters — public
+    paper): per-document boolean rule columns + an overall ``keep``
+    flag.  Distinct from `text_quality` (a soft score): these are the
+    published REJECTION thresholds a pretraining pipeline applies
+    verbatim.
+
+    Pure column expressions (no UDFs, replayable in SQL): word count
+    bounds, mean word length band, '#' and '...' symbol-to-word ratios,
+    fraction of words containing an alphabetic character, and presence
+    of >= ``min_stop_hits`` distinct common English stopwords.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size(words)
+    total_chars = F.aggregate(words, F.lit(0),
+                              lambda acc, w: acc + F.length(w))
+    mean_wl = total_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellip = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+               / F.lit(3)).cast("int")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(
+        (F.when(padded.contains(f" {s} "), 1).otherwise(0)
+         for s in GOPHER_EN_STOPS), F.lit(0))
+    d = (df.withColumn("n_words", n_words.cast("bigint"))
+           .withColumn("mean_word_len", mean_wl)
+           .withColumn("r_word_count",
+                       (n_words >= min_words) & (n_words <= max_words))
+           .withColumn("r_mean_word_len",
+                       (mean_wl >= min_mean_word_len)
+                       & (mean_wl <= max_mean_word_len))
+           .withColumn("r_hash_ratio",
+                       n_hash <= max_hash_ratio * n_words)
+           .withColumn("r_ellipsis_ratio",
+                       n_ellip <= max_ellipsis_ratio * n_words)
+           .withColumn("r_alpha_words",
+                       n_alpha >= min_alpha_frac * n_words)
+           .withColumn("r_stop_hits", stop_hits >= min_stop_hits))
+    keep = (F.col("r_word_count") & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio") & F.col("r_ellipsis_ratio")
+            & F.col("r_alpha_words") & F.col("r_stop_hits"))
+    return d.withColumn("keep", keep)
