@@ -1887,6 +1887,36 @@ def q_knn_ivf0(spark, sf_dir):
                       F.col("rank").cast("bigint"))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-5 (operators/similarity.pq_train/
+    pq_topk): 8 subspaces x 16 codes, corpus scanned as codes only,
+    per-query distance tables broadcast.  Deterministic md5-seeded
+    codebooks -> the DuckDB oracle replays codebooks, codes, and ADC
+    distances exactly."""
+    from xgboost_spark.operators.similarity import pq_topk, pq_train
+    emb = _par(_table(spark, sf_dir, "embeddings"))
+    cents = pq_train(emb, m=8, k=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, q, cents, topk=5)
+    return out.select(F.col("query_id").cast("bigint"),
+                      F.col("nbr_id").cast("bigint"),
+                      F.round("adc_d2", 8).alias("adc_d2"),
+                      F.col("rank").cast("bigint"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.
+    semantic_dedup): IVF-cluster the embeddings, link within-cluster
+    pairs with cosine >= 0.5, collapse components to min-id
+    representatives.  Deterministic quantizer -> fully oracle-checked
+    (recursive-CTE component oracle)."""
+    from xgboost_spark.operators.similarity import semantic_dedup
+    emb = _par(_table(spark, sf_dir, "embeddings"))
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.5)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("rep_id").cast("bigint").alias("rep_id"))
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
 # ---------------------------------------------------------------------------
@@ -2199,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_group": q_reservoir_group,
         "scalar_quantize": q_scalar_quantize,
         "knn_ivf0": q_knn_ivf0,
+        "pq_topk": q_pq_topk,
+        "semantic_dedup": q_semantic_dedup,
         # round-3 TPC-H join shapes
         "order_priority_check": q_order_priority_check,
         "nation_volume": q_nation_volume,
@@ -3214,6 +3246,77 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5""",
+
+        "pq_topk": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS code
+  FROM (SELECT v AS cv, md5(CAST(vec_id AS VARCHAR) || ':pq') AS h
+        FROM n ORDER BY h LIMIT 16)),
+subd AS (
+  SELECT n.vec_id, j.j, s.code,
+         list_sum([(n.v[j.j * 8 + i] - s.cv[j.j * 8 + i])
+                   * (n.v[j.j * 8 + i] - s.cv[j.j * 8 + i])
+                   for i in generate_series(1, 8)]) AS d2
+  FROM n
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+  CROSS JOIN seeds s),
+codes AS (
+  SELECT vec_id, j, code
+  FROM (SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+        FROM subd)
+  WHERE rk = 1),
+adc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS nbr_id, sum(qd.d2) AS adc_d2
+  FROM codes c
+  JOIN subd qd ON qd.j = c.j AND qd.code = c.code AND qd.vec_id < 5
+  WHERE c.vec_id <> qd.vec_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, nbr_id ASC) AS rank
+      FROM adc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       round(adc_d2, 8) AS adc_d2, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+
+        "semantic_dedup": """
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS list_id
+  FROM (SELECT v AS cv, md5(CAST(vec_id AS VARCHAR) || ':ivf') AS h
+        FROM n ORDER BY h LIMIT 8)),
+d2 AS (
+  SELECT n.vec_id, s.list_id,
+         list_sum([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                   for i in generate_series(1, len(n.v))]) AS d2
+  FROM n CROSS JOIN seeds s),
+assign AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d2)
+  WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assign a
+  JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.5),
+sym AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT s.a AS id, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT CAST(e.vec_id AS BIGINT) AS id,
+       CAST(coalesce(c.comp, e.vec_id) AS BIGINT) AS rep_id
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""",
 
         "order_priority_check": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

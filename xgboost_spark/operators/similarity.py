@@ -332,3 +332,164 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cos", "rank")
     )
+
+
+def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 0) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public paper): the
+    vector is split into ``m`` contiguous subspaces and each gets a
+    ``k``-entry codebook.  Codebook entries start as the md5(vec_id)-
+    selected seed rows' subvectors; ``iters`` Lloyd steps refine them —
+    each step is ONE distributed job covering all m subspaces at once
+    (assign codes map-side, groupBy (subspace, code, dim) avg; the
+    driver collects m x k x dim/m means, corpus-size independent).
+
+    ``iters=0`` keeps the codebooks a pure deterministic function of the
+    ids — engine-replayable in SQL (the `pq_topk` oracle).  Returns
+    centroids shaped (m, k, dim/m).
+    """
+    seed_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"),
+                      F.md5(F.concat(F.col(id_col).cast("string"),
+                                     F.lit(":pq"))).alias("_h"))
+        .orderBy("_h").limit(k).collect())
+    dim = len(seed_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    full = np.array([r["v"] for r in seed_rows], dtype=np.float64)  # (k, dim)
+    cents = np.stack([full[:, j * sub:(j + 1) * sub] for j in range(m)])  # (m,k,sub)
+    if not iters:
+        return cents
+    from pyspark import StorageLevel
+    train = corpus.select(F.col(vec_col).cast("array<double>").alias("v")) \
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            per_sub = []
+            for j in range(m):
+                seg = F.slice(F.col("v"), j * sub + 1, sub)
+                d2s = []
+                for ki in range(k):
+                    carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
+                    d2s.append(F.aggregate(
+                        F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, x: acc + x))
+                arr = F.array(*d2s)
+                code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+                per_sub.append(F.struct(F.lit(j).alias("j"), code.alias("code"),
+                                        seg.alias("seg")))
+            means = (
+                train.select(F.explode(F.array(*per_sub)).alias("s"))
+                .select(F.col("s.j").alias("j"), F.col("s.code").alias("code"),
+                        F.posexplode("s.seg").alias("d", "x"))
+                .groupBy("j", "code", "d").agg(F.avg("x").alias("mx"))
+                .collect())
+            for r in means:
+                cents[r["j"], r["code"], r["d"]] = r["mx"]
+    finally:
+        train.unpersist()
+    return cents
+
+
+def pq_encode(corpus: DataFrame, cents: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest codebook entry
+    per subspace, squared L2, ties -> lowest code).  Pure map-side
+    expressions — no shuffle, no UDF; 8-bit codes shrink a float32
+    corpus ~16x (dim=64, m=8)."""
+    m, k, sub = cents.shape
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    for j in range(m):
+        seg = F.slice(v, j * sub + 1, sub)
+        d2s = []
+        for ki in range(k):
+            carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
+            d2s.append(F.aggregate(
+                F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        arr = F.array(*d2s)
+        code_cols.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return corpus.select(F.col(id_col).alias("id"),
+                         F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
+            topk: int = 10, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the corpus is scanned as CODES
+    only; each query carries its m x k distance table (exact squared L2
+    from the query subvector to every codebook entry — computed JVM-side
+    per query row), and a candidate's distance is m table lookups.
+
+    Plan: broadcast(queries+tables) x corpus-codes scan -> window
+    top-k.  The corpus never shuffles and never rematerializes floats —
+    this is the memory-bound regime PQ exists for."""
+    m, k, sub = cents.shape
+    codes = pq_encode(corpus, cents, vec_col, id_col)
+    qv = F.col(vec_col).cast("array<double>")
+    dtabs = []
+    for j in range(m):
+        seg = F.slice(qv, j * sub + 1, sub)
+        row = []
+        for ki in range(k):
+            carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
+            row.append(F.aggregate(
+                F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        dtabs.append(F.array(*row))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.array(*dtabs).alias("dtab"))
+    joined = codes.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("id"))
+    dist = sum(
+        (F.element_at(F.element_at("dtab", j + 1),
+                      F.element_at("codes", j + 1) + 1) for j in range(m)),
+        F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("id").asc())
+    return (joined.withColumn("adc_d2", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", F.col("id").alias("nbr_id"), "adc_d2", "rank"))
+
+
+def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.9, vec_col: str = "embedding",
+                   id_col: str = "vec_id", iters: int = 0,
+                   seed_by: str = "id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    public paper): cluster embeddings with the IVF coarse quantizer,
+    compare pairs ONLY within a cluster, link pairs with cosine >=
+    ``threshold``, and collapse each connected component to its min-id
+    representative.
+
+    Returns (id, rep_id); rows with rep_id == id are the keepers.  The
+    pairwise stage is per-cluster (quadratic only within a cluster —
+    size the cluster count so clusters stay bounded); the component
+    collapse is iterated min-label propagation, O(diameter) shuffles.
+    With the default ``iters=0, seed_by="id"`` quantizer every stage is
+    deterministic and SQL-replayable (the `semantic_dedup` oracle).
+    """
+    from xgboost_spark.operators.dedup import connected_components
+    assigned, _ = ivf_build(corpus, n_clusters, vec_col, id_col,
+                            iters=iters, seed_by=seed_by)
+    d = assigned.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("v"),
+                        "list_id")
+    d = d.withColumn("nrm", _norm(F.col("v")))
+    a = d.alias("a")
+    b = d.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+             .filter(F.col("cos") >= threshold)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    comp = connected_components(pairs)
+    ids = corpus.select(F.col(id_col).cast("long").alias("id"))
+    return (ids.join(comp, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("component"), F.col("id")).alias("rep_id")))
