@@ -108,6 +108,28 @@ def test_connected_components(spark):
     assert comp[1] != comp[10] != comp[20]
 
 
+def test_connected_components_long_path(spark):
+    """Adversarial 1000-node path graph: min-label propagation would
+    need ~1000 rounds; large-star/small-star must converge inside the
+    default iteration cap (O(log^2 n)) with exact min labels."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == n + 1
+    assert all(r["component"] == 0 for r in out)
+
+
+def test_connected_components_two_long_paths(spark):
+    """Two disjoint chains with interleaved ids keep distinct labels."""
+    a = [(2 * i, 2 * i + 2) for i in range(200)]        # evens: 0..400
+    b = [(2 * i + 1, 2 * i + 3) for i in range(200)]    # odds: 1..401
+    pairs = spark.createDataFrame(a + b, "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert all(comp[i] == (0 if i % 2 == 0 else 1) for i in comp)
+
+
 def test_minhash_dedup_transitive_star(spark):
     """Star A~hub, B~hub with A!~B: one-level keeps {A, B}; transitive
     collapses the whole component to one representative."""
@@ -884,3 +906,91 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     m = out.set_index("id")["rep_id"]
     for r in reps:
         assert m[r] == r
+
+
+@pytest.fixture(scope="module")
+def big_emb(spark):
+    """Clustered synthetic corpus large enough for a 1024-centroid
+    quantizer: 120 well-separated cluster centers x 30 members, dim 16,
+    plus 50 exact-duplicate pairs for dedup recall checks."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(120, 16)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(120):
+        for _ in range(30):
+            v = centers[c] + rng.normal(size=16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    dup_src = [r for r in rows[:50]]
+    for i, (sid, v) in enumerate(dup_src):                  # exact dups
+        rows.append((vid + i, list(v)))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf)
+
+
+def test_ivf_1024_centroids_scale_path(spark, big_emb):
+    """>=1024 centroids must run through the broadcast-NumPy
+    mapInPandas assignment + probe paths (the Catalyst-expression path
+    would need ~16k expression nodes), with analysis staying flat and
+    recall intact."""
+    q = big_emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_ivf(
+        big_emb, q, k=5, n_centroids=1024, n_probe=24, iters=0,
+        seed_by="id", broadcast_queries=False)
+    # the scale path shows up as MapInPandas nodes in the analyzed plan
+    analyzed = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "mapinpandas" in analyzed
+    approx = out.toPandas()
+    exact = similarity.cosine_topk(big_emb, q, k=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "nbr_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "nbr_id"]].to_numpy()))
+    assert len(e & a) / len(e) >= 0.8, len(e & a) / len(e)
+
+
+def test_ivf_scale_path_matches_expr_path(spark, big_emb):
+    """The NumPy assignment must agree with the Catalyst-expression
+    assignment on well-separated data (same centroids, same ties rule)."""
+    small = big_emb.filter(F.col("vec_id") < 600)
+    seed_rows = (small.select("embedding",
+                              F.md5(F.concat(F.col("vec_id").cast("string"),
+                                             F.lit(":ivf"))).alias("h"))
+                 .orderBy("h").limit(32).collect())
+    cents = np.array([r["embedding"] for r in seed_rows])
+    a = similarity._assign_lists(small, cents, "embedding").select("vec_id", "list_id")
+    b = similarity._assign_lists_np(small, cents, "embedding").select("vec_id", "list_id")
+    pa = a.toPandas().sort_values("vec_id", ignore_index=True)
+    pb = b.toPandas().sort_values("vec_id", ignore_index=True)
+    assert (pa["list_id"] == pb["list_id"]).all()
+
+
+def test_pq_large_codebook_scale_path(spark, big_emb):
+    """k=256 codebooks (the real 8-bit PQ deployment size) run through
+    the NumPy encode + dtab paths end to end."""
+    q = big_emb.filter(F.col("vec_id") < 5)
+    cents = similarity.pq_train(big_emb, m=4, k=256)
+    assert cents.shape == (4, 256, 4)
+    codes = similarity.pq_encode(big_emb, cents)
+    assert "mapinpandas" in codes._jdf.queryExecution().analyzed().toString().lower()
+    c = np.stack(codes.toPandas()["codes"].to_numpy())
+    assert c.shape[1] == 4 and c.min() >= 0 and c.max() <= 255
+    top = similarity.pq_topk(big_emb, q, cents, topk=5).toPandas()
+    assert set(top["query_id"]) == set(range(5))
+    assert (top.groupby("query_id").size() == 5).all()
+
+
+def test_semantic_dedup_bucketed_scale_path(spark, big_emb):
+    """1024 clusters + bounded pairwise buckets: every exact-duplicate
+    pair must still collapse (identical vectors share cluster AND
+    sub-bucket by construction), and the pairwise stage never compares
+    more than ~max_pair_bucket^2 rows per bucket."""
+    n = big_emb.count()
+    out = similarity.semantic_dedup(
+        big_emb, n_clusters=1024, threshold=0.999999,
+        max_pair_bucket=8).toPandas()
+    assert len(out) == n
+    m = out.set_index("id")["rep_id"]
+    # the 50 appended rows are exact copies of vec_id 0..49
+    base = n - 50
+    merged = sum(1 for i in range(50) if m[base + i] == m[i])
+    assert merged == 50, merged

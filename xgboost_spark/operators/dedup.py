@@ -112,41 +112,72 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(id, component) for an undirected edge list (id_a, id_b):
-    iterated min-label propagation — each round every node takes the min
-    label in its closed neighborhood; fixpoint when no label changes.
+    alternating large-star / small-star contraction (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — public
+    paper), which converges in O(log^2 n) rounds even on adversarial
+    long-path graphs (plain min-label propagation needs O(diameter)
+    rounds — a 1000-node chain would blow any practical cap).
 
-    Converges in O(graph diameter) rounds; near-dup graphs are
-    star/chain shaped (diameter ~ a few), so 3-4 rounds in practice.
-    Each round is one shuffle-join + one groupBy; lineage is cut with
-    localCheckpoint so plans stay flat at scale.  (For adversarial
-    long-path graphs use the large-star/small-star variant; dedup
-    graphs do not need it.)
+    Each round: large-star hangs every node's larger neighbors off the
+    neighborhood minimum, small-star re-points every node at the
+    minimum of its smaller neighbors; at the fixpoint each component is
+    a star centered on its minimum id.  One groupBy + one join per
+    star step; lineage is cut with localCheckpoint so plans stay flat.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` rounds (25 rounds covers graphs beyond 2^25 nodes) —
+    an unconverged result must never be silently returned, because it
+    would diverge from an exact-transitive-closure oracle undetectably.
     """
-    edges = pairs.select(F.col("id_a").cast("long").alias("a"),
-                         F.col("id_b").cast("long").alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=False)
-    labels = (edges.select(F.col("a").alias("id"))
-              .union(edges.select(F.col("b").alias("id"))).distinct()
-              .withColumn("comp", F.col("id")))
+    edges = (pairs.select(F.col("id_a").cast("long").alias("a"),
+                          F.col("id_b").cast("long").alias("b"))
+             .filter(F.col("a") != F.col("b")))
+    nodes = (pairs.select(F.col("id_a").cast("long").alias("id"))
+             .union(pairs.select(F.col("id_b").cast("long").alias("id")))
+             .distinct())
+    # canonical directed-to-larger form: (a, b) with b < a
+    star = (edges.select(F.greatest("a", "b").alias("a"),
+                         F.least("a", "b").alias("b"))
+            .distinct().localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
-        nbr = (sym.join(labels.select(F.col("id").alias("b"),
-                                      F.col("comp").alias("comp_b")), "b")
-               .groupBy("a").agg(F.min("comp_b").alias("nbr_min")))
-        new = (labels.join(nbr, labels["id"] == nbr["a"], "left")
-               .select(labels["id"],
-                       F.least(F.col("comp"),
-                               F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
-                       (F.coalesce(F.col("nbr_min"), F.col("comp"))
-                        < F.col("comp")).alias("chg"))
-               .localCheckpoint(eager=True))
-        changed = new.filter(F.col("chg")).limit(1).count()
-        labels = new.drop("chg")
+        # large-star: for each node u, attach every LARGER neighbor v to
+        # m = min(neighborhood(u) + u).  Output edges always point
+        # larger -> smaller, so the canonical form is preserved.
+        sym = star.union(star.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+        lmin = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                .select("a", F.least("a", "mn").alias("m")))
+        ls = (sym.join(lmin, "a")
+              .filter(F.col("b") > F.col("a"))
+              .select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .distinct())
+        # small-star: re-point each node u (and its smaller neighbors)
+        # at m = min of u's smaller neighbors
+        smin = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (ls.join(smin, "a")
+              .select(F.col("b").alias("a"), F.col("m").alias("b"))
+              .union(smin.select("a", F.col("m").alias("b")))
+              .filter(F.col("a") != F.col("b"))
+              .distinct().localCheckpoint(eager=True))
+        changed = (ss.exceptAll(star).union(star.exceptAll(ss))
+                   .limit(1).count())
+        star = ss
         if changed == 0:
+            converged = True
             break
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            "large-star/small-star rounds — raise max_iter")
+    # fixpoint is a star forest: every edge is (member, component-min);
+    # centers never appear on the left, so they coalesce to themselves
+    return (nodes.join(star, nodes["id"] == star["a"], "left")
+            .select(nodes["id"],
+                    F.coalesce(star["b"], nodes["id"]).alias("component")))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -28,6 +28,16 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first row, with a clear error instead of
+    a TypeError when the input is empty or the first vector is null."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimension: no non-null '{vec_col}' row")
+    return len(first[0])
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 q_vec_col: str | None = None, q_id_col: str | None = None) -> DataFrame:
@@ -94,7 +104,7 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (md5-derived uniform planes, `hash_planes` — engine-independent, so
     results are exactly replayable in SQL).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _infer_dim(corpus, vec_col)
     if plane_source == "hash":
         planes = hash_planes(n_planes, dim)
     else:
@@ -150,7 +160,7 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
     """
     levels = float((1 << bits) - 1)
     v = F.col(vec_col).cast("array<double>")
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col)
     aggs = []
     for i in range(dim):
         e = F.element_at(v, i + 1)
@@ -185,15 +195,59 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
         mse.alias("mse"))
 
 
-def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
+# Above this centroid count, nearest-centroid assignment switches from
+# per-centroid Catalyst expressions (SQL-replayable, but analyzer cost
+# O(n_centroids x dim) expression nodes) to a broadcast-NumPy
+# mapInPandas argmin-matmul (Arrow-vectorized, no shuffle, analyzer
+# cost flat) — a 100 TB SemDeDup/IVF wants 10^4-10^5 clusters, far past
+# what plan compilation survives on the expression path.
+EXPR_ASSIGN_MAX = 64
+
+
+def _assign_lists_np(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment via broadcast centroid matrix +
+    vectorized argmin per Arrow batch: d2 = |v|^2 - 2 v.C^T + |c|^2,
+    one matmul per batch, no per-row Python.  Ties -> lowest list_id
+    (np.argmin picks the first minimum, same rule as the expression
+    path).  Appends ``list_id`` to the input schema unchanged."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("list_id", IntegerType())])
+
+    def assign_batches(batches):
+        M = bc.value
+        c2 = (M * M).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(list_id=pd.array([], dtype="int32"))
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ M.T) + c2[None, :]
+            yield pdf.assign(list_id=np.argmin(d2, axis=1).astype(np.int32))
+
+    return df.mapInPandas(assign_batches, out_schema)
+
+
+def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str,
+                  expr_max: int = EXPR_ASSIGN_MAX) -> DataFrame:
     """Nearest-centroid assignment (squared L2, ties -> lowest list_id).
 
-    argmin over an ARRAY of per-centroid distances: expression size
-    stays linear in n_centroids (a chained when(d2<best,...) would embed
-    the running tree twice per centroid -> exponential blowup that
-    stalls the analyzer).  Each distance is a left-to-right fold over
-    dimensions, so the doubles are reproducible across engines.
+    Up to ``expr_max`` centroids: argmin over an ARRAY of per-centroid
+    distances — expression size stays linear in n_centroids (a chained
+    when(d2<best,...) would embed the running tree twice per centroid ->
+    exponential blowup that stalls the analyzer), and each distance is a
+    left-to-right fold over dimensions, so the doubles are reproducible
+    across engines (SQL-oracle replayable).  Beyond ``expr_max`` the
+    broadcast-NumPy path takes over (same assignment up to fp rounding
+    of the matmul, analyzer cost flat in n_centroids).
     """
+    if len(cents) > expr_max:
+        return _assign_lists_np(df, cents, vec_col)
     v = F.col(vec_col)
     d2s = []
     for ci in range(len(cents)):
@@ -273,7 +327,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
                     broadcast_queries: bool = True, iters: int = 2,
-                    seed_by: str = "vector") -> DataFrame:
+                    seed_by: str = "vector",
+                    rank_round: int | None = None) -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
     The corpus side is pre-partitioned by list_id (bucketing in a real
     deployment); the probe join is an equi-join on list_id.
@@ -308,6 +363,42 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         qdf = qdf.select("query_id", "qv", F.explode("probe").alias("list_id"),
                          _norm(F.col("qv")).alias("qn"))
         qdf = F.broadcast(qdf)
+    elif len(cents) > EXPR_ASSIGN_MAX:
+        # distributed probe assignment, scale path: broadcast centroid
+        # matrix, top-n_probe lists per query via one matmul per Arrow
+        # batch (stable argsort -> ties to the lowest list_id, same rule
+        # as the expression path)
+        import pandas as pd
+        from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                       StructField, StructType)
+        src = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).cast("array<double>").alias("qv"))
+        C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+        bc = src.sparkSession.sparkContext.broadcast(C)
+        schema = StructType([src.schema["query_id"],
+                             StructField("qv", ArrayType(DoubleType())),
+                             StructField("qn", DoubleType()),
+                             StructField("probe", ArrayType(IntegerType()))])
+
+        def probe_batches(batches):
+            M = bc.value
+            c2 = (M * M).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(qn=pd.array([], dtype="float64"),
+                                     probe=pd.Series([], dtype=object))
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["qv"]])
+                v2 = (V * V).sum(axis=1)
+                d2 = v2[:, None] - 2.0 * (V @ M.T) + c2[None, :]
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                yield pdf.assign(qn=np.sqrt(v2),
+                                 probe=list(idx.astype(np.int32)))
+
+        qdf = (src.mapInPandas(probe_batches, schema)
+               .select("query_id", "qv", "qn",
+                       F.explode("probe").alias("list_id")))
     else:
         # distributed probe assignment: array_sort over (d2, list) pairs
         # picks the n_probe nearest centroids JVM-side, no driver hop
@@ -325,7 +416,12 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                               F.explode(F.transform(top, lambda s: s["i"]))
                               .alias("list_id")))
     cand = c.join(qdf, "list_id").filter(F.col("query_id") != F.col("nbr_id"))
-    scored = cand.withColumn("cos", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    if rank_round is not None:
+        # rank on the rounded cosine so near-tied candidates cannot be
+        # reordered by cross-engine ulp differences (SQL-replayable)
+        cos = F.round(cos, rank_round)
+    scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -394,13 +490,55 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
     return cents
 
 
-def pq_encode(corpus: DataFrame, cents: np.ndarray,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Encode each vector as ``m`` small codes (nearest codebook entry
-    per subspace, squared L2, ties -> lowest code).  Pure map-side
-    expressions — no shuffle, no UDF; 8-bit codes shrink a float32
-    corpus ~16x (dim=64, m=8)."""
+def _pq_encode_np(corpus: DataFrame, cents: np.ndarray,
+                  vec_col: str, id_col: str) -> DataFrame:
+    """PQ encode via broadcast codebooks + per-Arrow-batch NumPy argmin
+    (one matmul per subspace per batch): the scale path for large
+    codebooks (k=256 x m=8 would be 2048 fold expressions on the
+    expression path — analyzer death at deployment sizes)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
     m, k, sub = cents.shape
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    src = corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    bc = src.sparkSession.sparkContext.broadcast(C)
+    schema = StructType([src.schema["id"],
+                         StructField("codes", ArrayType(IntegerType()))])
+
+    def encode_batches(batches):
+        M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": pdf["id"],
+                                    "codes": pd.Series([], dtype=object)})
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                seg = V[:, j * sub:(j + 1) * sub]
+                Cj = M[j]                                     # (k, sub)
+                d2 = ((seg * seg).sum(axis=1)[:, None]
+                      - 2.0 * (seg @ Cj.T) + (Cj * Cj).sum(axis=1)[None, :])
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return src.mapInPandas(encode_batches, schema)
+
+
+def pq_encode(corpus: DataFrame, cents: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              expr_max: int = EXPR_ASSIGN_MAX) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest codebook entry
+    per subspace, squared L2, ties -> lowest code).  Up to ``expr_max``
+    codebook entries per subspace: pure map-side expressions — no
+    shuffle, no UDF (SQL-replayable); past it, the broadcast-NumPy
+    mapInPandas path (same codes up to matmul fp rounding).  8-bit
+    codes shrink a float32 corpus ~16x (dim=64, m=8)."""
+    m, k, sub = cents.shape
+    if k > expr_max:
+        return _pq_encode_np(corpus, cents, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
     code_cols = []
     for j in range(m):
@@ -419,7 +557,7 @@ def pq_encode(corpus: DataFrame, cents: np.ndarray,
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
             topk: int = 10, vec_col: str = "embedding",
-            id_col: str = "vec_id") -> DataFrame:
+            id_col: str = "vec_id", rank_round: int | None = 8) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the corpus is scanned as CODES
     only; each query carries its m x k distance table (exact squared L2
     from the query subvector to every codebook entry — computed JVM-side
@@ -427,27 +565,63 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
 
     Plan: broadcast(queries+tables) x corpus-codes scan -> window
     top-k.  The corpus never shuffles and never rematerializes floats —
-    this is the memory-bound regime PQ exists for."""
+    this is the memory-bound regime PQ exists for.
+
+    ``rank_round``: the ADC distance is a sum of m doubles whose
+    summation order an engine does not guarantee; ranking on the raw
+    value lets ulp differences reorder near-tied candidates across
+    engines.  Rounding BEFORE the row_number (default 8 dp) makes the
+    ordering ulp-insensitive, so a SQL twin replays it exactly;
+    pass None to rank on the raw distance."""
     m, k, sub = cents.shape
     codes = pq_encode(corpus, cents, vec_col, id_col)
-    qv = F.col(vec_col).cast("array<double>")
-    dtabs = []
-    for j in range(m):
-        seg = F.slice(qv, j * sub + 1, sub)
-        row = []
-        for ki in range(k):
-            carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
-            row.append(F.aggregate(
-                F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x))
-        dtabs.append(F.array(*row))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.array(*dtabs).alias("dtab"))
+    if k > EXPR_ASSIGN_MAX:
+        # scale path: the m x k ADC table per query via NumPy on Arrow
+        # batches (the expression path would build m*k fold expressions)
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+        src = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).cast("array<double>").alias("v"))
+        C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+        bc = src.sparkSession.sparkContext.broadcast(C)
+        schema = StructType([src.schema["query_id"],
+                             StructField("dtab",
+                                         ArrayType(ArrayType(DoubleType())))])
+
+        def dtab_batches(batches):
+            M = bc.value
+            for pdf in batches:
+                out = []
+                for v in pdf["v"]:
+                    V = np.asarray(v, dtype=np.float64)
+                    tab = [((V[j * sub:(j + 1) * sub][None, :] - M[j]) ** 2)
+                           .sum(axis=1) for j in range(m)]
+                    out.append([t.tolist() for t in tab])
+                yield pd.DataFrame({"query_id": pdf["query_id"],
+                                    "dtab": out})
+
+        q = src.mapInPandas(dtab_batches, schema)
+    else:
+        qv = F.col(vec_col).cast("array<double>")
+        dtabs = []
+        for j in range(m):
+            seg = F.slice(qv, j * sub + 1, sub)
+            row = []
+            for ki in range(k):
+                carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
+                row.append(F.aggregate(
+                    F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+            dtabs.append(F.array(*row))
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.array(*dtabs).alias("dtab"))
     joined = codes.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("id"))
     dist = sum(
         (F.element_at(F.element_at("dtab", j + 1),
                       F.element_at("codes", j + 1) + 1) for j in range(m)),
         F.lit(0.0))
+    if rank_round is not None:
+        dist = F.round(dist, rank_round)
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("id").asc())
     return (joined.withColumn("adc_d2", dist)
             .withColumn("rank", F.row_number().over(w))
@@ -458,7 +632,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
 def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id", iters: int = 0,
-                   seed_by: str = "id") -> DataFrame:
+                   seed_by: str = "id",
+                   max_pair_bucket: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
     public paper): cluster embeddings with the IVF coarse quantizer,
     compare pairs ONLY within a cluster, link pairs with cosine >=
@@ -468,10 +643,22 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
     Returns (id, rep_id); rows with rep_id == id are the keepers.  The
     pairwise stage is per-cluster (quadratic only within a cluster —
     size the cluster count so clusters stay bounded); the component
-    collapse is iterated min-label propagation, O(diameter) shuffles.
+    collapse is large-star/small-star contraction, O(log^2 n) rounds
+    with a hard error (never a silent wrong answer) on non-convergence.
     With the default ``iters=0, seed_by="id"`` quantizer every stage is
     deterministic and SQL-replayable (the `semantic_dedup` oracle).
+
+    ``max_pair_bucket`` bounds the quadratic stage at corpus scale: a
+    cluster larger than the cap is sub-split by hyperplane sign-LSH
+    (md5-derived planes, enough to cut the expected bucket below the
+    cap) and pairs are only compared within (cluster, sub-bucket).
+    Near-duplicates hash to the same side of every plane with high
+    probability (exact duplicates always do), so recall loss is small —
+    the published SemDeDup recipe likewise bounds cluster size rather
+    than compare all pairs.  None (default) keeps the exact
+    within-cluster comparison for the oracle-replayable configuration.
     """
+    import math
     from xgboost_spark.operators.dedup import connected_components
     assigned, _ = ivf_build(corpus, n_clusters, vec_col, id_col,
                             iters=iters, seed_by=seed_by)
@@ -479,12 +666,31 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
                         F.col(vec_col).cast("array<double>").alias("v"),
                         "list_id")
     d = d.withColumn("nrm", _norm(F.col("v")))
+    pair_keys = ["list_id"]
+    if max_pair_bucket is not None:
+        sizes = d.groupBy("list_id").agg(F.count("*").alias("_csz"))
+        max_size = (sizes.agg(F.max("_csz")).first() or [0])[0] or 0
+        if max_size > max_pair_bucket:
+            n_planes = max(1, math.ceil(math.log2(max_size / max_pair_bucket)))
+            planes = hash_planes(n_planes, _infer_dim(d, "v"))
+            sub = _plane_sig(F.col("v"), planes)
+            # only oversized clusters are split — small ones keep exact
+            # within-cluster comparison (sizes is n_clusters rows:
+            # broadcast, no corpus shuffle)
+            d = (d.join(F.broadcast(sizes), "list_id")
+                 .withColumn("_sub",
+                             F.when(F.col("_csz") > max_pair_bucket, sub)
+                             .otherwise(F.lit("")))
+                 .drop("_csz"))
+            pair_keys = ["list_id", "_sub"]
     a = d.alias("a")
     b = d.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (a.join(b, (F.col("a.list_id") == F.col("b.list_id"))
-                    & (F.col("a.id") < F.col("b.id")))
+    cond = (F.col("a.id") < F.col("b.id"))
+    for kcol in pair_keys:
+        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+    pairs = (a.join(b, cond)
              .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
              .filter(F.col("cos") >= threshold)
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
