@@ -1077,6 +1077,103 @@ def q_train_stump(spark, sf_dir):
         "w_left double, w_right double, pred_sum double")
 
 
+def q_train_depth2(spark, sf_dir):
+    """ONE boosting round growing a DEPTH-2 tree, hash-matched — the
+    composed proof of the expansion driver: root split -> row
+    partitioning (node routing) -> PER-NODE gradient histograms ->
+    per-node argmax splits -> four leaf weights -> margin update
+    (reference expansion loop src/tree/updater_quantile_hist.cc:99-148;
+    train_stump proves the round-over-round chaining, this proves the
+    within-tree level-over-level chaining).  Same determinism contract:
+    hist sums rounded 4dp, weights 6dp, pred_sum 2dp; per-node argmax
+    ties break (gain desc, feature asc, bin asc).  Output: one row per
+    tree node (0=root, 1=left, 2=right) with its chosen split + the
+    would-be leaf weights, plus the post-update prediction checksum."""
+    li = _table(spark, sf_dir, "lineitem")
+    feats = _BS_FEATURES
+    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    d = _par(li.select(
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+        *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
+    d = d.persist()
+    base = d.agg(F.round(F.avg("y"), 6)).first()[0]
+    lam = 1.0
+    g = F.lit(float(base)) - F.col("y")
+
+    def scan_gains(hist, part_cols):
+        wb = (Window.partitionBy(*part_cols).orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wall = Window.partitionBy(*part_cols)
+        return (hist
+                .withColumn("gl", F.sum("sum_g").over(wb))
+                .withColumn("hl", F.sum("sum_h").over(wb))
+                .withColumn("gt", F.sum("sum_g").over(wall))
+                .withColumn("ht", F.sum("sum_h").over(wall))
+                .withColumn("mx", F.max("bin").over(wall))
+                .filter(F.col("bin") < F.col("mx"))
+                .withColumn("gr", F.col("gt") - F.col("gl"))
+                .withColumn("hr", F.col("ht") - F.col("hl"))
+                .withColumn("gain",
+                            F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                            + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
+                            - F.col("gt") * F.col("gt") / (F.col("ht") + lam))
+                .withColumn("wl", F.round(-F.col("gl") / (F.col("hl") + lam), 6))
+                .withColumn("wr", F.round(-F.col("gr") / (F.col("hr") + lam), 6)))
+
+    # root split
+    hist0 = None
+    for f in feats:
+        h = (d.groupBy(F.col(f"bin_{f}").alias("bin"))
+             .agg(F.round(F.sum(g), 4).alias("sum_g"),
+                  F.count("*").cast("double").alias("sum_h"))
+             .withColumn("feature", F.lit(f)))
+        hist0 = h if hist0 is None else hist0.unionByName(h)
+    b0 = (scan_gains(hist0, ["feature"])
+          .select("feature", "bin", F.round("gain", 4).alias("gain"), "wl", "wr")
+          .orderBy(F.col("gain").desc(), F.col("feature").asc(), F.col("bin").asc())
+          .limit(1).first())
+    node = F.when(F.col(f"bin_{b0['feature']}") <= F.lit(int(b0["bin"])),
+                  F.lit(1)).otherwise(F.lit(2))
+    # per-node split (level 2): node column rides the SAME scan, the
+    # histogram exchange is keyed (node, feature, bin) — the routing is
+    # fused exactly like the real updater's row partitioning
+    hist1 = None
+    for f in feats:
+        h = (d.groupBy(node.alias("node"), F.col(f"bin_{f}").alias("bin"))
+             .agg(F.round(F.sum(g), 4).alias("sum_g"),
+                  F.count("*").cast("double").alias("sum_h"))
+             .withColumn("feature", F.lit(f)))
+        hist1 = h if hist1 is None else hist1.unionByName(h)
+    wn = Window.partitionBy("node").orderBy(
+        F.col("gain").desc(), F.col("feature").asc(), F.col("bin").asc())
+    b12 = {r["node"]: r for r in
+           (scan_gains(hist1, ["node", "feature"])
+            .select("node", "feature", "bin", F.round("gain", 4).alias("gain"),
+                    "wl", "wr")
+            .withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") == 1)
+            .collect())}
+    c1, c2 = b12[1], b12[2]
+    leaf = F.when(
+        node == 1,
+        F.when(F.col(f"bin_{c1['feature']}") <= F.lit(int(c1["bin"])),
+               F.lit(float(c1["wl"]))).otherwise(F.lit(float(c1["wr"])))
+    ).otherwise(
+        F.when(F.col(f"bin_{c2['feature']}") <= F.lit(int(c2["bin"])),
+               F.lit(float(c2["wl"]))).otherwise(F.lit(float(c2["wr"]))))
+    psum = d.agg(F.round(F.sum(F.lit(float(base)) + F.lit(0.3) * leaf), 2)).first()[0]
+    d.unpersist()
+    rows = [(0, b0["feature"], int(b0["bin"]), float(b0["gain"]),
+             float(b0["wl"]), float(b0["wr"]), float(psum))]
+    for nid in (1, 2):
+        c = b12[nid]
+        rows.append((nid, c["feature"], int(c["bin"]), float(c["gain"]),
+                     float(c["wl"]), float(c["wr"]), float(psum)))
+    return spark.createDataFrame(
+        rows,
+        "node bigint, feature string, best_bin bigint, best_gain double, "
+        "w_left double, w_right double, pred_sum double")
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -2206,8 +2303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry.py), which runs ALL entries regardless of order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # round-4: composed 2-round boosting, hash-matched end to end
+        # round-4: composed training, hash-matched end to end
         "train_stump": q_train_stump,
+        "train_depth2": q_train_depth2,
         # round-2 pipeline/text operators
         "simhash": q_simhash,
         "ordinal_encode": q_ordinal_encode,
@@ -2260,8 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        "bundle_revenue": q_bundle_revenue,
         # ---- end of driver window (50 entries above) --------------------
+        "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
         # driver-certified green in CORRECTNESS_r01..r03
@@ -2451,6 +2549,101 @@ SELECT CAST(2 AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
 FROM b2"""
 
 
+def _train_depth2_sql() -> str:
+    """DuckDB twin of q_train_depth2: root split, node routing, per-node
+    histograms/argmax, four leaf weights, margin-update checksum."""
+    feats = _BS_FEATURES
+    B = 8
+    ctes = []
+    for f in feats:
+        ctes.append(f"""rk_{f} AS (
+  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
+  FROM lineitem WHERE {f} IS NOT NULL),
+cut_{f} AS (
+  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
+    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    bin_cols = ",\n         ".join(
+        f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
+        for f in feats)
+    ctes.append(f"""binned AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         {bin_cols}
+  FROM lineitem l),
+base AS (SELECT round(avg(y), 6) AS b FROM binned)""")
+    pick_bin = ("CASE bb.feature " + " ".join(
+        f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])
+        + f" ELSE bin_{feats[-1]} END")
+    hist0 = " UNION ALL ".join(
+        f"""SELECT '{f}' AS feature, bin_{f} AS bin,
+       round(sum(b - y), 4) AS sum_g, CAST(count(*) AS DOUBLE) AS sum_h
+  FROM binned, base GROUP BY 2""" for f in feats)
+    ctes.append(f"""h0 AS ({hist0}),
+s0 AS (
+  SELECT feature, bin,
+         sum(sum_g) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER (PARTITION BY feature) AS gt,
+         sum(sum_h) OVER (PARTITION BY feature) AS ht,
+         max(bin) OVER (PARTITION BY feature) AS mx
+  FROM h0),
+g0 AS (
+  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+         gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+  FROM s0 WHERE bin < mx),
+b0 AS (
+  SELECT feature, bin, round(gain, 4) AS gain,
+         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
+  FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+        FROM g0)
+  WHERE rk = 1),
+routed AS (
+  SELECT binned.*,
+         CASE WHEN ({pick_bin}) <= bb.bin THEN 1 ELSE 2 END AS node
+  FROM binned, b0 bb)""")
+    hist1 = " UNION ALL ".join(
+        f"""SELECT node, '{f}' AS feature, bin_{f} AS bin,
+       round(sum(b - y), 4) AS sum_g, CAST(count(*) AS DOUBLE) AS sum_h
+  FROM routed, base GROUP BY 1, 3""" for f in feats)
+    ctes.append(f"""h1 AS ({hist1}),
+s1 AS (
+  SELECT node, feature, bin,
+         sum(sum_g) OVER (PARTITION BY node, feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (PARTITION BY node, feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER (PARTITION BY node, feature) AS gt,
+         sum(sum_h) OVER (PARTITION BY node, feature) AS ht,
+         max(bin) OVER (PARTITION BY node, feature) AS mx
+  FROM h1),
+g1 AS (
+  SELECT node, feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+         gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+  FROM s1 WHERE bin < mx),
+b1 AS (
+  SELECT node, feature, bin, round(gain, 4) AS gain,
+         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
+  FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+        FROM g1)
+  WHERE rk = 1),
+p AS (
+  SELECT r.node, b.b + 0.3 * (CASE WHEN r.node = 1
+      THEN (CASE WHEN (CASE c1.feature {' '.join(f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])} ELSE bin_{feats[-1]} END) <= c1.bin THEN c1.wl ELSE c1.wr END)
+      ELSE (CASE WHEN (CASE c2.feature {' '.join(f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])} ELSE bin_{feats[-1]} END) <= c2.bin THEN c2.wl ELSE c2.wr END)
+      END) AS pv
+  FROM routed r, base b,
+       (SELECT * FROM b1 WHERE node = 1) c1,
+       (SELECT * FROM b1 WHERE node = 2) c2),
+ps AS (SELECT round(sum(pv), 2) AS pred_sum FROM p)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(0 AS BIGINT) AS node, feature, CAST(bin AS BIGINT) AS best_bin,
+       gain AS best_gain, wl AS w_left, wr AS w_right,
+       (SELECT pred_sum FROM ps) AS pred_sum
+FROM b0
+UNION ALL
+SELECT CAST(node AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
+       (SELECT pred_sum FROM ps)
+FROM b1"""
+
+
 def _simhash_oracle_sql(n_bits: int = 48) -> str:
     """DuckDB twin of operators/dedup.simhash: same md5-derived 48-bit
     token hashes, same bitwise vote (generated per-bit expressions)."""
@@ -2572,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
 )"""
     return {
         "train_stump": _train_stump_sql(),
+        "train_depth2": _train_depth2_sql(),
 
         "fit_stump": """
 SELECT round(avg(l_extendedprice), 6) AS base_score,

@@ -67,15 +67,35 @@ def main():
                       "knn", "sessionize"):
             E.queries()[qname](spark, warm_dir).collect()
 
-    # Every number is best-of-2: round-1 driver runs showed >3x
+    # Every number is best-of-N: round-1 driver runs showed >3x
     # cold-session JIT / scheduler-noise variance on identical plans, so
-    # the reported figure is steady-state throughput, not the noise floor.
-    def timed(fn, n=2):
+    # the reported figure is steady-state throughput, not the noise
+    # floor.  ALL run times are recorded in the JSON ("runs") so a
+    # regression can be told apart from a one-off machine stall —
+    # round 3's numbers moved 2-4x on untouched code and only the min
+    # was recorded, which made the cause unidentifiable after the fact.
+    runs: dict[str, list[float]] = {}
+
+    def gc_ms() -> float:
+        beans = (spark.sparkContext._jvm.java.lang.management
+                 .ManagementFactory.getGarbageCollectorMXBeans())
+        return float(sum(b.getCollectionTime() for b in beans))
+
+    gc_marks: dict[str, float] = {}
+
+    def timed(fn, n=2, name=None):
         best = float("inf")
+        all_t = []
+        g0 = gc_ms()
         for _ in range(n):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            all_t.append(round(dt, 3))
+            best = min(best, dt)
+        if name:
+            runs[name] = all_t
+            gc_marks[name] = round(gc_ms() - g0, 1)
         return round(best, 3)
 
     model_box = {}
@@ -86,7 +106,7 @@ def main():
 
     # the headline metric gets a third attempt: this box shows >4x
     # hypervisor-steal swings between identical runs
-    times["gbdt_fit_10r_d6"] = timed(fit_once, n=3)
+    times["gbdt_fit_10r_d6"] = timed(fit_once, n=3, name="gbdt_fit_10r_d6")
     model = model_box["m"]
 
     # 100 rounds amortizes per-job startup: the per-tree steady-state
@@ -95,14 +115,19 @@ def main():
     p100 = TrainParams(num_boost_round=100, max_depth=6, max_bin=256, eta=0.3)
     times["gbdt_fit_100r_d6"] = timed(
         lambda: SparkBooster(p100).fit(
-            li, feature_cols=fc, label_col="l_extendedprice"), n=2)
+            li, feature_cols=fc, label_col="l_extendedprice"),
+        n=2, name="gbdt_fit_100r_d6")
     times["gbdt_predict"] = timed(
         lambda: model.transform(li, feature_cols=fc)
-        .selectExpr("sum(prediction)").collect())
+        .selectExpr("sum(prediction)").collect(), name="gbdt_predict")
 
+    # operator queries are cheap at steady state (<1 s each in round 2)
+    # but showed 2-4x swings in round 3: three attempts each, every
+    # attempt recorded, so the JSON distinguishes "plan got slower"
+    # (all attempts slow) from "machine stalled" (one attempt slow)
     for qname in ("quantize_hist", "q1_pricing", "minhash_bands", "knn", "sessionize"):
         q = E.queries()[qname]
-        times[qname] = timed(lambda: q(spark, SF_DIR).collect())
+        times[qname] = timed(lambda: q(spark, SF_DIR).collect(), n=3, name=qname)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -110,6 +135,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs,
+        "gc_ms": gc_marks,
         "sf": float(sf),
     }))
     spark.stop()
