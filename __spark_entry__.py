@@ -1174,6 +1174,80 @@ def q_train_depth2(spark, sf_dir):
         "w_left double, w_right double, pred_sum double")
 
 
+def q_train_logistic(spark, sf_dir):
+    """TWO composed binary:logistic boosting rounds, hash-matched — the
+    classification counterpart of train_stump, proving the NON-UNIT
+    hessian path end to end (reference obj/regression_obj.cu logistic:
+    g = sigmoid(m) - y, h = p(1-p); base_score 0.5 -> margin 0):
+    per round gradient+hessian histograms -> gain scan with real H ->
+    argmax split -> leaf weights -G/(H+1) -> margin update; round 2's
+    sigmoid runs on round 1's margins.  exp() differs across engines
+    only in final ulps, always under an aggregation rounded to 4dp, so
+    the DuckDB twin replays both rounds exactly.  Output per round:
+    split + leaf weights + margin checksum + train logloss (6dp)."""
+    li = _table(spark, sf_dir, "lineitem")
+    feats = _BS_FEATURES
+    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    d = _par(li.select(
+        (F.col("l_linenumber") % 2).cast("double").alias("y"),
+        *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
+    d = d.persist()
+    lam = 1.0
+    margin = F.lit(0.0)
+    out_rows = []
+    for rnd in (1, 2):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        g = p - F.col("y")
+        h = p * (F.lit(1.0) - p)
+        hist = None
+        for f in feats:
+            hh = (d.groupBy(F.col(f"bin_{f}").alias("bin"))
+                  .agg(F.round(F.sum(g), 4).alias("sum_g"),
+                       F.round(F.sum(h), 4).alias("sum_h"))
+                  .withColumn("feature", F.lit(f)))
+            hist = hh if hist is None else hist.unionByName(hh)
+        wb = (Window.partitionBy("feature").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wall = Window.partitionBy("feature")
+        scan = (hist
+                .withColumn("gl", F.sum("sum_g").over(wb))
+                .withColumn("hl", F.sum("sum_h").over(wb))
+                .withColumn("gt", F.sum("sum_g").over(wall))
+                .withColumn("ht", F.sum("sum_h").over(wall))
+                .withColumn("mx", F.max("bin").over(wall))
+                .filter(F.col("bin") < F.col("mx"))
+                .withColumn("gr", F.col("gt") - F.col("gl"))
+                .withColumn("hr", F.col("ht") - F.col("hl"))
+                .withColumn("gain",
+                            F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                            + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
+                            - F.col("gt") * F.col("gt") / (F.col("ht") + lam)))
+        best = (scan
+                .select("feature", "bin", F.round("gain", 4).alias("gain"),
+                        F.round(-F.col("gl") / (F.col("hl") + lam), 6).alias("wl"),
+                        F.round(-F.col("gr") / (F.col("hr") + lam), 6).alias("wr"))
+                .orderBy(F.col("gain").desc(), F.col("feature").asc(),
+                         F.col("bin").asc())
+                .limit(1).first())
+        side = F.col(f"bin_{best['feature']}") <= F.lit(int(best["bin"]))
+        margin = margin + F.lit(0.3) * F.when(side, F.lit(float(best["wl"]))) \
+                                        .otherwise(F.lit(float(best["wr"])))
+        pafter = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        ll = -(F.col("y") * F.log(pafter)
+               + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pafter))
+        stats = d.agg(F.round(F.sum(margin), 2).alias("ms"),
+                      F.round(F.avg(ll), 6).alias("ll")).first()
+        out_rows.append((rnd, best["feature"], int(best["bin"]),
+                         float(best["gain"]), float(best["wl"]),
+                         float(best["wr"]), float(stats["ms"]),
+                         float(stats["ll"])))
+    d.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, feature string, best_bin bigint, best_gain double, "
+        "w_left double, w_right double, margin_sum double, logloss double")
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -1187,6 +1261,27 @@ def q_train_dart(spark, sf_dir):
                   li, feature_cols=fcols, label_col="l_extendedprice")
     rows = [(i, round(float(w), 6)) for i, w in enumerate(model.tree_weights)]
     return spark.createDataFrame(rows, "round int, tree_weight double")
+
+
+def q_dart_weights(spark, sf_dir):
+    """DART normalization chain, oracle-checked through the REAL dart
+    trainer: rate_drop=1.0 drops every previous tree each round
+    unconditionally (no RNG left in the mask), so the tree-weight
+    evolution is the deterministic closed form of the reference's
+    normalize_type=tree rule (w_new = 1/(k+lr), dropped *= k/(k+lr),
+    gbtree.h DropTrees/CommitModel) — the DuckDB oracle derives the
+    same weights arithmetically, promoting DART from rows-only
+    (train_dart, seeded drops) to a hash-matched entry."""
+    _prep(spark)
+    from xgboost_spark.plans.booster import train
+    li = _table(spark, sf_dir, "lineitem")
+    model = train({"booster": "dart", "rate_drop": 1.0, "skip_drop": 0.0,
+                   "normalize_type": "tree", "num_boost_round": 5,
+                   "max_depth": 2, "eta": 0.3, "seed": 7},
+                  li, feature_cols=["l_quantity", "l_discount", "l_tax"],
+                  label_col="l_extendedprice")
+    rows = [(i + 1, round(float(w), 6)) for i, w in enumerate(model.tree_weights)]
+    return spark.createDataFrame(rows, "tree bigint, tree_weight double")
 
 
 def q_train_shap(spark, sf_dir):
@@ -2359,6 +2454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         # ---- end of driver window (50 entries above) --------------------
+        # oracle-backed, replica-checked; rotate into the window next
+        # round once the current batch is driver-certified
+        "train_logistic": q_train_logistic,
+        "dart_weights": q_dart_weights,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -2644,6 +2743,90 @@ SELECT CAST(node AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
 FROM b1"""
 
 
+def _train_logistic_sql() -> str:
+    """DuckDB twin of q_train_logistic: two binary:logistic rounds with
+    real (non-unit) hessian histograms, generated like _train_stump_sql
+    but with sigmoid gradients and a logloss metric per round."""
+    feats = _BS_FEATURES
+    B = 8
+    ctes = []
+    for f in feats:
+        ctes.append(f"""rk_{f} AS (
+  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
+  FROM lineitem WHERE {f} IS NOT NULL),
+cut_{f} AS (
+  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
+    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    bin_cols = ",\n         ".join(
+        f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
+        for f in feats)
+    ctes.append(f"""binned AS (
+  SELECT CAST(l_linenumber % 2 AS DOUBLE) AS y,
+         CAST(0.0 AS DOUBLE) AS m,
+         {bin_cols}
+  FROM lineitem l)""")
+    pick_bin = ("CASE bb.feature " + " ".join(
+        f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])
+        + f" ELSE bin_{feats[-1]} END")
+
+    def round_ctes(r: int, src: str) -> str:
+        hist = " UNION ALL ".join(
+            f"""SELECT '{f}' AS feature, bin_{f} AS bin,
+       round(sum(1.0/(1.0+exp(-m)) - y), 4) AS sum_g,
+       round(sum((1.0/(1.0+exp(-m))) * (1.0 - 1.0/(1.0+exp(-m)))), 4) AS sum_h
+  FROM {src} GROUP BY 2""" for f in feats)
+        return f"""h{r} AS ({hist}),
+s{r} AS (
+  SELECT feature, bin,
+         sum(sum_g) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER (PARTITION BY feature) AS gt,
+         sum(sum_h) OVER (PARTITION BY feature) AS ht,
+         max(bin) OVER (PARTITION BY feature) AS mx
+  FROM h{r}),
+g{r} AS (
+  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+         gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+  FROM s{r} WHERE bin < mx),
+b{r} AS (
+  SELECT feature, bin, round(gain, 4) AS gain,
+         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
+  FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+        FROM g{r})
+  WHERE rk = 1)"""
+
+    ctes.append(round_ctes(1, "binned"))
+    ctes.append(f"""p1 AS (
+  SELECT binned.* REPLACE (m + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
+                                      THEN bb.wl ELSE bb.wr END) AS m)
+  FROM binned, b1 bb),
+st1 AS (
+  SELECT round(sum(m), 2) AS ms,
+         round(avg(-(y * ln(1.0/(1.0+exp(-m)))
+                     + (1.0-y) * ln(1.0 - 1.0/(1.0+exp(-m))))), 6) AS ll
+  FROM p1)""")
+    ctes.append(round_ctes(2, "p1"))
+    ctes.append(f"""p2 AS (
+  SELECT p1.* REPLACE (m + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
+                                  THEN bb.wl ELSE bb.wr END) AS m)
+  FROM p1, b2 bb),
+st2 AS (
+  SELECT round(sum(m), 2) AS ms,
+         round(avg(-(y * ln(1.0/(1.0+exp(-m)))
+                     + (1.0-y) * ln(1.0 - 1.0/(1.0+exp(-m))))), 6) AS ll
+  FROM p2)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(1 AS BIGINT) AS round, feature, CAST(bin AS BIGINT) AS best_bin,
+       gain AS best_gain, wl AS w_left, wr AS w_right,
+       (SELECT ms FROM st1) AS margin_sum, (SELECT ll FROM st1) AS logloss
+FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
+       (SELECT ms FROM st2), (SELECT ll FROM st2)
+FROM b2"""
+
+
 def _simhash_oracle_sql(n_bits: int = 48) -> str:
     """DuckDB twin of operators/dedup.simhash: same md5-derived 48-bit
     token hashes, same bitwise vote (generated per-bit expressions)."""
@@ -2766,6 +2949,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
+        "train_logistic": _train_logistic_sql(),
+
+        # closed-form replay of the dart normalize_type=tree rule with
+        # rate_drop=1: tree i enters at weight 1/((i-1)+0.3) (1.0 for
+        # the first) and is rescaled by (j-1)/((j-1)+0.3) at each later
+        # round j; the product is replayed via exp/ln (<=4 terms, error
+        # ~1e-16, rounded 6dp)
+        "dart_weights": """
+WITH r AS (SELECT unnest(generate_series(1, 5)) AS i),
+w AS (
+  SELECT a.i,
+         (CASE WHEN a.i = 1 THEN 1.0 ELSE 1.0 / ((a.i - 1) + 0.3) END)
+         * coalesce(exp(sum(ln((b.i - 1.0) / ((b.i - 1) + 0.3)))), 1.0) AS wt
+  FROM r a LEFT JOIN r b ON b.i > a.i
+  GROUP BY a.i)
+SELECT CAST(i AS BIGINT) AS tree, round(wt, 6) AS tree_weight FROM w""",
 
         "fit_stump": """
 SELECT round(avg(l_extendedprice), 6) AS base_score,

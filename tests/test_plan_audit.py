@@ -105,3 +105,30 @@ def test_target_encode_broadcasts_stats(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = plan_of(features.target_encode(li, "l_returnflag", "l_extendedprice"))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_semantic_dedup_pairwise_is_equi_join(spark, sf_dir):
+    """The within-cluster pairwise stage must compile to an equi-join
+    keyed on the cluster id (hash/sort-merge exchange), never a
+    cartesian/broadcast-nested-loop over the corpus — at 100 TB a BNLJ
+    here is quadratic over everything."""
+    from xgboost_spark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plan only (no execution): inspect the pairs stage via the final df
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.5)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_scale_assignment_has_no_shuffle(spark):
+    """The broadcast-NumPy assignment path is a pure map: no Exchange
+    between the scan and the MapInPandas node."""
+    import numpy as np
+    from xgboost_spark.operators.similarity import _assign_lists_np
+    rows = [(i, [float(i), float(i + 1)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.random.default_rng(0).normal(size=(128, 2))
+    p = plan_of(_assign_lists_np(df, cents, "embedding"))
+    assert "MapInPandas" in p
+    assert "Exchange" not in p

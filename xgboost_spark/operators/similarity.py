@@ -284,6 +284,14 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
     engine-independent deterministic function of the ids, so the full
     IVF search is replayable in plain SQL (the `knn_ivf0` DuckDB oracle
     regenerates the identical seeds, assignment, and probe lists).
+
+    Memory contract at large ``n_centroids``: the centroid matrix
+    (n_centroids x dim doubles) must fit on the driver and in each
+    executor — it is broadcast for assignment (the standard IVF
+    contract; e.g. 10^5 x 768 ~ 0.6 GB).  The per-iteration Lloyd
+    means collect is exactly that same size, so it adds no new bound.
+    Past ``EXPR_ASSIGN_MAX`` centroids, assignment runs on the
+    broadcast-NumPy mapInPandas path automatically.
     """
     if seed_by == "id":
         seed_rows = (
