@@ -716,6 +716,47 @@ def test_jpeg_codec(spark):
     assert np.isfinite(np.array(feats)).all() and np.array(feats).std() > 0
 
 
+def test_progressive_jpeg_codec(spark):
+    """Progressive (SOF2) decode must reconstruct the IDENTICAL pixels
+    as baseline decode of the same quantized coefficients — the two
+    entropy layouts carry the same data, so any refinement-scan bug
+    (EOB runs, ZRL over zero-history runs, correction bits) shows up as
+    a pixel diff."""
+    import numpy as np
+    from xgboost_spark.operators.jpeg import (decode_jpeg, encode_jpeg,
+                                              encode_jpeg_progressive)
+    from xgboost_spark.operators.multimodal import image_features
+
+    yy, xx = np.mgrid[0:41, 0:57]
+    img = np.stack([(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256],
+                   axis=2).astype(np.uint8)
+    img[10:20, 10:30] = [255, 0, 0]
+    for sub in (True, False, "422"):
+        base = decode_jpeg(encode_jpeg(img, 90, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 90, subsample=sub))
+        assert (base == prog).all(), f"subsample={sub}"
+    # noise at low quality scatters sparse +-1 coefficients through the
+    # band: exercises ZRL-in-refinement and per-block EOB paths
+    noise = np.random.default_rng(5).integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    bn = decode_jpeg(encode_jpeg(noise, 50, subsample=True))
+    pn = decode_jpeg(encode_jpeg_progressive(noise, 50, subsample=True))
+    assert (bn == pn).all()
+    # grayscale + odd size with partial MCUs and a non-interleaved
+    # block grid smaller than the padded MCU grid (w=17, 4:2:0)
+    g = ((yy * xx) % 256).astype(np.uint8)[:17, :17]
+    assert (decode_jpeg(encode_jpeg(g, 85))
+            == decode_jpeg(encode_jpeg_progressive(g, 85))).all()
+    c17 = img[:17, :17]
+    assert (decode_jpeg(encode_jpeg(c17, 75, subsample=True))
+            == decode_jpeg(encode_jpeg_progressive(c17, 75, subsample=True))).all()
+    # end-to-end through the Spark feature pipeline in strict mode
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(img, 85)))],
+        "id long, content binary")
+    feats = image_features(df, strict=True).toPandas().features.iloc[0]
+    assert np.isfinite(np.array(feats)).all() and np.array(feats).std() > 0
+
+
 def test_avi_mjpeg_through_frame_sample(spark):
     import numpy as np
     from xgboost_spark.operators.multimodal import (decode_avi_mjpeg,
@@ -760,12 +801,13 @@ def test_codec_edge_cases(spark):
     gi = np.clip(yy * 9 + xx, 0, 255).astype(np.uint8)
     assert (decode_gif(encode_gif(gi, interlace=True))[:, :, 0] == gi).all()
 
-    # unsupported variants raise cleanly, not garbage
-    prog = bytearray(encode_jpeg(img))
-    sof = prog.find(b"\xFF\xC0")
-    prog[sof + 1] = 0xC2                        # pretend progressive
+    # unsupported variants raise cleanly, not garbage (progressive is
+    # supported since round 4 — lossless SOF3 is the honest non-goal)
+    lossless = bytearray(encode_jpeg(img))
+    sof = lossless.find(b"\xFF\xC0")
+    lossless[sof + 1] = 0xC3                    # pretend lossless
     with pt.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(lossless))
     with pt.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-really")
     with pt.raises(ValueError):

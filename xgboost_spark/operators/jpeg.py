@@ -1,12 +1,16 @@
-"""Baseline JPEG (JFIF) codec in pure NumPy — no external libraries.
+"""JPEG (JFIF) codec in pure NumPy — no external libraries.
 
-Scope: baseline sequential DCT, 8-bit, grayscale or YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 subsampling, restart markers; progressive and arithmetic
-coding raise cleanly.  The encoder exists primarily to generate honest
-test vectors for the decoder (and uses the spec's Annex K quantization
-and Huffman tables), but both directions are real: DCT via the
-orthonormal DCT-II matrix, canonical Huffman coding, byte stuffing,
-chroma up/down-sampling.
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2) —
+spectral selection, successive approximation (DC and AC refinement
+scans, EOB runs), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling, restart markers; arithmetic coding raises cleanly.  Both
+directions are real: DCT via the orthonormal DCT-II matrix, canonical
+Huffman coding, byte stuffing, chroma up/down-sampling; the
+progressive encoder uses the conventional 10-scan script (DC first +
+refinement, spectral bands, two AC approximation passes) so the
+decoder's refinement paths are exercised by honest in-repo vectors.
+All per ITU-T T.81 (public spec): F.2 sequential decode, G.1/G.2
+progressive code/decode flowcharts.
 
 This is the last of the common image formats — with PPM/BMP/PNG/GIF in
 `multimodal.py`, every mainstream still-image format decodes in-repo.
@@ -348,12 +352,412 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def _quantized_coefs(img: np.ndarray, quality: int, subsample):
+    """Shared front half of both encoders: color transform, subsample,
+    pad to the MCU grid, DCT + quantize.  Returns (coefs, samp, qts,
+    h, w, gray) with coefs[ci] shaped (blocks_y, blocks_x, 64) in
+    ZIGZAG order."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_l = np.clip((_QT_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
+    qt_c = np.clip((_QT_CHROM * scale + 50) // 100, 1, 255).astype(np.int32)
+    C = _dct_matrix()
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qts = [qt_l]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+
+        def ds(p, fy, fx):
+            ph = (p.shape[0] + fy - 1) // fy * fy
+            pw = (p.shape[1] + fx - 1) // fx * fx
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        if subsample == "422":
+            planes = [y - 128.0, ds(cb, 1, 2) - 128.0, ds(cr, 1, 2) - 128.0]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
+            planes = [y - 128.0, ds(cb, 2, 2) - 128.0, ds(cr, 2, 2) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [qt_l, qt_c, qt_c]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    for p, (sh, sv), qt in zip(planes, samp, qts):
+        ph, pw = mcy * 8 * sv, mcx * 8 * sh
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        grid = np.zeros((mcy * sv, mcx * sh, 64), np.int32)
+        for by in range(mcy * sv):
+            for bx in range(mcx * sh):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = C @ blk @ C.T
+                grid[by, bx] = np.round(coef / qt).astype(np.int32) \
+                                 .reshape(-1)[_ZZ]
+        coefs.append(grid)
+    return coefs, samp, (qt_l, qt_c), h, w, gray
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = True) -> bytes:
+    """HxW (gray) or HxWx3 RGB uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script (conventional shape, exercising every progressive
+    decode path): interleaved DC first at Al=1, per-component AC first
+    scans 1..63 at Al=1 (spectral selection), then DC refinement and
+    per-component AC refinement scans to Al=0 (successive
+    approximation with correction bits).  EOB runs are emitted as EOB0
+    per block, which keeps the Annex K Huffman tables sufficient
+    (EOBn>0 symbols are absent from them)."""
+    coefs, samp, (qt_l, qt_c), h, w, gray = _quantized_coefs(
+        img, quality, subsample)
+    nf = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcy, mcx = coefs[0].shape[0] // samp[0][1], coefs[0].shape[1] // samp[0][0]
+    dc_tabs = [_canonical_codes(*_HUFF_DC_LUM)] + \
+              [_canonical_codes(*_HUFF_DC_CHROM)] * (nf - 1)
+    ac_tabs = [_canonical_codes(*_HUFF_AC_LUM)] + \
+              [_canonical_codes(*_HUFF_AC_CHROM)] * (nf - 1)
+
+    def comp_blocks(ci):
+        """Non-interleaved block grid (T.81 A.2.2)."""
+        sh, sv = samp[ci]
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        pred = [0] * nf
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in range(nf):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t, bits = _magnitude(diff)
+                            code, ln = dc_tabs[ci][t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(bits, t)
+        bw.flush()
+        return bw.buf
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in range(nf):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                            bw.write((v >> al) & 1, 1)
+        bw.flush()
+        return bw.buf
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        act = ac_tabs[ci]
+        sh_b, sw_b = comp_blocks(ci)
+        for by in range(sh_b):
+            for bx in range(sw_b):
+                zz = coefs[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    c = int(zz[k])
+                    v = abs(c) >> al
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    if c < 0:
+                        v = -v
+                    t, bits = _magnitude(v)
+                    code, ln = act[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(bits, t)
+                    run = 0
+                if run:
+                    code, ln = act[0x00]          # EOB0 per block
+                    bw.write(code, ln)
+        bw.flush()
+        return bw.buf
+
+    def ac_refine_scan(ci, ss, se, al):
+        # T.81 G.1.2.3 encoder: runs count zero-history positions,
+        # correction bits for already-significant coefficients are
+        # buffered and flushed after the next symbol
+        bw = _BitWriter()
+        act = ac_tabs[ci]
+        sh_b, sw_b = comp_blocks(ci)
+        for by in range(sh_b):
+            for bx in range(sw_b):
+                zz = coefs[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for idx, v in enumerate(absv):
+                    if v == 1:
+                        eob = idx
+                run = 0
+                br_bits: list[int] = []
+                for idx, v in enumerate(absv):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15 and idx <= eob:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for bbit in br_bits:
+                            bw.write(bbit, 1)
+                        br_bits = []
+                    if v > 1:
+                        br_bits.append(v & 1)
+                        continue
+                    code, ln = act[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(0 if int(zz[ss + idx]) < 0 else 1, 1)
+                    for bbit in br_bits:
+                        bw.write(bbit, 1)
+                    br_bits = []
+                    run = 0
+                if run or br_bits:
+                    code, ln = act[0x00]          # EOB0 + its buffered bits
+                    bw.write(code, ln)
+                    for bbit in br_bits:
+                        bw.write(bbit, 1)
+        bw.flush()
+        return bw.buf
+
+    out = bytearray(b"\xFF\xD8")
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tid, qt in ((0, qt_l),) + (((1, qt_c),) if not gray else ()):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in qt.reshape(-1)[_ZZ])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for ci, (sh, sv) in enumerate(samp):
+        out += struct.pack("BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    for tc, th, (bits, vals) in ((0, 0, _HUFF_DC_LUM), (1, 0, _HUFF_AC_LUM),
+                                 (0, 1, _HUFF_DC_CHROM), (1, 1, _HUFF_AC_CHROM)):
+        if gray and th == 1:
+            continue
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th) \
+            + bytes(bits) + bytes(vals)
+
+    def sos(comp_list, ss, se, ah, al, data):
+        hdr = bytearray(b"\xFF\xDA")
+        hdr += struct.pack(">HB", 6 + 2 * len(comp_list), len(comp_list))
+        for ci in comp_list:
+            td = 0 if ci == 0 else 1
+            hdr += struct.pack("BB", ci + 1, (td << 4) | td)
+        hdr += struct.pack("BBB", ss, se, (ah << 4) | al)
+        return bytes(hdr) + data
+
+    out += sos(list(range(nf)), 0, 0, 0, 1, dc_first_scan(1))
+    for ci in range(nf):
+        out += sos([ci], 1, 63, 0, 1, ac_first_scan(ci, 1, 63, 1))
+    out += sos(list(range(nf)), 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in range(nf):
+        out += sos([ci], 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 0))
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
+def _next_marker(b: bytes, j: int) -> int:
+    """First non-RST, non-stuffed marker position at or after j."""
+    while j + 1 < len(b):
+        if b[j] == 0xFF:
+            n = b[j + 1]
+            if n == 0x00 or 0xD0 <= n <= 0xD7:
+                j += 2
+                continue
+            if n == 0xFF:
+                j += 1
+                continue
+            return j
+        j += 1
+    return len(b)
+
+
+def _decode_scan(br: _BitReader, comps, coefs, huff, restart,
+                 scan_comps, ss, se, ah, al, geom, progressive):
+    """Decode one scan's entropy data into the coefficient store.
+
+    Sequential: ss=0,se=63,ah=al=0.  Progressive DC scans (ss=0) may be
+    interleaved; AC scans (ss>=1) are single-component with EOB runs
+    and, at ah>0, the T.81 G.1.2.3 refinement algorithm.
+    """
+    mcx, mcy, hmax, vmax, w, h = geom
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def dc_block(ci, zz, td):
+        nonlocal pred
+        if ah == 0:
+            t = br.decode_huff(huff[(0, td)])
+            diff = _extend(br.receive(t), t)
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+        else:
+            if br.read_bit():
+                zz[0] |= p1
+
+    def ac_first(zz, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(huff[(1, ta)])
+            r, t = rs >> 4, rs & 15
+            if t == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                break
+            zz[k] = _extend(br.receive(t), t) << al
+            k += 1
+
+    def ac_refine(zz, ta):
+        # T.81 G.1.2.3: correction bit per already-nonzero coefficient,
+        # runs count only zero-history positions
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_huff(huff[(1, ta)])
+                r, t = rs >> 4, rs & 15
+                newval = 0
+                if t == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.receive(r)
+                        break          # this block finishes in EOB phase
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if t and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def seq_block(ci, zz, td, ta):
+        dc_block(ci, zz, td)
+        k = 1
+        while k < 64:
+            rs = br.decode_huff(huff[(1, ta)])
+            r, t = rs >> 4, rs & 15
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                break
+            zz[k] = _extend(br.receive(t), t)
+            k += 1
+
+    def do_block(ci, by, bx, td, ta):
+        zz = coefs[ci][by, bx]
+        if not progressive:
+            seq_block(ci, zz, td, ta)
+        elif ss == 0:
+            dc_block(ci, zz, td)
+        elif ah == 0:
+            ac_first(zz, ta)
+        else:
+            ac_refine(zz, ta)
+
+    mcu_count = 0
+    if len(scan_comps) > 1:
+        for my in range(mcy):
+            for mx in range(mcx):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    br.resync_restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                mcu_count += 1
+                for ci, td, ta in scan_comps:
+                    comp = comps[ci]
+                    for byy in range(comp["v"]):
+                        for bxx in range(comp["h"]):
+                            do_block(ci, my * comp["v"] + byy,
+                                     mx * comp["h"] + bxx, td, ta)
+    else:
+        ci, td, ta = scan_comps[0]
+        comp = comps[ci]
+        # non-interleaved geometry (T.81 A.2.2): the component's OWN
+        # block grid, ceil of its downsampled dimensions
+        cw = (w * comp["h"] + hmax - 1) // hmax
+        ch = (h * comp["v"] + vmax - 1) // vmax
+        sw = (cw + 7) // 8
+        sh = (ch + 7) // 8
+        for by in range(sh):
+            for bx in range(sw):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    br.resync_restart()
+                    pred = [0] * len(comps)
+                    eobrun = 0
+                mcu_count += 1
+                do_block(ci, by, bx, td, ta)
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> HxWx3 uint8 RGB (gray replicates)."""
+    """JFIF bytes (baseline SOF0/1 or progressive SOF2) -> HxWx3 uint8
+    RGB (gray replicates).  Multi-scan: coefficients accumulate across
+    scans; dequantize + IDCT happen once at the end."""
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     i = 2
@@ -362,9 +766,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart = 0
-    scan_comps = None
-    data_start = None
-    while i + 4 <= len(b):
+    progressive = False
+    coefs = None
+    geom = None
+    saw_scan = False
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             i += 1
             continue
@@ -372,6 +778,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if m == 0xD9:
+            break
+        if i + 4 > len(b):
+            break
         ln = struct.unpack_from(">H", b, i + 2)[0]
         seg = b[i + 4:i + 2 + ln]
         if m == 0xDB:
@@ -393,78 +803,62 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(seg[j + 17:j + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:
+        elif m in (0xC0, 0xC1, 0xC2):
+            progressive = (m == 0xC2)
             _prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for c in range(nf):
                 cid, sf, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 15, "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            raise NotImplementedError(
+                "hierarchical/lossless/arithmetic JPEG unsupported")
         elif m == 0xDD:
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (mcx, mcy, hmax, vmax, w, h)
+                coefs = [np.zeros((mcy * c["v"], mcx * c["h"], 64), np.int32)
+                         for c in comps]
             ns = seg[0]
+            by_id = {c["id"]: k for k, c in enumerate(comps)}
             scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_comps.append((cs, tt >> 4, tt & 15))
+                scan_comps.append((by_id[cs], tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             data_start = i + 2 + ln
-            break
-        elif m == 0xD9:
-            break
+            br = _BitReader(b[data_start:])
+            _decode_scan(br, comps, coefs, huff, restart, scan_comps,
+                         ss, se, a >> 4, a & 15, geom, progressive)
+            saw_scan = True
+            i = _next_marker(b, data_start)
+            continue
         i += 2 + ln
-    if comps is None or scan_comps is None or data_start is None:
+    if comps is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcx = (w + 8 * hmax - 1) // (8 * hmax)
-    mcy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcy * 8 * c["v"], mcx * 8 * c["h"])) for c in comps]
+    mcx, mcy, hmax, vmax, _, _ = geom
     C = _dct_matrix()
-    br = _BitReader(b[data_start:])
-    pred = [0] * len(comps)
-    by_id = {c["id"]: k for k, c in enumerate(comps)}
-    order = [(by_id[cs], td, ta) for cs, td, ta in scan_comps]
-    mcu_count = 0
-    for my in range(mcy):
-        for mx in range(mcx):
-            if restart and mcu_count and mcu_count % restart == 0:
-                br.resync_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, td, ta in order:
-                comp = comps[ci]
-                qt = qts[comp["tq"]]
-                for byy in range(comp["v"]):
-                    for bxx in range(comp["h"]):
-                        zz = np.zeros(64, np.int32)
-                        t = br.decode_huff(huff[(0, td)])
-                        diff = _extend(br.receive(t), t)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_huff(huff[(1, ta)])
-                            r, t = rs >> 4, rs & 15
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                break
-                            zz[k] = _extend(br.receive(t), t)
-                            k += 1
-                        blk = np.zeros(64)
-                        blk[_ZZ] = zz * qt.reshape(-1)[_ZZ]
-                        px = C.T @ blk.reshape(8, 8) @ C
-                        y0 = (my * comp["v"] + byy) * 8
-                        x0 = (mx * comp["h"] + bxx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts[c["tq"]].reshape(-1)[_ZZ]
+        bh, bw = coefs[ci].shape[:2]
+        p = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64)
+                blk[_ZZ] = coefs[ci][by, bx] * qt
+                p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    C.T @ blk.reshape(8, 8) @ C
+        planes.append(p)
     up = []
     for p, c in zip(planes, comps):
         if c["h"] != hmax or c["v"] != vmax:

@@ -18,11 +18,13 @@ image/audio libraries exist in this container):
 - video: a raw-frame container (magic ``XGVR``) decodes to real frames;
   unknown containers fall back to byte-window sampling
 
-Remaining compressed codecs (MP3/H.264 and progressive/arithmetic
-JPEG) genuinely need external libraries: with PIL importable it is used for images; otherwise those
-formats raise NotImplementedError in ``strict`` mode and fall back to a
-clearly-marked deterministic fake so the distributed plumbing stays
-testable.
+Progressive (SOF2) JPEG decodes in-repo too (operators/jpeg.py:
+spectral selection + successive approximation).  The remaining
+compressed codecs (MP3, H.264, arithmetic-coded JPEG) genuinely need
+external libraries: with PIL importable it is used for images;
+otherwise those formats raise NotImplementedError in ``strict`` mode
+and fall back to a clearly-marked deterministic fake so the
+distributed plumbing stays testable.
 
 Schema conventions:
     media struct: content binary, meta struct<format string, width int,
