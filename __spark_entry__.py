@@ -1248,6 +1248,34 @@ def q_train_logistic(spark, sf_dir):
         "w_left double, w_right double, margin_sum double, logloss double")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.bpe_train, Sennrich 2016):
+    4 merges learned from the documents word vocabulary.  The whole
+    iteration runs on the vocabulary (corpus-size independent after one
+    word-count shuffle); merges + counts replay exactly in SQL via the
+    two-space-joined symbol strings and non-overlapping replace."""
+    from xgboost_spark.operators.bpe import bpe_train
+    docs = _table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=4)
+    rows = [(i + 1, a, b, m, n) for i, (a, b, m, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step bigint, a string, b string, merged string, n bigint")
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Per-document BPE token counts after the 4 learned merges
+    (operators/bpe.bpe_token_counts): corpus words broadcast-join the
+    vocabulary's word -> n_tokens map — one corpus scan regardless of
+    merge count."""
+    from xgboost_spark.operators.bpe import bpe_token_counts, bpe_train
+    docs = _table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=4)
+    out = bpe_token_counts(docs, merges)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("n_words").cast("bigint").alias("n_words"),
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -2458,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round once the current batch is driver-certified
         "train_logistic": q_train_logistic,
         "dart_weights": q_dart_weights,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -2743,6 +2773,53 @@ SELECT CAST(node AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
 FROM b1"""
 
 
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared DuckDB CTE chain replaying bpe_train's vocabulary
+    iteration: v0 = word vocab as two-space-joined symbol strings;
+    per step i: pair counts p{i}, argmax b{i} (count desc, pair asc),
+    merged vocab v{i}."""
+    ctes = ["""v0 AS (
+  SELECT word, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq, cnt
+  FROM (SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents) u
+        WHERE length(word) > 0 GROUP BY word))"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT pair, sum(cnt) AS n FROM (
+    SELECT unnest([syms[j] || '  ' || syms[j+1]
+                   for j in generate_series(1, len(syms) - 1)]) AS pair, cnt
+    FROM (SELECT string_split(seq, '  ') AS syms, cnt FROM v{i - 1})) pp
+  GROUP BY pair),
+b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1),
+v{i} AS (
+  SELECT word, replace(seq, b.pair, replace(b.pair, '  ', '')) AS seq, cnt
+  FROM v{i - 1}, b{i} b)""")
+    return ", ".join(ctes)
+
+
+def _bpe_merges_sql(n_merges: int = 4) -> str:
+    selects = [f"""SELECT CAST({i} AS BIGINT) AS step,
+       string_split(pair, '  ')[1] AS a, string_split(pair, '  ')[2] AS b,
+       replace(pair, '  ', '') AS merged, CAST(n AS BIGINT) AS n
+FROM b{i}""" for i in range(1, n_merges + 1)]
+    return f"WITH {_bpe_ctes(n_merges)}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_tokens_sql(n_merges: int = 4) -> str:
+    return f"""WITH {_bpe_ctes(n_merges)},
+w AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents) u
+  WHERE length(word) > 0)
+SELECT CAST(w.doc_id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(v.seq, '  '))) AS BIGINT) AS n_tokens
+FROM w JOIN v{n_merges} v USING (word)
+GROUP BY w.doc_id"""
+
+
 def _train_logistic_sql() -> str:
     """DuckDB twin of q_train_logistic: two binary:logistic rounds with
     real (non-unit) hessian histograms, generated like _train_stump_sql
@@ -2950,6 +3027,8 @@ def oracle_sql() -> dict[str, str]:
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
         "train_logistic": _train_logistic_sql(),
+        "bpe_merges": _bpe_merges_sql(4),
+        "bpe_tokens": _bpe_tokens_sql(4),
 
         # closed-form replay of the dart normalize_type=tree rule with
         # rate_drop=1: tree i enters at weight 1/((i-1)+0.3) (1.0 for

@@ -1036,3 +1036,57 @@ def test_semantic_dedup_bucketed_scale_path(spark, big_emb):
     base = n - 50
     merged = sum(1 for i in range(50) if m[base + i] == m[i])
     assert merged == 50, merged
+
+
+def test_bpe_train_and_encode(spark):
+    from xgboost_spark.operators import bpe
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low"),
+         (3, "wider wide wider")],
+        "doc_id long, text string")
+    merges = bpe.bpe_train(docs, n_merges=6)
+    # first merges on this classic corpus: (l,o) then (lo,w) — 'low'
+    # is the most frequent word (6 occurrences incl. prefixes)
+    assert (merges[0][0], merges[0][1], merges[0][2]) == ("l", "o", "lo")
+    assert merges[1][2] == "low"
+    enc = bpe.bpe_encode_vocab(bpe.word_vocab(docs), merges).toPandas()
+    got = {r["word"]: list(r["tokens"]) for _, r in enc.iterrows()}
+    assert got["low"] == ["low"]
+    assert got["lower"] == ["low", "er"]
+    # greedy left-to-right non-overlap: 'aaa' + (a,a) -> [aa, a]
+    aaa = spark.createDataFrame([(1, "aaa aa")], "doc_id long, text string")
+    m = bpe.bpe_train(aaa, n_merges=1)
+    assert (m[0][0], m[0][1]) == ("a", "a")
+    e = bpe.bpe_encode_vocab(bpe.word_vocab(aaa), m).toPandas()
+    g = {r["word"]: list(r["tokens"]) for _, r in e.iterrows()}
+    assert g["aaa"] == ["aa", "a"] and g["aa"] == ["aa"]
+    # token counts ride a broadcast join, one corpus scan
+    tc = bpe.bpe_token_counts(docs, merges).toPandas().set_index("id")
+    assert tc.loc[1, "n_words"] == 5
+    assert tc.loc[1, "n_tokens"] == sum(
+        len(got[w]) for w in "low lower lowest low low".split())
+
+
+def test_bpe_scale_path_matches_expr_path(spark):
+    """>EXPR_MERGE_MAX merges must run the mapInPandas vocabulary
+    encoder and produce the IDENTICAL tokenization as the chained
+    replace() expression path."""
+    from xgboost_spark.operators import bpe
+    rng = np.random.default_rng(9)
+    alphabet = "abcdefghijklmnop"
+    words = ["".join(rng.choice(list(alphabet), size=8)) for _ in range(120)]
+    text = " ".join(w for w in words for _ in range(rng.integers(1, 4)))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, n_merges=40)
+    assert len(merges) > bpe.EXPR_MERGE_MAX  # enough to force the switch
+    vocab = bpe.word_vocab(docs)
+    scale = bpe.bpe_encode_vocab(vocab, merges)
+    assert "mapinpandas" in scale._jdf.queryExecution().analyzed().toString().lower()
+    # the mapInPandas path must agree with a reference python replay of
+    # the same greedy replace semantics on every vocabulary word
+    a = {r["word"]: list(r["tokens"]) for r in scale.collect()}
+    for w in vocab.toPandas()["word"]:
+        seq = "  ".join(w)
+        for ma, mb, mm, *_ in merges:
+            seq = seq.replace(ma + "  " + mb, mm)
+        assert a[w] == seq.split("  "), w
