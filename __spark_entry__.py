@@ -2650,7 +2650,7 @@ g{r} AS (
 b{r} AS (
   SELECT feature, bin, round(gain, 4) AS gain,
          round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
-  FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+  FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g{r})
   WHERE rk = 1)"""
 
@@ -2722,7 +2722,7 @@ g0 AS (
 b0 AS (
   SELECT feature, bin, round(gain, 4) AS gain,
          round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
-  FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+  FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g0)
   WHERE rk = 1),
 routed AS (
@@ -2749,7 +2749,7 @@ g1 AS (
 b1 AS (
   SELECT node, feature, bin, round(gain, 4) AS gain,
          round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
-  FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+  FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g1)
   WHERE rk = 1),
 p AS (
@@ -2775,47 +2775,61 @@ FROM b1"""
 
 def _bpe_ctes(n_merges: int) -> str:
     """Shared DuckDB CTE chain replaying bpe_train's vocabulary
-    iteration: v0 = word vocab as two-space-joined symbol strings;
-    per step i: pair counts p{i}, argmax b{i} (count desc, pair asc),
-    merged vocab v{i}."""
-    ctes = ["""v0 AS (
-  SELECT word, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq, cnt
+    iteration: v0 = word vocab as space-joined SENTINEL-WRAPPED symbol
+    strings (\\x01..\\x02 — boundaries are unambiguous, so a merge can
+    never match across two symbols); per step i: pair counts p{i},
+    argmax b{i} (count desc, pair asc), merged vocab v{i}.  The merged
+    wrapped symbol is the pair with its inner '\\x02 \\x01' boundary
+    removed.  Control bytes are embedded in the SQL literals directly
+    — both engines treat them as ordinary characters."""
+    from xgboost_spark.operators.bpe import S1, S2
+    ctes = [f"""v0 AS (
+  SELECT word,
+         trim(regexp_replace(word, '(.)', '{S1}\\1{S2} ', 'g')) AS seq, cnt
   FROM (SELECT word, count(*) AS cnt FROM (
           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
           FROM documents) u
-        WHERE length(word) > 0 GROUP BY word))"""]
+        WHERE length(word) > 0
+          AND strpos(word, '{S1}') = 0 AND strpos(word, '{S2}') = 0
+        GROUP BY word))"""]
     for i in range(1, n_merges + 1):
         ctes.append(f"""p{i} AS (
   SELECT pair, sum(cnt) AS n FROM (
-    SELECT unnest([syms[j] || '  ' || syms[j+1]
+    SELECT unnest([syms[j] || ' ' || syms[j+1]
                    for j in generate_series(1, len(syms) - 1)]) AS pair, cnt
-    FROM (SELECT string_split(seq, '  ') AS syms, cnt FROM v{i - 1})) pp
+    FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM v{i - 1})) pp
   GROUP BY pair),
 b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1),
 v{i} AS (
-  SELECT word, replace(seq, b.pair, replace(b.pair, '  ', '')) AS seq, cnt
+  SELECT word, replace(seq, b.pair, replace(b.pair, '{S2} {S1}', '')) AS seq, cnt
   FROM v{i - 1}, b{i} b)""")
     return ", ".join(ctes)
 
 
 def _bpe_merges_sql(n_merges: int = 4) -> str:
+    from xgboost_spark.operators.bpe import S1, S2
+    strip = (f"replace(replace(string_split(pair, ' ')[{{k}}], "
+             f"'{S1}', ''), '{S2}', '')")
     selects = [f"""SELECT CAST({i} AS BIGINT) AS step,
-       string_split(pair, '  ')[1] AS a, string_split(pair, '  ')[2] AS b,
-       replace(pair, '  ', '') AS merged, CAST(n AS BIGINT) AS n
+       {strip.format(k=1)} AS a, {strip.format(k=2)} AS b,
+       {strip.format(k=1)} || {strip.format(k=2)} AS merged,
+       CAST(n AS BIGINT) AS n
 FROM b{i}""" for i in range(1, n_merges + 1)]
     return f"WITH {_bpe_ctes(n_merges)}\n" + "\nUNION ALL\n".join(selects)
 
 
 def _bpe_tokens_sql(n_merges: int = 4) -> str:
+    from xgboost_spark.operators.bpe import S1, S2
     return f"""WITH {_bpe_ctes(n_merges)},
 w AS (
   SELECT doc_id, word FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
     FROM documents) u
-  WHERE length(word) > 0)
+  WHERE length(word) > 0
+    AND strpos(word, '{S1}') = 0 AND strpos(word, '{S2}') = 0)
 SELECT CAST(w.doc_id AS BIGINT) AS id,
        CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(string_split(v.seq, '  '))) AS BIGINT) AS n_tokens
+       CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_tokens
 FROM w JOIN v{n_merges} v USING (word)
 GROUP BY w.doc_id"""
 
@@ -2868,7 +2882,7 @@ g{r} AS (
 b{r} AS (
   SELECT feature, bin, round(gain, 4) AS gain,
          round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
-  FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC) AS rk
+  FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g{r})
   WHERE rk = 1)"""
 

@@ -1053,6 +1053,19 @@ def test_bpe_train_and_encode(spark):
     got = {r["word"]: list(r["tokens"]) for _, r in enc.iterrows()}
     assert got["low"] == ["low"]
     assert got["lower"] == ["low", "er"]
+    # a merge must NEVER match across symbol boundaries: with learned
+    # merges (x,a),(b,y),(a,b), the word 'xaby' is symbols [xa, by] and
+    # merge (a,b) must not glue the 'a'-suffix of 'xa' to the
+    # 'b'-prefix of 'by' (the sentinel-wrapping contract)
+    xy = spark.createDataFrame(
+        [(1, " ".join(["xa"] * 10 + ["by"] * 9 + ["ab"] * 8 + ["xaby"]))],
+        "doc_id long, text string")
+    mx = bpe.bpe_train(xy, n_merges=3)
+    assert [(m[0], m[1]) for m in mx] == [("x", "a"), ("b", "y"), ("a", "b")]
+    ex = {r["word"]: list(r["tokens"])
+          for r in bpe.bpe_encode_vocab(bpe.word_vocab(xy), mx).collect()}
+    assert ex["xaby"] == ["xa", "by"], ex["xaby"]
+    assert ex["ab"] == ["ab"]
     # greedy left-to-right non-overlap: 'aaa' + (a,a) -> [aa, a]
     aaa = spark.createDataFrame([(1, "aaa aa")], "doc_id long, text string")
     m = bpe.bpe_train(aaa, n_merges=1)
@@ -1083,10 +1096,11 @@ def test_bpe_scale_path_matches_expr_path(spark):
     scale = bpe.bpe_encode_vocab(vocab, merges)
     assert "mapinpandas" in scale._jdf.queryExecution().analyzed().toString().lower()
     # the mapInPandas path must agree with a reference python replay of
-    # the same greedy replace semantics on every vocabulary word
+    # the same greedy sentinel-wrapped replace semantics on every word
     a = {r["word"]: list(r["tokens"]) for r in scale.collect()}
     for w in vocab.toPandas()["word"]:
-        seq = "  ".join(w)
+        seq = " ".join(bpe.S1 + c + bpe.S2 for c in w)
         for ma, mb, mm, *_ in merges:
-            seq = seq.replace(ma + "  " + mb, mm)
-        assert a[w] == seq.split("  "), w
+            seq = seq.replace(bpe.S1 + ma + bpe.S2 + " " + bpe.S1 + mb + bpe.S2,
+                              bpe.S1 + mm + bpe.S2)
+        assert a[w] == seq.replace(bpe.S1, "").replace(bpe.S2, "").split(" "), w

@@ -12,12 +12,19 @@ word -> tokens map, so a 100 TB corpus pays one scan + one broadcast
 join regardless of merge count.
 
 Determinism / oracle contract: a word's symbol sequence is represented
-as a TWO-SPACE-joined string ("h  e  l  l  o"), and a merge (a, b) is
-``replace(seq, a + '  ' + b, a + b)``.  Non-overlapping left-to-right
-replace has identical semantics in Spark (Java String.replace) and
-DuckDB, and equals the classic greedy left-to-right BPE merge rule
-("aaa" + (a,a) -> [aa, a]), so training and encoding replay exactly in
-SQL.  Ties in pair counts break by (count desc, pair string asc).
+as a space-joined string of SENTINEL-WRAPPED symbols
+("\\x01h\\x02 \\x01e\\x02 ..."), and a merge (a, b) is
+``replace(seq, '\\x01a\\x02 \\x01b\\x02', '\\x01ab\\x02')``.  The
+sentinels make symbol boundaries unambiguous — a bare separator scheme
+would let the pattern match a SUFFIX of one symbol plus a PREFIX of
+the next (e.g. symbols [xa, by] + merge (a, b) must NOT glue into
+'xaby').  Non-overlapping left-to-right replace has identical
+semantics in Spark (Java String.replace) and DuckDB, and equals the
+classic greedy left-to-right BPE merge rule ("aaa" + (a,a) ->
+[aa, a]), so training and encoding replay exactly in SQL.  Ties in
+pair counts break by (count desc, pair string asc).  Words containing
+the sentinel bytes themselves are excluded from the vocabulary (a
+degenerate-input guard, mirrored in the SQL oracle).
 """
 
 from __future__ import annotations
@@ -30,30 +37,45 @@ from pyspark.sql import functions as F
 # to a mapInPandas loop over the vocabulary (flat analyzer cost)
 EXPR_MERGE_MAX = 32
 
+# symbol wrappers: \x01 opens, \x02 closes (unambiguous boundaries)
+S1, S2 = "\x01", "\x02"
+
+
+def _wrap(sym: str) -> str:
+    return S1 + sym + S2
+
+
+def _merge_pattern(a: str, b: str) -> tuple[str, str]:
+    """(search, replacement) for applying merge (a, b) to a sequence."""
+    return _wrap(a) + " " + _wrap(b), _wrap(a + b)
+
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt): lowercase whitespace words with corpus counts —
-    the one corpus-sized shuffle in the whole BPE pipeline."""
+    the one corpus-sized shuffle in the whole BPE pipeline.  Words
+    containing the sentinel bytes are excluded (degenerate input)."""
     from xgboost_spark.operators.util import ensure_parallelism
     words = ensure_parallelism(df.select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")))
-    return (words.filter(F.length("word") > 0)
+    return (words.filter((F.length("word") > 0)
+                         & ~F.col("word").contains(S1)
+                         & ~F.col("word").contains(S2))
             .groupBy("word").agg(F.count("*").alias("cnt")))
 
 
 def _to_symbols(word_col):
-    """word -> two-space-joined character sequence ('he' -> 'h  e')."""
-    return F.trim(F.regexp_replace(word_col, "(.)", "$1  "))
+    """word -> space-joined wrapped symbols ('he' -> '\\x01h\\x02 \\x01e\\x02')."""
+    return F.trim(F.regexp_replace(word_col, "(.)", S1 + "$1" + S2 + " "))
 
 
 def _pairs_expr(seq_col):
-    """two-space-joined sequence -> array of adjacent 'a  b' pairs."""
-    syms = F.split(seq_col, "  ")
+    """wrapped sequence -> array of adjacent 'WRAP(a) WRAP(b)' pairs."""
+    syms = F.split(seq_col, " ")
     n = F.size(syms)
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
            .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat(
-        F.element_at(syms, i), F.lit("  "), F.element_at(syms, i + 1)))
+        F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)))
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
@@ -79,12 +101,13 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                .limit(1).first())
         if top is None or top["n"] is None:
             break
-        a, bsym = top["pair"].split("  ")
+        wa, wb = top["pair"].split(" ")
+        a, bsym = wa.strip(S1 + S2), wb.strip(S1 + S2)
         merged = a + bsym
         merges.append((a, bsym, merged, int(top["n"])))
+        pat, rep = _merge_pattern(a, bsym)
         vocab = vocab.select(
-            F.replace(F.col("seq"), F.lit(a + "  " + bsym),
-                      F.lit(merged)).alias("seq"),
+            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
             "cnt")
         if (it + 1) % 8 == 0:
             vocab = vocab.localCheckpoint(eager=True)
@@ -102,15 +125,16 @@ def bpe_encode_vocab(vocab: DataFrame, merges: list[tuple]) -> DataFrame:
     """
     if len(merges) <= EXPR_MERGE_MAX:
         seq = _to_symbols(F.col("word"))
-        for a, bsym, merged, *_ in merges:
-            seq = F.replace(seq, F.lit(a + "  " + bsym), F.lit(merged))
-        toks = F.split(seq, "  ")
+        for a, bsym, _merged, *_ in merges:
+            pat, rep = _merge_pattern(a, bsym)
+            seq = F.replace(seq, F.lit(pat), F.lit(rep))
+        toks = F.split(F.translate(seq, S1 + S2, ""), " ")
         return vocab.select("word", "cnt", toks.alias("tokens"),
                             F.size(toks).alias("n_tokens"))
 
     import pandas as pd
     from pyspark.sql import types as T
-    reps = [(a + "  " + bsym, merged) for a, bsym, merged, *_ in merges]
+    reps = [_merge_pattern(a, bsym) for a, bsym, *_ in merges]
     schema = T.StructType(list(vocab.schema.fields)
                           + [T.StructField("tokens", T.ArrayType(T.StringType())),
                              T.StructField("n_tokens", T.IntegerType())])
@@ -119,10 +143,10 @@ def bpe_encode_vocab(vocab: DataFrame, merges: list[tuple]) -> DataFrame:
         for pdf in batches:
             toks, sizes = [], []
             for w in pdf["word"]:
-                seq = "  ".join(w)
+                seq = " ".join(_wrap(c) for c in w)
                 for pat, rep in reps:
                     seq = seq.replace(pat, rep)
-                t = seq.split("  ")
+                t = seq.replace(S1, "").replace(S2, "").split(" ")
                 toks.append(t)
                 sizes.append(len(t))
             yield pdf.assign(tokens=pd.Series(toks, index=pdf.index),

@@ -134,9 +134,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = (pairs.select(F.col("id_a").cast("long").alias("a"),
                           F.col("id_b").cast("long").alias("b"))
              .filter(F.col("a") != F.col("b")))
+    # eager checkpoints decouple the result from the input lineage, so
+    # a caller may unpersist/release the edge source once this returns
     nodes = (pairs.select(F.col("id_a").cast("long").alias("id"))
              .union(pairs.select(F.col("id_b").cast("long").alias("id")))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     # canonical directed-to-larger form: (a, b) with b < a
     star = (edges.select(F.greatest("a", "b").alias("a"),
                          F.least("a", "b").alias("b"))

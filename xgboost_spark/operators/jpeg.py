@@ -223,61 +223,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     ``subsample``: True -> 4:2:0, False -> 4:4:4, "422" -> 4:2:2;
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the error-resilience feature real camera files use)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    q = max(1, min(100, int(quality)))
-    scale = 5000 // q if q < 50 else 200 - 2 * q
-    qt_l = np.clip((_QT_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
-    qt_c = np.clip((_QT_CHROM * scale + 50) // 100, 1, 255).astype(np.int32)
-    C = _dct_matrix()
-
-    if gray:
-        planes = [img.astype(np.float64) - 128.0]
-        samp = [(1, 1)]
-        qts = [qt_l]
-    else:
-        f = img.astype(np.float64)
-        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
-        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
-        def ds(p, fy, fx):
-            ph = (p.shape[0] + fy - 1) // fy * fy
-            pw = (p.shape[1] + fx - 1) // fx * fx
-            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                        mode="edge")
-            return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
-        if subsample == "422":
-            planes = [y - 128.0, ds(cb, 1, 2) - 128.0, ds(cr, 1, 2) - 128.0]
-            samp = [(2, 1), (1, 1), (1, 1)]
-        elif subsample:
-            planes = [y - 128.0, ds(cb, 2, 2) - 128.0, ds(cr, 2, 2) - 128.0]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y - 128.0, cb - 128.0, cr - 128.0]
-            samp = [(1, 1), (1, 1), (1, 1)]
-        qts = [qt_l, qt_c, qt_c]
-
+    coefs, samp, (qt_l, qt_c), h, w, gray = _quantized_coefs(
+        img, quality, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcx = (w + mcu_w - 1) // mcu_w
-    mcy = (h + mcu_h - 1) // mcu_h
-
-    padded = []
-    for p, (sh, sv) in zip(planes, samp):
-        ph, pw = mcy * 8 * sv, mcx * 8 * sh
-        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                             mode="edge"))
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
 
     dc_l = _canonical_codes(*_HUFF_DC_LUM)
     ac_l = _canonical_codes(*_HUFF_AC_LUM)
     dc_c = _canonical_codes(*_HUFF_DC_CHROM)
     ac_c = _canonical_codes(*_HUFF_AC_CHROM)
-    huffs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    huffs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(coefs) - 1)
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(coefs)
     mcu_n = 0
     rst = 0
     for my in range(mcy):
@@ -286,17 +246,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                 bw.flush()
                 bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                pred = [0] * len(planes)
+                pred = [0] * len(coefs)
             mcu_n += 1
-            for ci, (p, (sh, sv), qt, (dct_t, act)) in enumerate(
-                    zip(padded, samp, qts, huffs)):
+            for ci, ((sh, sv), (dct_t, act)) in enumerate(zip(samp, huffs)):
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = p[y0:y0 + 8, x0:x0 + 8]
-                        coef = C @ blk @ C.T
-                        qd = np.round(coef / qt).astype(np.int32).reshape(-1)[_ZZ]
+                        qd = coefs[ci][my * sv + by, mx * sh + bx]
                         diff = int(qd[0]) - pred[ci]
                         pred[ci] = int(qd[0])
                         t, bits = _magnitude(diff)
@@ -330,7 +285,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for tid, qt in ((0, qt_l),) + (((1, qt_c),) if not gray else ()):
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
             + bytes(int(x) for x in qt.reshape(-1)[_ZZ])
-    nf = len(planes)
+    nf = len(coefs)
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for ci, (sh, sv) in enumerate(samp):
         out += struct.pack("BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)

@@ -273,7 +273,10 @@ def image_features(df: DataFrame, content_col: str = "content", out_dim: int = 1
                 img = None
                 try:
                     img = _decode_image_bytes(b)
-                except ValueError:
+                except (ValueError, NotImplementedError):
+                    # NotImplementedError = recognized container, codec
+                    # out of scope (e.g. arithmetic/lossless JPEG) —
+                    # non-strict mode falls back like any undecodable
                     img = None
                 if img is not None:
                     v = _image_feature_vec(img, out_dim)
@@ -372,7 +375,7 @@ def audio_features(df: DataFrame, content_col: str = "content", out_dim: int = 8
                 b = bytes(content) if content is not None else b""
                 try:
                     x, _rate = _decode_audio_bytes(b)
-                except ValueError:
+                except (ValueError, NotImplementedError):
                     x = None
                 if x is not None and len(x):
                     wins = np.array_split(x, n_win)

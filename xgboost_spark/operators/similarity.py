@@ -361,7 +361,9 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         qp = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
         qv = np.stack(qp["qv"].to_numpy()).astype(np.float64)
         d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        probes = np.argsort(d2, axis=1)[:, :n_probe]
+        # stable sort: equidistant centroids tie to the lowest list_id,
+        # matching the expression path and the NumPy scale path
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
         rows = [
             (int(qp["query_id"][i]), [float(x) for x in qv[i]], [int(p) for p in probes[i]])
             for i in range(len(qp))
@@ -667,20 +669,26 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
     within-cluster comparison for the oracle-replayable configuration.
     """
     import math
+    from pyspark import StorageLevel
     from xgboost_spark.operators.dedup import connected_components
-    assigned, _ = ivf_build(corpus, n_clusters, vec_col, id_col,
-                            iters=iters, seed_by=seed_by)
+    assigned, cents = ivf_build(corpus, n_clusters, vec_col, id_col,
+                                iters=iters, seed_by=seed_by)
     d = assigned.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("v"),
                         "list_id")
     d = d.withColumn("nrm", _norm(F.col("v")))
+    # the assignment lineage feeds the sizes agg, both self-join sides,
+    # and the component iterations — persist it once instead of
+    # recomputing the (possibly mapInPandas-matmul) pass each time
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     pair_keys = ["list_id"]
     if max_pair_bucket is not None:
         sizes = d.groupBy("list_id").agg(F.count("*").alias("_csz"))
         max_size = (sizes.agg(F.max("_csz")).first() or [0])[0] or 0
         if max_size > max_pair_bucket:
             n_planes = max(1, math.ceil(math.log2(max_size / max_pair_bucket)))
-            planes = hash_planes(n_planes, _infer_dim(d, "v"))
+            # dim comes free from the centroid matrix — no extra pass
+            planes = hash_planes(n_planes, int(cents.shape[1]))
             sub = _plane_sig(F.col("v"), planes)
             # only oversized clusters are split — small ones keep exact
             # within-cluster comparison (sizes is n_clusters rows:
@@ -702,7 +710,11 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
              .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
              .filter(F.col("cos") >= threshold)
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    # connected_components materializes its labels (eager
+    # localCheckpoint) while iterating, so d is consumed here and can
+    # be released before returning the (comp-only) result plan
     comp = connected_components(pairs)
+    d.unpersist()
     ids = corpus.select(F.col(id_col).cast("long").alias("id"))
     return (ids.join(comp, "id", "left")
             .select("id",
