@@ -89,3 +89,62 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     n_batch = (sessionize(bdf, gap_minutes=GAP_MIN)
                .select("user_id", "session_id").distinct().count())
     assert n_batch == len(oracle)
+
+
+def test_tws_sessionize_matches_applyinpandaswithstate(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer (modern Spark 4
+    StatefulProcessor API, RocksDB state store, explicit event-time
+    timers) must emit the same closed sessions as the
+    applyInPandasWithState form on identical bounded input.
+
+    Skipped when protobuf is absent: the TWS Python worker protocol
+    requires it (not bundled in this container) — the operator is
+    cluster-ready, the gate is environmental, mirroring the PIL/librosa
+    codec gates."""
+    import os
+    import time
+
+    import pytest
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker protocol needs protobuf")
+
+    from xgboost_spark.streaming.stateful import stateful_sessionize_tws
+
+    pdf = _make_events()
+    half = len(pdf) // 2
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(str(src / "b1"))
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for root, _, files in os.walk(src / d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+    sch = spark.read.parquet(str(src / "b0")).schema
+
+    def run(maker, name, rocksdb):
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        sess = maker(stream, gap_minutes=GAP_MIN, watermark="1 minute")
+        run_update_to_memory(sess, name, rocksdb=rocksdb)
+        return {(int(r.user_id), int(r.session_start), int(r.session_end),
+                 int(r.n_events))
+                for r in spark.table(name).toPandas().itertuples()}
+
+    legacy = run(stateful_sessionize, "tws_ref_out", rocksdb=False)
+    tws = run(stateful_sessionize_tws, "tws_out", rocksdb=True)
+    assert tws, "no sessions emitted by transformWithState"
+    # gap-closed sessions must agree exactly; the two APIs may differ
+    # only on whether the final watermark fired a given tail timer
+    truth = {(u, int(s.value // 1000), int(e.value // 1000), n)
+             for u, s, e, n in _batch_sessions(pdf)}
+    assert tws <= truth
+    assert legacy <= truth
+    sym = legacy ^ tws
+    assert len(sym) <= 20, f"APIs diverge beyond tail sessions: {sorted(sym)[:5]}"
+    per_user = {}
+    for u, *_ in sym:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert all(v <= 1 for v in per_user.values())  # at most the tail per user

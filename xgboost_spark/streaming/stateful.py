@@ -92,11 +92,116 @@ def stateful_sessionize(stream_df: DataFrame, user_col: str = "user_id",
                                     "append", GroupStateTimeout.EventTimeTimeout))
 
 
-def run_update_to_memory(result_df: DataFrame, query_name: str):
+def stateful_sessionize_tws(stream_df: DataFrame, user_col: str = "user_id",
+                            ts_col: str = "ts", gap_minutes: int = 30,
+                            watermark: str = "2 hours") -> DataFrame:
+    """`stateful_sessionize` on the MODERN Spark 4 stateful API —
+    `transformWithStateInPandas` with a `StatefulProcessor`: typed
+    value state, explicit event-time timers, RocksDB state store.
+    Same closure semantics (gap break or event-time timer once the
+    watermark passes end + gap); kept alongside the
+    applyInPandasWithState form so both stateful APIs stay covered.
+
+    Requires the RocksDB state store provider — see
+    `run_update_to_memory(..., rocksdb=True)` — and the `protobuf`
+    package (the TWS Python worker protocol; not bundled in this
+    container, so the equivalence test skips here and the
+    applyInPandasWithState form remains the oracle-checked default).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = int(key[0])
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend(int(t) for t in pdf["_ts_us"])
+            ts.sort()
+            if self._state.exists():
+                start, last, n = self._state.get()
+            else:
+                start, last, n = None, None, 0
+            closed: list[tuple[int, int, int]] = []
+            for t in ts:
+                if last is not None and t <= last:
+                    start = min(start, t)
+                    n += 1
+                    continue
+                if last is not None and (t - last) > gap_us:
+                    closed.append((start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            self._state.update((start, last, n))
+            # one live timer per key: re-arm at the new expiry
+            for old in list(self._handle.listTimers()):
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(
+                max(last // 1000 + gap_ms,
+                    timerValues.getCurrentWatermarkInMs() + 1))
+            if closed:
+                yield pd.DataFrame(
+                    {"user_id": [uid] * len(closed),
+                     "session_start": [c[0] for c in closed],
+                     "session_end": [c[1] for c in closed],
+                     "n_events": [c[2] for c in closed]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._state.exists():
+                start, last, n = self._state.get()
+                self._state.clear()
+                yield pd.DataFrame(
+                    {"user_id": [int(key[0])], "session_start": [start],
+                     "session_end": [last], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    from xgboost_spark.sources.tables import ensure_event_time
+    stream_df = ensure_event_time(stream_df, ts_col)
+    d = (stream_df
+         .withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+         .withWatermark(ts_col, watermark))
+    return (d.groupBy(F.col(user_col).cast("bigint").alias("user_id"))
+            .transformWithStateInPandas(_SessionProcessor(),
+                                        SESSION_SCHEMA, "Append",
+                                        "EventTime"))
+
+
+def run_update_to_memory(result_df: DataFrame, query_name: str,
+                         rocksdb: bool = False):
     """Drive a stateful streaming query over all available input
-    (availableNow) into a memory sink; returns the finished query."""
-    q = (result_df.writeStream.outputMode("append")
-         .format("memory").queryName(query_name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    (availableNow) into a memory sink; returns the finished query.
+
+    ``rocksdb=True`` switches the state store provider to RocksDB for
+    this query (transformWithState requires it); the previous provider
+    is restored afterwards so co-resident queries keep their default.
+    """
+    spark = result_df.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if rocksdb:
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                            "state.RocksDBStateStoreProvider")
+    try:
+        q = (result_df.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if rocksdb:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     return q
