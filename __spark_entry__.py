@@ -1276,6 +1276,35 @@ def q_bpe_tokens(spark, sf_dir):
                       F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality estimate over events.event_id
+    (operators/cardsketch.hll_estimate, Flajolet 2007): md5-derived
+    registers, one HashAggregate, sketch-sized result.  Unlike the
+    engine-private approx_count_distinct, every register and the final
+    estimate arithmetic replay bit-for-bit in the DuckDB oracle."""
+    from xgboost_spark.operators.cardsketch import hll_estimate
+    ev = _par(_table(spark, sf_dir, "events"))
+    return hll_estimate(ev, "event_id", p=10)
+
+
+def q_cms_topk(spark, sf_dir):
+    """Count-Min frequency sketch (operators/cardsketch, Cormode 2005):
+    build depth=4 x width=256 md5-salted counters over event_type, then
+    point-query the exact top event types — est is the classic CMS
+    upper bound (est >= true, equality when no collision).  Counters
+    and probes replay exactly in SQL."""
+    from xgboost_spark.operators.cardsketch import cms_estimate
+    ev = _par(_table(spark, sf_dir, "events"))
+    items = (ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+             .limit(10)
+             .select(F.col("event_type").alias("item"),
+                     F.col("cnt").cast("bigint").alias("cnt")))
+    est = cms_estimate(ev, items, "event_type")
+    return (est.join(items, "item")
+            .select("item", F.col("est").cast("bigint").alias("est"), "cnt"))
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -2488,6 +2517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dart_weights": q_dart_weights,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -2834,6 +2865,62 @@ FROM w JOIN v{n_merges} v USING (word)
 GROUP BY w.doc_id"""
 
 
+def _hll_oracle_sql(p: int = 10) -> str:
+    """DuckDB twin of cardsketch.hll_estimate on events.event_id: same
+    md5 registers (bit-length via bin-string — integer exact), same
+    alpha literal (repr of the identical python double Spark inlines)."""
+    m = 1 << p
+    width = 48 - p
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events),
+r AS (
+  SELECT h % {m} AS bucket,
+         max(CASE WHEN (h // {m}) = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(h // {m})) END) AS register
+  FROM h GROUP BY 1),
+a AS (
+  SELECT count(*) AS n_used,
+         sum(power(2.0, -register)) AS s_used
+  FROM r),
+e AS (
+  SELECT n_used,
+         {alpha_m2} / (s_used + ({m} - n_used)) AS est,
+         {m} - n_used AS zeros
+  FROM a)
+SELECT CAST({m} AS BIGINT) AS m, CAST(n_used AS BIGINT) AS n_used,
+       round(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE est END, 4) AS estimate
+FROM e"""
+
+
+def _cms_oracle_sql(width: int = 256, depth: int = 4) -> str:
+    """DuckDB twin of cardsketch.cms_estimate over event_type: same
+    md5-salted rows, same min-over-rows upper bound."""
+    hash_rows = " UNION ALL ".join(
+        f"""SELECT {d} AS d,
+       ('0x' || substr(md5('cms{d}:' || event_type), 1, 12))::BIGINT % {width} AS bucket,
+       event_type
+  FROM events""" for d in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"""SELECT item, cnt, {d} AS d,
+       ('0x' || substr(md5('cms{d}:' || item), 1, 12))::BIGINT % {width} AS bucket
+  FROM items""" for d in range(depth))
+    return f"""
+WITH hashes AS ({hash_rows}),
+counters AS (SELECT d, bucket, count(*) AS c FROM hashes GROUP BY 1, 2),
+items AS (
+  SELECT event_type AS item, count(*) AS cnt FROM events
+  GROUP BY 1 ORDER BY count(*) DESC, event_type ASC LIMIT 10),
+probes AS ({probe_rows})
+SELECT p.item, CAST(min(c.c) AS BIGINT) AS est, CAST(any_value(p.cnt) AS BIGINT) AS cnt
+FROM probes p JOIN counters c USING (d, bucket)
+GROUP BY p.item"""
+
+
 def _train_logistic_sql() -> str:
     """DuckDB twin of q_train_logistic: two binary:logistic rounds with
     real (non-unit) hessian histograms, generated like _train_stump_sql
@@ -3043,6 +3130,8 @@ def oracle_sql() -> dict[str, str]:
         "train_logistic": _train_logistic_sql(),
         "bpe_merges": _bpe_merges_sql(4),
         "bpe_tokens": _bpe_tokens_sql(4),
+        "hll_distinct": _hll_oracle_sql(10),
+        "cms_topk": _cms_oracle_sql(256, 4),
 
         # closed-form replay of the dart normalize_type=tree rule with
         # rate_drop=1: tree i enters at weight 1/((i-1)+0.3) (1.0 for

@@ -1104,3 +1104,37 @@ def test_bpe_scale_path_matches_expr_path(spark):
             seq = seq.replace(bpe.S1 + ma + bpe.S2 + " " + bpe.S1 + mb + bpe.S2,
                               bpe.S1 + mm + bpe.S2)
         assert a[w] == seq.replace(bpe.S1, "").replace(bpe.S2, "").split(" "), w
+
+
+def test_hll_and_cms_sketches(spark):
+    from xgboost_spark.operators import cardsketch as cs
+    rows = [(i, f"u{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    # HLL: within the theoretical ~1.04/sqrt(m) band (x4 slack)
+    est = cs.hll_estimate(df, "k", p=10).first()
+    assert est["m"] == 1024
+    assert abs(est["estimate"] - 700) / 700 < 4 * 1.04 / (1024 ** 0.5)
+    # mergeability: registers of two disjoint halves max-merge to the
+    # full sketch (the property that makes the sketch distributable)
+    a = cs.hll_registers(df.filter(F.col("i") < 2500), "k", p=10)
+    b = cs.hll_registers(df.filter(F.col("i") >= 2500), "k", p=10)
+    merged = (a.unionByName(b).groupBy("bucket")
+              .agg(F.max("register").alias("register"))
+              .orderBy("bucket").collect())
+    full = cs.hll_registers(df, "k", p=10).orderBy("bucket").collect()
+    assert merged == full
+    # CMS: never underestimates; exact when collision-free
+    items = (df.groupBy("k").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("k").asc()).limit(20)
+             .select(F.col("k").alias("item"), "cnt"))
+    got = (cs.cms_estimate(df, items, "k", width=1024, depth=4)
+           .join(items, "item").toPandas())
+    assert (got["est"] >= got["cnt"]).all()
+    # counters from disjoint halves sum-merge to the full counters
+    ca = cs.cms_counters(df.filter(F.col("i") < 2500), "k")
+    cb = cs.cms_counters(df.filter(F.col("i") >= 2500), "k")
+    msum = (ca.unionByName(cb).groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt")).orderBy("d", "bucket").collect())
+    cfull = cs.cms_counters(df, "k").orderBy("d", "bucket").collect()
+    assert [(r["d"], r["bucket"], r["cnt"]) for r in msum] == \
+           [(r["d"], r["bucket"], r["cnt"]) for r in cfull]

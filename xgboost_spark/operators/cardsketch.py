@@ -1,0 +1,117 @@
+"""Cardinality and frequency sketches — HyperLogLog and Count-Min —
+built as plain DataFrame aggregations with md5-derived hashes.
+
+Why not `approx_count_distinct`?  Spark's built-in HLL++ is the right
+production default (and nothing here replaces it), but its register
+layout is engine-private, so its estimate cannot be replayed by an
+independent engine.  These operators use md5-derived bucket/register
+hashes, which makes every intermediate — registers, counters, the
+final estimate arithmetic — bit-reproducible in any SQL engine: the
+DuckDB oracle recomputes the identical sketch, which is the same
+replayability contract the MinHash/SimHash/LSH family uses.
+
+Scale shape: both sketches are ONE groupBy over a corpus scan with a
+bounded key domain (2^p registers / depth x width counters), i.e. a
+map-side-combinable aggregate whose result is sketch-sized, not
+data-sized.  Sketches from disjoint partitions/streams merge by
+max (HLL) / sum (CMS) — the classic mergeability property, asserted
+in tests.
+
+References: Flajolet et al. 2007 (HyperLogLog, public paper);
+Cormode & Muthukrishnan 2005 (Count-Min, public paper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h48(col, salt: str):
+    """48-bit md5-derived integer hash (replayable as
+    ('0x' || substr(md5(salt || x), 1, 12))::BIGINT in any engine)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 12),
+                  16, 10).cast("bigint")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 10,
+                  salt: str = "hll") -> DataFrame:
+    """HyperLogLog registers: (bucket, register) with bucket = the low
+    ``p`` bits of the hash and register = 1 + leading-zero count of the
+    remaining (48-p)-bit suffix (capped at 48-p+1 when the suffix is
+    zero).  One HashAggregate; at most 2^p output rows."""
+    h = _h48(F.col(col).cast("string"), salt + ":")
+    m = 1 << p
+    bucket = (h % m).cast("bigint")
+    suffix = F.shiftright(h, p)                # top 48-p bits
+    # highest-set-bit position via the binary-string length — integer
+    # exact in both engines (length(bin(x)) = floor(log2 x) + 1), no
+    # libm log2 ulp hazards; suffix==0 maps to the max register value
+    width = 48 - p
+    # rho = 1-based position of the leftmost 1-bit in the width-bit
+    # suffix = width + 1 - bit_length(suffix); all-zero suffix -> width+1
+    rho = F.when(suffix == 0, F.lit(width + 1)) \
+           .otherwise(F.lit(width + 1) - F.length(F.bin(suffix)))
+    return (df.select(bucket.alias("bucket"), rho.cast("bigint").alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("register")))
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 10,
+                 salt: str = "hll") -> DataFrame:
+    """One-row HLL cardinality estimate: (m, n_used, estimate).
+
+    estimate = alpha_m * m^2 / sum(2^-M_j) over ALL m registers (empty
+    registers count as 2^0), with the standard small-range linear
+    counting correction when estimate <= 2.5m and some registers are
+    empty.  Every term is reproducible double arithmetic, rounded 4dp.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, col, p, salt)
+    agg = regs.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s_used"))
+    # empty registers contribute 2^0 = 1 each
+    est = (F.lit(alpha * m * m)
+           / (F.col("s_used") + (F.lit(m) - F.col("n_used"))))
+    zeros = F.lit(m) - F.col("n_used")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    final = F.when((est <= 2.5 * m) & (zeros > 0), linear).otherwise(est)
+    return agg.select(F.lit(m).cast("bigint").alias("m"), "n_used",
+                      F.round(final, 4).alias("estimate"))
+
+
+def cms_counters(df: DataFrame, col: str, width: int = 256, depth: int = 4,
+                 salt: str = "cms") -> DataFrame:
+    """Count-Min counters: (d, bucket, cnt) for ``depth`` independent
+    md5-salted hash rows of ``width`` buckets.  One explode + one
+    HashAggregate; at most depth x width output rows."""
+    c = F.col(col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 (_h48(c, f"{salt}{d}:") % width).cast("bigint").alias("bucket"))
+        for d in range(depth)])
+    return (df.select(F.explode(rows).alias("r"))
+            .select("r.d", "r.bucket")
+            .groupBy("d", "bucket").agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def cms_estimate(df: DataFrame, items: DataFrame, col: str,
+                 item_col: str = "item", width: int = 256, depth: int = 4,
+                 salt: str = "cms") -> DataFrame:
+    """Point-query the sketch for each candidate item: (item, est) with
+    est = min over rows of the item's bucket counter (the classic CMS
+    upper bound).  The counter table (depth x width rows) is broadcast;
+    the probe is a map-side join, no corpus shuffle."""
+    counters = cms_counters(df, col, width, depth, salt)
+    it = F.col(item_col).cast("string")
+    probes = items.select(
+        it.alias("item"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     (_h48(it, f"{salt}{d}:") % width).cast("bigint")
+                     .alias("bucket"))
+            for d in range(depth)])).alias("r")
+    ).select("item", "r.d", "r.bucket")
+    return (probes.join(F.broadcast(counters), ["d", "bucket"])
+            .groupBy("item").agg(F.min("cnt").alias("est")))
