@@ -1305,6 +1305,31 @@ def q_cms_topk(spark, sf_dir):
             .select("item", F.col("est").cast("bigint").alias("est"), "cnt"))
 
 
+def q_bloom_contains(spark, sf_dir):
+    """Bloom-filter decontamination probe (operators/cardsketch
+    bloom_bits/bloom_probe): build an md5 Bloom filter over the
+    benchmark sources' words, probe every other word — no false
+    negatives, bounded false positives, bit set broadcast so the
+    corpus side never shuffles.  Fully SQL-replayable."""
+    from xgboost_spark.operators.cardsketch import bloom_bits, bloom_probe
+    docs = _par(_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")) \
+        .filter(F.length("word") > 0)
+    bench = (words.filter(F.col("source").isin("src0", "src1"))
+             .select("word").distinct())
+    corpus = (words.filter(~F.col("source").isin("src0", "src1"))
+              .select("word").distinct())
+    bits = bloom_bits(bench, "word")
+    out = bloom_probe(corpus, bits, "word")
+    member = bench.withColumn("is_member", F.lit(True))
+    return (out.join(member, "word", "left")
+            .select("word", "maybe_present",
+                    F.coalesce(F.col("is_member"), F.lit(False))
+                    .alias("is_member")))
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -2519,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "hll_distinct": q_hll_distinct,
         "cms_topk": q_cms_topk,
+        "bloom_contains": q_bloom_contains,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -2921,6 +2947,33 @@ FROM probes p JOIN counters c USING (d, bucket)
 GROUP BY p.item"""
 
 
+def _bloom_oracle_sql(m_bits: int = 1 << 16, k: int = 4) -> str:
+    """DuckDB twin of q_bloom_contains: identical md5-salted bit
+    positions, all-k-bits membership rule."""
+    def bit_expr(src: str) -> str:
+        return ", ".join(
+            f"('0x' || substr(md5('bloom{d}:' || {src}), 1, 12))::BIGINT % {m_bits}"
+            for d in range(k))
+    return f"""
+WITH w AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents),
+bench AS (SELECT DISTINCT word FROM w
+          WHERE length(word) > 0 AND source IN ('src0', 'src1')),
+corpus AS (SELECT DISTINCT word FROM w
+           WHERE length(word) > 0 AND source NOT IN ('src0', 'src1')),
+bits AS (SELECT DISTINCT bit FROM (
+           SELECT unnest([{bit_expr('word')}]) AS bit FROM bench)),
+probe AS (SELECT word, unnest([{bit_expr('word')}]) AS bit FROM corpus),
+hits AS (SELECT p.word, count(*) AS n FROM probe p JOIN bits USING (bit)
+         GROUP BY p.word)
+SELECT c.word, coalesce(h.n, 0) = {k} AS maybe_present,
+       (b.word IS NOT NULL) AS is_member
+FROM corpus c
+LEFT JOIN hits h ON h.word = c.word
+LEFT JOIN bench b ON b.word = c.word"""
+
+
 def _train_logistic_sql() -> str:
     """DuckDB twin of q_train_logistic: two binary:logistic rounds with
     real (non-unit) hessian histograms, generated like _train_stump_sql
@@ -3132,6 +3185,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _bpe_tokens_sql(4),
         "hll_distinct": _hll_oracle_sql(10),
         "cms_topk": _cms_oracle_sql(256, 4),
+        "bloom_contains": _bloom_oracle_sql(),
 
         # closed-form replay of the dart normalize_type=tree rule with
         # rate_drop=1: tree i enters at weight 1/((i-1)+0.3) (1.0 for

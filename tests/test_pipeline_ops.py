@@ -1138,3 +1138,26 @@ def test_hll_and_cms_sketches(spark):
     cfull = cs.cms_counters(df, "k").orderBy("d", "bucket").collect()
     assert [(r["d"], r["bucket"], r["cnt"]) for r in msum] == \
            [(r["d"], r["bucket"], r["cnt"]) for r in cfull]
+
+
+def test_bloom_filter_properties(spark):
+    from xgboost_spark.operators import cardsketch as cs
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(500)], "word string")
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000)], "word string")
+    bits = cs.bloom_bits(members, "word")
+    # no false negatives: every member probes present
+    got_m = cs.bloom_probe(members, bits, "word").toPandas()
+    assert got_m["maybe_present"].all()
+    # false positives bounded: with m=65536, k=4, n=500 the rate is
+    # (1-e^{-kn/m})^k ~ 7e-7 — allow generous slack
+    got_o = cs.bloom_probe(others, bits, "word").toPandas()
+    assert got_o["maybe_present"].sum() <= 5
+    # merge: union of two filters' bit sets == filter of the union
+    m2 = spark.createDataFrame([(f"n{i}",) for i in range(300)], "word string")
+    merged = cs.bloom_bits(members.unionByName(m2), "word").orderBy("bit")
+    unioned = (cs.bloom_bits(members, "word")
+               .unionByName(cs.bloom_bits(m2, "word"))
+               .distinct().orderBy("bit"))
+    assert merged.collect() == unioned.collect()

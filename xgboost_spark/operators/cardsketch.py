@@ -96,6 +96,42 @@ def cms_counters(df: DataFrame, col: str, width: int = 256, depth: int = 4,
             .groupBy("d", "bucket").agg(F.count("*").cast("bigint").alias("cnt")))
 
 
+def bloom_bits(df: DataFrame, col: str, m_bits: int = 1 << 16,
+               k: int = 4, salt: str = "bloom") -> DataFrame:
+    """Bloom filter as a DataFrame of SET bit positions: (bit) distinct,
+    bit = md5-salted hash mod m_bits, one row per set bit (<= m_bits
+    rows, typically far fewer).  Spark's native bloom_filter_agg is the
+    production default; this md5 form is engine-replayable, mergeable
+    by plain UNION/DISTINCT, and joinable — the natural shape for
+    massive-scale decontamination where the benchmark-side filter is
+    small and the corpus side is only ever probed."""
+    c = F.col(col).cast("string")
+    bits = F.array(*[(_h48(c, f"{salt}{d}:") % m_bits).cast("bigint")
+                     for d in range(k)])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(items: DataFrame, bits: DataFrame, col: str,
+                m_bits: int = 1 << 16, k: int = 4,
+                salt: str = "bloom") -> DataFrame:
+    """Membership probe: (item..., maybe_present) — true iff ALL k of
+    the item's bit positions are set (no false negatives; false
+    positives at the standard (1-e^{-kn/m})^k rate).  The bit set is
+    broadcast; the probe side never shuffles.  ``items`` rows must be
+    distinct (the hit count groups by all item columns)."""
+    c = F.col(col).cast("string")
+    probe = items.withColumn(
+        "_bits", F.array(*[(_h48(c, f"{salt}{d}:") % m_bits).cast("bigint")
+                           for d in range(k)]))
+    hit = (probe.select("*", F.explode("_bits").alias("bit"))
+           .join(F.broadcast(bits), "bit")
+           .groupBy(*items.columns).agg(F.count("*").alias("_nhit")))
+    return (items.join(hit, items.columns, "left")
+            .withColumn("maybe_present",
+                        F.coalesce(F.col("_nhit"), F.lit(0)) == k)
+            .drop("_nhit"))
+
+
 def cms_estimate(df: DataFrame, items: DataFrame, col: str,
                  item_col: str = "item", width: int = 256, depth: int = 4,
                  salt: str = "cms") -> DataFrame:
