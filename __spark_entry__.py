@@ -1305,6 +1305,22 @@ def q_cms_topk(spark, sf_dir):
             .select("item", F.col("est").cast("bigint").alias("est"), "cnt"))
 
 
+def q_embedding_cov(spark, sf_dir):
+    """Distributed covariance of the first 8 embedding dimensions
+    (operators/linalg.gram_moments: per-batch X^T X partials, one
+    corpus scan, d+d^2 doubles to the driver).  Output: the upper
+    triangle (i <= j) rounded 6dp; the DuckDB oracle computes the same
+    (sum_ij - s_i s_j / n) / (n-1) formula from plain aggregates."""
+    from xgboost_spark.operators.linalg import covariance
+    emb = _par(_table(spark, sf_dir, "embeddings")).select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        .alias("embedding"))
+    cov = covariance(emb, "embedding")
+    rows = [(i + 1, j + 1, round(float(cov[i, j]), 6))
+            for i in range(8) for j in range(i, 8)]
+    return spark.createDataFrame(rows, "i bigint, j bigint, cov double")
+
+
 def q_bloom_contains(spark, sf_dir):
     """Bloom-filter decontamination probe (operators/cardsketch
     bloom_bits/bloom_probe): build an md5 Bloom filter over the
@@ -2545,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_topk": q_cms_topk,
         "bloom_contains": q_bloom_contains,
+        "embedding_cov": q_embedding_cov,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -2947,6 +2964,20 @@ FROM probes p JOIN counters c USING (d, bucket)
 GROUP BY p.item"""
 
 
+def _embedding_cov_sql(d: int = 8) -> str:
+    """DuckDB twin of q_embedding_cov: same sample-covariance formula
+    over the first d dims, generated per (i, j) pair."""
+    rows = []
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            rows.append(f"""SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j,
+       round((sum(v[{i}] * v[{j}]) - sum(v[{i}]) * sum(v[{j}]) / count(*))
+             / (count(*) - 1), 6) AS cov
+  FROM n""")
+    return ("WITH n AS (SELECT embedding[1:" + str(d) + "]::DOUBLE[] AS v "
+            "FROM embeddings)\n" + "\nUNION ALL\n".join(rows))
+
+
 def _bloom_oracle_sql(m_bits: int = 1 << 16, k: int = 4) -> str:
     """DuckDB twin of q_bloom_contains: identical md5-salted bit
     positions, all-k-bits membership rule."""
@@ -3186,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(10),
         "cms_topk": _cms_oracle_sql(256, 4),
         "bloom_contains": _bloom_oracle_sql(),
+        "embedding_cov": _embedding_cov_sql(8),
 
         # closed-form replay of the dart normalize_type=tree rule with
         # rate_drop=1: tree i enters at weight 1/((i-1)+0.3) (1.0 for

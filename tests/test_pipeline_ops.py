@@ -1161,3 +1161,32 @@ def test_bloom_filter_properties(spark):
                .unionByName(cs.bloom_bits(m2, "word"))
                .distinct().orderBy("bit"))
     assert merged.collect() == unioned.collect()
+
+
+def test_pca_fit_project(spark):
+    from xgboost_spark.operators import linalg
+    rng = np.random.default_rng(13)
+    # anisotropic data: variance concentrated in 2 known directions
+    basis = np.linalg.qr(rng.normal(size=(6, 6)))[0]
+    scales = np.array([5.0, 3.0, 0.3, 0.2, 0.1, 0.05])
+    X = rng.normal(size=(800, 6)) * scales @ basis.T + rng.normal(size=6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(X)),
+                      "embedding": [list(map(float, r)) for r in X]}))
+    # distributed covariance == numpy covariance
+    cov = linalg.covariance(df, "embedding")
+    np.testing.assert_allclose(cov, np.cov(X.T), rtol=0, atol=1e-8)
+    comps, ev, mean = linalg.pca_fit(df, "embedding", k=3)
+    assert ev[0] > ev[1] > ev[2] > 0
+    # top-2 components capture the two dominant planted directions
+    assert abs(comps[0] @ basis[:, 0]) > 0.98
+    assert abs(comps[1] @ basis[:, 1]) > 0.98
+    # orthonormal
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    # projection: distributed result equals the numpy projection
+    out = linalg.pca_project(df, comps, mean, "embedding").toPandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    P = np.stack(out["projected"].to_numpy())
+    np.testing.assert_allclose(P, (X - mean) @ comps.T, atol=1e-8)
+    # projected variance matches the eigenvalues
+    np.testing.assert_allclose(P.var(axis=0, ddof=1), ev, rtol=0.05)

@@ -1,0 +1,123 @@
+"""Distributed embedding linear algebra: Gram/covariance moments and
+PCA projection.
+
+Scale shape: the Gram matrix is accumulated per Arrow batch with one
+matmul (X^T X), summed per partition, then reduced with a
+(position, value) explode + groupBy — total shuffled volume is
+O(partitions x d^2) rows, corpus-size independent.  The driver only
+ever sees d + d^2 doubles; the eigendecomposition (d x d, NumPy) is a
+driver-sized problem by construction, and the projection matrix is
+broadcast back — the same contract MLlib's PCA uses, built here
+Spark-first on mapInPandas so the moments stay engine-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"no non-null '{vec_col}' row to infer dim from")
+    return len(first[0])
+
+
+def gram_moments(df: DataFrame, vec_col: str = "embedding"
+                 ) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, sum_vec (d,), gram (d, d)) with gram = sum over rows of
+    v v^T.  One corpus scan: per-batch matmul partials -> per-position
+    distributed sum -> driver collect of d + d^2 doubles."""
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    d = _dim_of(df, vec_col)
+    src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    schema = StructType([StructField("n", LongType()),
+                         StructField("s", ArrayType(DoubleType())),
+                         StructField("g", ArrayType(DoubleType()))])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        G = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n += len(V)
+            s += V.sum(axis=0)
+            G += V.T @ V
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                            "g": [G.reshape(-1).tolist()]})
+
+    parts = src.mapInPandas(partials, schema)
+    tot = parts.agg(F.sum("n").alias("n")).first()["n"] or 0
+    summed = (parts.select(F.posexplode("s").alias("i", "x"))
+              .groupBy("i").agg(F.sum("x").alias("x")).collect())
+    s = np.zeros(d)
+    for r in summed:
+        s[r["i"]] = r["x"]
+    gsum = (parts.select(F.posexplode("g").alias("i", "x"))
+            .groupBy("i").agg(F.sum("x").alias("x")).collect())
+    G = np.zeros(d * d)
+    for r in gsum:
+        G[r["i"]] = r["x"]
+    return int(tot), s, G.reshape(d, d)
+
+
+def covariance(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """Sample covariance (d, d): (gram - s s^T / n) / (n - 1)."""
+    n, s, G = gram_moments(df, vec_col)
+    if n < 2:
+        raise ValueError("covariance needs at least 2 rows")
+    return (G - np.outer(s, s) / n) / (n - 1)
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(components (k, d), explained_variance (k,), mean (d,)) — top-k
+    eigenvectors of the sample covariance, eigenvalue-descending, sign
+    fixed so each component's largest-|.| coordinate is positive
+    (deterministic orientation)."""
+    n, s, G = gram_moments(df, vec_col)
+    mean = s / n
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, w[order], mean
+
+
+def pca_project(df: DataFrame, components: np.ndarray, mean: np.ndarray,
+                vec_col: str = "embedding",
+                out_col: str = "projected") -> DataFrame:
+    """Append the k-dim projection (v - mean) @ components^T via a
+    broadcast matrix + per-batch matmul — no shuffle, flat analyzer
+    cost at any k x d."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+    C = np.ascontiguousarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((C, mu))
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, ArrayType(DoubleType()))])
+
+    def proj(batches):
+        M, m0 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype=object)})
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            P = (V - m0[None, :]) @ M.T
+            yield pdf.assign(**{out_col: list(P)})
+
+    return df.mapInPandas(proj, schema)
