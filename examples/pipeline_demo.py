@@ -5,7 +5,10 @@
     decontamination -> per-source mixing -> PII redaction
     -> deterministic split -> token counting -> context-window chunking
     -> sequence packing -> sharded write
-    and a GBDT quality model trained on the extracted text signals.
+    plus a BPE tokenizer trained on the clean corpus, sketch-based
+    corpus stats (HLL distinct, Bloom benchmark pre-screen), a
+    PCA-reduce -> SemDeDup pass over the embeddings table, and a GBDT
+    quality model trained on the extracted text signals.
 
 Run:  python examples/pipeline_demo.py [sf_dir]      (default sf0.01)
 
@@ -97,6 +100,41 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     sharded = shuffle_shards(train, "doc_id", n_shards=4)
     n_seq = packed.agg(F.countDistinct("pack_id")).first()[0]
 
+    # 6b. train a BPE tokenizer on the clean corpus (vocabulary-sized
+    #     iteration — corpus-size independent after one shuffle) and
+    #     count subword tokens per doc via the broadcast vocab map
+    from xgboost_spark.operators.bpe import bpe_token_counts, bpe_train
+    merges = bpe_train(train, "text_clean", n_merges=16)
+    bpe_counts = bpe_token_counts(train, merges, "text_clean", "doc_id")
+    avg_bpe = bpe_counts.agg(F.avg("n_tokens")).first()[0]
+
+    # 6c. corpus stats via engine-replayable sketches: HLL distinct
+    #     sources/words, Bloom pre-screen against the benchmark words
+    from xgboost_spark.operators.cardsketch import (bloom_bits, bloom_probe,
+                                                    hll_estimate)
+    n_distinct_words = hll_estimate(
+        train.select(F.explode(F.split(F.lower("text_clean"), r"\s+"))
+                     .alias("w")), "w", p=12).first()["estimate"]
+    bench_words = (bench.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                                .alias("word")).distinct())
+    probe = bloom_probe(
+        train.select(F.explode(F.split(F.lower("text_clean"), r"\s+"))
+                     .alias("word")).distinct(),
+        bloom_bits(bench_words, "word"), "word")
+    n_flagged = probe.filter("maybe_present").count()
+
+    # 6d. embedding side: PCA-reduce, then SemDeDup semantic dedup with
+    #     bounded pairwise buckets
+    from xgboost_spark.operators.linalg import pca_fit, pca_project
+    from xgboost_spark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, _ev, mean = pca_fit(emb, "embedding", k=16)
+    reduced = pca_project(emb, comps, mean, "embedding")
+    sem = semantic_dedup(reduced.select("vec_id", F.col("projected")
+                                        .alias("embedding")),
+                         n_clusters=16, threshold=0.95, max_pair_bucket=256)
+    n_sem_kept = sem.filter("rep_id = id").count()
+
     # 7. train a quality model on the extracted signals
     fc = ["n_words", "avg_word_len", "punct_ratio", "stopword_ratio",
           "max_word_repeat_ratio"]
@@ -111,6 +149,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
           f"-> decontaminated={n_clean} -> mixed={n_mixed}; "
           f"{n_chunks} chunks; packed {n_seq} sequences; "
           f"shards={sharded.select('shard').distinct().count()}; "
+          f"bpe merges={len(merges)} avg_tokens/doc={avg_bpe:.1f}; "
+          f"~{n_distinct_words:.0f} distinct words (HLL), "
+          f"{n_flagged} bloom-flagged; semdedup keepers={n_sem_kept}; "
           f"quality-model rmse={rmse:.4f}")
     spark.stop()
 
