@@ -1316,9 +1316,12 @@ def q_embedding_cov(spark, sf_dir):
         F.slice(F.col("embedding").cast("array<double>"), 1, 8)
         .alias("embedding"))
     cov = covariance(emb, "embedding")
-    rows = [(i + 1, j + 1, round(float(cov[i, j]), 6))
+    rows = [(i + 1, j + 1, float(cov[i, j]))
             for i in range(8) for j in range(i, 8)]
-    return spark.createDataFrame(rows, "i bigint, j bigint, cov double")
+    # round ENGINE-side: F.round is HALF_UP like DuckDB's round, while
+    # python round() is banker's — a half-ulp value would hash-mismatch
+    return (spark.createDataFrame(rows, "i bigint, j bigint, cov double")
+            .select("i", "j", F.round("cov", 6).alias("cov")))
 
 
 def q_bloom_contains(spark, sf_dir):
@@ -2918,7 +2921,7 @@ def _hll_oracle_sql(p: int = 10) -> str:
     return f"""
 WITH h AS (
   SELECT ('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
-  FROM events),
+  FROM events WHERE event_id IS NOT NULL),
 r AS (
   SELECT h % {m} AS bucket,
          max(CASE WHEN (h // {m}) = 0 THEN {width + 1}
@@ -2934,7 +2937,8 @@ e AS (
          {m} - n_used AS zeros
   FROM a)
 SELECT CAST({m} AS BIGINT) AS m, CAST(n_used AS BIGINT) AS n_used,
-       round(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+       round(CASE WHEN n_used = 0 THEN 0.0
+                  WHEN est <= 2.5 * {m} AND zeros > 0
                   THEN {float(m)!r} * ln({float(m)!r} / zeros)
                   ELSE est END, 4) AS estimate
 FROM e"""

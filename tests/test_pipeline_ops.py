@@ -1190,3 +1190,20 @@ def test_pca_fit_project(spark):
     np.testing.assert_allclose(P, (X - mean) @ comps.T, atol=1e-8)
     # projected variance matches the eigenvalues
     np.testing.assert_allclose(P.var(axis=0, ddof=1), ev, rtol=0.05)
+
+
+def test_covariance_large_offset_stability(spark):
+    """Shift-centered moments must survive means that are huge relative
+    to the variance — the regime where the raw one-pass formula
+    G - s s^T/n cancels catastrophically."""
+    from xgboost_spark.operators import linalg
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(600, 4)) * 0.01 + np.array([1e4, -2e4, 3e4, 5e3])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(X)),
+                      "embedding": [list(map(float, r)) for r in X]}))
+    cov = linalg.covariance(df, "embedding")
+    np.testing.assert_allclose(cov, np.cov(X.T), rtol=1e-6, atol=1e-12)
+    comps, ev, mean = linalg.pca_fit(df, "embedding", k=2)
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-12)
+    assert (ev > 0).all()

@@ -28,10 +28,9 @@ from pyspark.sql import functions as F
 
 
 def _h48(col, salt: str):
-    """48-bit md5-derived integer hash (replayable as
-    ('0x' || substr(md5(salt || x), 1, 12))::BIGINT in any engine)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 12),
-                  16, 10).cast("bigint")
+    """Salted 48-bit md5 hash (shared operators/util.md5_h48 decode)."""
+    from xgboost_spark.operators.util import md5_h48
+    return md5_h48(F.concat(F.lit(salt), col))
 
 
 def hll_registers(df: DataFrame, col: str, p: int = 10,
@@ -39,7 +38,9 @@ def hll_registers(df: DataFrame, col: str, p: int = 10,
     """HyperLogLog registers: (bucket, register) with bucket = the low
     ``p`` bits of the hash and register = 1 + leading-zero count of the
     remaining (48-p)-bit suffix (capped at 48-p+1 when the suffix is
-    zero).  One HashAggregate; at most 2^p output rows."""
+    zero).  NULL values are ignored (like approx_count_distinct).
+    One HashAggregate; at most 2^p output rows."""
+    df = df.filter(F.col(col).isNotNull())
     h = _h48(F.col(col).cast("string"), salt + ":")
     m = 1 << p
     bucket = (h % m).cast("bigint")
@@ -76,7 +77,8 @@ def hll_estimate(df: DataFrame, col: str, p: int = 10,
            / (F.col("s_used") + (F.lit(m) - F.col("n_used"))))
     zeros = F.lit(m) - F.col("n_used")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    final = F.when((est <= 2.5 * m) & (zeros > 0), linear).otherwise(est)
+    final = F.when(F.col("n_used") == 0, F.lit(0.0)) \
+             .when((est <= 2.5 * m) & (zeros > 0), linear).otherwise(est)
     return agg.select(F.lit(m).cast("bigint").alias("m"), "n_used",
                       F.round(final, 4).alias("estimate"))
 
@@ -138,7 +140,10 @@ def cms_estimate(df: DataFrame, items: DataFrame, col: str,
     """Point-query the sketch for each candidate item: (item, est) with
     est = min over rows of the item's bucket counter (the classic CMS
     upper bound).  The counter table (depth x width rows) is broadcast;
-    the probe is a map-side join, no corpus shuffle."""
+    the probe is a map-side join, no corpus shuffle.  A bucket with no
+    counter row counts as 0 (left join + coalesce), so an item absent
+    from the corpus correctly estimates 0 instead of being dropped or
+    min'ed over only its non-empty buckets."""
     counters = cms_counters(df, col, width, depth, salt)
     it = F.col(item_col).cast("string")
     probes = items.select(
@@ -149,5 +154,6 @@ def cms_estimate(df: DataFrame, items: DataFrame, col: str,
                      .alias("bucket"))
             for d in range(depth)])).alias("r")
     ).select("item", "r.d", "r.bucket")
-    return (probes.join(F.broadcast(counters), ["d", "bucket"])
-            .groupBy("item").agg(F.min("cnt").alias("est")))
+    return (probes.join(F.broadcast(counters), ["d", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))

@@ -269,8 +269,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "id",
         F.explode(F.split(F.lower(F.col("txt")), r"\s+")).alias("t"),
     ).filter(F.length("t") > 0)
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 12), 16, 10).cast("bigint")
-    tok = tok.withColumn("th", h)
+    from xgboost_spark.operators.util import md5_h48
+    tok = tok.withColumn("th", md5_h48(F.col("t")))
     aggs = []
     for j in range(n_bits):
         bit = F.floor(F.col("th") / F.lit(2 ** j)) % 2

@@ -25,52 +25,76 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return len(first[0])
 
 
-def gram_moments(df: DataFrame, vec_col: str = "embedding"
-                 ) -> tuple[int, np.ndarray, np.ndarray]:
-    """(n, sum_vec (d,), gram (d, d)) with gram = sum over rows of
-    v v^T.  One corpus scan: per-batch matmul partials -> per-position
-    distributed sum -> driver collect of d + d^2 doubles."""
+def gram_moments(df: DataFrame, vec_col: str = "embedding",
+                 shift: np.ndarray | None = None
+                 ) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """(n, s, G, shift) where s and G are the sum vector and Gram
+    matrix of the SHIFTED rows (v - shift); shift defaults to the first
+    row.  Shift-centering keeps the one-pass covariance formula
+    numerically stable — with raw moments, embeddings whose mean is
+    large relative to their variance make G and s s^T/n agree to many
+    digits and their difference loses precision catastrophically; the
+    covariance itself is shift-invariant, so centering near the data
+    costs nothing.
+
+    One corpus scan: the per-batch matmul partials DataFrame (one row
+    per partition) is persisted, so the count / sum-vector / Gram
+    reductions reuse it instead of rescanning the corpus; the driver
+    only ever sees d + d^2 doubles."""
     import pandas as pd
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
-    d = _dim_of(df, vec_col)
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"no non-null '{vec_col}' row to infer dim from")
+    d = len(first[0])
+    if shift is None:
+        shift = np.asarray(first[0], dtype=np.float64)
+    shift = np.asarray(shift, dtype=np.float64)
     src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     schema = StructType([StructField("n", LongType()),
                          StructField("s", ArrayType(DoubleType())),
                          StructField("g", ArrayType(DoubleType()))])
+    bc = df.sparkSession.sparkContext.broadcast(shift)
 
     def partials(batches):
+        mu0 = bc.value
         n = 0
         s = np.zeros(d)
         G = np.zeros((d, d))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"]]) - mu0[None, :]
             n += len(V)
             s += V.sum(axis=0)
             G += V.T @ V
         yield pd.DataFrame({"n": [n], "s": [s.tolist()],
                             "g": [G.reshape(-1).tolist()]})
 
-    parts = src.mapInPandas(partials, schema)
-    tot = parts.agg(F.sum("n").alias("n")).first()["n"] or 0
-    summed = (parts.select(F.posexplode("s").alias("i", "x"))
-              .groupBy("i").agg(F.sum("x").alias("x")).collect())
-    s = np.zeros(d)
-    for r in summed:
-        s[r["i"]] = r["x"]
-    gsum = (parts.select(F.posexplode("g").alias("i", "x"))
-            .groupBy("i").agg(F.sum("x").alias("x")).collect())
-    G = np.zeros(d * d)
-    for r in gsum:
-        G[r["i"]] = r["x"]
-    return int(tot), s, G.reshape(d, d)
+    parts = src.mapInPandas(partials, schema).persist()
+    try:
+        tot = parts.agg(F.sum("n").alias("n")).first()["n"] or 0
+        summed = (parts.select(F.posexplode("s").alias("i", "x"))
+                  .groupBy("i").agg(F.sum("x").alias("x")).collect())
+        s = np.zeros(d)
+        for r in summed:
+            s[r["i"]] = r["x"]
+        gsum = (parts.select(F.posexplode("g").alias("i", "x"))
+                .groupBy("i").agg(F.sum("x").alias("x")).collect())
+        G = np.zeros(d * d)
+        for r in gsum:
+            G[r["i"]] = r["x"]
+    finally:
+        parts.unpersist()
+    return int(tot), s, G.reshape(d, d), shift
 
 
 def covariance(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
-    """Sample covariance (d, d): (gram - s s^T / n) / (n - 1)."""
-    n, s, G = gram_moments(df, vec_col)
+    """Sample covariance (d, d), computed from shift-centered moments
+    (shift-invariant, numerically stable): (G - s s^T / n) / (n - 1)."""
+    n, s, G, _shift = gram_moments(df, vec_col)
     if n < 2:
         raise ValueError("covariance needs at least 2 rows")
     return (G - np.outer(s, s) / n) / (n - 1)
@@ -82,8 +106,8 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8
     eigenvectors of the sample covariance, eigenvalue-descending, sign
     fixed so each component's largest-|.| coordinate is positive
     (deterministic orientation)."""
-    n, s, G = gram_moments(df, vec_col)
-    mean = s / n
+    n, s, G, shift = gram_moments(df, vec_col)
+    mean = s / n + shift
     cov = (G - np.outer(s, s) / n) / (n - 1)
     w, v = np.linalg.eigh(cov)          # ascending
     order = np.argsort(w)[::-1][:k]

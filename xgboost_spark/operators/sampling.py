@@ -14,6 +14,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _uniform_u32(key_col: str, salt: str):
+    """Deterministic uniform [0, 1) from a salted 32-bit md5 prefix —
+    the shared key-hash for all mixing/splitting operators, so rates
+    configured across them compose on the same per-key draw."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                              F.col(key_col).cast("string"))),
+                               1, 8), 16, 10).cast("double")
+            / F.lit(float(2 ** 32)))
+
 def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
                salt: str = "split", out_col: str = "split") -> DataFrame:
     """Assign each row to a named split by hashing its key: the first 8
@@ -28,10 +38,7 @@ def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
-                                           F.col(key_col).cast("string"))),
-                            1, 8), 16, 10).cast("double")
-         / F.lit(float(2 ** 32)))
+    u = _uniform_u32(key_col, salt)
     col = None
     cum = 0.0
     for name, frac in fractions.items():
@@ -114,10 +121,7 @@ def sample_by_rates(df: DataFrame, rates: dict[str, float],
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
     if not 0.0 <= float(default_rate) <= 1.0:
         raise ValueError("default_rate must be in [0, 1]")
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
-                                           F.col(key_col).cast("string"))),
-                            1, 8), 16, 10).cast("double")
-         / F.lit(float(2 ** 32)))
+    u = _uniform_u32(key_col, salt)
     rate = None
     for s, r in rates.items():
         rate = (F.when(F.col(strat_col) == s, float(r)) if rate is None
@@ -143,10 +147,7 @@ def replicate_by_rates(df: DataFrame, rates: dict[str, float],
     for s, r in vals.items():
         if float(r) < 0.0:
             raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
-                                           F.col(key_col).cast("string"))),
-                            1, 8), 16, 10).cast("double")
-         / F.lit(float(2 ** 32)))
+    u = _uniform_u32(key_col, salt)
     n = None
     for s, r in rates.items():
         r = float(r)

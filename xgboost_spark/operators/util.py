@@ -21,3 +21,14 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, int(n * min_fraction)):
         return df.repartition(n)
     return df
+
+
+def md5_h48(col) -> "object":
+    """48-bit integer hash from the first 12 hex chars of md5 —
+    replayable as ('0x' || substr(md5(x), 1, 12))::BIGINT in any SQL
+    engine, which is why the dedup/sampling/sketch families all key on
+    it.  Callers bake their own salt into ``col`` (usually
+    F.concat(F.lit(salt), x)); the 48-bit width fits a double exactly,
+    so downstream arithmetic is engine-exact too."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
