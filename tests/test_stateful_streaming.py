@@ -148,3 +148,63 @@ def test_tws_sessionize_matches_applyinpandaswithstate(spark, tmp_path):
     for u, *_ in sym:
         per_user[u] = per_user.get(u, 0) + 1
     assert all(v <= 1 for v in per_user.values())  # at most the tail per user
+
+
+def test_sessionize_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop the stateful query after the first batch, deliver more
+    data, restart from the SAME checkpoint into a file sink: per-key
+    state must survive the restart and every closed session appears
+    exactly once in the sink (no duplicates, no holes) — the
+    recovery contract a long-running 100 TB pipeline depends on."""
+    import os
+    import time
+
+    pdf = _make_events()
+    half = len(pdf) // 2
+    src = tmp_path / "cp_in"
+    src.mkdir()
+    out = str(tmp_path / "cp_out")
+    cp = str(tmp_path / "cp_state")
+
+    def write_batch(name, part, mtime):
+        spark.createDataFrame(part).coalesce(1).write.parquet(str(src / name))
+        for root, _, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    now = time.time()
+    write_batch("b0", pdf.iloc[:half], now)
+    sch = spark.read.parquet(str(src / "b0")).schema
+
+    def run_once():
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        sess = stateful_sessionize(stream, gap_minutes=GAP_MIN,
+                                   watermark="1 minute")
+        q = (sess.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()                       # batch 0, then the query stops
+    write_batch("b1", pdf.iloc[half:], now + 30)
+    run_once()                       # restart from checkpoint, batch 1
+
+    got = spark.read.parquet(out).toPandas()
+    truth = {(u, int(s.value // 1000), int(e.value // 1000), n)
+             for u, s, e, n in _batch_sessions(pdf)}
+    rows = [(int(r.user_id), int(r.session_start), int(r.session_end),
+             int(r.n_events)) for r in got.itertuples()]
+    assert rows, "no sessions written across restarts"
+    assert len(rows) == len(set(rows)), "duplicate sessions after restart"
+    assert set(rows) <= truth
+    # state survived: sessions spanning the restart boundary closed with
+    # their full event counts, and at most the open tail is withheld
+    per_user = {}
+    for u, *_ in truth:
+        per_user[u] = per_user.get(u, 0) + 1
+    got_per_user = {}
+    for u, *_ in set(rows):
+        got_per_user[u] = got_per_user.get(u, 0) + 1
+    for u, total in per_user.items():
+        assert got_per_user.get(u, 0) >= total - 1
