@@ -1305,6 +1305,110 @@ def q_cms_topk(spark, sf_dir):
             .select("item", F.col("est").cast("bigint").alias("est"), "cnt"))
 
 
+def q_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped correlated-min: for each part shipped within
+    EUROPE, the supplier(s) holding the MINIMUM account balance among
+    its suppliers — the aggregation-subquery-rejoin plan Q2 uses (the
+    reduced schema has no partsupp, so the part-supplier relation comes
+    from lineitem DISTINCT pairs).  Dims broadcast; one shuffle on the
+    distinct pair build; the min table is partkey-sized."""
+    _prep(spark)
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = _table(spark, sf_dir, "lineitem")
+    sup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pairs = (li.select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey))
+    mins = pairs.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    best = (pairs.join(mins, "l_partkey")
+            .filter(F.col("s_acctbal") == F.col("min_bal")))
+    return (best
+            .orderBy(F.col("l_partkey").asc(), F.col("s_suppkey").asc())
+            .limit(50)
+            .select(F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                    F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "n_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped double-correlation: suppliers whose lines were
+    the ONLY slow ones (shipped >60 days after the order date) in a
+    finished multi-supplier order — a LEFT SEMI (another supplier
+    exists in the order) plus a LEFT ANTI (no OTHER supplier was slow)
+    on the same distinct pair set, the hardest of the TPC-H join
+    shapes.  Both probe sides are |orders|-bounded distinct pairs."""
+    _prep(spark)
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    slow = (j.filter(F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    allsup = (li.join(o.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select("l_orderkey", "l_suppkey").distinct())
+    a, o2, s2 = slow.alias("a"), allsup.alias("o2"), slow.alias("s2")
+    multi = a.join(o2, (F.col("a.l_orderkey") == F.col("o2.l_orderkey"))
+                   & (F.col("a.l_suppkey") != F.col("o2.l_suppkey")),
+                   "leftsemi")
+    only = multi.join(s2, (F.col("a.l_orderkey") == F.col("s2.l_orderkey"))
+                      & (F.col("a.l_suppkey") != F.col("s2.l_suppkey")),
+                      "leftanti")
+    sup = _table(spark, sf_dir, "supplier")
+    return (only.groupBy("l_suppkey")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(10)
+            .select("s_name", "numwait"))
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16-shaped: distinct supplier count per (brand, size) for
+    larger parts, EXCLUDING suppliers from a NOT-IN subquery (negative
+    account balance stands in for the complaints predicate).  The
+    exclusion list is broadcast for a LEFT ANTI join; the count rides
+    one distinct + one agg."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    bad = (_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .select("p_brand", "p_size", "l_suppkey").distinct()
+             .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
+                   "leftanti"))
+    return (pairs.groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt"))
+            .select("p_brand", F.col("p_size").cast("bigint").alias("p_size"),
+                    "supplier_cnt"))
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped argmax-by-view: quarterly revenue per supplier,
+    return the supplier(s) achieving the MAXIMUM (ties kept, like the
+    reference view+max formulation).  Revenue rounded 2dp BEFORE the
+    max comparison so the argmax is engine-exact."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-07-01") & (F.col("l_shipdate") < "1997-10-01"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = _table(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select(F.col("s_suppkey").cast("bigint"), "s_name",
+                    "total_revenue"))
+
+
 def q_embedding_cov(spark, sf_dir):
     """Distributed covariance of the first 8 embedding dimensions
     (operators/linalg.gram_moments: per-batch X^T X partials, one
@@ -2565,6 +2669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "bloom_contains": q_bloom_contains,
         "embedding_cov": q_embedding_cov,
+        # round-4 late TPC-H shapes (Q2/Q21/Q16/Q15 analogs)
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
         "bundle_revenue": q_bundle_revenue,
         "idle_customers": q_idle_customers,
         # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
@@ -3218,6 +3327,71 @@ def oracle_sql() -> dict[str, str]:
         "train_logistic": _train_logistic_sql(),
         "bpe_merges": _bpe_merges_sql(4),
         "bpe_tokens": _bpe_tokens_sql(4),
+        "min_acctbal_supplier": """
+WITH sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sp AS (
+  SELECT p.l_partkey, s.* FROM pairs p JOIN sup s ON p.l_suppkey = s.s_suppkey),
+mins AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM sp GROUP BY 1)
+SELECT CAST(sp.l_partkey AS BIGINT) AS p_partkey,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       round(s_acctbal, 2) AS s_acctbal
+FROM sp JOIN mins USING (l_partkey)
+WHERE s_acctbal = min_bal
+ORDER BY sp.l_partkey ASC, s_suppkey ASC
+LIMIT 50""",
+
+        "waiting_suppliers": """
+WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+slow AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+  WHERE l.l_shipdate > f.o_orderdate + INTERVAL 60 DAY),
+allsup AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey),
+only_slow AS (
+  SELECT a.l_orderkey, a.l_suppkey FROM slow a
+  WHERE EXISTS (SELECT 1 FROM allsup o2
+                WHERE o2.l_orderkey = a.l_orderkey
+                  AND o2.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM slow s2
+                    WHERE s2.l_orderkey = a.l_orderkey
+                      AND s2.l_suppkey <> a.l_suppkey))
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM only_slow JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10""",
+
+        "supplier_part_counts": """
+WITH pairs AS (
+  SELECT DISTINCT p_brand, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 40)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size""",
+
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
         "hll_distinct": _hll_oracle_sql(10),
         "cms_topk": _cms_oracle_sql(256, 4),
         "bloom_contains": _bloom_oracle_sql(),
