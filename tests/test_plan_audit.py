@@ -132,3 +132,20 @@ def test_ivf_scale_assignment_has_no_shuffle(spark):
     p = plan_of(_assign_lists_np(df, cents, "embedding"))
     assert "MapInPandas" in p
     assert "Exchange" not in p
+
+
+def test_waiting_suppliers_joins_are_equi(spark, sf_dir):
+    """The Q21-shaped double correlation must compile to equi semi/anti
+    joins — a BNLJ here is |orders|^2 at scale."""
+    import __spark_entry__ as E
+    p = plan_of(E.queries()["waiting_suppliers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_top_supplier_filter_pushdown(spark, sf_dir):
+    """The quarter filter must reach the parquet scan."""
+    import __spark_entry__ as E
+    p = plan_of(E.queries()["top_supplier"](spark, sf_dir))
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:200]
