@@ -1453,6 +1453,87 @@ def q_bloom_contains(spark, sf_dir):
                     .alias("is_member")))
 
 
+def q_train_softmax(spark, sf_dir):
+    """TWO composed multi:softmax boosting rounds (3 classes, one
+    depth-1 tree per class per round), hash-matched — completes the
+    composed-training family (squared/depth-2/logistic/dart): per
+    round, ALL classes' gradients come from the round-START margins
+    (reference multiclass semantics, obj/multiclass_obj.cu: g = p_k -
+    1[y=k], h = 2 p_k (1 - p_k)), then each class commits its own
+    split and margin update.  Round 2's softmax runs on round 1's
+    margins.  Same determinism contract as train_logistic."""
+    li = _table(spark, sf_dir, "lineitem")
+    feats = _BS_FEATURES
+    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    d = _par(li.select(
+        (F.col("l_linenumber") % 3).cast("double").alias("y3"),
+        *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
+    d = d.persist()
+    lam = 1.0
+    margins = [F.lit(0.0), F.lit(0.0), F.lit(0.0)]
+    out_rows = []
+    for rnd in (1, 2):
+        mx = F.greatest(*margins)
+        es = [F.exp(m - mx) for m in margins]
+        z = es[0] + es[1] + es[2]
+        new_margins = list(margins)
+        bests = []
+        for k in range(3):
+            p = es[k] / z
+            g = p - (F.col("y3") == k).cast("double")
+            h = F.lit(2.0) * p * (F.lit(1.0) - p)
+            hist = None
+            for f in feats:
+                hh = (d.groupBy(F.col(f"bin_{f}").alias("bin"))
+                      .agg(F.round(F.sum(g), 4).alias("sum_g"),
+                           F.round(F.sum(h), 4).alias("sum_h"))
+                      .withColumn("feature", F.lit(f)))
+                hist = hh if hist is None else hist.unionByName(hh)
+            wb = (Window.partitionBy("feature").orderBy("bin")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+            wall = Window.partitionBy("feature")
+            scan = (hist
+                    .withColumn("gl", F.sum("sum_g").over(wb))
+                    .withColumn("hl", F.sum("sum_h").over(wb))
+                    .withColumn("gt", F.sum("sum_g").over(wall))
+                    .withColumn("ht", F.sum("sum_h").over(wall))
+                    .withColumn("mx", F.max("bin").over(wall))
+                    .filter(F.col("bin") < F.col("mx"))
+                    .withColumn("gr", F.col("gt") - F.col("gl"))
+                    .withColumn("hr", F.col("ht") - F.col("hl"))
+                    .withColumn("gain",
+                                F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                                + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
+                                - F.col("gt") * F.col("gt") / (F.col("ht") + lam)))
+            best = (scan
+                    .select("feature", "bin", F.round("gain", 4).alias("gain"),
+                            F.round(-F.col("gl") / (F.col("hl") + lam), 6)
+                            .alias("wl"),
+                            F.round(-F.col("gr") / (F.col("hr") + lam), 6)
+                            .alias("wr"))
+                    .orderBy(F.col("gain").desc(), F.col("feature").asc(),
+                             F.col("bin").asc())
+                    .limit(1).first())
+            bests.append(best)
+            side = F.col(f"bin_{best['feature']}") <= F.lit(int(best["bin"]))
+            new_margins[k] = margins[k] + F.lit(0.3) * \
+                F.when(side, F.lit(float(best["wl"]))) \
+                 .otherwise(F.lit(float(best["wr"])))
+        margins = new_margins
+        msums = d.agg(*[F.round(F.sum(margins[k]), 2).alias(f"ms{k}")
+                        for k in range(3)]).first()
+        for k in range(3):
+            b = bests[k]
+            out_rows.append((rnd, k, b["feature"], int(b["bin"]),
+                             float(b["gain"]), float(b["wl"]),
+                             float(b["wr"]), float(msums[f"ms{k}"])))
+    d.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, class bigint, feature string, best_bin bigint, "
+        "best_gain double, w_left double, w_right double, margin_sum double")
+
+
 def q_train_dart(spark, sf_dir):
     """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
     per-round tree weights + final train rmse."""
@@ -2662,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed, replica-checked; rotate into the window next
         # round once the current batch is driver-certified
         "train_logistic": q_train_logistic,
+        "train_softmax": q_train_softmax,
         "dart_weights": q_dart_weights,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
@@ -3118,6 +3200,91 @@ LEFT JOIN hits h ON h.word = c.word
 LEFT JOIN bench b ON b.word = c.word"""
 
 
+def _train_softmax_sql() -> str:
+    """DuckDB twin of q_train_softmax: per round, three per-class
+    hist/scan/argmax chains fed by the round-START margins, then one
+    margin-update CTE consuming all three best splits."""
+    feats = _BS_FEATURES
+    B = 8
+    ctes = []
+    for f in feats:
+        ctes.append(f"""rk_{f} AS (
+  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
+  FROM lineitem WHERE {f} IS NOT NULL),
+cut_{f} AS (
+  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
+    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    bin_cols = ",\n         ".join(
+        f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
+        for f in feats)
+    ctes.append(f"""p0 AS (
+  SELECT CAST(l_linenumber % 3 AS DOUBLE) AS y3,
+         CAST(0.0 AS DOUBLE) AS m0, CAST(0.0 AS DOUBLE) AS m1,
+         CAST(0.0 AS DOUBLE) AS m2,
+         {bin_cols}
+  FROM lineitem l)""")
+
+    def pick_bin(alias: str) -> str:
+        return ("CASE " + alias + ".feature " + " ".join(
+            f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])
+            + f" ELSE bin_{feats[-1]} END")
+
+    def prob(k: int) -> str:
+        mx = "greatest(m0, m1, m2)"
+        z = " + ".join(f"exp(m{j} - {mx})" for j in range(3))
+        return f"(exp(m{k} - {mx}) / ({z}))"
+
+    for r in (1, 2):
+        src = f"p{r - 1}"
+        for k in range(3):
+            p = prob(k)
+            g = f"({p} - CASE WHEN y3 = {k} THEN 1.0 ELSE 0.0 END)"
+            h = f"(2.0 * {p} * (1.0 - {p}))"
+            hist = " UNION ALL ".join(
+                f"""SELECT '{f}' AS feature, bin_{f} AS bin,
+       round(sum({g}), 4) AS sum_g, round(sum({h}), 4) AS sum_h
+  FROM {src} GROUP BY 2""" for f in feats)
+            ctes.append(f"""h{r}c{k} AS ({hist}),
+s{r}c{k} AS (
+  SELECT feature, bin,
+         sum(sum_g) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(sum_h) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(sum_g) OVER (PARTITION BY feature) AS gt,
+         sum(sum_h) OVER (PARTITION BY feature) AS ht,
+         max(bin) OVER (PARTITION BY feature) AS mx
+  FROM h{r}c{k}),
+g{r}c{k} AS (
+  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+         gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+  FROM s{r}c{k} WHERE bin < mx),
+b{r}c{k} AS (
+  SELECT feature, bin, round(gain, 4) AS gain,
+         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
+  FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
+        FROM g{r}c{k})
+  WHERE rk = 1)""")
+        upd = ", ".join(
+            f"m{k} + 0.3 * (CASE WHEN ({pick_bin(f'bb{k}')}) <= bb{k}.bin "
+            f"THEN bb{k}.wl ELSE bb{k}.wr END) AS m{k}"
+            for k in range(3))
+        ctes.append(f"""p{r} AS (
+  SELECT {src}.* REPLACE ({upd})
+  FROM {src}, b{r}c0 bb0, b{r}c1 bb1, b{r}c2 bb2),
+st{r} AS (
+  SELECT round(sum(m0), 2) AS ms0, round(sum(m1), 2) AS ms1,
+         round(sum(m2), 2) AS ms2
+  FROM p{r})""")
+    selects = []
+    for r in (1, 2):
+        for k in range(3):
+            selects.append(f"""SELECT CAST({r} AS BIGINT) AS round, CAST({k} AS BIGINT) AS class,
+       feature, CAST(bin AS BIGINT) AS best_bin, gain AS best_gain,
+       wl AS w_left, wr AS w_right,
+       (SELECT ms{k} FROM st{r}) AS margin_sum
+FROM b{r}c{k}""")
+    return f"WITH {', '.join(ctes)}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _train_logistic_sql() -> str:
     """DuckDB twin of q_train_logistic: two binary:logistic rounds with
     real (non-unit) hessian histograms, generated like _train_stump_sql
@@ -3325,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
         "train_logistic": _train_logistic_sql(),
+        "train_softmax": _train_softmax_sql(),
         "bpe_merges": _bpe_merges_sql(4),
         "bpe_tokens": _bpe_tokens_sql(4),
         "min_acctbal_supplier": """
