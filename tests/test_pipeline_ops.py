@@ -1207,3 +1207,41 @@ def test_covariance_large_offset_stability(spark):
     comps, ev, mean = linalg.pca_fit(df, "embedding", k=2)
     np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-12)
     assert (ev > 0).all()
+
+
+def test_connected_components_random_graphs(spark):
+    """Randomized cross-check vs a plain union-find reference: the
+    large-star/small-star labels must equal the exact component-min
+    labeling on arbitrary graph shapes (cliques, chains, isolated
+    pairs, self-loops, dense blobs)."""
+    def uf_labels(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(20, 80))
+        m = int(rng.integers(n // 2, 3 * n))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(m)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components(pairs).collect()}
+        ref = uf_labels(n, [(a, b) for a, b in edges if a != b])
+        # nodes appearing only in self-loops label themselves
+        for a, b in edges:
+            ref.setdefault(a, a)
+            ref.setdefault(b, b)
+        assert got == ref, f"seed {seed}"

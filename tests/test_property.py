@@ -198,3 +198,8 @@ def test_jpeg_shape_and_range_invariants(h, w, sub, seed):
     flat = np.full((h, w, 3), 137, dtype=np.uint8)
     oflat = decode_jpeg(encode_jpeg(flat, quality=90, subsample=sub))
     assert np.abs(oflat.astype(int) - 137).max() <= 4
+    # progressive carries the SAME quantized coefficients, so its
+    # decode must be pixel-identical to the baseline decode
+    from xgboost_spark.operators.jpeg import encode_jpeg_progressive
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, subsample=sub))
+    assert (prog == out).all()
