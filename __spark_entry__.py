@@ -1359,10 +1359,13 @@ def q_waiting_suppliers(spark, sf_dir):
                       & (F.col("a.l_suppkey") != F.col("s2.l_suppkey")),
                       "leftanti")
     sup = _table(spark, sf_dir, "supplier")
+    # order/limit on the UNIQUE supplier key as the final tie-break so
+    # the top-10 cut is deterministic even if names ever collide
     return (only.groupBy("l_suppkey")
             .agg(F.count("*").cast("bigint").alias("numwait"))
             .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
-            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc(),
+                     F.col("s_suppkey").asc())
             .limit(10)
             .select("s_name", "numwait"))
 
@@ -1382,9 +1385,10 @@ def q_supplier_part_counts(spark, sf_dir):
              .select("p_brand", "p_size", "l_suppkey").distinct()
              .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
                    "leftanti"))
+    # pairs is already distinct on exactly this grain, so a plain count
+    # equals count-distinct without a second distinct-aggregate pass
     return (pairs.groupBy("p_brand", "p_size")
-            .agg(F.countDistinct("l_suppkey").cast("bigint")
-                 .alias("supplier_cnt"))
+            .agg(F.count("*").cast("bigint").alias("supplier_cnt"))
             .select("p_brand", F.col("p_size").cast("bigint").alias("p_size"),
                     "supplier_cnt"))
 
@@ -2869,6 +2873,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gain DESC, bin 
 WHERE rk = 1"""
 
 
+
+def _rank_cut_ctes(feats, B: int) -> list[str]:
+    """Per-feature rank-based exact-quantile cut CTEs — the SQL twin of
+    `_exact_cut_values`/`_bin_expr`, shared by every composed-training
+    oracle so the binning rule cannot silently diverge between them."""
+    return [f"""rk_{f} AS (
+  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
+  FROM lineitem WHERE {f} IS NOT NULL),
+cut_{f} AS (
+  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
+    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)"""
+            for f in feats]
+
+
 def _train_stump_sql() -> str:
     """DuckDB twin of q_train_stump: the SAME two boosting rounds
     composed from the already-oracled kernel shapes (cuts CTE from
@@ -2877,14 +2895,7 @@ def _train_stump_sql() -> str:
     literally consumes round 1's updated predictions."""
     feats = _BS_FEATURES
     B = 8
-    ctes = []
-    for f in feats:
-        ctes.append(f"""rk_{f} AS (
-  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
-  FROM lineitem WHERE {f} IS NOT NULL),
-cut_{f} AS (
-  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
-    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    ctes = _rank_cut_ctes(feats, B)
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
@@ -2951,14 +2962,7 @@ def _train_depth2_sql() -> str:
     histograms/argmax, four leaf weights, margin-update checksum."""
     feats = _BS_FEATURES
     B = 8
-    ctes = []
-    for f in feats:
-        ctes.append(f"""rk_{f} AS (
-  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
-  FROM lineitem WHERE {f} IS NOT NULL),
-cut_{f} AS (
-  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
-    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    ctes = _rank_cut_ctes(feats, B)
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
@@ -3206,14 +3210,7 @@ def _train_softmax_sql() -> str:
     margin-update CTE consuming all three best splits."""
     feats = _BS_FEATURES
     B = 8
-    ctes = []
-    for f in feats:
-        ctes.append(f"""rk_{f} AS (
-  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
-  FROM lineitem WHERE {f} IS NOT NULL),
-cut_{f} AS (
-  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
-    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    ctes = _rank_cut_ctes(feats, B)
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
@@ -3291,14 +3288,7 @@ def _train_logistic_sql() -> str:
     but with sigmoid gradients and a logloss metric per round."""
     feats = _BS_FEATURES
     B = 8
-    ctes = []
-    for f in feats:
-        ctes.append(f"""rk_{f} AS (
-  SELECT {f} AS v, row_number() OVER (ORDER BY {f}) AS rn, count(*) OVER () AS n
-  FROM lineitem WHERE {f} IS NOT NULL),
-cut_{f} AS (
-  SELECT min(v) AS cut FROM rk_{f} JOIN range(1, {B}) t(k)
-    ON rn = CAST(ceil(k * n / {B}.0) AS BIGINT) GROUP BY k)""")
+    ctes = _rank_cut_ctes(feats, B)
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
@@ -3533,8 +3523,8 @@ only_slow AS (
                       AND s2.l_suppkey <> a.l_suppkey))
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM only_slow JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY s_name
-ORDER BY numwait DESC, s_name ASC
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name ASC, s_suppkey ASC
 LIMIT 10""",
 
         "supplier_part_counts": """

@@ -144,8 +144,12 @@ def test_waiting_suppliers_joins_are_equi(spark, sf_dir):
 
 
 def test_top_supplier_filter_pushdown(spark, sf_dir):
-    """The quarter filter must reach the parquet scan."""
+    """The quarter filter must reach the parquet scan — assert
+    l_shipdate appears INSIDE the bracketed PushedFilters list (the
+    ReadSchema right after it also mentions the column, which would
+    make a naive substring check pass on an empty filter list)."""
+    import re
+
     import __spark_entry__ as E
     p = plan_of(E.queries()["top_supplier"](spark, sf_dir))
-    assert "PushedFilters: [" in p
-    assert "l_shipdate" in p.split("PushedFilters")[1][:200]
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", p), p
