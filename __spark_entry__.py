@@ -1715,6 +1715,55 @@ def q_stream_window(spark, sf_dir):
                     "event_type", "n", "sum_value"))
 
 
+def q_stream_distinct(spark, sf_dir):
+    """Streaming windowed DISTINCT-count via mergeable HLL registers
+    (operators/cardsketch.hll_register_exprs): the streaming agg keeps
+    max(rho) per (1h window, bucket) — state is bounded at windows x
+    2^p rows no matter the stream volume, which is the whole reason
+    sketches exist in streaming — and the batch finish computes the
+    HLL estimate per window.  The DuckDB oracle replays registers AND
+    estimate exactly (the registers are md5-derived, not engine-
+    private), alongside the exact distinct count for reference."""
+    _prep(spark)
+    import tempfile
+    from xgboost_spark.operators.cardsketch import hll_register_exprs
+    from xgboost_spark.sources.tables import ensure_event_time
+    p = 8
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = ensure_event_time(spark.readStream.schema(sch).parquet(stream_dir),
+                            "ts")
+    bucket, rho = hll_register_exprs(F.col("user_id"), p)
+    regs = (src.withWatermark("ts", "1 hour")
+            .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+            .agg(F.max("rho").alias("register")))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_distinct_{_STREAM_SEQ[0]}"
+    q = (regs.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    agg = (spark.table(name)
+           .groupBy(F.col("w.start").cast("timestamp").alias("ws"))
+           .agg(F.count("*").cast("bigint").alias("n_used"),
+                F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s_used")))
+    est = F.lit(alpha * m * m) / (F.col("s_used")
+                                  + (F.lit(m) - F.col("n_used")))
+    zeros = F.lit(m) - F.col("n_used")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    final = F.when(F.col("n_used") == 0, F.lit(0.0)) \
+             .when((est <= 2.5 * m) & (zeros > 0), linear).otherwise(est)
+    return agg.select(F.unix_micros("ws").alias("w_start"), "n_used",
+                      F.round(final, 4).alias("estimate"))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H-Q3-style 3-table join: broadcast the filtered customer dim,
     shuffle-join orders x lineitem on the order key, top-10 revenue.
@@ -2808,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
+        "stream_distinct": q_stream_distinct,
         "knn_lsh": q_knn_lsh,
         "linear_one_round": q_linear_one_round,
         # near-analogs of driver-certified shapes (replica-checked)
@@ -3104,6 +3154,39 @@ SELECT CAST(w.doc_id AS BIGINT) AS id,
        CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_tokens
 FROM w JOIN v{n_merges} v USING (word)
 GROUP BY w.doc_id"""
+
+
+def _stream_distinct_oracle_sql(p: int = 8) -> str:
+    """DuckDB twin of q_stream_distinct: per-hour HLL registers of
+    user_id and the same estimate arithmetic."""
+    m = 1 << p
+    width = 48 - p
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS ws,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT ws, h % {m} AS bucket,
+         max(CASE WHEN (h // {m}) = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(h // {m})) END) AS register
+  FROM h GROUP BY 1, 2),
+a AS (
+  SELECT ws, count(*) AS n_used,
+         sum(power(2.0, -register)) AS s_used
+  FROM r GROUP BY 1),
+e AS (
+  SELECT ws, n_used,
+         {alpha_m2} / (s_used + ({m} - n_used)) AS est,
+         {m} - n_used AS zeros
+  FROM a)
+SELECT epoch_us(ws) AS w_start, CAST(n_used AS BIGINT) AS n_used,
+       round(CASE WHEN n_used = 0 THEN 0.0
+                  WHEN est <= 2.5 * {m} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE est END, 4) AS estimate
+FROM e"""
 
 
 def _hll_oracle_sql(p: int = 10) -> str:
@@ -3962,6 +4045,8 @@ SELECT epoch_us(date_trunc('hour', ts)) AS w_start, event_type,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2""",
+
+        "stream_distinct": _stream_distinct_oracle_sql(8),
 
         "linear_one_round": """
 WITH b AS (SELECT avg(l_extendedprice) AS bs, CAST(count(*) AS DOUBLE) AS n,

@@ -33,27 +33,35 @@ def _h48(col, salt: str):
     return md5_h48(F.concat(F.lit(salt), col))
 
 
+def hll_register_exprs(col, p: int = 10, salt: str = "hll"):
+    """(bucket_expr, rho_expr) for a value column — the building blocks
+    of an HLL register table, exposed so STREAMING aggregations can run
+    the same max-merge per (window, bucket) with bounded state."""
+    h = _h48(col.cast("string"), salt + ":")
+    m = 1 << p
+    bucket = (h % m).cast("bigint")
+    suffix = F.shiftright(h, p)
+    width = 48 - p
+    rho = F.when(suffix == 0, F.lit(width + 1)) \
+           .otherwise(F.lit(width + 1) - F.length(F.bin(suffix)))
+    return bucket, rho.cast("bigint")
+
+
 def hll_registers(df: DataFrame, col: str, p: int = 10,
                   salt: str = "hll") -> DataFrame:
     """HyperLogLog registers: (bucket, register) with bucket = the low
     ``p`` bits of the hash and register = 1 + leading-zero count of the
     remaining (48-p)-bit suffix (capped at 48-p+1 when the suffix is
     zero).  NULL values are ignored (like approx_count_distinct).
-    One HashAggregate; at most 2^p output rows."""
+    One HashAggregate; at most 2^p output rows.
+
+    The bucket/rho expressions (shared with the streaming path via
+    `hll_register_exprs`) use the binary-string length for the
+    highest-set-bit position — integer exact in both engines
+    (length(bin(x)) = floor(log2 x) + 1), no libm log2 ulp hazards."""
     df = df.filter(F.col(col).isNotNull())
-    h = _h48(F.col(col).cast("string"), salt + ":")
-    m = 1 << p
-    bucket = (h % m).cast("bigint")
-    suffix = F.shiftright(h, p)                # top 48-p bits
-    # highest-set-bit position via the binary-string length — integer
-    # exact in both engines (length(bin(x)) = floor(log2 x) + 1), no
-    # libm log2 ulp hazards; suffix==0 maps to the max register value
-    width = 48 - p
-    # rho = 1-based position of the leftmost 1-bit in the width-bit
-    # suffix = width + 1 - bit_length(suffix); all-zero suffix -> width+1
-    rho = F.when(suffix == 0, F.lit(width + 1)) \
-           .otherwise(F.lit(width + 1) - F.length(F.bin(suffix)))
-    return (df.select(bucket.alias("bucket"), rho.cast("bigint").alias("rho"))
+    bucket, rho = hll_register_exprs(F.col(col), p, salt)
+    return (df.select(bucket.alias("bucket"), rho.alias("rho"))
             .groupBy("bucket").agg(F.max("rho").alias("register")))
 
 
