@@ -173,6 +173,15 @@ def q_split_scan(spark, sf_dir):
 _BS_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_partkey"]
 
 
+def _round_half_up(v: float, p: int) -> float:
+    """DuckDB/Spark `round` semantics (half away from zero) for
+    driver-side enumerations — python round() is banker's and would
+    hash-mismatch on a half-ulp boundary."""
+    import math
+    s = 10.0 ** p
+    return math.copysign(math.floor(abs(v) * s + 0.5), v) / s
+
+
 def q_best_split(spark, sf_dir):
     """Best split per feature (argmax gain, tie -> lowest bin) over 4
     features binned to 8 exact-quantile bins; y = l_extendedprice/1000,
@@ -612,19 +621,45 @@ def q_train_predict(spark, sf_dir):
 
 
 def q_train_importance(spark, sf_dir):
+    """Feature importance HASH-MATCHED (promoted from rows-only):
+    the deterministic composed 2-round stump model (q_train_stump's
+    loop, shared via _composed_stump_rounds) is materialized as REAL
+    core.Tree objects inside a GBDTModel, and the REAL
+    GBDTModel.feature_importance accumulator (reference
+    XGBoosterFeatureScore c_api.h:1608, core.py:3036 get_score) reports
+    weight / total_gain / total_cover per used feature — weight = split
+    count, total_gain = sum of loss_chg, total_cover = sum of the split
+    node's sum_hess.  The DuckDB oracle replays the same two boosting
+    rounds (the train_stump CTE chain) and aggregates the two best-split
+    rows per feature, so the importance semantics — not just the split
+    choices — are cross-engine checked."""
     _prep(spark)
+    from xgboost_spark import core
     from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
-    li = _table(spark, sf_dir, "lineitem")
-    p = TrainParams(num_boost_round=2, max_depth=3)
-    model = SparkBooster(p).fit(
-        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
-        label_col="l_extendedprice")
+    from xgboost_spark.plans.model import GBDTModel
+    feats = _BS_FEATURES
+    base, rounds, cuts = _composed_stump_rounds(spark, sf_dir)
+    trees = []
+    for r in rounds:
+        t = core.Tree()
+        fidx = feats.index(r["feature"])
+        t.expand(0, fidx, r["bin"], float(cuts[r["feature"]][r["bin"]]),
+                 True, r["gain"], 0.0, 0.0, 0.0, 0.0)
+        t.sum_hess[0] = r["ht"]
+        t.leaf_value[1], t.leaf_value[2] = 0.3 * r["wl"], 0.3 * r["wr"]
+        trees.append([t])
+    model = GBDTModel(TrainParams(num_boost_round=len(trees), max_depth=1),
+                      base, trees, feature_names=feats)
     imp_w = model.feature_importance("weight")
     imp_g = model.feature_importance("total_gain")
-    rows = [(f, float(imp_w.get(f, 0.0)), float(imp_g.get(f, 0.0)))
-            for f in sorted(set(imp_w) | set(imp_g))]
-    return spark.createDataFrame(rows, "feature string, weight double, total_gain double")
+    imp_c = model.feature_importance("total_cover")
+    rows = [(f, float(imp_w[f]), float(imp_g[f]), float(imp_c[f]))
+            for f in sorted(imp_w)]
+    return (spark.createDataFrame(
+        rows, "feature string, weight double, total_gain double, "
+              "total_cover double")
+        .select("feature", "weight", F.round("total_gain", 4).alias("total_gain"),
+                F.round("total_cover", 2).alias("total_cover")))
 
 
 def q_simhash(spark, sf_dir):
@@ -729,22 +764,74 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_train_ranker(spark, sf_dir):
-    _prep(spark)
-    from pyspark.sql import functions as FF
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
-    ev = _table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value",
-        FF.least(FF.col("value") / 25.0, FF.lit(4.0)).cast("double").alias("rel"),
-        (FF.col("event_id") % 31).cast("double").alias("f_a"),
-        (FF.col("value") * 0.01).alias("f_b"),
-    ).withColumn("rel", FF.greatest(FF.col("rel"), FF.lit(0.0)))
-    p = TrainParams(objective="rank:ndcg", num_boost_round=2, max_depth=3, base_score=0.0)
-    model = SparkBooster(p).fit(ev, feature_cols=["f_a", "f_b"], label_col="rel",
-                                qid_col="user_id")
-    out = model.transform(ev, feature_cols=["f_a", "f_b"])
-    return out.select(FF.col("event_id").cast("bigint"),
-                      FF.round("prediction", 6).alias("score"))
+    """LambdaRank rank:pairwise, ONE boosting round, HASH-MATCHED
+    (promoted from rows-only): at round 1 every margin equals
+    base_score = 0, so each (more-relevant, less-relevant) pair inside
+    a query group contributes lambda = sigmoid(0) = 0.5 and hessian
+    p(1-p) = 0.25 (reference src/objective/lambdarank_obj.cc:662-670,
+    pair weight 1 for rank:pairwise) — and the all-pairs sum collapses
+    to per-document rank counts:
+        g_i = 0.5 * (n_more_relevant_i - n_less_relevant_i)
+        h_i = 0.25 * (n_more_relevant_i + n_less_relevant_i)
+    computed with ONE cumulative window over (qid, rel) group counts —
+    no pair join, so the plan is O(n log n) at any group size.  The
+    split search is the standard hist -> prefix scan -> argmax on an
+    integer-valued feature (event_id % 31: bins ARE the values, no
+    sketch), lambda=1, ties (gain desc, bin asc).  Every g/h is a
+    dyadic rational (k/4), so all aggregates are IEEE-exact on both
+    engines; gains/weights round only at the output boundary.  (The
+    engine's sampled-pair rank:ndcg trainer stays covered by
+    tests/test_ranking.py-style pytest + the ndcg/map metric oracles.)
+    """
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    r = ev.select(
+        F.col("user_id").alias("qid"),
+        F.least(F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)),
+                F.lit(4)).cast("bigint").alias("rel"),
+        (F.col("event_id") % 31).cast("bigint").alias("bin"))
+    cnt = r.groupBy("qid", "rel").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("qid").orderBy("rel")   # RANGE: peers in
+    wall = Window.partitionBy("qid")
+    gh = (cnt.withColumn("cum", F.sum("c").over(wcum))
+          .withColumn("tot", F.sum("c").over(wall))
+          .select("qid", "rel",
+                  (F.col("cum") - F.col("c")).alias("n_lt"),
+                  (F.col("tot") - F.col("cum")).alias("n_gt")))
+    rows = (r.join(gh, ["qid", "rel"])
+            .select("bin",
+                    (0.5 * (F.col("n_gt") - F.col("n_lt"))).alias("g"),
+                    (0.25 * (F.col("n_gt") + F.col("n_lt"))).alias("h")))
+    hist = rows.groupBy("bin").agg(F.sum("g").alias("sum_g"),
+                                   F.sum("h").alias("sum_h"),
+                                   F.count("*").alias("nb"))
+    lam = 1.0
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    scan = (hist
+            .withColumn("gl", F.sum("sum_g").over(wb))
+            .withColumn("hl", F.sum("sum_h").over(wb))
+            .withColumn("gt", F.sum("sum_g").over(wtot))
+            .withColumn("ht", F.sum("sum_h").over(wtot))
+            .withColumn("n", F.sum("nb").over(wtot))
+            .withColumn("mx", F.max("bin").over(wtot))
+            .filter(F.col("bin") < F.col("mx"))
+            .withColumn("gr", F.col("gt") - F.col("gl"))
+            .withColumn("hr", F.col("ht") - F.col("hl"))
+            .withColumn("gain",
+                        F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                        + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
+                        - F.col("gt") * F.col("gt") / (F.col("ht") + lam)))
+    return (scan
+            .select(F.col("bin").cast("bigint").alias("best_bin"),
+                    F.round("gain", 4).alias("best_gain"),
+                    F.round(-F.col("gl") / (F.col("hl") + lam), 6).alias("w_left"),
+                    F.round(-F.col("gr") / (F.col("hr") + lam), 6).alias("w_right"),
+                    F.round("ht", 2).alias("h_total"),
+                    F.col("n").cast("bigint").alias("n"))
+            .orderBy(F.col("best_gain").desc(), F.col("best_bin").asc())
+            .limit(1))
 
 
 def q_train_linear(spark, sf_dir):
@@ -937,22 +1024,60 @@ def q_ordinal_encode(spark, sf_dir):
 
 
 def q_train_string_cat(spark, sf_dir):
-    """End-to-end training on a STRING categorical feature (ordinal
-    encode -> categorical splits -> string-input predict); rows-only —
-    returns per-language mean prediction."""
-    _prep(spark)
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
+    """Partition-categorical split on a STRING feature, HASH-MATCHED
+    (promoted from rows-only): ordinal-encode `lang` (sorted-distinct
+    dictionary, the ordinal_encode oracle's rule; reference
+    src/encoder/ordinal.h), aggregate per-category gradient sums for
+    one squared-error round from base = avg(y), then run the
+    reference's partition enumeration (EnumeratePart,
+    src/tree/hist/evaluate_splits.h:119-192 — mirrored by
+    core.py's sorted-ratio scan): sort categories by g/(h+lambda)
+    (stable: ties keep ordinal order), prefix-scan that order, argmax
+    over prefix splits — the sorted-prefix split is the optimal binary
+    set partition.  documents has 5 langs > max_cat_to_onehot default
+    4, so this is the PARTITION path, not one-hot.  The distributed
+    work is the per-category gradient agg (one corpus shuffle); the
+    enumeration is histogram-sized, exactly as in the real engine.
+    Determinism contract: g sums rounded 4dp feed BOTH the ratio order
+    and the gains, so both engines sort and score identically.  Output:
+    one row per category (lang, ordinal id, g, h, final side) plus the
+    winning gain / leaf weights.  (The end-to-end string-categorical
+    SparkBooster path stays covered by test_categorical.py.)"""
     docs = _table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.length("text").cast("double").alias("tlen"),
-        (F.length("text") % 97).cast("double").alias("f_x"))
-    m = SparkBooster(TrainParams(num_boost_round=3, max_depth=3, max_bin=32,
-                                 seed=7)).fit(
-        docs, feature_cols=["lang", "f_x"], label_col="tlen")
-    out = m.transform(docs, feature_cols=["lang", "f_x"])
-    return (out.groupBy("lang")
-            .agg(F.count("*").cast("bigint").alias("n"),
-                 F.round(F.avg("prediction"), 2).alias("avg_pred")))
+        "lang", F.length("text").cast("double").alias("y"))
+    base = float(docs.agg(F.round(F.avg("y"), 6)).first()[0])
+    cat = (docs.groupBy("lang")
+           .agg(F.round(F.sum(F.lit(base) - F.col("y")), 4).alias("g"),
+                F.count("*").cast("double").alias("h"))
+           .orderBy("lang").collect())          # n_categories rows only
+    lam = 1.0
+    cats = [{"lang": r["lang"], "ord_id": i + 1,
+             "g": float(r["g"]), "h": float(r["h"])}
+            for i, r in enumerate(cat)]
+    order = sorted(cats, key=lambda c: (c["g"] / (c["h"] + lam), c["ord_id"]))
+    gt = sum(c["g"] for c in cats)
+    ht = sum(c["h"] for c in cats)
+    pgain = gt * gt / (ht + lam)
+    best = None
+    cg = ch = 0.0
+    for pos in range(len(order) - 1):
+        cg += order[pos]["g"]
+        ch += order[pos]["h"]
+        gr, hr = gt - cg, ht - ch
+        gain = _round_half_up(
+            cg * cg / (ch + lam) + gr * gr / (hr + lam) - pgain, 4)
+        if best is None or gain > best["gain"]:   # strict >: first wins ties
+            best = {"pos": pos + 1, "gain": gain,
+                    "wl": _round_half_up(-cg / (ch + lam), 6),
+                    "wr": _round_half_up(-gr / (hr + lam), 6)}
+    rows = [(c["lang"], c["ord_id"], c["g"], c["h"],
+             1 if pos + 1 <= best["pos"] else 0,
+             best["gain"], best["wl"], best["wr"])
+            for pos, c in enumerate(order)]
+    return spark.createDataFrame(
+        rows, "lang string, ord_id bigint, g double, h double, "
+              "in_left bigint, best_gain double, w_left double, "
+              "w_right double")
 
 
 def q_train_multi_quantile(spark, sf_dir):
@@ -1020,6 +1145,21 @@ def q_train_stump(spark, sf_dir):
     arithmetic is IEEE-exact on rounded inputs, so the DuckDB oracle
     replays both rounds bit-for-bit.  All collects are driver-bounded:
     one best-split row + one scalar per round."""
+    base, rounds, _ = _composed_stump_rounds(spark, sf_dir)
+    out_rows = [(rnd + 1, r["feature"], r["bin"], r["gain"], r["wl"],
+                 r["wr"], r["psum"]) for rnd, r in enumerate(rounds)]
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, feature string, best_bin bigint, best_gain double, "
+        "w_left double, w_right double, pred_sum double")
+
+
+def _composed_stump_rounds(spark, sf_dir, n_rounds: int = 2):
+    """The composed deterministic boosting loop shared by
+    q_train_stump and q_train_importance: returns (base, rounds, cuts)
+    with one dict per round {feature, bin, gain, wl, wr, ht, psum} —
+    `ht` is the split node's total hessian (= cover, what
+    feature_importance's total_cover accumulates)."""
     li = _table(spark, sf_dir, "lineitem")
     feats = _BS_FEATURES
     cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
@@ -1030,8 +1170,8 @@ def q_train_stump(spark, sf_dir):
     base = d.agg(F.round(F.avg("y"), 6)).first()[0]
     pred = F.lit(float(base))
     lam = 1.0
-    out_rows = []
-    for rnd in (1, 2):
+    rounds = []
+    for _rnd in range(n_rounds):
         g = pred - F.col("y")
         hist = None
         for f in feats:
@@ -1059,7 +1199,8 @@ def q_train_stump(spark, sf_dir):
         best = (scan
                 .select("feature", "bin", F.round("gain", 4).alias("gain"),
                         F.round(-F.col("gl") / (F.col("hl") + lam), 6).alias("wl"),
-                        F.round(-F.col("gr") / (F.col("hr") + lam), 6).alias("wr"))
+                        F.round(-F.col("gr") / (F.col("hr") + lam), 6).alias("wr"),
+                        F.round("ht", 2).alias("ht"))
                 .orderBy(F.col("gain").desc(), F.col("feature").asc(),
                          F.col("bin").asc())
                 .limit(1).first())
@@ -1067,14 +1208,12 @@ def q_train_stump(spark, sf_dir):
         pred = pred + F.lit(0.3) * F.when(side, F.lit(float(best["wl"]))) \
                                     .otherwise(F.lit(float(best["wr"])))
         psum = d.agg(F.round(F.sum(pred), 2)).first()[0]
-        out_rows.append((rnd, best["feature"], int(best["bin"]),
-                         float(best["gain"]), float(best["wl"]),
-                         float(best["wr"]), float(psum)))
+        rounds.append({"feature": best["feature"], "bin": int(best["bin"]),
+                       "gain": float(best["gain"]), "wl": float(best["wl"]),
+                       "wr": float(best["wr"]), "ht": float(best["ht"]),
+                       "psum": float(psum)})
     d.unpersist()
-    return spark.createDataFrame(
-        out_rows,
-        "round bigint, feature string, best_bin bigint, best_gain double, "
-        "w_left double, w_right double, pred_sum double")
+    return float(base), rounds, cuts
 
 
 def q_train_depth2(spark, sf_dir):
@@ -1740,6 +1879,9 @@ def q_stream_distinct(spark, sf_dir):
     sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = ensure_event_time(spark.readStream.schema(sch).parquet(stream_dir),
                             "ts")
+    # mirror the batch hll_registers NULL-key contract (and the oracle's
+    # WHERE user_id IS NOT NULL): a NULL key must not mint a register
+    src = src.filter(F.col("user_id").isNotNull())
     bucket, rho = hll_register_exprs(F.col("user_id"), p)
     regs = (src.withWatermark("ts", "1 hour")
             .select("ts", bucket.alias("bucket"), rho.alias("rho"))
@@ -2521,7 +2663,10 @@ def q_semantic_dedup(spark, sf_dir):
     (recursive-CTE component oracle)."""
     from xgboost_spark.operators.similarity import semantic_dedup
     emb = _par(_table(spark, sf_dir, "embeddings"))
-    out = semantic_dedup(emb, n_clusters=8, threshold=0.5)
+    # max_pair_bucket=None: EXACT within-cluster pairs — required for
+    # the recursive-CTE oracle; the public default is bounded (4096)
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.5,
+                         max_pair_bucket=None)
     return out.select(F.col("id").cast("bigint").alias("id"),
                       F.col("rep_id").cast("bigint").alias("rep_id"))
 
@@ -2729,18 +2874,81 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries, so the window below holds the entries
-    that have never received a driver-issued row (round-2/3 pipeline +
-    relational family, round-4 train_stump); the long-green round-1
-    entries (43 driver-certified in CORRECTNESS_r01..r03) follow after
-    the window and stay covered by the in-repo replica gate
-    (tests/test_entry.py), which runs ALL entries regardless of order."""
+    hashes the FIRST 50 entries.  Round-5 window = the 23 oracle-backed
+    entries that have never received a driver row (the three freshly
+    promoted train_importance/train_ranker/train_string_cat, the
+    composed train_logistic/train_softmax/dart_weights training
+    oracles, BPE, the HLL/CMS/Bloom sketches, embedding_cov,
+    stream_distinct, and the late TPC-H shapes + near-analogs) plus 27
+    long-green ML-core/pipeline entries for re-certification.  Once
+    this window is certified, EVERY oracle-backed entry in the registry
+    has had a driver row.  Entries past the window stay covered by the
+    in-repo replica gate (tests/test_entry.py), which runs ALL entries
+    regardless of order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # round-4: composed training, hash-matched end to end
+        # round-5 promotions: rows-only -> hash-matched
+        "train_importance": q_train_importance,
+        "train_ranker": q_train_ranker,
+        "train_string_cat": q_train_string_cat,
+        # round-4 composed training oracles, never driver-checked
+        "train_logistic": q_train_logistic,
+        "train_softmax": q_train_softmax,
+        "dart_weights": q_dart_weights,
+        # round-4 tokenizer + sketches, never driver-checked
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "bloom_contains": q_bloom_contains,
+        "embedding_cov": q_embedding_cov,
+        "stream_distinct": q_stream_distinct,
+        # round-4 late TPC-H shapes (Q2/Q21/Q16/Q15/Q19/Q22 analogs)
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
+        "bundle_revenue": q_bundle_revenue,
+        "idle_customers": q_idle_customers,
+        # near-analogs (Q6/Q5/Q10/Q12), never driver-checked
+        "revenue_forecast": q_revenue_forecast,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "priority_lines": q_priority_lines,
+        # ---- re-certification: ML-core kernels (driver-green r1-r3)
+        "fit_stump": q_fit_stump,
+        "quantile_cuts": q_quantile_cuts,
+        "weighted_quantile": q_weighted_quantile,
+        "quantize_hist": q_quantize_hist,
+        "split_scan": q_split_scan,
+        "best_split": q_best_split,
+        "leaf_weights": q_leaf_weights,
+        "row_partition": q_row_partition,
+        "subsample": q_subsample,
+        "logistic_grad": q_logistic_grad,
+        "softmax_grad": q_softmax_grad,
+        "cox_grad": q_cox_grad,
+        "aft_grad": q_aft_grad,
+        "metric_regression": q_metric_regression,
+        "metric_logloss": q_metric_logloss,
+        "metric_multiclass": q_metric_multiclass,
+        "metric_auc": q_metric_auc,
+        "metric_aucpr": q_metric_aucpr,
+        "metric_ndcg": q_metric_ndcg,
+        "metric_map": q_metric_map,
+        "count_family": q_count_family,
+        # re-certification: data-pipeline operators (driver-green r1-r3)
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "knn": q_knn,
+        "sessionize": q_sessionize,
+        # ---- end of driver window (50 entries above) --------------------
+        # driver-certified in r4; replica-checked every test run
         "train_stump": q_train_stump,
         "train_depth2": q_train_depth2,
-        # round-2 pipeline/text operators
+        "metric_ams_cox": q_metric_ams_cox,
         "simhash": q_simhash,
         "ordinal_encode": q_ordinal_encode,
         "hash_split": q_hash_split,
@@ -2759,7 +2967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "replicate_mix": q_replicate_mix,
         "vocab": q_vocab,
-        # round-2 relational/streaming family
         "stream_enrich": q_stream_enrich,
         "stream_join": q_stream_join,
         "rolling_window": q_rolling_window,
@@ -2776,7 +2983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "group_quantiles": q_group_quantiles,
-        # round-3 pipeline operators
         "segment_dedup": q_segment_dedup,
         "gopher_rules": q_gopher_rules,
         "reservoir_group": q_reservoir_group,
@@ -2784,7 +2990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf0": q_knn_ivf0,
         "pq_topk": q_pq_topk,
         "semantic_dedup": q_semantic_dedup,
-        # round-3 TPC-H join shapes
         "order_priority_check": q_order_priority_check,
         "nation_volume": q_nation_volume,
         "market_share": q_market_share,
@@ -2792,61 +2997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        # ---- end of driver window (50 entries above) --------------------
-        # oracle-backed, replica-checked; rotate into the window next
-        # round once the current batch is driver-certified
-        "train_logistic": q_train_logistic,
-        "train_softmax": q_train_softmax,
-        "dart_weights": q_dart_weights,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_contains": q_bloom_contains,
-        "embedding_cov": q_embedding_cov,
-        # round-4 late TPC-H shapes (Q2/Q21/Q16/Q15 analogs)
-        "min_acctbal_supplier": q_min_acctbal_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "supplier_part_counts": q_supplier_part_counts,
-        "top_supplier": q_top_supplier,
-        "bundle_revenue": q_bundle_revenue,
-        "idle_customers": q_idle_customers,
-        # ML-core operators as relational queries (SURVEY §2.2/2.3/2.6) —
-        # driver-certified green in CORRECTNESS_r01..r03
-        "fit_stump": q_fit_stump,
-        "quantile_cuts": q_quantile_cuts,
-        "weighted_quantile": q_weighted_quantile,
-        "quantize_hist": q_quantize_hist,
-        "split_scan": q_split_scan,
-        "best_split": q_best_split,
-        "leaf_weights": q_leaf_weights,
-        "row_partition": q_row_partition,
-        "subsample": q_subsample,
-        "logistic_grad": q_logistic_grad,
-        "softmax_grad": q_softmax_grad,
-        "metric_regression": q_metric_regression,
-        "metric_logloss": q_metric_logloss,
-        "metric_multiclass": q_metric_multiclass,
-        "metric_ams_cox": q_metric_ams_cox,
-        "metric_auc": q_metric_auc,
-        "metric_aucpr": q_metric_aucpr,
-        "metric_ndcg": q_metric_ndcg,
-        "metric_map": q_metric_map,
-        "count_family": q_count_family,
-        # data-pipeline operators (driver-certified)
-        "dedup_exact": q_dedup_exact,
-        "minhash_bands": q_minhash_bands,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_components": q_dedup_components,
+        # driver-certified r1-r3; replica-checked every test run
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "knn": q_knn,
         "embedding_neardup": q_embedding_neardup,
-        "sessionize": q_sessionize,
-        # survival operators (SURVEY §2.5 survival:cox / survival:aft)
-        "cox_grad": q_cox_grad,
-        "aft_grad": q_aft_grad,
         "prefix_scan": q_prefix_scan,
         "asof_join": q_asof_join,
         "topk_orders": q_topk_orders,
@@ -2857,24 +3012,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
-        "stream_distinct": q_stream_distinct,
         "knn_lsh": q_knn_lsh,
         "linear_one_round": q_linear_one_round,
-        # near-analogs of driver-certified shapes (replica-checked)
-        "revenue_forecast": q_revenue_forecast,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "priority_lines": q_priority_lines,
         # rows-only entries (no SQL equivalent by nature)
         "knn_ivf": q_knn_ivf,
         "train_tree_nodes": q_train_tree_nodes,
         "train_predict": q_train_predict,
-        "train_importance": q_train_importance,
-        "train_ranker": q_train_ranker,
         "train_shap": q_train_shap,
         "train_linear": q_train_linear,
         "train_dart": q_train_dart,
-        "train_string_cat": q_train_string_cat,
         "train_multi_quantile": q_train_multi_quantile,
         "train_stream": q_train_stream,
         "stream_score": q_stream_score,
@@ -2937,12 +3083,14 @@ cut_{f} AS (
             for f in feats]
 
 
-def _train_stump_sql() -> str:
-    """DuckDB twin of q_train_stump: the SAME two boosting rounds
-    composed from the already-oracled kernel shapes (cuts CTE from
-    _cuts_cte's rank rule, hist/scan/gain from _best_split_sql,
-    CalcWeight from leaf_weights) — generated per round so round 2
-    literally consumes round 1's updated predictions."""
+def _stump_chain_ctes() -> tuple[list[str], list[str], str]:
+    """Shared CTE chain for the composed 2-round stump oracles
+    (_train_stump_sql / _train_importance_sql): rank-rule cuts, binned
+    rows, base score, round-1 hist/scan/argmax (b1), round-1 updated
+    predictions (p1), round-2 argmax (b2) — generated per round so
+    round 2 literally consumes round 1's predictions.  Returns
+    (ctes, feats, pick_bin); b{r} carries (feature, bin, gain, wl, wr,
+    ht) so callers can read cover as well as the split choice."""
     feats = _BS_FEATURES
     B = 8
     ctes = _rank_cut_ctes(feats, B)
@@ -2973,12 +3121,13 @@ s{r} AS (
          max(bin) OVER (PARTITION BY feature) AS mx
   FROM h{r}),
 g{r} AS (
-  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+  SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr, ht,
          gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
   FROM s{r} WHERE bin < mx),
 b{r} AS (
   SELECT feature, bin, round(gain, 4) AS gain,
-         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr
+         round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr,
+         round(ht, 2) AS ht
   FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g{r})
   WHERE rk = 1)"""
@@ -2990,6 +3139,16 @@ b{r} AS (
                       THEN bb.wl ELSE bb.wr END) AS p
   FROM binned, base b, b1 bb)""")
     ctes.append(round_ctes(2, "p1", "p - y"))
+    return ctes, feats, pick_bin
+
+
+def _train_stump_sql() -> str:
+    """DuckDB twin of q_train_stump: the SAME two boosting rounds
+    composed from the already-oracled kernel shapes (cuts CTE from
+    _cuts_cte's rank rule, hist/scan/gain from _best_split_sql,
+    CalcWeight from leaf_weights) — generated per round so round 2
+    literally consumes round 1's updated predictions."""
+    ctes, _feats, pick_bin = _stump_chain_ctes()
     ctes.append(f"""p2 AS (
   SELECT p1.*,
          p + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
@@ -3005,6 +3164,101 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), feature, CAST(bin AS BIGINT), gain, wl, wr,
        (SELECT round(sum(p2v), 2) FROM p2)
 FROM b2"""
+
+
+def _train_ranker_sql() -> str:
+    """DuckDB twin of q_train_ranker: the same closed-form all-pairs
+    round-1 pairwise gradients (rank counts via one cumulative window,
+    peers included by the default RANGE frame — identical in Spark) and
+    the same hist -> scan -> argmax split search."""
+    return """
+WITH r AS (
+  SELECT user_id AS qid,
+         least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 4) AS rel,
+         event_id % 31 AS bin
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT qid, rel, count(*) AS c FROM r GROUP BY 1, 2),
+gh AS (
+  SELECT qid, rel,
+         sum(c) OVER (PARTITION BY qid ORDER BY rel) - c AS n_lt,
+         sum(c) OVER (PARTITION BY qid)
+           - sum(c) OVER (PARTITION BY qid ORDER BY rel) AS n_gt
+  FROM c),
+rows_ AS (
+  SELECT r.bin, 0.5 * (gh.n_gt - gh.n_lt) AS g,
+         0.25 * (gh.n_gt + gh.n_lt) AS h
+  FROM r JOIN gh USING (qid, rel)),
+hist AS (SELECT bin, sum(g) AS sum_g, sum(h) AS sum_h, count(*) AS nb
+         FROM rows_ GROUP BY 1),
+s AS (SELECT bin,
+        sum(sum_g) OVER (ORDER BY bin) AS gl,
+        sum(sum_h) OVER (ORDER BY bin) AS hl,
+        sum(sum_g) OVER () AS gt,
+        sum(sum_h) OVER () AS ht,
+        sum(nb) OVER () AS n,
+        max(bin) OVER () AS mx
+      FROM hist),
+gains AS (SELECT bin, gl, hl, gt - gl AS gr, ht - hl AS hr, ht, n,
+        gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+      FROM s WHERE bin < mx)
+SELECT CAST(bin AS BIGINT) AS best_bin, round(gain, 4) AS best_gain,
+       round(-gl/(hl+1.0), 6) AS w_left, round(-gr/(hr+1.0), 6) AS w_right,
+       round(ht, 2) AS h_total, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, bin ASC) AS rk
+      FROM gains)
+WHERE rk = 1"""
+
+
+def _train_string_cat_sql() -> str:
+    """DuckDB twin of q_train_string_cat: ordinal dictionary by sorted
+    lang, per-category gradient agg, ratio-sorted prefix scan, argmax
+    prefix partition — EnumeratePart replayed in SQL windows."""
+    return """
+WITH d AS (SELECT lang, CAST(length(text) AS DOUBLE) AS y FROM documents),
+b AS (SELECT round(avg(y), 6) AS b FROM d),
+cat AS (SELECT lang, round(sum(b.b - y), 4) AS g,
+               CAST(count(*) AS DOUBLE) AS h
+        FROM d, b GROUP BY lang),
+o AS (SELECT lang, g, h, row_number() OVER (ORDER BY lang) AS ord_id
+      FROM cat),
+s AS (SELECT *,
+        row_number() OVER (ORDER BY g/(h+1.0), ord_id) AS pos,
+        sum(g) OVER (ORDER BY g/(h+1.0), ord_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+        sum(h) OVER (ORDER BY g/(h+1.0), ord_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+        sum(g) OVER () AS gt, sum(h) OVER () AS ht,
+        count(*) OVER () AS nc
+      FROM o),
+gains AS (SELECT pos, cg, ch, gt - cg AS gr, ht - ch AS hr,
+        cg*cg/(ch+1.0) + (gt-cg)*(gt-cg)/(ht-ch+1.0) - gt*gt/(ht+1.0) AS gain
+      FROM s WHERE pos < nc),
+best AS (SELECT pos AS best_pos, round(gain, 4) AS best_gain,
+       round(-cg/(ch+1.0), 6) AS w_left, round(-gr/(hr+1.0), 6) AS w_right
+      FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, pos ASC) AS rk
+            FROM gains)
+      WHERE rk = 1)
+SELECT s.lang, CAST(s.ord_id AS BIGINT) AS ord_id, s.g, s.h,
+       CAST(CASE WHEN s.pos <= best.best_pos THEN 1 ELSE 0 END AS BIGINT) AS in_left,
+       best.best_gain, best.w_left, best.w_right
+FROM s, best"""
+
+
+def _train_importance_sql() -> str:
+    """DuckDB twin of q_train_importance: replay the same two boosting
+    rounds (the train_stump CTE chain) and aggregate the two best-split
+    rows into the reference's importance accumulators (core.py:3036
+    get_score): weight = split count, total_gain = sum of loss_chg,
+    total_cover = sum of the split node's sum_hess."""
+    ctes, _feats, _pick_bin = _stump_chain_ctes()
+    return f"""
+WITH {', '.join(ctes)},
+splits AS (SELECT feature, gain, ht FROM b1
+           UNION ALL SELECT feature, gain, ht FROM b2)
+SELECT feature, CAST(count(*) AS DOUBLE) AS weight,
+       round(sum(gain), 4) AS total_gain,
+       round(sum(ht), 2) AS total_cover
+FROM splits GROUP BY feature"""
 
 
 def _train_depth2_sql() -> str:
@@ -3241,8 +3495,8 @@ items AS (
   SELECT event_type AS item, count(*) AS cnt FROM events
   GROUP BY 1 ORDER BY count(*) DESC, event_type ASC LIMIT 10),
 probes AS ({probe_rows})
-SELECT p.item, CAST(min(c.c) AS BIGINT) AS est, CAST(any_value(p.cnt) AS BIGINT) AS cnt
-FROM probes p JOIN counters c USING (d, bucket)
+SELECT p.item, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est, CAST(any_value(p.cnt) AS BIGINT) AS cnt
+FROM probes p LEFT JOIN counters c USING (d, bucket)
 GROUP BY p.item"""
 
 
@@ -3564,6 +3818,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
+        "train_importance": _train_importance_sql(),
+        "train_ranker": _train_ranker_sql(),
+        "train_string_cat": _train_string_cat_sql(),
         "train_logistic": _train_logistic_sql(),
         "train_softmax": _train_softmax_sql(),
         "bpe_merges": _bpe_merges_sql(4),

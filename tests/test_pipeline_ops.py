@@ -1038,6 +1038,34 @@ def test_semantic_dedup_bucketed_scale_path(spark, big_emb):
     assert merged == 50, merged
 
 
+def test_semantic_dedup_default_args_bounded(spark):
+    """The PUBLIC default must be scale-safe: a skewed corpus whose
+    largest cluster exceeds the default max_pair_bucket (4096) must
+    engage sign-LSH sub-bucketing with NO explicit argument — i.e. a
+    user calling semantic_dedup() at corpus scale never gets the
+    O(n^2/c) pair explosion out of the box."""
+    import inspect
+    default = inspect.signature(
+        similarity.semantic_dedup).parameters["max_pair_bucket"].default
+    assert default == 4096
+    # one heavy cluster: 4500 near-identical dim-4 rows, all of which
+    # the n_clusters=1 quantizer puts in a single list, plus 20 exact
+    # duplicates of the first 20 ids for recall
+    rng = np.random.default_rng(7)
+    n = 4500
+    base = rng.normal(size=(n, 4)) * 0.05 + np.array([5.0, -3.0, 2.0, 1.0])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [(n + i, list(rows[i][1])) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    out = similarity.semantic_dedup(
+        df, n_clusters=1, threshold=0.999999).toPandas()
+    assert len(out) == n + 20
+    m = out.set_index("id")["rep_id"]
+    merged = sum(1 for i in range(20) if m[n + i] == m[i])
+    assert merged == 20, merged
+
+
 def test_bpe_train_and_encode(spark):
     from xgboost_spark.operators import bpe
     docs = spark.createDataFrame(

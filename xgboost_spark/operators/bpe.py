@@ -169,7 +169,9 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple],
     words = ensure_parallelism(df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
-        .filter(F.length("word") > 0))
+        .filter((F.length("word") > 0)
+                & ~F.col("word").contains(S1)
+                & ~F.col("word").contains(S2)))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     enc = bpe_encode_vocab(vocab, merges).select("word", "n_tokens")
     return (words.join(F.broadcast(enc), "word")

@@ -29,8 +29,12 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding",
                  shift: np.ndarray | None = None
                  ) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
     """(n, s, G, shift) where s and G are the sum vector and Gram
-    matrix of the SHIFTED rows (v - shift); shift defaults to the first
-    row.  Shift-centering keeps the one-pass covariance formula
+    matrix of the SHIFTED rows (v - shift); shift defaults to the
+    per-dimension column MINIMUM — a deterministic, order-independent
+    statistic (min is invariant to partition ordering, unlike
+    df.first(), whose row depends on scan order and could flip a
+    rounded covariance value across runs).  Shift-centering keeps the
+    one-pass covariance formula
     numerically stable — with raw moments, embeddings whose mean is
     large relative to their variance make G and s s^T/n agree to many
     digits and their difference loses precision catastrophically; the
@@ -49,7 +53,14 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"no non-null '{vec_col}' row to infer dim from")
     d = len(first[0])
     if shift is None:
-        shift = np.asarray(first[0], dtype=np.float64)
+        # per-dimension min: one extra codegen'd scan, deterministic
+        # regardless of partition order, and inside the data range so
+        # shifted values stay cancellation-safe
+        arr = F.col(vec_col).cast("array<double>")
+        mins = df.select(*[F.min(arr[i]).alias(f"m{i}")
+                           for i in range(d)]).first()
+        shift = np.asarray([mins[i] if mins[i] is not None else 0.0
+                            for i in range(d)], dtype=np.float64)
     shift = np.asarray(shift, dtype=np.float64)
     src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     schema = StructType([StructField("n", LongType()),

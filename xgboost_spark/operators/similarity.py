@@ -643,7 +643,7 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id", iters: int = 0,
                    seed_by: str = "id",
-                   max_pair_bucket: int | None = None) -> DataFrame:
+                   max_pair_bucket: int | None = 4096) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
     public paper): cluster embeddings with the IVF coarse quantizer,
     compare pairs ONLY within a cluster, link pairs with cosine >=
@@ -665,8 +665,11 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
     Near-duplicates hash to the same side of every plane with high
     probability (exact duplicates always do), so recall loss is small —
     the published SemDeDup recipe likewise bounds cluster size rather
-    than compare all pairs.  None (default) keeps the exact
-    within-cluster comparison for the oracle-replayable configuration.
+    than compare all pairs.  The DEFAULT is bounded (4096): a user
+    calling the public API at corpus scale must not get an O(n^2/c)
+    pair explosion on a skewed cluster out of the box.  Pass None
+    explicitly for the exact within-cluster comparison (the
+    oracle-replayable configuration used by `q_semantic_dedup`).
     """
     import math
     from pyspark import StorageLevel
