@@ -291,3 +291,66 @@ def test_barrier_approx_dart_and_evals(spark, reg_df):
     # serving traverses raw-domain split_value: finite predictions
     preds = m.transform(reg_df, feature_cols=fc).select("prediction")
     assert preds.filter("prediction is null or isnan(prediction)").count() == 0
+
+
+def _failing_squared_error(fail_after: int):
+    """SquaredError that raises after ``fail_after`` gradient rounds —
+    simulates an executor loss mid-training inside the barrier job (the
+    objective is called once per round by every task, so it is a
+    deterministic failure-injection point).  Defined inside a function
+    so cloudpickle serializes the class BY VALUE — the pytest module
+    name is not importable from the barrier python workers."""
+    from xgboost_spark.functions.objectives import SquaredError
+
+    class _FailingSquaredError(SquaredError):
+        def __init__(self, n):
+            self._calls = 0
+            self.fail_after = n
+
+        def grad_hess(self, y, margin, w):
+            self._calls += 1
+            if self._calls > self.fail_after:
+                raise RuntimeError("injected mid-training failure")
+            return super().grad_hess(y, margin, w)
+
+    return _FailingSquaredError(fail_after)
+
+
+def test_barrier_checkpoint_resume(spark, reg_df, tmp_path):
+    """Kill the barrier job mid-training (after the round-2 checkpoint),
+    re-issue the fit with the same checkpoint_dir, and require the
+    resumed model to be IDENTICAL to an uninterrupted run — margins are
+    replayed from the stored trees in the exact incremental
+    accumulation order, so rounds 3..6 proceed bit-for-bit.  Also checks
+    the lifecycle contract: a failed fit leaves its checkpoint, a
+    completed fit deletes it."""
+    import os
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(num_boost_round=6, max_depth=4, max_bin=32, eta=0.4, seed=3,
+              exec_mode="barrier")
+    ckdir = str(tmp_path / "ck")
+    ckpt = os.path.join(ckdir, "barrier_ckpt.pkl")
+
+    m_full = SparkBooster(TrainParams(**kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+
+    p_ck = TrainParams(checkpoint_dir=ckdir, checkpoint_interval=2, **kw)
+    with pytest.raises(Exception, match="injected mid-training failure"):
+        SparkBooster(p_ck, obj=_failing_squared_error(3)).fit(
+            reg_df, feature_cols=fc, label_col="label")
+    assert os.path.exists(ckpt), "failed fit must leave its checkpoint"
+
+    m_res = SparkBooster(p_ck).fit(reg_df, feature_cols=fc,
+                                   label_col="label")
+    assert len(m_res.trees) == 6
+    assert _structurally_equal(m_res, m_full)
+    assert not os.path.exists(ckpt), "completed fit must delete its checkpoint"
+
+
+def test_barrier_checkpoint_rejects_dart(spark, reg_df, tmp_path):
+    p = TrainParams(booster="dart", rate_drop=0.3, num_boost_round=4,
+                    exec_mode="barrier", checkpoint_dir=str(tmp_path),
+                    max_bin=32)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        SparkBooster(p).fit(reg_df, feature_cols=[f"c{i}" for i in range(5)],
+                            label_col="label")

@@ -1273,3 +1273,35 @@ def test_connected_components_random_graphs(spark):
             ref.setdefault(a, a)
             ref.setdefault(b, b)
         assert got == ref, f"seed {seed}"
+
+
+def test_mp3_metadata(spark):
+    """MP3 frame-header metadata (parse_mp3_metadata / mp3_metadata):
+    exact ISO 11172-3 header arithmetic over a synthetic CBR stream —
+    ID3v2 tag skipped, 5 MPEG1 Layer-III 128 kbps 44.1 kHz stereo
+    frames counted, duration = frames * 1152 / rate.  Non-MP3 rows get
+    a NULL struct; sample synthesis stays stubbed."""
+    # header FF FB 90 00: sync, MPEG1, Layer III, no CRC, 128 kbps,
+    # 44100 Hz, no padding, stereo -> frame length 144*128000/44100 = 417
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * (417 - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 20
+    mp3 = id3 + frame * 5
+    meta = multimodal.parse_mp3_metadata(mp3)
+    assert meta == {"mpeg_version": "1", "layer": 3, "bitrate_kbps": 128,
+                    "sample_rate": 44100, "channels": 2, "n_frames": 5,
+                    "duration_ms": 131}
+    # MPEG2 Layer III 64kbps 22050Hz mono: ver bits 10 -> FF F3;
+    # br_idx for 64 in V2L3 table is 8, sr_idx 0 -> 0x80; mode 11 -> 0xC0
+    f2len = 576 * (64000 // 8) // 22050  # 209
+    mp3_v2 = (b"\xff\xf3\x80\xc0" + b"\x00" * (f2len - 4)) * 3
+    m2 = multimodal.parse_mp3_metadata(mp3_v2)
+    assert (m2["mpeg_version"], m2["layer"], m2["bitrate_kbps"],
+            m2["sample_rate"], m2["channels"], m2["n_frames"]) == (
+        "2", 3, 64, 22050, 1, 3)
+    with pytest.raises(ValueError):
+        multimodal.parse_mp3_metadata(b"RIFF not an mp3 stream at all")
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "content": [mp3, b"garbage bytes"]}))
+    out = multimodal.mp3_metadata(df).orderBy("id").toPandas()
+    assert out["mp3_meta"][0]["n_frames"] == 5
+    assert out["mp3_meta"][1] is None

@@ -105,6 +105,19 @@ class TrainParams:
     early_stopping_rounds: int | None = None
     eval_metric: list[str] = field(default_factory=list)
 
+    # barrier-training fault tolerance: when checkpoint_dir is set,
+    # rank 0 atomically writes the model-so-far (trees, weights,
+    # history, rng/objective state) every checkpoint_interval rounds;
+    # a retried barrier job — or a re-issued fit() after a failure —
+    # resumes from the last checkpoint instead of round 0 (the
+    # reference's own Spark wrapper restarts from scratch; this is the
+    # Structured-Streaming checkpointLocation contract applied to
+    # training).  The directory must be visible to every task (shared
+    # POSIX-mounted/DFS storage on a real cluster).  A successful fit
+    # deletes its checkpoint; a failed one leaves it for resumption.
+    checkpoint_dir: str | None = None
+    checkpoint_interval: int = 10
+
     ALIASES = {
         "learning_rate": "eta",
         "lambda": "reg_lambda",

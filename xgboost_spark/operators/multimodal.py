@@ -197,6 +197,123 @@ def _decode_audio_bytes(b: bytes) -> tuple[np.ndarray, int]:
     return decode_wav(b)
 
 
+# ---------------------------------------------------------------------------
+# MP3 metadata (header-level only): sample SYNTHESIS genuinely needs an
+# external decoder and stays NotImplementedError, but the frame headers
+# are a documented public format (ISO/IEC 11172-3 / 13818-3), so the
+# metadata path — version, layer, bitrate, sample rate, channel mode,
+# frame count, duration — is real and tested.
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, index 1..14 (0 = free-format, 15 = invalid)
+_MP3_BITRATES = {
+    # (mpeg1?, layer) -> table
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],     # version bits 11 = MPEG1
+              2: [22050, 24000, 16000],     # 10 = MPEG2
+              0: [11025, 12000, 8000]}      # 00 = MPEG2.5
+
+
+def parse_mp3_metadata(b: bytes) -> dict:
+    """Walk MP3 frame headers (skipping a leading ID3v2 tag) and return
+    container metadata: version, layer, bitrate_kbps / sample_rate /
+    channels of the first frame, total frame count and duration.
+    Raises ValueError when no valid frame sync is found.  Pure header
+    arithmetic — no entropy decoding — so it is exact and cheap; audio
+    sample synthesis still raises NotImplementedError upstream."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + sz
+    first = None
+    n_frames = 0
+    samples_total = 0
+    while pos + 4 <= len(b):
+        h = int.from_bytes(b[pos:pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            if first is None:
+                pos += 1           # resync scan until the first frame
+                continue
+            break                  # trailing garbage/tag after frames
+        ver_bits = (h >> 19) & 0x3
+        layer_bits = (h >> 17) & 0x3
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if first is None:
+                pos += 1
+                continue
+            break
+        layer = 4 - layer_bits                      # 11->I, 10->II, 01->III
+        is_v1 = ver_bits == 3
+        bitrate = _MP3_BITRATES[(is_v1, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            flen = (12 * bitrate // rate + padding) * 4
+            spf = 384
+        else:
+            spf = 1152 if (layer == 2 or is_v1) else 576
+            flen = spf * (bitrate // 8) // rate + padding
+        if flen <= 4:
+            break
+        if first is None:
+            first = {
+                "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[ver_bits],
+                "layer": layer,
+                "bitrate_kbps": bitrate // 1000,
+                "sample_rate": rate,
+                "channels": 1 if mode == 3 else 2,
+            }
+        n_frames += 1
+        samples_total += spf
+        pos += flen
+    if first is None:
+        raise ValueError("no MP3 frame sync found")
+    first["n_frames"] = n_frames
+    first["duration_ms"] = int(round(
+        1000.0 * samples_total / first["sample_rate"]))
+    return first
+
+
+def mp3_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched MP3 header scan: appends a ``mp3_meta`` struct
+    (NULL for rows that are not MP3 streams).  Metadata only — the
+    sample-synthesis path stays honestly stubbed."""
+    fields = list(df.schema.fields) + [T.StructField("mp3_meta", T.StructType([
+        T.StructField("mpeg_version", T.StringType()),
+        T.StructField("layer", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]))]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for content in pdf[content_col]:
+                try:
+                    metas.append(parse_mp3_metadata(
+                        bytes(content) if content is not None else b""))
+                except ValueError:
+                    metas.append(None)
+            out = pdf.copy()
+            out["mp3_meta"] = metas
+            yield out
+
+    return df.mapInPandas(fn, schema=T.StructType(fields))
+
+
 def to_grayscale(img: np.ndarray) -> np.ndarray:
     """HxWx3 uint8 -> HxW float32 luma (ITU-R 601)."""
     f = img.astype(np.float32)

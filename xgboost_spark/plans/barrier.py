@@ -29,6 +29,7 @@ x (bins+1) x 2 float64, independent of row count.
 
 from __future__ import annotations
 
+import os
 import pickle
 from collections.abc import Iterator
 
@@ -258,6 +259,25 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
     seed = p.seed
 
+    # fault tolerance (TrainParams.checkpoint_dir): rank 0 periodically
+    # persists the model-so-far; a retried barrier job — or a re-issued
+    # fit() after a failure — resumes from it instead of round 0.
+    # Exactness gate: resume replays margins from the stored trees, which
+    # is bit-identical only when historical trees are immutable —
+    # booster=dart re-weights them and multi_output_tree+adaptive
+    # refreshes leaves after the margin update, so both are rejected.
+    ckpt_path = None
+    if p.checkpoint_dir:
+        if p.booster == "dart" or (
+                K > 1 and p.multi_strategy == "multi_output_tree"
+                and obj.adaptive_alpha is not None):
+            raise ValueError(
+                "checkpoint_dir: exact resume needs immutable historical "
+                "trees; booster=dart and multi_output_tree+adaptive "
+                "quantile leaves are unsupported")
+        os.makedirs(p.checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(p.checkpoint_dir, "barrier_ckpt.pkl")
+
     from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
     from xgboost_spark.plans.booster import _compute_grads, _maximize
 
@@ -337,7 +357,40 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             history: dict[str, dict[str, list[float]]] = {}
             best_it = None
             best_metric = None
-            for it_round in range(p.num_boost_round):
+            start_round = 0
+            if ckpt_path and os.path.exists(ckpt_path):
+                # resume: every rank reads the same checkpoint and
+                # replays the stored trees over its local rows in the
+                # EXACT accumulation order of the incremental updates,
+                # so margins — and therefore every subsequent round —
+                # are bit-identical to an uninterrupted run.  rng and
+                # objective state (e.g. lambdarank position-bias
+                # tables) ride along so stateful draws continue
+                # deterministically.
+                with open(ckpt_path, "rb") as fh:
+                    ck = pickle.load(fh)
+                trees = ck["trees"]
+                tree_weights = ck["tree_weights"]
+                history = ck["history"]
+                best_it, best_metric = ck["best_it"], ck["best_metric"]
+                rng = ck["rng"]
+                obj.__dict__.update(ck["obj_state"])
+                start_round = ck["round"]
+                replay = [(Xb, margin)] + [(st[0], st[5])
+                                           for st in ev_states]
+                for ri, rt in enumerate(trees):
+                    for Xc, mc in replay:
+                        if is_multi:
+                            mc += core.tree_predict(rt[0], Xc, binned=True)
+                        else:
+                            ti = 0
+                            for k in range(K):
+                                for _ in range(len(rt) // K):
+                                    mc[:, k] += tree_weights[ri] * \
+                                        core.tree_predict(rt[ti], Xc,
+                                                          binned=True)
+                                    ti += 1
+            for it_round in range(start_round, p.num_boost_round):
                 # DART dropout (reference gbtree.h:89-123 DropTrees):
                 # selection draws are deterministic from the shared rng,
                 # margin corrections are local rows
@@ -495,6 +548,21 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         best_metric, best_it = last, it_round
                     elif it_round - best_it >= esr:
                         break
+                if (ckpt_path and comm.rank == 0
+                        and (it_round + 1) % max(p.checkpoint_interval, 1) == 0
+                        and (it_round + 1) < p.num_boost_round):
+                    # atomic write (tmp + rename): a task killed
+                    # mid-write can never leave a torn checkpoint
+                    tmp = ckpt_path + ".tmp"
+                    with open(tmp, "wb") as fh:
+                        pickle.dump({"round": it_round + 1, "trees": trees,
+                                     "tree_weights": tree_weights,
+                                     "history": history,
+                                     "best_it": best_it,
+                                     "best_metric": best_metric,
+                                     "rng": rng,
+                                     "obj_state": obj.__dict__}, fh)
+                    os.replace(tmp, ckpt_path)
             if comm.rank == 0:
                 yield pd.DataFrame(
                     {"model": [pickle.dumps(
@@ -505,4 +573,10 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     rows = sel.mapInPandas(train_fn, schema="model binary", barrier=True).collect()
     if not rows:
         raise RuntimeError("barrier training returned no model")
-    return pickle.loads(bytes(rows[0]["model"]))
+    out = pickle.loads(bytes(rows[0]["model"]))
+    # a COMPLETED fit owns no resume state — only a failed/killed one
+    # leaves its checkpoint behind (streaming checkpointLocation
+    # semantics: re-running with the same dir resumes the failure)
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
+    return out
