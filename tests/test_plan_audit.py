@@ -153,3 +153,19 @@ def test_top_supplier_filter_pushdown(spark, sf_dir):
     import __spark_entry__ as E
     p = plan_of(E.queries()["top_supplier"](spark, sf_dir))
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", p), p
+
+
+def test_train_ranker_has_no_pair_join(spark, sf_dir):
+    """q_train_ranker's all-pairs pairwise gradients must compile to
+    rank-count WINDOWS over (qid, rel) group counts — never a per-group
+    self-join (O(sum n_q^2) rows) or a cartesian product.  The only
+    join allowed is the rows -> per-(qid, rel) gh equi-join."""
+    import __spark_entry__ as E
+    p = plan_of(E.queries()["train_ranker"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+    assert "Window" in p
+    # the scan windows run single-partition over the 31-bin histogram
+    # (bins-sized, constant), but the per-qid rank-count windows must be
+    # hash-partitioned by qid
+    assert "hashpartitioning(qid" in p
