@@ -834,6 +834,54 @@ def q_train_ranker(spark, sf_dir):
             .limit(1))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Span-level exact substring dedup (operators/dedup.
+    duplicate_spans; Lee et al. 2022): maximal character spans covered
+    by 20-grams occurring >= 2 times in the corpus — the union of
+    duplicated-gram positions is exactly the duplicated-substring
+    character set (suffix-array-free reduction).  48-bit md5 gram keys
+    make the whole pipeline — gram hash, occurrence filter,
+    gaps-and-islands interval merge — replayable in DuckDB."""
+    from xgboost_spark.operators.dedup import duplicate_spans
+    docs = _table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", k=20, min_count=2) \
+        .select(F.col("id").cast("bigint").alias("id"),
+                "span_start", "span_end", "span_chars")
+
+
+def _dup_spans_sql(k: int = 20, min_count: int = 2) -> str:
+    """DuckDB twin of q_dup_spans: same md5-48 gram keys, same
+    occurrence threshold, same gaps-and-islands merge."""
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest(generate_series(1, length(text) - {k - 1})) AS pos,
+         text
+  FROM documents WHERE length(text) >= {k}),
+h AS (
+  SELECT id, pos,
+         ('0x' || substr(md5('span:' || substr(text, pos, {k})), 1, 12))::BIGINT AS gh
+  FROM g),
+d AS (SELECT gh FROM h GROUP BY gh HAVING count(*) >= {min_count}),
+m AS (SELECT h.id, h.pos, h.pos + {k} AS e FROM h JOIN d USING (gh)),
+isl AS (
+  SELECT id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS ni
+  FROM m),
+isl2 AS (
+  SELECT id, pos, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) AS BIGINT) AS span_chars
+FROM isl2 GROUP BY id, island"""
+
+
 def q_train_linear(spark, sf_dir):
     """gblinear shotgun coordinate descent (reference
     src/linear/updater_shotgun.cc); rows-only — weights reported."""
@@ -3014,6 +3062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "knn_lsh": q_knn_lsh,
         "linear_one_round": q_linear_one_round,
+        # round-5 addition (replica-checked; rotate into the driver
+        # window next round)
+        "dup_spans": q_dup_spans,
         # rows-only entries (no SQL equivalent by nature)
         "knn_ivf": q_knn_ivf,
         "train_tree_nodes": q_train_tree_nodes,
@@ -3821,6 +3872,7 @@ def oracle_sql() -> dict[str, str]:
         "train_importance": _train_importance_sql(),
         "train_ranker": _train_ranker_sql(),
         "train_string_cat": _train_string_cat_sql(),
+        "dup_spans": _dup_spans_sql(20, 2),
         "train_logistic": _train_logistic_sql(),
         "train_softmax": _train_softmax_sql(),
         "bpe_merges": _bpe_merges_sql(4),

@@ -1305,3 +1305,40 @@ def test_mp3_metadata(spark):
     out = multimodal.mp3_metadata(df).orderBy("id").toPandas()
     assert out["mp3_meta"][0]["n_frames"] == 5
     assert out["mp3_meta"][1] is None
+
+
+def test_duplicate_spans_planted(spark):
+    """duplicate_spans (Lee et al. 2022 reduction) on planted data:
+    a 40-char span shared by docs 1 and 2 must come back as ONE merged
+    interval per doc at exactly the right offsets; the within-doc
+    repeat in doc 4 must be caught too; unique text yields no rows."""
+    shared = "the quick brown fox jumps over the lazy "   # 40 chars
+    rows = [
+        (1, "AAAA " + shared + "unique tail one"),
+        (2, "BBBBBBB " + shared + "different tail"),
+        (3, "totally unique text with no repeats at all here"),
+        (4, "xx " + shared + "yy " + shared + "zz"),      # within-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.duplicate_spans(df, k=20).toPandas() \
+        .sort_values(["id", "span_start"], ignore_index=True)
+    assert set(out["id"]) == {1, 2, 4}
+    # the maximal duplicated substring is ' the quick ... lazy ' — the
+    # SPACE preceding 'the' is shared by every occurrence too, so each
+    # span is 41 chars and starts one char before the planted string
+    assert out.values.tolist() == [
+        [1, 5, 46, 41], [2, 8, 49, 41], [4, 3, 44, 41], [4, 46, 87, 41]]
+
+
+def test_duplicate_spans_plan(spark, sf_dir):
+    """The gram pipeline must stay a HashAggregate + left-semi join and
+    the interval merge must run under a window PARTITIONED by id."""
+    import contextlib, io
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.duplicate_spans(docs).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "SinglePartition" not in p
+    assert "LeftSemi" in p
+    assert "HashAggregate" in p

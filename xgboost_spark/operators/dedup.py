@@ -400,3 +400,57 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
                  F.sum("_own").cast("bigint").alias("n_owned"))
             .withColumn("dup_frac",
                         F.round(1.0 - F.col("n_owned") / F.col("n_segs"), 6)))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20,
+                    min_count: int = 2) -> DataFrame:
+    """Span-level EXACT substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper): for every document, the maximal character spans covered by
+    length-``k`` substrings occurring at least ``min_count`` times in
+    the corpus.  Any duplicated substring of length >= k contains a
+    duplicated k-gram, so the union of duplicated-gram positions is
+    EXACTLY the character set inside duplicated substrings of length
+    >= k — the suffix-array-free reduction (the reference paper builds
+    a suffix array; a distributed engine gets the same answer from one
+    gram shuffle).  Catches repeats across documents AND within one
+    document (occurrences are counted, not distinct docs).
+
+    Plan shape, sized for 100 TB: explode to (id, pos, gram-hash) where
+    the gram key is the repo's 48-bit md5 (8 bytes of shuffle state per
+    character instead of k — and SQL-replayable, which is what makes
+    the `dup_spans` oracle possible; raise to more hex chars if 48-bit
+    collision over-marking ever matters at corpus scale), one
+    HashAggregate for occurrence counts, a semi-join back, then
+    per-document gaps-and-islands interval merging under a PARTITIONED
+    window (no global sort).  Returns (id, span_start, span_end) with
+    1-based [start, end) character offsets, plus span_chars.
+    """
+    from xgboost_spark.operators.util import ensure_parallelism, md5_h48
+    src = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+           .filter(F.length("t") >= k))
+    grams = ensure_parallelism(src.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        "t").select(
+        "id", "pos",
+        md5_h48(F.concat(F.lit("span:"),
+                         F.expr(f"substring(t, pos, {k})"))).alias("gh")))
+    dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count).select("gh"))
+    hits = (grams.join(dups, "gh", "left_semi")
+            .select("id", "pos", (F.col("pos") + k).alias("e")))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (hits
+           .withColumn("ni", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(0)),
+                                    1).otherwise(0))
+           .withColumn("island",
+                       F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("id", "island")
+            .agg(F.min("pos").cast("bigint").alias("span_start"),
+                 F.max("e").cast("bigint").alias("span_end"))
+            .select("id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("bigint").alias("span_chars")))
