@@ -882,6 +882,75 @@ SELECT CAST(id AS BIGINT) AS id,
 FROM isl2 GROUP BY id, island"""
 
 
+def q_strip_spans(spark, sf_dir):
+    """Duplicated-span REMOVAL with keep-first policy (operators/dedup.
+    strip_duplicate_spans; the Lee et al. 2022 dedup step after span
+    marking): per duplicated 20-gram, the globally-first occurrence
+    (min (id, pos)) survives; later occurrences' characters are cut and
+    the text rebuilt by a pure higher-order-function segment concat.
+    Fully replayable: same md5-48 gram keys, rank window, islands, and
+    string reconstruction in DuckDB."""
+    from xgboost_spark.operators.dedup import strip_duplicate_spans
+    docs = _table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "text", "doc_id", k=20, min_count=2) \
+        .select(F.col("id").cast("bigint").alias("id"),
+                "text_stripped", "removed_chars")
+
+
+def _strip_spans_sql(k: int = 20, min_count: int = 2) -> str:
+    """DuckDB twin of q_strip_spans: keep-first rank per gram key,
+    removal islands, lag-based segment reconstruction."""
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest(generate_series(1, length(text) - {k - 1})) AS pos,
+         text
+  FROM documents WHERE length(text) >= {k}),
+h AS (
+  SELECT id, pos,
+         ('0x' || substr(md5('span:' || substr(text, pos, {k})), 1, 12))::BIGINT AS gh
+  FROM g),
+d AS (SELECT gh FROM h GROUP BY gh HAVING count(*) >= {min_count}),
+occ AS (SELECT h.id, h.pos, h.gh FROM h JOIN d USING (gh)),
+later AS (
+  SELECT id, pos, pos + {k} AS e FROM (
+    SELECT id, pos, row_number() OVER (PARTITION BY gh ORDER BY id, pos) AS rn
+    FROM occ)
+  WHERE rn > 1),
+isl AS (
+  SELECT id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS ni
+  FROM later),
+isl2 AS (
+  SELECT id, pos, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (SELECT id, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY id, island),
+segs AS (
+  SELECT id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS ps
+  FROM spans),
+recon AS (
+  SELECT sg.id,
+         string_agg(substr(doc.text, sg.ps, sg.s - sg.ps), '' ORDER BY sg.s) AS head,
+         max(sg.e) AS last_e
+  FROM segs sg JOIN documents doc ON doc.doc_id = sg.id
+  GROUP BY sg.id)
+SELECT CAST(doc.doc_id AS BIGINT) AS id,
+       CASE WHEN r.id IS NULL THEN doc.text
+            ELSE r.head || substr(doc.text, r.last_e,
+                                  length(doc.text) - r.last_e + 1) END
+         AS text_stripped,
+       CAST(length(doc.text) - length(CASE WHEN r.id IS NULL THEN doc.text
+            ELSE r.head || substr(doc.text, r.last_e,
+                                  length(doc.text) - r.last_e + 1) END)
+            AS BIGINT) AS removed_chars
+FROM documents doc LEFT JOIN recon r ON r.id = doc.doc_id"""
+
+
 def q_train_linear(spark, sf_dir):
     """gblinear shotgun coordinate descent (reference
     src/linear/updater_shotgun.cc); rows-only — weights reported."""
@@ -3065,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 addition (replica-checked; rotate into the driver
         # window next round)
         "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         # rows-only entries (no SQL equivalent by nature)
         "knn_ivf": q_knn_ivf,
         "train_tree_nodes": q_train_tree_nodes,
@@ -3873,6 +3943,7 @@ def oracle_sql() -> dict[str, str]:
         "train_ranker": _train_ranker_sql(),
         "train_string_cat": _train_string_cat_sql(),
         "dup_spans": _dup_spans_sql(20, 2),
+        "strip_spans": _strip_spans_sql(20, 2),
         "train_logistic": _train_logistic_sql(),
         "train_softmax": _train_softmax_sql(),
         "bpe_merges": _bpe_merges_sql(4),

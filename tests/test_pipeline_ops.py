@@ -1342,3 +1342,29 @@ def test_duplicate_spans_plan(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "LeftSemi" in p
     assert "HashAggregate" in p
+
+
+def test_strip_duplicate_spans_keep_first(spark):
+    """strip_duplicate_spans keep-first policy: the lowest-(id, pos)
+    occurrence of each duplicated gram survives; later copies are cut
+    and the text rebuilt from the kept segments."""
+    shared = "the quick brown fox jumps over the lazy "   # 40 chars
+    rows = [
+        (1, "AAAA " + shared + "unique tail one"),
+        (2, "BBBBBBB " + shared + "different tail"),
+        (3, "totally unique text with no repeats at all here"),
+        (4, "xx " + shared + "yy " + shared + "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.strip_duplicate_spans(df, k=20).toPandas() \
+        .set_index("id").sort_index()
+    # doc 1 holds every first occurrence -> untouched
+    assert out.loc[1, "removed_chars"] == 0
+    assert out.loc[1, "text_stripped"] == rows[0][1]
+    # doc 2 loses the shared span (incl. the shared preceding space)
+    assert out.loc[2, "removed_chars"] == 41
+    assert out.loc[2, "text_stripped"] == "BBBBBBB" + "different tail"
+    # doc 3 untouched; doc 4 loses BOTH of its (later) occurrences
+    assert out.loc[3, "removed_chars"] == 0
+    assert out.loc[4, "removed_chars"] == 82
+    assert out.loc[4, "text_stripped"] == "xx" + "yy" + "zz"

@@ -454,3 +454,69 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
             .select("id", "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start"))
                     .cast("bigint").alias("span_chars")))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """Remove duplicated substrings, keeping first occurrences (the
+    Lee et al. 2022 dedup step that follows span marking): for each
+    duplicated k-gram the globally FIRST occurrence — min (id, pos) —
+    survives; every character covered only by later occurrences is cut
+    from its document.  The policy is defined at gram granularity so it
+    is deterministic and SQL-replayable (the `strip_spans` oracle): the
+    lowest-id document keeps its text, later copies lose the shared
+    span.
+
+    Same plan skeleton as duplicate_spans (gram hash -> occurrence
+    count -> semi-join), plus one rank window per gram key to drop the
+    first occurrence, islands to merge removal intervals, and a pure
+    higher-order-function rebuild (F.aggregate over the sorted span
+    list concatenating the kept segments) — no Python row loop, and the
+    per-doc span list is bounded by the doc's own duplicate content.
+    Returns (id, text, text_stripped, removed_chars).
+    """
+    from xgboost_spark.operators.util import ensure_parallelism, md5_h48
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    grams = ensure_parallelism(src.filter(F.length("t") >= k).select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        "t").select(
+        "id", "pos",
+        md5_h48(F.concat(F.lit("span:"),
+                         F.expr(f"substring(t, pos, {k})"))).alias("gh")))
+    dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count).select("gh"))
+    occ = grams.join(dups, "gh", "left_semi")
+    wg = Window.partitionBy("gh").orderBy("id", "pos")
+    later = (occ.withColumn("rn", F.row_number().over(wg))
+             .filter(F.col("rn") > 1)
+             .select("id", "pos", (F.col("pos") + k).alias("e")))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (later
+             .withColumn("ni", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(0)),
+                                      1).otherwise(0))
+             .withColumn("isl",
+                         F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("id", "isl")
+             .agg(F.min("pos").alias("s"), F.max("e").alias("e")))
+    by_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sp"))
+    j = src.join(by_doc, "id", "left")
+    acc0 = F.struct(F.lit(1).cast("int").alias("p"),
+                    F.lit("").alias("out"))
+    stripped = F.aggregate(
+        F.coalesce(F.col("sp"), F.array().cast("array<struct<s:int,e:int>>")),
+        acc0,
+        lambda acc, x: F.struct(
+            x["e"].cast("int").alias("p"),
+            F.concat(acc["out"],
+                     F.col("t").substr(acc["p"], x["s"] - acc["p"])).alias("out")),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("t").substr(acc["p"], F.length("t") - acc["p"] + 1)))
+    return j.select(
+        "id", F.col("t").alias("text"), stripped.alias("text_stripped"),
+        (F.length("t") - F.length(stripped)).cast("bigint")
+        .alias("removed_chars"))
