@@ -71,6 +71,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
                             threshold=0.7, transitive=True)
     n_dedup = deduped.count()
 
+    # 3b. span-level exact substring dedup (Lee et al. 2022): cut the
+    #    boilerplate the doc-level pass can't see — later occurrences of
+    #    any duplicated 20-char span are removed, first kept
+    from xgboost_spark.operators.dedup import strip_duplicate_spans
+    stripped = strip_duplicate_spans(deduped, "text", "doc_id", k=20)
+    # checkpoint: every downstream stage re-reads the stripped text, so
+    # cut the gram-window lineage once instead of replaying it per action
+    deduped = (deduped.drop("text")
+               .join(stripped.select(F.col("id").alias("doc_id"),
+                                     F.col("text_stripped").alias("text"),
+                                     "removed_chars"),
+                     "doc_id")).localCheckpoint(eager=True)
+    n_span_chars = int(deduped.agg(F.sum("removed_chars")).first()[0] or 0)
+    deduped = deduped.drop("removed_chars")
+
     # 4. decontaminate against a benchmark slice (here: sources src0/src1)
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     cont = ngram_contamination(deduped, bench, n=3)
@@ -146,6 +161,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         (F.col("prediction") - F.col("quality_score")) ** 2))).first()[0]
 
     print(f"docs={n0} -> filtered={n_filtered} -> deduped={n_dedup} "
+          f"(-{n_span_chars} dup-span chars) "
           f"-> decontaminated={n_clean} -> mixed={n_mixed}; "
           f"{n_chunks} chunks; packed {n_seq} sequences; "
           f"shards={sharded.select('shard').distinct().count()}; "
