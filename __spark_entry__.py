@@ -2991,16 +2991,17 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-5 window = the 23 oracle-backed
+    hashes the FIRST 50 entries.  Round-5 window = the 25 oracle-backed
     entries that have never received a driver row (the three freshly
     promoted train_importance/train_ranker/train_string_cat, the
     composed train_logistic/train_softmax/dart_weights training
     oracles, BPE, the HLL/CMS/Bloom sketches, embedding_cov,
-    stream_distinct, and the late TPC-H shapes + near-analogs) plus 27
-    long-green ML-core/pipeline entries for re-certification.  Once
-    this window is certified, EVERY oracle-backed entry in the registry
-    has had a driver row.  Entries past the window stay covered by the
-    in-repo replica gate (tests/test_entry.py), which runs ALL entries
+    stream_distinct, the late TPC-H shapes + near-analogs, and the new
+    span-dedup pair dup_spans/strip_spans) plus 25 long-green
+    ML-core/pipeline entries for re-certification.  Once this window is
+    certified, EVERY oracle-backed entry in the registry has had a
+    driver row.  Entries past the window stay covered by the in-repo
+    replica gate (tests/test_entry.py), which runs ALL entries
     regardless of order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
@@ -3059,9 +3060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        # round-5 additions: span-level substring dedup, certified in
+        # the same window they were born in (zero new gate debt)
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        # ---- end of driver window (50 entries above) --------------------
         "knn": q_knn,
         "sessionize": q_sessionize,
-        # ---- end of driver window (50 entries above) --------------------
         # driver-certified in r4; replica-checked every test run
         "train_stump": q_train_stump,
         "train_depth2": q_train_depth2,
@@ -3131,10 +3136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "knn_lsh": q_knn_lsh,
         "linear_one_round": q_linear_one_round,
-        # round-5 addition (replica-checked; rotate into the driver
-        # window next round)
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
         # rows-only entries (no SQL equivalent by nature)
         "knn_ivf": q_knn_ivf,
         "train_tree_nodes": q_train_tree_nodes,
