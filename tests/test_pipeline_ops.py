@@ -1368,3 +1368,39 @@ def test_strip_duplicate_spans_keep_first(spark):
     assert out.loc[3, "removed_chars"] == 0
     assert out.loc[4, "removed_chars"] == 82
     assert out.loc[4, "text_stripped"] == "xx" + "yy" + "zz"
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """duplicate_spans vs a brute-force Python reference on a random
+    low-alphabet corpus (two letters force heavy gram collisions):
+    every duplicated-gram position set and merged interval must agree
+    exactly — this is the reduction's correctness, checked end to end
+    through the Spark plan rather than on hand-planted examples."""
+    rng = np.random.default_rng(42)
+    k = 8
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(10, 80))
+        docs.append((i, "".join(rng.choice(list("ab"), size=n))))
+    # brute force: count all k-grams, mark positions, merge intervals
+    from collections import Counter, defaultdict
+    counts = Counter()
+    for _i, t in docs:
+        for p in range(len(t) - k + 1):
+            counts[t[p:p + k]] += 1
+    expected = []
+    for i, t in docs:
+        hits = [p + 1 for p in range(len(t) - k + 1)
+                if counts[t[p:p + k]] >= 2]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        expected += [(i, s, e, e - s) for s, e in spans]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = dedup.duplicate_spans(df, k=k).toPandas()
+    got_set = set(map(tuple, got.values.tolist()))
+    assert got_set == set(expected), (
+        f"{len(got_set ^ set(expected))} differing spans")
