@@ -402,6 +402,26 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
                         F.round(1.0 - F.col("n_owned") / F.col("n_segs"), 6)))
 
 
+def _span_gram_hashes(df: DataFrame, text_col: str, id_col: str,
+                      k: int) -> DataFrame:
+    """(id, pos, gh) 48-bit md5 keys of every length-k char gram —
+    shared by duplicate_spans / strip_duplicate_spans.  The hashes are
+    computed INSIDE one transform() over the position array BEFORE the
+    explode, so Generate materializes only (id, int-array element)
+    rows; exploding first and hashing after would copy the full
+    document text into every one of its len(text) generated rows."""
+    from xgboost_spark.operators.util import ensure_parallelism, md5_h48
+    src = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+           .filter(F.length("t") >= k))
+    harr = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (k - 1)),
+        lambda i: md5_h48(F.concat(F.lit("span:"),
+                                   F.col("t").substr(i, F.lit(k)))))
+    return ensure_parallelism(
+        src.select("id", F.posexplode(harr).alias("p0", "gh"))
+        .select("id", (F.col("p0") + 1).alias("pos"), "gh"))
+
+
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 20,
                     min_count: int = 2) -> DataFrame:
@@ -427,16 +447,7 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     window (no global sort).  Returns (id, span_start, span_end) with
     1-based [start, end) character offsets, plus span_chars.
     """
-    from xgboost_spark.operators.util import ensure_parallelism, md5_h48
-    src = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-           .filter(F.length("t") >= k))
-    grams = ensure_parallelism(src.select(
-        "id",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
-        "t").select(
-        "id", "pos",
-        md5_h48(F.concat(F.lit("span:"),
-                         F.expr(f"substring(t, pos, {k})"))).alias("gh")))
+    grams = _span_gram_hashes(df, text_col, id_col, k)
     dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= min_count).select("gh"))
     hits = (grams.join(dups, "gh", "left_semi")
@@ -476,15 +487,8 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     per-doc span list is bounded by the doc's own duplicate content.
     Returns (id, text, text_stripped, removed_chars).
     """
-    from xgboost_spark.operators.util import ensure_parallelism, md5_h48
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    grams = ensure_parallelism(src.filter(F.length("t") >= k).select(
-        "id",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
-        "t").select(
-        "id", "pos",
-        md5_h48(F.concat(F.lit("span:"),
-                         F.expr(f"substring(t, pos, {k})"))).alias("gh")))
+    grams = _span_gram_hashes(df, text_col, id_col, k)
     dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= min_count).select("gh"))
     occ = grams.join(dups, "gh", "left_semi")
