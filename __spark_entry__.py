@@ -2947,6 +2947,78 @@ def q_large_orders(spark, sf_dir):
                     F.round("sum_qty", 2).alias("sum_qty")))
 
 
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 analog (product-type profit by nation and year) on the
+    available tables: 5-way join lineitem x part x orders x supplier x
+    nation, substring filter on the part name, profit =
+    revenue - 0.1 * p_retailprice * quantity (supply-cost proxy — the
+    test schema has no partsupp).  Plan: the name-filtered part dim,
+    supplier and nation BROADCAST; the only shuffle join is
+    lineitem x orders on the order key; aggregation is map-side
+    partial.  Completes the 22/22 TPC-H shape sweep with Q11/Q20."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt"))
+    o = _table(spark, sf_dir, "orders")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(F.sum(profit), 2).alias("profit")))
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 analog (important stock value): per-part revenue
+    share with a HAVING-against-global-scalar — the Q11 shape is the
+    reuse of one aggregate as both the group values and the global
+    threshold.  Plan: one groupBy(l_partkey) aggregation; the global
+    total is a 1-row broadcast joined back map-side (no second corpus
+    scan of the grouped values, no correlated subquery)."""
+    li = _table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("value"))
+    # threshold = 1.5x the mean per-part value: scale-INDEPENDENT (the
+    # classic Q11 fraction shrinks with part count and degenerates to an
+    # empty result as SF grows)
+    tot = val.agg(F.avg("value").alias("av"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("value") > 1.5 * F.col("av"))
+            .select(F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                    F.round("value", 2).alias("value")))
+
+
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 analog (suppliers with excess stock of a part
+    family): the nested-EXISTS chain — part-name filter -> per
+    (supplier, part) shipped quantity in one year -> threshold ->
+    DISTINCT supplier keys -> left-semi into supplier x nation.  Plan:
+    name-filtered parts broadcast into the lineitem scan (year filter
+    pushed to parquet), one shuffle on (suppkey, partkey), then the
+    tiny flagged-supplier set broadcasts into the semi-join."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997)
+    part = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red"))
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    qty = (li.join(F.broadcast(part.select("p_partkey")),
+                   li.l_partkey == F.col("p_partkey"))
+           .groupBy("l_suppkey", "l_partkey")
+           .agg(F.sum("l_quantity").alias("qty")))
+    flagged = qty.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+    return (s.join(F.broadcast(flagged), s.s_suppkey == F.col("l_suppkey"),
+                   "left_semi")
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_name", F.col("n_name").alias("nation")))
+
+
 def q_bundle_revenue(spark, sf_dir):
     """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
     (brand x size x quantity-band) bundles over lineitem x part.  The
@@ -2991,18 +3063,20 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-5 window = the 25 oracle-backed
+    hashes the FIRST 50 entries.  Round-5 window = the 28 oracle-backed
     entries that have never received a driver row (the three freshly
     promoted train_importance/train_ranker/train_string_cat, the
     composed train_logistic/train_softmax/dart_weights training
     oracles, BPE, the HLL/CMS/Bloom sketches, embedding_cov,
-    stream_distinct, the late TPC-H shapes + near-analogs, and the new
-    span-dedup pair dup_spans/strip_spans) plus 25 long-green
-    ML-core/pipeline entries for re-certification.  Once this window is
-    certified, EVERY oracle-backed entry in the registry has had a
-    driver row.  Entries past the window stay covered by the in-repo
-    replica gate (tests/test_entry.py), which runs ALL entries
-    regardless of order."""
+    stream_distinct, the late TPC-H shapes + near-analogs, the new
+    span-dedup pair dup_spans/strip_spans, and the final TPC-H trio
+    product_profit/important_parts/excess_suppliers completing the
+    22/22 sweep) plus 22 long-green ML-core/pipeline entries for
+    re-certification.  Once this window is certified, EVERY
+    oracle-backed entry in the registry has had a driver row.  Entries
+    past the window stay covered by the in-repo replica gate
+    (tests/test_entry.py), which runs ALL entries regardless of
+    order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
         # round-5 promotions: rows-only -> hash-matched
@@ -3047,9 +3121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_grad": q_softmax_grad,
         "cox_grad": q_cox_grad,
         "aft_grad": q_aft_grad,
-        "metric_regression": q_metric_regression,
-        "metric_logloss": q_metric_logloss,
-        "metric_multiclass": q_metric_multiclass,
+        # round-5 additions: final TPC-H shapes (Q9/Q11/Q20 — the 22/22
+        # sweep), certified in the window they were born in
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
         "metric_auc": q_metric_auc,
         "metric_aucpr": q_metric_aucpr,
         "metric_ndcg": q_metric_ndcg,
@@ -3067,6 +3143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of driver window (50 entries above) --------------------
         "knn": q_knn,
         "sessionize": q_sessionize,
+        "metric_regression": q_metric_regression,
+        "metric_logloss": q_metric_logloss,
+        "metric_multiclass": q_metric_multiclass,
         # driver-certified in r4; replica-checked every test run
         "train_stump": q_train_stump,
         "train_depth2": q_train_depth2,
@@ -3945,6 +4024,33 @@ def oracle_sql() -> dict[str, str]:
         "train_string_cat": _train_string_cat_sql(),
         "dup_spans": _dup_spans_sql(20, 2),
         "strip_spans": _strip_spans_sql(20, 2),
+        "product_profit": """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2""",
+        "important_parts": """
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY 1),
+t AS (SELECT avg(value) AS av FROM v)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, round(value, 2) AS value
+FROM v, t WHERE value > 1.5 * av""",
+        "excess_suppliers": """
+WITH q AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) = 1997 AND p.p_name LIKE 'red%'
+  GROUP BY 1, 2)
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM q WHERE qty > 50)""",
         "train_logistic": _train_logistic_sql(),
         "train_softmax": _train_softmax_sql(),
         "bpe_merges": _bpe_merges_sql(4),
