@@ -1404,3 +1404,64 @@ def test_duplicate_spans_matches_bruteforce(spark):
     got_set = set(map(tuple, got.values.tolist()))
     assert got_set == set(expected), (
         f"{len(got_set ^ set(expected))} differing spans")
+
+
+def test_h264_sps_metadata(spark):
+    """H.264 SPS metadata (parse_h264_sps / h264_metadata): an SPS
+    synthesized bit-by-bit per ITU-T H.264 7.3.2.1 (Exp-Golomb writer)
+    must parse back to the exact profile/level/dimensions, including
+    the cropping arithmetic; non-H.264 rows yield a NULL struct."""
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def b(self, v, n=1):
+            self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+        def ue(self, v):
+            k = v + 1
+            n = k.bit_length()
+            self.b(0, n - 1) if n > 1 else None
+            self.b(k, n)
+
+        def bytes_(self):
+            self.b(1)                       # rbsp_stop_one_bit
+            while len(self.bits) % 8:
+                self.b(0)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                v = 0
+                for bit in self.bits[i:i + 8]:
+                    v = (v << 1) | bit
+                out.append(v)
+            return bytes(out)
+
+    w = W()
+    w.b(66, 8); w.b(0, 8); w.b(30, 8)       # baseline, level 3.0
+    w.ue(0)                                 # sps_id
+    w.ue(0)                                 # log2_max_frame_num_minus4
+    w.ue(0)                                 # poc_type 0
+    w.ue(0)                                 # log2_max_poc_lsb_minus4
+    w.ue(1)                                 # max_num_ref_frames
+    w.b(0)                                  # gaps_in_frame_num
+    w.ue(39)                                # 40 mbs -> 640 px
+    w.ue(29)                                # 30 units -> 480 px
+    w.b(1)                                  # frame_mbs_only
+    w.b(1)                                  # direct_8x8
+    w.b(1)                                  # frame_cropping
+    w.ue(0); w.ue(1); w.ue(0); w.ue(1)      # crop r=1 (2px), b=1 (2px)
+    w.b(0)                                  # vui absent
+    stream = (b"\x00\x00\x00\x01" + bytes([0x67]) + w.bytes_()
+              + b"\x00\x00\x01" + bytes([0x65, 0x88, 0x84]))
+    meta = multimodal.parse_h264_sps(stream)
+    assert meta == {"profile_idc": 66, "level_idc": 30,
+                    "width": 638, "height": 478,
+                    "max_num_ref_frames": 1, "frame_mbs_only": True,
+                    "n_nal": 2}
+    with pytest.raises(ValueError):
+        multimodal.parse_h264_sps(b"RIFF this is not h264")
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "content": [stream, b"junk"]}))
+    out = multimodal.h264_metadata(df).orderBy("id").toPandas()
+    assert out["h264_meta"][0]["width"] == 638
+    assert out["h264_meta"][1] is None

@@ -284,6 +284,158 @@ def parse_mp3_metadata(b: bytes) -> dict:
     return first
 
 
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb decode (ITU-T H.264 §9.1 —
+    public spec): ue(v) = unsigned, se(v) = signed mapped code."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def bit(self) -> int:
+        if (self.p >> 3) >= len(self.d):
+            raise ValueError("bitstream exhausted")
+        b = (self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1
+        self.p += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        z = 0
+        while self.bit() == 0:
+            z += 1
+            if z > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return ((1 << z) - 1 + self.bits(z)) if z else 0
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135}
+
+
+def parse_h264_sps(b: bytes) -> dict:
+    """Parse the first SPS NAL of an Annex-B H.264 byte stream (ITU-T
+    H.264 §7.3.2.1 — public spec): profile / level / coded dimensions
+    (macroblock counts minus cropping) / ref frames / interlace flag.
+    Header arithmetic only — slice/frame DECODING genuinely needs an
+    external codec and stays stubbed.  Raises ValueError when no SPS is
+    found; NotImplementedError on scaling matrices (rare in-stream
+    tables we will not half-parse)."""
+    # NAL scan: start codes 00 00 01 / 00 00 00 01
+    n_nal = 0
+    sps_payload = None
+    i = 0
+    while i + 3 <= len(b):
+        if b[i:i + 3] == b"\x00\x00\x01":
+            start = i + 3
+        elif i + 4 <= len(b) and b[i:i + 4] == b"\x00\x00\x00\x01":
+            start = i + 4
+        else:
+            i += 1
+            continue
+        end = b.find(b"\x00\x00\x01", start)
+        if end == -1:
+            end = len(b)
+        elif end > start and b[end - 1] == 0:     # 4-byte start code
+            end -= 1
+        nal = b[start:end]
+        i = end
+        if not nal:
+            continue
+        n_nal += 1
+        if sps_payload is None and (nal[0] & 0x1F) == 7:
+            # strip emulation-prevention bytes (00 00 03 -> 00 00)
+            sps_payload = nal[1:].replace(b"\x00\x00\x03", b"\x00\x00")
+    if sps_payload is None:
+        raise ValueError("no H.264 SPS NAL found")
+    r = _BitReader(sps_payload)
+    profile_idc = r.bits(8)
+    r.bits(8)                                     # constraint flags + reserved
+    level_idc = r.bits(8)
+    r.ue()                                        # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.bit()                               # separate_colour_plane
+        r.ue()                                    # bit_depth_luma_minus8
+        r.ue()                                    # bit_depth_chroma_minus8
+        r.bit()                                   # qpprime_y_zero
+        if r.bit():                               # seq_scaling_matrix_present
+            raise NotImplementedError("SPS scaling matrices unsupported")
+    r.ue()                                        # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()                                    # log2_max_poc_lsb_minus4
+    elif poc_type == 1:
+        r.bit()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    max_num_ref_frames = r.ue()
+    r.bit()                                       # gaps_in_frame_num
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.bit()
+    if not frame_mbs_only:
+        r.bit()                                   # mb_adaptive_frame_field
+    r.bit()                                       # direct_8x8_inference
+    width = w_mbs * 16
+    height = h_units * 16 * (2 - frame_mbs_only)
+    if r.bit():                                   # frame_cropping
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop units (§7.4.2.1.1): chroma 4:2:0/4:2:2 crop in 2px luma
+        # steps horizontally; 4:2:0 also vertically (x frame/field)
+        cw = 2 if chroma_format_idc in (1, 2) else 1
+        ch = (2 if chroma_format_idc == 1 else 1) * (2 - frame_mbs_only)
+        width -= (cl + cr) * cw
+        height -= (ct + cb) * ch
+    return {"profile_idc": profile_idc, "level_idc": level_idc,
+            "width": width, "height": height,
+            "max_num_ref_frames": max_num_ref_frames,
+            "frame_mbs_only": bool(frame_mbs_only), "n_nal": n_nal}
+
+
+def h264_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched H.264 SPS scan: appends an ``h264_meta`` struct
+    (NULL for rows that are not Annex-B H.264 streams).  Metadata only —
+    frame decoding stays honestly stubbed."""
+    fields = list(df.schema.fields) + [T.StructField("h264_meta", T.StructType([
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("max_num_ref_frames", T.IntegerType()),
+        T.StructField("frame_mbs_only", T.BooleanType()),
+        T.StructField("n_nal", T.IntegerType()),
+    ]))]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for content in pdf[content_col]:
+                try:
+                    metas.append(parse_h264_sps(
+                        bytes(content) if content is not None else b""))
+                except (ValueError, NotImplementedError):
+                    metas.append(None)
+            out = pdf.copy()
+            out["h264_meta"] = metas
+            yield out
+
+    return df.mapInPandas(fn, schema=T.StructType(fields))
+
+
 def mp3_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Arrow-batched MP3 header scan: appends a ``mp3_meta`` struct
     (NULL for rows that are not MP3 streams).  Metadata only — the
