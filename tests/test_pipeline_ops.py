@@ -1406,6 +1406,47 @@ def test_duplicate_spans_matches_bruteforce(spark):
         f"{len(got_set ^ set(expected))} differing spans")
 
 
+def test_strip_spans_hot_gram(spark):
+    """One gram repeated 10^5 times (the pathological boilerplate case
+    the HashAggregate rewrite exists for): keep-first must still be
+    exact — only the lowest-(id, pos) occurrence survives — and the job
+    must complete through the partial-aggregating plan rather than a
+    single-task per-gram sort."""
+    boiler = "#### COMMON LICENSE HEADER LINE ####"        # 36 chars > k
+    rows = [(i, f"doc{i:06d} " + boiler + f" tail{i}") for i in range(100_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .repartition(32)
+    out = dedup.strip_duplicate_spans(df, k=20).toPandas()
+    # exactly one doc keeps the boilerplate; string-gram spans bleed
+    # one char into the surrounding identical ' ' context at most
+    kept = out[out["removed_chars"] == 0]
+    assert len(kept) == 1 and kept["id"].iloc[0] == 0
+    assert (out[out["id"] > 0]["removed_chars"] > 0).all()
+    assert not out[out["id"] > 0]["text_stripped"].str.contains(
+        "COMMON LICENSE").any()
+
+
+def test_span_max_gram_count_cap(spark):
+    """max_gram_count (default off): duplicate_spans output is
+    IDENTICAL with the cap engaged (hot grams route map-side via a
+    broadcast isin, same spans); strip_duplicate_spans above-cap grams
+    lose EVERY occurrence including the global first — the one
+    documented semantic change the cap makes."""
+    shared = "the quick brown fox jumps over the lazy "   # 40 chars
+    rows = [(i, f"p{i:03d} " + shared + f"tail {i}") for i in range(50)]
+    rows.append((900, "completely unique text with no repeats in sight"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = dedup.duplicate_spans(df, k=20).toPandas()
+    capped = dedup.duplicate_spans(df, k=20, max_gram_count=10).toPandas()
+    assert (set(map(tuple, base.values.tolist()))
+            == set(map(tuple, capped.values.tolist())))
+    s = dedup.strip_duplicate_spans(df, k=20, max_gram_count=10) \
+        .toPandas().set_index("id").sort_index()
+    # every doc loses the shared span — no keep-first survivor above cap
+    assert (s.loc[s.index < 900, "removed_chars"] > 0).all()
+    assert s.loc[900, "removed_chars"] == 0
+
+
 def test_h264_sps_metadata(spark):
     """H.264 SPS metadata (parse_h264_sps / h264_metadata): an SPS
     synthesized bit-by-bit per ITU-T H.264 7.3.2.1 (Exp-Golomb writer)

@@ -169,3 +169,25 @@ def test_train_ranker_has_no_pair_join(spark, sf_dir):
     # (bins-sized, constant), but the per-qid rank-count windows must be
     # hash-partitioned by qid
     assert "hashpartitioning(qid" in p
+
+
+def test_strip_spans_keep_first_is_hash_aggregate(spark, sf_dir):
+    """strip_duplicate_spans keep-first witness must be a
+    partial-aggregable HashAggregate over the packed (id, pos) decimal
+    key joined back with a ShuffledHashJoin — NOT a row_number sort
+    window partitioned by gram hash, which funnels every occurrence of
+    a hot gram (10^8-10^9 at corpus scale) into one sorting task.  The
+    ONLY Sort allowed in the plan is the per-document (id, pos) islands
+    window, which is partitioned by doc id and bounded by one doc."""
+    import re
+
+    from xgboost_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dedup.strip_duplicate_spans(docs, "text", "doc_id"))
+    assert "SortAggregate" not in p
+    assert "SortMergeJoin" not in p
+    assert "HashAggregate" in p
+    assert "ShuffledHashJoin" in p
+    # every Sort node must order by (id, pos) — never by the gram hash
+    for m in re.finditer(r"\(\d+\) Sort\n.*?Arguments: (\[[^\]]*\])", p, re.S):
+        assert "gh#" not in m.group(1), m.group(1)

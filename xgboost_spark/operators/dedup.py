@@ -424,7 +424,8 @@ def _span_gram_hashes(df: DataFrame, text_col: str, id_col: str,
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 20,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    max_gram_count: int | None = None) -> DataFrame:
     """Span-level EXACT substring deduplication (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — public
     paper): for every document, the maximal character spans covered by
@@ -446,12 +447,36 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     per-document gaps-and-islands interval merging under a PARTITIONED
     window (no global sort).  Returns (id, span_start, span_end) with
     1-based [start, end) character offsets, plus span_chars.
+
+    ``max_gram_count`` (default off) bounds the worst case: a
+    pathological gram occurring more often than the cap (a repeated
+    license header, a whitespace run) is — by definition — duplicated,
+    so its hashes are collected to the driver (the set of such grams
+    is tiny by construction) and its occurrences are marked via a
+    map-side ``isin`` WITHOUT ever shuffling on the gram key.  Output
+    is identical to the uncapped run; only the plan routing changes.
     """
     grams = _span_gram_hashes(df, text_col, id_col, k)
-    dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") >= min_count).select("gh"))
-    hits = (grams.join(dups, "gh", "left_semi")
-            .select("id", "pos", (F.col("pos") + k).alias("e")))
+    cnts = grams.groupBy("gh").agg(F.count("*").alias("cnt"))
+    if max_gram_count is not None:
+        hot = [r["gh"] for r in
+               cnts.filter(F.col("cnt") > max_gram_count)
+               .select("gh").collect()]
+        dups = (cnts.filter((F.col("cnt") >= min_count) &
+                            (F.col("cnt") <= max_gram_count)).select("gh"))
+        cold_hits = (grams.filter(~F.col("gh").isin(hot) if hot else F.lit(True))
+                     .join(dups, "gh", "left_semi")
+                     .select("id", "pos", (F.col("pos") + k).alias("e")))
+        if hot:
+            hot_hits = (grams.filter(F.col("gh").isin(hot))
+                        .select("id", "pos", (F.col("pos") + k).alias("e")))
+            hits = cold_hits.unionByName(hot_hits)
+        else:
+            hits = cold_hits
+    else:
+        dups = cnts.filter(F.col("cnt") >= min_count).select("gh")
+        hits = (grams.join(dups, "gh", "left_semi")
+                .select("id", "pos", (F.col("pos") + k).alias("e")))
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = (hits
@@ -469,7 +494,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 
 def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 20,
-                          min_count: int = 2) -> DataFrame:
+                          min_count: int = 2,
+                          max_gram_count: int | None = None) -> DataFrame:
     """Remove duplicated substrings, keeping first occurrences (the
     Lee et al. 2022 dedup step that follows span marking): for each
     duplicated k-gram the globally FIRST occurrence — min (id, pos) —
@@ -479,23 +505,70 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     lowest-id document keeps its text, later copies lose the shared
     span.
 
-    Same plan skeleton as duplicate_spans (gram hash -> occurrence
-    count -> semi-join), plus one rank window per gram key to drop the
-    first occurrence, islands to merge removal intervals, and a pure
-    higher-order-function rebuild (F.aggregate over the sorted span
-    list concatenating the kept segments) — no Python row loop, and the
-    per-doc span list is bounded by the doc's own duplicate content.
+    Keep-first is computed WITHOUT a per-gram sort window: a
+    ``row_number() OVER (PARTITION BY gh ORDER BY id, pos)`` funnels
+    every occurrence of one gram into a single task and SORTS it — a
+    hot boilerplate gram (license header, whitespace run) occurring
+    10^8-10^9 times at corpus scale becomes one straggler.  Instead the
+    first occurrence is ``min(id * 2^31 + pos)`` over a DECIMAL(38,0)
+    packed key — the packing is strictly order-preserving for
+    lexicographic (id, pos) whenever 0 <= pos < 2^31 (pos is a 1-based
+    character offset, always is), and unlike ``min(struct(...))``
+    (which Spark can only SortAggregate) a decimal min compiles to a
+    partial-aggregable HashAggregate whose map-side combine collapses
+    a hot gram to one row per input partition BEFORE the shuffle.  The
+    witness is joined back (hash join, no sort) to drop exactly that
+    minimum.  Bit-identical keep-first semantics; the occurrence-count
+    filter folds into the same aggregate, so the plan is actually one
+    job SHORTER than the old semi-join + window.  Islands then merge removal intervals
+    per-document, and a pure higher-order-function rebuild
+    (F.aggregate over the sorted span list concatenating the kept
+    segments) emits the text — no Python row loop, and the per-doc
+    span list is bounded by the doc's own duplicate content.
     Returns (id, text, text_stripped, removed_chars).
+
+    ``max_gram_count`` (default off) caps the shuffle of a pathological
+    gram: occurrences above the cap are treated as always-duplicate —
+    EVERY occurrence is stripped, including the global first, so the
+    keep-first witness never has to shuffle 10^9 rows of one key.  The
+    hot gram hashes (tiny set by construction) are collected and routed
+    map-side via ``isin``.  This is the ONE deliberate semantic change
+    the cap makes, and only for grams above it.
     """
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     grams = _span_gram_hashes(df, text_col, id_col, k)
-    dups = (grams.groupBy("gh").agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") >= min_count).select("gh"))
-    occ = grams.join(dups, "gh", "left_semi")
-    wg = Window.partitionBy("gh").orderBy("id", "pos")
-    later = (occ.withColumn("rn", F.row_number().over(wg))
-             .filter(F.col("rn") > 1)
+    # order-preserving (id, pos) -> decimal pack: HashAggregate-able min
+    pk = (F.col("id").cast("decimal(38,0)")
+          * F.lit(2147483648).cast("decimal(38,0)")
+          + F.col("pos").cast("decimal(38,0)"))
+    # one aggregate carries BOTH the duplicate filter and the keep-first
+    # witness; min(packed) partial-combines map-side (no skewed sort)
+    agg = grams.groupBy("gh").agg(F.count("*").alias("cnt"),
+                                  F.min(pk).alias("f"))
+    firsts = (agg.filter(F.col("cnt") >= min_count)
+              .select("gh", "f"))
+    probe = grams
+    hot: list = []
+    if max_gram_count is not None:
+        hot = [r["gh"] for r in
+               agg.filter(F.col("cnt") > max_gram_count)
+               .select("gh").collect()]
+        if hot:
+            firsts = (agg.filter((F.col("cnt") >= min_count) &
+                                 (F.col("cnt") <= max_gram_count))
+                      .select("gh", "f"))
+            probe = grams.filter(~F.col("gh").isin(hot))
+    # shuffle_hash: build the tiny one-row-per-gram side, STREAM the
+    # occurrence side — a sort-merge join would re-introduce the hot-key
+    # sort this rewrite removes
+    later = (probe.withColumn("pk", pk)
+             .join(firsts.hint("shuffle_hash"), "gh")
+             .filter(F.col("pk") != F.col("f"))
              .select("id", "pos", (F.col("pos") + k).alias("e")))
+    if hot:
+        later = later.unionByName(
+            grams.filter(F.col("gh").isin(hot))
+            .select("id", "pos", (F.col("pos") + k).alias("e")))
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     spans = (later
