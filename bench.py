@@ -99,10 +99,18 @@ def main():
         return round(best, 3)
 
     model_box = {}
+    # per-attempt stage attribution (prep / cuts / base_score / loop,
+    # from plans.booster.FIT_STAGE_TIMES): distinguishes "fixed startup
+    # got slower" from "per-tree throughput got slower" — the round-5
+    # fit10 regression was unattributable without it
+    stage_runs: dict[str, list[dict]] = {"gbdt_fit_10r_d6": [],
+                                         "gbdt_fit_100r_d6": []}
 
     def fit_once():
+        from xgboost_spark.plans import booster as _B
         model_box["m"] = SparkBooster(bench_params).fit(
             li, feature_cols=fc, label_col="l_extendedprice")
+        stage_runs["gbdt_fit_10r_d6"].append(dict(_B.FIT_STAGE_TIMES))
 
     # the headline metric gets a third attempt: this box shows >4x
     # hypervisor-steal swings between identical runs
@@ -114,10 +122,13 @@ def main():
     # other query — this is the BINDING baseline-gated metric, so it
     # gets the same stall protection as the operator queries.
     p100 = TrainParams(num_boost_round=100, max_depth=6, max_bin=256, eta=0.3)
-    times["gbdt_fit_100r_d6"] = timed(
-        lambda: SparkBooster(p100).fit(
-            li, feature_cols=fc, label_col="l_extendedprice"),
-        n=3, name="gbdt_fit_100r_d6")
+
+    def fit100_once():
+        from xgboost_spark.plans import booster as _B
+        SparkBooster(p100).fit(li, feature_cols=fc, label_col="l_extendedprice")
+        stage_runs["gbdt_fit_100r_d6"].append(dict(_B.FIT_STAGE_TIMES))
+
+    times["gbdt_fit_100r_d6"] = timed(fit100_once, n=3, name="gbdt_fit_100r_d6")
     times["gbdt_predict"] = timed(
         lambda: model.transform(li, feature_cols=fc)
         .selectExpr("sum(prediction)").collect(), name="gbdt_predict")
@@ -137,6 +148,7 @@ def main():
         "unit": "sec",
         "queries": times,
         "runs": runs,
+        "stages": stage_runs,
         "gc_ms": gc_marks,
         "sf": float(sf),
     }))

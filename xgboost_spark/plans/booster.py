@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
@@ -48,6 +50,14 @@ from xgboost_spark.operators.histogram import SparkHistBuilder
 from xgboost_spark.operators.sketch import approx_cuts
 from xgboost_spark.plans.model import GBDTModel
 from xgboost_spark.sources.tables import assemble_features
+
+# wall-clock of the LAST fit's fixed-overhead stages (prep = encode/
+# assemble/validate, cuts = sketch job, base_score = intercept job,
+# loop = the boosting loop itself).  Written by every _fit_impl call;
+# read by bench.py to attribute startup-cost drift (a fit that slows
+# down while per-tree throughput holds steady is hiding in one of the
+# first three numbers).  Diagnostic only — never consumed by training.
+FIT_STAGE_TIMES: dict[str, float] = {}
 
 
 def _compute_grads(obj, y, m, w, q, seed, subsample, K, bounds=None):
@@ -328,6 +338,8 @@ class SparkBooster:
         [, ``q``]) — the reference's ``feval`` surface (`training.py:53`
         ``custom_metric``).  ``maximize`` overrides the early-stopping
         direction (else inferred from the last metric's name)."""
+        _t0 = time.monotonic()
+        FIT_STAGE_TIMES.clear()
         p = self.params
         K = p.n_groups
         spark = df.sparkSession
@@ -355,6 +367,8 @@ class SparkBooster:
         )
         Fn = len(fnames)
         self._validate_meta(raw)
+        FIT_STAGE_TIMES["prep"] = round(time.monotonic() - _t0, 3)
+        _t1 = time.monotonic()
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
         if p.feature_weights is not None:
             if isinstance(p.feature_weights, dict):
@@ -429,9 +443,13 @@ class SparkBooster:
             for j, i in enumerate(cat_idx):
                 n_cats = int(maxes[f"m{j}"] or 0) + 1
                 cuts[i] = np.arange(max(n_cats, 2), dtype=np.float64)
+        FIT_STAGE_TIMES["cuts"] = round(time.monotonic() - _t1, 3)
+        _t1 = time.monotonic()
         base_score = (xgb_model.base_score if xgb_model is not None
                       else (fused_bs if fused_bs is not None
                             else self._base_score(raw)))
+        FIT_STAGE_TIMES["base_score"] = round(time.monotonic() - _t1, 3)
+        _t1 = time.monotonic()
         mono = self._parse_monotone(feat_names_out, Fn)
         isets = self._parse_interactions(feat_names_out, Fn)
 
@@ -458,6 +476,7 @@ class SparkBooster:
                     p, obj, raw, fnames, cuts, cat_mask,
                     base_score, mono, isets, n_part, evals_raw=evals_raw,
                     prev_state=prev_state)
+                FIT_STAGE_TIMES["loop"] = round(time.monotonic() - _t1, 3)
                 return self._assemble_model(
                     trees, bar_weights, xgb_model, base_score,
                     feat_names_out, cuts, best_it, history,
@@ -780,6 +799,7 @@ class SparkBooster:
         p.eta = orig_eta
         for cb in (callbacks or []):
             cb.after_training(cb_state)
+        FIT_STAGE_TIMES["loop"] = round(time.monotonic() - _t1, 3)
         return _make_model()
 
     def _parse_monotone(self, feat_names_out: list[str], Fn: int):
