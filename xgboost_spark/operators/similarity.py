@@ -670,6 +670,14 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
     pair explosion on a skewed cluster out of the box.  Pass None
     explicitly for the exact within-cluster comparison (the
     oracle-replayable configuration used by `q_semantic_dedup`).
+
+    .. versionchanged:: round 5
+       ``max_pair_bucket`` defaults to 4096 (was None/exact).  When a
+       cluster actually exceeds the cap, results switch from exact
+       within-cluster comparison to approximate sign-LSH sub-bucketing
+       (slightly lower recall); a one-time warning is logged when that
+       happens so the change is detectable, and ``max_pair_bucket=None``
+       restores the old exact behavior.
     """
     import math
     from pyspark import StorageLevel
@@ -689,6 +697,14 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 16,
         sizes = d.groupBy("list_id").agg(F.count("*").alias("_csz"))
         max_size = (sizes.agg(F.max("_csz")).first() or [0])[0] or 0
         if max_size > max_pair_bucket:
+            import warnings
+            warnings.warn(
+                f"semantic_dedup: a cluster of {max_size} rows exceeds "
+                f"max_pair_bucket={max_pair_bucket}; oversized clusters "
+                "are sub-split by sign-LSH (approximate, slightly lower "
+                "recall than exact within-cluster comparison — pass "
+                "max_pair_bucket=None for exact)", RuntimeWarning,
+                stacklevel=2)
             n_planes = max(1, math.ceil(math.log2(max_size / max_pair_bucket)))
             # dim comes free from the centroid matrix — no extra pass
             planes = hash_planes(n_planes, int(cents.shape[1]))

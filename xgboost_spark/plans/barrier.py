@@ -29,6 +29,7 @@ x (bins+1) x 2 float64, independent of row count.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 from collections.abc import Iterator
@@ -262,21 +263,39 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     # fault tolerance (TrainParams.checkpoint_dir): rank 0 periodically
     # persists the model-so-far; a retried barrier job — or a re-issued
     # fit() after a failure — resumes from it instead of round 0.
-    # Exactness gate: resume replays margins from the stored trees, which
-    # is bit-identical only when historical trees are immutable —
-    # booster=dart re-weights them and multi_output_tree+adaptive
-    # refreshes leaves after the margin update, so both are rejected.
+    # Exactness: plain boosting replays margins from the stored trees
+    # (immutable history); DART re-weights historical trees, so its
+    # checkpoint carries a per-round dropout/rescale EVENT LOG and
+    # resume replays the exact float-op sequence (same dw expressions,
+    # same order) — bit-identical either way.  multi_output_tree +
+    # adaptive leaves (history refreshed after the margin update) stays
+    # rejected.
     ckpt_path = None
     if p.checkpoint_dir:
-        if p.booster == "dart" or (
-                K > 1 and p.multi_strategy == "multi_output_tree"
+        if (p.booster == "dart"
+                and K > 1 and p.multi_strategy == "multi_output_tree"):
+            raise ValueError(
+                "checkpoint_dir: dart resume replays the per-round "
+                "dropout/rescale event log, which assumes weighted "
+                "scalar-leaf margin updates; multi_output_tree ignores "
+                "tree weights and is unsupported")
+        if (K > 1 and p.multi_strategy == "multi_output_tree"
                 and obj.adaptive_alpha is not None):
             raise ValueError(
                 "checkpoint_dir: exact resume needs immutable historical "
-                "trees; booster=dart and multi_output_tree+adaptive "
-                "quantile leaves are unsupported")
+                "trees; multi_output_tree+adaptive quantile leaves are "
+                "unsupported")
         os.makedirs(p.checkpoint_dir, exist_ok=True)
         ckpt_path = os.path.join(p.checkpoint_dir, "barrier_ckpt.pkl")
+    # fingerprint of everything resume-exactness depends on: a stale
+    # checkpoint from a DIFFERENT configuration (params, features,
+    # partitioning, data intercept) sharing the dir must be rejected,
+    # not silently resumed into the wrong model
+    ckpt_fp = hashlib.md5(repr((
+        sorted((k, repr(v)) for k, v in vars(p).items()
+               if k != "checkpoint_dir"),
+        list(fnames), int(n_part), float(base_score),
+    )).encode()).hexdigest()
 
     from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
     from xgboost_spark.plans.booster import _compute_grads, _maximize
@@ -358,6 +377,11 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             best_it = None
             best_metric = None
             start_round = 0
+            # DART resume needs the exact per-round op sequence, not
+            # just final weights: one entry per completed round with the
+            # dropped tree indices, their PRE-rescale weights, the
+            # rescale factor and the new tree's weight
+            dart_log: list[dict] = []
             if ckpt_path and os.path.exists(ckpt_path):
                 # resume: every rank reads the same checkpoint and
                 # replays the stored trees over its local rows in the
@@ -369,6 +393,18 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 # deterministically.
                 with open(ckpt_path, "rb") as fh:
                     ck = pickle.load(fh)
+                if ck.get("fingerprint") != ckpt_fp:
+                    raise ValueError(
+                        "checkpoint_dir holds a checkpoint from a "
+                        "different fit configuration (params/features/"
+                        "partitioning mismatch); refusing to resume — "
+                        "clear the directory or use a distinct one per "
+                        "fit")
+                if not 0 < ck["round"] < p.num_boost_round:
+                    raise ValueError(
+                        f"checkpoint round {ck['round']} is outside "
+                        f"(0, {p.num_boost_round}); a completed or "
+                        "corrupt checkpoint cannot be resumed")
                 trees = ck["trees"]
                 tree_weights = ck["tree_weights"]
                 history = ck["history"]
@@ -376,20 +412,41 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 rng = ck["rng"]
                 obj.__dict__.update(ck["obj_state"])
                 start_round = ck["round"]
-                replay = [(Xb, margin)] + [(st[0], st[5])
-                                           for st in ev_states]
+                dart_log = ck.get("dart_log", [])
+                replay = [(Xb, margin, True)] + [(st[0], st[5], False)
+                                                 for st in ev_states]
                 for ri, rt in enumerate(trees):
-                    for Xc, mc in replay:
+                    ev = dart_log[ri] if (is_dart and ri < len(dart_log)) \
+                        else None
+                    for Xc, mc, is_train_m in replay:
                         if is_multi:
                             mc += core.tree_predict(rt[0], Xc, binned=True)
-                        else:
-                            ti = 0
-                            for k in range(K):
-                                for _ in range(len(rt) // K):
-                                    mc[:, k] += tree_weights[ri] * \
-                                        core.tree_predict(rt[ti], Xc,
-                                                          binned=True)
-                                    ti += 1
+                            continue
+                        if ev and ev["dropped"]:
+                            # replay the round's rescale deltas with the
+                            # SAME float expressions the live loop used
+                            # (train and eval paths compute dw through
+                            # different — algebraically equal, bitwise
+                            # distinct — forms; see the loop below)
+                            f_ = ev["factor"]
+                            for di, d in enumerate(ev["dropped"]):
+                                w_old = ev["w_old"][di]
+                                dw = (w_old * (f_ - 1.0) if is_train_m
+                                      else (w_old * f_) * (1.0 - 1.0 / f_))
+                                nf2 = len(trees[d]) // K
+                                for k2 in range(K):
+                                    for j in range(nf2):
+                                        mc[:, k2] += dw * core.tree_predict(
+                                            trees[d][k2 * nf2 + j], Xc,
+                                            binned=True)
+                        w_r = ev["w_new"] if ev is not None else tree_weights[ri]
+                        ti = 0
+                        for k in range(K):
+                            for _ in range(len(rt) // K):
+                                mc[:, k] += w_r * \
+                                    core.tree_predict(rt[ti], Xc,
+                                                      binned=True)
+                                ti += 1
             for it_round in range(start_round, p.num_boost_round):
                 # DART dropout (reference gbtree.h:89-123 DropTrees):
                 # selection draws are deterministic from the shared rng,
@@ -489,6 +546,11 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     else:
                         w_new = 1.0 / (kdrop + p.eta)
                         factor = kdrop / (kdrop + p.eta)
+                    if is_dart:
+                        dart_log.append({
+                            "dropped": list(dropped),
+                            "w_old": [tree_weights[ri] for ri in dropped],
+                            "factor": factor, "w_new": w_new})
                     for ri in dropped:
                         dw = tree_weights[ri] * (factor - 1.0)
                         nf = len(trees[ri]) // K
@@ -499,6 +561,9 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         tree_weights[ri] *= factor
                 else:
                     w_new = 1.0
+                    if is_dart:
+                        dart_log.append({"dropped": [], "w_old": [],
+                                         "factor": 1.0, "w_new": w_new})
                 if not is_multi:
                     ti = 0
                     for k in range(K):
@@ -561,6 +626,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                      "best_it": best_it,
                                      "best_metric": best_metric,
                                      "rng": rng,
+                                     "fingerprint": ckpt_fp,
+                                     "dart_log": dart_log,
                                      "obj_state": obj.__dict__}, fh)
                     os.replace(tmp, ckpt_path)
             if comm.rank == 0:
@@ -576,7 +643,14 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     out = pickle.loads(bytes(rows[0]["model"]))
     # a COMPLETED fit owns no resume state — only a failed/killed one
     # leaves its checkpoint behind (streaming checkpointLocation
-    # semantics: re-running with the same dir resumes the failure)
+    # semantics: re-running with the same dir resumes the failure).
+    # checkpoint_dir's contract is a DRIVER-VISIBLE shared filesystem
+    # (same as a streaming checkpointLocation); if an exotic mount hides
+    # it from the driver, the fingerprint guard above still rejects the
+    # leftover on any later differently-configured fit.
     if ckpt_path and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+        try:
+            os.remove(ckpt_path)
+        except OSError:
+            pass
     return out

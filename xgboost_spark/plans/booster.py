@@ -483,6 +483,16 @@ class SparkBooster:
                     p.booster == "dart")
             if p.exec_mode == "barrier":
                 raise ValueError(f"exec_mode=barrier unsupported here: {why}")
+        if p.checkpoint_dir:
+            # fault tolerance lives on the barrier path only; a user
+            # relying on it must learn it is inactive, not find out at
+            # the first mid-fit failure
+            import warnings
+            warnings.warn(
+                "checkpoint_dir is set but this fit runs the DataFrame "
+                f"execution path ({why}); barrier checkpoint/resume "
+                "fault tolerance is inactive for this fit",
+                RuntimeWarning, stacklevel=3)
         if getattr(obj, "unbiased", False):
             raise NotImplementedError(
                 "lambdarank_unbiased trains on the barrier path (the t+/t- "
