@@ -1506,3 +1506,29 @@ def test_h264_sps_metadata(spark):
     out = multimodal.h264_metadata(df).orderBy("id").toPandas()
     assert out["h264_meta"][0]["width"] == 638
     assert out["h264_meta"][1] is None
+
+
+def test_knn_ivf_registry_recall_invariant(spark, sf_dir):
+    """Pin the registry entry q_knn_ivf's recall against exact q_knn at
+    its fixed seed/config (the one ANN entry that stays rows-only in
+    the driver gate): the IVF quantizer, probe selection and ranking
+    are fully deterministic, so recall@5 is an INVARIANT of the code +
+    data, not a floor — a quantizer or probe regression shows up as an
+    exact-value change, not just a dip below a loose threshold."""
+    import collections
+
+    import __spark_entry__ as E
+    ivf = E.queries()["knn_ivf"](spark, sf_dir).toPandas()
+    exact = E.queries()["knn"](spark, sf_dir).toPandas()
+    ex, ap = collections.defaultdict(set), collections.defaultdict(set)
+    for _, r in exact.iterrows():
+        ex[r["query_id"]].add(r["nbr_id"])
+    for _, r in ivf.iterrows():
+        ap[r["query_id"]].add(r["nbr_id"])
+    recs = {q: len(ex[q] & ap[q]) / len(ex[q]) for q in ex}
+    mean_rec = sum(recs.values()) / len(recs)
+    assert mean_rec >= 0.5, recs
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        # exact invariant at the default test SF (computed once, fixed
+        # seed): per-query {0: .6, 1: .6, 2: .8, 3: .2, 4: .8}
+        assert mean_rec == pytest.approx(0.6), recs

@@ -3,9 +3,11 @@
 The reference builds per-feature epsilon-approximate weighted quantile
 summaries and merges them across workers
 (`src/common/quantile.h:35`, merge `src/common/quantile.cc:389-473`,
-`SketchOnDMatrix` `src/common/hist_util.h:198`).  Spark already ships a
-distributed GK sketch as `percentile_approx`, so the unweighted path is
-one aggregation job over all features.  The hessian-weighted path (the
+`SketchOnDMatrix` `src/common/hist_util.h:198`).  The unweighted path
+mirrors that worker-summary/merge shape with an Arrow-batched NumPy
+compaction sketch (`approx_cuts`) — one corpus scan, per-feature merge,
+driver traffic independent of corpus size.  The hessian-weighted path
+(the
 `approx` updater's per-iteration re-sketch,
 `src/tree/updater_approx.cc:95-130`) is expressed as a range-partitioned
 cumulative-weight query — no single-partition global sort, so it scales.
@@ -31,39 +33,143 @@ def _finish_cuts(qs: list[float], vmax: float) -> np.ndarray:
 
 
 def approx_cuts(df: DataFrame, cols: list[str], max_bin: int,
-                accuracy: int | None = None, extra_aggs=None):
-    """Per-feature bin boundaries via Spark's distributed GK sketch.
+                accuracy: int | None = None, extra_sums=None):
+    """Per-feature bin boundaries via a distributed compaction sketch.
 
-    One job for all features; equivalent role to `HistogramCuts` build
-    (`src/common/hist_util.h:39-147`).  Accuracy defaults to 8x the bin
-    count (rank error 1/8 of a bin's mass) — the sketch insert/merge
-    cost grows with accuracy, and bin boundaries don't need more.  NB
-    measured: repartitioning before the sketch HURTS (the per-partition
-    partials are cheap; merging many high-accuracy partials is not), so
-    unlike the hashing/shingling operators this one takes the scan's
-    natural partitioning.
+    Equivalent role to `HistogramCuts` build
+    (`src/common/hist_util.h:39-147`), same shape as the reference's
+    per-worker quantile summaries merged across workers
+    (`src/common/quantile.cc:389-473`): ONE Arrow-batched corpus scan
+    emits, per (partition, feature), ``accuracy`` evenly-ranked order
+    statistics (NumPy sort — vectorized, vs the JVM GK aggregate's
+    per-row typed-imperative inserts, which profiled 2-4x slower on the
+    same data); a per-feature merge task then weight-merges the
+    partition samples and reads off the ``i/max_bin`` quantiles.  Rank
+    error is bounded by n/accuracy (default 8x the bin count = 1/8 of a
+    bin's mass).  Scale shape: driver traffic is n_features x max_bin
+    doubles — independent of corpus size and partition count; the
+    per-feature merge handles n_part x accuracy samples (a few MB at
+    1000 executors); in-partition buffering is capped with hierarchical
+    re-compaction, so executor memory stays bounded on huge partitions.
 
-    ``extra_aggs``: optional additional aggregate Columns to ride the
-    SAME job (e.g. the trainer fuses its intercept sums here so cuts +
-    base score cost one scan, not two).  When given, returns
-    ``(cuts, row)`` so the caller can read its extra results.
+    ``extra_sums``: optional list of ``(name, value_col | None,
+    weight_col | None)`` fused weighted sums — sum((value or 1) *
+    (weight or 1)) — computed in the SAME scan (e.g. the trainer's
+    intercept sums ride here so cuts + base score cost one scan, not
+    two).  When given, returns ``(cuts, dict)``.
     """
+    import pandas as pd
     if accuracy is None:
         accuracy = max(2048, 8 * max_bin)
-    probs = [i / max_bin for i in range(1, max_bin + 1)]
-    aggs = []
-    for c in cols:
-        aggs.append(F.percentile_approx(F.col(c), F.lit(probs), F.lit(accuracy)).alias(f"q_{c}"))
-        aggs.append(F.max(c).alias(f"m_{c}"))
-    if extra_aggs:
-        aggs.extend(extra_aggs)
-    row = df.agg(*aggs).first()
+    s = int(accuracy)
+    specs = list(extra_sums or [])
+    nf = len(cols)
+    need = list(cols)
+    for _name, v, w in specs:
+        for c in (v, w):
+            if c is not None and c not in need:
+                need.append(c)
+    src = df.select(*[F.col(c).cast("double").alias(c) for c in need])
+    n_specs = len(specs)
+
+    def compact(batches):
+        bufs: list[list[tuple[np.ndarray, float]]] = [[] for _ in range(nf)]
+        buf_cnt = [0] * nf
+        tot = np.zeros(nf)
+        mx = np.full(nf, -np.inf)
+        sums = np.zeros(n_specs)
+        cap = max(4 * s, 65536)
+
+        def squash(i: int, k: int):
+            vals = np.concatenate([v for v, _ in bufs[i]])
+            wts = np.concatenate([np.full(len(v), w) for v, w in bufs[i]])
+            o = np.argsort(vals, kind="stable")
+            vals = vals[o]
+            cw = np.cumsum(wts[o])
+            W = cw[-1]
+            kk = min(k, len(vals))
+            tgt = (np.arange(1, kk + 1) / kk) * W
+            idx = np.minimum(np.searchsorted(cw, tgt, side="left"),
+                             len(vals) - 1)
+            bufs[i] = [(vals[idx], W / kk)]
+            buf_cnt[i] = kk
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for i, c in enumerate(cols):
+                x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                x = x[~np.isnan(x)]
+                if len(x) == 0:
+                    continue
+                tot[i] += len(x)
+                mx[i] = max(mx[i], float(x.max()))
+                bufs[i].append((x, 1.0))
+                buf_cnt[i] += len(x)
+                if buf_cnt[i] > cap:
+                    squash(i, s)
+            for j, (_name, v, w) in enumerate(specs):
+                t = (pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
+                     if v is not None else np.ones(len(pdf)))
+                if w is not None:
+                    t = t * pdf[w].to_numpy(dtype=np.float64,
+                                            na_value=np.nan)
+                # SQL-sum null semantics: a null value or weight drops
+                # the row, it doesn't poison the total
+                sums[j] += np.nansum(t)
+        rows = []
+        for i in range(nf):
+            if tot[i] > 0:
+                squash(i, s)
+                rows.append((i, float(tot[i]), float(mx[i]),
+                             bufs[i][0][0].tolist()))
+        if n_specs:
+            rows.append((-1, 0.0, 0.0, sums.tolist()))
+        yield pd.DataFrame(rows, columns=["fi", "n", "mx", "smp"])
+
+    parts = src.mapInPandas(
+        compact, "fi int, n double, mx double, smp array<double>").persist()
+    try:
+        sum_row = None
+        if n_specs:
+            srows = parts.filter(F.col("fi") == -1).select("smp").collect()
+            acc = np.zeros(n_specs)
+            for r in srows:
+                acc += np.asarray(r["smp"], dtype=np.float64)
+            sum_row = ({name: float(acc[j]) if srows else None
+                        for j, (name, _v, _w) in enumerate(specs)})
+
+        def merge(key, pdf):
+            fi = int(key[0])
+            vals = np.concatenate([np.asarray(r, dtype=np.float64)
+                                   for r in pdf["smp"]])
+            wts = np.concatenate([np.full(len(r), n_p / len(r))
+                                  for r, n_p in zip(pdf["smp"], pdf["n"])])
+            o = np.argsort(vals, kind="stable")
+            vals = vals[o]
+            cw = np.cumsum(wts[o])
+            N = cw[-1]
+            tgt = (np.arange(1, max_bin + 1) / max_bin) * N
+            idx = np.minimum(np.searchsorted(cw, tgt, side="left"),
+                             len(vals) - 1)
+            return pd.DataFrame({"fi": [fi], "mx": [float(pdf["mx"].max())],
+                                 "qs": [vals[idx].tolist()]})
+
+        merged = (parts.filter(F.col("fi") >= 0)
+                  .groupBy("fi")
+                  .applyInPandas(merge, "fi int, mx double, qs array<double>")
+                  .collect())
+    finally:
+        parts.unpersist()
+    by_fi = {r["fi"]: r for r in merged}
     out = []
-    for c in cols:
-        qs = row[f"q_{c}"] or []
-        vmax = row[f"m_{c}"]
-        out.append(_finish_cuts([q for q in qs if q is not None], vmax if vmax is not None else np.nan))
-    return (out, row) if extra_aggs else out
+    for i in range(nf):
+        r = by_fi.get(i)
+        if r is None:
+            out.append(np.asarray([np.inf]))
+        else:
+            out.append(_finish_cuts(list(r["qs"]), r["mx"]))
+    return (out, sum_row) if specs else out
 
 
 def weighted_cuts(df: DataFrame, col: str, weight_col: str, max_bin: int,

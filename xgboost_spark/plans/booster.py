@@ -179,17 +179,17 @@ class SparkBooster:
         "reg:logistic", "count:poisson", "reg:gamma", "reg:tweedie")
 
     def _base_score_fuse_aggs(self, raw: DataFrame):
-        """Aggregate Columns for the mean-family intercept, to ride the
-        cuts-sketch job (see _fit_impl); None when the objective needs
-        its own pass (AFT/custom/median) or has a fixed intercept."""
+        """Fused-sum specs for the mean-family intercept, to ride the
+        cuts-sketch scan (see _fit_impl; approx_cuts ``extra_sums``);
+        None when the objective needs its own pass (AFT/custom/median)
+        or has a fixed intercept."""
         from xgboost_spark.functions.objectives import CustomObjective
         if (self.params.objective not in self._FUSED_BS_OBJECTIVES
                 or isinstance(self.obj, CustomObjective)
                 or "label" not in raw.columns):
             return None
-        w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
-        return [F.sum(F.col("label") * w).alias("_bs_sy"),
-                F.sum(w).alias("_bs_sw")]
+        w = "weight" if "weight" in raw.columns else None
+        return [("_bs_sy", "label", w), ("_bs_sw", None, w)]
 
     def _base_score_from_fused(self, row) -> float | None:
         sy, sw = row["_bs_sy"], row["_bs_sw"]
@@ -433,7 +433,7 @@ class SparkBooster:
                        if (p.base_score is None and xgb_model is None) else None)
             if bs_aggs:
                 cuts, _bs_row = approx_cuts(raw, fnames, sketch_bins,
-                                            extra_aggs=bs_aggs)
+                                            extra_sums=bs_aggs)
                 fused_bs = self._base_score_from_fused(_bs_row)
             else:
                 cuts = approx_cuts(raw, fnames, sketch_bins)
