@@ -2874,6 +2874,39 @@ def q_semantic_dedup(spark, sf_dir):
                       F.col("rep_id").cast("bigint").alias("rep_id"))
 
 
+def q_kmeans_iter(spark, sf_dir):
+    """Distributed k-means, ONE hash-matched Lloyd iteration — the
+    engine's document-clustering primitive (also the IVF / SemDeDup
+    coarse quantizer, operators/similarity.ivf_build): md5(vec_id)-
+    seeded centroids, nearest-centroid assignment (squared L2, ties ->
+    lowest list_id), per-dimension cluster means rounded 6dp INSIDE the
+    aggregation (the engine-replayable boundary, `mean_round=6`), then
+    re-assignment against the refined centroids.  Output: per-cluster
+    population after the step + the first 4 refined centroid
+    coordinates.  The DuckDB oracle regenerates seeds, both
+    assignments, and the Lloyd means exactly.  Scale shape: one shuffle
+    per Lloyd step (groupBy(cluster, dim) of the exploded train set,
+    partial-aggregated map-side); assignment is a broadcast-centroid
+    expression — the corpus never moves through the driver."""
+    from xgboost_spark.operators.similarity import ivf_build
+    emb = _par(_table(spark, sf_dir, "embeddings")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    assigned, cents = ivf_build(emb, n_centroids=8, iters=1,
+                                seed_by="id", mean_round=6)
+    counts = assigned.groupBy("list_id").agg(
+        F.count("*").cast("bigint").alias("n"))
+    cdf = spark.createDataFrame(
+        [(l,) + tuple(float(cents[l, i]) for i in range(4))
+         for l in range(8)],
+        "list_id int, c1 double, c2 double, c3 double, c4 double")
+    return (counts.join(F.broadcast(cdf), "list_id")
+            .select(F.col("list_id").cast("bigint").alias("list_id"), "n",
+                    F.round("c1", 6).alias("c1"),
+                    F.round("c2", 6).alias("c2"),
+                    F.round("c3", 6).alias("c3"),
+                    F.round("c4", 6).alias("c4")))
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
 # ---------------------------------------------------------------------------
@@ -3179,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 plan rewrite (keep-first skew fix): re-certify
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
+        # round-6 NEW capability: distributed k-means (hash-matched)
+        "kmeans_iter": q_kmeans_iter,
         # re-certification: oldest hash-green driver rows (r1-r3)
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -5203,6 +5238,51 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
        cos, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5""",
+
+        "kmeans_iter": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS list_id
+  FROM (SELECT v AS cv, md5(CAST(vec_id AS VARCHAR) || ':ivf') AS h
+        FROM n ORDER BY h LIMIT 8)),
+d0 AS (
+  SELECT n.vec_id, s.list_id,
+         list_sum([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                   for i in generate_series(1, 64)]) AS d2
+  FROM n CROSS JOIN seeds s),
+a0 AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d0) WHERE rk = 1),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+means AS (
+  SELECT a0.list_id, d.i, round(avg(n.v[d.i]), 6) AS m
+  FROM a0 JOIN n USING (vec_id) CROSS JOIN dims d
+  GROUP BY 1, 2),
+cents AS (
+  SELECT s.list_id, list(coalesce(m.m, s.cv[d.i]) ORDER BY d.i) AS cv
+  FROM seeds s CROSS JOIN dims d
+  LEFT JOIN means m ON m.list_id = s.list_id AND m.i = d.i
+  GROUP BY s.list_id),
+d1 AS (
+  SELECT n.vec_id, c.list_id,
+         list_sum([(n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i])
+                   for i in generate_series(1, 64)]) AS d2
+  FROM n CROSS JOIN cents c),
+a1 AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d1) WHERE rk = 1)
+SELECT CAST(a1.list_id AS BIGINT) AS list_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(c.cv[1]), 6) AS c1,
+       round(any_value(c.cv[2]), 6) AS c2,
+       round(any_value(c.cv[3]), 6) AS c3,
+       round(any_value(c.cv[4]), 6) AS c4
+FROM a1 JOIN cents c USING (list_id)
+GROUP BY a1.list_id""",
 
         "pq_topk": """
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

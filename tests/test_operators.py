@@ -24,6 +24,63 @@ def test_approx_cuts_close_to_exact(spark, reg_df, reg_data):
         assert agree > 0.9
 
 
+def test_approx_cuts_rank_error_bound(spark):
+    # 120k lognormal rows (heavy tail) across 8 partitions.  The
+    # compaction sketch claims rank error O(n/accuracy); assert every
+    # interior cut's true rank sits within 4*n/accuracy of SOME
+    # i/max_bin target rank — a direct epsilon-approximation check,
+    # stronger than the bin-agreement test above.
+    rng = np.random.RandomState(7)
+    x = rng.lognormal(0.0, 1.0, 120_000)
+    df = spark.createDataFrame(pd.DataFrame({"x": x})).repartition(8)
+    max_bin, acc = 32, 1024
+    cuts = sketch.approx_cuts(df, ["x"], max_bin, accuracy=acc)[0]
+    assert (np.diff(cuts) > 0).all()
+    xs = np.sort(x)
+    n = len(xs)
+    grid = n / max_bin
+    for c in cuts[:-1]:  # last cut is bumped past the max
+        r = np.searchsorted(xs, c, side="right")
+        nearest = round(r / grid) * grid
+        assert abs(r - nearest) <= 4 * n / acc, (c, r, nearest)
+
+
+def test_approx_cuts_hierarchical_recompaction(spark):
+    # ONE partition far above the in-partition buffer cap (65536)
+    # forces mid-stream hierarchical squashes; cuts must stay sorted
+    # and rank-accurate through the re-compaction levels.
+    n = 200_000
+    rng = np.random.RandomState(11)
+    x = rng.permutation(np.arange(n, dtype=float))
+    df = spark.createDataFrame(pd.DataFrame({"x": x})).coalesce(1)
+    max_bin, acc = 16, 512
+    cuts = sketch.approx_cuts(df, ["x"], max_bin, accuracy=acc)[0]
+    assert (np.diff(cuts) > 0).all()
+    assert len(cuts) == max_bin
+    grid = n / max_bin
+    for c in cuts[:-1]:
+        r = c + 1.0  # value v has rank v+1 in a permutation of 0..n-1
+        nearest = round(r / grid) * grid
+        assert abs(r - nearest) <= 6 * n / acc, (c, r, nearest)
+
+
+def test_approx_cuts_extra_sums_fused(spark):
+    # fused weighted sums ride the same scan with SQL-sum null
+    # semantics: a null value or weight drops the row, never poisons
+    # the total; (None, None) counts every row.
+    pdf = pd.DataFrame({
+        "v": [1.0, 2.0, None, 4.0, 5.0],
+        "w": [2.0, None, 3.0, 0.5, 1.0],
+        "x": [0.1, 0.2, 0.3, 0.4, 0.5]})
+    df = spark.createDataFrame(pdf)
+    cuts, sums = sketch.approx_cuts(df, ["x"], 4, extra_sums=[
+        ("vw", "v", "w"), ("cnt", None, None), ("sv", "v", None)])
+    assert sums["vw"] == pytest.approx(1 * 2 + 4 * 0.5 + 5 * 1)
+    assert sums["cnt"] == 5
+    assert sums["sv"] == pytest.approx(12.0)
+    assert len(cuts) == 1 and (np.diff(cuts[0]) > 0).all()
+
+
 def test_quantize_expr_matches_pandas_and_numpy(spark, reg_df, reg_data):
     X, _ = reg_data
     cuts = [core.make_cuts(X[:, i], 8) for i in range(2)]

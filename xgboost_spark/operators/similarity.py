@@ -266,11 +266,20 @@ def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str,
 def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", iters: int = 2, seed: int = 42,
               train_fraction: float = 1.0,
-              seed_by: str = "vector") -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: deterministic-sample centroids, refine with
-    ``iters`` Lloyd steps (each step = one groupBy(cluster) agg of
-    per-dimension means — a single shuffle), assign corpus to nearest
-    centroid.  Returns (assigned_corpus(list_id, ...), centroids).
+              seed_by: str = "vector",
+              mean_round: int | None = None) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer / distributed k-means: deterministic-sample
+    centroids, refine with ``iters`` Lloyd steps (each step = one
+    groupBy(cluster) agg of per-dimension means — a single shuffle),
+    assign corpus to nearest centroid.  Returns
+    (assigned_corpus(list_id, ...), centroids).
+
+    ``mean_round``: when set, each Lloyd mean is rounded to that many
+    decimals INSIDE the aggregation (``F.round(avg, mean_round)``)
+    before becoming the next centroid.  With ``seed_by="id"`` this
+    makes every refined centroid an engine-independent deterministic
+    function of the data — the `kmeans_iter` DuckDB oracle replays
+    seeds, assignment, Lloyd means, and re-assignment bit-for-bit.
 
     Scale contract: the Lloyd loop scans its training set once per
     iteration, so the projected training set is persisted
@@ -318,11 +327,13 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
     def assign(df, col=None):
         return _assign_lists(df, cents, col or vec_col)
 
+    mean_expr = (F.avg("x") if mean_round is None
+                 else F.round(F.avg("x"), mean_round))
     for _ in range(iters):
         assigned = assign(train, col="v")
         means = (
             assigned.select("list_id", F.posexplode("v").alias("d", "x"))
-            .groupBy("list_id", "d").agg(F.avg("x").alias("mx"))
+            .groupBy("list_id", "d").agg(mean_expr.alias("mx"))
             .collect()
         )
         for r in means:
