@@ -2907,6 +2907,30 @@ def q_kmeans_iter(spark, sf_dir):
                     F.round("c4", 6).alias("c4")))
 
 
+def q_similarity_join(spark, sf_dir):
+    """Exact set-similarity self-join with COMPLETE recall (AllPairs /
+    PPJoin prefix filtering, operators/dedup.similarity_join): every
+    document pair with word-bigram Jaccard >= 0.5 — the full-recall
+    complement of minhash_bands (which trades recall for candidate
+    count).  Shingle df ordering exposes only each doc's rarest
+    ``|d| - ceil(t|d|) + 1`` shingles to the candidate equi-join, so
+    the join is skew-resistant at corpus scale; candidates are then
+    verified with an exact intersection count.  The DuckDB oracle
+    replays df ranks, prefixes, the length filter, and the
+    verification arithmetic exactly (integer counts; the only float —
+    jaccard — is a ratio of small ints, identical in both engines)."""
+    _prep(spark)
+    from xgboost_spark.operators.dedup import similarity_join
+    docs = _table(spark, sf_dir, "documents")
+    out = similarity_join(docs, threshold=0.5, shingle_n=2)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"),
+                      F.col("n_a").cast("bigint").alias("n_a"),
+                      F.col("n_b").cast("bigint").alias("n_b"),
+                      F.col("n_inter").cast("bigint").alias("n_inter"),
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
 # ---------------------------------------------------------------------------
@@ -3212,8 +3236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 plan rewrite (keep-first skew fix): re-certify
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
-        # round-6 NEW capability: distributed k-means (hash-matched)
+        # round-6 NEW capability: distributed k-means + exact
+        # set-similarity join (both hash-matched)
         "kmeans_iter": q_kmeans_iter,
+        "similarity_join": q_similarity_join,
         # re-certification: oldest hash-green driver rows (r1-r3)
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -5283,6 +5309,40 @@ SELECT CAST(a1.list_id AS BIGINT) AS list_id,
        round(any_value(c.cv[4]), 6) AS c4
 FROM a1 JOIN cents c USING (list_id)
 GROUP BY a1.list_id""",
+
+        "similarity_join": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, ws[i.i] || ' ' || ws[i.i + 1] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
+  WHERE len(ws) >= 2),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+dfreq AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY 1),
+ordered AS (
+  SELECT sh.id, sh.shingle, s.n_sh,
+         row_number() OVER (PARTITION BY sh.id
+                            ORDER BY d.dfreq, sh.shingle) AS rk
+  FROM sh JOIN dfreq d USING (shingle) JOIN sizes s ON s.id = sh.id),
+prefix AS (
+  SELECT * FROM ordered WHERE rk <= n_sh - ceil(0.5 * n_sh) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.id < b.id
+  WHERE least(a.n_sh, b.n_sh) >= 0.5 * greatest(a.n_sh, b.n_sh)),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5""",
 
         "pq_topk": """
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

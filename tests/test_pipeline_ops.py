@@ -47,6 +47,43 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert 0.3 < j[(2, 5)] < 1.0
 
 
+def test_similarity_join_complete_recall(spark):
+    # Prefix filtering must find EVERY pair above the threshold —
+    # cross-check against the brute-force all-pairs Jaccard on a
+    # randomized small-vocabulary corpus where many pairs straddle
+    # the threshold.
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+             for _ in range(40)]
+    # plant exact and near duplicates
+    texts.append(texts[0])
+    texts.append(texts[1] + " alpha beta")
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+
+    def bigrams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    t = 0.5
+    expect = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(enumerate(texts), 2):
+        sa, sb = bigrams(ta), bigrams(tb)
+        if sa and sb and len(sa & sb) / len(sa | sb) >= t:
+            expect.add((ia, ib))
+    got = dedup.similarity_join(df, threshold=t, shingle_n=2).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == expect
+    assert len(expect) > 3  # the corpus actually exercises the join
+    # reported jaccard values are the exact set ratios
+    for _, r in got.iterrows():
+        sa, sb = bigrams(texts[int(r["id_a"])]), bigrams(texts[int(r["id_b"])])
+        assert r["jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
 def test_minhash_dedup_end_to_end(spark, docs):
     out = dedup.minhash_dedup(docs, n_hashes=16, bands=8, shingle_n=3, threshold=0.3)
     ids = {r["doc_id"] for r in out.collect()}

@@ -273,6 +273,65 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "tex
     return out.select("id_a", "id_b", "jaccard")
 
 
+def similarity_join(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold: float = 0.5,
+                    shingle_n: int = 2) -> DataFrame:
+    """Exact set-similarity self-join with COMPLETE recall (AllPairs /
+    PPJoin prefix filtering; Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair of documents whose word-``shingle_n``-gram
+    Jaccard is >= ``threshold`` — no O(n^2) pair space and, unlike
+    MinHash LSH, no false negatives.
+
+    Plan: (1) distinct shingles per doc; (2) global shingle document
+    frequency (one hash agg); (3) per-doc shingle order by
+    (df asc, shingle asc) — rarest first.  A pair with J >= t must
+    share a shingle inside the first ``|d| - ceil(t*|d|) + 1`` shingles
+    of each side's order, so only that PREFIX enters the candidate
+    join; (4) candidates = prefix self-equi-join on the shingle plus
+    the Jaccard length filter ``min(|a|,|b|) >= t*max(|a|,|b|)``;
+    (5) exact intersection-count verification of the candidates only.
+
+    Scale: prefix keys are the *rare* end of the df spectrum by
+    construction — hot boilerplate shingles sort last and never enter a
+    prefix — so the candidate equi-join is skew-resistant; df and
+    intersection counts partial-aggregate map-side; the only window
+    partitions by doc id (bounded by document length).  Returns
+    (id_a, id_b, n_a, n_b, n_inter, jaccard), id_a < id_b.
+    """
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("id").orderBy("dfreq", "shingle")
+    ordered = (sh.join(dfreq, "shingle").join(sizes, "id")
+               .withColumn("rk", F.row_number().over(w)))
+    prefix = ordered.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    a = prefix.select(F.col("id").alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"),
+                      F.col("n_sh").alias("n_b"), "shingle")
+    cand = (a.join(b, "shingle")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.least("n_a", "n_b")
+                       >= F.lit(threshold) * F.greatest("n_a", "n_b")))
+            .select("id_a", "id_b").distinct())
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (cand.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+           .withColumn("jaccard",
+                       F.col("n_inter")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+           .filter(F.col("jaccard") >= threshold))
+    return out.select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 48) -> DataFrame:
     """(id, simhash bigint): per-token 48-bit hash (from md5 hex),
