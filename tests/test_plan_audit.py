@@ -191,3 +191,37 @@ def test_strip_spans_keep_first_is_hash_aggregate(spark, sf_dir):
     # every Sort node must order by (id, pos) — never by the gram hash
     for m in re.finditer(r"\(\d+\) Sort\n.*?Arguments: (\[[^\]]*\])", p, re.S):
         assert "gh#" not in m.group(1), m.group(1)
+
+
+def test_similarity_join_is_equi_join_no_cartesian(spark, sf_dir):
+    """similarity_join's candidate stage must be an equi-join on the
+    prefix shingle (hash-partitionable at any scale) — never a
+    cartesian / broadcast nested loop over the pair space — and its
+    df + intersection aggregates must partial-aggregate map-side.
+    The only windows are partitioned by doc id (bounded by one doc)."""
+    from xgboost_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dedup.similarity_join(docs, threshold=0.5, shingle_n=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+    assert p.count("HashAggregate") >= 4  # df, candidate-distinct, inter partials
+
+
+def test_kmeans_lloyd_means_partial_aggregate(spark, sf_dir):
+    """The Lloyd step's per-(cluster, dim) mean must be a map-side
+    partial HashAggregate of the exploded train set — one shuffle whose
+    payload is n_clusters x dim partials per task, not the corpus."""
+    from pyspark.sql import functions as FF
+
+    from xgboost_spark.operators.similarity import _assign_lists
+    import numpy as np
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    cents = np.zeros((8, 64))
+    assigned = _assign_lists(emb.select(F.col("embedding").alias("v")), cents, "v")
+    means = (assigned.select("list_id", FF.posexplode("v").alias("d", "x"))
+             .groupBy("list_id", "d").agg(FF.round(FF.avg("x"), 6).alias("mx")))
+    p = plan_of(means)
+    assert "SinglePartition" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
