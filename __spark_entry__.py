@@ -2931,6 +2931,81 @@ def q_similarity_join(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_quantile_stump(spark, sf_dir):
+    """Vector-alpha quantile regression, ONE composed adaptive-leaf
+    round, hash-matched (reference quantile_obj.cu:272 pinball
+    gradients + regression_obj.cu:745-753 UpdateTreeLeaf): alphas
+    (0.25, 0.75) — one tree per output group, the GBTree group layout —
+    depth-1 on 8 exact-quantile l_quantity bins, y = l_extendedprice.
+    Per group k: g = alpha_k - 1(y > base) with h = 1 (pinball at
+    round-1 margin = base), histogram -> prefix-scan gains -> argmax
+    split (gain desc, bin asc) -> ADAPTIVE leaf refresh: each leaf's
+    value is eta * alpha_k-quantile (linear interpolation, type-7) of
+    the in-leaf residuals y - base — NOT -G/(H+lambda) — the semantics
+    that make quantile boosting converge to its target quantile.
+    base 6dp, histogram G 4dp, leaf quantiles 6dp: every fragile float
+    sits under an aggregation rounding, so the DuckDB twin (manual
+    rank-interpolation = quantile_cont) replays the round exactly.
+    This promotes the adaptive-leaf path itself to a hash-matched
+    check; `train_multi_quantile` keeps exercising the REAL vector-
+    alpha trainer end-to-end (rows-only coverage bracketing)."""
+    _prep(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 8)
+    alphas = (0.25, 0.75)
+    eta, lam = 0.3, 1.0
+    base = round(li.agg(F.percentile(F.col("l_extendedprice"),
+                                     F.lit(0.25))).first()[0], 6)
+    d = _par(li.select(F.col("l_extendedprice").alias("y"),
+                       _bin_expr("l_quantity", cuts).alias("bin"))).persist()
+    rows = []
+    try:
+        for k, al in enumerate(alphas):
+            g = F.when(F.lit(base) >= F.col("y"),
+                       F.lit(al)).otherwise(F.lit(al - 1.0))
+            hist = (d.groupBy("bin")
+                    .agg(F.round(F.sum(g), 4).alias("G"),
+                         F.count("*").cast("double").alias("H")))
+            wb = Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0)
+            wt = Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            scan = (hist.withColumn("gl", F.sum("G").over(wb))
+                    .withColumn("hl", F.sum("H").over(wb))
+                    .withColumn("gt", F.sum("G").over(wt))
+                    .withColumn("ht", F.sum("H").over(wt))
+                    .withColumn("mx", F.max("bin").over(wt))
+                    .filter(F.col("bin") < F.col("mx"))
+                    .withColumn("gain", F.round(
+                        F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                        + (F.col("gt") - F.col("gl"))
+                        * (F.col("gt") - F.col("gl"))
+                        / (F.col("ht") - F.col("hl") + lam)
+                        - F.col("gt") * F.col("gt")
+                        / (F.col("ht") + lam), 4)))
+            best = (scan.orderBy(F.col("gain").desc(), F.col("bin").asc())
+                    .limit(1).collect()[0])
+            b = int(best["bin"])
+            leaves = (d.withColumn("side",
+                                   (F.col("bin") <= F.lit(b)).cast("int"))
+                      .groupBy("side")
+                      .agg(F.round(F.lit(eta) * F.percentile(
+                          F.col("y") - F.lit(base), F.lit(al)), 6)
+                          .alias("leaf"),
+                          F.count("*").cast("bigint").alias("n_rows"))
+                      .collect())
+            sides = {r["side"]: r for r in leaves}
+            rows.append((k, al, b, float(best["gain"]),
+                         float(sides[1]["leaf"]), float(sides[0]["leaf"]),
+                         int(sides[1]["n_rows"]), int(sides[0]["n_rows"])))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "grp bigint, alpha double, best_bin bigint, best_gain double, "
+        "leaf_l double, leaf_r double, n_l bigint, n_r bigint")
+
+
 # ---------------------------------------------------------------------------
 # round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
 # ---------------------------------------------------------------------------
@@ -3240,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set-similarity join (both hash-matched)
         "kmeans_iter": q_kmeans_iter,
         "similarity_join": q_similarity_join,
+        "quantile_stump": q_quantile_stump,
         # re-certification: oldest hash-green driver rows (r1-r3)
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -5309,6 +5385,72 @@ SELECT CAST(a1.list_id AS BIGINT) AS list_id,
        round(any_value(c.cv[4]), 6) AS c4
 FROM a1 JOIN cents c USING (list_id)
 GROUP BY a1.list_id""",
+
+        "quantile_stump": f"""
+WITH {_cuts_cte('lineitem', 'l_quantity', 8)},
+base AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS bs
+         FROM lineitem),
+d AS (
+  SELECT l.l_extendedprice AS y,
+         CAST((SELECT count(*) FROM kcuts c WHERE c.cut < l.l_quantity)
+              AS BIGINT) AS bin
+  FROM lineitem l),
+al AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.75)) t(grp, alpha)),
+hist AS (
+  SELECT al.grp, al.alpha, d.bin,
+         round(sum(CASE WHEN (SELECT bs FROM base) >= d.y
+                        THEN al.alpha ELSE al.alpha - 1.0 END), 4) AS G,
+         CAST(count(*) AS DOUBLE) AS H
+  FROM d CROSS JOIN al GROUP BY 1, 2, 3),
+scan AS (
+  SELECT grp, alpha, bin,
+         sum(G) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         sum(H) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
+         sum(G) OVER (PARTITION BY grp) AS gt,
+         sum(H) OVER (PARTITION BY grp) AS ht,
+         max(bin) OVER (PARTITION BY grp) AS mx
+  FROM hist),
+best AS (
+  SELECT grp, alpha, bin AS best_bin, gain AS best_gain
+  FROM (SELECT grp, alpha, bin,
+               round(gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0)
+                     - gt*gt/(ht+1.0), 4) AS gain,
+               row_number() OVER (
+                 PARTITION BY grp
+                 ORDER BY round(gl*gl/(hl+1.0)
+                                + (gt-gl)*(gt-gl)/(ht-hl+1.0)
+                                - gt*gt/(ht+1.0), 4) DESC, bin ASC) AS rk
+        FROM scan WHERE bin < mx)
+  WHERE rk = 1),
+resid AS (
+  SELECT b.grp, b.alpha,
+         CASE WHEN d.bin <= b.best_bin THEN 1 ELSE 0 END AS side,
+         d.y - (SELECT bs FROM base) AS r
+  FROM d CROSS JOIN best b),
+ranked2 AS (
+  SELECT grp, alpha, side, r,
+         row_number() OVER (PARTITION BY grp, side ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY grp, side) AS n
+  FROM resid),
+tgt AS (
+  SELECT DISTINCT grp, side, n, alpha * (n - 1) AS h FROM ranked2),
+leafv AS (
+  SELECT t.grp, t.side, t.n,
+         round(0.3 * (lo.r + (t.h - floor(t.h)) * (hi.r - lo.r)), 6) AS leaf
+  FROM tgt t
+  JOIN ranked2 lo ON lo.grp = t.grp AND lo.side = t.side
+                 AND lo.rn = CAST(floor(t.h) AS BIGINT) + 1
+  JOIN ranked2 hi ON hi.grp = t.grp AND hi.side = t.side
+                 AND hi.rn = CAST(ceil(t.h) AS BIGINT) + 1)
+SELECT CAST(b.grp AS BIGINT) AS grp, b.alpha, CAST(b.best_bin AS BIGINT)
+       AS best_bin, b.best_gain,
+       ll.leaf AS leaf_l, lr.leaf AS leaf_r,
+       CAST(ll.n AS BIGINT) AS n_l, CAST(lr.n AS BIGINT) AS n_r
+FROM best b
+JOIN leafv ll ON ll.grp = b.grp AND ll.side = 1
+JOIN leafv lr ON lr.grp = b.grp AND lr.side = 0""",
 
         "similarity_join": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
