@@ -17,6 +17,9 @@ Suite = the engine's core workloads:
 - minhash_bands     : MinHash-LSH dedup candidate generation (documents)
 - knn               : brute-force cosine top-5 (embeddings)
 - sessionize        : window sessionization over events
+- strip_spans       : span-level exact substring dedup + keep-first strip
+                      (documents; evidences the round-6 skew-free plan)
+- similarity_join   : exact AllPairs set-similarity self-join (documents)
 
 Compare against BASELINE.md (single-node NumPy proxy measured on the
 same data; pip xgboost is not installed in this image).
@@ -64,7 +67,8 @@ def main():
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for qname in ("quantize_hist", "q1_pricing", "minhash_bands",
-                      "knn", "sessionize"):
+                      "knn", "sessionize", "strip_spans",
+                      "similarity_join"):
             E.queries()[qname](spark, warm_dir).collect()
 
     # Every number is best-of-N: round-1 driver runs showed >3x
@@ -137,7 +141,8 @@ def main():
     # but showed 2-4x swings in round 3: three attempts each, every
     # attempt recorded, so the JSON distinguishes "plan got slower"
     # (all attempts slow) from "machine stalled" (one attempt slow)
-    for qname in ("quantize_hist", "q1_pricing", "minhash_bands", "knn", "sessionize"):
+    for qname in ("quantize_hist", "q1_pricing", "minhash_bands", "knn",
+                  "sessionize", "strip_spans", "similarity_join"):
         q = E.queries()[qname]
         times[qname] = timed(lambda: q(spark, SF_DIR).collect(), n=3, name=qname)
 

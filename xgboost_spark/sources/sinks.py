@@ -31,3 +31,28 @@ def write_shards(df: DataFrame, key_col: str, path: str, n_shards: int,
     if not keep_sort_key:
         s = s.drop("sort_key")
     s.write.partitionBy("shard").mode(mode).format(fmt).save(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str | list[str],
+                   n_buckets: int, sort: bool = True, fmt: str = "parquet",
+                   mode: str = "overwrite", path: str | None = None) -> None:
+    """Write ``df`` as a bucketed (and optionally bucket-sorted) table:
+    the co-location contract that lets every later equi-join or
+    aggregation on ``key`` skip its shuffle entirely.
+
+    At 100 TB this is the difference between re-shuffling a fact table
+    on every join and shuffling it ONCE at write time: two tables
+    bucketed by the same key into the same bucket count join with no
+    Exchange on either side (asserted in
+    tests/test_sinks.py::test_bucketed_join_has_no_exchange), and a
+    sorted bucket also drops the join's Sort.  Bucketing metadata lives
+    in the session catalog, so ``saveAsTable`` is required — pass
+    ``path`` to keep the data external at a chosen location.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
