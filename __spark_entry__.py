@@ -2910,19 +2910,24 @@ def q_kmeans_iter(spark, sf_dir):
 def q_similarity_join(spark, sf_dir):
     """Exact set-similarity self-join with COMPLETE recall (AllPairs /
     PPJoin prefix filtering, operators/dedup.similarity_join): every
-    document pair with word-bigram Jaccard >= 0.5 — the full-recall
+    document pair with word-5-gram Jaccard >= 0.5 — the full-recall
     complement of minhash_bands (which trades recall for candidate
-    count).  Shingle df ordering exposes only each doc's rarest
+    count), at the same shingle granularity real dedup pipelines use.
+    Shingle df ordering exposes only each doc's rarest
     ``|d| - ceil(t|d|) + 1`` shingles to the candidate equi-join, so
-    the join is skew-resistant at corpus scale; candidates are then
-    verified with an exact intersection count.  The DuckDB oracle
+    the join is skew-resistant at corpus scale (a tiny-vocabulary
+    corpus with NO rare shingles degrades candidate pruning — that is
+    the algorithm's documented data dependence, and why the shingle
+    order is 5, not 2: 5-gram sets are near-unique even on this
+    synthetic 30-word-vocabulary corpus); candidates are then verified
+    with an exact intersection count.  The DuckDB oracle
     replays df ranks, prefixes, the length filter, and the
     verification arithmetic exactly (integer counts; the only float —
     jaccard — is a ratio of small ints, identical in both engines)."""
     _prep(spark)
     from xgboost_spark.operators.dedup import similarity_join
     docs = _table(spark, sf_dir, "documents")
-    out = similarity_join(docs, threshold=0.5, shingle_n=2)
+    out = similarity_join(docs, threshold=0.5, shingle_n=5)
     return out.select(F.col("id_a").cast("bigint").alias("id_a"),
                       F.col("id_b").cast("bigint").alias("id_b"),
                       F.col("n_a").cast("bigint").alias("n_a"),
@@ -5455,9 +5460,11 @@ JOIN leafv lr ON lr.grp = b.grp AND lr.side = 0""",
         "similarity_join": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id AS id, ws[i.i] || ' ' || ws[i.i + 1] AS shingle
-  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) i
-  WHERE len(ws) >= 2),
+  SELECT DISTINCT doc_id AS id,
+         ws[i.i] || ' ' || ws[i.i + 1] || ' ' || ws[i.i + 2] || ' '
+         || ws[i.i + 3] || ' ' || ws[i.i + 4] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) i
+  WHERE len(ws) >= 5),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
 dfreq AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY 1),
 ordered AS (
