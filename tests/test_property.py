@@ -203,3 +203,35 @@ def test_jpeg_shape_and_range_invariants(h, w, sub, seed):
     from xgboost_spark.operators.jpeg import encode_jpeg_progressive
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, subsample=sub))
     assert (prog == out).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(2, 30), st.integers(2, 18),
+       st.floats(0.3, 0.95), st.integers(0, 2**31 - 1))
+def test_similarity_join_prefix_filter_is_complete(vocab_n, n_docs, t, seed):
+    """The pigeonhole guarantee behind operators/dedup.similarity_join:
+    under ANY common total token order, two sets with Jaccard >= t must
+    share a token inside each side's first |d| - ceil(t*|d|) + 1 tokens
+    (AllPairs, Bayardo WWW'07).  Exercises the exact float-ceil prefix
+    arithmetic the Spark implementation and its DuckDB oracle use."""
+    import math
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n_docs):
+        k = int(rng.integers(1, vocab_n + 1))
+        docs.append(frozenset(rng.choice(vocab_n, size=k).tolist()))
+    dfc = Counter(tok for d in docs for tok in d)
+    key = lambda x: (dfc[x], x)  # df asc, token asc — the impl's order
+    prefixes = []
+    for d in docs:
+        toks = sorted(d, key=key)
+        p = len(d) - math.ceil(t * len(d)) + 1
+        prefixes.append(set(toks[: int(p)]))
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefixes[i] & prefixes[j], (sorted(a), sorted(b), t)
