@@ -55,8 +55,11 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     the one corpus-sized shuffle in the whole BPE pipeline.  Words
     containing the sentinel bytes are excluded (degenerate input)."""
     from xgboost_spark.operators.util import ensure_parallelism
-    words = ensure_parallelism(df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")))
+    # repartition the (cheap) document rows BEFORE the explode: placed
+    # after, the Exchange would both serialize the split+explode onto
+    # the scan's partitions and shuffle the corpus-sized word rows
+    words = ensure_parallelism(df.select(F.col(text_col))).select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
     return (words.filter((F.length("word") > 0)
                          & ~F.col("word").contains(S1)
                          & ~F.col("word").contains(S2))
@@ -166,9 +169,11 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple],
     touches corpus-side work.
     """
     from xgboost_spark.operators.util import ensure_parallelism
-    words = ensure_parallelism(df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+    # parallelize the document rows, then explode (see bpe_word_counts)
+    words = (ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id",
+                F.explode(F.split(F.lower(F.col("_t")), r"\s+")).alias("word"))
         .filter((F.length("word") > 0)
                 & ~F.col("word").contains(S1)
                 & ~F.col("word").contains(S2)))

@@ -470,15 +470,19 @@ def _span_gram_hashes(df: DataFrame, text_col: str, id_col: str,
     rows; exploding first and hashing after would copy the full
     document text into every one of its len(text) generated rows."""
     from xgboost_spark.operators.util import ensure_parallelism, md5_h48
-    src = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-           .filter(F.length("t") >= k))
+    # parallelize the SOURCE, not the exploded result: the per-char md5
+    # transform is the expensive part, and an Exchange placed after it
+    # would leave all the hashing on however few partitions the scan
+    # yields (a single-row-group file = one core doing every hash)
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .filter(F.length("t") >= k))
     harr = F.transform(
         F.sequence(F.lit(1), F.length("t") - (k - 1)),
         lambda i: md5_h48(F.concat(F.lit("span:"),
                                    F.col("t").substr(i, F.lit(k)))))
-    return ensure_parallelism(
-        src.select("id", F.posexplode(harr).alias("p0", "gh"))
-        .select("id", (F.col("p0") + 1).alias("pos"), "gh"))
+    return (src.select("id", F.posexplode(harr).alias("p0", "gh"))
+            .select("id", (F.col("p0") + 1).alias("pos"), "gh"))
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",
