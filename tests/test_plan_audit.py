@@ -225,3 +225,25 @@ def test_kmeans_lloyd_means_partial_aggregate(spark, sf_dir):
     p = plan_of(means)
     assert "SinglePartition" not in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_span_gram_hashing_runs_after_repartition(spark, sf_dir):
+    """The per-char md5 gram hashing must execute AFTER the
+    parallelizing Exchange, never before it: on a single-row-group
+    file an Exchange placed above the Generate leaves every hash on
+    one core (the regression fixed in round 6 — strip_spans went
+    6.1s -> 0.5s at sf0.1).  In formatted explain the leaf is (1) and
+    execution flows upward, so the RoundRobin Exchange's node number
+    must be LOWER than the hashing Generate's."""
+    import re
+
+    from xgboost_spark.operators.dedup import _span_gram_hashes
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(_span_gram_hashes(docs, "text", "doc_id", 20))
+    gen = re.search(r"\((\d+)\) Generate", p)
+    exch = None
+    for m in re.finditer(r"\((\d+)\) Exchange\n.*?Arguments: ([^\n]*)", p, re.S):
+        if "RoundRobinPartitioning" in m.group(2):
+            exch = int(m.group(1))
+    assert gen is not None and exch is not None, p
+    assert exch < int(gen.group(1)), p
