@@ -7,8 +7,10 @@
     -> sequence packing -> sharded write
     plus a BPE tokenizer trained on the clean corpus, sketch-based
     corpus stats (HLL distinct, Bloom benchmark pre-screen), a
-    PCA-reduce -> SemDeDup pass over the embeddings table, and a GBDT
-    quality model trained on the extracted text signals.
+    PCA-reduce -> SemDeDup pass + distributed k-means clustering over
+    the embeddings table, an exact AllPairs similarity-join audit of
+    the MinHash pass, and a GBDT quality model trained on the
+    extracted text signals.
 
 Run:  python examples/pipeline_demo.py [sf_dir]      (default sf0.01)
 
@@ -86,6 +88,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     n_span_chars = int(deduped.agg(F.sum("removed_chars")).first()[0] or 0)
     deduped = deduped.drop("removed_chars")
 
+    # 3c. full-recall audit of the probabilistic pass: the exact
+    #    AllPairs similarity join (prefix filtering) finds EVERY pair
+    #    still above the near-dup threshold — surviving pairs here mean
+    #    the MinHash band settings let true near-dups through
+    from xgboost_spark.operators.dedup import similarity_join
+    n_resid_pairs = similarity_join(deduped, "text", "doc_id",
+                                    threshold=0.7, shingle_n=5).count()
+
     # 4. decontaminate against a benchmark slice (here: sources src0/src1)
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     cont = ngram_contamination(deduped, bench, n=3)
@@ -150,6 +160,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
                          n_clusters=16, threshold=0.95, max_pair_bucket=256)
     n_sem_kept = sem.filter("rep_id = id").count()
 
+    # 6e. topic-style clustering of the reduced embeddings: distributed
+    #     k-means (id-seeded init + 2 Lloyd steps, one partial-agg
+    #     shuffle each) — per-cluster doc counts for corpus balancing
+    from xgboost_spark.operators.similarity import ivf_build
+    clustered, _cents = ivf_build(
+        reduced.select("vec_id", F.col("projected").alias("embedding")),
+        n_centroids=8, iters=2, seed_by="id")
+    cluster_sizes = sorted(r["n"] for r in clustered.groupBy("list_id")
+                           .agg(F.count("*").alias("n")).collect())
+
     # 7. train a quality model on the extracted signals
     fc = ["n_words", "avg_word_len", "punct_ratio", "stopword_ratio",
           "max_word_repeat_ratio"]
@@ -161,13 +181,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         (F.col("prediction") - F.col("quality_score")) ** 2))).first()[0]
 
     print(f"docs={n0} -> filtered={n_filtered} -> deduped={n_dedup} "
-          f"(-{n_span_chars} dup-span chars) "
+          f"(-{n_span_chars} dup-span chars, {n_resid_pairs} residual "
+          f"near-dup pairs by exact audit) "
           f"-> decontaminated={n_clean} -> mixed={n_mixed}; "
           f"{n_chunks} chunks; packed {n_seq} sequences; "
           f"shards={sharded.select('shard').distinct().count()}; "
           f"bpe merges={len(merges)} avg_tokens/doc={avg_bpe:.1f}; "
           f"~{n_distinct_words:.0f} distinct words (HLL), "
           f"{n_flagged} bloom-flagged; semdedup keepers={n_sem_kept}; "
+          f"kmeans cluster sizes={cluster_sizes}; "
           f"quality-model rmse={rmse:.4f}")
     spark.stop()
 
