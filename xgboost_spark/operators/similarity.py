@@ -331,13 +331,16 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
                  else F.round(F.avg("x"), mean_round))
     for _ in range(iters):
         assigned = assign(train, col="v")
+        # Arrow toPandas, not collect(): the means table is
+        # n_centroids x dim ROWS, and per-Row driver objects would
+        # inflate the centroid-matrix-sized payload ~100x at large k*dim
         means = (
             assigned.select("list_id", F.posexplode("v").alias("d", "x"))
             .groupBy("list_id", "d").agg(mean_expr.alias("mx"))
-            .collect()
+            .toPandas()
         )
-        for r in means:
-            cents[r["list_id"], r["d"]] = r["mx"]
+        cents[means["list_id"].to_numpy(), means["d"].to_numpy()] = \
+            means["mx"].to_numpy()
     train.unpersist()
     return assign(corpus), cents
 
