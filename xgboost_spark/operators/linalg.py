@@ -138,16 +138,17 @@ def gram_moments(df: DataFrame, vec_col: str = "embedding",
                         StructField("s", ArrayType(DoubleType())),
                         StructField("g", ArrayType(DoubleType()))]))
         tot = parts.agg(F.sum("n").alias("n")).first()["n"] or 0
+        # Arrow toPandas, not collect(): gsum is d^2 rows (590k at
+        # d=768) and per-Row driver objects would inflate the
+        # G-matrix-sized payload ~100x
         summed = (shifted.select(F.posexplode("s").alias("i", "x"))
-                  .groupBy("i").agg(F.sum("x").alias("x")).collect())
+                  .groupBy("i").agg(F.sum("x").alias("x")).toPandas())
         s = np.zeros(d)
-        for r in summed:
-            s[r["i"]] = r["x"]
+        s[summed["i"].to_numpy()] = summed["x"].to_numpy()
         gsum = (shifted.select(F.posexplode("g").alias("i", "x"))
-                .groupBy("i").agg(F.sum("x").alias("x")).collect())
+                .groupBy("i").agg(F.sum("x").alias("x")).toPandas())
         G = np.zeros(d * d)
-        for r in gsum:
-            G[r["i"]] = r["x"]
+        G[gsum["i"].to_numpy()] = gsum["x"].to_numpy()
     finally:
         parts.unpersist()
     return int(tot), s, G.reshape(d, d), shift

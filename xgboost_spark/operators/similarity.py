@@ -501,14 +501,16 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
                 code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
                 per_sub.append(F.struct(F.lit(j).alias("j"), code.alias("code"),
                                         seg.alias("seg")))
+            # Arrow toPandas (columnar) — the means table is k x dim
+            # rows; see ivf_build's Lloyd loop for the rationale
             means = (
                 train.select(F.explode(F.array(*per_sub)).alias("s"))
                 .select(F.col("s.j").alias("j"), F.col("s.code").alias("code"),
                         F.posexplode("s.seg").alias("d", "x"))
                 .groupBy("j", "code", "d").agg(F.avg("x").alias("mx"))
-                .collect())
-            for r in means:
-                cents[r["j"], r["code"], r["d"]] = r["mx"]
+                .toPandas())
+            cents[means["j"].to_numpy(), means["code"].to_numpy(),
+                  means["d"].to_numpy()] = means["mx"].to_numpy()
     finally:
         train.unpersist()
     return cents
