@@ -40,25 +40,38 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: returns (id, dup_group, group_size),
     one row per document belonging to a duplicated-content group.
+
+    Group stats come from one HashAggregate on the digest (count +
+    packed-decimal min(id), both partial-combining map-side) joined
+    back with a shuffle_hash hint — NOT an unbounded window over the
+    digest, which funnels every copy of one hot document (empty string,
+    boilerplate page: 10^7-10^8 copies in a real crawl) into a single
+    task.  The witness join-back filters to duplicated groups before it
+    widens the stream (operators/util.keep_first).
     """
+    from xgboost_spark.operators.util import KF_CNT, KF_MIN_ID, keep_first
     d = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dig"))
-    w = Window.partitionBy("dig")
-    return (
-        d.withColumn("group_size", F.count("*").over(w))
-        .withColumn("dup_group", F.min("id").over(w))
-        .filter(F.col("group_size") > 1)
-        .select("id", "dup_group", "group_size")
-    )
+    return (keep_first(d, "dig", "id", min_group_count=2)
+            .select("id", F.col(KF_MIN_ID).alias("dup_group"),
+                    F.col(KF_CNT).alias("group_size")))
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id representative of each exact-content group."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Keep the lowest-id representative of each exact-content group.
+
+    Keep-first is a packed-decimal ``min`` HashAggregate on the digest
+    + shuffle_hash join-back (operators/util.keep_first) — the same
+    skew-proof shape as strip_duplicate_spans, because exact dedup runs
+    FIRST in every real pipeline and a hot boilerplate document at
+    100 TB would otherwise serialize onto one row_number task.  String
+    (non-integral) ids fall back to the window path with a warning.
+    """
+    from xgboost_spark.operators.util import (KF_CNT, KF_FIRST, KF_MIN_ID,
+                                              keep_first)
+    d = df.withColumn("_kf_dig", F.md5(F.col(text_col)))
+    return (keep_first(d, "_kf_dig", id_col)
+            .filter(F.col(KF_FIRST))
+            .drop("_kf_dig", KF_FIRST, KF_CNT, KF_MIN_ID))
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
@@ -438,11 +451,16 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     occurrence by (doc id, position)), and report the per-document
     duplicate-segment fraction.
 
-    One shuffle keyed on the segment string; segment cardinality is
-    bounded by total corpus words / seg_words, and the window per
-    segment group is tiny (the duplicate multiplicity), so this holds at
-    100 TB.  Returns (id, n_segs, n_owned, dup_frac).
+    Ownership is a packed-decimal ``min(id, seg_idx)`` HashAggregate on
+    the segment string + shuffle_hash join-back (operators/util.
+    keep_first) — NOT a row_number window: at 100 TB the duplicate
+    multiplicity of a hot boilerplate segment (cookie banner, license
+    footer) IS the skew, and a window would funnel all of its
+    occurrences into one sorting task; the aggregate partial-combines
+    it to one row per input partition map-side.  Returns
+    (id, n_segs, n_owned, dup_frac).
     """
+    from xgboost_spark.operators.util import KF_FIRST, keep_first
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_segs = F.ceil(F.size(words) / float(seg_words)).cast("int")
     segs = F.transform(
@@ -451,12 +469,11 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
             F.slice(words, i * seg_words + 1, seg_words), " "))
     e = (df.select(F.col(id_col).alias("id"), segs.alias("_segs"))
            .select("id", F.posexplode("_segs").alias("seg_idx", "seg")))
-    w = Window.partitionBy("seg").orderBy("id", "seg_idx")
-    owned = (e.withColumn("_rk", F.row_number().over(w))
-              .withColumn("_own", (F.col("_rk") == 1).cast("int")))
+    owned = keep_first(e, "seg", "id", pos_col="seg_idx")
     return (owned.groupBy("id")
             .agg(F.count("*").cast("bigint").alias("n_segs"),
-                 F.sum("_own").cast("bigint").alias("n_owned"))
+                 F.sum(F.col(KF_FIRST).cast("int")).cast("bigint")
+                 .alias("n_owned"))
             .withColumn("dup_frac",
                         F.round(1.0 - F.col("n_owned") / F.col("n_segs"), 6)))
 

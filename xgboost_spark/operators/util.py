@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Window
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -21,6 +23,102 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, int(n * min_fraction)):
         return df.repartition(n)
     return df
+
+
+# Columns appended by keep_first (reserved names — inputs must not
+# carry them).
+KF_FIRST = "_kf_first"    # boolean: row is its group's first occurrence
+KF_CNT = "_kf_cnt"        # bigint: group occurrence count
+KF_MIN_ID = "_kf_min_id"  # group's first id (only when pos_col is None)
+
+# pos packing modulus: pos must satisfy 0 <= pos < 2^31 for the packed
+# key to preserve lexicographic (id, pos) order.  pos is a 1-based
+# character / segment offset everywhere this is used, so the bound is a
+# 2 GiB single-row text — unreachable in practice, asserted nowhere.
+_PACK_POS_MOD = 2_147_483_648
+
+
+def _is_integral(df: DataFrame, col: str) -> bool:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    return isinstance(df.schema[col].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
+
+
+def keep_first(df: DataFrame, key_cols, id_col: str,
+               pos_col: str | None = None,
+               min_group_count: int = 1) -> DataFrame:
+    """Skew-proof keep-first marking: flag each group's globally first
+    occurrence by (id[, pos]) WITHOUT a per-group sort window.
+
+    A ``row_number() OVER (PARTITION BY key ORDER BY id, pos)`` funnels
+    every occurrence of one hot key (an empty document, a boilerplate
+    segment, a license-header gram — 10^8-10^9 occurrences at corpus
+    scale) into a single sorting task.  Instead the first occurrence is
+    ``min(id * 2^31 + pos)`` over an order-preserving DECIMAL(38,0)
+    packed key: unlike ``min(struct(...))`` (which Spark can only
+    SortAggregate) a decimal min compiles to a partial-aggregable
+    HashAggregate whose map-side combine collapses a hot key to one row
+    per input partition BEFORE the shuffle; the witness is joined back
+    with a ``shuffle_hash`` hint (hash join, no sort).  This is the
+    pattern that fixed strip_duplicate_spans' hot-gram straggler in
+    round 6, extracted because three sibling operators had grown the
+    same skewed window independently.
+
+    Appends to ``df``:
+      ``_kf_first``  boolean — row is the group's first by (id[, pos])
+      ``_kf_cnt``    bigint  — occurrences in the row's group
+      ``_kf_min_id`` (pos_col=None only) — the group's first id
+
+    ``min_group_count``: groups with fewer occurrences are DROPPED from
+    the output entirely (the witness side is filtered before the
+    join-back, so non-duplicate groups never widen the joined stream).
+
+    Non-integral ``id_col``/``pos_col`` (string doc ids are common in
+    corpus pipelines) fall back to the window-based keep-first —
+    correct for any orderable type, but skew-prone on hot keys; a
+    warning says so once.
+    """
+    from pyspark.sql import functions as F
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    integral = _is_integral(df, id_col) and (
+        pos_col is None or _is_integral(df, pos_col))
+    if not integral:
+        warnings.warn(
+            f"keep_first: id column {id_col!r} (or pos column) is not "
+            "an integral type — falling back to the window-based "
+            "keep-first, which funnels every occurrence of a hot key "
+            "into one sorting task at scale; prefer integral ids",
+            stacklevel=2)
+        order = [F.col(id_col)] + ([F.col(pos_col)] if pos_col else [])
+        wo = Window.partitionBy(*keys).orderBy(*order)
+        wp = Window.partitionBy(*keys)
+        out = (df.withColumn("_kf_rn", F.row_number().over(wo))
+               .withColumn(KF_FIRST, F.col("_kf_rn") == 1)
+               .withColumn(KF_CNT, F.count("*").over(wp))
+               .drop("_kf_rn"))
+        if pos_col is None:
+            out = out.withColumn(KF_MIN_ID, F.min(id_col).over(wp))
+        if min_group_count > 1:
+            out = out.filter(F.col(KF_CNT) >= min_group_count)
+        return out
+    pk = F.col(id_col).cast("decimal(38,0)")
+    if pos_col is not None:
+        pk = (pk * F.lit(_PACK_POS_MOD).cast("decimal(38,0)")
+              + F.col(pos_col).cast("decimal(38,0)"))
+    agg = df.groupBy(*keys).agg(F.count("*").alias(KF_CNT),
+                                F.min(pk).alias("_kf_f"))
+    if min_group_count > 1:
+        agg = agg.filter(F.col(KF_CNT) >= min_group_count)
+    # shuffle_hash: build the tiny one-row-per-key witness side, STREAM
+    # the occurrence side — sort-merge would re-introduce the hot-key
+    # sort this helper exists to remove
+    out = (df.withColumn("_kf_pk", pk)
+           .join(agg.hint("shuffle_hash"), keys)
+           .withColumn(KF_FIRST, F.col("_kf_pk") == F.col("_kf_f")))
+    if pos_col is None:
+        out = out.withColumn(KF_MIN_ID,
+                             F.col("_kf_f").cast(df.schema[id_col].dataType))
+    return out.drop("_kf_pk", "_kf_f")
 
 
 def md5_h48(col) -> "object":
