@@ -411,10 +411,18 @@ def q_count_family(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup through the REAL operators/dedup.dedup_exact
+    path (keep-first = packed-decimal min HashAggregate on md5(text) +
+    null-safe join-back, operators/util.keep_first) — the entry calls
+    the shipped function itself so the driver gate pins the rewritten
+    keep_first code, not an independent re-derivation.  Oracle: the
+    window-based keep-first DuckDB replays on the same digest."""
+    from xgboost_spark.operators.dedup import dedup_exact
     docs = _table(spark, sf_dir, "documents")
-    return (docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct")))
+    out = dedup_exact(docs, text_col="text", id_col="doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("source").alias("source"),
+                      F.col("lang").alias("lang"))
 
 
 def q_minhash_bands(spark, sf_dir):
@@ -4719,9 +4727,12 @@ SELECT round(avg(exp(3.2) - l_quantity * 3.2), 6) AS poisson_nll,
 FROM lineitem""",
 
         "dedup_exact": """
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
-FROM documents GROUP BY source""",
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+FROM (SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1""",
 
         "minhash_bands": f"""
 WITH {shingle_cte},

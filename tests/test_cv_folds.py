@@ -1,0 +1,89 @@
+"""plans/cv._fold_column: stratified fold assignment must stay exactly
+balanced per label WITHOUT a per-label global sort window — for a
+binary label at 100 TB, `row_number() OVER (PARTITION BY label)` puts
+half the corpus into one sorting task.  The salted two-level rank has
+to reproduce the same round-robin balance from bounded sorts."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_spark.plans.cv import _fold_column
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def skewed_labels(spark):
+    """Hot binary label: 9,000 rows of label 0.0, 47 of label 1.0."""
+    d0 = spark.range(9000).select(
+        F.col("id").alias("x"), F.lit(0.0).alias("label"))
+    d1 = spark.range(47).select(
+        (F.col("id") + 100_000).alias("x"), F.lit(1.0).alias("label"))
+    return d0.unionByName(d1).repartition(8)
+
+
+def test_stratified_folds_exactly_balanced_per_label(spark, skewed_labels):
+    nfold = 5
+    out = _fold_column(skewed_labels, nfold, seed=3, stratified=True,
+                       label_col="label", qid_col=None)
+    counts = (out.groupBy("label", "__fold__").count()
+              .toPandas().pivot(index="label", columns="__fold__",
+                                values="count").fillna(0))
+    assert out.count() == 9047  # no rows dropped by the offsets join
+    for lbl, row in counts.iterrows():
+        # exact round-robin: fold sizes within a label differ by <= 1
+        assert row.max() - row.min() <= 1, (lbl, dict(row))
+    assert set(counts.columns) == set(range(nfold))
+
+
+def test_stratified_folds_deterministic(spark, skewed_labels):
+    a = _fold_column(skewed_labels, 4, 11, True, "label", None) \
+        .orderBy("x").toPandas()
+    b = _fold_column(skewed_labels, 4, 11, True, "label", None) \
+        .orderBy("x").toPandas()
+    assert (a["__fold__"] == b["__fold__"]).all()
+    c = _fold_column(skewed_labels, 4, 12, True, "label", None) \
+        .orderBy("x").toPandas()
+    assert (a["__fold__"] != c["__fold__"]).any()  # seed actually used
+
+
+def test_stratified_rank_window_is_salted(spark, skewed_labels):
+    """The row_number that ranks the CORPUS must be partitioned by
+    (label, salt) — S-way parallel, sort bounded by ~1/S of a label —
+    never by the label alone.  (The offsets window partitioned by label
+    alone is fine: it runs over the (n_labels x S)-row aggregate.)"""
+    p = plan_of(_fold_column(skewed_labels, 5, 3, True, "label", None))
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
+    assert m, p
+    assert "_cv_s" in m.group(1), m.group(1)
+    assert "SinglePartition" not in p
+    # offsets side joins back as a broadcast of the tiny aggregate
+    assert "BroadcastHashJoin" in p
+
+
+def test_stratified_handles_null_labels(spark):
+    rows = [(i, None) for i in range(20)] + [(100 + i, 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "x long, label double")
+    out = _fold_column(df, 4, 0, True, "label", None)
+    assert out.count() == 40  # null-label rows survive the offsets join
+    pdf = out.toPandas()
+    nulls = pdf[pdf["label"].isna()]["__fold__"].value_counts()
+    assert nulls.max() - nulls.min() <= 1
+
+
+def test_unstratified_and_grouped_unchanged(spark, skewed_labels):
+    out = _fold_column(skewed_labels.withColumn("qid", F.col("x") % 7),
+                       3, 5, False, "label", "qid").toPandas()
+    per_qid = out.groupby("qid")["__fold__"].nunique()
+    assert (per_qid == 1).all()  # whole query group in one fold
+    out2 = _fold_column(skewed_labels, 3, 5, False, "label", None)
+    assert out2.select("__fold__").distinct().count() == 3

@@ -60,11 +60,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep the lowest-id representative of each exact-content group.
 
     Keep-first is a packed-decimal ``min`` HashAggregate on the digest
-    + shuffle_hash join-back (operators/util.keep_first) — the same
+    + null-safe join-back (operators/util.keep_first) — the same
     skew-proof shape as strip_duplicate_spans, because exact dedup runs
     FIRST in every real pipeline and a hot boilerplate document at
-    100 TB would otherwise serialize onto one row_number task.  String
-    (non-integral) ids fall back to the window path with a warning.
+    100 TB would otherwise serialize onto one row_number task.  (The
+    join-back is UNhinted here: at min_group_count=1 the witness is
+    one row per distinct digest — near corpus cardinality — so a
+    non-spillable shuffled-hash build would OOM; AQE's skew-join split
+    keeps hot digests out of a single sort task instead.)  Null-text
+    docs hash to a NULL digest and keep one representative like any
+    other group.  String (non-integral) ids fall back to the window
+    path with a warning.
     """
     from xgboost_spark.operators.util import (KF_CNT, KF_FIRST, KF_MIN_ID,
                                               keep_first)
@@ -452,8 +458,10 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     duplicate-segment fraction.
 
     Ownership is a packed-decimal ``min(id, seg_idx)`` HashAggregate on
-    the segment string + shuffle_hash join-back (operators/util.
-    keep_first) — NOT a row_number window: at 100 TB the duplicate
+    the segment string + null-safe join-back (operators/util.
+    keep_first; unhinted — the unfiltered witness is one row per
+    distinct segment, too big for a non-spillable shuffled-hash
+    build) — NOT a row_number window: at 100 TB the duplicate
     multiplicity of a hot boilerplate segment (cookie banner, license
     footer) IS the skew, and a window would funnel all of its
     occurrences into one sorting task; the aggregate partial-combines

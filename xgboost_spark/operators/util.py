@@ -32,9 +32,10 @@ KF_CNT = "_kf_cnt"        # bigint: group occurrence count
 KF_MIN_ID = "_kf_min_id"  # group's first id (only when pos_col is None)
 
 # pos packing modulus: pos must satisfy 0 <= pos < 2^31 for the packed
-# key to preserve lexicographic (id, pos) order.  pos is a 1-based
-# character / segment offset everywhere this is used, so the bound is a
-# 2 GiB single-row text — unreachable in practice, asserted nowhere.
+# key to preserve lexicographic (id, pos) order.  pos is a non-negative
+# character / segment offset (1-based char pos from instr/locate, or
+# 0-based seg_idx from posexplode), so the bound is a 2 GiB single-row
+# text — unreachable in practice, asserted nowhere.
 _PACK_POS_MOD = 2_147_483_648
 
 
@@ -59,7 +60,13 @@ def keep_first(df: DataFrame, key_cols, id_col: str,
     SortAggregate) a decimal min compiles to a partial-aggregable
     HashAggregate whose map-side combine collapses a hot key to one row
     per input partition BEFORE the shuffle; the witness is joined back
-    with a ``shuffle_hash`` hint (hash join, no sort).  This is the
+    null-safely — with a ``shuffle_hash`` hint when
+    ``min_group_count > 1`` filters it down to the duplicated groups
+    (genuinely tiny build side), unhinted otherwise, because at
+    ``min_group_count=1`` the witness is one row per DISTINCT key
+    (near input cardinality on a mostly-unique corpus) and a
+    shuffled-hash build cannot spill; there AQE's skew-join split
+    keeps a hot key out of a single sort task.  This is the
     pattern that fixed strip_duplicate_spans' hot-gram straggler in
     round 6, extracted because three sibling operators had grown the
     same skewed window independently.
@@ -72,6 +79,17 @@ def keep_first(df: DataFrame, key_cols, id_col: str,
     ``min_group_count``: groups with fewer occurrences are DROPPED from
     the output entirely (the witness side is filtered before the
     join-back, so non-duplicate groups never widen the joined stream).
+
+    NULL key values form a group of their own (groupBy groups NULLs;
+    the join-back is null-safe), matching the window fallback's
+    ``partitionBy`` semantics — a corpus's null-text rows keep exactly
+    one representative instead of silently vanishing through a
+    null-dropping inner equi-join.
+
+    Precondition: ``(id[, pos])`` is unique per row.  Rows TIED on the
+    packed key (duplicate doc ids) are ALL marked ``_kf_first`` —
+    ``min``-vs-self cannot single one out the way ``row_number`` does;
+    callers that dedup on ``_kf_first`` must guarantee unique ids.
 
     Non-integral ``id_col``/``pos_col`` (string doc ids are common in
     corpus pipelines) fall back to the window-based keep-first —
@@ -109,11 +127,33 @@ def keep_first(df: DataFrame, key_cols, id_col: str,
                                 F.min(pk).alias("_kf_f"))
     if min_group_count > 1:
         agg = agg.filter(F.col(KF_CNT) >= min_group_count)
-    # shuffle_hash: build the tiny one-row-per-key witness side, STREAM
-    # the occurrence side — sort-merge would re-introduce the hot-key
-    # sort this helper exists to remove
+        # shuffle_hash: the filtered witness (duplicated groups only)
+        # is genuinely tiny, so build it and STREAM the occurrence
+        # side — sort-merge would re-introduce the hot-key sort this
+        # helper exists to remove
+        agg = agg.hint("shuffle_hash")
+    # else: UNhinted.  With min_group_count=1 the witness is one row
+    # per DISTINCT key — near input cardinality on a mostly-unique
+    # corpus — and a shuffled-hash build side cannot spill; let
+    # Catalyst/AQE pick (SMJ spills, and AQE skew-join splits a hot
+    # key's partition, so the straggler class stays fixed either way).
+    #
+    # Null-safe join: md5(NULL) is NULL, and an inner equi-join on the
+    # key would silently drop every null-keyed row (the window fallback
+    # keeps them) — alias the witness keys and join with eqNullSafe so
+    # the NULL group keeps its representative.  Spark still extracts
+    # <=> as a hash-join key (coalesce+isnull pair), so the plan shape
+    # is unchanged.
+    witness = agg.select(
+        *[F.col(k).alias(f"_kf_w{i}") for i, k in enumerate(keys)],
+        KF_CNT, "_kf_f")
+    cond = None
+    for i, k in enumerate(keys):
+        c = F.col(k).eqNullSafe(F.col(f"_kf_w{i}"))
+        cond = c if cond is None else (cond & c)
     out = (df.withColumn("_kf_pk", pk)
-           .join(agg.hint("shuffle_hash"), keys)
+           .join(witness, cond)
+           .drop(*[f"_kf_w{i}" for i in range(len(keys))])
            .withColumn(KF_FIRST, F.col("_kf_pk") == F.col("_kf_f")))
     if pos_col is None:
         out = out.withColumn(KF_MIN_ID,

@@ -18,7 +18,8 @@ from xgboost_spark.plans.booster import SparkBooster
 
 
 def _fold_column(df: DataFrame, nfold: int, seed: int, stratified: bool,
-                 label_col: str, qid_col: str | None) -> DataFrame:
+                 label_col: str, qid_col: str | None, salt_buckets: int = 0
+                 ) -> DataFrame:
     h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     if qid_col:
         # group-aware: a whole query group lands in one fold
@@ -26,9 +27,40 @@ def _fold_column(df: DataFrame, nfold: int, seed: int, stratified: bool,
                              F.pmod(F.xxhash64(F.col(qid_col), F.lit(seed)),
                                     F.lit(nfold)).cast("int"))
     if stratified:
-        w = Window.partitionBy(label_col).orderBy(h)
-        return df.withColumn("__fold__",
-                             F.pmod(F.row_number().over(w), F.lit(nfold)).cast("int"))
+        # Exact per-label round-robin WITHOUT a per-label global sort:
+        # row_number() OVER (PARTITION BY label ORDER BY hash) funnels
+        # HALF THE CORPUS into one sorting task for a binary label at
+        # 100 TB (and no rank-limit filter means WindowGroupLimit can't
+        # rescue it).  Salted two-level rank instead: rank within
+        # (label, salt-bucket) — S-way parallel, each sort bounded by
+        # ~1/S of the label — then offset by the label's prefix-summed
+        # bucket sizes (an (n_labels x S)-row aggregate, broadcast
+        # back).  global_rank = offset + bucket_rank reproduces exactly
+        # the single window's round-robin ordered by (salt, hash), so
+        # per-label fold sizes stay balanced to +-1.
+        spark = df.sparkSession
+        S = salt_buckets or max(
+            spark.sparkContext.defaultParallelism * 4, 64)
+        lbl = F.coalesce(F.col(label_col).cast("string"), F.lit("\0null"))
+        d = (df.withColumn("_cv_h", h)
+               .withColumn("_cv_l", lbl)
+               .withColumn("_cv_s", F.pmod(F.xxhash64(F.col("_cv_h"),
+                                                      F.lit(seed + 1)),
+                                           F.lit(S)).cast("int")))
+        wb = Window.partitionBy("_cv_l", "_cv_s").orderBy("_cv_h")
+        ranked = d.withColumn("_cv_rn", F.row_number().over(wb))
+        counts = d.groupBy("_cv_l", "_cv_s").agg(F.count("*").alias("_cv_n"))
+        woff = (Window.partitionBy("_cv_l").orderBy("_cv_s")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offs = counts.select(
+            "_cv_l", "_cv_s",
+            F.coalesce(F.sum("_cv_n").over(woff), F.lit(0)).alias("_cv_off"))
+        return (ranked
+                .join(F.broadcast(offs), ["_cv_l", "_cv_s"])
+                .withColumn("__fold__",
+                            F.pmod(F.col("_cv_off") + F.col("_cv_rn"),
+                                   F.lit(nfold)).cast("int"))
+                .drop("_cv_h", "_cv_l", "_cv_s", "_cv_rn", "_cv_off"))
     return df.withColumn("__fold__", F.pmod(h, F.lit(nfold)).cast("int"))
 
 
