@@ -179,3 +179,59 @@ def test_platt_and_isotonic_calibration(spark):
     out = apply_isotonic(df, "m", iso).toPandas().sort_values("m")
     assert out.calibrated.between(0, 1).all()
     assert (np.diff(out.calibrated) >= -1e-12).all()   # monotone
+
+
+def test_expectile_metric(spark, scored):
+    """reference src/metric/elementwise_metric.cu:499-563 ExpectileError:
+    weight_scale * diff^2, weight_scale = (1-alpha) for over-prediction,
+    alpha for under-prediction."""
+    df, y, m, w = scored
+    for alpha in (0.2, 0.5, 0.9):
+        d = m - y
+        k = np.where(d >= 0, 1 - alpha, alpha)
+        exp_np = (k * d * d).mean()
+        assert M.compute_metric(df, f"expectile@{alpha}") == pytest.approx(
+            exp_np, rel=1e-9)
+        exp_w = (k * d * d * w).sum() / w.sum()
+        assert M.compute_metric(df, f"expectile@{alpha}", weight="w") == \
+            pytest.approx(exp_w, rel=1e-9)
+    # bare "expectile" defaults to alpha = 0.5 (plain half L2 weights)
+    assert M.compute_metric(df, "expectile") == pytest.approx(
+        0.5 * ((m - y) ** 2).mean(), rel=1e-9)
+
+
+def test_expectile_metric_vector_alpha(spark, scored):
+    df, y, m, w = scored
+    df2 = df.withColumn("m1", F.col("m0") + 0.7)
+    m1 = m + 0.7
+    tot = np.zeros_like(y)
+    for a, mm in ((0.3, m), (0.8, m1)):
+        d = mm - y
+        tot = tot + np.where(d >= 0, (1 - a) * d * d, a * d * d)
+    assert M.compute_metric(df2, "expectile@0.3,0.8",
+                            margin_cols=["m0", "m1"]) == pytest.approx(
+        (tot / 2.0).mean(), rel=1e-9)
+
+
+def test_expectile_default_metric_drives_eval(spark, reg_df):
+    """An expectile fit's eval history must be keyed by
+    expectile@alpha — the reference objective's DefaultEvalMetric
+    (regression_obj.cu:484) — not the base-class rmse fallback."""
+    from xgboost_spark.plans.booster import SparkBooster
+    from xgboost_spark.config import TrainParams
+    p = TrainParams(objective="reg:expectileerror", quantile_alpha=[0.8],
+                    num_boost_round=3, max_depth=2)
+    fcols = [c for c in reg_df.columns if c != "label"]
+    model = SparkBooster(p).fit(reg_df, label_col="label",
+                                feature_cols=fcols,
+                                evals=[(reg_df, "train")])
+    hist = model.eval_history["train"]
+    assert "expectile@0.8" in hist, hist.keys()
+    assert "rmse" not in hist
+    # the reported value matches the NumPy formula on the model's own
+    # margins
+    pred = model.transform(reg_df, feature_cols=fcols).toPandas()
+    d = pred["prediction"].to_numpy() - pred["label"].to_numpy()
+    k = np.where(d >= 0, 1 - 0.8, 0.8)
+    assert hist["expectile@0.8"][-1] == pytest.approx((k * d * d).mean(),
+                                                      rel=1e-6)

@@ -29,8 +29,11 @@ def loss_of(name, y, m, p=None):
     if name == "reg:squaredlogerror":
         return 0.5 * (np.log1p(m) - np.log1p(y)) ** 2
     if name == "reg:expectileerror":
-        k = np.where(m - y >= 0, p.quantile_alpha[0], 1 - p.quantile_alpha[0])
-        return k * (m - y) ** 2
+        # reference convention (regression_obj.cu:394): (1 - alpha) on
+        # over-prediction, alpha on under-prediction; the objective's
+        # grad k*(m-y) is the derivative of the HALF-loss k/2*(m-y)^2
+        k = np.where(m - y >= 0, 1 - p.quantile_alpha[0], p.quantile_alpha[0])
+        return 0.5 * k * (m - y) ** 2
     raise KeyError(name)
 
 

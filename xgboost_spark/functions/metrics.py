@@ -50,7 +50,7 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
     """Scalar metric over (label, margin).  ``metric`` follows reference
     naming: rmse, rmsle, mae, mape, mphe, logloss, error[@t],
     poisson-nloglik, gamma-nloglik, gamma-deviance, tweedie-nloglik@rho,
-    quantile@alpha, auc, merror, mlogloss.
+    quantile@alpha, expectile[@alpha], auc, merror, mlogloss.
     """
     margin_cols = margin_cols or ["m0"]
     m = F.col(margin_cols[0])
@@ -114,6 +114,24 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         alpha = alphas[0]
         d = yy - m
         return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
+    if name == "expectile":
+        # reference src/metric/elementwise_metric.cu:499-563
+        # ExpectileError: weight_scale * diff^2 with diff = pred -
+        # label and weight_scale = (1 - alpha) for over-prediction,
+        # alpha for under-prediction; "expectile@a1,a2" with K margin
+        # columns averages over (row, alpha) like vector quantile
+        alphas = ([float(a) for a in arg.split(",")] if arg else [0.5])
+        if len(alphas) > 1 and len(alphas) == len(margin_cols):
+            tot = None
+            for a, mc in zip(alphas, margin_cols):
+                d = F.col(mc) - yy
+                t = F.when(d >= 0, (1.0 - a) * d * d).otherwise(a * d * d)
+                tot = t if tot is None else tot + t
+            return wavg(tot / float(len(alphas)))
+        alpha = alphas[0]
+        d = m - yy
+        return wavg(F.when(d >= 0, (1.0 - alpha) * d * d)
+                    .otherwise(alpha * d * d))
     if name == "auc":
         if len(margin_cols) > 1:
             return auc_multiclass(df, y=y, margin_cols=margin_cols, weight=weight)

@@ -342,7 +342,13 @@ class Tweedie(Objective):
 
 
 class Expectile(Objective):
-    """reg:expectileerror asymmetric L2 (regression_obj.cu:497-512)."""
+    """reg:expectileerror asymmetric L2 (regression_obj.cu:380-399):
+    weight_scale = (1 - alpha) when pred >= label, alpha otherwise —
+    alpha near 1 penalizes UNDER-prediction, so ascending alphas give
+    ascending expectiles (the textbook |alpha - 1(u<0)| u^2 form with
+    u = y - pred).  grad = weight_scale * diff, hess = weight_scale
+    (the reference's half-loss parameterization; its `expectile` eval
+    metric reports weight_scale * diff^2)."""
 
     name = "reg:expectileerror"
 
@@ -351,12 +357,19 @@ class Expectile(Objective):
 
     def grad_hess(self, y, margin, w):
         err = margin - y
-        k = np.where(err >= 0, self.alpha, 1.0 - self.alpha)
-        g = 2.0 * k * err
-        h = 2.0 * k
+        k = np.where(err >= 0, 1.0 - self.alpha, self.alpha)
+        g = k * err
+        h = k
         if w is not None:
             g, h = g * w, h * w
         return g, h
+
+    def default_metric(self):
+        # reference ExpectileRegression::DefaultEvalMetric returns
+        # "expectile" configured with expectile_alpha
+        # (regression_obj.cu:484); without it early stopping would be
+        # driven by the base-class "rmse" — the wrong loss
+        return f"expectile@{self.alpha}"
 
 
 class SoftProb(Objective):
