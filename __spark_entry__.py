@@ -1884,18 +1884,55 @@ def q_train_softmax(spark, sf_dir):
 
 
 def q_train_dart(spark, sf_dir):
-    """DART dropout boosting (reference src/gbm/gbtree.h:47); rows-only —
-    per-round tree weights + final train rmse."""
+    """DART HASH-MATCHED (promoted from rows-only): a 3-round chain
+    with rate_drop=1.0 leaves NO RNG in the drop mask — every round
+    drops ALL prior trees (gbtree.h:89-123 DropTrees), so each round's
+    gradients see the bare base margin (every round grows the SAME
+    stump) while the tree weights follow the closed-form
+    normalize_type=tree evolution w_new = 1/(k+lr), dropped *=
+    k/(k+lr).  The entry (a) runs the REAL DART trainer and emits ITS
+    tree weights (the oracle re-derives the closed form, extending the
+    dart_weights check), and (b) serves per-row predictions through
+    the REAL GBDTModel.transform DART path — three copies of the
+    composed rounded stump, weighted by the real trainer's weights,
+    accumulated base + w1*L + w2*L + w3*L in serving order
+    (core.apply_model_margin) — which the DuckDB oracle replays from
+    the b1 CTE in the same addition order."""
     _prep(spark)
-    from pyspark.sql import functions as FF
+    from xgboost_spark import core
+    from xgboost_spark.config import TrainParams
     from xgboost_spark.plans.booster import train
+    from xgboost_spark.plans.model import GBDTModel
     li = _table(spark, sf_dir, "lineitem")
-    fcols = ["l_quantity", "l_discount", "l_tax"]
-    model = train({"booster": "dart", "rate_drop": 0.5, "one_drop": True,
-                   "num_boost_round": 5, "max_depth": 3, "seed": 7},
-                  li, feature_cols=fcols, label_col="l_extendedprice")
-    rows = [(i, round(float(w), 6)) for i, w in enumerate(model.tree_weights)]
-    return spark.createDataFrame(rows, "round int, tree_weight double")
+    rt = train({"booster": "dart", "rate_drop": 1.0, "skip_drop": 0.0,
+                "normalize_type": "tree", "num_boost_round": 3,
+                "max_depth": 1, "eta": 0.3, "seed": 7},
+               li, feature_cols=_BS_FEATURES, label_col="l_extendedprice")
+    wts = [float(w) for w in rt.tree_weights]
+    feats = _BS_FEATURES
+    base, rounds, cuts = _composed_stump_rounds(spark, sf_dir, n_rounds=1)
+    r = rounds[0]
+    trees = []
+    for _ in range(3):
+        t = core.Tree()
+        fidx = feats.index(r["feature"])
+        t.expand(0, fidx, r["bin"], float(cuts[r["feature"]][r["bin"]]),
+                 True, r["gain"], 0.0, 0.0, 0.0, 0.0)
+        t.sum_hess[0] = r["ht"]
+        t.sum_hess[1], t.sum_hess[2] = r["hl"], r["hr"]
+        t.leaf_value[1], t.leaf_value[2] = 0.3 * r["wl"], 0.3 * r["wr"]
+        trees.append([t])
+    model = GBDTModel(TrainParams(booster="dart", num_boost_round=3,
+                                  max_depth=1),
+                      base, trees, feature_names=feats, tree_weights=wts)
+    out = model.transform(li, feature_cols=feats)
+    return (out.filter(F.col("l_orderkey") % 50 == 0)
+            .select(F.col("l_orderkey").cast("bigint"),
+                    F.col("l_linenumber").cast("bigint"),
+                    F.round("prediction", 6).alias("prediction"),
+                    F.round(F.lit(wts[0]), 6).alias("w_tree1"),
+                    F.round(F.lit(wts[1]), 6).alias("w_tree2"),
+                    F.round(F.lit(wts[2]), 6).alias("w_tree3")))
 
 
 def q_dart_weights(spark, sf_dir):
@@ -2217,15 +2254,28 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """ANN scale path: IVF inverted lists, n_probe nearest lists per
-    query (rows-only check; recall asserted in tests)."""
+    """IVF ANN with a REFINED quantizer, HASH-MATCHED (promoted from
+    rows-only): md5(vec_id)-seeded centroids + ONE Lloyd step with the
+    per-dimension means rounded 6dp INSIDE the aggregation
+    (`mean_round=6`, the kmeans_iter machinery — every refined centroid
+    is an engine-independent function of the data), then the
+    distributed probe path: array_sort expression picks the 3 nearest
+    lists per query, candidates equi-join on list_id, rank on the 6dp-
+    rounded cosine.  The DuckDB oracle replays seeds, the Lloyd step,
+    re-assignment, probe lists, and the final top-k bit-for-bit —
+    unlike `knn_ivf0` (zero iterations) this pins the REFINED-centroid
+    search path end to end."""
     from xgboost_spark.operators.similarity import cosine_topk_ivf
-    emb = _table(spark, sf_dir, "embeddings").withColumn(
+    emb = _par(_table(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk_ivf(emb, q, k=5)
-    return out.select(F.col("query_id").cast("bigint"), F.col("nbr_id").cast("bigint"),
-                      F.round("cos", 6).alias("cos"), F.col("rank").cast("bigint"))
+    out = cosine_topk_ivf(emb, q, k=5, n_centroids=8, n_probe=3,
+                          iters=1, seed_by="id", mean_round=6,
+                          broadcast_queries=False, rank_round=6)
+    return out.select(F.col("query_id").cast("bigint"),
+                      F.col("nbr_id").cast("bigint"),
+                      F.col("cos"),
+                      F.col("rank").cast("bigint"))
 
 
 def q_chunk_docs(spark, sf_dir):
@@ -3785,6 +3835,39 @@ SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
 FROM p2 WHERE l_orderkey % 50 = 0"""
 
 
+def _train_dart_sql() -> str:
+    """DuckDB twin of q_train_dart: closed-form normalize_type=tree
+    weight evolution for rate_drop=1.0 (round r drops all r-1 prior
+    trees: w_new = 1/(k+lr), dropped *= k/(k+lr) — the same arithmetic
+    the REAL trainer executes, in the same operation order, so the
+    doubles are bit-identical), and per-row predictions replayed from
+    the b1 stump CTE in serving accumulation order
+    base + w1*L + w2*L + w3*L."""
+    ctes, _feats, pick_bin = _stump_chain_ctes()
+    # w1 = 1.0 * (1/(1+0.3)) [r2 factor] * (2/(2+0.3)) [r3 factor];
+    # w2 = (1/(1+0.3)) [r2 w_new] * (2/(2+0.3)) [r3 factor]; both
+    # reduce to the same product.  w3 = 1/(2+0.3) [r3 w_new].
+    ctes.append("""dw AS (
+  SELECT (1.0/(1.0+0.3))*(2.0/(2.0+0.3)) AS w1,
+         (1.0/(1.0+0.3))*(2.0/(2.0+0.3)) AS w2,
+         1.0/(2.0+0.3) AS w3)""")
+    leaf = (f"(CASE WHEN ({pick_bin}) <= bb.bin "
+            "THEN 0.3*bb.wl ELSE 0.3*bb.wr END)")
+    ctes.append(f"""pd AS (
+  SELECT binned.l_orderkey, binned.l_linenumber,
+         b.b + dw.w1 * {leaf} + dw.w2 * {leaf} + dw.w3 * {leaf} AS pred,
+         dw.w1 AS w1, dw.w2 AS w2, dw.w3 AS w3
+  FROM binned, base b, b1 bb, dw)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(pred, 6) AS prediction,
+       round(w1, 6) AS w_tree1, round(w2, 6) AS w_tree2,
+       round(w3, 6) AS w_tree3
+FROM pd WHERE l_orderkey % 50 = 0"""
+
+
 def _train_shap_sql() -> str:
     """DuckDB twin of q_train_shap: exact TreeSHAP of a depth-1 tree in
     closed form (reference shap.cc:101 semantics reduce to two terms on
@@ -4384,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "train_importance": _train_importance_sql(),
         "train_tree_nodes": _train_tree_nodes_sql(),
         "train_predict": _train_predict_sql(),
+        "train_dart": _train_dart_sql(),
         "train_shap": _train_shap_sql(),
         "train_linear": _train_linear_sql(),
         "train_ranker": _train_ranker_sql(),
@@ -5348,6 +5432,63 @@ probes AS (
 cand AS (
   SELECT p.query_id, a.vec_id AS nbr_id
   FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
+s AS (
+  SELECT c.query_id, c.nbr_id,
+         round(list_dot_product(cn.v, qn.v) / (cn.nrm * qn.nrm), 6) AS cos
+  FROM cand c JOIN n cn ON cn.vec_id = c.nbr_id JOIN n qn ON qn.vec_id = c.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+
+        "knn_ivf": """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS list_id
+  FROM (SELECT v AS cv, md5(CAST(vec_id AS VARCHAR) || ':ivf') AS h
+        FROM n ORDER BY h LIMIT 8)),
+d0 AS (
+  SELECT n.vec_id, s.list_id,
+         list_sum([(n.v[i] - s.cv[i]) * (n.v[i] - s.cv[i])
+                   for i in generate_series(1, len(n.v))]) AS d2
+  FROM n CROSS JOIN seeds s),
+a0 AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d0) WHERE rk = 1),
+dims AS (SELECT unnest(generate_series(1, (SELECT len(v) FROM n LIMIT 1))) AS i),
+means AS (
+  SELECT a0.list_id, d.i, round(avg(n.v[d.i]), 6) AS m
+  FROM a0 JOIN n USING (vec_id) CROSS JOIN dims d
+  GROUP BY 1, 2),
+cents AS (
+  SELECT s.list_id, list(coalesce(m.m, s.cv[d.i]) ORDER BY d.i) AS cv
+  FROM seeds s CROSS JOIN dims d
+  LEFT JOIN means m ON m.list_id = s.list_id AND m.i = d.i
+  GROUP BY s.list_id),
+d1 AS (
+  SELECT n.vec_id, c.list_id,
+         list_sum([(n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i])
+                   for i in generate_series(1, len(n.v))]) AS d2
+  FROM n CROSS JOIN cents c),
+a1 AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d1) WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+        FROM d1 WHERE vec_id < 5)
+  WHERE rk <= 3),
+cand AS (
+  SELECT p.query_id, a.vec_id AS nbr_id
+  FROM probes p JOIN a1 a ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
 s AS (
   SELECT c.query_id, c.nbr_id,
          round(list_dot_product(cn.v, qn.v) / (cn.nrm * qn.nrm), 6) AS cos

@@ -350,7 +350,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
                     broadcast_queries: bool = True, iters: int = 2,
                     seed_by: str = "vector",
-                    rank_round: int | None = None) -> DataFrame:
+                    rank_round: int | None = None,
+                    mean_round: int | None = None) -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query.
     The corpus side is pre-partitioned by list_id (bucketing in a real
     deployment); the probe join is an equi-join on list_id.
@@ -367,7 +368,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     The corpus never moves through the driver in either mode.
     """
     assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col,
-                                seed=seed, iters=iters, seed_by=seed_by)
+                                seed=seed, iters=iters, seed_by=seed_by,
+                                mean_round=mean_round)
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
                         _norm(F.col(vec_col)).alias("cn"), "list_id")
     if broadcast_queries:
