@@ -3344,83 +3344,38 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-6 window = the 10 entries with
-    no / stale driver rows (the four never-driver-run rows-only entries
-    image_pipeline / stream_score / train_multi_quantile / train_stream,
-    the stale knn_ivf / train_dart, and the four round-6 PROMOTIONS
-    train_tree_nodes / train_predict / train_shap / train_linear —
-    rows-only to hash-matched via the composed-stump model and the
-    composed shotgun chain), the two span-dedup entries re-certified on
-    their round-6 skew-free plan, then the 38 entries with the OLDEST
-    driver rows (r1-r4) for re-certification.  The r5-certified block
-    moves past the window; every entry stays covered by the in-repo
-    replica gate (tests/test_entry.py), which runs ALL entries
-    regardless of order."""
+    hashes the FIRST 50 entries.  Round-8 window = the 4 rows-only-by-
+    nature entries, the 7 entries whose code or oracle changed in
+    round 8 (dedup_exact rewired through the real keep_first path +
+    null-safe join; segment_dedup / similarity_join re-certified on the
+    gated-hint plan + candidate guard; train_dart and knn_ivf PROMOTED
+    rows-only -> hash-matched; knn_ivf0 / kmeans_iter sharing the
+    touched ivf_build machinery), then the 39 entries with the OLDEST
+    driver rows (the r5-certified block: composed training promotions,
+    BPE, HLL/CMS/Bloom, embedding_cov, late TPC-H shapes, the kernel
+    entries, and the gradient family).  The r7-re-certified block moves
+    past the window; every entry stays covered by the in-repo replica
+    gate (tests/test_entry.py), which runs ALL entries regardless of
+    order."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # never driver-run (rows-only by nature)
+        # rows-only by nature (no SQL oracle exists)
         "image_pipeline": q_image_pipeline,
         "stream_score": q_stream_score,
         "train_multi_quantile": q_train_multi_quantile,
         "train_stream": q_train_stream,
-        # stale rows-only driver rows (r01-r03)
-        "knn_ivf": q_knn_ivf,
-        "train_dart": q_train_dart,
-        # round-6 promotions: rows-only -> hash-matched
-        "train_tree_nodes": q_train_tree_nodes,
-        "train_predict": q_train_predict,
-        "train_shap": q_train_shap,
-        "train_linear": q_train_linear,
-        # round-6 plan rewrite (keep-first skew fix): re-certify
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
-        # round-6 NEW capability: distributed k-means + exact
-        # set-similarity join (both hash-matched)
-        "kmeans_iter": q_kmeans_iter,
+        # round-8 changed code / promoted oracles
+        "dedup_exact": q_dedup_exact,
+        "segment_dedup": q_segment_dedup,
         "similarity_join": q_similarity_join,
-        "quantile_stump": q_quantile_stump,
-        # re-certification: oldest hash-green driver rows (r1-r3)
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_neardup": q_embedding_neardup,
-        "prefix_scan": q_prefix_scan,
-        "asof_join": q_asof_join,
-        "topk_orders": q_topk_orders,
-        "range_join": q_range_join,
-        "q1_pricing": q_q1_pricing,
-        "shipping_priority": q_shipping_priority,
-        "stream_window": q_stream_window,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "knn_lsh": q_knn_lsh,
-        "linear_one_round": q_linear_one_round,
-        # re-certification: r4 driver rows
-        "train_stump": q_train_stump,
-        "train_depth2": q_train_depth2,
-        "metric_ams_cox": q_metric_ams_cox,
-        "simhash": q_simhash,
-        "ordinal_encode": q_ordinal_encode,
-        "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
-        "stratified_take": q_stratified_take,
-        "normalize_text": q_normalize_text,
-        "contamination": q_contamination,
-        "repetition": q_repetition,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "simhash_pairs": q_simhash_pairs,
-        "shuffle_shards": q_shuffle_shards,
-        "chunk_docs": q_chunk_docs,
-        "tfidf": q_tfidf,
-        "bigram_ppl": q_bigram_ppl,
-        "sample_mix": q_sample_mix,
-        "replicate_mix": q_replicate_mix,
+        "train_dart": q_train_dart,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf0": q_knn_ivf0,
+        "kmeans_iter": q_kmeans_iter,
+        # re-certification: oldest driver rows (r5 block)
         "vocab": q_vocab,
         "stream_enrich": q_stream_enrich,
         "stream_join": q_stream_join,
-        # ---- end of driver window (50 entries above) --------------------
-        # r5-certified
         "train_importance": q_train_importance,
         "train_ranker": q_train_ranker,
         "train_string_cat": q_train_string_cat,
@@ -3457,6 +3412,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_grad": q_softmax_grad,
         "cox_grad": q_cox_grad,
         "aft_grad": q_aft_grad,
+        # ---- past the window (r7-re-certified + everything else) --------
+        "train_tree_nodes": q_train_tree_nodes,
+        "train_predict": q_train_predict,
+        "train_shap": q_train_shap,
+        "train_linear": q_train_linear,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "quantile_stump": q_quantile_stump,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_neardup": q_embedding_neardup,
+        "prefix_scan": q_prefix_scan,
+        "asof_join": q_asof_join,
+        "topk_orders": q_topk_orders,
+        "range_join": q_range_join,
+        "q1_pricing": q_q1_pricing,
+        "shipping_priority": q_shipping_priority,
+        "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "knn_lsh": q_knn_lsh,
+        "linear_one_round": q_linear_one_round,
+        "train_stump": q_train_stump,
+        "train_depth2": q_train_depth2,
+        "metric_ams_cox": q_metric_ams_cox,
+        "simhash": q_simhash,
+        "ordinal_encode": q_ordinal_encode,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "stratified_take": q_stratified_take,
+        "normalize_text": q_normalize_text,
+        "contamination": q_contamination,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
+        "simhash_pairs": q_simhash_pairs,
+        "shuffle_shards": q_shuffle_shards,
+        "chunk_docs": q_chunk_docs,
+        "tfidf": q_tfidf,
+        "bigram_ppl": q_bigram_ppl,
+        "sample_mix": q_sample_mix,
+        "replicate_mix": q_replicate_mix,
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
@@ -3465,11 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_ndcg": q_metric_ndcg,
         "metric_map": q_metric_map,
         "count_family": q_count_family,
-        "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
-        # r4-certified, recently re-verified
         "knn": q_knn,
         "sessionize": q_sessionize,
         "metric_regression": q_metric_regression,
@@ -3489,11 +3485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "group_quantiles": q_group_quantiles,
-        "segment_dedup": q_segment_dedup,
         "gopher_rules": q_gopher_rules,
         "reservoir_group": q_reservoir_group,
         "scalar_quantize": q_scalar_quantize,
-        "knn_ivf0": q_knn_ivf0,
         "pq_topk": q_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "order_priority_check": q_order_priority_check,

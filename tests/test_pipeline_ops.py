@@ -1569,3 +1569,72 @@ def test_knn_ivf_registry_recall_invariant(spark, sf_dir):
         # exact invariant at the default test SF (computed once, fixed
         # seed): per-query {0: .6, 1: .6, 2: .8, 3: .2, 4: .8}
         assert mean_rec == pytest.approx(0.6), recs
+
+
+def test_similarity_join_candidate_guard(spark):
+    """Low-entropy corpus: the prefix-df pre-flight must warn (naming
+    the bound) BEFORE the verify join explodes; healthy corpora and
+    guard-off calls stay silent."""
+    import warnings as W
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta"
+    degenerate = spark.createDataFrame(
+        [(i, tmpl) for i in range(200)], "doc_id long, text string")
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        out = dedup.similarity_join(degenerate, threshold=0.8,
+                                    max_candidate_pairs=10_000)
+    msgs = [str(x.message) for x in w]
+    assert any("candidate bound" in m for m in msgs), msgs
+    # the join itself is still returned (warn, not bail) and correct
+    assert out.count() == 200 * 199 // 2
+
+    healthy = spark.createDataFrame(
+        [(i, f"document {i} about topic {i * 7 % 13} with words "
+             f"w{i} x{i} y{i} z{i}") for i in range(200)],
+        "doc_id long, text string")
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        dedup.similarity_join(healthy, threshold=0.8,
+                              max_candidate_pairs=10_000)
+    assert not any("candidate bound" in str(x.message) for x in w)
+
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        dedup.similarity_join(degenerate, threshold=0.8,
+                              max_candidate_pairs=None)
+    assert not any("candidate bound" in str(x.message) for x in w)
+
+
+def test_similarity_join_guard_sampled_estimate(spark):
+    """guard_sample < 1 scales the sampled bound by 1/f^2 — it must
+    still flag a degenerate corpus from a fraction of it."""
+    import warnings as W
+
+    tmpl = "one two three four five six seven eight nine ten"
+    degenerate = spark.createDataFrame(
+        [(i, tmpl) for i in range(400)], "doc_id long, text string")
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        dedup.similarity_join(degenerate, threshold=0.8,
+                              max_candidate_pairs=10_000,
+                              guard_sample=0.5)
+    assert any("candidate bound" in str(x.message) for x in w)
+
+
+def test_similarity_join_candidate_bound_scales_linearly(spark):
+    """sf-scaling early warning (round-8 advice): the PPJoin candidate
+    bound on the real documents table must grow ~linearly from sf0.001
+    to sf0.01 — superlinear growth means prefix selectivity is
+    collapsing and the verify join would blow up first at 100 TB."""
+    lo = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hi = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_lo, n_hi = lo.count(), hi.count()
+    b_lo = dedup.ppjoin_candidate_bound(lo, threshold=0.5, shingle_n=5)
+    b_hi = dedup.ppjoin_candidate_bound(hi, threshold=0.5, shingle_n=5)
+    row_ratio = n_hi / n_lo
+    bound_ratio = (b_hi + 1.0) / (b_lo + 1.0)
+    # allow mild superlinearity (shared boilerplate grows with corpus)
+    assert bound_ratio <= row_ratio ** 1.5, (
+        f"candidate bound grew {bound_ratio:.1f}x for {row_ratio:.1f}x "
+        f"rows (bounds {b_lo:.0f} -> {b_hi:.0f})")

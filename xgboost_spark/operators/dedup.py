@@ -292,9 +292,62 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "tex
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _ppjoin_prefix(df: DataFrame, text_col: str, id_col: str,
+                   threshold: float, shingle_n: int):
+    """Shared PPJoin front half: (sh, sizes, prefix) — distinct doc
+    shingles, per-doc shingle counts, and the rarest-first prefix rows
+    that alone enter the candidate join."""
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("id").orderBy("dfreq", "shingle")
+    ordered = (sh.join(dfreq, "shingle").join(sizes, "id")
+               .withColumn("rk", F.row_number().over(w)))
+    prefix = ordered.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    return sh, sizes, prefix
+
+
+def _ppjoin_bound_of_prefix(prefix: DataFrame, guard_sample: float = 1.0):
+    """(bound, per-shingle prefix-count DataFrame): the exact candidate
+    upper bound sum C(df_prefix, 2).  ``guard_sample < 1`` estimates
+    from a row sample scaled by 1/f^2 (pair volume is quadratic in
+    per-shingle df)."""
+    gp = prefix
+    if guard_sample < 1.0:
+        gp = prefix.sample(fraction=guard_sample, seed=7)
+    pre_df = gp.groupBy("shingle").count()
+    est_row = pre_df.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")).first()
+    est = float(est_row["p"] or 0.0)
+    if guard_sample < 1.0:
+        est /= guard_sample ** 2
+    return est, pre_df
+
+
+def ppjoin_candidate_bound(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", threshold: float = 0.5,
+                           shingle_n: int = 2,
+                           guard_sample: float = 1.0) -> float:
+    """Standalone pre-flight for similarity_join capacity planning:
+    the exact upper bound on the candidate-pair volume,
+    sum C(df_prefix, 2) over prefix-shingle document frequencies.
+    Near-linear growth in corpus size is the healthy signature; a
+    superlinear jump between scale factors means the (threshold,
+    shingle_n) choice is losing selectivity on this corpus and the
+    verify join will blow up first."""
+    _, _, prefix = _ppjoin_prefix(df, text_col, id_col, threshold,
+                                  shingle_n)
+    est, _ = _ppjoin_bound_of_prefix(prefix, guard_sample)
+    return est
+
+
 def similarity_join(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.5,
-                    shingle_n: int = 2) -> DataFrame:
+                    shingle_n: int = 2,
+                    max_candidate_pairs: int | None = 200_000_000,
+                    guard_sample: float = 1.0) -> DataFrame:
     """Exact set-similarity self-join with COMPLETE recall (AllPairs /
     PPJoin prefix filtering; Bayardo et al. WWW'07, Xiao et al.
     WWW'08): every pair of documents whose word-``shingle_n``-gram
@@ -316,16 +369,44 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     intersection counts partial-aggregate map-side; the only window
     partitions by doc id (bounded by document length).  Returns
     (id_a, id_b, n_a, n_b, n_inter, jaccard), id_a < id_b.
+
+    Candidate-volume guard: prefix filtering keeps the pair space
+    near-linear on natural text, but a LOW-ENTROPY corpus (tiny
+    vocabulary, templated rows) can make even prefix shingles common,
+    and the candidate set Σ C(df_prefix, 2) silently explodes.  When
+    ``max_candidate_pairs`` is set (default 2e8), a pre-flight
+    aggregate computes that exact upper bound from the prefix-shingle
+    document frequencies and warns — naming the estimate and the worst
+    shingles — before the verify join runs.  The pre-flight is one
+    extra pass over the shingle/window stage (the returned plan itself
+    is unchanged); at very large scale either set
+    ``guard_sample < 1`` (estimate from a doc sample, scaled by
+    1/f^2 — pair counts are quadratic in df) or pass
+    ``max_candidate_pairs=None`` to skip it.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    w = Window.partitionBy("id").orderBy("dfreq", "shingle")
-    ordered = (sh.join(dfreq, "shingle").join(sizes, "id")
-               .withColumn("rk", F.row_number().over(w)))
-    prefix = ordered.filter(
-        F.col("rk")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    sh, sizes, prefix = _ppjoin_prefix(df, text_col, id_col, threshold,
+                                       shingle_n)
+    if max_candidate_pairs is not None:
+        import warnings
+        est, pre_df = _ppjoin_bound_of_prefix(prefix, guard_sample)
+        if est > max_candidate_pairs:
+            # second (rare-path-only) job: name the offenders
+            pdf_top = (pre_df.filter(F.col("count") > 1)
+                       .select("shingle",
+                               (F.col("count") * (F.col("count") - 1) / 2)
+                               .alias("pairs"))
+                       .orderBy(F.col("pairs").desc()).limit(5).collect())
+            top = ", ".join(f"{r['shingle']!r}~{int(r['pairs'])}"
+                            for r in pdf_top)
+            warnings.warn(
+                "similarity_join: prefix-shingle candidate bound "
+                f"~{est:.3g} pairs exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:.3g} — the corpus is low-entropy "
+                "for this (threshold, shingle_n); the verify join may "
+                f"explode.  Worst prefix shingles: {top}.  Raise "
+                "threshold / shingle_n, pre-dedup with dedup_exact, or "
+                "use minhash_lsh_pairs for probabilistic recall.",
+                stacklevel=2)
     a = prefix.select(F.col("id").alias("id_a"),
                       F.col("n_sh").alias("n_a"), "shingle")
     b = prefix.select(F.col("id").alias("id_b"),

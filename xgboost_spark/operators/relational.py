@@ -33,9 +33,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
     Implementation: union-and-window — tag both sides, order by
     (by, on, side) in one window, carry the last-seen right payload
     forward with ``last(ignorenulls)``.  One shuffle on ``by`` (or a
-    range partition when ``by`` is None); no range-explosion theta join,
-    skew handled by AQE.  (Spark lacks a native as-of join; pandas
-    ``merge_asof`` semantics.)
+    range partition when ``by`` is None); no range-explosion theta
+    join.  (Spark lacks a native as-of join; pandas ``merge_asof``
+    semantics.)
+
+    Skew caveat: the ``by``-keyed window serializes each ``by`` group
+    into one task, and AQE does NOT split skewed window partitions
+    (its skew handling covers shuffle joins only) — a single hot
+    ``by`` key (one symbol carrying most of the tape) sorts on one
+    core.  That is inherent to per-key as-of semantics here; when
+    ``by`` cardinality is low-and-hot, prefer ``by=None`` per key
+    slice (the range-partitioned + boundary-stitch path below, which
+    parallelizes a single key across the time axis).
 
     ``tolerance_seconds`` on non-TIMESTAMP inputs (TIMESTAMP_NTZ /
     string) casts through the session timezone; the check depends only
