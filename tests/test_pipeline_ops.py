@@ -1547,10 +1547,11 @@ def test_h264_sps_metadata(spark):
 
 def test_knn_ivf_registry_recall_invariant(spark, sf_dir):
     """Pin the registry entry q_knn_ivf's recall against exact q_knn at
-    its fixed seed/config (the one ANN entry that stays rows-only in
-    the driver gate): the IVF quantizer, probe selection and ranking
-    are fully deterministic, so recall@5 is an INVARIANT of the code +
-    data, not a floor — a quantizer or probe regression shows up as an
+    its fixed seed/config (round 8: the refined-centroid hash-matched
+    config — md5(id) seeds + one mean_round=6 Lloyd step, 8 lists,
+    3 probes): the IVF quantizer, probe selection and ranking are fully
+    deterministic, so recall@5 is an INVARIANT of the code + data, not
+    a floor — a quantizer or probe regression shows up as an
     exact-value change, not just a dip below a loose threshold."""
     import collections
 
@@ -1567,8 +1568,9 @@ def test_knn_ivf_registry_recall_invariant(spark, sf_dir):
     assert mean_rec >= 0.5, recs
     if sf_dir.rstrip("/").endswith("sf0.001"):
         # exact invariant at the default test SF (computed once, fixed
-        # seed): per-query {0: .6, 1: .6, 2: .8, 3: .2, 4: .8}
-        assert mean_rec == pytest.approx(0.6), recs
+        # seed): per-query {0: .4, 1: 1.0, 2: .6, 3: 1.0, 4: 1.0} — up
+        # from 0.6 with the round-8 refined (1-Lloyd-step) quantizer
+        assert mean_rec == pytest.approx(0.8), recs
 
 
 def test_similarity_join_candidate_guard(spark):

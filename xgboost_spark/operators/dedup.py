@@ -309,21 +309,15 @@ def _ppjoin_prefix(df: DataFrame, text_col: str, id_col: str,
     return sh, sizes, prefix
 
 
-def _ppjoin_bound_of_prefix(prefix: DataFrame, guard_sample: float = 1.0):
-    """(bound, per-shingle prefix-count DataFrame): the exact candidate
-    upper bound sum C(df_prefix, 2).  ``guard_sample < 1`` estimates
-    from a row sample scaled by 1/f^2 (pair volume is quadratic in
-    per-shingle df)."""
-    gp = prefix
-    if guard_sample < 1.0:
-        gp = prefix.sample(fraction=guard_sample, seed=7)
-    pre_df = gp.groupBy("shingle").count()
+def _ppjoin_bound_of_prefix(prefix: DataFrame):
+    """(bound, per-shingle prefix-count DataFrame): the candidate
+    upper bound sum C(df_prefix, 2) of a prefix row set.  Callers that
+    built ``prefix`` from a doc sample at rate f must rescale by 1/f^2
+    (pair volume is quadratic in per-shingle df)."""
+    pre_df = prefix.groupBy("shingle").count()
     est_row = pre_df.agg(
         F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")).first()
-    est = float(est_row["p"] or 0.0)
-    if guard_sample < 1.0:
-        est /= guard_sample ** 2
-    return est, pre_df
+    return float(est_row["p"] or 0.0), pre_df
 
 
 def ppjoin_candidate_bound(df: DataFrame, text_col: str = "text",
@@ -331,15 +325,22 @@ def ppjoin_candidate_bound(df: DataFrame, text_col: str = "text",
                            shingle_n: int = 2,
                            guard_sample: float = 1.0) -> float:
     """Standalone pre-flight for similarity_join capacity planning:
-    the exact upper bound on the candidate-pair volume,
-    sum C(df_prefix, 2) over prefix-shingle document frequencies.
-    Near-linear growth in corpus size is the healthy signature; a
-    superlinear jump between scale factors means the (threshold,
-    shingle_n) choice is losing selectivity on this corpus and the
-    verify join will blow up first."""
-    _, _, prefix = _ppjoin_prefix(df, text_col, id_col, threshold,
+    upper bound on the candidate-pair volume, sum C(df_prefix, 2) over
+    prefix-shingle document frequencies — exact at the default
+    ``guard_sample=1.0``; a smaller fraction samples DOCS before
+    shingling (the whole pre-flight then costs ~f of a pass) and
+    rescales the sampled bound by 1/f^2.  Near-linear growth in corpus
+    size is the healthy signature; a superlinear jump between scale
+    factors means the (threshold, shingle_n) choice is losing
+    selectivity on this corpus and the verify join will blow up
+    first."""
+    g = df if guard_sample >= 1.0 else df.sample(fraction=guard_sample,
+                                                 seed=7)
+    _, _, prefix = _ppjoin_prefix(g, text_col, id_col, threshold,
                                   shingle_n)
-    est, _ = _ppjoin_bound_of_prefix(prefix, guard_sample)
+    est, _ = _ppjoin_bound_of_prefix(prefix)
+    if guard_sample < 1.0:
+        est /= guard_sample ** 2
     return est
 
 
@@ -347,7 +348,7 @@ def similarity_join(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.5,
                     shingle_n: int = 2,
                     max_candidate_pairs: int | None = 200_000_000,
-                    guard_sample: float = 1.0) -> DataFrame:
+                    guard_sample: float = 0.1) -> DataFrame:
     """Exact set-similarity self-join with COMPLETE recall (AllPairs /
     PPJoin prefix filtering; Bayardo et al. WWW'07, Xiao et al.
     WWW'08): every pair of documents whose word-``shingle_n``-gram
@@ -375,20 +376,32 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     vocabulary, templated rows) can make even prefix shingles common,
     and the candidate set Σ C(df_prefix, 2) silently explodes.  When
     ``max_candidate_pairs`` is set (default 2e8), a pre-flight
-    aggregate computes that exact upper bound from the prefix-shingle
+    aggregate computes that upper bound from the prefix-shingle
     document frequencies and warns — naming the estimate and the worst
-    shingles — before the verify join runs.  The pre-flight is one
-    extra pass over the shingle/window stage (the returned plan itself
-    is unchanged); at very large scale either set
-    ``guard_sample < 1`` (estimate from a doc sample, scaled by
-    1/f^2 — pair counts are quadratic in df) or pass
-    ``max_candidate_pairs=None`` to skip it.
+    shingles — before the verify join runs.  The default
+    ``guard_sample=0.1`` runs the pre-flight on a 10% DOC sample
+    (cost ~10% of one shingle/window pass; the quadratic pair bound
+    rescales by 1/f^2), so healthy runs pay almost nothing;
+    ``guard_sample=1.0`` makes the bound exact, and
+    ``max_candidate_pairs=None`` skips the pre-flight entirely.  The
+    returned plan itself is unchanged either way.
     """
     sh, sizes, prefix = _ppjoin_prefix(df, text_col, id_col, threshold,
                                        shingle_n)
     if max_candidate_pairs is not None:
         import warnings
-        est, pre_df = _ppjoin_bound_of_prefix(prefix, guard_sample)
+        if guard_sample < 1.0:
+            # sample DOCS before shingling: the pre-flight then costs
+            # ~guard_sample of one shingle/window pass, and the
+            # sampled pair bound rescales by 1/f^2 (quadratic in df)
+            _, _, gprefix = _ppjoin_prefix(
+                df.sample(fraction=guard_sample, seed=7),
+                text_col, id_col, threshold, shingle_n)
+        else:
+            gprefix = prefix
+        est, pre_df = _ppjoin_bound_of_prefix(gprefix)
+        if guard_sample < 1.0:
+            est /= guard_sample ** 2
         if est > max_candidate_pairs:
             # second (rare-path-only) job: name the offenders
             pdf_top = (pre_df.filter(F.col("count") > 1)
