@@ -116,3 +116,16 @@ def test_ranking_gradients_direction():
     assert (h >= 0).all()
     # most-relevant doc should be pushed up (negative gradient) on average
     assert g[0] <= 0
+
+
+def test_reg_linear_deprecated_alias():
+    """reference regression_obj.cu:271-276: reg:linear resolves to
+    squared error with a deprecation warning."""
+    import warnings
+
+    from xgboost_spark.functions.objectives import SquaredError, get_objective
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        obj = get_objective("reg:linear")
+    assert isinstance(obj, SquaredError)
+    assert any("deprecated" in str(x.message) for x in w)

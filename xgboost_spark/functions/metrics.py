@@ -296,11 +296,30 @@ def ams_at_k(df: DataFrame, k_frac: float, y: str = "y", score: str = "m0",
                          0.0))
 
 
+def parse_rank_arg(metric: str, default_k: int = 10) -> tuple[str, int, bool]:
+    """(base_name, k, minus) from a reference-style rank metric name:
+    'ndcg', 'ndcg@5', 'ndcg@5-', 'map-'.  The trailing '-' selects the
+    MINUS scoring rule (reference ltr::ParseMetricName,
+    src/common/ranking_utils.cc:138): a query with NO relevant
+    documents scores 0 instead of the default 1."""
+    name, _, arg = metric.partition("@")
+    minus = False
+    if name.endswith("-"):
+        name, minus = name[:-1], True
+    if arg.endswith("-"):
+        arg, minus = arg[:-1], True
+    k = int(arg) if arg else default_k
+    return name, k, minus
+
+
 def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
-              score: str = "m0", exp_gain: bool = True) -> DataFrame:
+              score: str = "m0", exp_gain: bool = True,
+              minus: bool = False) -> DataFrame:
     """Per-query NDCG@k (reference `src/metric/rank_metric.cc:461-469`,
     DCG kernels `src/common/ranking_utils.h:42-46`).
-    Returns (qid, ndcg); average for the scalar metric.
+    Returns (qid, ndcg); average for the scalar metric.  A query with
+    no positive gain scores 1, or 0 under the '-' name suffix
+    (``minus``; reference rank_metric.cc:382).
     """
     gain = (F.pow(F.lit(2.0), F.col(y)) - 1.0) if exp_gain else F.col(y).cast("double")
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
@@ -315,12 +334,18 @@ def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
     return (
         d.groupBy(F.col(qid).alias("qid"))
         .agg(F.sum("dcg_t").alias("dcg"), F.sum("idcg_t").alias("idcg"))
-        .select("qid", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(1.0).alias("ndcg"))
+        .select("qid", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+                .otherwise(0.0 if minus else 1.0).alias("ndcg"))
     )
 
 
-def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
-    """Per-query MAP@k (reference rank_metric.cc MAP): labels binarized >0."""
+def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
+             score: str = "m0", minus: bool = False) -> DataFrame:
+    """Per-query MAP@k (reference rank_metric.cc:408-453 EvalMAPScore):
+    labels binarized >0.  A query with NO relevant documents scores 1
+    by default, 0 under the '-' name suffix (rank_metric.cc:443) —
+    matching the reference, which treats an all-negative query as
+    trivially satisfied unless the minus rule asks otherwise."""
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     wcum = Window.partitionBy(qid).orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
     d = (
@@ -336,16 +361,20 @@ def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "
             F.sum("prec_t").alias("ap_num"),
             F.least(F.sum("rel"), F.lit(float(k))).alias("denom"),
         )
-        .select("qid", F.when(F.col("denom") > 0, F.col("ap_num") / F.col("denom")).otherwise(0.0).alias("ap"))
+        .select("qid", F.when(F.col("denom") > 0, F.col("ap_num") / F.col("denom"))
+                .otherwise(0.0 if minus else 1.0).alias("ap"))
     )
 
 
 def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     d = df.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    # reference EvalPrecision (rank_metric.cc:316-320): n_hits over the
+    # top min(k, |group|) divided by that SAME n — a group smaller than
+    # k is not penalized for its missing slots
     return (
         d.groupBy(F.col(qid).alias("qid"))
-        .agg((F.sum((F.col(y) > 0).cast("double")) / F.lit(float(k))).alias("prec"))
+        .agg((F.sum((F.col(y) > 0).cast("double")) / F.count("*")).alias("prec"))
     )
 
 
@@ -390,12 +419,13 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         w = np.ones(n)
     m = margin[:, 0] if margin.ndim > 1 else margin
     W = float(w.sum())
-    if name in BARRIER_RANKING:
-        k = int(arg or 10)
+    if name.rstrip("-") in BARRIER_RANKING:
+        name, k, minus = parse_rank_arg(metric)
         num = den = 0.0
         for qv in np.unique(qid):
             rows = qid == qv
-            num += _query_rank_metric(name, k, y[rows], m[rows], exp_gain)
+            num += _query_rank_metric(name, k, y[rows], m[rows], exp_gain,
+                                      minus)
             den += 1.0
         return num, den
     if name == "rmse":
@@ -459,28 +489,34 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
     raise ValueError(f"metric {metric!r} not barrier-computable")
 
 
-def _query_rank_metric(name: str, k: int, y, score, exp_gain: bool) -> float:
+def _query_rank_metric(name: str, k: int, y, score, exp_gain: bool,
+                       minus: bool = False) -> float:
     import numpy as np
     order = np.lexsort((-y, -score))        # score desc, label desc on ties
     if name == "pre":
-        top = order[:k]
-        return float((y[top] > 0).sum()) / float(k)
+        n = min(k, len(y))
+        top = order[:n]
+        return float((y[top] > 0).sum()) / float(n) if n else 0.0
     if name == "map":
         top = order[:k]
         rel = (y[top] > 0).astype(np.float64)
-        if rel.sum() == 0 and (y > 0).sum() == 0:
-            return 0.0
+        if (y > 0).sum() == 0:
+            # no relevant docs in the whole query: reference
+            # rank_metric.cc:443 scores 1 (0 under the '-' suffix)
+            return 0.0 if minus else 1.0
         cum = np.cumsum((y[order] > 0).astype(np.float64))[:k]
         ap = (rel * cum[: len(rel)] / np.arange(1, len(rel) + 1)).sum()
         denom = min(float((y > 0).sum()), float(k))
-        return float(ap / denom) if denom > 0 else 0.0
+        return float(ap / denom)
     # ndcg
     gain = (2.0 ** y - 1.0) if exp_gain else y.astype(np.float64)
     disc = 1.0 / np.log2(np.arange(2, len(y) + 2))
     dcg = float((gain[order][:k] * disc[:k]).sum())
     ideal = np.sort(gain)[::-1]
     idcg = float((ideal[:k] * disc[:k]).sum())
-    return dcg / idcg if idcg > 0 else 1.0
+    if idcg <= 0:
+        return 0.0 if minus else 1.0           # rank_metric.cc:382
+    return dcg / idcg
 
 
 def metric_finalize(metric: str, num: float, den: float) -> float:

@@ -906,6 +906,13 @@ def get_objective(name: str, params=None) -> Objective:
                                     p.aft_loss_distribution_scale if p else 1.0),
         "survival:cox": CoxPH,
     }
+    if name == "reg:linear":
+        # reference regression_obj.cu:271-276: registered as a
+        # deprecated alias of reg:squarederror, warning included
+        import warnings
+        warnings.warn("reg:linear is now deprecated in favor of "
+                      "reg:squarederror.")
+        return SquaredError()
     if name not in table:
         raise ValueError(f"unknown objective {name!r}")
     cls = table[name]
