@@ -235,3 +235,95 @@ def test_expectile_default_metric_drives_eval(spark, reg_df):
     k = np.where(d >= 0, 1 - 0.8, 0.8)
     assert hist["expectile@0.8"][-1] == pytest.approx((k * d * d).mean(),
                                                       rel=1e-6)
+
+
+def test_expectile_barrier_partial_matches_dataframe(scored):
+    """ADVICE r8: 'expectile' belongs in BARRIER_ELEMENTWISE so an
+    expectile fit with eval sets stays on the barrier fast path; the
+    NumPy partial must agree with the DataFrame metric."""
+    _, y, m, w = scored
+    assert "expectile" in M.BARRIER_ELEMENTWISE
+    assert M.barrier_metric_supported("expectile@0.7", has_qid=False)
+    for metric in ("expectile", "expectile@0.2", "expectile@0.9"):
+        num, den = M.metric_partial_np(metric, y, m[:, None], w)
+        alpha = float(metric.partition("@")[2] or 0.5)
+        d = m - y
+        k = np.where(d >= 0, 1 - alpha, alpha)
+        assert M.metric_finalize(metric, num, den) == pytest.approx(
+            (k * d * d * w).sum() / w.sum(), rel=1e-12)
+    # vector form: mean over alphas per row, like vector quantile
+    m2 = np.stack([m, m + 0.7], axis=1)
+    num, den = M.metric_partial_np("expectile@0.3,0.8", y, m2, w)
+    tot = np.zeros_like(y)
+    for a, mm in ((0.3, m2[:, 0]), (0.8, m2[:, 1])):
+        d = mm - y
+        tot = tot + np.where(d >= 0, (1 - a) * d * d, a * d * d)
+    assert num / den == pytest.approx(((tot / 2) * w).sum() / w.sum(),
+                                      rel=1e-12)
+
+
+def test_vector_alpha_margin_mismatch_raises(spark, scored):
+    """ADVICE r8: a multi-alpha metric with the wrong number of margin
+    columns must raise (reference CHECKs preds size == labels *
+    n_alphas), not silently score alphas[0] only."""
+    df, *_ = scored
+    with pytest.raises(ValueError, match="margin column"):
+        M.compute_metric(df, "quantile@0.1,0.5,0.9", margin_cols=["m0"])
+    with pytest.raises(ValueError, match="margin column"):
+        M.compute_metric(df, "expectile@0.1,0.9", margin_cols=["m0"])
+
+
+def test_minus_suffix_rank_names_plumbed(spark):
+    """ADVICE r8 (medium): 'ndcg@5-' / 'map-' must work end-to-end —
+    barrier_metric_supported, _maximize, and the DataFrame _eval_metric
+    path all strip/route the '-' (reference ranking_utils.cc:138)."""
+    from xgboost_spark.plans.booster import _maximize, train
+    assert M.barrier_metric_supported("map-", has_qid=True)
+    assert M.barrier_metric_supported("ndcg@5-", has_qid=True)
+    assert _maximize("map-") and _maximize("ndcg@5-") and _maximize("pre@3")
+    rng = np.random.default_rng(11)
+    n = 600
+    q = rng.integers(0, 30, n)
+    f0 = rng.normal(0, 1, n)
+    # query 0 has NO relevant docs: the minus rule scores it 0, not 1
+    rel = np.where(q == 0, 0.0, (f0 > 0.3).astype(float))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"q": q, "f0": f0, "f1": rng.normal(0, 1, n), "label": rel}))
+    model = train({"objective": "rank:ndcg", "num_boost_round": 2,
+                   "max_depth": 2, "base_score": 0.0,
+                   "eval_metric": ["ndcg@5-", "map-"],
+                   "exec_mode": "dataframe"},
+                  df, feature_cols=["f0", "f1"], qid_col="q",
+                  evals=[(df, "train")])
+    hist = model.eval_history["train"]
+    assert "ndcg@5-" in hist and "map-" in hist
+    # the minus variant is strictly below the default variant, which
+    # scores the all-negative query 1.0
+    model2 = train({"objective": "rank:ndcg", "num_boost_round": 2,
+                    "max_depth": 2, "base_score": 0.0,
+                    "eval_metric": ["ndcg@5", "map"],
+                    "exec_mode": "dataframe"},
+                   df, feature_cols=["f0", "f1"], qid_col="q",
+                   evals=[(df, "train")])
+    hist2 = model2.eval_history["train"]
+    assert hist["ndcg@5-"][-1] < hist2["ndcg@5"][-1]
+    assert hist["map-"][-1] < hist2["map"][-1]
+
+
+def test_precision_sums_raw_labels(spark):
+    """reference EvalPrecision (rank_metric.cc:316-320) accumulates
+    RAW label values over the top min(k, |group|), not binarized hits."""
+    pdf = pd.DataFrame({
+        "q": [1, 1, 1, 2, 2],
+        "y": [2.0, 0.0, 1.0, 3.0, 0.0],
+        "m0": [9.0, 8.0, 7.0, 5.0, 4.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["qid"]: r["prec"]
+           for r in M.precision_at_k(df, 2, qid="q").collect()}
+    assert got[1] == pytest.approx((2.0 + 0.0) / 2)     # top-2 labels 2,0
+    assert got[2] == pytest.approx((3.0 + 0.0) / 2)
+    # NumPy partial agrees (graded labels)
+    v = M._query_rank_metric("pre", 2, pdf[pdf.q == 1]["y"].to_numpy(),
+                             pdf[pdf.q == 1]["m0"].to_numpy(), True)
+    assert v == pytest.approx(1.0)

@@ -111,6 +111,13 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
                 t = F.when(d >= 0, a * d).otherwise((a - 1.0) * d)
                 tot = t if tot is None else tot + t
             return wavg(tot / float(len(alphas)))
+        if len(alphas) > 1:
+            # reference CHECK: preds size must equal labels * n_alphas
+            # (elementwise_metric.cu QuantileLoss) — a silent fallback
+            # to alphas[0] would mask a caller wiring error
+            raise ValueError(
+                f"quantile@{arg}: {len(alphas)} alphas but "
+                f"{len(margin_cols)} margin column(s)")
         alpha = alphas[0]
         d = yy - m
         return wavg(F.when(d >= 0, alpha * d).otherwise((alpha - 1.0) * d))
@@ -128,6 +135,10 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
                 t = F.when(d >= 0, (1.0 - a) * d * d).otherwise(a * d * d)
                 tot = t if tot is None else tot + t
             return wavg(tot / float(len(alphas)))
+        if len(alphas) > 1:
+            raise ValueError(
+                f"expectile@{arg}: {len(alphas)} alphas but "
+                f"{len(margin_cols)} margin column(s)")
         alpha = alphas[0]
         d = m - yy
         return wavg(F.when(d >= 0, (1.0 - alpha) * d * d)
@@ -369,12 +380,14 @@ def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
 def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     d = df.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
-    # reference EvalPrecision (rank_metric.cc:316-320): n_hits over the
-    # top min(k, |group|) divided by that SAME n — a group smaller than
-    # k is not penalized for its missing slots
+    # reference EvalPrecision (rank_metric.cc:316-320): n_hits = SUM OF
+    # RAW LABEL VALUES (`n_hits += g_label(g_rank[i])` — not binarized)
+    # over the top min(k, |group|), divided by that SAME n — a group
+    # smaller than k is not penalized for its missing slots.  The
+    # minus suffix has no effect on precision in the reference.
     return (
         d.groupBy(F.col(qid).alias("qid"))
-        .agg((F.sum((F.col(y) > 0).cast("double")) / F.count("*")).alias("prec"))
+        .agg((F.sum(F.col(y).cast("double")) / F.count("*")).alias("prec"))
     )
 
 
@@ -394,7 +407,7 @@ def _np_sigmoid(x):
 BARRIER_ELEMENTWISE = {
     "rmse", "rmsle", "mae", "mape", "mphe", "logloss", "error",
     "poisson-nloglik", "gamma-nloglik", "gamma-deviance", "tweedie-nloglik",
-    "quantile", "merror", "mlogloss", "aft-nloglik",
+    "quantile", "expectile", "merror", "mlogloss", "aft-nloglik",
     "interval-regression-accuracy",
 }
 #: per-query metrics: local when groups are co-partitioned by qid
@@ -402,7 +415,10 @@ BARRIER_RANKING = {"ndcg", "map", "pre"}
 
 
 def barrier_metric_supported(metric: str, has_qid: bool) -> bool:
-    name = metric.partition("@")[0]
+    # rstrip("-"): the reference's minus-suffix rank names ('map-',
+    # 'ndcg@5-', ranking_utils.cc:138) change the no-relevant-query
+    # score, not the computation locality
+    name = metric.partition("@")[0].rstrip("-")
     if name in BARRIER_ELEMENTWISE:
         return True
     return has_qid and name in BARRIER_RANKING
@@ -470,6 +486,19 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         alpha = alphas[0]
         d = y - m
         return float((w * np.where(d >= 0, alpha * d, (alpha - 1.0) * d)).sum()), W
+    if name == "expectile":
+        # reference elementwise_metric.cu:499-563: k * diff^2 with
+        # k = (1-alpha) for over-prediction, alpha for under-prediction
+        alphas = [float(a) for a in arg.split(",")] if arg else [0.5]
+        if len(alphas) > 1 and margin.ndim > 1 and margin.shape[1] == len(alphas):
+            d = margin - y[:, None]
+            al = np.asarray(alphas)[None, :]
+            loss = np.where(d >= 0, (1.0 - al) * d * d, al * d * d).mean(axis=1)
+            return float((w * loss).sum()), W
+        alpha = alphas[0]
+        d = m - y
+        return float((w * np.where(d >= 0, (1.0 - alpha) * d * d,
+                                   alpha * d * d)).sum()), W
     if name == "merror":
         pred = margin.argmax(axis=1)
         return float((w * (pred != y.astype(int))).sum()), W
@@ -494,9 +523,10 @@ def _query_rank_metric(name: str, k: int, y, score, exp_gain: bool,
     import numpy as np
     order = np.lexsort((-y, -score))        # score desc, label desc on ties
     if name == "pre":
+        # rank_metric.cc:316-320: raw label sum over top min(k, n)
         n = min(k, len(y))
         top = order[:n]
-        return float((y[top] > 0).sum()) / float(n) if n else 0.0
+        return float(y[top].sum()) / float(n) if n else 0.0
     if name == "map":
         top = order[:k]
         rel = (y[top] > 0).astype(np.float64)

@@ -1117,14 +1117,19 @@ class SparkBooster:
             ).alias("v")).first()["v"])
         if metric == "cox-nloglik":
             return metrics_mod.cox_nloglik(ev_binned, y="y", margin="m0", weight="w")
-        if name in ("ndcg", "map", "pre"):
-            k = int(metric.partition("@")[2] or 10)
+        if name.rstrip("-") in ("ndcg", "map", "pre"):
+            # parse_rank_arg handles 'ndcg@5-'/'map-' minus-suffix names
+            # (reference ranking_utils.cc:138) — a bare int() on the
+            # '@' suffix would choke on the trailing '-'
+            name, k, minus = metrics_mod.parse_rank_arg(metric)
             if name == "ndcg":
                 d = metrics_mod.ndcg_at_k(ev_binned, k, qid="q", y="y", score="m0",
-                                          exp_gain=self.params.ndcg_exp_gain)
+                                          exp_gain=self.params.ndcg_exp_gain,
+                                          minus=minus)
                 return float(d.agg(F.avg("ndcg")).first()[0])
             if name == "map":
-                d = metrics_mod.map_at_k(ev_binned, k, qid="q", y="y", score="m0")
+                d = metrics_mod.map_at_k(ev_binned, k, qid="q", y="y", score="m0",
+                                         minus=minus)
                 return float(d.agg(F.avg("ap")).first()[0])
             d = metrics_mod.precision_at_k(ev_binned, k, qid="q", y="y", score="m0")
             return float(d.agg(F.avg("prec")).first()[0])
@@ -1132,7 +1137,10 @@ class SparkBooster:
 
 
 def _maximize(metric: str) -> bool:
-    return metric.partition("@")[0] in ("auc", "aucpr", "ndcg", "map", "pre", "ams")
+    # rstrip("-"): 'map-'/'ndcg@5-' are still maximized — the minus
+    # suffix changes the no-relevant-query score, not the direction
+    return metric.partition("@")[0].rstrip("-") in (
+        "auc", "aucpr", "ndcg", "map", "pre", "ams")
 
 
 def train(params: dict | TrainParams, df: DataFrame, obj=None, **kw):

@@ -38,9 +38,14 @@ def _fold_column(df: DataFrame, nfold: int, seed: int, stratified: bool,
         # back).  global_rank = offset + bucket_rank reproduces exactly
         # the single window's round-robin ordered by (salt, hash), so
         # per-label fold sizes stay balanced to +-1.
-        spark = df.sparkSession
-        S = salt_buckets or max(
-            spark.sparkContext.defaultParallelism * 4, 64)
+        #
+        # S is a FIXED constant, not derived from cluster parallelism:
+        # fold membership must be a pure function of (data, seed,
+        # nfold) so the same job reproduces on clusters of any size.
+        # 256 buckets bound each per-bucket sort at ~1/256 of a label —
+        # small enough for any executor — while still giving 256-way
+        # sort parallelism per label.
+        S = salt_buckets or 256
         lbl = F.coalesce(F.col(label_col).cast("string"), F.lit("\0null"))
         d = (df.withColumn("_cv_h", h)
                .withColumn("_cv_l", lbl)
