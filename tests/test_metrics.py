@@ -201,11 +201,15 @@ def test_expectile_metric(spark, scored):
 
 
 def test_expectile_metric_vector_alpha(spark, scored):
+    """Vector expectile metric inputs are RAW margins: column k >= 1 is
+    a gap margin and the metric applies the SoftPlus stacking first
+    (EvalTransform = PredTransform, regression_obj.cu:458-476)."""
     df, y, m, w = scored
-    df2 = df.withColumn("m1", F.col("m0") + 0.7)
-    m1 = m + 0.7
+    df2 = df.withColumn("m1", F.lit(0.7))
+    # stacked predictions: pred0 = m, pred1 = m + eps + softplus(0.7)
+    p1 = m + 1e-6 + np.logaddexp(0.0, 0.7)
     tot = np.zeros_like(y)
-    for a, mm in ((0.3, m), (0.8, m1)):
+    for a, mm in ((0.3, m), (0.8, p1)):
         d = mm - y
         tot = tot + np.where(d >= 0, (1 - a) * d * d, a * d * d)
     assert M.compute_metric(df2, "expectile@0.3,0.8",
@@ -251,11 +255,12 @@ def test_expectile_barrier_partial_matches_dataframe(scored):
         k = np.where(d >= 0, 1 - alpha, alpha)
         assert M.metric_finalize(metric, num, den) == pytest.approx(
             (k * d * d * w).sum() / w.sum(), rel=1e-12)
-    # vector form: mean over alphas per row, like vector quantile
-    m2 = np.stack([m, m + 0.7], axis=1)
+    # vector form: raw gap margins stacked first, then mean over alphas
+    m2 = np.stack([m, np.full_like(m, 0.7)], axis=1)
     num, den = M.metric_partial_np("expectile@0.3,0.8", y, m2, w)
+    p1 = m + 1e-6 + np.logaddexp(0.0, 0.7)
     tot = np.zeros_like(y)
-    for a, mm in ((0.3, m2[:, 0]), (0.8, m2[:, 1])):
+    for a, mm in ((0.3, m), (0.8, p1)):
         d = mm - y
         tot = tot + np.where(d >= 0, (1 - a) * d * d, a * d * d)
     assert num / den == pytest.approx(((tot / 2) * w).sum() / w.sum(),

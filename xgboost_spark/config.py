@@ -88,6 +88,12 @@ class TrainParams:
     # objective-specific
     tweedie_variance_power: float = 1.5
     quantile_alpha: tuple[float, ...] = (0.5,)
+    # reference ExpectileLossParam (regression_obj.cu:340): a VECTOR of
+    # expectile levels trains one output group per alpha with the
+    # SoftPlus-stacked monotone composition.  None falls back to
+    # quantile_alpha (the pre-vector borrow) so older configs keep
+    # working.
+    expectile_alpha: tuple[float, ...] | None = None
     huber_slope: float = 1.0
     aft_loss_distribution: str = "normal"
     aft_loss_distribution_scale: float = 1.0
@@ -174,12 +180,27 @@ class TrainParams:
         return self.objective.startswith("multi:")
 
     @property
+    def expectile_alphas(self) -> tuple[float, ...]:
+        """Effective expectile levels: ``expectile_alpha`` if set, else
+        the legacy ``quantile_alpha`` borrow (scalar configs predating
+        the dedicated param)."""
+        a = (self.expectile_alpha if self.expectile_alpha is not None
+             else self.quantile_alpha)
+        return tuple(float(v) for v in (a if isinstance(a, (tuple, list))
+                                        else (a,)))
+
+    @property
     def n_groups(self) -> int:
         """Number of output groups (trees per boosting round per forest).
         Multi-alpha quantile regression trains one group per alpha
-        (reference quantile_obj.cu:272 vector alpha)."""
+        (reference quantile_obj.cu:272 vector alpha); multi-alpha
+        expectile likewise (regression_obj.cu:340 ExpectileRegression,
+        group 0 = first expectile, groups >= 1 = SoftPlus gaps)."""
         if self.objective == "reg:quantileerror" and len(self.quantile_alpha) > 1:
             return len(self.quantile_alpha)
+        if (self.objective == "reg:expectileerror"
+                and len(self.expectile_alphas) > 1):
+            return len(self.expectile_alphas)
         return self.num_class if self.is_multiclass and self.num_class > 1 else 1
 
 

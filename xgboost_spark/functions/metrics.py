@@ -126,12 +126,24 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         # ExpectileError: weight_scale * diff^2 with diff = pred -
         # label and weight_scale = (1 - alpha) for over-prediction,
         # alpha for under-prediction; "expectile@a1,a2" with K margin
-        # columns averages over (row, alpha) like vector quantile
+        # columns averages over (row, alpha) like vector quantile.
+        # Like every metric here, the inputs are RAW margins and the
+        # objective's canonical transform is applied internally: for
+        # the vector form that is the SoftPlus stacking (the reference
+        # learner runs EvalTransform = PredTransform before the metric,
+        # regression_obj.cu:458-476), so column k>=1 is a GAP margin,
+        # not the expectile itself.
         alphas = ([float(a) for a in arg.split(",")] if arg else [0.5])
         if len(alphas) > 1 and len(alphas) == len(margin_cols):
+            preds = [F.col(margin_cols[0])]
+            for mc in margin_cols[1:]:
+                mk = F.col(mc)
+                sp = F.when(mk > 0, mk + F.log1p(F.exp(-mk))) \
+                     .otherwise(F.log1p(F.exp(mk)))
+                preds.append(preds[-1] + F.lit(1e-6) + sp)
             tot = None
-            for a, mc in zip(alphas, margin_cols):
-                d = F.col(mc) - yy
+            for a, pc in zip(alphas, preds):
+                d = pc - yy
                 t = F.when(d >= 0, (1.0 - a) * d * d).otherwise(a * d * d)
                 tot = t if tot is None else tot + t
             return wavg(tot / float(len(alphas)))
@@ -488,10 +500,16 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         return float((w * np.where(d >= 0, alpha * d, (alpha - 1.0) * d)).sum()), W
     if name == "expectile":
         # reference elementwise_metric.cu:499-563: k * diff^2 with
-        # k = (1-alpha) for over-prediction, alpha for under-prediction
+        # k = (1-alpha) for over-prediction, alpha for under-prediction;
+        # vector margins are RAW (gap-parameterized) and get the
+        # SoftPlus stacking first (EvalTransform semantics — see
+        # compute_metric)
         alphas = [float(a) for a in arg.split(",")] if arg else [0.5]
         if len(alphas) > 1 and margin.ndim > 1 and margin.shape[1] == len(alphas):
-            d = margin - y[:, None]
+            stacked = margin.astype(np.float64, copy=True)
+            stacked[:, 1:] = 1e-6 + np.logaddexp(0.0, margin[:, 1:])
+            stacked = np.cumsum(stacked, axis=1)
+            d = stacked - y[:, None]
             al = np.asarray(alphas)[None, :]
             loss = np.where(d >= 0, (1.0 - al) * d * d, al * d * d).mean(axis=1)
             return float((w * loss).sum()), W

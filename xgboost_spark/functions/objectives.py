@@ -341,22 +341,77 @@ class Tweedie(Objective):
         return f"tweedie-nloglik@{self.rho}"
 
 
+_RT_EPS = 1e-6          # reference kRtEps (include/xgboost/base.h:309)
+
+
+def _softplus(x):
+    """Numerically stable ln(1 + e^x) (reference common/math.h:91)."""
+    return np.logaddexp(0.0, x)
+
+
+def _softplus_inv(x):
+    """Inverse softplus with the reference's kRtEps floor
+    (common/math.h:99): max(x, eps) + ln(-expm1(-max(x, eps)))."""
+    x = np.maximum(x, _RT_EPS)
+    return x + np.log(-np.expm1(-x))
+
+
 class Expectile(Objective):
-    """reg:expectileerror asymmetric L2 (regression_obj.cu:380-399):
-    weight_scale = (1 - alpha) when pred >= label, alpha otherwise —
-    alpha near 1 penalizes UNDER-prediction, so ascending alphas give
-    ascending expectiles (the textbook |alpha - 1(u<0)| u^2 form with
-    u = y - pred).  grad = weight_scale * diff, hess = weight_scale
-    (the reference's half-loss parameterization; its `expectile` eval
-    metric reports weight_scale * diff^2)."""
+    """reg:expectileerror asymmetric L2 (regression_obj.cu:340-500
+    ExpectileRegression): weight_scale = (1 - alpha) when pred >= label,
+    alpha otherwise — alpha near 1 penalizes UNDER-prediction, so
+    ascending alphas give ascending expectiles.  grad = weight_scale *
+    diff, hess = weight_scale (the reference's half-loss
+    parameterization; its `expectile` eval metric reports
+    weight_scale * diff^2).
+
+    ``alpha`` may be a VECTOR (reference expectile_alpha): one model
+    trains all alphas at once with the SoftPlus-stacked monotone
+    composition (regression_obj.cu:388-405) — raw margin 0 is the first
+    expectile, raw margin k >= 1 parameterizes the GAP to the previous
+    one as kRtEps + SoftPlus(m_k), so predicted expectiles are
+    non-decreasing by construction.  Target j's gradient sums the loss
+    terms of every alpha k >= j (each stacked prediction depends on all
+    earlier raw margins), scaled by d pred/d m_j = sigmoid(m_j) (1 for
+    j = 0) with a diagonal Gauss-Newton hessian scale^2 * hess_sum."""
 
     name = "reg:expectileerror"
 
-    def __init__(self, alpha: float = 0.5):
-        self.alpha = alpha
+    def __init__(self, alpha=0.5):
+        if isinstance(alpha, (tuple, list, np.ndarray)):
+            self.alphas = tuple(float(a) for a in alpha)
+        else:
+            self.alphas = (float(alpha),)
+        self.alpha = self.alphas[0]
+
+    def _stack_preds(self, margin):
+        """Cumulative stacked predictions from raw margins (n, K):
+        pred_0 = m_0; pred_k = pred_{k-1} + kRtEps + SoftPlus(m_k)."""
+        out = margin.astype(np.float64, copy=True)
+        out[:, 1:] = _RT_EPS + _softplus(margin[:, 1:])
+        return np.cumsum(out, axis=1)
 
     def grad_hess(self, y, margin, w):
-        err = margin - y
+        if margin.ndim == 2 and margin.shape[1] > 1:
+            # vector path: reference GetGradient kernel
+            # (regression_obj.cu:381-405), vectorized over rows
+            al = np.asarray(self.alphas, dtype=np.float64)[None, :]
+            pred = self._stack_preds(margin)
+            diff = pred - y[:, None]
+            ws = np.where(diff >= 0, 1.0 - al, al)
+            gs = ws * diff
+            hs = ws.copy()
+            if w is not None:
+                gs *= w[:, None]
+                hs *= w[:, None]
+            # target j accumulates alphas k >= j (suffix sums over k)
+            grad_sum = np.cumsum(gs[:, ::-1], axis=1)[:, ::-1]
+            hess_sum = np.cumsum(hs[:, ::-1], axis=1)[:, ::-1]
+            scale = 1.0 / (1.0 + np.exp(-margin))     # d SoftPlus = sigmoid
+            scale[:, 0] = 1.0
+            return scale * grad_sum, scale * scale * hess_sum
+        mm = margin[:, 0] if margin.ndim == 2 else margin
+        err = mm - y
         k = np.where(err >= 0, 1.0 - self.alpha, self.alpha)
         g = k * err
         h = k
@@ -364,12 +419,32 @@ class Expectile(Objective):
             g, h = g * w, h * w
         return g, h
 
+    def base_score(self, y, w):
+        # reference InitEstimation (regression_obj.cu:409-455): label
+        # mean + one unregularized Newton step per alpha, clamped
+        # monotone; scalar form here (the vector form — plus the
+        # ProbToMargin raw-space conversion — lives in
+        # SparkBooster._base_score, which has the distributed frame)
+        ww = np.ones_like(y, dtype=np.float64) if w is None else w
+        mean = float((y * ww).sum() / ww.sum())
+        d = mean - y
+        ws = np.where(d >= 0, 1.0 - self.alpha, self.alpha) * ww
+        g, h = float((ws * d).sum()), float(ws.sum())
+        return mean + (-g / max(h, _RT_EPS))
+
+    def pred_transform(self, margin):
+        # reference PredTransform (regression_obj.cu:458-476): stacked
+        # cumulative expectiles; scalar margin is already the prediction
+        if margin.ndim == 2 and margin.shape[1] > 1:
+            return self._stack_preds(margin)
+        return margin
+
     def default_metric(self):
         # reference ExpectileRegression::DefaultEvalMetric returns
         # "expectile" configured with expectile_alpha
         # (regression_obj.cu:484); without it early stopping would be
         # driven by the base-class "rmse" — the wrong loss
-        return f"expectile@{self.alpha}"
+        return "expectile@" + ",".join(str(a) for a in self.alphas)
 
 
 class SoftProb(Objective):
@@ -888,7 +963,7 @@ def get_objective(name: str, params=None) -> Objective:
         "count:poisson": lambda: Poisson(p.max_delta_step if p and p.max_delta_step else 0.7),
         "reg:gamma": Gamma,
         "reg:tweedie": lambda: Tweedie(p.tweedie_variance_power if p else 1.5),
-        "reg:expectileerror": lambda: Expectile(p.quantile_alpha[0] if p else 0.5),
+        "reg:expectileerror": lambda: Expectile(p.expectile_alphas if p else 0.5),
         "multi:softprob": lambda: SoftProb(p.num_class if p else 2),
         "multi:softmax": lambda: SoftMax(p.num_class if p else 2),
         "rank:ndcg": lambda: LambdaRankNDCG(

@@ -294,7 +294,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     ckpt_fp = hashlib.md5(repr((
         sorted((k, repr(v)) for k, v in vars(p).items()
                if k != "checkpoint_dir"),
-        list(fnames), int(n_part), float(base_score),
+        list(fnames), int(n_part),
+        np.asarray(base_score, dtype=np.float64).tolist(),
     )).encode()).hexdigest()
 
     from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np

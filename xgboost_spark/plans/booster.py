@@ -173,9 +173,12 @@ class SparkBooster:
     def _validate_meta(self, raw: DataFrame) -> None:
         validate_meta(raw, self.obj, self.params.objective)
 
+    # expectileerror is NOT fusable: its InitEstimation is mean + a
+    # per-alpha Newton step (regression_obj.cu:409-455), which needs a
+    # second pass over (mean - y) — see _base_score
     _FUSED_BS_OBJECTIVES = (
         "reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
-        "reg:expectileerror", "binary:logistic", "binary:logitraw",
+        "binary:logistic", "binary:logitraw",
         "reg:logistic", "count:poisson", "reg:gamma", "reg:tweedie")
 
     def _base_score_fuse_aggs(self, raw: DataFrame):
@@ -258,8 +261,39 @@ class SparkBooster:
             return float(-r["G"] / max(r["H"], 1e-16))
         w = F.col("weight") if "weight" in raw.columns else F.lit(1.0)
         y = F.col("label")
-        if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
-                    "reg:expectileerror"):
+        if name == "reg:expectileerror":
+            # reference InitEstimation (regression_obj.cu:409-455):
+            # label mean, then ONE unregularized Newton step per alpha
+            # at pred=mean (FitStump, -g/max(h, kRtEps)), clamped
+            # monotone non-decreasing; ProbToMargin (:478-485) converts
+            # the stacked expectile-space intercepts back to raw margin
+            # space (gap -> SoftPlusInv).  Two tiny scans: mean, then
+            # 2K conditional sums.
+            from xgboost_spark.functions.objectives import (
+                _RT_EPS, _softplus_inv)
+            alphas = p.expectile_alphas
+            r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
+            if r["v"] is None:
+                raise ValueError("training dataset is empty (no rows / "
+                                 "zero total weight)")
+            mean = float(r["v"])
+            d = F.lit(mean) - y
+            aggs = []
+            for i, a in enumerate(alphas):
+                ws = F.when(d >= 0, 1.0 - a).otherwise(a) * w
+                aggs += [F.sum(ws * d).alias(f"g{i}"),
+                         F.sum(ws).alias(f"h{i}")]
+            row = raw.agg(*aggs).first()
+            out = np.array([mean - float(row[f"g{i}"])
+                            / max(float(row[f"h{i}"]), _RT_EPS)
+                            for i in range(len(alphas))])
+            np.maximum.accumulate(out, out=out)
+            if len(alphas) == 1:
+                return float(out[0])
+            margin = out.copy()
+            margin[1:] = _softplus_inv(np.diff(out) - _RT_EPS)
+            return margin
+        if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror"):
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
             if r["v"] is None:
                 raise ValueError("training dataset is empty (no rows / "
@@ -858,6 +892,12 @@ class SparkBooster:
                         feat_names_out, cuts, best_it, history, is_dart) -> GBDTModel:
         """Merge continuation trees with the previous model's."""
         p = self.params
+        bs_vec = None
+        if isinstance(base_score, np.ndarray):
+            # vector intercept (multi-alpha expectile ProbToMargin):
+            # serving reads base_score_vec via GBDTModel._bs_row
+            bs_vec = np.asarray(base_score, dtype=np.float64)
+            base_score = float(bs_vec[0])
         all_trees = list(trees)
         weights = list(tree_weights) if is_dart else None
         if xgb_model is not None:
@@ -870,6 +910,8 @@ class SparkBooster:
         model = GBDTModel(p, base_score, all_trees, feat_names_out, cuts,
                           best_iteration=best_it, eval_history=history,
                           tree_weights=weights)
+        if bs_vec is not None:
+            model.base_score_vec = bs_vec
         model.obj = self.obj      # keeps custom objectives' pred_transform
         return model
 

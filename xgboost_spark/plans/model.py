@@ -588,6 +588,16 @@ class GBDTModel:
             elif name == "reg:quantileerror":
                 # multi-alpha: identity link, one value per alpha
                 out = F.array(*margins)
+            elif name == "reg:expectileerror":
+                # multi-alpha expectile PredTransform (reference
+                # regression_obj.cu:458-476): pred_0 = m_0, pred_k =
+                # pred_{k-1} + kRtEps + SoftPlus(m_k), as stable SQL
+                preds = [margins[0]]
+                for m in margins[1:]:
+                    sp = F.when(m > 0, m + F.log1p(F.exp(-m))) \
+                         .otherwise(F.log1p(F.exp(m)))
+                    preds.append(preds[-1] + F.lit(1e-6) + sp)
+                out = F.array(*preds)
             else:
                 mx = F.greatest(*margins)
                 exps = [F.exp(m - mx) for m in margins]
@@ -698,9 +708,10 @@ class GBDTModel:
             return out.drop(*enc_tmp) if enc_tmp else out
         fields = list(df.schema.fields)
         # vector prediction: class probabilities (softprob) or one value
-        # per quantile alpha (multi-alpha quantileerror)
+        # per alpha (multi-alpha quantile/expectile)
         if K > 1 and self.params.objective in ("multi:softprob",
-                                               "reg:quantileerror"):
+                                               "reg:quantileerror",
+                                               "reg:expectileerror"):
             fields.append(T.StructField("prediction", T.ArrayType(T.DoubleType())))
         else:
             fields.append(T.StructField("prediction", T.DoubleType()))
@@ -830,7 +841,8 @@ class GBDTModel:
     def _predict_pandas_udf(self, bc, K: int, use_array: bool, has_bm: bool):
         from pyspark.sql.functions import pandas_udf
         multi = K > 1 and self.params.objective in ("multi:softprob",
-                                                    "reg:quantileerror")
+                                                    "reg:quantileerror",
+                                                    "reg:expectileerror")
         ret_type = "array<double>" if multi else "double"
 
         @pandas_udf(ret_type)
