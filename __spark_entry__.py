@@ -2985,7 +2985,12 @@ def q_similarity_join(spark, sf_dir):
     _prep(spark)
     from xgboost_spark.operators.dedup import similarity_join
     docs = _table(spark, sf_dir, "documents")
-    out = similarity_join(docs, threshold=0.5, shingle_n=5)
+    # pipeline ENTRY POINT: the candidate-volume guard opts in here
+    # (the library default is None to keep plan construction lazy —
+    # round-8 advice); this callable executes the join immediately, so
+    # the sampled pre-flight is the cheap insurance it was built for
+    out = similarity_join(docs, threshold=0.5, shingle_n=5,
+                          max_candidate_pairs=200_000_000)
     return out.select(F.col("id_a").cast("bigint").alias("id_a"),
                       F.col("id_b").cast("bigint").alias("id_b"),
                       F.col("n_a").cast("bigint").alias("n_a"),

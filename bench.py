@@ -147,6 +147,34 @@ def main():
         times[qname] = timed(lambda: q(spark, SF_DIR).collect(), n=3, name=qname)
 
     total = round(sum(times.values()), 3)
+
+    # self-attribution A/B extras (round-8 verdict): recorded in the
+    # artifact ITSELF, not round notes, so future elevations are
+    # attributable without a rerun.  (a) similarity_join guard-off:
+    # isolates the deliberate ~0.5 s sampled pre-flight cost from
+    # environment noise; (b) q1_pricing same-session rerun: its r8
+    # artifact sat ~2x above r5-r7 on unchanged code — a later-in-
+    # session rerun separates "plan got slower" from "cold-start".
+    # NOT in `times`/total: the suite metric stays comparable across
+    # rounds.
+    ab: dict[str, list[float]] = {}
+    from xgboost_spark.operators.dedup import similarity_join as _sj
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def _ab(name, fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+        ab[name] = ts
+
+    _ab("similarity_join_unguarded",
+        lambda: _sj(docs, threshold=0.5, shingle_n=5,
+                    max_candidate_pairs=None).collect())
+    _ab("q1_pricing_rerun",
+        lambda: E.queries()["q1_pricing"](spark, SF_DIR).collect())
+
     print(json.dumps({
         "metric": "bench_suite_wall_clock",
         "value": total,
@@ -155,6 +183,7 @@ def main():
         "runs": runs,
         "stages": stage_runs,
         "gc_ms": gc_marks,
+        "ab": ab,
         "sf": float(sf),
     }))
     spark.stop()

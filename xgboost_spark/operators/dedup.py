@@ -347,8 +347,9 @@ def ppjoin_candidate_bound(df: DataFrame, text_col: str = "text",
 def similarity_join(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.5,
                     shingle_n: int = 2,
-                    max_candidate_pairs: int | None = 200_000_000,
-                    guard_sample: float = 0.1) -> DataFrame:
+                    max_candidate_pairs: int | None = None,
+                    guard_sample: float = 0.1,
+                    on_blowup: str = "warn") -> DataFrame:
     """Exact set-similarity self-join with COMPLETE recall (AllPairs /
     PPJoin prefix filtering; Bayardo et al. WWW'07, Xiao et al.
     WWW'08): every pair of documents whose word-``shingle_n``-gram
@@ -375,17 +376,28 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     near-linear on natural text, but a LOW-ENTROPY corpus (tiny
     vocabulary, templated rows) can make even prefix shingles common,
     and the candidate set Σ C(df_prefix, 2) silently explodes.  When
-    ``max_candidate_pairs`` is set (default 2e8), a pre-flight
-    aggregate computes that upper bound from the prefix-shingle
-    document frequencies and warns — naming the estimate and the worst
-    shingles — before the verify join runs.  The default
-    ``guard_sample=0.1`` runs the pre-flight on a 10% DOC sample
-    (cost ~10% of one shingle/window pass; the quadratic pair bound
-    rescales by 1/f^2), so healthy runs pay almost nothing;
-    ``guard_sample=1.0`` makes the bound exact, and
-    ``max_candidate_pairs=None`` skips the pre-flight entirely.  The
-    returned plan itself is unchanged either way.
+    ``max_candidate_pairs`` is set, a pre-flight aggregate computes
+    that upper bound from the prefix-shingle document frequencies and
+    — naming the estimate and the worst shingles — either warns
+    (``on_blowup="warn"``) or raises BEFORE the verify join runs
+    (``on_blowup="raise"``, the right setting for an unattended
+    pipeline that should stop rather than OOM hours later).  The
+    default ``guard_sample=0.1`` runs the pre-flight on a 10% DOC
+    sample (cost ~10% of one shingle/window pass; the quadratic pair
+    bound rescales by 1/f^2); ``guard_sample=1.0`` makes the bound
+    exact.
+
+    The guard defaults OFF (``max_candidate_pairs=None``) so this
+    function stays LAZY like every other plan builder — enabling it
+    runs Spark jobs (sample + shingle + aggregate) at CALL time, before
+    the returned DataFrame is ever executed.  Pipeline entry points
+    that execute the join immediately should opt in; capacity planning
+    without constructing the join uses ``ppjoin_candidate_bound``.
+    The returned plan itself is unchanged either way.
     """
+    if on_blowup not in ("warn", "raise"):
+        raise ValueError(f"on_blowup must be 'warn' or 'raise', "
+                         f"got {on_blowup!r}")
     sh, sizes, prefix = _ppjoin_prefix(df, text_col, id_col, threshold,
                                        shingle_n)
     if max_candidate_pairs is not None:
@@ -411,15 +423,17 @@ def similarity_join(df: DataFrame, text_col: str = "text",
                        .orderBy(F.col("pairs").desc()).limit(5).collect())
             top = ", ".join(f"{r['shingle']!r}~{int(r['pairs'])}"
                             for r in pdf_top)
-            warnings.warn(
+            msg = (
                 "similarity_join: prefix-shingle candidate bound "
                 f"~{est:.3g} pairs exceeds max_candidate_pairs="
                 f"{max_candidate_pairs:.3g} — the corpus is low-entropy "
                 "for this (threshold, shingle_n); the verify join may "
                 f"explode.  Worst prefix shingles: {top}.  Raise "
                 "threshold / shingle_n, pre-dedup with dedup_exact, or "
-                "use minhash_lsh_pairs for probabilistic recall.",
-                stacklevel=2)
+                "use minhash_lsh_pairs for probabilistic recall.")
+            if on_blowup == "raise":
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=2)
     a = prefix.select(F.col("id").alias("id_a"),
                       F.col("n_sh").alias("n_a"), "shingle")
     b = prefix.select(F.col("id").alias("id_b"),
