@@ -460,6 +460,86 @@ def q_metric_pre(spark, sf_dir):
         "map_minus double")
 
 
+def q_train_expectile(spark, sf_dir):
+    """Vector-expectile training END-TO-END through the REAL trainer +
+    serving (reference regression_obj.cu:340-500).  Rows-only by
+    nature: unlike train_multi_quantile's binary-fraction pinball
+    gradients, expectile gradients are order-dependent float sums, so
+    leaf values are not SQL-replayable — the kernel itself is
+    hash-matched separately (expectile_grad, metric_expectile).  The
+    output embeds its own invariants: monotone_violations MUST be 0
+    (SoftPlus stacking makes ascending alphas ascending by
+    construction) and frac_below must increase with alpha."""
+    _prep(spark)
+    from xgboost_spark.plans.booster import train
+    li = _table(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    model = train({"objective": "reg:expectileerror",
+                   "expectile_alpha": (0.1, 0.5, 0.9),
+                   "num_boost_round": 3, "max_depth": 3, "eta": 0.3,
+                   "seed": 5},
+                  li, feature_cols=feats, label_col="l_extendedprice")
+    out = model.transform(li, feature_cols=feats)
+    p = F.col("prediction")
+    viol = ((p.getItem(1) <= p.getItem(0))
+            | (p.getItem(2) <= p.getItem(1))).cast("bigint")
+    return out.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(viol).alias("monotone_violations"),
+        F.round(F.avg((F.col("l_extendedprice") <= p.getItem(0))
+                      .cast("double")), 2).alias("frac_below_e10"),
+        F.round(F.avg((F.col("l_extendedprice") <= p.getItem(1))
+                      .cast("double")), 2).alias("frac_below_e50"),
+        F.round(F.avg((F.col("l_extendedprice") <= p.getItem(2))
+                      .cast("double")), 2).alias("frac_below_e90"))
+
+
+def q_expectile_grad(spark, sf_dir):
+    """Vector-expectile gradient kernel through the REAL
+    Expectile.grad_hess (reference regression_obj.cu:381-405
+    ExpectileRegression::GetGradient): SoftPlus-stacked predictions
+    p_0 = m_0, p_1 = p_0 + (kRtEps + SoftPlus(m_1)); target j sums the
+    weight_scale * diff terms of every alpha k >= j, scaled by
+    d pred/d m_j = sigmoid(m_j) (1 for j = 0), hessian scale^2 * sum.
+    The entry runs the actual NumPy kernel via mapInPandas over
+    embeddings-derived margins; the oracle replays the identical IEEE
+    expression tree (stable softplus branches, p_1 grouping
+    m0 + (eps + sp) mirroring np.cumsum) with 6dp-rounded group sums."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.functions.objectives import Expectile
+    emb = _table(spark, sf_dir, "embeddings")
+    d = emb.select(F.col("label").cast("double").alias("y"),
+                   F.element_at("embedding", 1).cast("double").alias("m0"),
+                   F.element_at("embedding", 2).cast("double").alias("m1"),
+                   (F.col("label") % 4).cast("bigint").alias("bucket"))
+    obj = Expectile((0.3, 0.8))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            g, h = obj.grad_hess(
+                pdf["y"].to_numpy(np.float64),
+                np.column_stack([pdf["m0"].to_numpy(np.float64),
+                                 pdf["m1"].to_numpy(np.float64)]),
+                None)
+            yield pd.DataFrame({"bucket": pdf["bucket"],
+                                "g0": g[:, 0], "h0": h[:, 0],
+                                "g1": g[:, 1], "h1": h[:, 1]})
+
+    out = d.mapInPandas(
+        fn, schema="bucket bigint, g0 double, h0 double, "
+                   "g1 double, h1 double")
+    return out.groupBy("bucket").agg(
+        F.round(F.sum("g0"), 6).alias("sum_g0"),
+        F.round(F.sum("h0"), 6).alias("sum_h0"),
+        F.round(F.sum("g1"), 6).alias("sum_g1"),
+        F.round(F.sum("h1"), 6).alias("sum_h1"),
+        F.count("*").cast("bigint").alias("n"))
+
+
 def q_exact_duplicates(spark, sf_dir):
     """Duplicated-content groups through the REAL
     operators/dedup.exact_duplicates path (keep_first with
@@ -3497,11 +3577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "stream_score": q_stream_score,
         "train_stream": q_train_stream,
+        "train_expectile": q_train_expectile,
         # round-9 changed code / promoted + new oracles
         "train_multi_quantile": q_train_multi_quantile,
         "exact_duplicates": q_exact_duplicates,
         "metric_expectile": q_metric_expectile,
         "metric_pre": q_metric_pre,
+        "expectile_grad": q_expectile_grad,
         "similarity_join": q_similarity_join,
         # re-certification: oldest driver rows (r3/r4 block)
         "metric_auc": q_metric_auc,
@@ -3544,9 +3626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "prefix_scan": q_prefix_scan,
+        # ---- past the window (r8-certified + everything else) -----------
         "asof_join": q_asof_join,
         "topk_orders": q_topk_orders,
-        # ---- past the window (r8-certified + everything else) -----------
         "dedup_exact": q_dedup_exact,
         "segment_dedup": q_segment_dedup,
         "train_dart": q_train_dart,
@@ -4990,6 +5072,37 @@ SELECT
              + CASE WHEN d1 >= 0 THEN 0.25 * d1 * d1
                     ELSE 0.75 * d1 * d1 END) / 2.0), 6) AS e_vec
 FROM s""",
+
+        "expectile_grad": """
+WITH d AS (
+  SELECT CAST(label AS DOUBLE) AS y,
+         CAST(embedding[1] AS DOUBLE) AS m0,
+         CAST(embedding[2] AS DOUBLE) AS m1,
+         CAST(label % 4 AS BIGINT) AS bucket
+  FROM embeddings),
+s AS (
+  SELECT bucket, y, m0, m1,
+         m0 AS p0,
+         -- np.cumsum grouping: m0 + (eps + softplus(m1))
+         m0 + (1e-6 + (CASE WHEN m1 > 0 THEN m1 + ln(1 + exp(-m1))
+                            ELSE ln(1 + exp(m1)) END)) AS p1,
+         1.0 / (1.0 + exp(-m1)) AS sig1
+  FROM d),
+t AS (
+  SELECT bucket,
+         CASE WHEN p0 - y >= 0 THEN 0.7 ELSE 0.3 END AS ws0,
+         p0 - y AS d0,
+         CASE WHEN p1 - y >= 0 THEN 0.2 ELSE 0.8 END AS ws1,
+         p1 - y AS d1,
+         sig1
+  FROM s)
+SELECT bucket,
+       round(sum((ws0 * d0) + (ws1 * d1)), 6) AS sum_g0,
+       round(sum(ws0 + ws1), 6) AS sum_h0,
+       round(sum(sig1 * (ws1 * d1)), 6) AS sum_g1,
+       round(sum(sig1 * sig1 * ws1), 6) AS sum_h1,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY bucket""",
 
         "metric_pre": """
 WITH d AS (
