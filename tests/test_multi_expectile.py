@@ -198,3 +198,56 @@ def test_legacy_quantile_alpha_borrow():
                      expectile_alpha=(0.1, 0.9))
     assert p2.n_groups == 2
     assert get_objective("reg:expectileerror", p2).alphas == (0.1, 0.9)
+
+
+def test_vector_expectile_save_load_roundtrip(spark, het_df, tmp_path):
+    """A vector-expectile model must survive JSON and UBJSON
+    round-trips: expectile_alpha (else n_groups collapses to 1 on
+    load), the raw-space base_score_vec, and identical predictions."""
+    from xgboost_spark.plans.booster import train
+    from xgboost_spark.plans.model import GBDTModel
+    df, pdf = het_df
+    model = train({"objective": "reg:expectileerror",
+                   "expectile_alpha": ALPHAS, "num_boost_round": 3,
+                   "max_depth": 2}, df, feature_cols=["x", "x2"])
+    want = np.stack(model.transform(df, feature_cols=["x", "x2"])
+                    .toPandas()["prediction"].to_numpy())
+    for ext in ("json", "ubj"):
+        p = str(tmp_path / f"m.{ext}")
+        model.save(p)
+        back = GBDTModel.load(p)
+        assert back.params.n_groups == 3
+        assert tuple(back.params.expectile_alphas) == ALPHAS
+        assert np.allclose(back.base_score_vec, model.base_score_vec)
+        got = np.stack(back.transform(df, feature_cols=["x", "x2"])
+                       .toPandas()["prediction"].to_numpy())
+        assert np.allclose(got, want, atol=1e-12), ext
+
+
+def test_reference_dialect_output_space_intercepts(spark, het_df):
+    """The reference JSON dialect stores base_score in OUTPUT space
+    (stacked expectiles); loading without the engine-extension block
+    must invert with the expectile ProbToMargin, not the identity
+    link (regression_obj.cu:478-485)."""
+    import json as _json
+    from xgboost_spark.plans.booster import train
+    from xgboost_spark.plans.model import GBDTModel
+    df, _ = het_df
+    model = train({"objective": "reg:expectileerror",
+                   "expectile_alpha": ALPHAS, "num_boost_round": 2,
+                   "max_depth": 2}, df, feature_cols=["x", "x2"])
+    doc = _json.loads(model.to_json())
+    # the written learner field is the STACKED output-space vector
+    bs_out = np.array([float(x) for x in
+                       doc["learner"]["learner_model_param"]["base_score"]
+                       .strip("[]").split(",")])
+    assert (np.diff(bs_out) > 0).all()
+    stacked = model.base_score_vec.copy()
+    stacked[1:] = _RT_EPS + _softplus(model.base_score_vec[1:])
+    assert np.allclose(bs_out, np.cumsum(stacked), rtol=1e-12)
+    # strip the engine extension -> pure reference dialect
+    doc.pop("xgboost_spark")
+    back = GBDTModel.from_json(_json.dumps(doc))
+    # raw-space intercepts recovered through SoftPlusInv
+    assert np.allclose(back.base_score_vec, model.base_score_vec,
+                       atol=1e-9)

@@ -89,6 +89,21 @@ class GBDTModel:
         """All user attributes (a copy; reference Booster.attributes)."""
         return dict(self.attributes_)
 
+    def _bs_output_vec(self) -> np.ndarray:
+        """Vector intercept in OUTPUT space for the reference JSON
+        dialect (learner.cc stores base_score output-space and applies
+        ProbToMargin at load): stacked expectiles get the cumulative
+        eps+SoftPlus transform (regression_obj.cu PredTransform); other
+        vector objectives apply the scalar link per component."""
+        from xgboost_spark.functions.objectives import margin_to_prob
+        v = np.asarray(self.base_score_vec, dtype=np.float64)
+        if self.params.objective == "reg:expectileerror" and len(v) > 1:
+            out = v.copy()
+            out[1:] = 1e-6 + np.logaddexp(0.0, v[1:])
+            return np.cumsum(out)
+        return np.asarray([margin_to_prob(self.params.objective, float(x))
+                           for x in v])
+
     def _bs_row(self, K: int) -> np.ndarray:
         """Intercept as a (K,) vector for margin initialization."""
         if self.base_score_vec is not None:
@@ -227,8 +242,8 @@ class GBDTModel:
                 "learner_model_param": {
                     "base_score": (
                         "[" + ",".join(
-                            str(margin_to_prob(self.params.objective, float(v)))
-                            for v in self.base_score_vec) + "]"
+                            str(float(v)) for v in self._bs_output_vec())
+                        + "]"
                         if self.base_score_vec is not None
                         else str(margin_to_prob(self.params.objective,
                                                 self.base_score))),
@@ -262,7 +277,14 @@ class GBDTModel:
                            "num_class": self.params.num_class,
                            "eta": self.params.eta,
                            "max_depth": self.params.max_depth,
-                           "quantile_alpha": list(self.params.quantile_alpha)},
+                           "quantile_alpha": list(self.params.quantile_alpha),
+                           # without this a vector expectile model
+                           # reloads with n_groups=1 and the stacked
+                           # serving transform collapses
+                           "expectile_alpha": (
+                               list(self.params.expectile_alpha)
+                               if self.params.expectile_alpha is not None
+                               else None)},
             },
         }
         return json.dumps(doc)
@@ -300,6 +322,8 @@ class GBDTModel:
                 pd_[k] = ext["params"][k]
         if ext.get("params", {}).get("quantile_alpha"):
             pd_["quantile_alpha"] = tuple(ext["params"]["quantile_alpha"])
+        if ext.get("params", {}).get("expectile_alpha"):
+            pd_["expectile_alpha"] = tuple(ext["params"]["expectile_alpha"])
         params = TrainParams.from_dict(pd_)
         K = params.n_groups
         tree_docs = ln["gradient_booster"]["model"]["trees"]
@@ -369,10 +393,23 @@ class GBDTModel:
         else:
             # genuine reference JSON: output-space intercepts, possibly
             # one per class (learner.cc ParamArray base_score)
-            margins = [prob_to_margin(objective, v) for v in bs_vals]
-            base_score = margins[0]
-            if len(margins) > 1:
-                bs_vec = np.asarray(margins, dtype=np.float64)
+            if objective == "reg:expectileerror" and len(bs_vals) > 1:
+                # the reference's own ProbToMargin for stacked
+                # expectiles (regression_obj.cu:478-485): margin 0 is
+                # the first expectile, margin k >= 1 is the SoftPlusInv
+                # of the gap minus kRtEps — NOT the identity link
+                from xgboost_spark.functions.objectives import (
+                    _RT_EPS, _softplus_inv)
+                out = np.asarray(bs_vals, dtype=np.float64)
+                margins_v = out.copy()
+                margins_v[1:] = _softplus_inv(np.diff(out) - _RT_EPS)
+                base_score = float(margins_v[0])
+                bs_vec = margins_v
+            else:
+                margins = [prob_to_margin(objective, v) for v in bs_vals]
+                base_score = margins[0]
+                if len(margins) > 1:
+                    bs_vec = np.asarray(margins, dtype=np.float64)
         feature_names = list(ln.get("feature_names") or [])
         if not feature_names:
             nf = int(ln["learner_model_param"].get("num_feature", 0))
