@@ -251,3 +251,51 @@ def test_reference_dialect_output_space_intercepts(spark, het_df):
     # raw-space intercepts recovered through SoftPlusInv
     assert np.allclose(back.base_score_vec, model.base_score_vec,
                        atol=1e-9)
+
+
+def test_expectile_uniform_convergence(spark):
+    """Reference analog tests/python/test_eval_metrics.py:264: on
+    Uniform(0,1) labels with a constant feature, boosting pure
+    intercept corrections converges to the closed-form expectile
+    sqrt(a) / (sqrt(a) + sqrt(1-a))."""
+    from xgboost_spark.plans.booster import train
+    rng = np.random.default_rng(42)
+    n = 1000
+    pdf = pd.DataFrame({"x": np.zeros(n), "label": rng.random(n)})
+    df = spark.createDataFrame(pdf)
+    for alpha in (0.1, 0.5, 0.9):
+        m = train({"objective": "reg:expectileerror",
+                   "expectile_alpha": (alpha,), "num_boost_round": 200,
+                   "max_depth": 1, "min_child_weight": 0.0, "gamma": 0.0,
+                   "reg_lambda": 0.0, "eta": 0.2}, df, feature_cols=["x"])
+        pred = float(m.transform(df, feature_cols=["x"])
+                     .agg({"prediction": "avg"}).first()[0])
+        sa, sb = np.sqrt(alpha), np.sqrt(1.0 - alpha)
+        assert pred == pytest.approx(sa / (sa + sb), abs=1e-2), alpha
+
+
+def test_expectile_multi_output_tree(spark):
+    """Reference analog testing/multi_target.py:175 run_expectile_loss:
+    vector expectile under multi_strategy=multi_output_tree (ONE tree
+    per round with vector leaves) keeps curves non-crossing and the
+    vector expectile loss non-increasing."""
+    from xgboost_spark.plans.booster import train
+    rng = np.random.default_rng(2027)
+    n = 2048
+    X = rng.normal(size=(n, 4))
+    y = X[:, 0] - 0.5 * X[:, 1] + rng.normal(size=n)
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(4)])
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    fcols = [f"f{i}" for i in range(4)]
+    m = train({"objective": "reg:expectileerror",
+               "expectile_alpha": (0.45, 0.5, 0.55),
+               "multi_strategy": "multi_output_tree",
+               "num_boost_round": 10, "max_depth": 4},
+              df, feature_cols=fcols, evals=[(df, "train")])
+    P = np.stack(m.transform(df, feature_cols=fcols)
+                 .toPandas()["prediction"].to_numpy())
+    assert P.shape == (n, 3)
+    assert (np.diff(P, axis=1) > 0).all()
+    hist = m.eval_history["train"]["expectile@0.45,0.5,0.55"]
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
