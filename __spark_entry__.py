@@ -3557,16 +3557,18 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-9 window = the 3 rows-only-by-
-    nature entries, the 5 entries whose code or oracle changed in
-    round 9 (train_multi_quantile PROMOTED rows-only -> hash-matched
-    through the REAL barrier trainer; NEW gate entries
-    exact_duplicates / metric_expectile / metric_pre closing the r8
-    verdict's oracle holes; similarity_join re-certified with the
-    entry-point guard opt-in after the lazy-default change), then the
-    42 entries with the OLDEST driver rows (the r3/r4-certified block:
-    the metric family, relational/feature kit, sampling ops, and late
-    TPC-H shapes — none older than r5 remains outside this window).
+    hashes the FIRST 50 entries.  Round-9 window = the 4 rows-only-by-
+    nature entries (incl. NEW train_expectile, the real vector-alpha
+    trainer e2e with built-in invariants), the 6 entries whose code or
+    oracle changed in round 9 (train_multi_quantile PROMOTED rows-only
+    -> hash-matched through the REAL barrier trainer; NEW gate entries
+    exact_duplicates / metric_expectile / metric_pre / expectile_grad
+    closing the r8 verdict's oracle holes; similarity_join re-certified
+    with the entry-point guard opt-in after the lazy-default change),
+    then the 40 entries with the OLDEST driver rows (the
+    r3/r4-certified block: the metric family, relational/feature kit,
+    sampling ops, and late TPC-H shapes — none older than r5 remains
+    outside this window).
     The r5 block re-certified in round 8 moves past the window; every
     entry stays covered by the in-repo replica gate
     (tests/test_entry.py), which runs ALL entries regardless of

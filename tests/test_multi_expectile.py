@@ -251,6 +251,61 @@ def test_reference_dialect_output_space_intercepts(spark, het_df):
     # raw-space intercepts recovered through SoftPlusInv
     assert np.allclose(back.base_score_vec, model.base_score_vec,
                        atol=1e-9)
+    # the objective block's expectile_loss_param (string-encoded like
+    # the reference's SaveConfig) must restore the alphas — without it
+    # n_groups collapses to 1, the trees regroup wrongly, and serving
+    # silently sums every group into a scalar
+    assert back.params.n_groups == 3
+    assert tuple(back.params.expectile_alphas) == ALPHAS
+    got = np.stack(back.transform(df, feature_cols=["x", "x2"])
+                   .toPandas()["prediction"].to_numpy())
+    want = np.stack(model.transform(df, feature_cols=["x", "x2"])
+                    .toPandas()["prediction"].to_numpy())
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_local_booster_vector_intercepts(het_df):
+    """The local (pip-parity proxy) trainer must use the vector
+    InitEstimation for stacked expectiles — a scalar broadcast would
+    put the first expectile's OUTPUT-space value into every GAP margin
+    (wrong domain, no Newton step, no clamp)."""
+    from xgboost_spark.local.booster import LocalBooster
+    _, pdf = het_df
+    X = pdf[["x", "x2"]].to_numpy(np.float64)
+    y = pdf["label"].to_numpy(np.float64)
+    p = TrainParams(objective="reg:expectileerror", expectile_alpha=ALPHAS,
+                    num_boost_round=4, max_depth=3)
+    b = LocalBooster(p).fit(X, y)
+    assert np.asarray(b.base_score).shape == (3,)
+    assert np.allclose(b.base_score,
+                       Expectile(ALPHAS).base_score_vec(y, None))
+    P = b.predict(X)
+    assert P.shape == (len(y), 3)
+    assert (np.diff(P, axis=1) > 0).all()
+    # each column near its expectile: normalized identity imbalance
+    for j, a in enumerate(ALPHAS):
+        d = y - P[:, j]
+        ws = np.where(d >= 0, a, 1 - a)
+        assert abs((ws * d).mean() / np.abs(d).mean()) < 0.1, a
+
+
+def test_barrier_partial_mismatch_raises(scored_np=None):
+    """metric_partial_np mirrors compute_metric's CHECK: multi-alpha
+    metric + wrong margin width raises instead of silently scoring
+    alphas[0] (round-9 review finding)."""
+    from xgboost_spark.functions import metrics as M
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=50)
+    m = rng.normal(size=(50, 1))
+    with pytest.raises(ValueError, match="alphas but margin"):
+        M.metric_partial_np("expectile@0.3,0.8", y, m, None)
+    with pytest.raises(ValueError, match="alphas but margin"):
+        M.metric_partial_np("quantile@0.1,0.5,0.9", y, m, None)
+    # and 'rmse-' must NOT be claimed barrier-computable (the minus
+    # suffix is defined for rank metrics only)
+    assert not M.barrier_metric_supported("rmse-", has_qid=True)
+    assert M.barrier_metric_supported("map-", has_qid=True)
 
 
 def test_expectile_uniform_convergence(spark):

@@ -1643,9 +1643,17 @@ def test_similarity_join_default_is_lazy(spark):
         "doc_id long, text string")
     df.count()                      # materialize the input first
     ds = spark.sparkContext._jsc.sc().dagScheduler()
-    n_before = ds.nextJobId()       # py4j returns the counter as int
+    n_before = ds.nextJobId()
+    # guard the guard: the counter must be a real int (py4j converts it
+    # on this Spark version) and must move when a job actually runs —
+    # otherwise this test would be vacuously green
+    assert isinstance(n_before, int)
+    df.count()
+    n_probe = ds.nextJobId()
+    assert isinstance(n_probe, int) and n_probe > n_before, \
+        "job counter is not sensitive; lazy assertion would be vacuous"
     dedup.similarity_join(df, threshold=0.8)
-    assert ds.nextJobId() == n_before, "lazy construction ran Spark jobs"
+    assert ds.nextJobId() == n_probe, "lazy construction ran Spark jobs"
 
 
 def test_similarity_join_guard_sampled_estimate(spark):

@@ -135,12 +135,13 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         # not the expectile itself.
         alphas = ([float(a) for a in arg.split(",")] if arg else [0.5])
         if len(alphas) > 1 and len(alphas) == len(margin_cols):
+            from xgboost_spark.functions.objectives import _RT_EPS
             preds = [F.col(margin_cols[0])]
             for mc in margin_cols[1:]:
                 mk = F.col(mc)
                 sp = F.when(mk > 0, mk + F.log1p(F.exp(-mk))) \
                      .otherwise(F.log1p(F.exp(mk)))
-                preds.append(preds[-1] + F.lit(1e-6) + sp)
+                preds.append(preds[-1] + F.lit(_RT_EPS) + sp)
             tot = None
             for a, pc in zip(alphas, preds):
                 d = pc - yy
@@ -427,13 +428,14 @@ BARRIER_RANKING = {"ndcg", "map", "pre"}
 
 
 def barrier_metric_supported(metric: str, has_qid: bool) -> bool:
-    # rstrip("-"): the reference's minus-suffix rank names ('map-',
-    # 'ndcg@5-', ranking_utils.cc:138) change the no-relevant-query
-    # score, not the computation locality
-    name = metric.partition("@")[0].rstrip("-")
+    name = metric.partition("@")[0]
     if name in BARRIER_ELEMENTWISE:
         return True
-    return has_qid and name in BARRIER_RANKING
+    # rstrip("-") on the RANKING names only: the reference's
+    # minus-suffix ('map-', 'ndcg@5-', ranking_utils.cc:138) is defined
+    # for rank metrics alone — accepting 'rmse-' here would crash
+    # inside the barrier job instead of failing upfront
+    return has_qid and name.rstrip("-") in BARRIER_RANKING
 
 
 def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
@@ -495,6 +497,13 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
             al = np.asarray(alphas)[None, :]
             pin = np.where(d >= 0, al * d, (al - 1.0) * d).mean(axis=1)
             return float((w * pin).sum()), W
+        if len(alphas) > 1:
+            # same CHECK as compute_metric: a multi-alpha metric on a
+            # margin of the wrong width is a caller wiring error, not a
+            # reason to silently score alphas[0]
+            raise ValueError(
+                f"quantile@{arg}: {len(alphas)} alphas but margin has "
+                f"{margin.shape[1] if margin.ndim > 1 else 1} column(s)")
         alpha = alphas[0]
         d = y - m
         return float((w * np.where(d >= 0, alpha * d, (alpha - 1.0) * d)).sum()), W
@@ -506,13 +515,16 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         # compute_metric)
         alphas = [float(a) for a in arg.split(",")] if arg else [0.5]
         if len(alphas) > 1 and margin.ndim > 1 and margin.shape[1] == len(alphas):
-            stacked = margin.astype(np.float64, copy=True)
-            stacked[:, 1:] = 1e-6 + np.logaddexp(0.0, margin[:, 1:])
-            stacked = np.cumsum(stacked, axis=1)
+            from xgboost_spark.functions.objectives import Expectile
+            stacked = Expectile._stack_preds(margin)
             d = stacked - y[:, None]
             al = np.asarray(alphas)[None, :]
             loss = np.where(d >= 0, (1.0 - al) * d * d, al * d * d).mean(axis=1)
             return float((w * loss).sum()), W
+        if len(alphas) > 1:
+            raise ValueError(
+                f"expectile@{arg}: {len(alphas)} alphas but margin has "
+                f"{margin.shape[1] if margin.ndim > 1 else 1} column(s)")
         alpha = alphas[0]
         d = m - y
         return float((w * np.where(d >= 0, (1.0 - alpha) * d * d,

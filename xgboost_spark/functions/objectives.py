@@ -384,9 +384,12 @@ class Expectile(Objective):
             self.alphas = (float(alpha),)
         self.alpha = self.alphas[0]
 
-    def _stack_preds(self, margin):
+    @staticmethod
+    def _stack_preds(margin):
         """Cumulative stacked predictions from raw margins (n, K):
-        pred_0 = m_0; pred_k = pred_{k-1} + kRtEps + SoftPlus(m_k)."""
+        pred_0 = m_0; pred_k = pred_{k-1} + kRtEps + SoftPlus(m_k).
+        The ONE NumPy implementation of the PredTransform stacking —
+        metrics and serialization reuse it rather than re-deriving."""
         out = margin.astype(np.float64, copy=True)
         out[:, 1:] = _RT_EPS + _softplus(margin[:, 1:])
         return np.cumsum(out, axis=1)
@@ -419,6 +422,20 @@ class Expectile(Objective):
             g, h = g * w, h * w
         return g, h
 
+    @staticmethod
+    def margins_from_expectiles(out: np.ndarray) -> np.ndarray:
+        """Expectile-space intercepts -> raw gap margins: clamp monotone
+        non-decreasing, then ProbToMargin (regression_obj.cu:478-485,
+        SoftPlusInv of the gap minus kRtEps).  Shared by the local
+        booster, SparkBooster._base_score, and reference-JSON import so
+        the conversion cannot drift between them."""
+        out = np.asarray(out, dtype=np.float64).copy()
+        np.maximum.accumulate(out, out=out)
+        margin = out.copy()
+        if len(out) > 1:
+            margin[1:] = _softplus_inv(np.diff(out) - _RT_EPS)
+        return margin
+
     def base_score(self, y, w):
         # reference InitEstimation (regression_obj.cu:409-455): label
         # mean + one unregularized Newton step per alpha, clamped
@@ -431,6 +448,22 @@ class Expectile(Objective):
         ws = np.where(d >= 0, 1.0 - self.alpha, self.alpha) * ww
         g, h = float((ws * d).sum()), float(ws.sum())
         return mean + (-g / max(h, _RT_EPS))
+
+    def base_score_vec(self, y, w) -> np.ndarray:
+        """Vector InitEstimation + ProbToMargin in NumPy (local-trainer
+        twin of SparkBooster._base_score's distributed branch): raw
+        gap-margin intercepts, one per alpha.  Without this a vector
+        fit would initialize every GAP margin at the first expectile's
+        OUTPUT-space value — no Newton step, no clamp, wrong domain."""
+        ww = np.ones_like(y, dtype=np.float64) if w is None else w
+        mean = float((y * ww).sum() / ww.sum())
+        d = mean - y
+        out = np.empty(len(self.alphas))
+        for i, a in enumerate(self.alphas):
+            ws = np.where(d >= 0, 1.0 - a, a) * ww
+            out[i] = mean - float((ws * d).sum()) / max(float(ws.sum()),
+                                                        _RT_EPS)
+        return self.margins_from_expectiles(out)
 
     def pred_transform(self, margin):
         # reference PredTransform (regression_obj.cu:458-476): stacked

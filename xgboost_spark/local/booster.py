@@ -131,6 +131,11 @@ class LocalBooster:
             self.base_score = p.base_score
         elif self.obj.needs_bounds:
             self.base_score = self.obj.base_score_bounds(y_lower, y_upper, sample_weight)
+        elif K > 1 and hasattr(self.obj, "base_score_vec"):
+            # vector-intercept objectives (stacked expectile): per-group
+            # raw margins, NOT the scalar broadcast — group k >= 1 is a
+            # GAP margin in softplus-inverse space
+            self.base_score = self.obj.base_score_vec(y, sample_weight)
         else:
             self.base_score = self.obj.base_score(y, sample_weight)
         margin = np.full((n, K) if K > 1 else n, self.base_score, dtype=np.float64)

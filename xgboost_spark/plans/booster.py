@@ -270,7 +270,7 @@ class SparkBooster:
             # space (gap -> SoftPlusInv).  Two tiny scans: mean, then
             # 2K conditional sums.
             from xgboost_spark.functions.objectives import (
-                _RT_EPS, _softplus_inv)
+                _RT_EPS, Expectile)
             alphas = p.expectile_alphas
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
             if r["v"] is None:
@@ -287,12 +287,9 @@ class SparkBooster:
             out = np.array([mean - float(row[f"g{i}"])
                             / max(float(row[f"h{i}"]), _RT_EPS)
                             for i in range(len(alphas))])
-            np.maximum.accumulate(out, out=out)
             if len(alphas) == 1:
                 return float(out[0])
-            margin = out.copy()
-            margin[1:] = _softplus_inv(np.diff(out) - _RT_EPS)
-            return margin
+            return Expectile.margins_from_expectiles(out)
         if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror"):
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
             if r["v"] is None:

@@ -89,18 +89,33 @@ class GBDTModel:
         """All user attributes (a copy; reference Booster.attributes)."""
         return dict(self.attributes_)
 
+    def _objective_json(self) -> dict:
+        """Objective block in the reference dialect: vector-alpha
+        objectives carry their loss params as string-encoded arrays
+        (ExpectileRegression/QuantileError SaveConfig,
+        regression_obj.cu:495-499 / quantile_obj.cu:277), so a stripped
+        document — no engine-extension block — still reloads with the
+        right n_groups."""
+        out = {"name": self.params.objective}
+        if self.params.objective == "reg:quantileerror":
+            out["quantile_loss_param"] = {"quantile_alpha": "[" + ", ".join(
+                str(float(a)) for a in self.params.quantile_alpha) + "]"}
+        if self.params.objective == "reg:expectileerror":
+            out["expectile_loss_param"] = {"expectile_alpha": "[" + ", ".join(
+                str(float(a)) for a in self.params.expectile_alphas) + "]"}
+        return out
+
     def _bs_output_vec(self) -> np.ndarray:
         """Vector intercept in OUTPUT space for the reference JSON
         dialect (learner.cc stores base_score output-space and applies
         ProbToMargin at load): stacked expectiles get the cumulative
         eps+SoftPlus transform (regression_obj.cu PredTransform); other
         vector objectives apply the scalar link per component."""
-        from xgboost_spark.functions.objectives import margin_to_prob
+        from xgboost_spark.functions.objectives import (Expectile,
+                                                        margin_to_prob)
         v = np.asarray(self.base_score_vec, dtype=np.float64)
         if self.params.objective == "reg:expectileerror" and len(v) > 1:
-            out = v.copy()
-            out[1:] = 1e-6 + np.logaddexp(0.0, v[1:])
-            return np.cumsum(out)
+            return Expectile._stack_preds(v[None, :])[0]
         return np.asarray([margin_to_prob(self.params.objective, float(x))
                            for x in v])
 
@@ -250,7 +265,7 @@ class GBDTModel:
                     "num_class": str(self.params.num_class),
                     "num_feature": str(len(self.feature_names)),
                 },
-                "objective": {"name": self.params.objective},
+                "objective": self._objective_json(),
                 "gradient_booster": {
                     "name": "gbtree",
                     "model": {
@@ -324,6 +339,34 @@ class GBDTModel:
             pd_["quantile_alpha"] = tuple(ext["params"]["quantile_alpha"])
         if ext.get("params", {}).get("expectile_alpha"):
             pd_["expectile_alpha"] = tuple(ext["params"]["expectile_alpha"])
+
+        def _alphas_from_objective_cfg(param_key: str, alpha_key: str):
+            # genuine reference JSON carries the loss params inside the
+            # objective block (ExpectileRegression/QuantileError
+            # SaveConfig, regression_obj.cu:495-499 /
+            # quantile_obj.cu:277) — XGBoostParameter values serialize
+            # as STRINGS like "[0.25, 0.5, 0.75]"; without this a
+            # vector model loads with n_groups=1 and serving collapses
+            cfg = ln["objective"].get(param_key) or {}
+            v = cfg.get(alpha_key)
+            if v is None:
+                return None
+            if isinstance(v, str):
+                v = [x for x in v.strip("[]() ").split(",") if x.strip()]
+            if not isinstance(v, (list, tuple)):
+                v = [v]
+            return tuple(float(x) for x in v) or None
+
+        if "expectile_alpha" not in pd_ and objective == "reg:expectileerror":
+            a = _alphas_from_objective_cfg("expectile_loss_param",
+                                           "expectile_alpha")
+            if a:
+                pd_["expectile_alpha"] = a
+        if "quantile_alpha" not in pd_ and objective == "reg:quantileerror":
+            a = _alphas_from_objective_cfg("quantile_loss_param",
+                                           "quantile_alpha")
+            if a:
+                pd_["quantile_alpha"] = a
         params = TrainParams.from_dict(pd_)
         K = params.n_groups
         tree_docs = ln["gradient_booster"]["model"]["trees"]
@@ -398,11 +441,9 @@ class GBDTModel:
                 # expectiles (regression_obj.cu:478-485): margin 0 is
                 # the first expectile, margin k >= 1 is the SoftPlusInv
                 # of the gap minus kRtEps — NOT the identity link
-                from xgboost_spark.functions.objectives import (
-                    _RT_EPS, _softplus_inv)
-                out = np.asarray(bs_vals, dtype=np.float64)
-                margins_v = out.copy()
-                margins_v[1:] = _softplus_inv(np.diff(out) - _RT_EPS)
+                from xgboost_spark.functions.objectives import Expectile
+                margins_v = Expectile.margins_from_expectiles(
+                    np.asarray(bs_vals, dtype=np.float64))
                 base_score = float(margins_v[0])
                 bs_vec = margins_v
             else:
@@ -629,11 +670,12 @@ class GBDTModel:
                 # multi-alpha expectile PredTransform (reference
                 # regression_obj.cu:458-476): pred_0 = m_0, pred_k =
                 # pred_{k-1} + kRtEps + SoftPlus(m_k), as stable SQL
+                from xgboost_spark.functions.objectives import _RT_EPS
                 preds = [margins[0]]
                 for m in margins[1:]:
                     sp = F.when(m > 0, m + F.log1p(F.exp(-m))) \
                          .otherwise(F.log1p(F.exp(m)))
-                    preds.append(preds[-1] + F.lit(1e-6) + sp)
+                    preds.append(preds[-1] + F.lit(_RT_EPS) + sp)
                 out = F.array(*preds)
             else:
                 mx = F.greatest(*margins)
