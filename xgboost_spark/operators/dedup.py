@@ -393,7 +393,13 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     the returned DataFrame is ever executed.  Pipeline entry points
     that execute the join immediately should opt in; capacity planning
     without constructing the join uses ``ppjoin_candidate_bound``.
-    The returned plan itself is unchanged either way.
+    Cost note: at SMALL corpora the pre-flight is dominated by fixed
+    multi-stage scheduling overhead (~2 s on local[32] at sf0.1,
+    roughly half a full join there), NOT data volume — the sampled
+    data cost is ~guard_sample of one shingle/window pass, so the
+    overhead fraction shrinks as the corpus grows, which is exactly
+    where the guard matters.  The returned plan itself is unchanged
+    either way.
     """
     if on_blowup not in ("warn", "raise"):
         raise ValueError(f"on_blowup must be 'warn' or 'raise', "
