@@ -255,53 +255,99 @@ def q_subsample(spark, sf_dir):
 
 
 def q_logistic_grad(spark, sf_dir):
+    """binary:logistic gradients through the REAL Logistic.grad_hess
+    NumPy kernel via mapInPandas (reference regression_loss.h:91;
+    round-9 rewiring — the entry previously re-derived sigmoid math as
+    Catalyst expressions, so the driver gate never executed the shipped
+    kernel).  h = max(p(1-p), eps); the clamp never fires at these
+    moderate margins so the SQL twin stays p(1-p)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.functions.objectives import Logistic
     emb = _table(spark, sf_dir, "embeddings")
-    m = F.element_at("embedding", 1).cast("double")
-    y = (F.col("label") % 2).cast("double")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
-    return (emb.select(y.alias("yl"), (p - y).alias("g"), (p * (1 - p)).alias("h"))
-            .groupBy(F.col("yl").cast("bigint").alias("label"))
+    d = emb.select((F.col("label") % 2).cast("double").alias("y"),
+                   F.element_at("embedding", 1).cast("double").alias("m0"))
+    obj = Logistic()
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            g, h = obj.grad_hess(pdf["y"].to_numpy(np.float64),
+                                 pdf["m0"].to_numpy(np.float64), None)
+            yield pd.DataFrame({"y": pdf["y"], "g": g, "h": h})
+
+    out = d.mapInPandas(fn, schema="y double, g double, h double")
+    return (out.groupBy(F.col("y").cast("bigint").alias("label"))
             .agg(F.round(F.sum("g"), 6).alias("sum_g"),
                  F.round(F.sum("h"), 6).alias("sum_h"),
                  F.count("*").cast("bigint").alias("n")))
 
 
 def q_softmax_grad(spark, sf_dir):
+    """multi:softprob gradients through the REAL SoftProb.grad_hess
+    NumPy kernel via mapInPandas (reference multiclass_obj.cu:234-238;
+    round-9 rewiring from inline Catalyst softmax).  Per-class gradient
+    sums over embedding-derived 3-class margins."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+    from xgboost_spark.functions.objectives import SoftProb
     emb = _table(spark, sf_dir, "embeddings")
-    ms = [F.element_at("embedding", i + 1).cast("double") for i in range(3)]
-    mx = F.greatest(*ms)
-    es = [F.exp(m - mx) for m in ms]
-    z = es[0] + es[1] + es[2]
-    y3 = (F.col("label") % 3)
-    rows = []
-    for k in range(3):
-        g = es[k] / z - (y3 == k).cast("double")
-        rows.append(emb.select(F.lit(k).cast("bigint").alias("class"), g.alias("g")))
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
-    return u.groupBy("class").agg(F.round(F.sum("g"), 6).alias("sum_g"))
+    d = emb.select((F.col("label") % 3).cast("double").alias("y"),
+                   *[F.element_at("embedding", i + 1).cast("double")
+                     .alias(f"m{i}") for i in range(3)])
+    obj = SoftProb(3)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.column_stack([pdf[f"m{i}"].to_numpy(np.float64)
+                                 for i in range(3)])
+            g, _ = obj.grad_hess(pdf["y"].to_numpy(np.float64), m, None)
+            yield pd.DataFrame({"g0": g[:, 0], "g1": g[:, 1], "g2": g[:, 2]})
+
+    out = d.mapInPandas(fn, schema="g0 double, g1 double, g2 double")
+    row = out.agg(*[F.round(F.sum(f"g{k}"), 6).alias(f"s{k}")
+                    for k in range(3)]).first()
+    return spark.createDataFrame(
+        [(k, float(row[f"s{k}"])) for k in range(3)],
+        "class bigint, sum_g double")
 
 
 def q_metric_regression(spark, sf_dir):
+    """rmse + mae through the REAL functions/metrics.compute_metric
+    dispatch (round-9 rewiring from inline expressions — the gate now
+    executes the shipped kernels)."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import compute_metric
     emb = _table(spark, sf_dir, "embeddings")
-    pred = F.lit(4.5) + F.lit(3.0) * F.element_at("embedding", 2).cast("double")
-    y = F.col("label").cast("double")
-    return emb.agg(
-        F.round(F.sqrt(F.avg((pred - y) ** 2)), 6).alias("rmse"),
-        F.round(F.avg(F.abs(pred - y)), 6).alias("mae"),
-    )
+    d = emb.select(F.col("label").cast("double").alias("y"),
+                   (F.lit(4.5) + F.lit(3.0)
+                    * F.element_at("embedding", 2).cast("double"))
+                   .alias("m0"))
+    rmse = compute_metric(d, "rmse")
+    mae = compute_metric(d, "mae")
+    return spark.createDataFrame([(round(rmse, 6), round(mae, 6))],
+                                 "rmse double, mae double")
 
 
 def q_metric_logloss(spark, sf_dir):
+    """logloss + error@0.5 through the REAL compute_metric dispatch
+    (round-9 rewiring).  compute_metric clamps p to [1e-16, 1-1e-16];
+    the clamp never fires at these moderate margins so the SQL twin
+    stays the bare cross-entropy."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import compute_metric
     emb = _table(spark, sf_dir, "embeddings")
-    m = F.element_at("embedding", 1).cast("double")
-    y = (F.col("label") % 2).cast("double")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
-    ll = -(y * F.log(p) + (1 - y) * F.log(1 - p))
-    err = ((m > 0).cast("double") != y).cast("double")
-    return emb.agg(F.round(F.avg(ll), 6).alias("logloss"),
-                   F.round(F.avg(err), 6).alias("error"))
+    d = emb.select((F.col("label") % 2).cast("double").alias("y"),
+                   F.element_at("embedding", 1).cast("double").alias("m0"))
+    ll = compute_metric(d, "logloss")
+    err = compute_metric(d, "error")
+    return spark.createDataFrame([(round(ll, 6), round(err, 6))],
+                                 "logloss double, error double")
 
 
 def q_metric_multiclass(spark, sf_dir):
@@ -345,53 +391,52 @@ def q_metric_ams_cox(spark, sf_dir):
 
 
 def q_metric_auc(spark, sf_dir):
+    """Tie-aware binary AUC through the REAL metrics.auc_binary kernel
+    (reference auc.cc:421 BinaryROCAUC; round-9 rewiring — the entry
+    previously re-derived the groupBy-score + prefix-scan trapezoid
+    inline, so the gate never ran the shipped function).  Oracle: the
+    same exclusive-cumulative-negatives trapezoid in SQL."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import auc_binary
     emb = _table(spark, sf_dir, "embeddings")
-    d = emb.select(F.element_at("embedding", 1).cast("double").alias("s"),
+    d = emb.select(F.element_at("embedding", 1).cast("double").alias("m0"),
                    (F.col("label") % 2).cast("double").alias("y"))
-    g = d.groupBy("s").agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
-    # exclusive cumulative negatives via the distributed prefix scan
-    # (SQL twin: SUM(neg) OVER (ORDER BY s ROWS ... AND 1 PRECEDING))
-    from xgboost_spark.operators.scan import prefix_sums
-    g = prefix_sums(g, "s", ["neg"]).withColumn(
-        "cumneg", F.col("cum_neg") - F.col("neg"))
-    return g.agg(F.round(
-        F.sum(F.col("pos") * (F.col("cumneg") + F.col("neg") / 2))
-        / (F.sum("pos") * F.sum("neg")), 6).alias("auc"))
+    v = auc_binary(d, y="y", score="m0")
+    return spark.createDataFrame([(round(v, 6),)], "auc double")
 
 
 def q_metric_ndcg(spark, sf_dir):
+    """ndcg@5 (linear gain) through the REAL metrics.ndcg_at_k kernel
+    (reference rank_metric.cc:461-469; round-9 rewiring from an inline
+    window replica).  Kernel tie-break is (score desc, label desc) —
+    outcome-deterministic because rows tied on BOTH contribute equal
+    gains at every rank; the oracle replays the same rule."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import ndcg_at_k
     ev = _table(spark, sf_dir, "events")
     rel = F.greatest(F.least(F.col("value"), F.lit(100.0)) / 10.0, F.lit(0.0))
     score = (F.col("event_id") % 97).cast("double")
-    wp = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("event_id").asc())
-    wi = Window.partitionBy("user_id").orderBy(F.col("rel").desc(), F.col("event_id").asc())
-    d = (ev.select("user_id", "event_id", rel.alias("rel"), score.alias("score"))
-         .withColumn("rkp", F.row_number().over(wp))
-         .withColumn("rki", F.row_number().over(wi)))
-    per_q = (d.groupBy("user_id").agg(
-        F.sum(F.when(F.col("rkp") <= 5, F.col("rel") / F.log2(F.col("rkp") + 1)).otherwise(0.0)).alias("dcg"),
-        F.sum(F.when(F.col("rki") <= 5, F.col("rel") / F.log2(F.col("rki") + 1)).otherwise(0.0)).alias("idcg")))
-    nd = F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(F.lit(1.0))
-    return per_q.agg(F.round(F.avg(nd), 6).alias("avg_ndcg"),
+    d = ev.select(F.col("user_id").alias("q"), rel.alias("y"),
+                  score.alias("m0"))
+    per_q = ndcg_at_k(d, 5, exp_gain=False)
+    return per_q.agg(F.round(F.avg("ndcg"), 6).alias("avg_ndcg"),
                      F.count("*").cast("bigint").alias("n_queries"))
 
 
 def q_metric_map(spark, sf_dir):
+    """map@5 through the REAL metrics.map_at_k kernel (reference
+    rank_metric.cc:408-453 EvalMAPScore; round-9 rewiring).  Carries
+    the reference default the inline replica missed: a query with NO
+    relevant documents scores 1, not 0 (rank_metric.cc:443)."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import map_at_k
     ev = _table(spark, sf_dir, "events")
     rel = (F.col("value") > 50).cast("double")
     score = (F.col("event_id") % 97).cast("double")
-    wp = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("event_id").asc())
-    d = (ev.select("user_id", "event_id", rel.alias("rel"), score.alias("score"))
-         .withColumn("rk", F.row_number().over(wp)))
-    wcum = (Window.partitionBy("user_id").orderBy("rk")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    d = d.withColumn("cumrel", F.sum("rel").over(wcum))
-    per_q = (d.groupBy("user_id").agg(
-        F.sum(F.when((F.col("rk") <= 5) & (F.col("rel") > 0),
-                     F.col("cumrel") / F.col("rk")).otherwise(0.0)).alias("apn"),
-        F.least(F.sum("rel"), F.lit(5.0)).alias("denom")))
-    ap = F.when(F.col("denom") > 0, F.col("apn") / F.col("denom")).otherwise(0.0)
-    return per_q.agg(F.round(F.avg(ap), 6).alias("avg_map"))
+    d = ev.select(F.col("user_id").alias("q"), rel.alias("y"),
+                  score.alias("m0"))
+    per_q = map_at_k(d, 5)
+    return per_q.agg(F.round(F.avg("ap"), 6).alias("avg_map"))
 
 
 def q_metric_expectile(spark, sf_dir):
@@ -568,19 +613,23 @@ def q_exact_duplicates(spark, sf_dir):
 
 
 def q_count_family(spark, sf_dir):
-    """poisson/gamma/tweedie nloglik family at constant log-margin 3.2
-    (elementwise metric kernels as one aggregation)."""
+    """poisson/gamma/tweedie nloglik family through the REAL
+    compute_metric dispatch at constant log-margin 3.2 (round-9
+    rewiring from inline aggregations — and a fidelity catch: the
+    inline poisson skipped the lgamma(y+1) term compute_metric carries
+    per the reference elementwise kernel; the oracle replays the
+    kernel's Stirling form exactly)."""
+    _prep(spark)
+    from xgboost_spark.functions.metrics import compute_metric
     li = _table(spark, sf_dir, "lineitem")
-    y = F.col("l_quantity")
-    m = F.lit(3.2)
-    mu = F.exp(m)
-    rho = 1.5
-    pois = mu - y * m
-    gdev = 2.0 * (F.log(mu / y) + y / mu - 1.0)
-    tw = -(y * F.exp((1 - rho) * m) / (1 - rho) - F.exp((2 - rho) * m) / (2 - rho))
-    return li.agg(F.round(F.avg(pois), 6).alias("poisson_nll"),
-                  F.round(F.avg(gdev), 6).alias("gamma_dev"),
-                  F.round(F.avg(tw), 6).alias("tweedie_nll"))
+    d = li.select(F.col("l_quantity").cast("double").alias("y"),
+                  F.lit(3.2).alias("m0"))
+    pois = compute_metric(d, "poisson-nloglik")
+    gdev = compute_metric(d, "gamma-deviance")
+    tw = compute_metric(d, "tweedie-nloglik@1.5")
+    return spark.createDataFrame(
+        [(round(pois, 6), round(gdev, 6), round(tw, 6))],
+        "poisson_nll double, gamma_dev double, tweedie_nll double")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -4992,8 +5041,10 @@ WITH d AS (
          CAST(event_id % 97 AS DOUBLE) AS score
   FROM events),
 r AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id ASC) AS rkp,
-            row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, event_id ASC) AS rki
+  -- kernel tie-break (score desc, rel desc): rows tied on BOTH have
+  -- equal gains, so the residual order is outcome-irrelevant
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rel DESC) AS rkp,
+            row_number() OVER (PARTITION BY user_id ORDER BY rel DESC) AS rki
   FROM d),
 pq AS (
   SELECT user_id,
@@ -5010,20 +5061,33 @@ WITH d AS (
          CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS rel,
          CAST(event_id % 97 AS DOUBLE) AS score
   FROM events),
-r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id ASC) AS rk FROM d),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rel DESC) AS rk FROM d),
 c AS (SELECT *, sum(rel) OVER (PARTITION BY user_id ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel FROM r),
 pq AS (
   SELECT user_id,
          sum(CASE WHEN rk <= 5 AND rel > 0 THEN cumrel / rk ELSE 0.0 END) AS apn,
          least(sum(rel), 5.0) AS denom
   FROM c GROUP BY user_id)
-SELECT round(avg(CASE WHEN denom > 0 THEN apn / denom ELSE 0.0 END), 6) AS avg_map FROM pq""",
+-- rank_metric.cc:443: a query with NO relevant docs scores 1, not 0
+SELECT round(avg(CASE WHEN denom > 0 THEN apn / denom ELSE 1.0 END), 6) AS avg_map FROM pq""",
 
+        # poisson carries compute_metric's Stirling lgamma(y+1) term
+        # (functions/metrics._lgamma — Spark has no lgamma builtin, so
+        # the oracle replays the SAME approximation, not exact lgamma)
         "count_family": """
-SELECT round(avg(exp(3.2) - l_quantity * 3.2), 6) AS poisson_nll,
-       round(avg(2.0 * (ln(exp(3.2) / l_quantity) + l_quantity / exp(3.2) - 1.0)), 6) AS gamma_dev,
-       round(avg(-(l_quantity * exp((1 - 1.5) * 3.2) / (1 - 1.5) - exp((2 - 1.5) * 3.2) / (2 - 1.5))), 6) AS tweedie_nll
-FROM lineitem""",
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) + 1.0 AS x
+  FROM lineitem)
+SELECT round(avg(exp(3.2) - y * 3.2
+               + ((x - 0.5) * ln(greatest(x, 1.0)) - x
+                  + 0.5 * ln(2 * pi()) + 1.0 / (12.0 * greatest(x, 1.0)))),
+             6) AS poisson_nll,
+       round(avg(2.0 * (ln(exp(3.2) / y) + y / exp(3.2) - 1.0)), 6)
+         AS gamma_dev,
+       round(avg(-(y * exp((1 - 1.5) * 3.2) / (1 - 1.5)
+                   - exp((2 - 1.5) * 3.2) / (2 - 1.5))), 6) AS tweedie_nll
+FROM d""",
 
         "dedup_exact": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
