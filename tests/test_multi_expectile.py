@@ -290,7 +290,7 @@ def test_local_booster_vector_intercepts(het_df):
         assert abs((ws * d).mean() / np.abs(d).mean()) < 0.1, a
 
 
-def test_barrier_partial_mismatch_raises(scored_np=None):
+def test_barrier_partial_mismatch_raises():
     """metric_partial_np mirrors compute_metric's CHECK: multi-alpha
     metric + wrong margin width raises instead of silently scoring
     alphas[0] (round-9 review finding)."""

@@ -530,11 +530,14 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str 
     """
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   norm.alias("nrm")).filter(F.col("nrm") > 0)
     if not brute_force:
+        # the dim probe runs a job — only the LSH branch needs it, so
+        # brute_force construction stays fully lazy (and empty-input
+        # safe)
+        dim = len(df.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
         planes = rng.normal(size=(n_planes, dim))
         sig = F.concat(*[
