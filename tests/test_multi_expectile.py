@@ -354,3 +354,25 @@ def test_expectile_multi_output_tree(spark):
     assert (np.diff(P, axis=1) > 0).all()
     hist = m.eval_history["train"]["expectile@0.45,0.5,0.55"]
     assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+
+
+def test_vector_eval_metric_width_checked_upfront(spark, het_df):
+    """A vector-alpha eval metric that can't match the model's output
+    width fails BEFORE training starts, not mid-barrier-job."""
+    from xgboost_spark.plans.booster import train
+    df, _ = het_df
+    with pytest.raises(ValueError, match="output group"):
+        train({"objective": "reg:squarederror", "num_boost_round": 2,
+               "max_depth": 2, "eval_metric": ["expectile@0.3,0.8"]},
+              df, feature_cols=["x", "x2"], evals=[(df, "train")])
+    with pytest.raises(ValueError, match="output group"):
+        train({"objective": "reg:expectileerror",
+               "expectile_alpha": (0.1, 0.5, 0.9), "num_boost_round": 2,
+               "max_depth": 2, "eval_metric": ["quantile@0.25,0.75"]},
+              df, feature_cols=["x", "x2"], evals=[(df, "train")])
+    # matching width passes through
+    m = train({"objective": "reg:expectileerror",
+               "expectile_alpha": (0.2, 0.8), "num_boost_round": 2,
+               "max_depth": 2, "eval_metric": ["expectile@0.2,0.8"]},
+              df, feature_cols=["x", "x2"], evals=[(df, "train")])
+    assert "expectile@0.2,0.8" in m.eval_history["train"]

@@ -398,6 +398,18 @@ class SparkBooster:
         )
         Fn = len(fnames)
         self._validate_meta(raw)
+        # fail a vector-alpha eval metric that can't match this model's
+        # output width BEFORE training starts (the kernels raise too,
+        # but mid-barrier-job — reference CHECKs this upfront)
+        for mname in (p.eval_metric or []):
+            mbase, _, marg = mname.partition("@")
+            if mbase.rstrip("-") in ("quantile", "expectile") and marg:
+                n_alphas = len([a for a in marg.rstrip("-").split(",")
+                                if a.strip()])
+                if n_alphas > 1 and n_alphas != K:
+                    raise ValueError(
+                        f"eval_metric {mname!r} has {n_alphas} alphas but "
+                        f"the model produces {K} output group(s)")
         FIT_STAGE_TIMES["prep"] = round(time.monotonic() - _t0, 3)
         _t1 = time.monotonic()
         feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
