@@ -179,3 +179,121 @@ def test_ref_json_jvm_expr_path(spark):
                     key=lambda c: c[0][0])
     for got, (_, want) in zip(out["prediction"], expect):
         assert got == pytest.approx(want)
+
+# --------------------------------------------------------------- DART dialect
+
+def _dartify(saved: dict, legacy: bool) -> dict:
+    """Rewrite an engine save into the genuine reference DART dialect.
+
+    legacy=True: `src/gbm/gbtree.cc:448-463` — gradient_booster is
+    ``{"name": "dart", "gbtree": {model...}, "weight_drop": [...]}``.
+    legacy=False: modern save — ``weight_drop`` array INSIDE the model
+    object (`src/gbm/gbtree_model.cc:80-84`), name stays "gbtree".
+    Strips the engine extension block either way."""
+    doc = json.loads(json.dumps(saved))
+    ext = doc.pop("xgboost_spark")
+    gb = doc["learner"]["gradient_booster"]
+    rounds = ext["tree_weights"]
+    trees = gb["model"]["trees"]
+    K = max(len(trees) // len(rounds), 1)
+    per_tree = [w for w in rounds for _ in range(K)]
+    if legacy:
+        doc["learner"]["gradient_booster"] = {
+            "name": "dart",
+            "gbtree": {"model": gb["model"]},
+            "weight_drop": per_tree,
+        }
+    else:
+        gb["model"]["weight_drop"] = per_tree
+    return doc
+
+
+@pytest.mark.parametrize("legacy", [True, False], ids=["nested", "in-model"])
+def test_ref_dart_json_dialects(spark, reg_df, legacy):
+    """A stripped genuine-dialect DART doc (no extension block) must load
+    and predict exactly like the extension-block round trip."""
+    from xgboost_spark.plans.booster import train
+    fc = [f"c{i}" for i in range(5)]
+    model = train({"num_boost_round": 6, "max_depth": 3, "base_score": 0.0,
+                   "booster": "dart", "rate_drop": 0.5, "one_drop": True,
+                   "seed": 7}, reg_df, feature_cols=fc)
+    assert any(w != 1.0 for w in model.tree_weights)
+    saved = json.loads(model.to_json())
+    m_ext = GBDTModel.from_json(json.dumps(saved))
+    m_ref = GBDTModel.from_json(json.dumps(_dartify(saved, legacy)))
+    assert m_ref.tree_weights == pytest.approx(m_ext.tree_weights)
+    sample = reg_df.limit(200)
+    a = (m_ext.transform(sample, feature_cols=fc, output_margin=True)
+         .toPandas().sort_values("c0")["margin"])
+    b = (m_ref.transform(sample, feature_cols=fc, output_margin=True)
+         .toPandas().sort_values("c0")["margin"])
+    assert np.array_equal(np.stack(a.to_numpy()), np.stack(b.to_numpy()))
+
+
+def test_ref_dart_legacy_override_and_short_array(spark, reg_df):
+    """Reference compat rules: a top-level weight_drop OVERRIDES the
+    model-level array, and a short array (CHECK_LE, gbtree.cc:462)
+    leaves the remaining trees at weight 1.0."""
+    from xgboost_spark.plans.booster import train
+    fc = [f"c{i}" for i in range(5)]
+    model = train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0,
+                   "booster": "dart", "rate_drop": 0.0, "seed": 3},
+                  reg_df, feature_cols=fc)
+    saved = json.loads(model.to_json())
+    doc = _dartify(saved, legacy=False)
+    doc["learner"]["gradient_booster"]["model"]["weight_drop"] = [0.5, 0.5, 0.5]
+    doc["learner"]["gradient_booster"]["weight_drop"] = [0.25]   # wins, short
+    m = GBDTModel.from_json(json.dumps(doc))
+    assert m.tree_weights == pytest.approx([0.25, 1.0, 1.0])
+
+
+# ----------------------------------------------------------- gblinear dialect
+
+def test_ref_gblinear_json_dialect(spark):
+    """Genuine reference gblinear JSON (`src/gbm/gblinear_model.cc:10-42`):
+    flat (num_feature+1) weights with bias last, output-space
+    "[5E-1]"-style base_score, no feature_names."""
+    from xgboost_spark.plans.linear import LinearModel
+    doc = {
+        "version": [3, 0, 2],
+        "learner": {
+            "attributes": {},
+            "feature_names": [],
+            "feature_types": [],
+            "learner_model_param": {
+                "base_score": "[5E-1]", "num_class": "0",
+                "num_feature": "2", "num_target": "1",
+            },
+            "objective": {"name": "binary:logistic",
+                          "reg_loss_param": {"scale_pos_weight": "1"}},
+            "gradient_booster": {
+                "name": "gblinear",
+                "model": {"weights": [0.5, -0.25, 2.0],
+                          "boosted_rounds": 10},
+            },
+        },
+    }
+    m = LinearModel.from_json(json.dumps(doc))
+    assert m.base_score == pytest.approx(0.0)            # logit(0.5)
+    assert list(m.weights) == pytest.approx([0.5, -0.25])
+    assert m.bias == pytest.approx(2.0)
+    assert m.feature_names == ["f0", "f1"]
+    df = spark.createDataFrame(pd.DataFrame({"f0": [2.0], "f1": [4.0]}))
+    out = m.transform(df, feature_cols=["f0", "f1"],
+                      output_margin=True).toPandas()
+    assert out["margin"][0] == pytest.approx(0.5 * 2.0 - 0.25 * 4.0 + 2.0)
+    assert out["prediction"][0] == pytest.approx(
+        1.0 / (1.0 + math.exp(-2.0)))
+
+
+def test_ref_gblinear_multigroup_raises():
+    from xgboost_spark.plans.linear import LinearModel
+    doc = {"learner": {
+        "learner_model_param": {"base_score": "0.5", "num_class": "3",
+                                "num_feature": "2"},
+        "objective": {"name": "multi:softprob"},
+        "gradient_booster": {"name": "gblinear",
+                             "model": {"weights": [0.0] * 9}},
+    }}
+    with pytest.raises(NotImplementedError):
+        LinearModel.from_json(json.dumps(doc))

@@ -92,17 +92,55 @@ class LinearModel:
                 },
                 "objective": {"name": self.params.objective},
                 "feature_names": self.feature_names,
-                "learner_model_param": {"base_score": str(self.base_score)},
+                "learner_model_param": {
+                    "base_score": str(self.base_score),
+                    "num_feature": str(len(self.feature_names)),
+                    "num_class": "0",
+                },
             },
+            # marks base_score as margin-space (engine's own save);
+            # absent on genuine reference docs, which store it in
+            # OUTPUT space (learner.cc ProbToMargin on load)
+            "xgboost_spark": {"base_score_margin": float(self.base_score)},
         })
 
     @classmethod
     def from_json(cls, s: str) -> "LinearModel":
-        doc = json.loads(s)["learner"]
-        wb = doc["gradient_booster"]["model"]["weights"]
-        params = TrainParams.from_dict({"objective": doc["objective"]["name"]})
-        return cls(params, float(doc["learner_model_param"]["base_score"]),
-                   np.asarray(wb[:-1]), wb[-1], list(doc["feature_names"]))
+        """Load engine saves AND genuine reference gblinear JSON
+        (`src/gbm/gblinear_model.cc:10-42`): weights are the flat
+        ``(num_feature + 1) * num_output_group`` array with the bias
+        block last (`gblinear_model.h:49-55`); ``base_score`` may be the
+        reference's "[5E-1]" array-string in OUTPUT space and
+        ``feature_names`` may be absent (fall back to f{i})."""
+        full = json.loads(s)
+        doc = full["learner"]
+        ext = full.get("xgboost_spark", {})
+        lmp = doc["learner_model_param"]
+        gb = doc["gradient_booster"]
+        wb = [float(v) for v in gb["model"]["weights"]]
+        objective = doc["objective"]["name"]
+        num_class = int(lmp.get("num_class", 0) or 0)
+        ngroup = max(num_class, 1)
+        if ngroup > 1:
+            raise NotImplementedError(
+                "multi-group gblinear documents (num_class > 1) are not "
+                "supported; weights interleave by group "
+                "(gblinear_model.h:58-62)")
+        params = TrainParams.from_dict(
+            {"objective": objective, "num_class": num_class})
+        raw_bs = str(lmp["base_score"]).strip()
+        if raw_bs.startswith("["):
+            raw_bs = raw_bs.strip("[]").split(",")[0]
+        if "base_score_margin" in ext:
+            base_score = float(ext["base_score_margin"])
+        else:
+            from xgboost_spark.functions.objectives import prob_to_margin
+            base_score = prob_to_margin(objective, float(raw_bs))
+        nf = int(lmp.get("num_feature", 0) or (len(wb) - 1))
+        feature_names = list(doc.get("feature_names") or []) or [
+            f"f{i}" for i in range(nf)]
+        return cls(params, base_score,
+                   np.asarray(wb[:nf]), wb[nf], feature_names)
 
     def save(self, path: str):
         with open(path, "w") as f:

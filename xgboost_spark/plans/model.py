@@ -369,7 +369,16 @@ class GBDTModel:
                 pd_["quantile_alpha"] = a
         params = TrainParams.from_dict(pd_)
         K = params.n_groups
-        tree_docs = ln["gradient_booster"]["model"]["trees"]
+        gb = ln["gradient_booster"]
+        # genuine reference DART dialect (`src/gbm/gbtree.cc:448-463`
+        # GBTree::LoadModel): ``name == "dart"`` nests the tree model
+        # under ``["gbtree"]``; ``weight_drop`` lives either inside the
+        # model object (modern save, `src/gbm/gbtree_model.cc:80-84`) or
+        # at the booster's top level (legacy compat, which the reference
+        # lets OVERRIDE the model-level array — replicated below)
+        model_doc = (gb["gbtree"]["model"] if gb.get("name") == "dart"
+                     else gb["model"])
+        tree_docs = model_doc["trees"]
         trees: list[list[core.Tree]] = []
         group: list[core.Tree] = []
         for td in tree_docs:
@@ -464,6 +473,22 @@ class GBDTModel:
                                for k, vs in ext["category_maps"].items()}
         if ext.get("tree_weights"):
             m.tree_weights = [float(v) for v in ext["tree_weights"]]
+        else:
+            # reference ``weight_drop`` is PER-TREE (CHECK_LE'd to the
+            # tree count, `gbtree.cc:462`); within a boosting round every
+            # committed tree shares the round's DART normalization, so
+            # map the first weight of each round onto this engine's
+            # per-round ``tree_weights``; trees past the array keep 1.0
+            wd = gb.get("weight_drop")
+            if wd is None:
+                wd = model_doc.get("weight_drop")
+            if wd:
+                wd = [float(v) for v in wd]
+                per_round, pos = [], 0
+                for rnd in m.trees:
+                    per_round.append(wd[pos] if pos < len(wd) else 1.0)
+                    pos += len(rnd)
+                m.tree_weights = per_round
         attrs = ln.get("attributes", {}) or {}
         m.attributes_ = {k: str(v) for k, v in attrs.items()
                          if k != "best_iteration"}
