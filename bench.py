@@ -19,7 +19,14 @@ Suite = the engine's core workloads:
 - sessionize        : window sessionization over events
 - strip_spans       : span-level exact substring dedup + keep-first strip
                       (documents; evidences the round-6 skew-free plan)
-- similarity_join   : exact AllPairs set-similarity self-join (documents)
+- similarity_join   : exact AllPairs set-similarity self-join (documents).
+                      As of round 10 the headline times the UNGUARDED
+                      operator (lazy default, the honest operator cost per
+                      the r9 verdict); the entry point's opt-in blowup
+                      guard is timed separately in the "ab" section as
+                      similarity_join_guarded.  r9 and earlier artifacts
+                      timed the guarded entry here (~2x the operator cost
+                      at sf0.1 — fixed pre-flight scheduling overhead).
 
 Compare against BASELINE.md (single-node NumPy proxy measured on the
 same data; pip xgboost is not installed in this image).
@@ -86,11 +93,17 @@ def main():
         return float(sum(b.getCollectionTime() for b in beans))
 
     gc_marks: dict[str, float] = {}
+    # per-query 1-min load average sampled before/after the attempts:
+    # this box shows documented co-tenant steal (load-avg 2->12 swings,
+    # three rounds of elevation forensics) — with the sample IN the
+    # artifact an elevated number carries its own steal evidence
+    load_marks: dict[str, list[float]] = {}
 
     def timed(fn, n=2, name=None):
         best = float("inf")
         all_t = []
         g0 = gc_ms()
+        l0 = os.getloadavg()[0]
         for _ in range(n):
             t0 = time.time()
             fn()
@@ -100,6 +113,7 @@ def main():
         if name:
             runs[name] = all_t
             gc_marks[name] = round(gc_ms() - g0, 1)
+            load_marks[name] = [round(l0, 2), round(os.getloadavg()[0], 2)]
         return round(best, 3)
 
     model_box = {}
@@ -142,9 +156,19 @@ def main():
     # attempt recorded, so the JSON distinguishes "plan got slower"
     # (all attempts slow) from "machine stalled" (one attempt slow)
     for qname in ("quantize_hist", "q1_pricing", "minhash_bands", "knn",
-                  "sessionize", "strip_spans", "similarity_join"):
+                  "sessionize", "strip_spans"):
         q = E.queries()[qname]
         times[qname] = timed(lambda: q(spark, SF_DIR).collect(), n=3, name=qname)
+
+    # headline = the lazy UNGUARDED operator (library default; the r9
+    # verdict: "the unguarded run is the honest operator cost") — the
+    # guarded entry point is A/B'd below
+    from xgboost_spark.operators.dedup import similarity_join as _sj
+    docs = load_table(spark, SF_DIR, "documents")
+    times["similarity_join"] = timed(
+        lambda: _sj(docs, threshold=0.5, shingle_n=5,
+                    max_candidate_pairs=None).collect(),
+        n=3, name="similarity_join")
 
     total = round(sum(times.values()), 3)
 
@@ -158,8 +182,6 @@ def main():
     # NOT in `times`/total: the suite metric stays comparable across
     # rounds.
     ab: dict[str, list[float]] = {}
-    from xgboost_spark.operators.dedup import similarity_join as _sj
-    docs = load_table(spark, SF_DIR, "documents")
 
     def _ab(name, fn, n=3):
         ts = []
@@ -169,9 +191,10 @@ def main():
             ts.append(round(time.time() - t0, 3))
         ab[name] = ts
 
-    _ab("similarity_join_unguarded",
-        lambda: _sj(docs, threshold=0.5, shingle_n=5,
-                    max_candidate_pairs=None).collect())
+    # the guarded ENTRY-POINT cost (opt-in sampled blowup pre-flight) —
+    # the headline above times the lazy unguarded operator
+    _ab("similarity_join_guarded",
+        lambda: E.queries()["similarity_join"](spark, SF_DIR).collect())
     _ab("q1_pricing_rerun",
         lambda: E.queries()["q1_pricing"](spark, SF_DIR).collect())
 
@@ -183,6 +206,7 @@ def main():
         "runs": runs,
         "stages": stage_runs,
         "gc_ms": gc_marks,
+        "load": load_marks,
         "ab": ab,
         "sf": float(sf),
     }))
