@@ -64,6 +64,18 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     pdf = out.toPandas()
     assert len(pdf) > 0
     assert len(pdf.columns) > 0
+    # rows-only entries self-validate: every inv_* column is an in-row
+    # invariant the entry promises (r9-verdict hardening) and must hold
+    # on every row; train_expectile's monotone_violations counts cross-
+    # alpha crossings and must be zero
+    inv_cols = [c for c in pdf.columns if c.startswith("inv_")]
+    assert inv_cols or name not in (
+        "image_pipeline", "stream_score", "train_stream"), \
+        f"{name}: expected in-row invariant columns"
+    for c in inv_cols:
+        assert pdf[c].all(), f"{name}: invariant {c} violated:\n{pdf}"
+    if "monotone_violations" in pdf.columns:
+        assert (pdf["monotone_violations"] == 0).all()
 
 
 def test_entry_smoke(spark):
