@@ -492,15 +492,19 @@ def q_metric_pre(spark, sf_dir):
                   .alias("m0"))
     name, k, minus = parse_rank_arg("ndcg@5-")
     assert (name, k, minus) == ("ndcg", 5, True)
-    pre = precision_at_k(d, 5).agg(F.avg("prec")).first()[0]
-    nd_minus = (ndcg_at_k(d, 5, exp_gain=False, minus=True)
-                .agg(F.avg("ndcg")).first()[0])
-    nd_plain = (ndcg_at_k(d, 5, exp_gain=False, minus=False)
-                .agg(F.avg("ndcg")).first()[0])
-    mp_minus = map_at_k(d, 5, minus=True).agg(F.avg("ap")).first()[0]
+    # the four metric variants collapse into ONE driver action: four
+    # 1-row aggregates crossJoin'd (each side broadcasts a single row)
+    row = (precision_at_k(d, 5).agg(F.avg("prec").alias("avg_pre"))
+           .crossJoin(ndcg_at_k(d, 5, exp_gain=False, minus=True)
+                      .agg(F.avg("ndcg").alias("ndcg_minus")))
+           .crossJoin(ndcg_at_k(d, 5, exp_gain=False, minus=False)
+                      .agg(F.avg("ndcg").alias("ndcg_plain")))
+           .crossJoin(map_at_k(d, 5, minus=True)
+                      .agg(F.avg("ap").alias("map_minus")))
+           ).first()
     return spark.createDataFrame(
-        [(round(pre, 6), round(nd_minus, 6), round(nd_plain, 6),
-          round(mp_minus, 6))],
+        [(round(row["avg_pre"], 6), round(row["ndcg_minus"], 6),
+          round(row["ndcg_plain"], 6), round(row["map_minus"], 6))],
         "avg_pre double, ndcg_minus double, ndcg_plain double, "
         "map_minus double")
 
