@@ -297,3 +297,21 @@ def test_ref_gblinear_multigroup_raises():
     }}
     with pytest.raises(NotImplementedError):
         LinearModel.from_json(json.dumps(doc))
+
+
+def test_own_dart_save_readable_without_extension(spark, reg_df):
+    """Engine DART saves carry weight_drop in the reference's modern
+    model-level dialect, so stripping the whole engine extension block
+    (what a genuine reference build would see) keeps the drop weights."""
+    from xgboost_spark.plans.booster import train
+    fc = [f"c{i}" for i in range(5)]
+    model = train({"num_boost_round": 5, "max_depth": 2, "base_score": 0.0,
+                   "booster": "dart", "rate_drop": 0.5, "one_drop": True,
+                   "seed": 11}, reg_df, feature_cols=fc)
+    assert any(w != 1.0 for w in model.tree_weights)
+    doc = json.loads(model.to_json())
+    md = doc["learner"]["gradient_booster"]["model"]
+    assert md["weight_drop"] == pytest.approx(model.tree_weights)
+    doc.pop("xgboost_spark")
+    m2 = GBDTModel.from_json(json.dumps(doc))
+    assert m2.tree_weights == pytest.approx(model.tree_weights)

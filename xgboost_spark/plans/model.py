@@ -275,6 +275,16 @@ class GBDTModel:
                         },
                         "tree_info": [k for r in self.trees for k in range(len(r))],
                         "trees": trees_json,
+                        # DART drop weights in the reference's modern
+                        # model-level dialect (gbtree_model.cc:80-84,
+                        # per-TREE, CHECK_LE'd to tree count) so a
+                        # genuine reference build reads this engine's
+                        # DART saves; omitted when all weights are 1
+                        **({"weight_drop": [
+                                float(self.tree_weights[ri])
+                                for ri, r in enumerate(self.trees)
+                                for _ in r]}
+                           if self.tree_weights else {}),
                     },
                 },
             },
