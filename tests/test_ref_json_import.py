@@ -286,17 +286,43 @@ def test_ref_gblinear_json_dialect(spark):
         1.0 / (1.0 + math.exp(-2.0)))
 
 
-def test_ref_gblinear_multigroup_raises():
+def test_ref_gblinear_multigroup(spark):
+    """Multi-group gblinear: interleaved weights w[fid*K + gid] with the
+    bias block last (gblinear_model.h:49-62); softprob serving is a
+    stable softmax over the per-group inner products."""
     from xgboost_spark.plans.linear import LinearModel
+    # F=2, K=3: w[f,k] = f + 0.1*k scaled; bias = [1, 2, 3]
+    W = np.array([[0.5, 0.25, -0.5], [1.0, -0.25, 0.75]])
+    bias = np.array([1.0, 2.0, 3.0])
+    wb = [W[f, k] for f in range(2) for k in range(3)] + list(bias)
     doc = {"learner": {
-        "learner_model_param": {"base_score": "0.5", "num_class": "3",
-                                "num_feature": "2"},
+        "learner_model_param": {"base_score": "[0.1,0.2,0.3]",
+                                "num_class": "3", "num_feature": "2"},
         "objective": {"name": "multi:softprob"},
         "gradient_booster": {"name": "gblinear",
-                             "model": {"weights": [0.0] * 9}},
+                             "model": {"weights": wb}},
     }}
-    with pytest.raises(NotImplementedError):
-        LinearModel.from_json(json.dumps(doc))
+    m = LinearModel.from_json(json.dumps(doc))
+    assert m.n_groups == 3
+    x = np.array([2.0, 4.0])
+    want_m = np.array([0.1, 0.2, 0.3]) + bias + W.T @ x
+    want_p = np.exp(want_m - want_m.max())
+    want_p /= want_p.sum()
+    df = spark.createDataFrame(pd.DataFrame({"f0": [x[0]], "f1": [x[1]]}))
+    out = m.transform(df, feature_cols=["f0", "f1"],
+                      output_margin=True).toPandas()
+    assert np.allclose(out["margin"][0], want_m)
+    assert np.allclose(out["prediction"][0], want_p)
+    # round trip through the engine save (interleaved layout + margin
+    # marker) preserves groups
+    m2 = LinearModel.from_json(m.to_json())
+    out2 = m2.transform(df, feature_cols=["f0", "f1"]).toPandas()
+    assert np.allclose(out2["prediction"][0], want_p)
+    # softmax objective serves the argmax class id
+    doc["learner"]["objective"] = {"name": "multi:softmax"}
+    m3 = LinearModel.from_json(json.dumps(doc))
+    out3 = m3.transform(df, feature_cols=["f0", "f1"]).toPandas()
+    assert out3["prediction"][0] == float(np.argmax(want_m))
 
 
 def test_own_dart_save_readable_without_extension(spark, reg_df):

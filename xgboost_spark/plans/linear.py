@@ -42,11 +42,20 @@ class LinearModel:
                  eval_history: dict | None = None):
         self.params = params
         self.base_score = base_score
+        # (F,) trained scalar form, or (F, K) for a loaded multi-group
+        # reference document (bias then a (K,) vector)
         self.weights = np.asarray(weights, dtype=np.float64)
-        self.bias = float(bias)
+        self.bias = (float(bias) if np.ndim(bias) == 0
+                     else np.asarray(bias, dtype=np.float64))
         self.feature_names = feature_names
         self.eval_history = eval_history or {}
         self.obj = get_objective(params.objective, params)
+
+    @property
+    def n_groups(self) -> int:
+        """1 for the trained scalar form; K when a multi-group reference
+        document was loaded (weights shape (F, K))."""
+        return 1 if self.weights.ndim == 1 else int(self.weights.shape[1])
 
     def margin_expr(self, feature_cols: list[str] | None = None):
         cols = feature_cols or self.feature_names
@@ -56,6 +65,26 @@ class LinearModel:
                 e = e + F.lit(float(w)) * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
         return e
 
+    def margin_exprs(self, feature_cols: list[str] | None = None) -> list:
+        """One margin expression per output group: margin_k =
+        base_score_k + bias_k + sum_f w[f,k] * x_f (reference
+        `src/gbm/gblinear.cc` PredictBatch per-group inner product;
+        multiclass intercepts are identity-link, like GBDTModel)."""
+        if self.n_groups == 1:
+            return [self.margin_expr(feature_cols)]
+        cols = feature_cols or self.feature_names
+        bs = getattr(self, "base_score_vec", None)
+        outs = []
+        for k in range(self.n_groups):
+            b = (float(bs[k]) if bs is not None else self.base_score)
+            e = F.lit(b + float(self.bias[k]))
+            for w, c in zip(self.weights[:, k], cols):
+                if w != 0.0:
+                    e = e + F.lit(float(w)) * F.coalesce(
+                        F.col(c).cast("double"), F.lit(0.0))
+            outs.append(e)
+        return outs
+
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
                   output_margin: bool = False,
                   pred_contribs: bool = False) -> DataFrame:
@@ -63,8 +92,29 @@ class LinearModel:
         bias+intercept last) — the reference's gblinear contribution
         semantics (`src/gbm/gblinear.cc:153-194` PredictContribution:
         linear terms are exact Shapley values).  Pure expressions."""
-        m = self.margin_expr(feature_cols)
         name = self.params.objective
+        if self.n_groups > 1:
+            if pred_contribs:
+                raise NotImplementedError(
+                    "pred_contribs for multi-group gblinear")
+            margins = self.margin_exprs(feature_cols)
+            if name == "multi:softmax":
+                pred = (F.array_position(
+                    F.array(*margins), F.greatest(*margins)) - 1
+                ).cast("double")
+            else:
+                # multi:softprob — numerically stable softmax as SQL
+                mx = F.greatest(*margins)
+                exps = [F.exp(m - mx) for m in margins]
+                tot = exps[0]
+                for e in exps[1:]:
+                    tot = tot + e
+                pred = F.array(*[e / tot for e in exps])
+            out = df.withColumn("prediction", pred)
+            if output_margin:
+                out = out.withColumn("margin", F.array(*margins))
+            return out
+        m = self.margin_expr(feature_cols)
         if name in ("binary:logistic", "reg:logistic"):
             pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
         elif name in ("count:poisson", "reg:gamma", "reg:tweedie", "survival:aft"):
@@ -84,24 +134,37 @@ class LinearModel:
         return out
 
     def to_json(self) -> str:
+        if self.n_groups > 1:
+            # reference interleaved layout: w[fid*K + gid], bias block
+            # last (gblinear_model.h:49-62)
+            wb = [float(v) for row in self.weights for v in row] \
+                + [float(v) for v in self.bias]
+        else:
+            wb = self.weights.tolist() + [self.bias]
         return json.dumps({
             "learner": {
                 "gradient_booster": {
                     "name": "gblinear",
-                    "model": {"weights": self.weights.tolist() + [self.bias]},
+                    "model": {"weights": wb},
                 },
                 "objective": {"name": self.params.objective},
                 "feature_names": self.feature_names,
                 "learner_model_param": {
                     "base_score": str(self.base_score),
                     "num_feature": str(len(self.feature_names)),
-                    "num_class": "0",
+                    "num_class": str(self.params.num_class),
                 },
             },
             # marks base_score as margin-space (engine's own save);
             # absent on genuine reference docs, which store it in
             # OUTPUT space (learner.cc ProbToMargin on load)
-            "xgboost_spark": {"base_score_margin": float(self.base_score)},
+            "xgboost_spark": {
+                "base_score_margin": float(self.base_score),
+                "base_score_margin_vec": (
+                    [float(v) for v in self.base_score_vec]
+                    if getattr(self, "base_score_vec", None) is not None
+                    else None),
+            },
         })
 
     @classmethod
@@ -109,8 +172,9 @@ class LinearModel:
         """Load engine saves AND genuine reference gblinear JSON
         (`src/gbm/gblinear_model.cc:10-42`): weights are the flat
         ``(num_feature + 1) * num_output_group`` array with the bias
-        block last (`gblinear_model.h:49-55`); ``base_score`` may be the
-        reference's "[5E-1]" array-string in OUTPUT space and
+        block last (`gblinear_model.h:49-55`; multi-group docs
+        interleave by group, ``w[fid*K + gid]``); ``base_score`` may be
+        the reference's "[5E-1]" array-string in OUTPUT space and
         ``feature_names`` may be absent (fall back to f{i})."""
         full = json.loads(s)
         doc = full["learner"]
@@ -121,26 +185,41 @@ class LinearModel:
         objective = doc["objective"]["name"]
         num_class = int(lmp.get("num_class", 0) or 0)
         ngroup = max(num_class, 1)
-        if ngroup > 1:
-            raise NotImplementedError(
-                "multi-group gblinear documents (num_class > 1) are not "
-                "supported; weights interleave by group "
-                "(gblinear_model.h:58-62)")
         params = TrainParams.from_dict(
             {"objective": objective, "num_class": num_class})
         raw_bs = str(lmp["base_score"]).strip()
-        if raw_bs.startswith("["):
-            raw_bs = raw_bs.strip("[]").split(",")[0]
+        bs_vals = ([float(x) for x in raw_bs.strip("[]").split(",") if x]
+                   if raw_bs.startswith("[") else [float(raw_bs)])
+        bs_vec = None
         if "base_score_margin" in ext:
             base_score = float(ext["base_score_margin"])
+            if ext.get("base_score_margin_vec"):
+                bs_vec = np.asarray(ext["base_score_margin_vec"],
+                                    dtype=np.float64)
+        elif ngroup > 1:
+            # multiclass intercepts are identity-link (like GBDTModel)
+            base_score = bs_vals[0]
+            if len(bs_vals) > 1:
+                bs_vec = np.asarray(bs_vals, dtype=np.float64)
         else:
             from xgboost_spark.functions.objectives import prob_to_margin
-            base_score = prob_to_margin(objective, float(raw_bs))
-        nf = int(lmp.get("num_feature", 0) or (len(wb) - 1))
+            base_score = prob_to_margin(objective, bs_vals[0])
+        nf = int(lmp.get("num_feature", 0) or (len(wb) // ngroup - 1))
         feature_names = list(doc.get("feature_names") or []) or [
             f"f{i}" for i in range(nf)]
-        return cls(params, base_score,
-                   np.asarray(wb[:nf]), wb[nf], feature_names)
+        if ngroup > 1:
+            # interleaved reference layout: w[fid*K + gid], bias block
+            # at w[nf*K + gid] (gblinear_model.h:49-62)
+            W = np.asarray(wb[:nf * ngroup],
+                           dtype=np.float64).reshape(nf, ngroup)
+            bias = np.asarray(wb[nf * ngroup:(nf + 1) * ngroup],
+                              dtype=np.float64)
+            m = cls(params, base_score, W, bias, feature_names)
+        else:
+            m = cls(params, base_score,
+                    np.asarray(wb[:nf]), wb[nf], feature_names)
+        m.base_score_vec = bs_vec
+        return m
 
     def save(self, path: str):
         with open(path, "w") as f:
