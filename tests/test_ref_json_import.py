@@ -341,3 +341,49 @@ def test_own_dart_save_readable_without_extension(spark, reg_df):
     doc.pop("xgboost_spark")
     m2 = GBDTModel.from_json(json.dumps(doc))
     assert m2.tree_weights == pytest.approx(model.tree_weights)
+
+
+def test_ref_json_forest_grouping(spark):
+    """A genuine forest doc (num_parallel_tree=2, 2 boosting rounds, 4
+    single-leaf trees) must group as 2 rounds of 2 trees — via
+    iteration_indptr when present, via num_class x num_parallel_tree
+    otherwise (gbtree_model.cc:118-127 MakeIndptr) — and all 4 leaves
+    must sum into the margin."""
+    doc = _ref_doc()
+    gb = doc["learner"]["gradient_booster"]["model"]
+    gb["gbtree_model_param"] = {"num_trees": "4", "num_parallel_tree": "2"}
+    gb["tree_info"] = [0, 0, 0, 0]
+    gb["trees"] = []
+    for k in range(4):
+        gb["trees"].append({
+            "tree_param": {"num_nodes": "1", "num_feature": "2",
+                           "size_leaf_vector": "1"},
+            "split_indices": [0], "split_conditions": [float(2 ** k)],
+            "split_type": [0], "categories": [], "categories_nodes": [],
+            "categories_segments": [], "categories_sizes": [],
+            "default_left": [0], "left_children": [-1],
+            "right_children": [-1], "parents": [2147483647],
+            "loss_changes": [0.0], "sum_hessian": [1.0],
+            "base_weights": [float(2 ** k)],
+        })
+    df = spark.createDataFrame(pd.DataFrame({"f0": [0.0], "f1": [0.0]}))
+    for indptr in ([0, 2, 4], None):
+        d = json.loads(json.dumps(doc))
+        if indptr is None:
+            d["learner"]["gradient_booster"]["model"].pop(
+                "iteration_indptr", None)
+        else:
+            d["learner"]["gradient_booster"]["model"][
+                "iteration_indptr"] = indptr
+        m = GBDTModel.from_json(json.dumps(d))
+        assert [len(r) for r in m.trees] == [2, 2]
+        assert m.params.num_parallel_tree == 2
+        out = m.transform(df, feature_cols=["f0", "f1"],
+                          output_margin=True).toPandas()
+        # margin = logit(0.5) + 1 + 2 + 4 + 8
+        assert out["margin"][0][0] == pytest.approx(15.0)
+        # iteration_range [0,1) keeps only the first round's forest
+        s = m.slice(0, 1)
+        o2 = s.transform(df, feature_cols=["f0", "f1"],
+                         output_margin=True).toPandas()
+        assert o2["margin"][0][0] == pytest.approx(3.0)

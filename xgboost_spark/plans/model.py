@@ -377,8 +377,6 @@ class GBDTModel:
                                            "quantile_alpha")
             if a:
                 pd_["quantile_alpha"] = a
-        params = TrainParams.from_dict(pd_)
-        K = params.n_groups
         gb = ln["gradient_booster"]
         # genuine reference DART dialect (`src/gbm/gbtree.cc:448-463`
         # GBTree::LoadModel): ``name == "dart"`` nests the tree model
@@ -388,9 +386,13 @@ class GBDTModel:
         # lets OVERRIDE the model-level array — replicated below)
         model_doc = (gb["gbtree"]["model"] if gb.get("name") == "dart"
                      else gb["model"])
+        npt = int((model_doc.get("gbtree_model_param") or {})
+                  .get("num_parallel_tree", 1) or 1)
+        pd_["num_parallel_tree"] = npt
+        params = TrainParams.from_dict(pd_)
+        K = params.n_groups
         tree_docs = model_doc["trees"]
-        trees: list[list[core.Tree]] = []
-        group: list[core.Tree] = []
+        flat: list[core.Tree] = []
         for td in tree_docs:
             t = core.Tree()
             n = int(td["tree_param"]["num_nodes"])
@@ -434,12 +436,23 @@ class GBDTModel:
                     (list(map(int, cats[i])) if cats and st and st[i] else None)
                     for i in range(n)
                 ]
-            group.append(t)
-            if len(group) == K:
-                trees.append(group)
-                group = []
-        if group:
-            trees.append(group)
+            flat.append(t)
+        # boosting-round grouping: iteration_indptr is authoritative
+        # when present (`gbtree_model.cc:118-127`; MakeIndptr fallback
+        # = num_class x num_parallel_tree trees per iteration) — a
+        # genuine forest doc (num_parallel_tree > 1) must group as ONE
+        # round of npt trees, not npt rounds, or DART weights and
+        # iteration_range slicing misapply
+        indptr = model_doc.get("iteration_indptr")
+        trees: list[list[core.Tree]] = []
+        if indptr and len(indptr) >= 2 and int(indptr[-1]) == len(flat):
+            bounds = [int(v) for v in indptr]
+            trees = [flat[bounds[i]:bounds[i + 1]]
+                     for i in range(len(bounds) - 1)
+                     if bounds[i + 1] > bounds[i]]
+        else:
+            gs = max(K * npt, 1)
+            trees = [flat[i:i + gs] for i in range(0, len(flat), gs)]
         raw_bs = str(ln["learner_model_param"]["base_score"]).strip()
         if raw_bs.startswith("["):
             bs_vals = [float(x) for x in raw_bs.strip("[]").split(",") if x]
