@@ -274,6 +274,11 @@ class GBDTModel:
                             "num_parallel_tree": str(self.params.num_parallel_tree),
                         },
                         "tree_info": [k for r in self.trees for k in range(len(r))],
+                        # per-iteration tree offsets (gbtree_model.cc:
+                        # 75-78) — authoritative round grouping on load
+                        "iteration_indptr": [
+                            int(v) for v in np.cumsum(
+                                [0] + [len(r) for r in self.trees])],
                         "trees": trees_json,
                         # DART drop weights in the reference's modern
                         # model-level dialect (gbtree_model.cc:80-84,
