@@ -217,7 +217,20 @@ class GBDTModel:
                 dleft = [int(not t.default_left[i]) if i in cat_set
                          else int(t.default_left[i]) for i in range(n)]
                 trees_json.append({
-                    "tree_param": {"num_nodes": str(n)},
+                    # "id" + full tree_param are REQUIRED by the
+                    # reference's loader (GBTreeModel::LoadModel
+                    # CHECK_EQ(tree_id, t), gbtree_model.cc:108-109;
+                    # TreeParam::FromJson obj.at() on num_feature /
+                    # size_leaf_vector, tree_model.cc:674-684)
+                    "id": len(trees_json),
+                    "tree_param": {
+                        "num_nodes": str(n),
+                        "num_deleted": "0",
+                        "num_feature": str(len(self.feature_names)),
+                        "size_leaf_vector": str(max(
+                            (int(np.size(v)) for v in t.leaf_value),
+                            default=1)),
+                    },
                     "split_indices": [max(t.feature[i], 0) for i in range(n)],
                     "split_conditions": split_conditions,
                     "split_type": [int(t.categories[i] is not None) for i in range(n)],
