@@ -96,13 +96,49 @@ class GBDTModel:
         regression_obj.cu:495-499 / quantile_obj.cu:277), so a stripped
         document — no engine-extension block — still reloads with the
         right n_groups."""
-        out = {"name": self.params.objective}
-        if self.params.objective == "reg:quantileerror":
+        p = self.params
+        name = p.objective
+        out = {"name": name}
+        if name == "reg:quantileerror":
             out["quantile_loss_param"] = {"quantile_alpha": "[" + ", ".join(
-                str(float(a)) for a in self.params.quantile_alpha) + "]"}
-        if self.params.objective == "reg:expectileerror":
+                str(float(a)) for a in p.quantile_alpha) + "]"}
+        if name == "reg:expectileerror":
             out["expectile_loss_param"] = {"expectile_alpha": "[" + ", ".join(
-                str(float(a)) for a in self.params.expectile_alphas) + "]"}
+                str(float(a)) for a in p.expectile_alphas) + "]"}
+        # the remaining param blocks are REQUIRED by the reference's
+        # LoadConfig (strict `in["<block>"]` lookups: multiclass_obj.cu:
+        # 192, poisson_obj.cc:73, tweedie_obj.cc:81, pseudohuber_obj.cc:
+        # 62, aft_obj.cu:134, lambdarank_obj.cc:269; reg_loss is lenient
+        # but gets its block for symmetry) — without them a genuine
+        # reference build cannot load this engine's saves
+        if name in ("multi:softmax", "multi:softprob"):
+            out["softmax_multiclass_param"] = {"num_class": str(p.num_class)}
+        elif name == "count:poisson":
+            out["poisson_regression_param"] = {
+                "max_delta_step": str(p.max_delta_step or 0.7)}
+        elif name == "reg:tweedie":
+            out["tweedie_regression_param"] = {
+                "tweedie_variance_power": str(p.tweedie_variance_power)}
+        elif name == "reg:pseudohubererror":
+            out["pseudo_huber_param"] = {"huber_slope": str(p.huber_slope)}
+        elif name == "survival:aft":
+            out["aft_loss_param"] = {
+                "aft_loss_distribution": p.aft_loss_distribution,
+                "aft_loss_distribution_scale":
+                    str(p.aft_loss_distribution_scale)}
+        elif name.startswith("rank:"):
+            out["lambdarank_param"] = {
+                "lambdarank_num_pair_per_sample":
+                    str(p.lambdarank_num_pair_per_sample),
+                "lambdarank_pair_method": p.lambdarank_pair_method,
+                "lambdarank_unbiased": str(p.lambdarank_unbiased).lower(),
+                "lambdarank_bias_norm": str(p.lambdarank_bias_norm),
+                "ndcg_exp_gain": str(p.ndcg_exp_gain).lower()}
+        elif name in ("binary:logistic", "reg:logistic",
+                      "binary:logitraw", "reg:squarederror",
+                      "reg:squaredlogerror"):
+            out["reg_loss_param"] = {
+                "scale_pos_weight": str(p.scale_pos_weight)}
         return out
 
     def _bs_output_vec(self) -> np.ndarray:
@@ -384,6 +420,23 @@ class GBDTModel:
             if not isinstance(v, (list, tuple)):
                 v = [v]
             return tuple(float(x) for x in v) or None
+
+        # scalar objective params from the reference config blocks
+        # (SaveConfig dialect) — serving-relevant ones only: tweedie's
+        # power and AFT's distribution shape the link inverse
+        for blk, src_key, dst_key, conv in (
+                ("tweedie_regression_param", "tweedie_variance_power",
+                 "tweedie_variance_power", float),
+                ("pseudo_huber_param", "huber_slope", "huber_slope", float),
+                ("aft_loss_param", "aft_loss_distribution",
+                 "aft_loss_distribution", str),
+                ("aft_loss_param", "aft_loss_distribution_scale",
+                 "aft_loss_distribution_scale", float),
+                ("reg_loss_param", "scale_pos_weight",
+                 "scale_pos_weight", float)):
+            v = (ln["objective"].get(blk) or {}).get(src_key)
+            if v is not None and dst_key not in ext.get("params", {}):
+                pd_[dst_key] = conv(v)
 
         if "expectile_alpha" not in pd_ and objective == "reg:expectileerror":
             a = _alphas_from_objective_cfg("expectile_loss_param",
