@@ -1688,3 +1688,32 @@ def test_similarity_join_candidate_bound_scales_linearly(spark):
     assert bound_ratio <= row_ratio ** 1.5, (
         f"candidate bound grew {bound_ratio:.1f}x for {row_ratio:.1f}x "
         f"rows (bounds {b_lo:.0f} -> {b_hi:.0f})")
+
+
+def test_semantic_dedup_auto_clusters(spark, sf_dir):
+    """n_clusters="auto" sizes clusters to a constant target (~256
+    rows) so the within-cluster pair stage stays LINEAR in corpus size
+    (the round-10 sf1 sweep measured fixed-k at 22.6x for 10x data).
+    Same invariants as fixed-k; exact duplicates always co-cluster
+    (identical vectors share every centroid distance), so known dup
+    pairs still collapse."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = similarity.semantic_dedup(emb, n_clusters="auto",
+                                    threshold=0.5).toPandas()
+    assert len(out) == n
+    assert (out["rep_id"] <= out["id"]).all()
+    m = out.set_index("id")["rep_id"]
+    for r in set(out["rep_id"]):
+        assert m[r] == r
+    # injected exact duplicate of the min id must collapse onto it
+    dup = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        "label")
+    out2 = similarity.semantic_dedup(emb.unionByName(dup),
+                                     n_clusters="auto",
+                                     threshold=0.99).toPandas()
+    src = int(emb.agg(F.min("vec_id")).first()[0])
+    dup_id = src + 10_000_000
+    got = out2.set_index("id")["rep_id"]
+    assert got[dup_id] == got[src]
