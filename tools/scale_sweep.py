@@ -76,10 +76,14 @@ def main():
     # ALSO measure the scale-aware public usage: n_clusters="auto"
     # (constant ~256-row clusters) + the default bounded pair stage.
     from xgboost_spark.operators.similarity import semantic_dedup
+    from xgboost_spark.operators.util import ensure_parallelism
     from xgboost_spark.sources.tables import load_table
 
     def sd_auto(sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
+        # ensure_parallelism like the gate entry — a single-partition
+        # small parquet otherwise serializes the matmul stage and
+        # measures partitioning, not the operator
+        emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
         return semantic_dedup(emb, n_clusters="auto", threshold=0.5)
 
     sd_auto("/root/testdata/sf0.001").collect()      # warm
