@@ -128,7 +128,8 @@ class Tree:
         return out
 
 
-def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) -> np.ndarray:
+def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool,
+                         node0: np.ndarray | None = None) -> np.ndarray:
     """Vectorized traversal -> leaf node id per row, from plain arrays
     (broadcast-friendly: executors receive the dict, not a Tree object).
 
@@ -136,10 +137,18 @@ def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool) 
     else X is raw float64 (NaN = missing), compare on split_value.
     Equivalent to the reference's `GetLeafIndex` loop
     (`src/predictor/cpu_predictor.cc:64-145`) but block-vectorized.
+
+    ``node0``: warm-start node assignment (MUTATED IN PLACE and
+    returned) — rows resume routing from their previous node instead of
+    the root.  This is the incremental-partitioning fast path the hist
+    builders use during growth (reference RowSetCollection /
+    UpdatePosition, `src/common/partition_builder.h`): each row is
+    routed once per NEW level, O(n*depth) per tree total instead of the
+    O(n*depth^2) of per-level root re-traversals.
     """
     n = X.shape[0]
     cats = a.get("categories")
-    node = np.zeros(n, dtype=np.int32)
+    node = node0 if node0 is not None else np.zeros(n, dtype=np.int32)
     active = a["left"][node] != -1
     while active.any():
         idx = np.nonzero(active)[0]

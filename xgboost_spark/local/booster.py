@@ -35,8 +35,24 @@ class _NumpyHistBuilder(core.HistBuilder):
     def split_value(self, fidx: int, split_bin: int) -> float:
         return float(self.cuts[fidx][split_bin])
 
+    def _node_assignment(self, tree: core.Tree) -> np.ndarray:
+        """Incremental row->node routing: rows resume from their node of
+        the previous build() call, so each row is routed once per new
+        LEVEL instead of root-to-leaf on every call (was 55% of
+        grow-tree wall at 1.9M rows/task — the round-10 sf10 profile).
+        Holding the Tree reference makes the identity check sound (a
+        dead tree's id can't be reused while we still reference it);
+        any new tree resets to the root."""
+        if getattr(self, "_part_tree", None) is not tree:
+            self._part_tree = tree
+            self._node_of_row = np.zeros(len(self.Xb), dtype=np.int32)
+        self._node_of_row = core.leaf_ids_from_arrays(
+            tree.finalize_arrays(), self.Xb, binned=True,
+            node0=self._node_of_row)
+        return self._node_of_row
+
     def build(self, tree: core.Tree, nids: list[int]):
-        node_of_row = core.tree_leaf_ids(tree, self.Xb, binned=True)
+        node_of_row = self._node_assignment(tree)
         B = self.n_bins
         F = self.n_features
         hg = np.zeros((len(nids), F, B + 1))
@@ -64,7 +80,7 @@ class _NumpyMultiHistBuilder(_NumpyHistBuilder):
         self.K = K
 
     def build(self, tree: core.Tree, nids: list[int]):
-        node_of_row = core.tree_leaf_ids(tree, self.Xb, binned=True)
+        node_of_row = self._node_assignment(tree)
         B, F, K = self.n_bins, self.n_features, self.K
         hg = np.zeros((K, len(nids), F, B + 1))
         hh = np.zeros((K, len(nids), F, B + 1))
