@@ -142,7 +142,8 @@ def _remap_split_bins(tree: core.Tree, bounds_list) -> None:
             tree.split_bin[nid] = int(b[tree.split_bin[nid]])
 
 
-def _leaf_quantile_refresh(comm, tree, Xb, resid, w, alpha, eta, n_hist=2048):
+def _leaf_quantile_refresh(comm, tree, Xb, resid, w, alpha, eta, n_hist=2048,
+                           leaf=None):
     """UpdateTreeLeaf for adaptive objectives in barrier mode (reference
     `regression_obj.cu:745-753`): per-leaf weighted residual quantiles
     from ONE min/max allreduce + ONE histogram allreduce.  Quantile error
@@ -160,7 +161,8 @@ def _leaf_quantile_refresh(comm, tree, Xb, resid, w, alpha, eta, n_hist=2048):
     scale = (mx - mn) or 1.0
     hist = np.zeros(n_nodes * n_hist)
     if len(resid):
-        leaf = core.tree_leaf_ids(tree, Xb, binned=True)
+        if leaf is None:
+            leaf = core.tree_leaf_ids(tree, Xb, binned=True)
         b = np.clip(((resid - mn) / scale * n_hist).astype(np.int64),
                     0, n_hist - 1)
         ww = w if w is not None else np.ones(len(resid))
@@ -529,15 +531,25 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     for t in round_trees:
                         _remap_split_bins(t, bounds_list)
                 if is_multi:
-                    margin += core.tree_predict(round_trees[0], Xb,
-                                                binned=True)
+                    if bounds_list is not None:
+                        # approx: split bins were remapped to the fine
+                        # space — the coarse builder's cache no longer
+                        # matches the tree; route on the fine matrix
+                        margin += core.tree_predict(round_trees[0], Xb,
+                                                    binned=True)
+                    else:
+                        margin += round_trees[0].finalize_arrays()[
+                            "leaf_value"][
+                                builder.leaf_assignment(round_trees[0])]
                 if obj.adaptive_alpha is not None:
                     aa = obj.adaptive_alpha
                     for ti, t in enumerate(round_trees):
                         k_r = ti // n_forest
                         _leaf_quantile_refresh(
                             comm, t, Xb, y - margin[:, k_r], w,
-                            aa[k_r] if isinstance(aa, tuple) else aa, p.eta)
+                            aa[k_r] if isinstance(aa, tuple) else aa, p.eta,
+                            leaf=(builder.leaf_assignment(t)
+                                  if bounds_list is None else None))
                 # DART normalization (reference normalize_type semantics)
                 kdrop = len(dropped)
                 if is_dart and kdrop > 0:
@@ -569,8 +581,20 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     ti = 0
                     for k in range(K):
                         for _ in range(n_forest):
-                            margin[:, k] += w_new * core.tree_predict(
-                                round_trees[ti], Xb, binned=True)
+                            t_new = round_trees[ti]
+                            if bounds_list is not None:
+                                # approx: tree remapped to fine bins —
+                                # the coarse builder cache is invalid
+                                margin[:, k] += w_new * core.tree_predict(
+                                    t_new, Xb, binned=True)
+                            else:
+                                # builder-cached incremental assignment:
+                                # only the final level routes (full
+                                # re-traversal was a per-round
+                                # O(n*depth) tax in the sf10 profile)
+                                lid = builder.leaf_assignment(t_new)
+                                margin[:, k] += w_new * \
+                                    t_new.finalize_arrays()["leaf_value"][lid]
                             ti += 1
                 trees.append(round_trees)
                 tree_weights.append(w_new)
