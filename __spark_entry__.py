@@ -598,11 +598,18 @@ def q_ref_dart_import(spark, sf_dir):
     GBTree::LoadModel) — loads through the REAL GBDTModel.from_json and
     serves lineitem through the REAL pure-Catalyst transform_expr; the
     DuckDB oracle replays the two drop-weighted tree walks as CASE
-    expressions.  Determinism: split thresholds compare identical
-    parquet doubles to identical literals in both engines; leaf values,
-    drop weights (0.5/0.25), and the squared-error identity base_score
-    are exact binary fractions, so every per-row margin is IEEE-exact
-    and the sum is order-independent."""
+    expressions.  TIE CONVENTION (round 11): genuine reference imports
+    route left only on the reference predictor's STRICT float32
+    ``x < split_cond`` (`src/predictor/predict_fn.h:22`), which the
+    oracle encodes as strict ``<``; both thresholds are NON-TYING
+    (l_quantity is integer-valued, never 25.5; l_discount is a multiple
+    of 0.01, never 0.045) and sit >= 0.005 away from any data value —
+    vastly beyond float32 rounding (~3e-9 at 0.045) — so the float32
+    casts on the Spark side cannot flip any comparison vs the oracle's
+    double compare.  Determinism: leaf values, drop weights (0.5/0.25),
+    and the squared-error identity base_score are exact binary
+    fractions, so every per-row margin is IEEE-exact and the sum is
+    order-independent."""
     import json as _json
     from xgboost_spark.plans.model import GBDTModel
 
@@ -641,7 +648,7 @@ def q_ref_dart_import(spark, sf_dir):
                     "iteration_indptr": [0, 1, 2],
                     "tree_info": [0, 0],
                     "trees": [tree(0, 25.5, -0.25, 0.75),
-                              tree(1, 0.05, 0.5, -1.25)],
+                              tree(1, 0.045, 0.5, -1.25)],
                 }},
                 "weight_drop": [0.5, 0.25],
             },
@@ -653,7 +660,7 @@ def q_ref_dart_import(spark, sf_dir):
                               output_margin=True, out_col="margin")
     return scored.agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.sum((F.col("l_quantity") <= 25.5).cast("bigint"))
+        F.sum((F.col("l_quantity") < 25.5).cast("bigint"))
         .alias("n_q_left"),
         F.round(F.sum("margin"), 6).alias("margin_sum"))
 
@@ -697,6 +704,40 @@ def q_ref_gblinear_import(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_rows"),
         F.round(F.sum("margin"), 4).alias("margin_sum"),
         F.round(F.sum("prediction"), 4).alias("pred_sum"))
+
+
+def q_linear_multigroup_round(spark, sf_dir):
+    """Multi-group gblinear training, ONE coordinate round,
+    HASH-MATCHED (round-11 gate entry for the new
+    `_train_linear_multigroup`, plans/linear.py — reference
+    `src/gbm/gblinear.cc` DoBoost per-group updater, weights layout
+    `gblinear_model.h:40-44`): 3-class softprob on lineitem with
+    label = l_linenumber % 3.  With W=0, bias=0 and the identity-link
+    0.5 multiclass intercept, every row's margins are equal, so
+    p_k = 1/3 exactly (IEEE 1.0/3.0 in both engines), giving the
+    closed form the DuckDB oracle replays directly:
+      g_k = 1/3 - [label = k],   h = 2*(1/3)*(1 - 1/3)
+      w_fk = eta * -(sum g_k x_f) / (sum h x_f^2 + lambda)
+      bias_k = eta * -(sum g_k) / (sum h)
+    All sums are rounded 4dp at the aggregation boundary (the
+    established cross-engine float-sum guard)."""
+    _prep(spark)
+    from xgboost_spark.plans.linear import train_linear
+    li = _table(spark, sf_dir, "lineitem")
+    fcols = ["l_quantity", "l_discount", "l_tax"]
+    d = li.select(*fcols, (F.col("l_linenumber") % 3)
+                  .cast("double").alias("label"))
+    model = train_linear({"booster": "gblinear",
+                          "objective": "multi:softprob", "num_class": 3,
+                          "num_boost_round": 1, "eta": 0.5},
+                         d, feature_cols=fcols)
+    rows = [(c, k, float(model.weights[i, k]))
+            for i, c in enumerate(fcols) for k in range(3)]
+    rows += [("__bias__", k, float(model.bias[k]) + model.base_score)
+             for k in range(3)]
+    return (spark.createDataFrame(
+        rows, "feature string, class bigint, weight double")
+        .select("feature", "class", F.round("weight", 4).alias("weight")))
 
 
 def q_exact_duplicates(spark, sf_dir):
@@ -3819,8 +3860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_stream": q_train_stream,
         "train_expectile": q_train_expectile,
         # NEW round 10: genuine reference-dialect model importers
+        # (ref_dart_import CHANGED round 11: strict-'<' tie convention)
         "ref_dart_import": q_ref_dart_import,
         "ref_gblinear_import": q_ref_gblinear_import,
+        # NEW round 11: multi-group gblinear training
+        "linear_multigroup_round": q_linear_multigroup_round,
         # stalest certifications (pre-r5 + the r5 block)
         "knn": q_knn,
         "metric_multiclass": q_metric_multiclass,
@@ -4928,11 +4972,11 @@ def oracle_sql() -> dict[str, str]:
         # CASEs / the linear expression — over the same parquet
         "ref_dart_import": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN l_quantity <= 25.5 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN l_quantity < 25.5 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_q_left,
        round(sum(0.5
-             + 0.5  * (CASE WHEN l_quantity <= 25.5 THEN -0.25 ELSE 0.75 END)
-             + 0.25 * (CASE WHEN l_discount <= 0.05 THEN 0.5 ELSE -1.25 END)),
+             + 0.5  * (CASE WHEN l_quantity < 25.5 THEN -0.25 ELSE 0.75 END)
+             + 0.25 * (CASE WHEN l_discount < 0.045 THEN 0.5 ELSE -1.25 END)),
              6) AS margin_sum
 FROM lineitem
 """,
@@ -5729,6 +5773,28 @@ SELECT 'l_quantity' AS feature, round(0.5 * (-g0 / (h0 + 1.0)), 4) AS weight FRO
 UNION ALL SELECT 'l_discount', round(0.5 * (-g1 / (h1 + 1.0)), 4) FROM s
 UNION ALL SELECT 'l_tax', round(0.5 * (-g2 / (h2 + 1.0)), 4) FROM s
 UNION ALL SELECT '__bias__', round(bs + 0.5 * (-(n * bs - sy) / n), 4) FROM s""",
+
+        # closed-form ONE round of multi-group coordinate descent: with
+        # W=0/bias=0 all margins tie, p_k = 1.0/3.0 exactly in both
+        # engines; h is the constant (2*(1/3))*(1 - 1/3); operand order
+        # mirrors the NumPy kernel ((x*x)*h, x*g) so only the final sum
+        # order differs, masked by the 4dp rounding
+        "linear_multigroup_round": """
+WITH k AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS class),
+s AS (SELECT k.class,
+    sum((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END)) AS G,
+    sum((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0))) AS H,
+    sum(l_quantity * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx0,
+    sum((l_quantity*l_quantity) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx0,
+    sum(l_discount * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx1,
+    sum((l_discount*l_discount) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx1,
+    sum(l_tax * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx2,
+    sum((l_tax*l_tax) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx2
+  FROM lineitem, k GROUP BY k.class)
+SELECT 'l_quantity' AS feature, class, round(0.5 * (-gx0 / (hx0 + 1.0)), 4) AS weight FROM s
+UNION ALL SELECT 'l_discount', class, round(0.5 * (-gx1 / (hx1 + 1.0)), 4) FROM s
+UNION ALL SELECT 'l_tax', class, round(0.5 * (-gx2 / (hx2 + 1.0)), 4) FROM s
+UNION ALL SELECT '__bias__', class, round(0.5 * (-G / H) + 0.5, 4) FROM s""",
 
         "simhash": _simhash_oracle_sql(),
 

@@ -125,3 +125,97 @@ def test_gblinear_greedy_thrifty_selectors(spark, lin_df, lin_data):
                lin_df, feature_cols=fc)
     w = np.abs(np.asarray(m1.weights))
     assert w.argmax() == 0 and (w > 1e-12).sum() <= 3
+
+
+# -------------------------------------------- multi-group training (round 11)
+
+@pytest.fixture(scope="module")
+def mc_lin_data():
+    """3-class blobs, linearly separable: class k centered at angle
+    2*pi*k/3 in the (c0, c1) plane; c2 is noise."""
+    rng = np.random.default_rng(5)
+    n_per, K = 400, 3
+    cents = np.array([[2.0, 0.0], [-1.0, 1.8], [-1.0, -1.8]])
+    X = np.vstack([cents[k] + rng.normal(0, 0.5, size=(n_per, 2))
+                   for k in range(K)])
+    X = np.column_stack([X, rng.normal(size=len(X))])
+    y = np.repeat(np.arange(K), n_per).astype(float)
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def mc_lin_df(spark, mc_lin_data):
+    X, y = mc_lin_data
+    pdf = pd.DataFrame(X, columns=["c0", "c1", "c2"])
+    pdf["label"] = y
+    return spark.createDataFrame(pdf)
+
+
+def test_gblinear_multigroup_train(spark, mc_lin_df, mc_lin_data):
+    """Multi-group gblinear training (reference gblinear.cc DoBoost runs
+    the coordinate updater per group; weights (F+1) x K,
+    gblinear_model.h:40-44): softprob on 3 separable blobs must reach
+    high accuracy, and serving agrees with a NumPy replay of the
+    trained weights."""
+    X, y = mc_lin_data
+    fc = ["c0", "c1", "c2"]
+    model = train_linear({"booster": "gblinear", "objective": "multi:softprob",
+                          "num_class": 3, "num_boost_round": 20, "eta": 0.5,
+                          "eval_metric": ["mlogloss", "merror"]},
+                         mc_lin_df, feature_cols=fc,
+                         evals=[(mc_lin_df, "train")])
+    assert model.n_groups == 3
+    assert model.weights.shape == (3, 3)
+    hist = model.eval_history["train"]["mlogloss"]
+    assert hist[-1] < hist[0] * 0.5
+    out = model.transform(mc_lin_df, feature_cols=fc).toPandas()
+    P = np.stack(out["prediction"].to_numpy())
+    acc = float((P.argmax(1) == y).mean())
+    assert acc > 0.95, acc
+    # NumPy replay of the stored weights matches Spark serving
+    M = 0.5 + model.bias[None, :] + X @ model.weights
+    E = np.exp(M - M.max(1, keepdims=True))
+    want = E / E.sum(1, keepdims=True)
+    assert np.allclose(P, want, atol=1e-12)
+
+
+def test_gblinear_multigroup_roundtrip_and_contribs(spark, mc_lin_df,
+                                                    mc_lin_data):
+    """The trained multi-group model round-trips through the genuine
+    interleaved dialect (strip the engine extension -> still loads and
+    serves identically), and pred_contribs emits per-group (F+1) blocks
+    that sum EXACTLY to each group's margin (gblinear.cc:153-194)."""
+    import json as _json
+    X, y = mc_lin_data
+    fc = ["c0", "c1", "c2"]
+    model = train_linear({"booster": "gblinear", "objective": "multi:softprob",
+                          "num_class": 3, "num_boost_round": 10, "eta": 0.5},
+                         mc_lin_df, feature_cols=fc)
+    sample = mc_lin_df.limit(50)
+    out = model.transform(sample, feature_cols=fc, output_margin=True,
+                          pred_contribs=True).toPandas()
+    C = np.stack([np.stack(r) for r in out["contribs"].to_numpy()])
+    M = np.stack(out["margin"].to_numpy())
+    assert C.shape == (50, 3, 4)
+    assert np.abs(C.sum(axis=2) - M).max() < 1e-12
+    # genuine-dialect round trip: drop the engine extension block
+    doc = _json.loads(model.to_json())
+    doc.pop("xgboost_spark")
+    m2 = LinearModel.from_json(_json.dumps(doc))
+    assert m2.n_groups == 3
+    assert np.allclose(m2.weights, model.weights)
+    assert np.allclose(m2.bias, model.bias)
+    out2 = m2.transform(sample, feature_cols=fc, output_margin=True).toPandas()
+    assert np.allclose(np.stack(out2["margin"].to_numpy()), M, atol=1e-12)
+
+
+def test_gblinear_multigroup_softmax_serving(spark, mc_lin_df, mc_lin_data):
+    """multi:softmax serves the argmax class id."""
+    X, y = mc_lin_data
+    fc = ["c0", "c1", "c2"]
+    model = train_linear({"booster": "gblinear", "objective": "multi:softmax",
+                          "num_class": 3, "num_boost_round": 15, "eta": 0.5},
+                         mc_lin_df, feature_cols=fc)
+    out = model.transform(mc_lin_df, feature_cols=fc).toPandas()
+    acc = float((out["prediction"].to_numpy() == y).mean())
+    assert acc > 0.95, acc

@@ -1691,16 +1691,19 @@ def test_similarity_join_candidate_bound_scales_linearly(spark):
 
 
 def test_semantic_dedup_auto_clusters(spark, sf_dir):
-    """n_clusters="auto" sizes clusters to a constant target (~256
-    rows) so the within-cluster pair stage stays LINEAR in corpus size
-    (the round-10 sf1 sweep measured fixed-k at 22.6x for 10x data).
-    Same invariants as fixed-k; exact duplicates always co-cluster
-    (identical vectors share every centroid distance), so known dup
-    pairs still collapse."""
+    """n_clusters="auto" — the DEFAULT since round 11 — sizes clusters
+    to a constant target (~256 rows) so the within-cluster pair stage
+    stays LINEAR in corpus size (the round-10 sf1 sweep measured
+    fixed-k at 22.6x for 10x data).  Same invariants as fixed-k; exact
+    duplicates always co-cluster (identical vectors share every
+    centroid distance), so known dup pairs still collapse."""
+    import inspect
+    assert inspect.signature(
+        similarity.semantic_dedup).parameters["n_clusters"].default == "auto"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    out = similarity.semantic_dedup(emb, n_clusters="auto",
-                                    threshold=0.5).toPandas()
+    # default call — no n_clusters — must take the auto (linear) path
+    out = similarity.semantic_dedup(emb, threshold=0.5).toPandas()
     assert len(out) == n
     assert (out["rep_id"] <= out["id"]).all()
     m = out.set_index("id")["rep_id"]

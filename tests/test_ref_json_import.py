@@ -387,3 +387,149 @@ def test_ref_json_forest_grouping(spark):
         o2 = s.transform(df, feature_cols=["f0", "f1"],
                          output_margin=True).toPandas()
         assert o2["margin"][0][0] == pytest.approx(3.0)
+
+
+# --------------------------------------------------- tie convention (round 11)
+
+def _stump_doc(split: float, lo: float, hi: float) -> dict:
+    """Genuine-dialect single-stump regression doc: f0 vs ``split``,
+    left leaf ``lo``, right leaf ``hi``, missing goes left."""
+    return {
+        "version": [3, 0, 2],
+        "learner": {
+            "attributes": {}, "feature_names": [], "feature_types": [],
+            "learner_model_param": {
+                "base_score": "0", "num_class": "0",
+                "num_feature": "1", "num_target": "1"},
+            "objective": {"name": "reg:squarederror"},
+            "gradient_booster": {
+                "name": "gbtree",
+                "model": {
+                    "gbtree_model_param": {"num_trees": "1",
+                                           "num_parallel_tree": "1"},
+                    "iteration_indptr": [0, 1], "tree_info": [0],
+                    "trees": [{
+                        "tree_param": {"num_nodes": "3", "num_feature": "1",
+                                       "size_leaf_vector": "1"},
+                        "split_indices": [0, 0, 0],
+                        "split_conditions": [split, lo, hi],
+                        "split_type": [0, 0, 0],
+                        "categories": [], "categories_nodes": [],
+                        "categories_segments": [], "categories_sizes": [],
+                        "default_left": [1, 0, 0],
+                        "left_children": [1, -1, -1],
+                        "right_children": [2, -1, -1],
+                        "parents": [2147483647, 0, 0],
+                        "loss_changes": [1.0, 0.0, 0.0],
+                        "sum_hessian": [3.0, 2.0, 1.0],
+                        "base_weights": [0.0, lo, hi],
+                    }],
+                },
+            },
+        },
+    }
+
+
+def test_ref_import_strict_tie_convention(spark):
+    """The reference predictor routes LEFT only on strict float32
+    ``x < split_cond`` (`src/predictor/predict_fn.h:22`), so a row
+    exactly AT the threshold goes RIGHT — genuine-dialect imports must
+    serve that convention on BOTH the Arrow-UDF path (transform) and
+    the pure-Catalyst path (transform_expr); engine-trained models keep
+    ``<=`` (their binning is <=-upper-bound-consistent)."""
+    m = GBDTModel.from_json(json.dumps(_stump_doc(2.0, -1.0, 1.0)))
+    assert all(t.tie_strict for rnd in m.trees for t in rnd)
+    df = spark.createDataFrame(
+        pd.DataFrame({"f0": [1.5, 2.0, 2.5, np.nan]}))
+    for path in ("udf", "expr"):
+        fn = m.transform if path == "udf" else m.transform_expr
+        out = (fn(df, feature_cols=["f0"])
+               .toPandas().sort_values("f0", na_position="last"))
+        got = list(out["prediction"])
+        assert got[0] == pytest.approx(-1.0)        # 1.5 < 2.0 -> left
+        assert got[1] == pytest.approx(1.0), path   # tie -> RIGHT
+        assert got[2] == pytest.approx(1.0)
+        assert got[3] == pytest.approx(-1.0)        # missing: default left
+    # engine re-save keeps the strict convention (extension flag)
+    m2 = GBDTModel.from_json(m.to_json())
+    assert all(t.tie_strict for rnd in m2.trees for t in rnd)
+    out2 = m2.transform(df, feature_cols=["f0"]).toPandas()
+    assert sorted(out2["prediction"])[2] == pytest.approx(1.0)
+
+
+def test_ref_import_float32_threshold_compare(spark):
+    """The reference compares float32 OPERANDS (fvalue is ingested as
+    float32, predict_fn.h:22): a double x just below the float32
+    threshold that ROUNDS TO the threshold must tie and route RIGHT —
+    a double-precision ``x < t32`` compare would wrongly send it left.
+    Pins that both serving paths cast the feature to float32 too."""
+    t32 = float(np.float32(0.1))
+    assert t32 > 0.1
+    x = t32 - 1e-10              # double: x < t32, but float32(x) == t32
+    assert x < t32 and float(np.float32(x)) == t32
+    m = GBDTModel.from_json(json.dumps(_stump_doc(0.1, -1.0, 1.0)))
+    df = spark.createDataFrame(pd.DataFrame({"f0": [x]}))
+    for fn in (m.transform, m.transform_expr):
+        out = fn(df, feature_cols=["f0"]).toPandas()
+        assert out["prediction"][0] == pytest.approx(1.0), fn
+
+
+def test_engine_trained_keeps_le_tie(spark):
+    """An engine-trained model routes ties LEFT (``<=``): pin via a
+    hand-built core.Tree served through both paths."""
+    from xgboost_spark import core
+    from xgboost_spark.config import TrainParams
+    t = core.Tree()
+    t.expand(0, 0, 0, 2.0, True, 1.0, 0.0, 2.0, 0.0, 1.0)
+    t.leaf_value[1], t.leaf_value[2] = -1.0, 1.0
+    m = GBDTModel(TrainParams.from_dict({"objective": "reg:squarederror"}),
+                  0.0, [[t]], ["f0"])
+    df = spark.createDataFrame(pd.DataFrame({"f0": [2.0]}))
+    for fn in (m.transform, m.transform_expr):
+        out = fn(df, feature_cols=["f0"]).toPandas()
+        assert out["prediction"][0] == pytest.approx(-1.0), fn   # tie LEFT
+    # round trip: engine dialect keeps <= (no tie_strict flag)
+    m2 = GBDTModel.from_json(m.to_json())
+    assert not any(tt.tie_strict for rnd in m2.trees for tt in rnd)
+
+
+# ------------------------------------------- gblinear base_score spaces (r11)
+
+def test_gblinear_save_output_space_base_score():
+    """LinearModel.to_json writes the reference's OUTPUT-space
+    base_score into learner_model_param (like GBDTModel): a genuine
+    reference build applies ProbToMargin on load, so the margin-space
+    value must NOT appear there (a margin 0.0 for binary:logistic is
+    output 0.5); the exact margin rides in the extension block."""
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.linear import LinearModel
+    m = LinearModel(TrainParams.from_dict({"objective": "binary:logistic"}),
+                    0.0, np.array([0.5, -0.25]), 2.0, ["f0", "f1"])
+    doc = json.loads(m.to_json())
+    assert float(doc["learner"]["learner_model_param"]["base_score"]) \
+        == pytest.approx(0.5)
+    assert doc["xgboost_spark"]["base_score_margin"] == pytest.approx(0.0)
+    assert "version" in doc
+    # round trip restores the exact margin-space intercept
+    m2 = LinearModel.from_json(m.to_json())
+    assert m2.base_score == pytest.approx(0.0, abs=1e-15)
+
+
+def test_gblinear_legacy_engine_save_margin_space():
+    """Legacy engine gblinear saves (pre-round-11: margin-space
+    base_score in learner_model_param, NO extension block, NO version
+    key) must load margin-space — the discriminator is the top-level
+    "version" key genuine reference docs always carry
+    (learner.cc Version::Save) and legacy engine saves never did."""
+    from xgboost_spark.plans.linear import LinearModel
+    legacy = {"learner": {
+        "gradient_booster": {"name": "gblinear",
+                             "model": {"weights": [0.5, -0.25, 2.0]}},
+        "objective": {"name": "binary:logistic"},
+        "feature_names": ["f0", "f1"],
+        "learner_model_param": {"base_score": "0.0", "num_feature": "2",
+                                "num_class": "0"},
+    }}
+    m = LinearModel.from_json(json.dumps(legacy))
+    # margin space: stays 0.0 (prob_to_margin would give logit(eps))
+    assert m.base_score == pytest.approx(0.0, abs=1e-12)

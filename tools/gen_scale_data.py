@@ -25,9 +25,9 @@ RNG):
   near-dup-free like the source.
 
 Timestamps ride through pyarrow untouched (the source tables store
-TIMESTAMP(NANOS); pandas/pyarrow round-trips ns exactly), so the
-engine's nanosAsLong read path sees the same physical type as
-/root/testdata.
+TIMESTAMP(MICROS) — verified against the sf0.01 parquet footers;
+pandas/pyarrow round-trips the physical type exactly), so the engine
+reads the same physical type as /root/testdata.
 
 Usage: python tools/gen_scale_data.py [K] [SRC] [DST]
        (defaults: 10 /root/testdata/sf0.1 /tmp/xgbspark_scale/sf1)

@@ -75,6 +75,13 @@ class Tree:
     # categorical splits: category codes routed LEFT; None = numeric node
     # (reference stores a bitset per node, tree_model.h SplitCondT :82)
     categories: list[list[int] | None] = field(default_factory=lambda: [None])
+    # tie convention: False (engine-trained) routes left on
+    # ``x <= split_value`` (consistent with the <=-upper-bound binning);
+    # True (genuine reference-dialect imports) routes left only on the
+    # reference predictor's STRICT float32 ``x < split_cond``
+    # (`src/predictor/predict_fn.h:22` — fvalue and the threshold are
+    # both float32 there, so rows exactly at a threshold go RIGHT)
+    tie_strict: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -125,6 +132,8 @@ class Tree:
             out["categories"] = tuple(
                 None if c is None else np.asarray(c, dtype=np.int32)
                 for c in self.categories)
+        if self.tie_strict:
+            out["tie_strict"] = True
         return out
 
 
@@ -148,6 +157,7 @@ def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool,
     """
     n = X.shape[0]
     cats = a.get("categories")
+    strict = bool(a.get("tie_strict"))
     node = node0 if node0 is not None else np.zeros(n, dtype=np.int32)
     active = a["left"][node] != -1
     while active.any():
@@ -158,6 +168,14 @@ def leaf_ids_from_arrays(a: dict[str, np.ndarray], X: np.ndarray, binned: bool,
         if binned:
             miss = x == MISSING_BIN
             go_left = np.where(miss, a["default_left"][nd], x <= a["split_bin"][nd])
+        elif strict:
+            # reference predictor convention: STRICT less-than over
+            # float32 operands (predict_fn.h:22) — ties route RIGHT
+            miss = np.isnan(x)
+            go_left = np.where(
+                miss, a["default_left"][nd],
+                x.astype(np.float32)
+                < a["split_value"][nd].astype(np.float32))
         else:
             miss = np.isnan(x)
             go_left = np.where(miss, a["default_left"][nd], x <= a["split_value"][nd])

@@ -31,6 +31,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def _num_go_left(a, nd, x):
+    """Numeric split decision honoring the model's tie convention:
+    engine-trained trees route left on ``x <= split_value`` (consistent
+    with <=-upper-bound binning); genuine reference-dialect imports
+    (``a["tie_strict"]``) use the reference predictor's STRICT float32
+    ``x < split_cond`` (`src/predictor/predict_fn.h:22`)."""
+    sv = a["split_value"][nd]
+    if a.get("tie_strict"):
+        return (np.asarray(x, dtype=np.float32)
+                < np.asarray(sv, dtype=np.float32))
+    return x <= sv
+
+
 def _max_depth(a) -> int:
     depth = np.zeros(len(a["left"]), dtype=np.int64)
     out = 0
@@ -153,7 +166,7 @@ def _vrecurse(a, cover, X, phi, nid, m: _VecPath, length: int,
                            np.isin(code, node_cats))
     else:
         go_left = np.where(np.isnan(x), bool(a["default_left"][nid]),
-                           x <= a["split_value"][nid])
+                           _num_go_left(a, nid, x))
     cj = max(cover[nid], 1e-300)
     rl = cover[lid] / cj
     rr = cover[rid] / cj
@@ -220,7 +233,7 @@ def _decision(a, nid: int, xrow: np.ndarray) -> bool:
         return bool(a["default_left"][nid])
     if "categories" in a and a["categories"][nid] is not None:
         return bool(np.isin(np.int64(v), a["categories"][nid]))
-    return bool(v <= a["split_value"][nid])
+    return bool(np.all(_num_go_left(a, nid, v)))
 
 
 class _Path:
@@ -366,7 +379,8 @@ def saabas_contribs(a: dict, cover: np.ndarray, X: np.ndarray) -> np.ndarray:
         nd = nid[idx]
         f = a["feature"][nd]
         x = X[idx, f]
-        go_left = np.where(np.isnan(x), a["default_left"][nd], x <= a["split_value"][nd])
+        go_left = np.where(np.isnan(x), a["default_left"][nd],
+                           _num_go_left(a, nd, x))
         if cats is not None:
             for u in np.unique(nd):
                 if cats[u] is None:

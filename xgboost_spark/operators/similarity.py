@@ -657,7 +657,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
             .select("query_id", F.col("id").alias("nbr_id"), "adc_d2", "rank"))
 
 
-def semantic_dedup(corpus: DataFrame, n_clusters: int | str = 16,
+def semantic_dedup(corpus: DataFrame, n_clusters: int | str = "auto",
                    threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id", iters: int = 0,
                    seed_by: str = "id",
@@ -669,10 +669,13 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int | str = 16,
     representative.
 
     Returns (id, rep_id); rows with rep_id == id are the keepers.  The
-    pairwise stage is per-cluster (quadratic only within a cluster —
-    size the cluster count so clusters stay bounded, or pass
-    ``n_clusters="auto"`` for scale-aware sizing: ~256 rows per cluster,
-    capped at 4096 clusters, measured linear at 10x data); the component
+    pairwise stage is per-cluster (quadratic only within a cluster).
+    The DEFAULT ``n_clusters="auto"`` is scale-aware sizing: ~256 rows
+    per cluster, capped at 4096 clusters — measured LINEAR at 10x data,
+    whereas any FIXED cluster count makes pair work quadratic in corpus
+    size (the round-10 sweep measured fixed-k at 22.6x for 10x data).
+    Pass an int only when the cluster count itself is the contract
+    (e.g. an exactly-replayable oracle configuration); the component
     collapse is large-star/small-star contraction, O(log^2 n) rounds
     with a hard error (never a silent wrong answer) on non-convergence.
     With the default ``iters=0, seed_by="id"`` quantizer every stage is

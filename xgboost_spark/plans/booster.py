@@ -1301,7 +1301,8 @@ def refresh_leaves(model: GBDTModel, df: DataFrame,
                 split_value=list(tree.split_value), default_left=list(tree.default_left),
                 left=list(tree.left), right=list(tree.right), parent=list(tree.parent),
                 leaf_value=list(tree.leaf_value), gain=list(tree.gain),
-                sum_grad=list(tree.sum_grad), sum_hess=list(tree.sum_hess))
+                sum_grad=list(tree.sum_grad), sum_hess=list(tree.sum_hess),
+                categories=list(tree.categories), tie_strict=tree.tie_strict)
             for r in stats:
                 nid = int(r["leaf"])
                 t2.sum_grad[nid], t2.sum_hess[nid] = float(r["G"]), float(r["H"])

@@ -94,9 +94,6 @@ class LinearModel:
         linear terms are exact Shapley values).  Pure expressions."""
         name = self.params.objective
         if self.n_groups > 1:
-            if pred_contribs:
-                raise NotImplementedError(
-                    "pred_contribs for multi-group gblinear")
             margins = self.margin_exprs(feature_cols)
             if name == "multi:softmax":
                 pred = (F.array_position(
@@ -113,6 +110,25 @@ class LinearModel:
             out = df.withColumn("prediction", pred)
             if output_margin:
                 out = out.withColumn("margin", F.array(*margins))
+            if pred_contribs:
+                # per-GROUP contribution blocks (reference
+                # `src/gbm/gblinear.cc:153-194` PredictContribution
+                # loops gid: w[f][gid]*x_f per feature, intercept —
+                # bias_gid + base_score_gid — last); linear terms are
+                # exact Shapley values.  Shape (K, F+1) per row.
+                cols = feature_cols or self.feature_names
+                bs = getattr(self, "base_score_vec", None)
+                blocks = []
+                for k in range(self.n_groups):
+                    b = (float(bs[k]) if bs is not None
+                         else float(self.base_score))
+                    terms = [
+                        (F.lit(float(w)) * F.coalesce(
+                            F.col(c).cast("double"), F.lit(0.0)))
+                        for w, c in zip(self.weights[:, k], cols)
+                    ] + [F.lit(float(self.bias[k]) + b)]
+                    blocks.append(F.array(*terms))
+                out = out.withColumn("contribs", F.array(*blocks))
             return out
         m = self.margin_expr(feature_cols)
         if name in ("binary:logistic", "reg:logistic"):
@@ -134,6 +150,7 @@ class LinearModel:
         return out
 
     def to_json(self) -> str:
+        from xgboost_spark.functions.objectives import margin_to_prob
         if self.n_groups > 1:
             # reference interleaved layout: w[fid*K + gid], bias block
             # last (gblinear_model.h:49-62)
@@ -141,7 +158,24 @@ class LinearModel:
                 + [float(v) for v in self.bias]
         else:
             wb = self.weights.tolist() + [self.bias]
+        # learner_model_param.base_score uses the reference's OUTPUT-
+        # space convention (learner.cc ProbToMargin on load) so a
+        # genuine reference build loads this save with the right
+        # intercept; the exact margin-space value rides in the engine
+        # extension block (read back first on load).  Multi-group
+        # intercepts are identity-link (like GBDTModel multiclass).
+        bs_vec = getattr(self, "base_score_vec", None)
+        if bs_vec is not None:
+            bs_out = "[" + ",".join(str(float(v)) for v in bs_vec) + "]"
+        else:
+            bs_out = str(margin_to_prob(self.params.objective,
+                                        self.base_score)
+                         if self.n_groups == 1 else self.base_score)
         return json.dumps({
+            # reference saves carry a top-level version (learner.cc
+            # Version::Save); also the legacy-save discriminator — see
+            # from_json
+            "version": [0, 1, 0],
             "learner": {
                 "gradient_booster": {
                     "name": "gblinear",
@@ -150,14 +184,13 @@ class LinearModel:
                 "objective": {"name": self.params.objective},
                 "feature_names": self.feature_names,
                 "learner_model_param": {
-                    "base_score": str(self.base_score),
+                    "base_score": bs_out,
                     "num_feature": str(len(self.feature_names)),
                     "num_class": str(self.params.num_class),
                 },
             },
-            # marks base_score as margin-space (engine's own save);
-            # absent on genuine reference docs, which store it in
-            # OUTPUT space (learner.cc ProbToMargin on load)
+            # engine extension: exact margin-space intercept (the
+            # learner_model_param value above is OUTPUT space)
             "xgboost_spark": {
                 "base_score_margin": float(self.base_score),
                 "base_score_margin_vec": (
@@ -201,6 +234,14 @@ class LinearModel:
             base_score = bs_vals[0]
             if len(bs_vals) > 1:
                 bs_vec = np.asarray(bs_vals, dtype=np.float64)
+        elif "version" not in full:
+            # legacy engine save (pre-round-11 format): no extension
+            # block AND no top-level version key — genuine reference
+            # docs always carry "version" (learner.cc Version::Save),
+            # engine legacy saves never did.  Its base_score is already
+            # MARGIN space; applying ProbToMargin here would e.g. turn
+            # a saved 0.0 for binary:logistic into logit(eps) ~ -34.5
+            base_score = bs_vals[0]
         else:
             from xgboost_spark.functions.objectives import prob_to_margin
             base_score = prob_to_margin(objective, bs_vals[0])
@@ -255,6 +296,12 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
     Fn = len(fnames)
     has_w = "weight" in raw.columns
     feat_names_out = feature_cols if (feature_cols and not array_col) else fnames
+
+    if p.n_groups > 1:
+        return _train_linear_multigroup(p, raw, fnames, feat_names_out,
+                                        has_w, obj, evals, feature_cols,
+                                        array_col, label_col, weight_col,
+                                        verbose)
 
     # base score: distributed stump (same as the tree path)
     w_expr = F.col("weight") if has_w else F.lit(1.0)
@@ -362,4 +409,124 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
                         print(f"[{it}] {ev_name}-{mname}: {val:.6f}")
 
     return LinearModel(p, base_score, weights, bias, feat_names_out,
+                       eval_history=history)
+
+
+def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
+                             fnames: list[str], feat_names_out: list[str],
+                             has_w: bool, obj, evals, feature_cols,
+                             array_col, label_col, weight_col,
+                             verbose: bool) -> LinearModel:
+    """gblinear training with ``num_output_group > 1`` (reference
+    `src/gbm/gblinear.cc` DoBoost: one coordinate pass PER GROUP over
+    the shared gradient snapshot; weights live in the interleaved
+    ``(F+1) x K`` layout, `gblinear_model.h:40-62`).
+
+    Spark shape mirrors the scalar path: per boosting round ONE
+    mapInPandas job emits per-partition partial sums — per-group
+    (G_k, H_k) plus per-(feature, group) (sum g_k x_f, sum h_k x_f^2) —
+    aggregated JVM-side; the driver applies the shotgun update to every
+    group's coordinates from that single snapshot.  The multiclass
+    intercept is identity-link 0.5 (reference multiclass default base
+    score), like the tree path."""
+    Fn = len(fnames)
+    K = p.n_groups
+    base_score = float(p.base_score) if p.base_score is not None else 0.5
+    W = np.zeros((Fn, K))
+    bias = np.zeros(K)
+    rng = np.random.default_rng(p.seed)
+    history: dict[str, dict[str, list[float]]] = {}
+    metric_names = p.eval_metric or [obj.default_metric()]
+    w_expr = F.col("weight") if has_w else F.lit(1.0)
+    cols = (["G%d" % k for k in range(K)] + ["H%d" % k for k in range(K)]
+            + ["gx%d_%d" % (i, k) for i in range(Fn) for k in range(K)]
+            + ["hx%d_%d" % (i, k) for i in range(Fn) for k in range(K)])
+    sums_schema = ", ".join(f"{c} double" for c in cols)
+
+    for it in range(p.num_boost_round):
+        bw = W.copy()
+        bb = bias + base_score                       # (K,)
+
+        def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            G = np.zeros(K)
+            H = np.zeros(K)
+            gx = np.zeros((Fn, K))
+            hx = np.zeros((Fn, K))
+            for pdf in it_:
+                if len(pdf) == 0:
+                    continue
+                X = np.column_stack([
+                    np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                  na_value=np.nan))
+                    for c in fnames])
+                y = pdf["label"].to_numpy(dtype=np.float64)
+                w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                      if has_w else None)
+                M = bb[None, :] + X @ bw             # (n, K)
+                g, h = obj.grad_hess(y, M, w_)       # (n, K)
+                G += g.sum(axis=0)
+                H += h.sum(axis=0)
+                gx += X.T @ g
+                hx += (X * X).T @ h
+            out = {f"G{k}": [G[k]] for k in range(K)}
+            out.update({f"H{k}": [H[k]] for k in range(K)})
+            out.update({f"gx{i}_{k}": [gx[i, k]]
+                        for i in range(Fn) for k in range(K)})
+            out.update({f"hx{i}_{k}": [hx[i, k]]
+                        for i in range(Fn) for k in range(K)})
+            yield pd.DataFrame(out)
+
+        r = (raw.mapInPandas(sums_fn, schema=sums_schema)
+             .agg(*[F.sum(c).alias(c) for c in cols]).first())
+
+        # per-group shotgun pass from the shared snapshot (gblinear.cc
+        # DoBoost loops gid; updater runs its selector per group)
+        for k in range(K):
+            order = np.arange(Fn)
+            if p.feature_selector == "shuffle":
+                rng.shuffle(order)
+            elif p.feature_selector == "random":
+                order = rng.choice(Fn, size=max(1, Fn // 2), replace=False)
+            elif p.feature_selector in ("greedy", "thrifty"):
+                mag = np.empty(Fn)
+                for i in range(Fn):
+                    gi = float(r[f"gx{i}_{k}"]) + p.reg_lambda * W[i, k]
+                    hi = float(r[f"hx{i}_{k}"]) + p.reg_lambda
+                    mag[i] = abs(_threshold_l1(gi, p.reg_alpha)) / max(hi, 1e-16)
+                order = np.argsort(-mag)
+                if p.top_k > 0:
+                    order = order[:p.top_k]
+            for f in order:
+                gf = float(r[f"gx{f}_{k}"]) + p.reg_lambda * W[f, k]
+                hf = float(r[f"hx{f}_{k}"]) + p.reg_lambda
+                if hf <= 0:
+                    continue
+                W[f, k] += p.eta * (-_threshold_l1(gf, p.reg_alpha) / hf)
+            Hk = float(r[f"H{k}"])
+            if Hk > 0:
+                bias[k] += p.eta * (-float(r[f"G{k}"]) / Hk)
+
+        if evals:
+            model = LinearModel(p, base_score, W.copy(), bias.copy(),
+                                feat_names_out)
+            for ev_df, ev_name in evals:
+                ev_raw, _ = assemble_features(
+                    ev_df, feature_cols=feature_cols, array_col=array_col,
+                    label_col=label_col, weight_col=weight_col)
+                scored = model.transform(
+                    ev_raw, feature_cols=fnames, output_margin=True)
+                mcols = [f"m{k}" for k in range(K)]
+                scored = scored.select(
+                    F.col("label").alias("y"), w_expr.alias("w"),
+                    *[F.col("margin").getItem(k).alias(mcols[k])
+                      for k in range(K)])
+                for mname in metric_names:
+                    val = metrics_mod.compute_metric(
+                        scored, mname, y="y", margin_cols=mcols, weight="w")
+                    history.setdefault(ev_name, {}).setdefault(
+                        mname, []).append(val)
+                    if verbose:
+                        print(f"[{it}] {ev_name}-{mname}: {val:.6f}")
+
+    return LinearModel(p, base_score, W, bias, feat_names_out,
                        eval_history=history)

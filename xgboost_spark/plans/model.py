@@ -338,12 +338,19 @@ class GBDTModel:
                                 float(self.tree_weights[ri])
                                 for ri, r in enumerate(self.trees)
                                 for _ in r]}
-                           if self.tree_weights else {}),
+                           if self.tree_weights
+                           and any(float(w) != 1.0 for w in self.tree_weights)
+                           else {}),
                     },
                 },
             },
             # engine extension: cuts allow exact training continuation
             "xgboost_spark": {
+                # keep an imported reference model's strict-'<' tie
+                # convention across engine re-save round-trips
+                **({"tie_strict": True} if any(
+                    t.tie_strict for rnd in self.trees for t in rnd)
+                   else {}),
                 "base_score_margin": float(self.base_score),
                 "base_score_margin_vec": (
                     [float(v) for v in self.base_score_vec]
@@ -508,6 +515,15 @@ class GBDTModel:
                     for i in range(n)
                 ]
             flat.append(t)
+        # tie convention: a genuine reference document (no engine
+        # extension block) is served with the reference predictor's
+        # STRICT float32 ``x < split_cond`` (predict_fn.h:22); engine
+        # saves keep ``<=`` (consistent with <=-upper-bound binning).
+        # Re-saves of imported models persist the flag in the extension
+        # block so round-trips keep the convention.
+        if bool(ext.get("tie_strict", not ext)):
+            for t in flat:
+                t.tie_strict = True
         # boosting-round grouping: iteration_indptr is authoritative
         # when present (`gbtree_model.cc:118-127`; MakeIndptr fallback
         # = num_class x num_parallel_tree trees per iteration) — a
@@ -518,9 +534,12 @@ class GBDTModel:
         trees: list[list[core.Tree]] = []
         if indptr and len(indptr) >= 2 and int(indptr[-1]) == len(flat):
             bounds = [int(v) for v in indptr]
+            # keep EMPTY iterations as empty rounds: the reference's
+            # round indexing (gbtree_model.cc:118-127) counts them, so
+            # dropping them would shift boosting-round indices and
+            # misalign iteration_range slicing / per-round DART weights
             trees = [flat[bounds[i]:bounds[i + 1]]
-                     for i in range(len(bounds) - 1)
-                     if bounds[i + 1] > bounds[i]]
+                     for i in range(len(bounds) - 1)]
         else:
             gs = max(K * npt, 1)
             trees = [flat[i:i + gs] for i in range(0, len(flat), gs)]
@@ -688,6 +707,12 @@ class GBDTModel:
         cats = t.categories[nid]
         if cats is not None:
             cond = c.cast("long").isin(*[int(v) for v in cats])
+        elif getattr(t, "tie_strict", False):
+            # genuine reference-dialect import: strict float32 '<'
+            # (predict_fn.h:22) — both operands rounded to float32
+            # (exact when widened back to double, so the double compare
+            # below is bit-equivalent to the reference's float compare)
+            cond = c.cast("float") < F.lit(float(np.float32(t.split_value[nid])))
         else:
             cond = c <= F.lit(float(t.split_value[nid]))
         return (F.when(c.isNull() | F.isnan(c), dflt)
