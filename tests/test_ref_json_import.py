@@ -533,3 +533,40 @@ def test_gblinear_legacy_engine_save_margin_space():
     m = LinearModel.from_json(json.dumps(legacy))
     # margin space: stays 0.0 (prob_to_margin would give logit(eps))
     assert m.base_score == pytest.approx(0.0, abs=1e-12)
+
+
+def test_engine_export_exclusive_bounds_tie_faithful(spark):
+    """Engine saves export reference-dialect split_conditions as
+    EXCLUSIVE float32 bounds (one ulp above the engine's inclusive
+    bound), so a genuine reference build — strict float32 ``<``,
+    predict_fn.h:22 — reproduces the engine's routing for every
+    float32-exact feature value, INCLUDING rows exactly at a split
+    (engine bins are <=-upper-bound, so bin-boundary data values tie).
+    The exact inclusive bounds ride in the extension block, keeping
+    engine round-trips bit-exact."""
+    from xgboost_spark import core
+    from xgboost_spark.config import TrainParams
+    t = core.Tree()
+    t.expand(0, 0, 0, 2.0, True, 1.0, 0.0, 2.0, 0.0, 1.0)
+    t.leaf_value[1], t.leaf_value[2] = -1.0, 1.0
+    m = GBDTModel(TrainParams.from_dict({"objective": "reg:squarederror"}),
+                  0.0, [[t]], ["f0"])
+    doc = json.loads(m.to_json())
+    cond = doc["learner"]["gradient_booster"]["model"]["trees"][0][
+        "split_conditions"][0]
+    assert cond == float(np.nextafter(np.float32(2.0), np.float32(np.inf)))
+    assert doc["xgboost_spark"]["exact_split_values"][0][0] == 2.0
+    df = spark.createDataFrame(pd.DataFrame({"f0": [1.5, 2.0, 2.5]}))
+    want = [-1.0, -1.0, 1.0]                      # engine: tie LEFT
+    # engine round trip: exact bounds restored, '<=' kept
+    m2 = GBDTModel.from_json(m.to_json())
+    assert m2.trees[0][0].split_value[1 - 1] == 2.0
+    # stripped = what a genuine reference build sees: strict float32 '<'
+    # on the exclusive bound — SAME routing at the tie
+    stripped = {k: v for k, v in doc.items() if k != "xgboost_spark"}
+    m3 = GBDTModel.from_json(json.dumps(stripped))
+    assert all(tt.tie_strict for rnd in m3.trees for tt in rnd)
+    for model in (m2, m3):
+        for fn in (model.transform, model.transform_expr):
+            out = fn(df, feature_cols=["f0"]).toPandas().sort_values("f0")
+            assert list(out["prediction"]) == pytest.approx(want), (model, fn)

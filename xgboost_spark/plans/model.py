@@ -233,12 +233,32 @@ class GBDTModel:
         """
         from xgboost_spark.functions.objectives import margin_to_prob
         trees_json = []
+        exact_splits: list[list[float] | None] = []
         for rnd in self.trees:
             for k, t in enumerate(rnd):
                 n = t.n_nodes
-                split_conditions = [
-                    t.leaf_value[i] if t.left[i] == -1 else t.split_value[i] for i in range(n)
-                ]
+
+                def _cond(i):
+                    if t.left[i] == -1:
+                        return t.leaf_value[i]
+                    if t.tie_strict or t.categories[i] is not None:
+                        return t.split_value[i]
+                    # engine split values are INCLUSIVE upper bounds
+                    # (route left on x <= v) but the reference predictor
+                    # is strict float32 'x < cond' (predict_fn.h:22), so
+                    # export the EXCLUSIVE bound — one float32 ulp above
+                    # — making 'f32(x) < cond' equal 'f32(x) <= f32(v)'.
+                    # A genuine reference build then reproduces this
+                    # model's routing for every float32-exact feature
+                    # value; the exact inclusive bounds ride in the
+                    # extension block for bit-exact engine round-trips.
+                    return float(np.nextafter(np.float32(t.split_value[i]),
+                                              np.float32(np.inf)))
+
+                split_conditions = [_cond(i) for i in range(n)]
+                exact_splits.append(
+                    None if t.tie_strict
+                    else [float(v) for v in t.split_value])
                 cat_nodes = [i for i in range(n) if t.categories[i] is not None]
                 cats_flat: list[int] = []
                 segments, sizes = [], []
@@ -351,6 +371,10 @@ class GBDTModel:
                 **({"tie_strict": True} if any(
                     t.tie_strict for rnd in self.trees for t in rnd)
                    else {}),
+                # exact inclusive split bounds (the trees above carry
+                # the reference-convention EXCLUSIVE float32 bounds);
+                # None per tree when the tree is strict (imported)
+                "exact_split_values": exact_splits,
                 "base_score_margin": float(self.base_score),
                 "base_score_margin_vec": (
                     [float(v) for v in self.base_score_vec]
@@ -515,6 +539,15 @@ class GBDTModel:
                     for i in range(n)
                 ]
             flat.append(t)
+        # engine saves export exclusive float32 split bounds in the
+        # reference dialect (see to_json); the exact inclusive bounds
+        # ride in the extension block — restore them for bit-exact
+        # engine round-trips
+        esv = ext.get("exact_split_values")
+        if esv:
+            for t, sv in zip(flat, esv):
+                if sv is not None:
+                    t.split_value = [float(v) for v in sv]
         # tie convention: a genuine reference document (no engine
         # extension block) is served with the reference predictor's
         # STRICT float32 ``x < split_cond`` (predict_fn.h:22); engine
