@@ -3834,38 +3834,86 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-10 window = 4 rows-only-by-
-    nature entries (all four now carry IN-ROW invariant columns —
-    stream-equals-batch for stream_score, falling-loss + round-count
-    for train_stream, dims/range checks for image_pipeline,
-    monotone_violations for train_expectile) + 2 NEW entries exercising
-    the round-10 genuine-reference-dialect importers (ref_dart_import:
-    nested-gbtree + weight_drop DART docs through GBDTModel.from_json
-    and the pure-Catalyst serving path; ref_gblinear_import: flat
-    weights-with-bias gblinear docs through LinearModel.from_json) + 8
-    stalest driver certifications (knn/metric_multiclass/custdist/
-    funnel predate r5 — the r9 verdict's rotation ask — plus the r5
-    block minhash_bands/product_profit/important_parts/
-    excess_suppliers) + the full 36-entry r7 block = exactly 50.  After
-    this window no entry's latest driver row predates round 8.  Every
-    entry remains covered by the in-repo replica gate
-    (tests/test_entry.py), which runs ALL entries regardless of order,
-    and by the AST lint (tests/test_entry_lint.py) pinning that
-    operator-backed entries execute shipped engine code."""
+    hashes the FIRST 50 entries.  Round-11 window = 2 rows-only-by-
+    nature entries (image_pipeline, stream_score — in-row invariants
+    asserted; the other two rows-only entries train_stream /
+    train_expectile hold their r10 certification) + the 2 dialect
+    importers whose code or oracle CHANGED this round (ref_dart_import:
+    strict-'<' float32 tie convention with non-tying thresholds;
+    ref_gblinear_import: the new version-key legacy discriminator in
+    LinearModel.from_json) + 1 NEW entry (linear_multigroup_round:
+    multi-group gblinear training against a closed-form DuckDB oracle)
+    + the full 45-entry r8 block, this round's stalest certifications
+    (fit_stump ... kmeans_iter) = exactly 50.  After this window no
+    entry's latest driver row predates round 9.  Every entry remains
+    covered by the in-repo replica gate (tests/test_entry.py), which
+    runs ALL entries regardless of order, and by the AST lint
+    (tests/test_entry_lint.py) pinning that operator-backed entries
+    execute shipped engine code."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # rows-only by nature (no SQL oracle exists), in-row invariants
+        # rows-only by nature (in-row invariants asserted); the other two
+        # rows-only entries (train_stream, train_expectile) hold their
+        # round-10 certification and sit past the window this round
         "image_pipeline": q_image_pipeline,
         "stream_score": q_stream_score,
-        "train_stream": q_train_stream,
-        "train_expectile": q_train_expectile,
-        # NEW round 10: genuine reference-dialect model importers
-        # (ref_dart_import CHANGED round 11: strict-'<' tie convention)
+        # changed round 11 (strict-< tie convention + non-tying oracle;
+        # the from_json legacy/version discriminator) and NEW round 11
+        # (multi-group gblinear training, closed-form oracle)
         "ref_dart_import": q_ref_dart_import,
         "ref_gblinear_import": q_ref_gblinear_import,
-        # NEW round 11: multi-group gblinear training
         "linear_multigroup_round": q_linear_multigroup_round,
-        # stalest certifications (pre-r5 + the r5 block)
+        # re-certification: the full 45-entry r8 block (the stalest
+        # certifications) — after this window no entry's latest driver
+        # row predates round 9
+        "fit_stump": q_fit_stump,
+        "quantile_cuts": q_quantile_cuts,
+        "weighted_quantile": q_weighted_quantile,
+        "quantize_hist": q_quantize_hist,
+        "split_scan": q_split_scan,
+        "best_split": q_best_split,
+        "leaf_weights": q_leaf_weights,
+        "row_partition": q_row_partition,
+        "subsample": q_subsample,
+        "logistic_grad": q_logistic_grad,
+        "softmax_grad": q_softmax_grad,
+        "dedup_exact": q_dedup_exact,
+        "cox_grad": q_cox_grad,
+        "aft_grad": q_aft_grad,
+        "knn_ivf": q_knn_ivf,
+        "train_importance": q_train_importance,
+        "train_ranker": q_train_ranker,
+        "train_dart": q_train_dart,
+        "vocab": q_vocab,
+        "stream_enrich": q_stream_enrich,
+        "stream_join": q_stream_join,
+        "segment_dedup": q_segment_dedup,
+        "knn_ivf0": q_knn_ivf0,
+        "train_string_cat": q_train_string_cat,
+        "train_logistic": q_train_logistic,
+        "train_softmax": q_train_softmax,
+        "dart_weights": q_dart_weights,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "bloom_contains": q_bloom_contains,
+        "embedding_cov": q_embedding_cov,
+        "stream_distinct": q_stream_distinct,
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
+        "bundle_revenue": q_bundle_revenue,
+        "idle_customers": q_idle_customers,
+        "revenue_forecast": q_revenue_forecast,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "priority_lines": q_priority_lines,
+        "kmeans_iter": q_kmeans_iter,
+        # ---- past the window (r9/r10-certified) -------------------------
+        "train_stream": q_train_stream,
+        "train_expectile": q_train_expectile,
         "knn": q_knn,
         "metric_multiclass": q_metric_multiclass,
         "custdist": q_custdist,
@@ -3874,7 +3922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
-        # re-certification: the r7 block
         "prefix_scan": q_prefix_scan,
         "range_join": q_range_join,
         "q1_pricing": q_q1_pricing,
@@ -3911,7 +3958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "quantile_stump": q_quantile_stump,
-        # ---- past the window (r9-certified, then r8) --------------------
         "train_multi_quantile": q_train_multi_quantile,
         "exact_duplicates": q_exact_duplicates,
         "metric_expectile": q_metric_expectile,
@@ -3958,51 +4004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "asof_join": q_asof_join,
-        "dedup_exact": q_dedup_exact,
-        "segment_dedup": q_segment_dedup,
-        "train_dart": q_train_dart,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf0": q_knn_ivf0,
-        "kmeans_iter": q_kmeans_iter,
-        "vocab": q_vocab,
-        "stream_enrich": q_stream_enrich,
-        "stream_join": q_stream_join,
-        "train_importance": q_train_importance,
-        "train_ranker": q_train_ranker,
-        "train_string_cat": q_train_string_cat,
-        "train_logistic": q_train_logistic,
-        "train_softmax": q_train_softmax,
-        "dart_weights": q_dart_weights,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_contains": q_bloom_contains,
-        "embedding_cov": q_embedding_cov,
-        "stream_distinct": q_stream_distinct,
-        "min_acctbal_supplier": q_min_acctbal_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "supplier_part_counts": q_supplier_part_counts,
-        "top_supplier": q_top_supplier,
-        "bundle_revenue": q_bundle_revenue,
-        "idle_customers": q_idle_customers,
-        "revenue_forecast": q_revenue_forecast,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "priority_lines": q_priority_lines,
-        "fit_stump": q_fit_stump,
-        "quantile_cuts": q_quantile_cuts,
-        "weighted_quantile": q_weighted_quantile,
-        "quantize_hist": q_quantize_hist,
-        "split_scan": q_split_scan,
-        "best_split": q_best_split,
-        "leaf_weights": q_leaf_weights,
-        "row_partition": q_row_partition,
-        "subsample": q_subsample,
-        "logistic_grad": q_logistic_grad,
-        "softmax_grad": q_softmax_grad,
-        "cox_grad": q_cox_grad,
-        "aft_grad": q_aft_grad,
     }
 
 # ---------------------------------------------------------------------------

@@ -185,11 +185,15 @@ def main():
 
     def _ab(name, fn, n=3):
         ts = []
+        l0 = os.getloadavg()[0]
         for _ in range(n):
             t0 = time.time()
             fn()
             ts.append(round(time.time() - t0, 3))
         ab[name] = ts
+        # same in-artifact steal evidence as the headline queries
+        load_marks[f"ab:{name}"] = [round(l0, 2),
+                                    round(os.getloadavg()[0], 2)]
 
     # the guarded ENTRY-POINT cost (opt-in sampled blowup pre-flight) —
     # the headline above times the lazy unguarded operator
