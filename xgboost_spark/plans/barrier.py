@@ -255,7 +255,50 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     c, F.lit(1.0 if c == "weight" else 0.0).cast("double"))
         sel = sel.unionByName(ev.select(*need).withColumn("_role", F.lit(i + 1)))
     need_r = need + ["_role"]
-    sel = sel.repartition(n_part, "qid") if has_q else sel.repartition(n_part)
+    _mpb_restore = None
+    if has_q:
+        # ranking co-locates query groups: the hash shuffle is the point
+        sel = sel.repartition(n_part, "qid")
+    else:
+        # non-ranking training doesn't care where a row lives — any
+        # task imbalance only idles cores for one barrier level, while
+        # a blanket repartition() round-trips the ENTIRE training set
+        # through the shuffle before the first gradient (measured sf10:
+        # scan+barrier 28-35 s vs 51-99 s with the repartition; at
+        # cluster scale it's a full-data shuffle per fit).  Barrier
+        # stages forbid coalesce() [SPARK-24820], so the shuffle-free
+        # path is to adopt the scan's OWN splits: when they exceed the
+        # slot budget, grow spark.sql.files.maxPartitionBytes (re-read
+        # at action-planning time, so the SAME plan re-splits) until
+        # they fit.  Row-group-starved inputs (small files: one row
+        # group = one split) still pay the repartition to CREATE
+        # parallelism — which also keeps the driver-gate SFs
+        # bit-identical to before this optimization.
+        spark = raw.sparkSession
+
+        def _np_in() -> int:
+            return sel.rdd.getNumPartitions()
+
+        key = "spark.sql.files.maxPartitionBytes"
+        np_in = _np_in()
+        if np_in > n_part:
+            _mpb_restore = spark.conf.get(key, "134217728")
+            mpb = int(str(_mpb_restore).lower().rstrip("b"))
+            for _ in range(4):
+                mpb = int(mpb * (np_in / n_part) * 1.05)
+                spark.conf.set(key, str(mpb))
+                np_in = _np_in()
+                if np_in <= n_part:
+                    break
+        if n_part * 0.6 <= np_in <= n_part:
+            n_part = np_in                      # scan splits ARE the tasks
+        else:
+            # row-group-starved small input (one split per file can't be
+            # subdivided) or resize over/undershot: full shuffle
+            if _mpb_restore is not None:
+                spark.conf.set(key, _mpb_restore)
+                _mpb_restore = None
+            sel = sel.repartition(n_part)
 
     bc_cuts = sc.broadcast([np.asarray(c, dtype=np.float64) for c in cuts])
     bc_cat = sc.broadcast(cat_mask)
@@ -662,7 +705,15 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
         finally:
             comm.close()
 
-    rows = sel.mapInPandas(train_fn, schema="model binary", barrier=True).collect()
+    try:
+        rows = sel.mapInPandas(train_fn, schema="model binary",
+                               barrier=True).collect()
+    finally:
+        if _mpb_restore is not None:
+            # the scan-resize conf is only needed while THIS action
+            # plans; restore so later jobs see the session default
+            raw.sparkSession.conf.set(
+                "spark.sql.files.maxPartitionBytes", _mpb_restore)
     if not rows:
         raise RuntimeError("barrier training returned no model")
     out = pickle.loads(bytes(rows[0]["model"]))
