@@ -400,3 +400,51 @@ def test_barrier_checkpoint_rejects_stale_fingerprint(spark, reg_df, tmp_path):
                                  exec_mode="barrier", checkpoint_dir=ckdir,
                                  checkpoint_interval=2)).fit(
             reg_df, feature_cols=fc, label_col="label")
+
+
+def test_barrier_scan_partitioning_no_shuffle(spark, tmp_path):
+    """Non-ranking fits adopt the parquet scan's own splits as barrier
+    tasks instead of repartition()ing the training set (round 11: the
+    blanket shuffle cost 20-65 s at sf10 before the first gradient).
+    Pins the three moving parts on a many-split input WITH eval frames
+    (union under the barrier stage): the fit succeeds, the
+    maxPartitionBytes resize is restored afterwards, and the model
+    equals the repartition path's (gradient sums are allreduced
+    identically regardless of row placement for this integer-exact
+    label, so trees must match node-for-node)."""
+    import pandas as pd
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key, "134217728")
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(rng.integers(0, 8, size=(40_000, 3)).astype(float),
+                       columns=["a", "b", "c"])
+    # label integer-exact: partial gradient sums are order-independent
+    pdf["label"] = pdf["a"] * 2 + pdf["b"]
+    path = str(tmp_path / "many_files_pq")
+    spark.createDataFrame(pdf).repartition(40).write.parquet(path)
+    try:
+        # force the scan to split finely so np_in > n_part and the
+        # resize + adopt path (not the small-input repartition) runs
+        spark.conf.set(key, str(64 * 1024))
+        df = spark.read.parquet(path)
+        assert df.rdd.getNumPartitions() > 32
+        params = dict(num_boost_round=3, max_depth=3, max_bin=64, eta=0.5)
+        m1 = SparkBooster(TrainParams(**params)).fit(
+            df, feature_cols=["a", "b", "c"], label_col="label",
+            evals=[(df, "eval")])
+        # engine restored the conf to what this test set
+        assert spark.conf.get(key) == str(64 * 1024)
+        assert m1.eval_history["eval"]["rmse"][-1] < \
+            m1.eval_history["eval"]["rmse"][0]
+        # the repartition path (single coarse split input) agrees
+        spark.conf.set(key, orig)
+        m2 = SparkBooster(TrainParams(**params)).fit(
+            spark.createDataFrame(pdf), feature_cols=["a", "b", "c"],
+            label_col="label")
+        for r1, r2 in zip(m1.trees, m2.trees):
+            for t1, t2 in zip(r1, r2):
+                assert t1.feature == t2.feature
+                assert t1.split_bin == t2.split_bin
+                assert np.allclose(t1.leaf_value, t2.leaf_value)
+    finally:
+        spark.conf.set(key, orig)
