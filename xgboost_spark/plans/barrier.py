@@ -280,10 +280,22 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             return sel.rdd.getNumPartitions()
 
         key = "spark.sql.files.maxPartitionBytes"
+
+        def _parse_bytes(v: str) -> int:
+            s_ = str(v).strip().lower()
+            for suf, mult in (("pb", 1 << 50), ("tb", 1 << 40),
+                              ("gb", 1 << 30), ("mb", 1 << 20),
+                              ("kb", 1 << 10), ("p", 1 << 50),
+                              ("t", 1 << 40), ("g", 1 << 30),
+                              ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+                if s_.endswith(suf):
+                    return int(float(s_[: -len(suf)]) * mult)
+            return int(s_)
+
         np_in = _np_in()
         if np_in > n_part:
             _mpb_restore = spark.conf.get(key, "134217728")
-            mpb = int(str(_mpb_restore).lower().rstrip("b"))
+            mpb = _parse_bytes(_mpb_restore)
             for _ in range(4):
                 mpb = int(mpb * (np_in / n_part) * 1.05)
                 spark.conf.set(key, str(mpb))
