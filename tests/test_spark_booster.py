@@ -261,3 +261,44 @@ def test_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "a double, b double, y double")
     with pytest.raises(ValueError, match="empty"):
         SparkBooster(p).fit(empty, feature_cols=["a", "b"], label_col="y")
+
+
+def test_transform_parallelizes_narrow_scans(spark, sf_dir, tmp_path):
+    """A single-row-group parquet scans as ONE unsplittable partition
+    (parquet splits only at row-group boundaries); batch predict must
+    not serialize its per-row traversal onto one core.  transform()
+    round-robins such inputs across the session's slots — a no-op at
+    production scale where the scan already yields >= slot-count splits
+    — and per-row predictions are unchanged (verified keyed, since
+    repartition does not preserve row order)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
+    one = str(tmp_path / "one_rg")
+    li.coalesce(1).write.parquet(one)
+    src = spark.read.parquet(one)
+    assert src.rdd.getNumPartitions() == 1
+    fc = ["l_quantity", "l_discount", "l_tax"]
+    m = SparkBooster(TrainParams(num_boost_round=2, max_depth=3)).fit(
+        src, feature_cols=fc, label_col="l_extendedprice")
+    import pyspark.sql.functions as F
+    out = m.transform(src, feature_cols=fc)
+    n = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= max(2, n // 2)
+    # keyed equivalence against the same model served without the
+    # repartition (array input path on a pre-parallel frame)
+    import pandas as pd
+    got = (out.groupBy("l_orderkey")
+           .agg(F.round(F.sum("prediction"), 6).alias("p"),
+                F.count("*").alias("c")).toPandas()
+           .sort_values("l_orderkey").reset_index(drop=True))
+    ref = (m.transform(src.repartition(8), feature_cols=fc)
+           .groupBy("l_orderkey")
+           .agg(F.round(F.sum("prediction"), 6).alias("p"),
+                F.count("*").alias("c")).toPandas()
+           .sort_values("l_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+    # streaming frames must bypass the repartition probe (no .rdd)
+    from xgboost_spark.streaming.scoring import score_stream
+    sch = src.schema
+    stream = (spark.readStream.schema(sch).parquet(one))
+    scored = score_stream(m, stream, feature_cols=fc)
+    assert scored.isStreaming

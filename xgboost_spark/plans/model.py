@@ -952,6 +952,15 @@ class GBDTModel:
                 np.ndim(v) for rnd in self.trees for t in rnd for v in t.leaf_value):
             raise NotImplementedError(
                 "contributions not supported for multi_output_tree leaves")
+        if not df.isStreaming:
+            # Small/single-row-group inputs scan as 1-2 unsplittable
+            # partitions, serializing the per-row traversal onto one
+            # core while the other slots idle; round-robin them out.
+            # At production scale the scan already yields >= slot-count
+            # splits and this is a no-op (no shuffle added).  Output
+            # row order is not preserved — Spark never guarantees it.
+            from xgboost_spark.operators.util import ensure_parallelism
+            df = ensure_parallelism(df)
         state = self._broadcastable()
         bc = spark.sparkContext.broadcast(state)
         if not (output_margin or pred_leaf or pred_contribs or pred_interactions):
