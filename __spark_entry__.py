@@ -828,6 +828,45 @@ def q_minhash_bands(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_pairs"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-corpus dedup through the REAL operators
+    (`operators/dedup.py` minhash_band_index / index_collisions /
+    dedup_against_index / exact_digest_index / dedup_exact_against):
+    docs with doc_id % 3 == 0 are the 'new batch', the rest the
+    accumulated corpus.  One row per new doc: LSH collision count +
+    first colliding corpus id, and the novel flags derived from the
+    operators' own anti-joins (so the oracle checks the strip paths,
+    not just the pairing).  Same 8-hash x 4-band x 3-shingle family as
+    minhash_bands — every hash is salted md5, replayable in DuckDB."""
+    from xgboost_spark.operators.dedup import (
+        dedup_against_index, dedup_exact_against, exact_digest_index,
+        index_collisions, minhash_band_index)
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = minhash_band_index(corpus, n_hashes=8, bands=4, shingle_n=3)
+    hits = index_collisions(new, idx, n_hashes=8, bands=4, shingle_n=3)
+    per_doc = hits.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("corpus_id").cast("bigint").alias("first_hit"))
+    novel = (dedup_against_index(new, idx, n_hashes=8, bands=4, shingle_n=3)
+             .select(F.col("doc_id").alias("nid")))
+    exact_novel = (dedup_exact_against(new, exact_digest_index(corpus))
+                   .select(F.col("doc_id").alias("eid")))
+    return (new.select(F.col("doc_id").cast("bigint").alias("id"))
+            .join(per_doc, "id", "left")
+            .join(novel, F.col("id") == F.col("nid"), "left")
+            .join(exact_novel, F.col("id") == F.col("eid"), "left")
+            .select("id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.coalesce(F.col("first_hit"), F.lit(-1)).cast("bigint")
+                    .alias("first_hit"),
+                    F.col("nid").isNotNull().cast("bigint").alias("novel_lsh"),
+                    F.col("eid").isNotNull().cast("bigint")
+                    .alias("novel_exact")))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard for doc pairs sharing >= 8 shingles
     (join-based intersection; |A∪B| = |A|+|B|-|A∩B|)."""
@@ -3912,6 +3951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": q_priority_lines,
         "kmeans_iter": q_kmeans_iter,
         # ---- past the window (r9/r10-certified) -------------------------
+        # NEW round 11 (post-rotation, so it does not displace a roster
+        # entry from the driver window): incremental cross-corpus dedup;
+        # oracle-backed via tests/test_entry.py this round, queued for
+        # the r12 driver window
+        "dedup_incremental": q_dedup_incremental,
         "train_stream": q_train_stream,
         "train_expectile": q_train_expectile,
         "knn": q_knn,
@@ -5587,6 +5631,46 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
 SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY band""",
+
+        "dedup_incremental": f"""
+WITH {shingle_cte},
+sig AS (
+  SELECT id,
+         min(('0x' || substr(md5('p0:' || shingle), 1, 12))::BIGINT) AS mh0,
+         min(('0x' || substr(md5('p0:' || shingle), 13, 12))::BIGINT) AS mh1,
+         min(('0x' || substr(md5('p1:' || shingle), 1, 12))::BIGINT) AS mh2,
+         min(('0x' || substr(md5('p1:' || shingle), 13, 12))::BIGINT) AS mh3,
+         min(('0x' || substr(md5('p2:' || shingle), 1, 12))::BIGINT) AS mh4,
+         min(('0x' || substr(md5('p2:' || shingle), 13, 12))::BIGINT) AS mh5,
+         min(('0x' || substr(md5('p3:' || shingle), 1, 12))::BIGINT) AS mh6,
+         min(('0x' || substr(md5('p3:' || shingle), 13, 12))::BIGINT) AS mh7
+  FROM sh GROUP BY id),
+banded AS (
+  SELECT id, 0 AS band, mh0::VARCHAR || '|' || mh1::VARCHAR AS bucket FROM sig UNION ALL
+  SELECT id, 1, mh2::VARCHAR || '|' || mh3::VARCHAR FROM sig UNION ALL
+  SELECT id, 2, mh4::VARCHAR || '|' || mh5::VARCHAR FROM sig UNION ALL
+  SELECT id, 3, mh6::VARCHAR || '|' || mh7::VARCHAR FROM sig),
+hits AS (
+  SELECT DISTINCT n.id AS id, c.id AS corpus_id
+  FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.id % 3 = 0 AND c.id % 3 <> 0),
+perdoc AS (
+  SELECT id, count(*) AS n_hits, min(corpus_id) AS first_hit
+  FROM hits GROUP BY id),
+exact_dup AS (
+  SELECT DISTINCT n.doc_id AS id
+  FROM documents n JOIN documents c
+    ON n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+   AND md5(n.text) = md5(c.text))
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(p.first_hit, -1) AS BIGINT) AS first_hit,
+       CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS novel_lsh,
+       CAST(CASE WHEN e.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS novel_exact
+FROM documents d
+LEFT JOIN perdoc p ON p.id = d.doc_id
+LEFT JOIN exact_dup e ON e.id = d.doc_id
+WHERE d.doc_id % 3 = 0""",
 
         "ngram_jaccard": f"""
 WITH {shingle_cte},

@@ -131,6 +131,95 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       bands: int = 4, shingle_n: int = 5) -> DataFrame:
+    """Persistable MinHash-LSH index of a corpus: (band, bucket, id).
+
+    Production pipelines dedup INCREMENTALLY — each new crawl snapshot
+    is checked against the accumulated corpus without re-pairing the
+    corpus with itself.  This materializes the corpus side once; write
+    it with ``df.write.bucketBy(n, "band", "bucket")`` (or partitioned
+    by ``band``) so every later :func:`index_collisions` join co-locates
+    on the index side and only the (much smaller) new batch shuffles.
+
+    The hash family is deterministic (salted md5, no seeds/state), so an
+    index built last month and a signature computed today agree — the
+    property that makes the index reusable across runs.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(word_shingles(df, text_col, id_col, shingle_n),
+                             n_hashes)
+    band_arr = F.array(*[
+        F.concat_ws("|", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
+        for b in range(bands)
+    ])
+    return sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
+
+
+def index_collisions(new_df: DataFrame, index: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_hashes: int = 16, bands: int = 4,
+                     shingle_n: int = 5) -> DataFrame:
+    """Near-duplicate candidates of ``new_df`` against a prior corpus's
+    :func:`minhash_band_index`: distinct (id, corpus_id) pairs sharing
+    >= 1 LSH band bucket.
+
+    ``index`` must have been built with the SAME (n_hashes, bands,
+    shingle_n) — the band values are compared verbatim.  The join is an
+    equi-join on (band, bucket): well-distributed keys, shuffle only on
+    the new batch when the index is bucketed (see
+    :func:`minhash_band_index`), broadcastable when the new batch is
+    small.  Unlike the self-join in :func:`minhash_lsh_pairs` there is
+    no ``id <`` ordering — the two sides are disjoint corpora by
+    contract (same-id rows on both sides would mark a doc as its own
+    duplicate).
+    """
+    banded = minhash_band_index(new_df, text_col, id_col,
+                                n_hashes, bands, shingle_n)
+    return (banded.alias("n")
+            .join(index.alias("i"),
+                  (F.col("n.band") == F.col("i.band"))
+                  & (F.col("n.bucket") == F.col("i.bucket")))
+            .select(F.col("n.id").alias("id"),
+                    F.col("i.id").alias("corpus_id"))
+            .distinct())
+
+
+def dedup_against_index(new_df: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_hashes: int = 16, bands: int = 4,
+                        shingle_n: int = 5) -> DataFrame:
+    """``new_df`` minus documents near-duplicating the indexed corpus
+    (any LSH band collision; the incremental complement of
+    :func:`minhash_lsh_pairs` + strip).  Novel docs keep all columns.
+    Within-batch duplicates are NOT removed here — run
+    :func:`dedup_exact` / :func:`minhash_lsh_pairs` on the batch first,
+    then this against the historical index.
+    """
+    hits = index_collisions(new_df, index, text_col, id_col,
+                            n_hashes, bands, shingle_n).select("id").distinct()
+    return new_df.join(hits, new_df[id_col] == hits["id"], "left_anti")
+
+
+def exact_digest_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Persistable exact-dedup index: one row per distinct content md5.
+    The incremental counterpart of :func:`dedup_exact` — write it once
+    per accumulated corpus, union+distinct the new batch's digests in
+    on each ingest."""
+    return df.select(F.md5(F.col(text_col)).alias("dig")).distinct()
+
+
+def dedup_exact_against(new_df: DataFrame, index: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """``new_df`` minus rows whose content digest is already in an
+    :func:`exact_digest_index`.  A digest-key left_anti join — one
+    shuffle on md5 (uniform), index side broadcast when small."""
+    return new_df.join(
+        index.select("dig"),
+        F.md5(new_df[text_col]) == index["dig"], "left_anti")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(id, component) for an undirected edge list (id_a, id_b):
     alternating large-star / small-star contraction (Kiveris et al.
