@@ -1720,3 +1720,31 @@ def test_semantic_dedup_auto_clusters(spark, sf_dir):
     dup_id = src + 10_000_000
     got = out2.set_index("id")["rep_id"]
     assert got[dup_id] == got[src]
+
+
+def test_ivf_index_save_load_search(spark, sf_dir, tmp_path):
+    """Build-once-serve-many: ivf_save/ivf_load round-trip a prebuilt
+    index through parquet, and ivf_search over the reloaded index
+    returns exactly what cosine_topk_ivf computes end-to-end with the
+    same deterministic quantizer (seed_by='id', iters=0) — the serving
+    path a 100 TB deployment uses so query batches never re-cluster
+    the corpus.  The lists side persists partitioned by list_id, so a
+    probe scan prunes to n_probe partitions."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = emb.filter(F.col("vec_id") < 10)
+    assigned, cents = similarity.ivf_build(emb, n_centroids=8,
+                                           iters=0, seed_by="id")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_save(assigned, cents, path)
+    import os
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{path}/lists"))
+    la, lc = similarity.ivf_load(spark, path)
+    assert np.allclose(lc, cents)
+    direct = (similarity.cosine_topk_ivf(
+        emb, q, k=5, n_centroids=8, n_probe=4, iters=0, seed_by="id")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    served = (similarity.ivf_search(la, lc, q, k=5, n_probe=4)
+              .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    key = ["query_id", "nbr_id", "rank"]
+    assert served[key].equals(direct[key])

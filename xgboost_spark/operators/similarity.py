@@ -370,6 +370,51 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     assigned, cents = ivf_build(corpus, n_centroids, vec_col, id_col,
                                 seed=seed, iters=iters, seed_by=seed_by,
                                 mean_round=mean_round)
+    return ivf_search(assigned, cents, queries, k=k, vec_col=vec_col,
+                      id_col=id_col, n_probe=n_probe,
+                      broadcast_queries=broadcast_queries,
+                      rank_round=rank_round)
+
+
+def ivf_save(assigned: DataFrame, cents: np.ndarray, path: str,
+             vec_col: str = "embedding"):
+    """Persist an IVF index built by :func:`ivf_build`: the assigned
+    corpus under ``path/lists`` (partitioned by list_id, so a probe
+    scan prunes to n_probe partitions) and the centroid matrix under
+    ``path/centroids`` (plain parquet — no engine-private format; any
+    Spark/DuckDB reader can inspect it).
+
+    Build once, serve many: re-embedding + re-clustering a 100 TB
+    corpus per query batch is the cost this avoids —
+    :func:`cosine_topk_ivf` rebuilds per call and is for one-shot use.
+    """
+    assigned.write.partitionBy("list_id").parquet(f"{path}/lists")
+    spark = assigned.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    (spark.createDataFrame(rows, "list_id int, centroid array<double>")
+     .coalesce(1).write.parquet(f"{path}/centroids"))
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Reload an :func:`ivf_save` index: (assigned_corpus, centroids)."""
+    assigned = spark.read.parquet(f"{path}/lists")
+    crows = (spark.read.parquet(f"{path}/centroids")
+             .orderBy("list_id").collect())
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return assigned, cents
+
+
+def ivf_search(assigned: DataFrame, cents: np.ndarray, queries: DataFrame,
+               k: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_probe: int = 4,
+               broadcast_queries: bool = True,
+               rank_round: int | None = None) -> DataFrame:
+    """Top-k cosine search against a PREBUILT IVF index — the serving
+    half of :func:`cosine_topk_ivf` (same query-side contracts; see its
+    docstring), taking (assigned, cents) from :func:`ivf_build` or
+    :func:`ivf_load` so one index serves many query batches.
+    """
+    corpus = assigned
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
                         _norm(F.col(vec_col)).alias("cn"), "list_id")
     if broadcast_queries:
