@@ -96,3 +96,25 @@ def test_index_plan_is_aggregate_not_window(corpus):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_streaming_ingest_dedup_exact(spark, corpus, new_batch, tmp_path):
+    """Ingest-time dedup gate: a STREAMING new batch anti-joined against
+    the static digest index (Spark supports stream-static left_anti with
+    the static side on the right) — the shape an always-on ingest
+    pipeline uses so known content never lands in the corpus store."""
+    src = str(tmp_path / "stream_src")
+    new_batch.write.parquet(src)
+    idx = exact_digest_index(corpus)
+    stream = spark.readStream.schema(new_batch.schema).parquet(src)
+    gated = dedup_exact_against(stream, idx)
+    assert gated.isStreaming
+    q = (gated.writeStream.format("memory")
+         .queryName("ingest_gate").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in
+                     spark.table("ingest_gate").collect())
+    finally:
+        q.stop()
+    assert got == [102, 103]

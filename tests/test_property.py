@@ -235,3 +235,79 @@ def test_similarity_join_prefix_filter_is_complete(vocab_n, n_docs, t, seed):
             jac = len(a & b) / len(a | b)
             if jac >= t:
                 assert prefixes[i] & prefixes[j], (sorted(a), sorted(b), t)
+
+
+# ---------------------------------------------------------------------------
+# vectorized traversal vs a scalar replay of the published routing rules
+# ---------------------------------------------------------------------------
+
+def _random_tree_arrays(rng, n_feat, max_depth, strict):
+    """Random binary tree in the broadcastable-dict layout: thresholds
+    drawn float32-exact so strict-mode probes can tie exactly."""
+    left, right, feature, split, dflt = [], [], [], [], []
+
+    def grow(depth):
+        nid = len(left)
+        left.append(-1); right.append(-1)
+        feature.append(int(rng.integers(0, n_feat)))
+        split.append(float(np.float32(rng.normal() * 10)))
+        dflt.append(bool(rng.integers(0, 2)))
+        if depth < max_depth and rng.random() < 0.8:
+            l = grow(depth + 1)
+            r = grow(depth + 1)
+            left[nid], right[nid] = l, r
+        return nid
+
+    grow(0)
+    a = {
+        "left": np.array(left, dtype=np.int32),
+        "right": np.array(right, dtype=np.int32),
+        "feature": np.array(feature, dtype=np.int32),
+        "split_value": np.array(split, dtype=np.float64),
+        "split_bin": np.zeros(len(left), dtype=np.int32),
+        "default_left": np.array(dflt, dtype=bool),
+        "leaf_value": np.zeros(len(left), dtype=np.float64),
+    }
+    if strict:
+        a["tie_strict"] = True
+    return a
+
+
+def _scalar_leaf(a, row, strict):
+    """Per-row replay of the routing rules: engine '<=' on doubles, or
+    the reference predictor's strict float32 '<'
+    (src/predictor/predict_fn.h:22) with NaN -> default child."""
+    nid = 0
+    while a["left"][nid] != -1:
+        x = row[a["feature"][nid]]
+        if np.isnan(x):
+            go_left = a["default_left"][nid]
+        elif strict:
+            go_left = np.float32(x) < np.float32(a["split_value"][nid])
+        else:
+            go_left = x <= a["split_value"][nid]
+        nid = a["left"][nid] if go_left else a["right"][nid]
+    return nid
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 6), st.booleans(),
+       st.integers(0, 10_000))
+def test_leaf_ids_match_scalar_routing(n_feat, max_depth, strict, seed):
+    rng = np.random.default_rng(seed)
+    a = _random_tree_arrays(rng, n_feat, max_depth, strict)
+    n = 64
+    X = rng.normal(size=(n, n_feat)) * 10
+    # force ties: copy node thresholds verbatim into probe cells, plus
+    # one-ulp float32 neighbors (above and below) and NaN missings
+    th = a["split_value"][a["left"] != -1]
+    if len(th):
+        pick = rng.integers(0, len(th), size=n // 2)
+        X[: n // 2, 0] = th[pick]
+        f32 = np.float32(th[pick[: n // 4]])
+        X[n // 2: n // 2 + n // 4, 0] = np.nextafter(
+            f32, np.float32(np.inf)).astype(np.float64)[: n // 4]
+    X[rng.random((n, n_feat)) < 0.15] = np.nan
+    got = core.leaf_ids_from_arrays(a, X, binned=False)
+    want = np.array([_scalar_leaf(a, X[i], strict) for i in range(n)])
+    assert np.array_equal(got, want)
