@@ -31,6 +31,7 @@ ENTRIES = [
     "product_profit", "market_share", "custdist", "retention",
     # dedup family
     "dedup_exact", "dedup_components", "simhash_pairs", "ngram_jaccard",
+    "dedup_incremental",
     # sketches
     "hll_distinct", "cms_topk", "bloom_contains",
     # text stats / tokenization
