@@ -1725,30 +1725,24 @@ def q_train_string_cat(spark, sf_dir):
 
 
 def q_train_multi_quantile(spark, sf_dir):
-    """Multi-alpha quantile regression HASH-MATCHED (promoted from
-    rows-only; reference quantile_obj.cu:272 vector alpha +
-    regression_obj.cu:745-753 UpdateTreeLeaf): the REAL barrier trainer
-    runs one round at depth 1, alphas (0.25, 0.5, 0.75) — one tree per
-    output group — and the REAL GBDTModel.transform serves the stacked
-    predictions.  Every quantity in the round is bit-replayable:
+    """Multi-alpha quantile regression HASH-MATCHED: the REAL barrier
+    trainer runs one round at depth 1, alphas (0.25, 0.5, 0.75) — one
+    tree per output group — with the reference's logistic-smoothed
+    quantile objective (quantile_obj.cu:33-75: per-iteration GLOBAL
+    scale S = (mean_w sqrt|r|)^2, g = 0.5*S*(tanh(x)+1-2a),
+    h = 12.5*max(tanh(x)/x, 3e-4), x = r/(0.04*S); NO adaptive leaf
+    refresh — leaves are the plain Newton -G/(H+lambda)), and the REAL
+    GBDTModel.transform serves the predictions through the objective's
+    non-crossing PredTransform (per-row ascending sort,
+    quantile_obj.cu:177-198).
 
-    - exact rank-rule cuts are passed via ``fit(cuts=)`` (the sketch is
-      bypassed; the DuckDB twin is the shared _rank_cut_ctes rule);
-    - ``base_score`` is pinned to the exact type-7 0.25-quantile of the
-      label (rounded 6dp), so round-1 margins are a constant;
-    - pinball gradients at a constant margin are sums of EXACT binary
-      fractions (alpha in {0.25, 0.5, 0.75} => g in {±1/4, ±1/2, ±3/4}),
-      so the allreduced histogram G is order-independent and gains are
-      bit-identical in both engines; argmax tie-break = (gain desc,
-      feature asc, bin asc) — core.py's flat argmax order;
-    - the adaptive leaf refresh is the barrier path's deterministic
-      2048-bin histogram quantile (plans/barrier._leaf_quantile_refresh):
-      global residual min/max, b = clip(floor((r-mn)/scale*2048)),
-      first bin with cum >= alpha*tot, linear fraction inside the bin —
-      pure IEEE arithmetic the oracle replays verbatim.
-
-    Output: sampled per-row (p25, p50, p75) through the real serving
-    path, 6dp."""
+    Replay strategy: cuts and base_score are pinned (rank-rule cuts via
+    ``fit(cuts=)``, type-7 0.25-quantile base at 6dp), so the round's
+    only engine-dependent floats are the GLOBAL sums (S, histogram
+    G/H): cross-engine float-sum ordering and the tanh-vs-exp-form
+    libm difference perturb the leaves by ~1e-9 relative, so the
+    served predictions are compared at 4dp (leaf magnitude ~1e3 — 7
+    significant digits of real check)."""
     _prep(spark)
     import numpy as np
     from xgboost_spark.config import TrainParams
@@ -1779,9 +1773,9 @@ def q_train_multi_quantile(spark, sf_dir):
             .groupBy(F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
                      F.col("l_linenumber").cast("bigint")
                      .alias("l_linenumber"))
-            .agg(F.round(F.max(pred.getItem(0)), 6).alias("p25"),
-                 F.round(F.max(pred.getItem(1)), 6).alias("p50"),
-                 F.round(F.max(pred.getItem(2)), 6).alias("p75"),
+            .agg(F.round(F.max(pred.getItem(0)), 4).alias("p25"),
+                 F.round(F.max(pred.getItem(1)), 4).alias("p50"),
+                 F.round(F.max(pred.getItem(2)), 4).alias("p75"),
                  F.count("*").cast("bigint").alias("n_rows")))
 
 
@@ -3523,24 +3517,26 @@ def q_similarity_join(spark, sf_dir):
 
 
 def q_quantile_stump(spark, sf_dir):
-    """Vector-alpha quantile regression, ONE composed adaptive-leaf
-    round, hash-matched (reference quantile_obj.cu:272 pinball
-    gradients + regression_obj.cu:745-753 UpdateTreeLeaf): alphas
-    (0.25, 0.75) — one tree per output group, the GBTree group layout —
-    depth-1 on 8 exact-quantile l_quantity bins, y = l_extendedprice.
-    Per group k: g = alpha_k - 1(y > base) with h = 1 (pinball at
-    round-1 margin = base), histogram -> prefix-scan gains -> argmax
-    split (gain desc, bin asc) -> ADAPTIVE leaf refresh: each leaf's
-    value is eta * alpha_k-quantile (linear interpolation, type-7) of
-    the in-leaf residuals y - base — NOT -G/(H+lambda) — the semantics
-    that make quantile boosting converge to its target quantile.
-    base 6dp, histogram G 4dp, leaf quantiles 6dp: every fragile float
-    sits under an aggregation rounding, so the DuckDB twin (manual
-    rank-interpolation = quantile_cont) replays the round exactly.
-    This promotes the adaptive-leaf path itself to a hash-matched
-    check; since round 9 `train_multi_quantile` is ALSO hash-matched —
-    it replays the REAL barrier trainer (2048-bin histogram leaf
-    quantile) rather than this composed type-7 replica."""
+    """Vector-alpha quantile regression, ONE composed round,
+    hash-matched — the reference's logistic-SMOOTHED quantile score
+    with MM curvature (quantile_obj.cu:33-75 doc + :155-174 kernel;
+    this reference has NO adaptive-leaf refresh — no UpdateTreeLeaf
+    anywhere in src/): alphas (0.25, 0.75), depth-1 on 8
+    exact-quantile l_quantity bins, y = l_extendedprice.
+
+    Replay strategy: tanh is written as the SAME clamped exp form in
+    both engines (DuckDB has no tanh; cross-libm exp differs by <= 1
+    ulp), the per-row statistics are NORMALIZED to O(1) magnitude
+    (g/S in [-alpha, 1-alpha], h in [0, 12.5]) and rounded 6dp BEFORE
+    the histogram sums — identical multisets on both sides, ulp
+    differences absorbed — then every downstream quantity (hist 4dp,
+    gain with the S factor re-applied, Newton leaf
+    eta * -G/(H+lambda) 6dp) is IEEE arithmetic on identical doubles:
+    - base = type-7 0.25-quantile of y, 6dp (constant round-1 margin);
+    - S = (sum sqrt|base - y| / n)^2 rounded 6dp — the objective's
+      automatic global residual scale (one GlobalSum in the reference);
+    - x = (base - y)/(0.04*S); gn_k = 0.5*(tanh(x) + 1 - 2*alpha_k);
+      h = 12.5*max(tanh(x)/x, 3e-4)  (ratio = 1 at x = 0)."""
     _prep(spark)
     li = _table(spark, sf_dir, "lineitem")
     cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 8)
@@ -3548,24 +3544,40 @@ def q_quantile_stump(spark, sf_dir):
     eta, lam = 0.3, 1.0
     base = round(li.agg(F.percentile(F.col("l_extendedprice"),
                                      F.lit(0.25))).first()[0], 6)
-    d = _par(li.select(F.col("l_extendedprice").alias("y"),
-                       _bin_expr("l_quantity", cuts).alias("bin"))).persist()
+    d0 = _par(li.select(F.col("l_extendedprice").alias("y"),
+                        _bin_expr("l_quantity", cuts).alias("bin")))
+    S = round(float(d0.agg(
+        (F.sum(F.sqrt(F.abs(F.lit(base) - F.col("y")))) / F.count("*"))
+        .alias("s")).first()["s"]) ** 2, 6)
+    x = (F.lit(base) - F.col("y")) / F.lit(0.04 * S)
+    e2x = F.exp(F.lit(2.0) * x)
+    tanh_x = (F.when(x > 20.0, 1.0).when(x < -20.0, -1.0)
+              .otherwise((e2x - 1.0) / (e2x + 1.0)))
+    ratio = F.when(x == 0.0, 1.0).otherwise(tanh_x / x)
+    d = d0.withColumn(
+        "h", F.round(F.lit(12.5) * F.greatest(ratio, F.lit(3.0e-4)), 6))
+    for k, al in enumerate(alphas):
+        d = d.withColumn(f"gn{k}", F.round(
+            F.lit(0.5) * (tanh_x + F.lit(1.0 - 2.0 * al)), 6))
+    d = d.persist()
     rows = []
     try:
         for k, al in enumerate(alphas):
-            g = F.when(F.lit(base) >= F.col("y"),
-                       F.lit(al)).otherwise(F.lit(al - 1.0))
             hist = (d.groupBy("bin")
-                    .agg(F.round(F.sum(g), 4).alias("G"),
-                         F.count("*").cast("double").alias("H")))
+                    .agg(F.round(F.sum(f"gn{k}"), 4).alias("Gn"),
+                         F.round(F.sum("h"), 4).alias("H"),
+                         F.count("*").cast("bigint").alias("n")))
             wb = Window.orderBy("bin").rowsBetween(
                 Window.unboundedPreceding, 0)
             wt = Window.orderBy("bin").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
-            scan = (hist.withColumn("gl", F.sum("G").over(wb))
+            sS = F.lit(float(S))
+            scan = (hist.withColumn("gl", sS * F.sum("Gn").over(wb))
                     .withColumn("hl", F.sum("H").over(wb))
-                    .withColumn("gt", F.sum("G").over(wt))
+                    .withColumn("nl", F.sum("n").over(wb))
+                    .withColumn("gt", sS * F.sum("Gn").over(wt))
                     .withColumn("ht", F.sum("H").over(wt))
+                    .withColumn("nt", F.sum("n").over(wt))
                     .withColumn("mx", F.max("bin").over(wt))
                     .filter(F.col("bin") < F.col("mx"))
                     .withColumn("gain", F.round(
@@ -3577,19 +3589,12 @@ def q_quantile_stump(spark, sf_dir):
                         / (F.col("ht") + lam), 4)))
             best = (scan.orderBy(F.col("gain").desc(), F.col("bin").asc())
                     .limit(1).collect()[0])
-            b = int(best["bin"])
-            leaves = (d.withColumn("side",
-                                   (F.col("bin") <= F.lit(b)).cast("int"))
-                      .groupBy("side")
-                      .agg(F.round(F.lit(eta) * F.percentile(
-                          F.col("y") - F.lit(base), F.lit(al)), 6)
-                          .alias("leaf"),
-                          F.count("*").cast("bigint").alias("n_rows"))
-                      .collect())
-            sides = {r["side"]: r for r in leaves}
-            rows.append((k, al, b, float(best["gain"]),
-                         float(sides[1]["leaf"]), float(sides[0]["leaf"]),
-                         int(sides[1]["n_rows"]), int(sides[0]["n_rows"])))
+            leaf_l = round(eta * (-best["gl"] / (best["hl"] + lam)), 6)
+            leaf_r = round(eta * (-(best["gt"] - best["gl"])
+                                  / (best["ht"] - best["hl"] + lam)), 6)
+            rows.append((k, al, int(best["bin"]), float(best["gain"]),
+                         float(leaf_l), float(leaf_r),
+                         int(best["nl"]), int(best["nt"] - best["nl"])))
     finally:
         d.unpersist()
     return spark.createDataFrame(
@@ -3597,10 +3602,6 @@ def q_quantile_stump(spark, sf_dir):
         "grp bigint, alpha double, best_bin bigint, best_gain double, "
         "leaf_l double, leaf_r double, n_l bigint, n_r bigint")
 
-
-# ---------------------------------------------------------------------------
-# round-3 TPC-H join shapes (SURVEY §2.8 relational completeness)
-# ---------------------------------------------------------------------------
 
 def q_order_priority_check(spark, sf_dir):
     """TPC-H Q4-shaped EXISTS semi-join: orders in one quarter that have
@@ -5530,14 +5531,28 @@ d AS (
          CAST((SELECT count(*) FROM cut_l_discount c
                WHERE c.cut < l.l_discount) AS BIGINT) AS bin1
   FROM lineitem l),
+sc AS (SELECT pow(sum(sqrt(abs((SELECT bs FROM base) - y)))
+               / count(*), 2) AS S
+       FROM d),
+rowstats AS (
+  SELECT ok, ln, bin0, bin1, tx,
+         12.5 * greatest(CASE WHEN x = 0 THEN 1.0 ELSE tx / x END,
+                         3.0e-4) AS h
+  FROM (SELECT *,
+               CASE WHEN x > 20 THEN 1.0 WHEN x < -20 THEN -1.0
+                    ELSE (exp(2 * x) - 1.0) / (exp(2 * x) + 1.0) END AS tx
+        FROM (SELECT ok, ln, bin0, bin1,
+                     ((SELECT bs FROM base) - y)
+                       / (0.04 * (SELECT S FROM sc)) AS x
+              FROM d) t0) t1),
 al AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) t(grp, alpha)),
-fb AS (SELECT y, 0 AS fidx, bin0 AS bin FROM d
-       UNION ALL SELECT y, 1, bin1 FROM d),
+fb AS (SELECT ok, ln, tx, h, 0 AS fidx, bin0 AS bin FROM rowstats
+       UNION ALL SELECT ok, ln, tx, h, 1, bin1 FROM rowstats),
 hist AS (
   SELECT al.grp, al.alpha, fb.fidx, fb.bin,
-         sum(CASE WHEN (SELECT bs FROM base) >= fb.y
-                  THEN al.alpha ELSE al.alpha - 1.0 END) AS G,
-         CAST(count(*) AS DOUBLE) AS H
+         sum(0.5 * (SELECT S FROM sc)
+             * (fb.tx + 1.0 - 2.0 * al.alpha)) AS G,
+         sum(fb.h) AS H
   FROM fb CROSS JOIN al GROUP BY 1, 2, 3, 4),
 scan AS (
   SELECT grp, alpha, fidx, bin,
@@ -5552,8 +5567,10 @@ scan AS (
          max(bin) OVER (PARTITION BY grp, fidx) AS mx
   FROM hist),
 best AS (
-  SELECT grp, fidx, bin AS best_bin
-  FROM (SELECT grp, fidx, bin,
+  SELECT grp, fidx, bin AS best_bin,
+         0.3 * (-gl / (hl + 1.0)) AS leaf_l,
+         0.3 * (-(gt - gl) / (ht - hl + 1.0)) AS leaf_r
+  FROM (SELECT grp, fidx, bin, gl, hl, gt, ht,
                row_number() OVER (
                  PARTITION BY grp
                  ORDER BY gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0)
@@ -5561,52 +5578,34 @@ best AS (
                           fidx ASC, bin ASC) AS rk
         FROM scan WHERE bin < mx)
   WHERE rk = 1),
-sc AS (
-  SELECT mn, mx, CASE WHEN mx - mn = 0 THEN 1.0 ELSE mx - mn END AS scale
-  FROM (SELECT min(y - (SELECT bs FROM base)) AS mn,
-               max(y - (SELECT bs FROM base)) AS mx FROM d)),
-sides AS (
-  SELECT b.grp, al.alpha, d.ok, d.ln,
-         CASE WHEN (CASE WHEN b.fidx = 0 THEN d.bin0 ELSE d.bin1 END)
-                   <= b.best_bin THEN 1 ELSE 2 END AS nid,
-         d.y - (SELECT bs FROM base) AS r
-  FROM d CROSS JOIN best b JOIN al ON al.grp = b.grp),
-hcnt AS (
-  SELECT grp, alpha, nid,
-         LEAST(GREATEST(CAST(floor((r - (SELECT mn FROM sc))
-                                   / (SELECT scale FROM sc) * 2048)
-                             AS BIGINT), 0), 2047) AS b,
-         CAST(count(*) AS DOUBLE) AS cnt
-  FROM sides GROUP BY 1, 2, 3, 4),
-hcum AS (
-  SELECT grp, alpha, nid, b, cnt,
-         sum(cnt) OVER (PARTITION BY grp, nid ORDER BY b
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum,
-         sum(cnt) OVER (PARTITION BY grp, nid) AS tot
-  FROM hcnt),
-pick AS (
-  SELECT grp, nid, b, cnt, cum, alpha * tot AS t
-  FROM hcum WHERE cum >= alpha * tot
-  QUALIFY row_number() OVER (PARTITION BY grp, nid ORDER BY b) = 1),
-leafv AS (
-  SELECT p.grp, p.nid,
-         0.3 * ((SELECT mn FROM sc)
-                + (p.b + (p.t - (p.cum - p.cnt)) / p.cnt)
-                  * (SELECT scale FROM sc) / 2048) AS leaf
-  FROM pick p)
-SELECT CAST(s.ok AS BIGINT) AS l_orderkey,
-       CAST(s.ln AS BIGINT) AS l_linenumber,
-       round((SELECT bs FROM base)
-             + max(CASE WHEN s.grp = 0 THEN lv.leaf END), 6) AS p25,
-       round((SELECT bs FROM base)
-             + max(CASE WHEN s.grp = 1 THEN lv.leaf END), 6) AS p50,
-       round((SELECT bs FROM base)
-             + max(CASE WHEN s.grp = 2 THEN lv.leaf END), 6) AS p75,
-       CAST(count(CASE WHEN s.grp = 0 THEN 1 END) AS BIGINT) AS n_rows
-FROM sides s JOIN leafv lv ON lv.grp = s.grp AND lv.nid = s.nid
-WHERE s.ok % 50 = 0
-GROUP BY s.ok, s.ln""",
+served AS (
+  SELECT r.ok, r.ln,
+         list_sort([
+           (SELECT (SELECT bs FROM base)
+                   + CASE WHEN (CASE WHEN b.fidx = 0 THEN r.bin0
+                                     ELSE r.bin1 END) <= b.best_bin
+                          THEN b.leaf_l ELSE b.leaf_r END
+            FROM best b WHERE b.grp = 0),
+           (SELECT (SELECT bs FROM base)
+                   + CASE WHEN (CASE WHEN b.fidx = 0 THEN r.bin0
+                                     ELSE r.bin1 END) <= b.best_bin
+                          THEN b.leaf_l ELSE b.leaf_r END
+            FROM best b WHERE b.grp = 1),
+           (SELECT (SELECT bs FROM base)
+                   + CASE WHEN (CASE WHEN b.fidx = 0 THEN r.bin0
+                                     ELSE r.bin1 END) <= b.best_bin
+                          THEN b.leaf_l ELSE b.leaf_r END
+            FROM best b WHERE b.grp = 2)]) AS ps
+  FROM rowstats r)
+SELECT CAST(ok AS BIGINT) AS l_orderkey,
+       CAST(ln AS BIGINT) AS l_linenumber,
+       round(max(ps[1]), 4) AS p25,
+       round(max(ps[2]), 4) AS p50,
+       round(max(ps[3]), 4) AS p75,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM served
+WHERE ok % 50 = 0
+GROUP BY ok, ln""",
 
         "minhash_bands": f"""
 WITH {shingle_cte},
@@ -6426,31 +6425,56 @@ GROUP BY a1.list_id""",
 WITH {_cuts_cte('lineitem', 'l_quantity', 8)},
 base AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS bs
          FROM lineitem),
-d AS (
+d0 AS (
   SELECT l.l_extendedprice AS y,
          CAST((SELECT count(*) FROM kcuts c WHERE c.cut < l.l_quantity)
               AS BIGINT) AS bin
   FROM lineitem l),
+sc AS (SELECT round(pow(sum(sqrt(abs((SELECT bs FROM base) - y)))
+                        / count(*), 2), 6) AS S
+       FROM d0),
+dx AS (
+  SELECT bin,
+         ((SELECT bs FROM base) - y) / (0.04 * (SELECT S FROM sc)) AS x
+  FROM d0),
+dt AS (
+  SELECT bin, x,
+         CASE WHEN x > 20 THEN 1.0 WHEN x < -20 THEN -1.0
+              ELSE (exp(2 * x) - 1.0) / (exp(2 * x) + 1.0) END AS tx
+  FROM dx),
+rowstats AS (
+  SELECT bin,
+         round(12.5 * greatest(CASE WHEN x = 0 THEN 1.0 ELSE tx / x END,
+                               3.0e-4), 6) AS h,
+         round(0.5 * (tx + 1.0 - 2.0 * 0.25), 6) AS gn0,
+         round(0.5 * (tx + 1.0 - 2.0 * 0.75), 6) AS gn1
+  FROM dt),
 al AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.75)) t(grp, alpha)),
 hist AS (
-  SELECT al.grp, al.alpha, d.bin,
-         round(sum(CASE WHEN (SELECT bs FROM base) >= d.y
-                        THEN al.alpha ELSE al.alpha - 1.0 END), 4) AS G,
-         CAST(count(*) AS DOUBLE) AS H
-  FROM d CROSS JOIN al GROUP BY 1, 2, 3),
+  SELECT al.grp, al.alpha, r.bin,
+         round(sum(CASE WHEN al.grp = 0 THEN r.gn0 ELSE r.gn1 END), 4) AS Gn,
+         round(sum(r.h), 4) AS H,
+         count(*) AS n
+  FROM rowstats r CROSS JOIN al GROUP BY 1, 2, 3),
 scan AS (
   SELECT grp, alpha, bin,
-         sum(G) OVER (PARTITION BY grp ORDER BY bin
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gl,
+         (SELECT S FROM sc)
+           * sum(Gn) OVER (PARTITION BY grp ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS gl,
          sum(H) OVER (PARTITION BY grp ORDER BY bin
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hl,
-         sum(G) OVER (PARTITION BY grp) AS gt,
+         sum(n) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         (SELECT S FROM sc) * sum(Gn) OVER (PARTITION BY grp) AS gt,
          sum(H) OVER (PARTITION BY grp) AS ht,
+         sum(n) OVER (PARTITION BY grp) AS nt,
          max(bin) OVER (PARTITION BY grp) AS mx
   FROM hist),
 best AS (
-  SELECT grp, alpha, bin AS best_bin, gain AS best_gain
-  FROM (SELECT grp, alpha, bin,
+  SELECT grp, alpha, bin AS best_bin, gain AS best_gain, gl, hl, nl,
+         gt, ht, nt
+  FROM (SELECT *,
                round(gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0)
                      - gt*gt/(ht+1.0), 4) AS gain,
                row_number() OVER (
@@ -6459,34 +6483,13 @@ best AS (
                                 + (gt-gl)*(gt-gl)/(ht-hl+1.0)
                                 - gt*gt/(ht+1.0), 4) DESC, bin ASC) AS rk
         FROM scan WHERE bin < mx)
-  WHERE rk = 1),
-resid AS (
-  SELECT b.grp, b.alpha,
-         CASE WHEN d.bin <= b.best_bin THEN 1 ELSE 0 END AS side,
-         d.y - (SELECT bs FROM base) AS r
-  FROM d CROSS JOIN best b),
-ranked2 AS (
-  SELECT grp, alpha, side, r,
-         row_number() OVER (PARTITION BY grp, side ORDER BY r) AS rn,
-         count(*) OVER (PARTITION BY grp, side) AS n
-  FROM resid),
-tgt AS (
-  SELECT DISTINCT grp, side, n, alpha * (n - 1) AS h FROM ranked2),
-leafv AS (
-  SELECT t.grp, t.side, t.n,
-         round(0.3 * (lo.r + (t.h - floor(t.h)) * (hi.r - lo.r)), 6) AS leaf
-  FROM tgt t
-  JOIN ranked2 lo ON lo.grp = t.grp AND lo.side = t.side
-                 AND lo.rn = CAST(floor(t.h) AS BIGINT) + 1
-  JOIN ranked2 hi ON hi.grp = t.grp AND hi.side = t.side
-                 AND hi.rn = CAST(ceil(t.h) AS BIGINT) + 1)
-SELECT CAST(b.grp AS BIGINT) AS grp, b.alpha, CAST(b.best_bin AS BIGINT)
-       AS best_bin, b.best_gain,
-       ll.leaf AS leaf_l, lr.leaf AS leaf_r,
-       CAST(ll.n AS BIGINT) AS n_l, CAST(lr.n AS BIGINT) AS n_r
-FROM best b
-JOIN leafv ll ON ll.grp = b.grp AND ll.side = 1
-JOIN leafv lr ON lr.grp = b.grp AND lr.side = 0""",
+  WHERE rk = 1)
+SELECT CAST(grp AS BIGINT) AS grp, alpha, CAST(best_bin AS BIGINT)
+       AS best_bin, best_gain,
+       round(0.3 * (-gl / (hl + 1.0)), 6) AS leaf_l,
+       round(0.3 * (-(gt - gl) / (ht - hl + 1.0)), 6) AS leaf_r,
+       CAST(nl AS BIGINT) AS n_l, CAST(nt - nl AS BIGINT) AS n_r
+FROM best""",
 
         "similarity_join": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -98,14 +98,67 @@ def test_weights_scale_gradients():
 
 
 def test_quantile_and_mae_grads():
+    """Reference closed forms (the reference's OWN
+    tests/python/test_tree_regularization.py replays these on a
+    single-row DMatrix):
+
+    quantile (quantile_obj.cu:33-75): S = (mean_w sqrt|r|)^2,
+    x = r/(0.04*S), g = 0.5*S*(tanh(x)+1-2a),
+    h = 12.5*max(tanh(x)/x, 3e-4);
+    MAE (regression_obj.cu:609-684): delta = (mean_w sqrt|r|)^2,
+    g = r*delta/hypot(delta,r), h = delta/hypot(delta,r)."""
+    a = 0.9
     obj = get_objective("reg:quantileerror", TrainParams(objective="reg:quantileerror",
-                                                         quantile_alpha=(0.9,)))
+                                                         quantile_alpha=(a,)))
     y = np.array([1.0, 1.0]); m = np.array([0.0, 2.0])
-    g, _ = obj.grad_hess(y, m, None)
-    assert np.allclose(g, [-0.1, 0.9])  # alpha-1 below, alpha above
+    g, h = obj.grad_hess(y, m, None)
+    r = m - y
+    S = float(np.mean(np.sqrt(np.abs(r)))) ** 2          # = 1.0
+    x = r / (0.04 * S)
+    eg = 0.5 * S * (np.tanh(x) + 1.0 - 2.0 * a)
+    eh = 0.5 / 0.04 * np.maximum(np.tanh(x) / x, 3.0e-4)
+    assert np.allclose(g, eg) and np.allclose(h, eh)
+    # saturated tails are the true pinball derivative: -a below, 1-a above
+    assert np.allclose(g, [-a * S, (1.0 - a) * S], atol=1e-12)
+
     mae = get_objective("reg:absoluteerror")
-    g2, _ = mae.grad_hess(y, m, None)
-    assert np.allclose(g2, [-1.0, 1.0])
+    g2, h2 = mae.grad_hess(y, m, None)
+    delta = float(np.mean(np.sqrt(np.abs(r)))) ** 2      # = 1.0
+    nrm = np.hypot(delta, r)
+    assert np.allclose(g2, r * delta / nrm)
+    assert np.allclose(h2, delta / nrm)
+    # reference test_tree_regularization closed form: single row,
+    # base 0.5, label 1 -> delta=0.5, curvature 1/sqrt(2); the
+    # unregularized stump step recovers the label exactly
+    g1, h1 = mae.grad_hess(np.array([1.0]), np.array([0.5]), None)
+    c = 1.0 / np.sqrt(2.0)
+    assert np.isclose(g1[0], -0.5 * c) and np.isclose(h1[0], c)
+    assert np.isclose(0.5 - g1[0] / h1[0], 1.0)
+    assert np.isclose(0.5 - g1[0] / (h1[0] + 1.0), 0.5 + (0.5 * c) / (c + 1.0))
+
+
+def test_quantile_scale_stats_protocol():
+    """set_scale(global sums) must reproduce the self-computed scale:
+    the distributed trainers allreduce scale_stats partials and every
+    worker then computes gradients with the SAME scale (reference
+    collective GlobalSum, quantile_obj.cu:139-142)."""
+    obj = get_objective("reg:quantileerror", TrainParams(
+        objective="reg:quantileerror", quantile_alpha=(0.25, 0.75)))
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=200)
+    m = np.column_stack([rng.normal(size=200), rng.normal(size=200)])
+    w = rng.random(200) + 0.5
+    g0, h0 = obj.grad_hess(y, m, w)
+    # two "workers": partial sums added then installed
+    st = (obj.scale_stats(y[:80], m[:80], w[:80])
+          + obj.scale_stats(y[80:], m[80:], w[80:]))
+    obj.set_scale(st)
+    g1, h1 = obj.grad_hess(y, m, w)
+    obj.set_scale(None)
+    assert np.allclose(g0, g1) and np.allclose(h0, h1)
+    # sorted pred transform: non-crossing by construction
+    pt = obj.pred_transform(m)
+    assert (np.diff(pt, axis=1) >= 0).all()
 
 
 def test_ranking_gradients_direction():

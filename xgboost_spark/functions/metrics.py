@@ -105,9 +105,14 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
         # QuantileLoss aggregate (src/metric/elementwise_metric.cu)
         alphas = ([float(a) for a in arg.split(",")] if arg else [0.5])
         if len(alphas) > 1 and len(alphas) == len(margin_cols):
+            # EvalTransform semantics (objective.h:74 defaults to
+            # PredTransform): the quantile objective SORTS each row's
+            # predictions ascending (non-crossing, quantile_obj.cu:177)
+            # before the metric sees them
+            srt = F.array_sort(F.array(*[F.col(mc) for mc in margin_cols]))
             tot = None
-            for a, mc in zip(alphas, margin_cols):
-                d = yy - F.col(mc)
+            for k, a in enumerate(alphas):
+                d = yy - F.element_at(srt, k + 1)
                 t = F.when(d >= 0, a * d).otherwise((a - 1.0) * d)
                 tot = t if tot is None else tot + t
             return wavg(tot / float(len(alphas)))
@@ -493,7 +498,8 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
     if name == "quantile":
         alphas = [float(a) for a in arg.split(",")] if arg else [0.5]
         if len(alphas) > 1 and margin.ndim > 1 and margin.shape[1] == len(alphas):
-            d = y[:, None] - margin
+            # EvalTransform = the objective's sorted PredTransform
+            d = y[:, None] - np.sort(margin, axis=1, kind="stable")
             al = np.asarray(alphas)[None, :]
             pin = np.where(d >= 0, al * d, (al - 1.0) * d).mean(axis=1)
             return float((w * pin).sum()), W

@@ -30,9 +30,13 @@ class Objective:
     """Base: scalar-output, rowwise objective."""
 
     name: str = ""
-    # leaves of trees trained on this objective get refreshed to a
-    # residual quantile (reference "adaptive tree", regression_obj.cu:745)
+    # custom-objective hook: leaves refreshed to a residual quantile
+    # after growth (the classic "adaptive tree" pattern; NO built-in
+    # reference objective uses it — this reference has no UpdateTreeLeaf)
     adaptive_alpha: float | None = None
+    # reg:absoluteerror / reg:quantileerror: gradients need a per-
+    # iteration GLOBAL residual scale (scale_stats/set_scale protocol)
+    needs_global_scale: bool = False
     needs_qid: bool = False
     # survival:aft — gradient is a function of (label_lower, label_upper)
     needs_bounds: bool = False
@@ -46,6 +50,25 @@ class Objective:
 
     def grad_hess(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None):
         raise NotImplementedError
+
+    def scale_stats(self, y: np.ndarray, margin: np.ndarray,
+                    w: np.ndarray | None) -> np.ndarray | None:
+        """Partial SUMS of the per-iteration GLOBAL statistics this
+        objective needs before gradients can be computed (reference
+        MeanAbsoluteError / QuantileRegression recompute an automatic
+        residual scale with a collective GlobalSum each boosting
+        iteration, regression_obj.cu:642-660 / quantile_obj.cu:123-152).
+        Trainers allreduce/aggregate the vector across workers and
+        install it with :meth:`set_scale`; ``None`` = no global state
+        needed (the default, and the fast path)."""
+        return None
+
+    def set_scale(self, stats: np.ndarray | None) -> None:
+        """Install globally-summed :meth:`scale_stats` (or ``None`` to
+        clear).  While installed, :meth:`grad_hess` uses it instead of
+        recomputing from its own (possibly partial) input — that is what
+        keeps per-partition gradient kernels globally correct."""
+        pass
 
     def base_score(self, y: np.ndarray, w: np.ndarray | None) -> float:
         """Initial margin — Newton stump fit (reference src/tree/fit_stump.h:34)."""
@@ -190,41 +213,122 @@ class PseudoHuber(Objective):
 
 
 class AbsoluteError(Objective):
-    """reg:absoluteerror (regression_obj.cu:745-753) — adaptive-leaf MAE.
+    """reg:absoluteerror (regression_obj.cu:609-755 MeanAbsoluteError) —
+    smooth MM (majorize-minimize) approximation to the mean absolute
+    error.  NOT the sign-gradient/adaptive-leaf MAE of other gradient
+    boosters: this reference has no UpdateTreeLeaf machinery at all.
 
-    Constant hessian 1 with sign gradient; leaves refreshed to the median
-    residual after growth (``adaptive_alpha=0.5``).
+    Each boosting iteration recomputes, per target, the automatic scale
+
+        delta = (sum_i w_i * sqrt(|pred_i - y_i|) / sum_i w_i)^2
+
+    (a GLOBAL weighted reduction — distributed trainers allreduce it via
+    :meth:`scale_stats`/:meth:`set_scale`).  For residual r and
+    norm = hypot(delta, r):
+
+        curvature = delta / norm   (1.0 when norm == 0)
+        grad = w * r * curvature,   hess = w * curvature
+
+    which is the pseudo-Huber gradient r / sqrt(1 + (r/delta)^2) with
+    the majorization curvature 1/q instead of the exact 1/q^3 —
+    approaching the L1 gradient as the residual scale contracts
+    (regression_obj.cu:610-620 doc comment, kernel :676-684).
     """
 
     name = "reg:absoluteerror"
-    adaptive_alpha = 0.5
+    needs_global_scale = True
+
+    def __init__(self):
+        self._scale = None      # per-target delta installed by set_scale
+
+    @staticmethod
+    def _per_target_sqrt_sums(y, margin, w):
+        y = y[:, None] if (margin.ndim == 2 and np.ndim(y) == 1) else y
+        r = margin - y
+        ww = np.ones(r.shape[0], dtype=np.float64) if w is None else w
+        if r.ndim == 2:
+            s = (ww[:, None] * np.sqrt(np.abs(r))).sum(axis=0)
+        else:
+            s = np.array([(ww * np.sqrt(np.abs(r))).sum()])
+        return np.append(s, ww.sum())
+
+    def scale_stats(self, y, margin, w):
+        return self._per_target_sqrt_sums(y, margin, w)
+
+    def set_scale(self, stats):
+        if stats is None:
+            self._scale = None
+            return
+        tot = float(stats[-1])
+        s = np.asarray(stats[:-1], dtype=np.float64)
+        # reference CloseTo(sum_weight, 0) guard (regression_obj.cu:665)
+        self._scale = np.zeros_like(s) if tot <= _RT_EPS else (s / tot) ** 2
 
     def grad_hess(self, y, margin, w):
-        g = np.sign(margin - y)
-        h = np.ones_like(y, dtype=np.float64)
+        y = y[:, None] if (margin.ndim == 2 and np.ndim(y) == 1) else y
+        r = margin - y
+        if self._scale is not None:
+            delta = self._scale
+        else:
+            st = self._per_target_sqrt_sums(y, margin, w)
+            tot = float(st[-1])
+            delta = (np.zeros_like(st[:-1]) if tot <= _RT_EPS
+                     else (st[:-1] / tot) ** 2)
+        d = delta if r.ndim == 2 else float(delta[0])
+        norm = np.hypot(d, r)
+        curvature = np.where(norm > 0.0,
+                             d / np.where(norm > 0.0, norm, 1.0), 1.0)
+        g = r * curvature
+        h = curvature
         if w is not None:
-            g, h = g * w, h * w
+            ww = w[:, None] if r.ndim == 2 else w
+            g, h = g * ww, h * ww
         return g, h
 
     def base_score(self, y, w):
-        return float(np.median(y))
+        # reference InitEstimation (regression_obj.cu:686-739): label
+        # mean + one unregularized FitStump step of the MM gradient
+        # evaluated at that mean (-G / max(H, kRtEps), fit_stump.h:27)
+        ww = np.ones_like(y, dtype=np.float64) if w is None else w
+        mean = float((y * ww).sum() / ww.sum())
+        m0 = np.full_like(np.asarray(y, dtype=np.float64), mean)
+        save = self._scale
+        self._scale = None          # estimation never uses a stale scale
+        try:
+            g, h = self.grad_hess(y, m0, w)
+        finally:
+            self._scale = save
+        return mean + float(-g.sum() / max(h.sum(), _RT_EPS))
 
     def default_metric(self):
         return "mae"
 
 
 class QuantileError(Objective):
-    """reg:quantileerror pinball loss (src/objective/quantile_obj.cu:272).
+    """reg:quantileerror (src/objective/quantile_obj.cu:42-298
+    QuantileRegression) — automatically scaled LOGISTIC-SMOOTHED
+    quantile score with MM curvature, NOT the raw pinball subgradient:
 
-    ``alpha`` may be a VECTOR (reference quantile_loss_utils.h
-    QuantileLossParam): one model trains all alphas at once, one output
-    group per alpha — margin is (n, K) and group k's gradient uses
-    alpha_k.  The shared intercept is the first alpha's label quantile;
-    per-group adaptive leaf refresh (alpha_k residual quantiles) makes
-    each output converge to its own quantile.
+        S_j  = (sum_i w_i * sqrt(|r_ij|) / sum_i w_i)^2      (per alpha,
+               recomputed each boosting iteration; GLOBAL reduction)
+        x    = r / (c * S_j),                    c = 0.04
+        grad = w * 0.5 * S_j * (tanh(x) + 1 - 2*alpha_j)
+        hess = w * 0.5 / c * max(tanh(x)/x, 3e-4)   (tanh(x)/x -> 1 at 0)
+
+    and (0, 0) when S_j is 0 or w is 0 (quantile_obj.cu:33-75 doc
+    comment + :155-174 kernel; both constants are fixed internals).
+    ``alpha`` may be a VECTOR (quantile_loss_utils.h QuantileLossParam):
+    one model trains all alphas at once, one output group per alpha.
+    PredTransform sorts each row's predictions ascending to prevent
+    quantile crossing (quantile_obj.cu:177-198); InitEstimation is the
+    per-alpha label quantile (interpolated R-6 unweighted, step-function
+    weighted — common/stats.h:34-103).
     """
 
     name = "reg:quantileerror"
+    needs_global_scale = True
+    _C = 0.04               # kSmoothingScale (quantile_obj.cu:38)
+    _MIN_RATIO = 3.0e-4     # kMinSurrogateRatio (quantile_obj.cu:39)
 
     def __init__(self, alpha=0.5):
         if isinstance(alpha, (tuple, list, np.ndarray)):
@@ -232,29 +336,98 @@ class QuantileError(Objective):
         else:
             self.alphas = (float(alpha),)
         self.alpha = self.alphas[0]
-        # per-group refresh targets; trainers index with the tree's group
-        self.adaptive_alpha = (self.alphas if len(self.alphas) > 1
-                               else self.alphas[0])
+        self._scale = None
+
+    @staticmethod
+    def _per_target_sqrt_sums(y, margin, w):
+        r = (margin - y[:, None]) if margin.ndim == 2 else (margin - y)
+        ww = np.ones(r.shape[0], dtype=np.float64) if w is None else w
+        if r.ndim == 2:
+            s = (ww[:, None] * np.sqrt(np.abs(r))).sum(axis=0)
+        else:
+            s = np.array([(ww * np.sqrt(np.abs(r))).sum()])
+        return np.append(s, ww.sum())
+
+    def scale_stats(self, y, margin, w):
+        return self._per_target_sqrt_sums(y, margin, w)
+
+    def set_scale(self, stats):
+        if stats is None:
+            self._scale = None
+            return
+        tot = float(stats[-1])
+        s = np.asarray(stats[:-1], dtype=np.float64)
+        self._scale = np.zeros_like(s) if tot <= _RT_EPS else (s / tot) ** 2
 
     def grad_hess(self, y, margin, w):
-        if margin.ndim == 2 and margin.shape[1] > 1:
-            err = margin - y[:, None]
-            al = np.asarray(self.alphas, dtype=np.float64)[None, :]
-            g = np.where(err >= 0, al, al - 1.0) * np.ones_like(err)
-            h = np.ones_like(err)
-            if w is not None:
-                g, h = g * w[:, None], h * w[:, None]
-            return g, h
-        err = margin - y
-        # grad of pinball wrt margin: alpha if margin>=y else alpha-1
-        g = np.where(err >= 0, self.alpha, self.alpha - 1.0)
-        h = np.ones_like(y, dtype=np.float64)
+        two_d = margin.ndim == 2
+        r = (margin - y[:, None]) if two_d else (margin - y)
+        if self._scale is not None:
+            S = self._scale
+        else:
+            st = self._per_target_sqrt_sums(y, margin, w)
+            tot = float(st[-1])
+            S = (np.zeros_like(st[:-1]) if tot <= _RT_EPS
+                 else (st[:-1] / tot) ** 2)
+        al = np.asarray(self.alphas, dtype=np.float64)
+        if two_d:
+            Sv, av = S[None, :], al[None, :]
+        else:
+            Sv, av = float(S[0]), float(al[0])
+        pos = Sv > 0.0 if two_d else (np.full(r.shape, Sv > 0.0))
+        x = r / np.where(Sv > 0.0, self._C * Sv, 1.0)
+        tanh_x = np.tanh(x)
+        ratio = np.where(x == 0.0, 1.0,
+                         tanh_x / np.where(x == 0.0, 1.0, x))
+        ratio = np.maximum(ratio, self._MIN_RATIO)
+        g = 0.5 * Sv * (tanh_x + 1.0 - 2.0 * av)
+        h = (0.5 / self._C) * ratio
+        g = np.where(pos, g, 0.0)
+        h = np.where(pos, h, 0.0)
         if w is not None:
-            g, h = g * w, h * w
+            ww = w[:, None] if two_d else w
+            g, h = g * ww, h * ww
         return g, h
 
+    @staticmethod
+    def _quantile_r6(y, alpha, w=None):
+        """Reference common::Quantile / WeightedQuantile
+        (src/common/stats.h:34-103): unweighted = x(ceil-based R-6
+        interpolation on alpha*(n+1)); weighted = step function at the
+        weight-CDF threshold, no interpolation."""
+        y = np.asarray(y, dtype=np.float64)
+        if w is not None:
+            order = np.argsort(y, kind="stable")
+            cw = np.cumsum(np.asarray(w, dtype=np.float64)[order])
+            thresh = cw[-1] * alpha
+            idx = min(int(np.searchsorted(cw, thresh, side="left")),
+                      len(y) - 1)
+            return float(y[order][idx])
+        n = len(y)
+        ys = np.sort(y, kind="stable")
+        if alpha <= 1.0 / (n + 1):
+            return float(ys[0])
+        if alpha >= n / (n + 1.0):
+            return float(ys[-1])
+        x = alpha * (n + 1.0)
+        k = int(np.floor(x) - 1)
+        d = (x - 1.0) - k
+        return float(ys[k] + d * (ys[k + 1] - ys[k]))
+
     def base_score(self, y, w):
-        return float(np.quantile(y, self.alpha))
+        return self._quantile_r6(y, self.alpha, w)
+
+    def base_score_vec(self, y, w) -> np.ndarray:
+        # reference InitEstimation (quantile_obj.cu:200-265): one label
+        # quantile per alpha; margins are direct (no ProbToMargin)
+        return np.array([self._quantile_r6(y, a, w) for a in self.alphas])
+
+    def pred_transform(self, margin):
+        # non-crossing: sort each row's predictions ascending
+        # (quantile_obj.cu:177-198 insertion sort)
+        if margin.ndim == 2 and margin.shape[1] > 1:
+            return np.sort(margin, axis=1, kind="stable")
+        return margin
 
     def default_metric(self):
         return "quantile@" + ",".join(str(a) for a in self.alphas)

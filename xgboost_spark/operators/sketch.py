@@ -363,3 +363,187 @@ def exact_quantiles(df: DataFrame, col: str, n_bins: int,
                 del state[k]
     return spark.createDataFrame(
         sorted((k, v) for k, v in resolved.items()), "k bigint, cut double")
+
+
+def exact_rank_values(df: DataFrame, col: str,
+                      ranks: "list[int]",
+                      coarse: int = 8192,
+                      collect_threshold: int = 200_000) -> "dict[int, float]":
+    """Exact order statistics: value at each global 1-based rank in
+    ``ranks`` (NULL/NaN excluded).  Same scale-safe iterative histogram
+    refinement as :func:`exact_quantiles` (one map-side-combinable scan
+    per round, no global window, no shuffle), keyed by arbitrary ranks
+    instead of k/n_bins quantile ranks — the building block for the
+    reference's interpolated quantile intercept (common/stats.h:34-66,
+    which needs the two order statistics around alpha*(n+1))."""
+    d = (df.select(F.col(col).cast("double").alias("v"))
+           .filter(F.col("v").isNotNull() & ~F.isnan("v")))
+    first = d.agg(F.count("*").alias("n"), F.min("v").alias("lo"),
+                  F.max("v").alias("hi")).first()
+    n = int(first["n"])
+    if n == 0:
+        return {}
+    state = {}
+    resolved: "dict[int, float]" = {}
+    for t in sorted(set(int(r) for r in ranks)):
+        if not 1 <= t <= n:
+            raise ValueError(f"rank {t} out of range 1..{n}")
+        s = {"t": t, "lo": float(first["lo"]), "hi": float(first["hi"]),
+             "below": 0, "cnt": n}
+        if s["lo"] == s["hi"]:
+            resolved[t] = s["lo"]
+        else:
+            state[t] = s
+    while state:
+        active = {k: s for k, s in state.items()
+                  if s["cnt"] > collect_threshold}
+        merged = sorted({(s["lo"], s["hi"]) for s in active.values()})
+        if merged:
+            iv_expr = None
+            bin_expr = None
+            for i, (lo, hi) in enumerate(merged):
+                wd = (hi - lo) / coarse
+                in_iv = (F.col("v") >= lo) & (F.col("v") <= hi)
+                b = F.least(F.floor((F.col("v") - lo) / wd), F.lit(coarse - 1))
+                iv_expr = (F.when(in_iv, i) if iv_expr is None
+                           else iv_expr.when(in_iv, i))
+                bin_expr = (F.when(in_iv, b) if bin_expr is None
+                            else bin_expr.when(in_iv, b))
+            hist = (d.withColumn("_iv", iv_expr)
+                    .filter(F.col("_iv").isNotNull())
+                    .withColumn("_b", bin_expr)
+                    .groupBy("_iv", "_b")
+                    .agg(F.count("*").alias("c"), F.min("v").alias("mn"),
+                         F.max("v").alias("mx"))
+                    .collect())
+            bins: "dict[int, list]" = {}
+            for r in hist:
+                bins.setdefault(int(r["_iv"]), []).append(
+                    (int(r["_b"]), int(r["c"]), float(r["mn"]), float(r["mx"])))
+            for k, s in list(active.items()):
+                iv = merged.index((s["lo"], s["hi"]))
+                local = s["t"] - s["below"]
+                cum = 0
+                for b, c, mn, mx in sorted(bins.get(iv, [])):
+                    if cum + c >= local:
+                        s["below"] += cum
+                        s["cnt"] = c
+                        s["lo"], s["hi"] = mn, mx
+                        break
+                    cum += c
+                if s["lo"] == s["hi"]:
+                    resolved[k] = s["lo"]
+                    del state[k]
+        small = {k: s for k, s in state.items()
+                 if s["cnt"] <= collect_threshold}
+        if small:
+            ivs = sorted({(s["lo"], s["hi"]) for s in small.values()})
+            cond = None
+            for lo, hi in ivs:
+                c = (F.col("v") >= lo) & (F.col("v") <= hi)
+                cond = c if cond is None else cond | c
+            vals = np.sort(np.array(
+                [r["v"] for r in d.filter(cond).collect()], dtype=np.float64))
+            for k, s in small.items():
+                lo, hi = s["lo"], s["hi"]
+                sub = vals[(vals >= lo) & (vals <= hi)]
+                resolved[k] = float(sub[s["t"] - s["below"] - 1])
+                del state[k]
+    return resolved
+
+
+def weighted_step_quantiles(df: DataFrame, col: str, wcol: str,
+                            alphas: "list[float]",
+                            coarse: int = 8192,
+                            collect_threshold: int = 200_000) -> "list[float]":
+    """Reference common::WeightedQuantile (stats.h:70-103): the step
+    function min{v : cum_weight(<= v in sorted order) >= alpha * W} —
+    no interpolation.  Distributed via the same histogram-refinement
+    selection as :func:`exact_rank_values`, on weight MASS instead of
+    row counts."""
+    d = (df.select(F.col(col).cast("double").alias("v"),
+                   F.col(wcol).cast("double").alias("w"))
+           .filter(F.col("v").isNotNull() & ~F.isnan("v")))
+    first = d.agg(F.count("*").alias("n"), F.sum("w").alias("W"),
+                  F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    n = int(first["n"])
+    if n == 0:
+        return [float("nan")] * len(alphas)
+    W = float(first["W"])
+    state = {}
+    resolved: "dict[int, float]" = {}
+    for i, a in enumerate(alphas):
+        s = {"thresh": W * float(a), "lo": float(first["lo"]),
+             "hi": float(first["hi"]), "below": 0.0, "cnt": n}
+        if s["lo"] == s["hi"]:
+            resolved[i] = s["lo"]
+        else:
+            state[i] = s
+    while state:
+        active = {k: s for k, s in state.items()
+                  if s["cnt"] > collect_threshold}
+        merged = sorted({(s["lo"], s["hi"]) for s in active.values()})
+        if merged:
+            iv_expr = None
+            bin_expr = None
+            for i, (lo, hi) in enumerate(merged):
+                wd = (hi - lo) / coarse
+                in_iv = (F.col("v") >= lo) & (F.col("v") <= hi)
+                b = F.least(F.floor((F.col("v") - lo) / wd), F.lit(coarse - 1))
+                iv_expr = (F.when(in_iv, i) if iv_expr is None
+                           else iv_expr.when(in_iv, i))
+                bin_expr = (F.when(in_iv, b) if bin_expr is None
+                            else bin_expr.when(in_iv, b))
+            hist = (d.withColumn("_iv", iv_expr)
+                    .filter(F.col("_iv").isNotNull())
+                    .withColumn("_b", bin_expr)
+                    .groupBy("_iv", "_b")
+                    .agg(F.count("*").alias("c"), F.sum("w").alias("m"),
+                         F.min("v").alias("mn"), F.max("v").alias("mx"))
+                    .collect())
+            bins: "dict[int, list]" = {}
+            for r in hist:
+                bins.setdefault(int(r["_iv"]), []).append(
+                    (int(r["_b"]), int(r["c"]), float(r["m"]),
+                     float(r["mn"]), float(r["mx"])))
+            for k, s in list(active.items()):
+                iv = merged.index((s["lo"], s["hi"]))
+                local = s["thresh"] - s["below"]
+                cum = 0.0
+                for b, c, m, mn, mx in sorted(bins.get(iv, [])):
+                    if cum + m >= local:
+                        s["below"] += cum
+                        s["cnt"] = c
+                        s["lo"], s["hi"] = mn, mx
+                        break
+                    cum += m
+                else:
+                    # float drift pushed the threshold past the last
+                    # bin: the answer is the interval maximum
+                    resolved[k] = s["hi"]
+                    del state[k]
+                    continue
+                if s["lo"] == s["hi"]:
+                    resolved[k] = s["lo"]
+                    del state[k]
+        small = {k: s for k, s in state.items()
+                 if s["cnt"] <= collect_threshold}
+        if small:
+            ivs = sorted({(s["lo"], s["hi"]) for s in small.values()})
+            cond = None
+            for lo, hi in ivs:
+                c = (F.col("v") >= lo) & (F.col("v") <= hi)
+                cond = c if cond is None else cond | c
+            rows = d.filter(cond).collect()
+            vv = np.array([r["v"] for r in rows], dtype=np.float64)
+            wv = np.array([r["w"] for r in rows], dtype=np.float64)
+            order = np.argsort(vv, kind="stable")
+            for k, s in small.items():
+                lo, hi = s["lo"], s["hi"]
+                sel = order[(vv[order] >= lo) & (vv[order] <= hi)]
+                cw = np.cumsum(wv[sel])
+                idx = min(int(np.searchsorted(cw, s["thresh"] - s["below"],
+                                              side="left")), len(sel) - 1)
+                resolved[k] = float(vv[sel][idx])
+                del state[k]
+    return [resolved[i] for i in range(len(alphas))]

@@ -144,7 +144,10 @@ def _remap_split_bins(tree: core.Tree, bounds_list) -> None:
 
 def _leaf_quantile_refresh(comm, tree, Xb, resid, w, alpha, eta, n_hist=2048,
                            leaf=None):
-    """UpdateTreeLeaf for adaptive objectives in barrier mode (reference
+    """UpdateTreeLeaf for CUSTOM adaptive objectives in barrier mode
+    (no built-in reference objective is adaptive — this reference has no
+    UpdateTreeLeaf; kept for custom objectives that set adaptive_alpha;
+    cf. upstream-style
     `regression_obj.cu:745-753`): per-leaf weighted residual quantiles
     from ONE min/max allreduce + ONE histogram allreduce.  Quantile error
     is bounded by (max-min)/n_hist — the same accuracy class as the
@@ -340,7 +343,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 and obj.adaptive_alpha is not None):
             raise ValueError(
                 "checkpoint_dir: exact resume needs immutable historical "
-                "trees; multi_output_tree+adaptive quantile leaves are "
+                "trees; multi_output_tree+custom adaptive leaves are "
                 "unsupported")
         os.makedirs(p.checkpoint_dir, exist_ok=True)
         ckpt_path = os.path.join(p.checkpoint_dir, "barrier_ckpt.pkl")
@@ -531,11 +534,19 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                             for j in range(nf):
                                 m_eff[:, k2] -= tree_weights[ri] * core.tree_predict(
                                     trees[ri][k2 * nf + j], Xb, binned=True)
-                    g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
-                                          p.subsample, K, bounds=bounds)
                 else:
-                    g, h = _compute_grads(obj, y, margin, w, q, seed + it_round,
-                                          p.subsample, K, bounds=bounds)
+                    m_eff = margin
+                if obj.needs_global_scale:
+                    # per-iteration global residual scale (reference
+                    # MAE/quantile GlobalSum, regression_obj.cu:655-660 /
+                    # quantile_obj.cu:139-142): one tiny allreduce of the
+                    # per-target sqrt-residual sums, every worker then
+                    # computes gradients with the SAME scale
+                    m_sc = m_eff if K > 1 else m_eff[:, 0]
+                    obj.set_scale(comm.allreduce_sum(
+                        obj.scale_stats(y, m_sc, w)))
+                g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
+                                      p.subsample, K, bounds=bounds)
                 if getattr(obj, "unbiased", False):
                     # position-bias update: sum this round's pair-cost
                     # accumulators over all workers, then every worker

@@ -304,11 +304,67 @@ class SparkBooster:
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
             return float(np.log(max(float(r["v"]), 1e-16)))
         if name == "reg:absoluteerror":
-            return float(raw.agg(F.percentile_approx("label", 0.5, 100000).alias("v")).first()["v"])
+            # reference MeanAbsoluteError::InitEstimation
+            # (regression_obj.cu:686-739): label mean + one FitStump step
+            # of the MM gradient at that mean.  Three tiny scans: mean,
+            # the automatic scale delta, then the (G, H) sums.
+            from xgboost_spark.functions.objectives import _RT_EPS
+            r = raw.agg(F.sum(y * w).alias("sy"), F.sum(w).alias("sw")).first()
+            if r["sw"] is None or float(r["sw"]) == 0.0:
+                raise ValueError("training dataset is empty (no rows / "
+                                 "zero total weight)")
+            mean = float(r["sy"]) / float(r["sw"])
+            resid = F.lit(mean) - y
+            s = float(raw.agg(F.sum(w * F.sqrt(F.abs(resid))).alias("s"))
+                      .first()["s"])
+            delta = ((s / float(r["sw"])) ** 2
+                     if float(r["sw"]) > _RT_EPS else 0.0)
+            norm = F.hypot(F.lit(delta), resid)
+            curv = F.when(norm > 0.0, F.lit(delta) / norm).otherwise(F.lit(1.0))
+            gh = raw.agg(F.sum(w * resid * curv).alias("G"),
+                         F.sum(w * curv).alias("H")).first()
+            return mean + float(-gh["G"] / max(gh["H"], _RT_EPS))
         if name == "reg:quantileerror":
-            return float(
-                raw.agg(F.percentile_approx("label", float(p.quantile_alpha[0]), 100000).alias("v")).first()["v"]
-            )
+            # reference QuantileRegression::InitEstimation
+            # (quantile_obj.cu:200-265): per-alpha label quantile —
+            # interpolated R-6 unweighted, step-function weighted
+            # (common/stats.h:34-103).  Exact and scale-safe via the
+            # iterative-histogram selection (no sort, no global window).
+            alphas = [float(a) for a in p.quantile_alpha]
+            if "weight" in raw.columns:
+                from xgboost_spark.operators.sketch import \
+                    weighted_step_quantiles
+                vals = weighted_step_quantiles(raw, "label", "weight", alphas)
+                if np.isnan(vals[0]):
+                    raise ValueError("training dataset is empty (no rows / "
+                                     "zero total weight)")
+            else:
+                from xgboost_spark.operators.sketch import exact_rank_values
+                n = raw.filter(F.col("label").isNotNull()
+                               & ~F.isnan("label")).count()
+                if n == 0:
+                    raise ValueError("training dataset is empty (no rows / "
+                                     "zero total weight)")
+                plan = []        # (alpha) -> (k0_rank, k1_rank, d) or value
+                need: set[int] = set()
+                for a in alphas:
+                    if a <= 1.0 / (n + 1):
+                        plan.append((1, None, 0.0)); need.add(1)
+                    elif a >= n / (n + 1.0):
+                        plan.append((n, None, 0.0)); need.add(n)
+                    else:
+                        x = a * (n + 1.0)
+                        k = int(np.floor(x) - 1)       # 0-based lower
+                        d = (x - 1.0) - k
+                        plan.append((k + 1, k + 2, d))
+                        need.update((k + 1, k + 2))
+                rv = exact_rank_values(raw, "label", sorted(need))
+                vals = [rv[r0] if r1 is None
+                        else rv[r0] + d * (rv[r1] - rv[r0])
+                        for r0, r1, d in plan]
+            if len(vals) == 1:
+                return float(vals[0])
+            return np.asarray(vals, dtype=np.float64)
         return 0.5
 
     # ------------------------------------------------------------------
@@ -376,6 +432,7 @@ class SparkBooster:
         spark = df.sparkSession
         sc = spark.sparkContext
         obj = self.obj
+        obj.set_scale(None)      # never reuse a previous fit's scale
         has_b = obj.needs_bounds
         is_cox = obj.needs_global_sort
         is_approx = p.tree_method == "approx"
@@ -384,9 +441,8 @@ class SparkBooster:
                              "(exact greedy is not distributed; use hist)")
         if p.multi_strategy == "multi_output_tree" and obj.adaptive_alpha is not None:
             raise NotImplementedError(
-                "adaptive-leaf objectives (absoluteerror/quantileerror) need "
-                "scalar leaves; the reference's UpdateTreeLeaf has the same "
-                "restriction — use multi_strategy='one_output_per_tree'")
+                "custom adaptive-leaf objectives (adaptive_alpha set) need "
+                "scalar leaves — use multi_strategy='one_output_per_tree'")
         if has_b and not (label_lower_col and label_upper_col):
             raise ValueError(f"{p.objective} needs label_lower_col and label_upper_col")
         eff_label = label_col if (label_col in df.columns or not has_b) else None
@@ -602,8 +658,9 @@ class SparkBooster:
                                             st_prev["weights"], Xr, False, K)
                 for k in range(K):
                     out[f"m{k}"] = m0[:, k]
-                if is_cox:
-                    g = h = np.zeros((len(pdf), K))   # filled by the cox pass
+                if is_cox or obj.needs_global_scale:
+                    # filled by the cox / global-scale pass
+                    g = h = np.zeros((len(pdf), K))
                 else:
                     g, h = _compute_grads(obj, y, m0, w if has_w else None, q,
                                           seed, subsample, K, bounds=bounds)
@@ -620,6 +677,8 @@ class SparkBooster:
         binned = binned.localCheckpoint(eager=True)
         if is_cox:
             binned = self._cox_grad_pass(binned, train_schema, n_part)
+        elif obj.needs_global_scale:
+            binned = self._scale_grad_pass(binned, train_schema, K, seed)
 
         # eval sets share the training cuts (QuantileDMatrix ref= semantics,
         # reference core.py:1434/:1473)
@@ -1022,8 +1081,9 @@ class SparkBooster:
                 for k in range(K):
                     out[f"m{k}"] = m[:, k]
                 if with_grads:
-                    if is_cox:
-                        g = h = np.zeros((len(pdf), K))  # filled by the cox pass
+                    if is_cox or obj.needs_global_scale:
+                        # filled by the cox / global-scale pass
+                        g = h = np.zeros((len(pdf), K))
                     else:
                         g, h = _compute_grads(obj, y, m, w, q, next_seed, subsample, K,
                                               bounds=bounds)
@@ -1035,6 +1095,8 @@ class SparkBooster:
         out_df = df.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
         if with_grads and is_cox:
             out_df = self._cox_grad_pass(out_df, train_schema, None)
+        elif with_grads and obj.needs_global_scale:
+            out_df = self._scale_grad_pass(out_df, train_schema, K, next_seed)
         return out_df
 
     def _rebin_pass(self, binned: DataFrame, bc_cuts, Fn: int,
@@ -1105,6 +1167,63 @@ class SparkBooster:
                 yield pd.DataFrame(out)
 
         return binned.mapInPandas(fn, schema=train_schema).localCheckpoint(eager=True)
+
+    def _scale_grad_pass(self, binned: DataFrame, train_schema: str,
+                         K: int, seed: int) -> DataFrame:
+        """Gradients for global-scale objectives (reference smooth-MM
+        MAE / logistic-smoothed quantile: the per-iteration residual
+        scale is a GLOBAL weighted reduction, regression_obj.cu:642-660
+        / quantile_obj.cu:123-152).  Two steps over the checkpointed
+        frame: (1) aggregate the objective's scale_stats partial sums,
+        (2) recompute the g/h columns with the global scale installed —
+        a per-partition scale would silently train a different model
+        than the single-machine reference."""
+        obj = self.obj
+        p = self.params
+        subsample = p.subsample
+
+        def stats_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                w = pdf["w"].to_numpy(dtype=np.float64)
+                m = np.column_stack([pdf[f"m{k}"].to_numpy(dtype=np.float64)
+                                     for k in range(K)])
+                st = obj.scale_stats(y, m if K > 1 else m[:, 0], w)
+                acc = st if acc is None else acc + st
+            if acc is not None:
+                yield pd.DataFrame({f"s{i}": [acc[i]]
+                                    for i in range(len(acc))})
+
+        n_stats = K + 1
+        st_schema = ", ".join(f"s{i} double" for i in range(n_stats))
+        r = (binned.mapInPandas(stats_fn, schema=st_schema)
+             .agg(*[F.sum(f"s{i}").alias(f"s{i}") for i in range(n_stats)])
+             .first())
+        stats = np.array([float(r[f"s{i}"] or 0.0) for i in range(n_stats)])
+        obj.set_scale(stats)          # pickled into the closure below
+
+        def grads_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                out = {c: pdf[c] for c in pdf.columns}
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                w = pdf["w"].to_numpy(dtype=np.float64)
+                m = np.column_stack([pdf[f"m{k}"].to_numpy(dtype=np.float64)
+                                     for k in range(K)])
+                g, h = _compute_grads(obj, y, m, w, None, seed, subsample, K)
+                for k in range(K):
+                    out[f"g{k}"] = g[:, k]
+                    out[f"h{k}"] = h[:, k]
+                yield pd.DataFrame(out)
+
+        out_df = (binned.mapInPandas(grads_fn, schema=train_schema)
+                  .localCheckpoint(eager=True))
+        obj.set_scale(None)           # never leak a stale scale
+        return out_df
 
     def _cox_grad_pass(self, binned: DataFrame, train_schema: str,
                        n_part: int | None) -> DataFrame:
@@ -1274,8 +1393,33 @@ def refresh_leaves(model: GBDTModel, df: DataFrame,
                        + ["y double", "w double", "m0 double"])
     binned = raw.mapInPandas(init_fn, schema=schema).localCheckpoint(eager=True)
     fcols = [f"x{i}" for i in range(Fn)]
+    def _install_global_scale(cur_binned):
+        # refresh gradients for global-scale objectives (smooth MAE /
+        # smoothed quantile) are evaluated at the current m0 margin;
+        # install the GLOBAL residual scale so the per-partition
+        # grad_hess calls below match the reference's GlobalSum scale
+        def _sc_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                st = obj.scale_stats(
+                    pdf["y"].to_numpy(dtype=np.float64),
+                    pdf["m0"].to_numpy(dtype=np.float64),
+                    pdf["w"].to_numpy(dtype=np.float64))
+                acc = st if acc is None else acc + st
+            if acc is not None:
+                yield pd.DataFrame({f"s{i}": [acc[i]] for i in range(len(acc))})
+
+        _r = (cur_binned.mapInPandas(_sc_fn, schema="s0 double, s1 double")
+              .agg(F.sum("s0").alias("s0"), F.sum("s1").alias("s1")).first())
+        obj.set_scale(np.array([float(_r["s0"] or 0.0),
+                                float(_r["s1"] or 0.0)]))
+
     new_trees: list[list[core.Tree]] = []
     for round_trees in model.trees:
+        if obj.needs_global_scale:
+            _install_global_scale(binned)
         refreshed = []
         for tree in round_trees:
             bc_tree = sc.broadcast(tree.finalize_arrays())
@@ -1328,5 +1472,6 @@ def refresh_leaves(model: GBDTModel, df: DataFrame,
                 yield pd.DataFrame(out)
 
         binned = binned.mapInPandas(margin_fn, schema=schema).localCheckpoint(eager=True)
+    obj.set_scale(None)
     return GBDTModel(p, model.base_score, new_trees, model.feature_names, model.cuts,
                      best_iteration=model.best_iteration, eval_history=model.eval_history)

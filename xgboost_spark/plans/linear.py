@@ -332,6 +332,35 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
         bw = weights.copy()
         bb = bias + base_score
 
+        if obj.needs_global_scale:
+            # global residual scale for smooth-MM MAE / smoothed
+            # quantile (reference GlobalSum before GetGradient): one
+            # partial-sums pre-pass at the current round's margin
+            def scale_fn(it_: Iterator[pd.DataFrame],
+                         _bw=bw, _bb=bb) -> Iterator[pd.DataFrame]:
+                acc = None
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    st = obj.scale_stats(y, _bb + X @ _bw, w_)
+                    acc = st if acc is None else acc + st
+                if acc is not None:
+                    yield pd.DataFrame({f"s{i}": [acc[i]]
+                                        for i in range(len(acc))})
+
+            r_sc = (raw.mapInPandas(scale_fn, schema="s0 double, s1 double")
+                    .agg(F.sum("s0").alias("s0"), F.sum("s1").alias("s1"))
+                    .first())
+            obj.set_scale(np.array([float(r_sc["s0"] or 0.0),
+                                    float(r_sc["s1"] or 0.0)]))
+
         def sums_fn(it_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             G = H = 0.0
             gx = np.zeros(Fn)
@@ -446,6 +475,34 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
     for it in range(p.num_boost_round):
         bw = W.copy()
         bb = bias + base_score                       # (K,)
+
+        if obj.needs_global_scale:
+            def scale_fn(it_: "Iterator[pd.DataFrame]",
+                         _bw=bw, _bb=bb) -> "Iterator[pd.DataFrame]":
+                acc = None
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    st = obj.scale_stats(y, _bb[None, :] + X @ _bw, w_)
+                    acc = st if acc is None else acc + st
+                if acc is not None:
+                    yield pd.DataFrame({f"s{i}": [acc[i]]
+                                        for i in range(len(acc))})
+
+            _n_st = K + 1
+            _sc_schema = ", ".join(f"s{i} double" for i in range(_n_st))
+            r_sc = (raw.mapInPandas(scale_fn, schema=_sc_schema)
+                    .agg(*[F.sum(f"s{i}").alias(f"s{i}")
+                           for i in range(_n_st)]).first())
+            obj.set_scale(np.array([float(r_sc[f"s{i}"] or 0.0)
+                                    for i in range(_n_st)]))
 
         def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
             G = np.zeros(K)
