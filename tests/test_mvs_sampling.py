@@ -1,0 +1,144 @@
+"""Gradient-based (MVS) row sampling — reference
+src/tree/hist/sampler.{h,cc}: per-row regularized absolute gradient
+rag_i = sqrt(sum_t g^2 + 0.1*h^2), a global threshold u solving
+sum_i min(1, rag_i/u) = floor(n*subsample), keep w.p. min(1, rag_i/u),
+kept gradients rescaled by 1/p (expectation-preserving importance
+weighting).  Engine twins of the reference's own
+tests/python/test_multi_target.py::test_subsample /
+test_gradient_based_sampling_accuracy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xgboost_spark import core
+from xgboost_spark.config import TrainParams
+from xgboost_spark.local.booster import LocalBooster
+from xgboost_spark.plans.booster import SparkBooster
+
+
+def _mass(rag, u):
+    if not np.isfinite(u):
+        return 0.0
+    return float(np.minimum(1.0, rag / max(u, 1e-30)).sum())
+
+
+def test_threshold_solves_expected_sample_size():
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(10, 3000))
+        rag = np.abs(rng.normal(size=n)) + 1e-9   # positive, distinct
+        k = int(max(1, rng.integers(1, n)))
+        u = core.mvs_threshold_from_parts(
+            np.sort(rag), 0.0, 0, float(k), float(rag.sum()))
+        assert _mass(rag, u) == pytest.approx(k, abs=1e-6)
+
+
+def test_distributed_threshold_matches_exact():
+    """The allreduce histogram-refinement threshold equals the exact
+    sorted-search threshold (same sampled mass; u itself can differ on
+    tie plateaus where any value in the plateau is a valid root)."""
+    from xgboost_spark.collective import Loopback
+    from xgboost_spark.plans.barrier import _mvs_threshold_allreduce
+    rng = np.random.default_rng(42)
+    comm = Loopback()
+    for trial in range(60):
+        n = int(rng.integers(2, 4000))
+        kind = trial % 4
+        if kind == 0:
+            rag = np.abs(rng.normal(size=n))
+        elif kind == 1:
+            rag = np.round(np.abs(rng.normal(size=n)) * 3, 1)  # ties+zeros
+        elif kind == 2:
+            rag = np.abs(rng.normal(size=n)) * 1e6
+        else:
+            rag = np.full(n, float(rng.random()))              # all equal
+        sub = float(rng.uniform(0.05, 0.95))
+        if int(n * sub) == 0:
+            continue
+        k = int(n * sub)
+        u_exact = core.mvs_threshold_from_parts(
+            np.sort(rag, kind="stable"), 0.0, 0, float(k), float(rag.sum()))
+        u_dist = _mvs_threshold_allreduce(comm, rag, sub)
+        assert (np.isclose(_mass(rag, u_exact), _mass(rag, u_dist),
+                           rtol=1e-9, atol=1e-6)
+                or np.isclose(u_exact, u_dist, rtol=1e-9)), (trial, kind)
+
+
+def test_apply_mvs_preserves_expectation():
+    rng = np.random.default_rng(1)
+    g = rng.normal(size=50000) + 0.3
+    h = np.abs(rng.normal(size=50000)) + 0.5
+    rag = core.mvs_reg_abs_grad(g, h)
+    k = 10000
+    u = core.mvs_threshold_from_parts(
+        np.sort(rag), 0.0, 0, float(k), float(rag.sum()))
+    g2, h2 = g.copy(), h.copy()
+    keep = core.apply_mvs(g2, h2, rag, u, np.random.default_rng(2))
+    assert abs(int(keep.sum()) - k) < 0.05 * k
+    # unbiased: rescaled sums track the full-data sums
+    assert g2.sum() == pytest.approx(g.sum(), rel=0.05)
+    assert h2.sum() == pytest.approx(h.sum(), rel=0.05)
+    # large-gradient rows are always kept at full weight
+    big = rag >= u
+    assert keep[big].all()
+    assert np.allclose(g2[big], g[big])
+
+
+def test_local_subsample_converges_both_methods():
+    """Reference run_subsample: training converges under subsampling
+    with either method, including multi-target trees."""
+    rng = np.random.default_rng(2026)
+    X = rng.normal(size=(2048, 8))
+    Y = np.column_stack([X[:, 0] * 2 + rng.normal(0, 0.1, 2048),
+                         X[:, 1] - X[:, 2] + rng.normal(0, 0.1, 2048)])
+    for method in ("uniform", "gradient_based"):
+        p = TrainParams(num_boost_round=16, max_depth=6, subsample=0.5,
+                        sampling_method=method, seed=2026,
+                        multi_strategy="multi_output_tree", num_class=2,
+                        objective="reg:squarederror")
+        lb = LocalBooster(p)
+        lb.fit(X, Y[:, 0])          # scalar target exercises 1-D kernels
+        pred = lb.predict(X)
+        rmse0 = float(np.sqrt(np.mean((Y[:, 0] - lb.base_score) ** 2)))
+        rmse = float(np.sqrt(np.mean((Y[:, 0] - pred) ** 2)))
+        assert rmse < rmse0 * 0.5, (method, rmse, rmse0)
+
+
+def test_gradient_based_beats_uniform_at_low_subsample(spark):
+    """Reference run_gradient_based_sampling_accuracy (same setup:
+    noiseless regression, subsample 0.5, 32 rounds): MVS keeps the
+    informative (large-gradient) rows and reaches a lower training loss
+    than uniform sampling — through the REAL barrier trainer (global
+    threshold allreduced per round)."""
+    rng = np.random.default_rng(2026)
+    n = 4096
+    X = rng.normal(size=(n, 16))
+    coef = rng.normal(size=16) * np.array(
+        [10, 8, 6, 5, 4, 3, 2, 1, 0.5, 0.4, 0.3, 0.2, 0.1, 0.05, 0.02, 0.01])
+    y = X @ coef                  # noiseless, make_regression-like
+    pdf = pd.DataFrame(X, columns=[f"f{i}" for i in range(16)])
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf).repartition(6)
+    fc = [f"f{i}" for i in range(16)]
+    finals = {}
+    for method in ("uniform", "gradient_based"):
+        p = TrainParams(num_boost_round=32, max_depth=6, subsample=0.5,
+                        sampling_method=method, seed=2026,
+                        eval_metric=["rmse"], exec_mode="barrier")
+        m = SparkBooster(p).fit(df, feature_cols=fc, label_col="label",
+                                evals=[(df, "train")])
+        finals[method] = m.eval_history["train"]["rmse"][-1]
+    assert finals["gradient_based"] < finals["uniform"], finals
+
+
+def test_dataframe_path_rejects_mvs(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(rng.normal(size=(200, 3)), columns=list("abc"))
+    pdf["label"] = pdf.a * 2
+    df = spark.createDataFrame(pdf)
+    p = TrainParams(num_boost_round=2, max_depth=2, subsample=0.5,
+                    sampling_method="gradient_based", exec_mode="dataframe")
+    with pytest.raises(NotImplementedError, match="gradient_based"):
+        SparkBooster(p).fit(df, feature_cols=["a", "b", "c"],
+                            label_col="label")

@@ -43,6 +43,10 @@ class TrainParams:
     gamma: float = 0.0                  # min_split_loss
     max_delta_step: float = 0.0
     subsample: float = 1.0
+    # "uniform" (Bernoulli keep) or "gradient_based" (MVS: keep row i
+    # with p_i = min(1, sqrt(g_i^2 + 0.1*h_i^2)/u), kept gradients
+    # rescaled by 1/p_i — reference src/tree/hist/sampler.h/.cc)
+    sampling_method: str = "uniform"
     colsample_bytree: float = 1.0
     colsample_bylevel: float = 1.0
     colsample_bynode: float = 1.0
@@ -147,7 +151,7 @@ class TrainParams:
         "single_precision_histogram": None,          # always f64 here
         "sketch_eps": None,                          # superseded by max_bin
         "refresh_leaf": None,
-        "sampling_method": ("uniform",),             # no gradient_based
+# sampling_method is a real TrainParams field (uniform | gradient_based)
         "enable_categorical": None,                  # auto-detected
         "importance_type": None,                     # chosen at query time
         "missing": (float("nan"),),                  # NaN is the only missing marker

@@ -623,6 +623,79 @@ class HistBuilder:
         raise NotImplementedError
 
 
+MVS_LAMBDA = 0.1   # reference kDefaultMvsLambda (src/tree/hist/sampler.h:41)
+
+
+def mvs_reg_abs_grad(g: np.ndarray, h: np.ndarray,
+                     lam: float = MVS_LAMBDA) -> np.ndarray:
+    """Per-row regularized absolute gradient for MVS gradient-based
+    sampling: sqrt(sum_t g_t^2 + lam * h_t^2) (reference MvsGradOp +
+    CalcRegAbsGrad, src/tree/hist/sampler.h:43-51 / sampler.cc)."""
+    if g.ndim == 2:
+        return np.sqrt((g * g + lam * h * h).sum(axis=1))
+    return np.sqrt(g * g + lam * h * h)
+
+
+def mvs_threshold_from_parts(vals_sorted: np.ndarray, s_below: float,
+                             n_above: int, k: float,
+                             total_sum: float) -> float:
+    """Solve for the MVS threshold u with sum_i min(1, rag_i/u) = k,
+    given the candidate rag values that can contain the breakpoint
+    (sorted ascending) plus aggregate stats of the rest: ``s_below`` =
+    sum of rag strictly below the candidates, ``n_above`` = count
+    strictly above.  Replicates the reference's sorted binary search
+    (CalculateThreshold, sampler.cc) including its degenerate fallback
+    total/k.  With vals = ALL rag values, s_below = 0, n_above = 0 this
+    IS the reference's single-machine computation."""
+    if k <= 0:
+        return float("inf")
+    m = len(vals_sorted)
+    # breakpoint below every candidate (only reachable with non-zero
+    # aggregate mass below, i.e. the distributed sub-bucket call)
+    denom0 = k - (n_above + m)
+    if m and denom0 > 0:
+        u = s_below / denom0
+        if 0.0 < u <= vals_sorted[0]:
+            return float(u)
+    csum = s_below + np.cumsum(vals_sorted)
+    for i in range(m):
+        na = n_above + (m - i - 1)
+        denom = k - na
+        if denom <= 0:
+            continue
+        u = csum[i] / denom
+        lower = vals_sorted[i]
+        upper = vals_sorted[i + 1] if i + 1 < m else float("inf")
+        if lower < u <= upper:
+            return float(u)
+    # all-equal / exhausted: reference falls back to total/k
+    return float(total_sum / k)
+
+
+def apply_mvs(g: np.ndarray, h: np.ndarray, rag: np.ndarray, u: float,
+              rng: np.random.Generator):
+    """Sample-and-rescale in place: row i kept with p_i = min(1,
+    rag_i/u) and its (g, h) scaled by 1/p_i, else zeroed (reference
+    SamplingProbability/RescaleGrad/IsSampled, sampler.h:54-72;
+    expectation-preserving importance weighting).  One uniform draw per
+    row.  Returns the keep mask."""
+    n = len(rag)
+    if not np.isfinite(u):          # empty sampling budget
+        g[...] = 0.0
+        h[...] = 0.0
+        return np.zeros(n, dtype=bool)
+    # reference SamplingProbability: |u| floored at kRtEps (1e-6)
+    p = rag / max(u, 1e-6)
+    keep = (p >= 1.0) | (rng.random(n) <= p)
+    keep &= p > 0.0
+    scale = np.where(keep, 1.0 / np.minimum(np.maximum(p, 1e-30), 1.0), 0.0)
+    if g.ndim == 2:
+        scale = scale[:, None]
+    g *= scale
+    h *= scale
+    return keep
+
+
 def _rng_mask(rng: np.random.Generator, n: int, rate: float,
               weights: np.ndarray | None = None) -> np.ndarray:
     """Column-sampling mask.  Unweighted: Bernoulli(rate).  With

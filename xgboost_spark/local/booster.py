@@ -257,14 +257,29 @@ class LocalBooster:
                     g[m], h[m] = gq, hq
             else:
                 g, h = self.obj.grad_hess(y, margin, sample_weight)
-            if p.subsample < 1.0:
-                keep = np.random.default_rng(p.seed * 1_000_003 + it).random(n) < p.subsample
-                if K > 1:
-                    g = g * keep[:, None]
-                    h = h * keep[:, None]
+            if p.subsample < 1.0 and int(n * p.subsample) < n:
+                srng = np.random.default_rng(p.seed * 1_000_003 + it)
+                if getattr(p, "sampling_method", "uniform") == "gradient_based":
+                    # MVS gradient-based sampling (reference
+                    # src/tree/hist/sampler.cc): exact threshold over
+                    # the full rag array, keep w.p. min(1, rag/u),
+                    # rescale kept gradients by 1/p
+                    g = np.array(g, dtype=np.float64, copy=True)
+                    h = np.array(h, dtype=np.float64, copy=True)
+                    rag = core.mvs_reg_abs_grad(g, h)
+                    k_rows = int(n * p.subsample)
+                    u = core.mvs_threshold_from_parts(
+                        np.sort(rag, kind="stable"), 0.0, 0,
+                        float(k_rows), float(rag.sum()))
+                    core.apply_mvs(g, h, rag, u, srng)
                 else:
-                    g = g * keep
-                    h = h * keep
+                    keep = srng.random(n) < p.subsample
+                    if K > 1:
+                        g = g * keep[:, None]
+                        h = h * keep[:, None]
+                    else:
+                        g = g * keep
+                        h = h * keep
             round_trees = []
             fmask = None
             if p.colsample_bytree < 1.0:

@@ -74,6 +74,111 @@ class _AllreduceMultiHistBuilder(_NumpyMultiHistBuilder):
 
 
 
+def _mvs_threshold_allreduce(comm, rag: np.ndarray, subsample: float,
+                             coarse: int = 512,
+                             max_rounds: int = 60) -> float:
+    """Distributed MVS threshold: the u with
+    ``sum_i min(1, rag_i / u) = floor(n_global * subsample)`` over ALL
+    workers' rows (reference CalculateThreshold, sampler.cc — a
+    single-machine sorted binary search there; here an iterative
+    histogram refinement, one (count, sum) + one (min, max) allreduce
+    per round, payload O(coarse) float64 — no row ever moves).
+
+    Invariant per round: the breakpoint pair lies in the active value
+    interval (lo, hi]; ``S_lo`` = global sum of rag <= lo, ``N_hi`` =
+    global count of rag > hi.  Let F(t) = S(<=t)/t + N(>t) — the
+    sampled mass at u=t, decreasing in t.  The first nonempty bin
+    boundary with F <= k either yields the closed form
+    u = S(prev)/(k - N(>prev)) on the value gap before it, or the
+    breakpoint is among that bin's values and the search recurses into
+    the bin; a single-distinct-value bin resolves exactly.  Every
+    worker consumes identical allreduced statistics, so every worker
+    computes the IDENTICAL u."""
+    stats = comm.allreduce_sum(np.array([float(len(rag)),
+                                         float(rag.sum())]))
+    n_g, s_g = stats[0], stats[1]
+    k = float(int(n_g * subsample))
+    if k <= 0:
+        return float("inf")
+    mn_l = float(rag.min()) if len(rag) else np.inf
+    mx_l = float(rag.max()) if len(rag) else -np.inf
+    mn, mx = comm.allreduce_minmax(np.array([mn_l]), np.array([mx_l]))
+    gmin, gmax = float(mn[0]), float(mx[0])
+    if not np.isfinite(gmin) or gmin == gmax:
+        # no rows anywhere / all rag equal: reference degenerate
+        # fallback total / k
+        return float(s_g / k) if s_g > 0 else float("inf")
+    lo = np.nextafter(gmin, -np.inf)      # (lo, hi] holds every value
+    hi = gmax
+    S_lo, N_hi = 0.0, 0.0
+    for _ in range(max_rounds):
+        width = (hi - lo) / coarse
+        in_iv = (rag > lo) & (rag <= hi)
+        v = rag[in_iv]
+        if width > 0:
+            b = np.minimum(((v - lo) / width).astype(np.int64), coarse - 1)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        cnt = np.bincount(b, minlength=coarse).astype(np.float64)
+        sm = np.bincount(b, weights=v, minlength=coarse) if len(v) \
+            else np.zeros(coarse)
+        mns = np.full(coarse, np.inf)
+        mxs = np.full(coarse, -np.inf)
+        if len(v):
+            np.minimum.at(mns, b, v)
+            np.maximum.at(mxs, b, v)
+        red = comm.allreduce_sum(np.concatenate([cnt, sm]))
+        cnt, sm = red[:coarse], red[coarse:]
+        mns, mxs = comm.allreduce_minmax(mns, mxs)
+        ne = np.nonzero(cnt > 0.0)[0]          # nonempty bins, ascending
+        if len(ne) == 0:
+            # no breakpoints left in the interval: closed form
+            denom = k - N_hi
+            return float(S_lo / denom) if denom > 0 else float(s_g / k)
+        pre_s = S_lo + np.cumsum(sm[ne])       # S(<= mxs[ne_m])
+        post_n = N_hi + (np.cumsum(cnt[ne][::-1])[::-1] - cnt[ne])  # N(> mxs)
+        t = mxs[ne]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Fv = np.where(t > 0.0, pre_s / np.where(t > 0.0, t, 1.0)
+                          + post_n, np.inf)
+        hit = np.nonzero(Fv <= k)[0]
+        if len(hit) == 0:
+            # even u = hi leaves more than k expected rows: breakpoint
+            # pair is (hi, next value above], closed form
+            denom = k - N_hi
+            return float(pre_s[-1] / denom) if denom > 0 else float(s_g / k)
+        m = int(hit[0])
+        j = int(ne[m])
+        prev_s = S_lo + (pre_s[m] - sm[j] - S_lo)   # S(<= prev boundary)
+        n_from_j = N_hi
+        for jj in ne[m:]:
+            n_from_j += cnt[jj]
+        # candidate: breakpoint in the empty gap below bin j's values
+        denom = k - n_from_j
+        if denom > 0:
+            u0 = prev_s / denom
+            prev_t = mxs[ne[m - 1]] if m > 0 else lo
+            if prev_t < u0 <= mns[j]:
+                return float(u0)
+        # breakpoint among bin j's values: recurse into the bin
+        S_lo = prev_s
+        N_hi = N_hi + float(post_n[m] - N_hi)       # N(> mxs[j])
+        if mns[j] == mxs[j]:
+            # single distinct value v0 (count c): below-or-above v0
+            v0, c = float(mns[j]), float(cnt[j])
+            d1 = k - (N_hi + c)
+            if d1 > 0 and 0.0 < S_lo / d1 <= v0:
+                return float(S_lo / d1)
+            d2 = k - N_hi
+            if d2 > 0:
+                return float((S_lo + c * v0) / d2)
+            return float(s_g / k)
+        lo = np.nextafter(float(mns[j]), -np.inf)
+        hi = float(mxs[j])
+    denom = k - N_hi
+    return float(S_lo / denom) if denom > 0 else float(s_g / k)
+
+
 def _approx_rebin(comm, Xb_fine, h, fine_cuts, cat_mask, max_bin):
     """Per-round hessian-weighted re-sketch (reference approx updater,
     `updater_approx.cc:95-130`) without touching raw values: features are
@@ -545,8 +650,25 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     m_sc = m_eff if K > 1 else m_eff[:, 0]
                     obj.set_scale(comm.allreduce_sum(
                         obj.scale_stats(y, m_sc, w)))
+                is_mvs = (p.subsample < 1.0
+                          and getattr(p, "sampling_method", "uniform")
+                          == "gradient_based")
                 g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
-                                      p.subsample, K, bounds=bounds)
+                                      1.0 if is_mvs else p.subsample, K,
+                                      bounds=bounds)
+                if is_mvs:
+                    # MVS gradient-based sampling (reference
+                    # src/tree/hist/sampler.cc GradientBasedSampling):
+                    # the threshold u is GLOBAL — every worker derives
+                    # the identical u from allreduced histograms, then
+                    # keeps row i w.p. min(1, rag_i/u) and rescales its
+                    # gradients by 1/p (expectation-preserving)
+                    rag = core.mvs_reg_abs_grad(g, h)
+                    u = _mvs_threshold_allreduce(comm, rag, p.subsample)
+                    mvs_rng = np.random.default_rng(
+                        ((seed + it_round) * 1_000_003
+                         + getattr(comm, "rank", 0)) & 0x7FFFFFFF)
+                    core.apply_mvs(g, h, rag, u, mvs_rng)
                 if getattr(obj, "unbiased", False):
                     # position-bias update: sum this round's pair-cost
                     # accumulators over all workers, then every worker

@@ -597,6 +597,14 @@ class SparkBooster:
                 "lambdarank_unbiased trains on the barrier path (the t+/t- "
                 "position-bias state is allreduced across rounds inside one "
                 f"job; exec_mode=auto|barrier); blocked because: {why}")
+        if (p.subsample < 1.0
+                and getattr(p, "sampling_method", "uniform")
+                == "gradient_based"):
+            raise NotImplementedError(
+                "sampling_method='gradient_based' (MVS) trains on the "
+                "barrier path — its sampling threshold is a global "
+                "statistic allreduced per round (exec_mode=auto|barrier); "
+                f"blocked because: {why}")
         if is_approx and (p.n_groups > 1 or p.booster == "dart"
                           or obj.adaptive_alpha is not None):
             raise NotImplementedError(
