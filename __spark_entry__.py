@@ -1258,12 +1258,20 @@ def q_train_ranker(spark, sf_dir):
     """LambdaRank rank:pairwise, ONE boosting round, HASH-MATCHED
     (promoted from rows-only): at round 1 every margin equals
     base_score = 0, so each (more-relevant, less-relevant) pair inside
-    a query group contributes lambda = sigmoid(0) = 0.5 and hessian
-    p(1-p) = 0.25 (reference src/objective/lambdarank_obj.cc:662-670,
-    pair weight 1 for rank:pairwise) — and the all-pairs sum collapses
-    to per-document rank counts:
+    a query group contributes lambda = (sigmoid(0) - 1) = -0.5 to the
+    higher document and hessian max(p(1-p), eps) * delta * 2 = 0.5
+    (reference LambdaGrad, lambdarank_obj.h:93-150, delta = 1 for
+    rank:pairwise; score normalization skips because every score is
+    equal, lambdarank_obj.h:124) — and the all-pairs sum collapses to
+    per-document rank counts:
         g_i = 0.5 * (n_more_relevant_i - n_less_relevant_i)
-        h_i = 0.25 * (n_more_relevant_i + n_less_relevant_i)
+        h_i = 0.5  * (n_more_relevant_i + n_less_relevant_i)
+    The modeled config pins lambdarank_pair_method's truncation away
+    (num_pair >= max group size => the top-k loop degenerates to
+    all-pairs) and lambdarank_normalization=false (both public params),
+    so every g/h stays an EXACT dyadic rational; the enabled-by-default
+    log2(1+sum_lambda)/sum_lambda group normalization is a per-group
+    scalar covered by tests/test_ranking_objectives.py.
     computed with ONE cumulative window over (qid, rel) group counts —
     no pair join, so the plan is O(n log n) at any group size.  The
     split search is the standard hist -> prefix scan -> argmax on an
@@ -1292,7 +1300,7 @@ def q_train_ranker(spark, sf_dir):
     rows = (r.join(gh, ["qid", "rel"])
             .select("bin",
                     (0.5 * (F.col("n_gt") - F.col("n_lt"))).alias("g"),
-                    (0.25 * (F.col("n_gt") + F.col("n_lt"))).alias("h")))
+                    (0.5 * (F.col("n_gt") + F.col("n_lt"))).alias("h")))
     hist = rows.groupBy("bin").agg(F.sum("g").alias("sum_g"),
                                    F.sum("h").alias("sum_h"),
                                    F.count("*").alias("nb"))
@@ -4192,7 +4200,8 @@ FROM b2"""
 def _train_ranker_sql() -> str:
     """DuckDB twin of q_train_ranker: the same closed-form all-pairs
     round-1 pairwise gradients (rank counts via one cumulative window,
-    peers included by the default RANGE frame — identical in Spark) and
+    peers included by the default RANGE frame — identical in Spark;
+    reference hessian factor delta*2, normalization pinned off) and
     the same hist -> scan -> argmax split search."""
     return """
 WITH r AS (
@@ -4209,7 +4218,7 @@ gh AS (
   FROM c),
 rows_ AS (
   SELECT r.bin, 0.5 * (gh.n_gt - gh.n_lt) AS g,
-         0.25 * (gh.n_gt + gh.n_lt) AS h
+         0.5 * (gh.n_gt + gh.n_lt) AS h
   FROM r JOIN gh USING (qid, rel)),
 hist AS (SELECT bin, sum(g) AS sum_g, sum(h) AS sum_h, count(*) AS nb
          FROM rows_ GROUP BY 1),

@@ -53,8 +53,22 @@ def test_gain_weight_formulas():
     # w* = -G/(H+lambda); L1 shrinks toward zero; clipping bounds
     assert core.calc_weight(2.0, 3.0, 1.0) == pytest.approx(-0.5)
     assert core.calc_weight(2.0, 3.0, 1.0, reg_alpha=2.0) == pytest.approx(0.0)
-    assert core.calc_weight(10.0, 0.0, 1.0, max_delta_step=0.5) == pytest.approx(-0.5)
+    assert core.calc_weight(10.0, 1.0, 1.0, max_delta_step=0.5) == pytest.approx(-0.5)
+    # reference CalcWeight/CalcGain (param.h:252-268): ZERO when
+    # sum_hess <= 0, even with reg_lambda > 0
+    assert core.calc_weight(10.0, 0.0, 1.0, max_delta_step=0.5) == pytest.approx(0.0)
+    assert core.calc_gain(10.0, 0.0, 1.0) == pytest.approx(0.0)
     assert core.calc_gain(2.0, 3.0, 1.0) == pytest.approx(4.0 / 4.0)
+    # L1 gain: ThresholdL1(G, alpha)^2/(H+lambda) (param.h:274) — NOT
+    # the alpha-free weight form (G^2-alpha^2)/(H+lambda)
+    assert core.calc_gain(2.0, 3.0, 1.0, reg_alpha=0.5) == pytest.approx(
+        (2.0 - 0.5) ** 2 / 4.0)
+    # max_delta_step path: CalcGainGivenWeight INCLUDES 2*alpha*|w|
+    # (param.h:245-248), keeping it consistent with the closed form
+    # when the clip does not bind
+    assert core.calc_gain(2.0, 3.0, 1.0, reg_alpha=0.5,
+                          max_delta_step=10.0) == pytest.approx(
+        (2.0 - 0.5) ** 2 / 4.0)
 
 
 def test_cuts_and_binning_roundtrip():

@@ -54,9 +54,13 @@ def test_split_search_matches_bruteforce(n_feat, n_bin, lam, alpha, mcw, seed):
     res = core.split_search(hg, hh, reg_lambda=lam, reg_alpha=alpha,
                             min_child_weight=mcw, gamma=-1e12)[0]
     bf = brute_force_best(hg[0], hh[0], lam, alpha, mcw)
+    # reference split validity (driver.h IsValidExpandEntry): a split
+    # must beat kRtEps (1e-6) REGARDLESS of gamma — so the brute-force
+    # optimum and the engine agree exactly on the valid region
     if res is None:
-        assert bf is None or bf <= -1e12
+        assert bf is None or bf <= 1e-6 * (1 + 1e-9)
     else:
+        assert res.gain > 1e-6
         assert res.gain == pytest.approx(bf, rel=1e-8, abs=1e-8)
 
 

@@ -1,0 +1,166 @@
+"""Reference-parity tests for the LambdaRank family (round-11 rewrite
+against a line-read of src/objective/lambdarank_obj.{h,cc} +
+src/common/ranking_utils.h): top-k deterministic pairing, the
+(sig-1)*delta / 2*sig*(1-sig)*delta gradient pair, score normalization,
+the log2(1+sum_lambda)/sum_lambda group normalization, truncated IDCG,
+and the cumulative position-bias update."""
+
+import numpy as np
+import pytest
+
+from xgboost_spark.config import TrainParams
+from xgboost_spark.functions.objectives import (LambdaRankMAP,
+                                                LambdaRankNDCG,
+                                                LambdaRankPairwise,
+                                                get_objective)
+
+
+def test_defaults_match_reference():
+    o = get_objective("rank:ndcg", TrainParams(objective="rank:ndcg"))
+    assert o.pair_method == "topk"          # ranking_utils.h default
+    assert o.num_pairs() == 32              # DefaultK()
+    assert o.normalization and o.score_normalization
+    assert o.bias_norm == 1.0
+    m = get_objective("rank:ndcg", TrainParams(
+        objective="rank:ndcg", lambdarank_pair_method="mean"))
+    assert m.num_pairs() == 1               # DefaultSamplePairs()
+
+
+def test_topk_pairs_are_deterministic():
+    o = LambdaRankNDCG(pair_method="topk")
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 4, 40).astype(float)
+    m = rng.normal(size=40)
+    g1, h1 = o.grad_hess_group(y, m, None, seed=1)
+    g2, h2 = o.grad_hess_group(y, m, None, seed=999)   # seed is unused
+    assert np.array_equal(g1, g2) and np.array_equal(h1, h2)
+
+
+def test_pairwise_round1_closed_form():
+    """At equal margins: sig = 0.5, delta = 1 (score normalization
+    skips the all-equal group), lambda = -0.5 into the higher doc,
+    hessian = 0.25 * 1 * 2 = 0.5; with normalization off the all-pairs
+    sums collapse to rank counts — the q_train_ranker closed form."""
+    y = np.array([2.0, 1.0, 1.0, 0.0])
+    m = np.zeros(4)
+    o = LambdaRankPairwise(num_pair=100, pair_method="topk",
+                           normalization=False)
+    g, h = o.grad_hess_group(y, m, None)
+    n_more = np.array([0, 1, 1, 3])
+    n_less = np.array([3, 1, 1, 0])
+    assert np.allclose(g, 0.5 * (n_more - n_less))
+    assert np.allclose(h, 0.5 * (n_more + n_less))
+    # normalization on (the default): top-k scales by log2(1+S)/S with
+    # S = sum of -2*lambda = number of discordant pairs (5 here)
+    o2 = LambdaRankPairwise(num_pair=100, pair_method="topk")
+    g2, h2 = o2.grad_hess_group(y, m, None)
+    S = 5.0
+    assert np.allclose(g2, g * np.log2(1.0 + S) / S)
+    assert np.allclose(h2, h * np.log2(1.0 + S) / S)
+
+
+def test_score_normalization_divides_delta():
+    """lambdarank_score_normalization (default true): delta is divided
+    by (|s_high - s_low| + 0.01) when the group's scores are not all
+    equal (lambdarank_obj.h:124-126)."""
+    y = np.array([1.0, 0.0])
+    m = np.array([1.0, 0.0])
+    on = LambdaRankPairwise(num_pair=10, normalization=False)
+    off = LambdaRankPairwise(num_pair=10, normalization=False,
+                             score_normalization=False)
+    g_on, _ = on.grad_hess_group(y, m, None)
+    g_off, _ = off.grad_hess_group(y, m, None)
+    assert np.allclose(g_on, g_off / (1.0 + 0.01))
+
+
+def test_ndcg_delta_and_truncated_idcg():
+    """DeltaNDCG uses MODEL-rank discounts and the inverse IDCG
+    truncated at the top-k level (ranking_utils.cc:88-109)."""
+    y = np.array([3.0, 0.0])
+    m = np.array([0.0, 1.0])          # model ranks the irrelevant doc first
+    o = LambdaRankNDCG(num_pair=2, pair_method="topk",
+                       normalization=False, score_normalization=False)
+    g, h = o.grad_hess_group(y, m, None)
+    # one pair: rank0 = doc1 (y=0), rank1 = doc0 (y=3) -> swap: high=doc0
+    gain_h, gain_l = 2.0 ** 3 - 1, 0.0
+    d0, d1 = 1.0 / np.log2(2.0), 1.0 / np.log2(3.0)
+    idcg = gain_h * d0                # top-2 ideal: relevant first
+    delta = abs(((gain_l * d0 + gain_h * d1)
+                 - (gain_h * d0 + gain_l * d1)) / idcg)
+    sig = 1.0 / (1.0 + np.exp(-(m[0] - m[1])))
+    lam = (sig - 1.0) * delta
+    assert g[0] == pytest.approx(lam)
+    assert g[1] == pytest.approx(-lam)
+    assert h[0] == pytest.approx(sig * (1 - sig) * delta * 2.0)
+    # truncation: with num_pair=1 (topk), IDCG truncates at 1 -> same
+    # IDCG here (single relevant doc), but a 2-relevant group truncates
+    y2 = np.array([3.0, 3.0, 0.0])
+    m2 = np.array([0.0, -1.0, 1.0])
+    o_k1 = LambdaRankNDCG(num_pair=1, pair_method="topk",
+                          normalization=False, score_normalization=False)
+    d_full = o_k1._make_delta(y2, np.argsort(-m2, kind="stable"), 3)
+    o_k3 = LambdaRankNDCG(num_pair=3, pair_method="topk",
+                          normalization=False, score_normalization=False)
+    d_k3 = o_k3._make_delta(y2, np.argsort(-m2, kind="stable"), 3)
+    assert abs(d_full(0, 1)) > abs(d_k3(0, 1))   # smaller IDCG => larger delta
+
+
+def test_mean_sampling_sums_to_zero_and_respects_num_pair():
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 3, 60).astype(float)
+    m = rng.normal(size=60)
+    o = LambdaRankNDCG(num_pair=3, pair_method="mean")
+    g, h = o.grad_hess_group(y, m, None, seed=11)
+    assert abs(g.sum()) < 1e-10       # every pair is antisymmetric
+    assert (h >= 0).all()
+    # mean normalization = 1/num_pair: doubling pairs roughly doubles
+    # raw magnitude but the normalized gradients stay the same scale
+    o1 = LambdaRankNDCG(num_pair=1, pair_method="mean")
+    g1, _ = o1.grad_hess_group(y, m, None, seed=11)
+    assert np.abs(g).sum() == pytest.approx(np.abs(g1).sum(), rel=1.0)
+
+
+def test_map_delta_matches_brute_force_ap_swap():
+    rng = np.random.default_rng(7)
+    n = 12
+    y = (rng.random(n) > 0.5).astype(float)
+    if y.sum() in (0, n):
+        y[0] = 1.0 - y[0]
+    m = rng.normal(size=n)
+    o = LambdaRankMAP(num_pair=n, pair_method="topk",
+                      normalization=False, score_normalization=False)
+    order = np.argsort(-m, kind="stable")
+    delta = o._make_delta(y, order, n)
+
+    def ap(rel_ranked):
+        rel_ranked = np.asarray(rel_ranked, dtype=float)
+        cum = np.cumsum(rel_ranked)
+        prec = cum / np.arange(1, len(rel_ranked) + 1)
+        return float((prec * rel_ranked).sum() / max(rel_ranked.sum(), 1))
+
+    rel_ranked = y[order]
+    base = ap(rel_ranked)
+    for ri in range(n):
+        for rj in range(ri + 1, n):
+            if rel_ranked[ri] == rel_ranked[rj]:
+                continue
+            sw = rel_ranked.copy()
+            sw[ri], sw[rj] = sw[rj], sw[ri]
+            # delta(rank_high, rank_low): high = higher LABEL
+            rh, rl = (ri, rj) if rel_ranked[ri] > rel_ranked[rj] else (rj, ri)
+            assert abs(delta(rh, rl)) == pytest.approx(
+                abs(ap(sw) - base), abs=1e-12), (ri, rj)
+
+
+def test_position_bias_update_is_cumulative_power_law():
+    o = LambdaRankNDCG(unbiased=True, bias_norm=1.0, pair_method="mean")
+    T = o.bias_table_size()
+    c1 = np.zeros(2 * T)
+    c1[:T] = np.linspace(4.0, 0.5, T)      # li
+    c1[T:] = np.linspace(2.0, 0.25, T)     # lj
+    o.apply_position_bias(c1)
+    reg = 1.0 / (1.0 + 1.0)
+    assert np.allclose(o.t_plus, (c1[:T] / c1[0]) ** reg)
+    # SECOND round accumulates (lambdarank_obj.cc:65-68 li(i) += g_li)
+    o.apply_position_bias(c1)
+    assert np.allclose(o.t_plus, (2 * c1[:T] / (2 * c1[0])) ** reg)

@@ -53,7 +53,12 @@ def test_unbiased_kernel_state_and_debias():
     obj = get_objective("rank:ndcg", None)
     assert not obj.unbiased
     rng = np.random.default_rng(3)
-    ub = LambdaRankNDCG(num_pair=2, unbiased=True)
+    # mean pairing: the position-bias table has the hardcoded size 32
+    # (ranking_utils.h MaxPositionSize); topk would size it NumPair
+    ub = LambdaRankNDCG(num_pair=2, unbiased=True, pair_method="mean")
+    assert ub.bias_table_size() == 32
+    assert LambdaRankNDCG(num_pair=8, unbiased=True,
+                          pair_method="topk").bias_table_size() == 8
     groups = [((rng.random(30) > 0.6).astype(float), rng.normal(0, 1, 30))
               for _ in range(50)]
     y, m = groups[0]
@@ -61,7 +66,7 @@ def test_unbiased_kernel_state_and_debias():
     for yy, mm in groups[1:]:
         ub.grad_hess_group(yy, mm, None, seed=7)
     costs = ub.take_round_costs()
-    assert costs.shape == (2 * ub.BIAS_TRUNC,)
+    assert costs.shape == (2 * ub.bias_table_size(),)
     assert costs.sum() > 0
     ub.apply_position_bias(costs)
     assert ub.t_plus[0] == pytest.approx(1.0)

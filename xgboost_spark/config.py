@@ -103,13 +103,20 @@ class TrainParams:
     aft_loss_distribution_scale: float = 1.0
     scale_pos_weight: float = 1.0
     # ranking (reference src/common/ranking_utils.h:64-90)
-    lambdarank_num_pair_per_sample: int = 1
+    # None = the reference's method default (32 for topk, 1 for mean;
+    # ranking_utils.h NumPair)
+    lambdarank_num_pair_per_sample: int | None = None
     lambdarank_pair_method: str = "topk"
+    # group-gradient normalization (lambdarank_obj.cc:228-243) and
+    # |delta|/(score diff + 0.01) scaling (lambdarank_obj.h:124-126),
+    # both reference defaults
+    lambdarank_normalization: bool = True
+    lambdarank_score_normalization: bool = True
     ndcg_exp_gain: bool = True
     # position-debiased LambdaRank (Unbiased LambdaMART; reference
     # lambdarank_unbiased / lambdarank_bias_norm, ranking_utils.h:64-90)
     lambdarank_unbiased: bool = False
-    lambdarank_bias_norm: float = 2.0
+    lambdarank_bias_norm: float = 1.0
 
     # early stopping / evals
     early_stopping_rounds: int | None = None

@@ -5,8 +5,11 @@ Arrow-batched UDFs (traversal), and in the local baseline booster.
 
 Math follows the reference's public formulas
 (`src/tree/param.h:233-283`):
-    w*(G,H)   = -ThresholdL1(G, alpha) / (H + lambda)      (CalcWeight)
-    gain(G,H) = -(2*G*w + (H+lambda)*w^2)                  (CalcGainGivenWeight)
+    w*(G,H)   = -ThresholdL1(G, alpha) / (H + lambda)      (CalcWeight,
+                 0 when sum_hess <= 0)
+    gain(G,H) = ThresholdL1(G, alpha)^2 / (H + lambda)     (CalcGain), or at a
+                 max_delta_step-clipped weight
+                 -(2*G*w + (H+lambda)*w^2 + 2*alpha*|w|)   (CalcGainGivenWeight)
 which reduces to G^2/(H+lambda) without L1/clipping.
 Split enumeration mirrors `EnumerateSplit`
 (`src/tree/hist/evaluate_splits.h:205-330`): forward and backward prefix
@@ -21,6 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 MISSING_BIN = -1  # bin code for missing values in the quantized matrix
+RT_EPS = 1e-6     # reference kRtEps (include/xgboost/base.h:309)
 
 
 # ---------------------------------------------------------------------------
@@ -34,17 +38,33 @@ def threshold_l1(g: np.ndarray, alpha: float) -> np.ndarray:
 
 
 def calc_weight(G, H, reg_lambda: float, reg_alpha: float = 0.0, max_delta_step: float = 0.0):
-    w = -threshold_l1(np.asarray(G, dtype=np.float64), reg_alpha) / (np.asarray(H, dtype=np.float64) + reg_lambda)
+    G = np.asarray(G, dtype=np.float64)
+    H = np.asarray(H, dtype=np.float64)
+    w = -threshold_l1(G, reg_alpha) / (H + reg_lambda)
     if max_delta_step > 0.0:
         w = np.clip(w, -max_delta_step, max_delta_step)
-    return w
+    # reference CalcWeight (param.h:252-262): zero when sum_hess <= 0,
+    # regardless of reg_lambda
+    return np.where(H <= 0.0, 0.0, w)
 
 
 def calc_gain(G, H, reg_lambda: float, reg_alpha: float = 0.0, max_delta_step: float = 0.0):
+    """Reference CalcGain (param.h:266-280): without max_delta_step the
+    closed form ThresholdL1(G, alpha)^2 / (H + lambda); with it, the
+    gain AT the clipped weight, -(2*G*w + (H+lambda)*w^2 + 2*alpha*|w|)
+    — the 2*alpha*|w| term keeps the two forms consistent (dropping it
+    would overestimate L1-regularized gains by 2*alpha*|T(G)|/(H+lambda)
+    and change split selection whenever reg_alpha > 0).  Zero when
+    sum_hess <= 0."""
     G = np.asarray(G, dtype=np.float64)
     H = np.asarray(H, dtype=np.float64)
+    if max_delta_step == 0.0:
+        t = threshold_l1(G, reg_alpha)
+        return np.where(H <= 0.0, 0.0, t * t / (H + reg_lambda))
     w = calc_weight(G, H, reg_lambda, reg_alpha, max_delta_step)
-    return -(2.0 * G * w + (H + reg_lambda) * w * w)
+    gain = -(2.0 * G * w + (H + reg_lambda) * w * w
+             + 2.0 * reg_alpha * np.abs(w))
+    return np.where(H <= 0.0, 0.0, gain)
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +334,11 @@ def split_search_multi(
     out: list[SplitResult | None] = []
     for nid in range(N):
         r = best[nid]
-        if r is None or r.gain <= gamma or not np.isfinite(r.gain):
+        # reference split validity (driver.h IsValidExpandEntry): the
+        # gain must exceed kRtEps AND be >= min_split_loss (strict <
+        # gamma rejects; equality passes)
+        if (r is None or r.gain <= RT_EPS or r.gain < gamma
+                or not np.isfinite(r.gain)):
             out.append(None)
         else:
             out.append(r)
@@ -464,15 +488,22 @@ def split_search(
                 wp = np.clip(
                     calc_weight(g_tot, h_tot, reg_lambda, reg_alpha, max_delta_step),
                     node_bounds[:, 0][:, None], node_bounds[:, 1][:, None])
-                parent_c = -(2.0 * g_tot * wp + (h_tot + reg_lambda) * wp * wp)
+                # CalcGainGivenWeight (param.h:245-248) includes the
+                # 2*alpha*|w| L1 term
+                parent_c = -(2.0 * g_tot * wp + (h_tot + reg_lambda) * wp * wp
+                             + 2.0 * reg_alpha * np.abs(wp))
                 gain = (
-                    -(2.0 * gl * wl + (hl + reg_lambda) * wl * wl)
-                    + -(2.0 * gr * wr + (hr + reg_lambda) * wr * wr)
+                    -(2.0 * gl * wl + (hl + reg_lambda) * wl * wl
+                      + 2.0 * reg_alpha * np.abs(wl))
+                    + -(2.0 * gr * wr + (hr + reg_lambda) * wr * wr
+                        + 2.0 * reg_alpha * np.abs(wr))
                     - parent_c[:, :, None]
                 )
             mono = monotone[None, :, None]
-            invalid |= (mono > 0) & (wl >= wr)
-            invalid |= (mono < 0) & (wl <= wr)
+            # reference CalcSplitGain: constraint > 0 valid iff
+            # wleft <= wright (EQUAL weights allowed) — strict rejection
+            invalid |= (mono > 0) & (wl > wr)
+            invalid |= (mono < 0) & (wl < wr)
         if feature_mask is not None:
             if feature_mask.ndim == 1:
                 invalid |= ~feature_mask[None, :, None]
@@ -559,7 +590,9 @@ def split_search(
                                 categories=sorted(int(c) for c in cats_left))
     for nid in range(N):
         r = best[nid]
-        if r is None or r.gain <= gamma or not np.isfinite(r.gain):
+        # same validity rule as split_search_multi (driver.h)
+        if (r is None or r.gain <= RT_EPS or r.gain < gamma
+                or not np.isfinite(r.gain)):
             results.append(None)
         else:
             results.append(r)

@@ -705,69 +705,166 @@ class SoftMax(SoftProb):
 
 class LambdaRankNDCG(Objective):
     """rank:ndcg / rank:pairwise — LambdaRank pairwise gradients within
-    query groups (reference src/objective/lambdarank_obj.cc:662-670).
+    query groups (reference src/objective/lambdarank_obj.{h,cc} +
+    src/common/ranking_utils.h).  Reference semantics implemented
+    exactly (round-11 rewrite — the earlier implementation predated a
+    line-read of LambdaGrad and diverged at the DEFAULTS):
 
-    ``grad_hess_group`` is called per qid group (the trainer routes rows
-    through a per-group kernel); pair construction is mean-sampled with a
-    deterministic seed, matching the reference's `mean` pair method.
+    - pair construction (MakePairs, lambdarank_obj.h:222-283):
+      ``topk`` (the DEFAULT) builds DETERMINISTIC exhaustive pairs
+      (i, j) over the model-ranked list for i < min(n, NumPair), j > i;
+      ``mean`` samples NumPair partners per document from outside its
+      label bucket.  NumPair defaults to 32 for topk, 1 for mean
+      (ranking_utils.h:66-67).
+    - LambdaGrad (lambdarank_obj.h:93-150): sigmoid = sig(s_high-s_low),
+      delta = |DeltaNDCG| with MODEL-rank discounts and the
+      TRUNCATED-at-TopK inverse IDCG; with
+      ``lambdarank_score_normalization`` (default true) delta is divided
+      by (|s_high - s_low| + 0.01) unless the group's scores are all
+      equal; lambda = (sig - 1) * delta and hessian =
+      max(sig*(1-sig), 1e-16) * delta * 2.
+    - group normalization (``lambdarank_normalization``, default true,
+      lambdarank_obj.cc:228-243): topk scales the group's gradients by
+      log2(1 + sum_lambda)/sum_lambda (sum_lambda = sum of -2*lambda);
+      mean scales by 1/NumPair.
+    - unbiased LambdaMART (Hu et al. WWW'19; lambdarank_obj.cc:204-221,
+      :40-86): lambdas divide by t+[idx_high]*t-[idx_low] indexed by
+      ORIGINAL list position (input assumed label-sorted), pair costs
+      log(1/(1-sig))*delta accumulate into per-position li/lj, and the
+      bias tables update CUMULATIVELY as t_i = (li_i/li_0)^(1/(1+eta))
+      with eta = lambdarank_bias_norm (default 1.0).
+
+    Group weights: the reference multiplies each group's gradients by
+    w_group * (n_groups / sum w_group); this engine applies the per-row
+    weight column (identical when weights are constant within a group,
+    the ranking contract) and omits the global w-norm factor — a
+    documented simplification that is exact for unweighted data.
     """
 
     name = "rank:ndcg"
     needs_qid = True
+    use_ndcg_weight = True
 
-    #: fixed truncation for the position-bias tables (ranks clamp here);
-    #: bounded so the cross-worker allreduce buffer has a static size
-    BIAS_TRUNC = 64
-
-    def __init__(self, num_pair: int = 1, use_ndcg_weight: bool = True, exp_gain: bool = True,
-                 unbiased: bool = False, bias_norm: float = 2.0):
-        self.num_pair = num_pair
+    def __init__(self, num_pair: int | None = None, use_ndcg_weight: bool = True,
+                 exp_gain: bool = True, unbiased: bool = False,
+                 bias_norm: float = 1.0, pair_method: str = "topk",
+                 normalization: bool = True,
+                 score_normalization: bool = True):
+        self.pair_method = pair_method
+        self._num_pair = num_pair
         self.use_ndcg_weight = use_ndcg_weight
         self.exp_gain = exp_gain
-        # position-debiased LambdaRank (reference `lambdarank_unbiased` /
-        # `lambdarank_bias_norm`, src/common/ranking_utils.h:64-90 and
-        # lambdarank_obj.cc; method of Hu et al., "Unbiased LambdaMART",
-        # WWW'19): examination propensities t+ (clicked/positive slot)
-        # and t- (unclicked/negative slot) are estimated from the
-        # accumulated pair losses each round and divide the pair lambdas
         self.unbiased = unbiased
         self.bias_norm = bias_norm
-        T = self.BIAS_TRUNC
+        self.normalization = normalization
+        self.score_normalization = score_normalization
+        T = self.bias_table_size()
         self.t_plus = np.ones(T)
         self.t_minus = np.ones(T)
-        self._cost_plus = np.zeros(T)
-        self._cost_minus = np.zeros(T)
+        self._li_cum = np.zeros(T)       # cumulative across rounds (eq.30)
+        self._lj_cum = np.zeros(T)
+        self._li_round = np.zeros(T)     # this round's costs (allreduced)
+        self._lj_round = np.zeros(T)
 
-    def _debias_factor(self, r_hi: int, r_lo: int) -> float:
-        """1/(t+ . t-) for a pair at (positive rank, negative rank)."""
-        T = self.BIAS_TRUNC
-        return 1.0 / max(self.t_plus[min(r_hi, T - 1)]
-                         * self.t_minus[min(r_lo, T - 1)], _EPS)
+    def num_pairs(self) -> int:
+        """NumPair (ranking_utils.h:102-115): explicit value, else the
+        method default — DefaultK() = 32 for topk, DefaultSamplePairs()
+        = 1 for mean."""
+        if self._num_pair is not None:
+            return int(self._num_pair)
+        return 32 if self.pair_method == "topk" else 1
 
-    def _accumulate_bias_cost(self, r_hi: int, r_lo: int, cost: float):
-        T = self.BIAS_TRUNC
-        self._cost_plus[min(r_hi, T - 1)] += cost / max(
-            self.t_minus[min(r_lo, T - 1)], _EPS)
-        self._cost_minus[min(r_lo, T - 1)] += cost / max(
-            self.t_plus[min(r_hi, T - 1)], _EPS)
+    def bias_table_size(self) -> int:
+        """MaxPositionSize (ranking_utils.h:224-232): the truncation
+        level for topk, else a hardcoded 32 (bias decays fast)."""
+        return self.num_pairs() if self.pair_method == "topk" else 32
+
+    # -- per-subclass pair weight ------------------------------------------
+    def _make_delta(self, y, order, n):
+        """Returns delta(rank_high, rank_low) -> |metric change| for a
+        swap, built once per group.  NDCG: DeltaNDCG
+        (lambdarank_obj.h:42-60) with the TopK-truncated inverse IDCG
+        (ranking_utils.cc:88-109)."""
+        gain = (2.0 ** y - 1.0) if self.exp_gain else y.astype(np.float64)
+        disc = 1.0 / np.log2(np.arange(n) + 2.0)
+        topk = self.num_pairs() if self.pair_method == "topk" else n
+        top = min(n, topk)
+        idcg = float(np.sort(gain)[::-1][:top].dot(disc[:top]))
+        inv_idcg = 0.0 if idcg == 0.0 else 1.0 / idcg
+        gr = gain[order]                   # gain at each rank position
+
+        def delta(rank_high, rank_low):
+            g_h, g_l = gr[rank_high], gr[rank_low]
+            d_h, d_l = disc[rank_high], disc[rank_low]
+            return ((g_h * d_h + g_l * d_l)
+                    - (g_l * d_h + g_h * d_l)) * inv_idcg
+
+        return delta
+
+    # -- pair generation ----------------------------------------------------
+    def _iter_pairs(self, y, order, n, seed):
+        """Yield (rank_i, rank_j) pairs per MakePairs
+        (lambdarank_obj.h:222-283)."""
+        if self.pair_method == "topk":
+            k = min(n, self.num_pairs())
+            for i in range(k):
+                for j in range(i + 1, n):
+                    yield i, j
+            return
+        # mean: label buckets on the rank list, NumPair samples per doc
+        # from outside its bucket (different RNG engine than the
+        # reference's minstd_rand — the sampling LAW is what matters)
+        y_rank = y[order]
+        ys = np.argsort(-y_rank, kind="stable")   # rank positions by label
+        rng = np.random.default_rng(seed)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and y_rank[ys[j]] == y_rank[ys[i]]:
+                j += 1
+            n_lefts, n_rights = i, n - j
+            if n_lefts + n_rights == 0:
+                i = j
+                continue
+            for _ in range(self.num_pairs()):
+                for p_idx in range(i, j):
+                    ridx = int(rng.integers(0, n_lefts + n_rights))
+                    if ridx >= n_lefts:
+                        ridx = ridx - i + j
+                    yield int(ys[p_idx]), int(ys[ridx])
+            i = j
+
+    # -- position-bias plumbing (unbiased) -----------------------------------
+    def _debias(self, idx_high: int, idx_low: int):
+        T = len(self.t_plus)
+        if idx_high < T and idx_low < T:
+            tp, tm = self.t_plus[idx_high], self.t_minus[idx_low]
+            if tp >= _EPS and tm >= _EPS:
+                return tp * tm
+        return None
 
     def take_round_costs(self) -> np.ndarray:
-        """Drain this round's local (cost+, cost-) accumulators — the
-        caller allreduces them across workers before apply_position_bias."""
-        out = np.concatenate([self._cost_plus, self._cost_minus])
-        self._cost_plus = np.zeros(self.BIAS_TRUNC)
-        self._cost_minus = np.zeros(self.BIAS_TRUNC)
+        """Drain this round's local (li, lj) cost accumulators — the
+        caller allreduces them across workers before
+        apply_position_bias."""
+        out = np.concatenate([self._li_round, self._lj_round])
+        T = len(self.t_plus)
+        self._li_round = np.zeros(T)
+        self._lj_round = np.zeros(T)
         return out
 
     def apply_position_bias(self, costs: np.ndarray):
-        """Update t± from globally-summed costs: t_i = (c_i/c_0)^(1/(η+1))."""
-        T = self.BIAS_TRUNC
-        cp, cm = costs[:T], costs[T:]
-        ex = 1.0 / (self.bias_norm + 1.0)
-        if cp[0] > _EPS:
-            self.t_plus = np.maximum((cp / cp[0]) ** ex, _EPS)
-        if cm[0] > _EPS:
-            self.t_minus = np.maximum((cm / cm[0]) ** ex, _EPS)
+        """UpdatePositionBias (lambdarank_obj.cc:40-86): costs
+        accumulate ACROSS rounds; t_i = (li_i/li_0)^regularizer with
+        regularizer = 1/(1 + lambdarank_bias_norm)."""
+        T = len(self.t_plus)
+        self._li_cum += costs[:T]
+        self._lj_cum += costs[T:]
+        reg = 1.0 / (1.0 + self.bias_norm)
+        if self._li_cum[0] >= _EPS:
+            self.t_plus = (self._li_cum / self._li_cum[0]) ** reg
+        if self._lj_cum[0] >= _EPS:
+            self.t_minus = (self._lj_cum / self._lj_cum[0]) ** reg
 
     def base_score(self, y, w):
         return 0.5
@@ -782,41 +879,55 @@ class LambdaRankNDCG(Objective):
         h = np.zeros(n)
         if n < 2:
             return g, h + _EPS
-        gain = (2.0 ** y - 1.0) if self.exp_gain else y.astype(np.float64)
-        order = np.argsort(-margin, kind="stable")
-        ranks = np.empty(n, dtype=np.int64)
-        ranks[order] = np.arange(n)
-        inv_discount = 1.0 / np.log2(ranks + 2.0)
-        idcg = float(np.sort(gain)[::-1][: n].dot(1.0 / np.log2(np.arange(n) + 2.0)))
-        idcg = max(idcg, _EPS)
-        rng = np.random.default_rng(seed)
-        for _ in range(self.num_pair):
-            j = rng.integers(0, n, size=n)
-            for i in range(n):
-                k = j[i]
-                if y[i] == y[k]:
-                    continue
-                hi, lo = (i, k) if y[i] > y[k] else (k, i)
-                d = margin[hi] - margin[lo]
-                p = 1.0 / (1.0 + np.exp(d))
-                lam = p
-                hess = max(p * (1.0 - p), _EPS)
-                if self.use_ndcg_weight:
-                    dg = abs(gain[hi] - gain[lo]) * abs(inv_discount[ranks[hi]] - inv_discount[ranks[lo]]) / idcg
-                    lam *= dg
-                    hess *= dg
-                if self.unbiased:
-                    # pairwise logistic loss of the pair drives the
-                    # propensity estimate; lambdas shrink by 1/(t+ t-)
-                    cost = float(np.log1p(np.exp(-d)))
-                    self._accumulate_bias_cost(int(ranks[hi]), int(ranks[lo]), cost)
-                    f = self._debias_factor(int(ranks[hi]), int(ranks[lo]))
-                    lam *= f
-                    hess *= f
-                g[hi] -= lam
-                g[lo] += lam
-                h[hi] += hess
-                h[lo] += hess
+        order = np.argsort(-margin, kind="stable")   # rank -> row index
+        delta_fn = self._make_delta(y, order, n)
+        s = margin
+        best = s[order[0]]
+        worst = s[order[-1]]
+        norm_by_diff = self.score_normalization and best != worst
+        sum_lambda = 0.0
+        for ri, rj in self._iter_pairs(y, order, n, seed):
+            rank_high, rank_low = ri, rj
+            if y[order[rank_high]] == y[order[rank_low]]:
+                continue
+            if y[order[rank_high]] < y[order[rank_low]]:
+                rank_high, rank_low = rank_low, rank_high
+            idx_high = int(order[rank_high])
+            idx_low = int(order[rank_low])
+            d = s[idx_high] - s[idx_low]
+            sig = 1.0 / (1.0 + np.exp(-d))
+            delta = abs(delta_fn(rank_high, rank_low))
+            if norm_by_diff:
+                delta /= (abs(d) + 0.01)
+            lam = (sig - 1.0) * delta
+            hess = max(sig * (1.0 - sig), _EPS) * delta * 2.0
+            if self.unbiased:
+                tt = self._debias(idx_high, idx_low)
+                if tt is not None:
+                    lam /= tt
+                    hess /= tt
+                T = len(self.t_plus)
+                if idx_high < T and idx_low < T:
+                    cost = float(np.log(1.0 / (1.0 - sig))) * delta
+                    if self.t_minus[idx_low] >= _EPS:
+                        self._li_round[idx_high] += cost / self.t_minus[idx_low]
+                    if self.t_plus[idx_high] >= _EPS:
+                        self._lj_round[idx_low] += cost / self.t_plus[idx_high]
+            g[idx_high] += lam
+            g[idx_low] -= lam
+            h[idx_high] += hess
+            h[idx_low] += hess
+            sum_lambda += -2.0 * lam
+        if self.normalization:
+            if self.pair_method == "mean":
+                norm = 1.0 / self.num_pairs()
+            elif sum_lambda > 0.0:
+                norm = np.log2(1.0 + sum_lambda) / sum_lambda
+            else:
+                norm = 1.0
+            if norm != 1.0:
+                g *= norm
+                h *= norm
         if w is not None:
             g, h = g * w, h * w
         return g, np.maximum(h, _EPS)
@@ -826,80 +937,79 @@ class LambdaRankNDCG(Objective):
 
 
 class LambdaRankPairwise(LambdaRankNDCG):
+    """rank:pairwise — LambdaGrad with delta = 1
+    (LambdaRankGetGradientPairwise, lambdarank_obj.cc:612-650)."""
+
     name = "rank:pairwise"
 
-    def __init__(self, num_pair: int = 1, unbiased: bool = False, bias_norm: float = 2.0):
+    def __init__(self, num_pair: int | None = None, unbiased: bool = False,
+                 bias_norm: float = 1.0, pair_method: str = "topk",
+                 normalization: bool = True,
+                 score_normalization: bool = True):
         super().__init__(num_pair=num_pair, use_ndcg_weight=False,
-                         unbiased=unbiased, bias_norm=bias_norm)
+                         unbiased=unbiased, bias_norm=bias_norm,
+                         pair_method=pair_method,
+                         normalization=normalization,
+                         score_normalization=score_normalization)
+
+    def _make_delta(self, y, order, n):
+        return lambda rank_high, rank_low: 1.0
 
     def default_metric(self):
         return "map"
 
 
 class LambdaRankMAP(LambdaRankNDCG):
-    """rank:map — pairwise lambdas weighted by the exact |delta-AP| of
-    swapping the pair in the current ranking (reference
-    `src/objective/lambdarank_obj.cc` MAP variant, MAPStat accumulators).
-    Labels binarized at > 0.  O(1) delta via prefix sums of relevant
-    counts and 1/rank terms.
-    """
+    """rank:map — pairwise lambdas weighted by |DeltaMAP|
+    (lambdarank_obj.h:62-83 + MAPStat lambdarank_obj.cc:446-476):
+    n_rel[k] = cumulative relevant count along the model rank list,
+    acc[k] = cumulative label/rank; the swap delta is an O(1)
+    expression over those prefixes.  Labels binarized at > 0."""
 
     name = "rank:map"
 
-    def __init__(self, num_pair: int = 1):
-        super().__init__(num_pair=num_pair, use_ndcg_weight=False)
+    def __init__(self, num_pair: int | None = None, unbiased: bool = False,
+                 bias_norm: float = 1.0, pair_method: str = "topk",
+                 normalization: bool = True,
+                 score_normalization: bool = True):
+        super().__init__(num_pair=num_pair, use_ndcg_weight=False,
+                         unbiased=unbiased, bias_norm=bias_norm,
+                         pair_method=pair_method,
+                         normalization=normalization,
+                         score_normalization=score_normalization)
 
-    def grad_hess_group(self, y, margin, w, seed: int = 0):
-        n = len(y)
-        g = np.zeros(n)
-        h = np.zeros(n)
-        if n < 2:
-            return g, h + _EPS
+    def _make_delta(self, y, order, n):
         rel = (y > 0).astype(np.float64)
-        R = rel.sum()
-        if R == 0 or R == n:
-            return g, h + _EPS
-        order = np.argsort(-margin, kind="stable")
-        ranks = np.empty(n, dtype=np.int64)
-        ranks[order] = np.arange(1, n + 1)            # 1-indexed rank
-        rel_sorted = rel[order]
-        m_pref = np.concatenate([[0.0], np.cumsum(rel_sorted)])   # m[r] = rel in top r
-        inv_r = np.where(rel_sorted > 0, 1.0 / np.arange(1, n + 1), 0.0)
-        s_pref = np.concatenate([[0.0], np.cumsum(inv_r)])        # sum 1/t over rel t<=r
+        rel_rank = rel[order]
+        n_rel = np.cumsum(rel_rank)                 # MAPStat n_rel
+        acc = np.cumsum(rel_rank / np.arange(1, n + 1))   # MAPStat acc
+        total = n_rel[-1]
 
-        def delta_ap(r_rel: int, r_non: int) -> float:
-            """|AP change| when the relevant doc at rank r_rel swaps with
-            the non-relevant doc at rank r_non."""
-            if r_rel < r_non:
-                r1, r2 = r_rel, r_non
-                mid = s_pref[r2 - 1] - s_pref[r1]     # rel positions in (r1, r2)
-                d = m_pref[r2] / r2 - m_pref[r1] / r1 - mid
-            else:
-                r1, r2 = r_non, r_rel
-                mid = s_pref[r2 - 1] - s_pref[r1]
-                d = (m_pref[r1] + 1.0) / r1 + mid - m_pref[r2] / r2
-            return abs(d) / R
+        def delta(rank_high, rank_low):
+            # the reference's delta_map re-orders POSITIONALLY before
+            # DeltaMAP (lambdarank_obj.cc:512-517): rank_high must be
+            # the EARLIER rank, with the labels following the swap
+            y_high, y_low = 1.0, 0.0        # post label-swap convention
+            if rank_high > rank_low:
+                rank_high, rank_low = rank_low, rank_high
+                y_high, y_low = y_low, y_high
+            if total == 0.0:
+                return 0.0
+            r_h = rank_high + 1.0
+            r_l = rank_low + 1.0
+            m = n_rel[rank_low]
+            nn = n_rel[rank_high]
+            b = (acc[rank_low - 1] if rank_low >= 1 else 0.0) - acc[rank_high]
+            if y_high < y_low:
+                a = m / r_l - (nn + 1.0) / r_h
+                return (a - b) / total
+            a = nn / r_h - m / r_l
+            return (a + b) / total
 
-        rng = np.random.default_rng(seed)
-        for _ in range(self.num_pair):
-            j = rng.integers(0, n, size=n)
-            for i in range(n):
-                k = j[i]
-                if rel[i] == rel[k]:
-                    continue
-                hi, lo = (i, k) if rel[i] > rel[k] else (k, i)
-                d = margin[hi] - margin[lo]
-                p = 1.0 / (1.0 + np.exp(d))
-                dmap = delta_ap(int(ranks[hi]), int(ranks[lo]))
-                lam = p * dmap
-                hess = max(p * (1.0 - p), _EPS) * dmap
-                g[hi] -= lam
-                g[lo] += lam
-                h[hi] += hess
-                h[lo] += hess
-        if w is not None:
-            g, h = g * w, h * w
-        return g, np.maximum(h, _EPS)
+        return delta
+
+    def default_metric(self):
+        return "map"
 
 
 class AFT(Objective):
@@ -1173,16 +1283,31 @@ def get_objective(name: str, params=None) -> Objective:
         "multi:softprob": lambda: SoftProb(p.num_class if p else 2),
         "multi:softmax": lambda: SoftMax(p.num_class if p else 2),
         "rank:ndcg": lambda: LambdaRankNDCG(
-            p.lambdarank_num_pair_per_sample if p else 1, True, p.ndcg_exp_gain if p else True,
+            p.lambdarank_num_pair_per_sample if p else None,
+            True, p.ndcg_exp_gain if p else True,
             unbiased=p.lambdarank_unbiased if p else False,
-            bias_norm=p.lambdarank_bias_norm if p else 2.0,
+            bias_norm=p.lambdarank_bias_norm if p else 1.0,
+            pair_method=p.lambdarank_pair_method if p else "topk",
+            normalization=p.lambdarank_normalization if p else True,
+            score_normalization=(p.lambdarank_score_normalization
+                                 if p else True),
         ),
         "rank:pairwise": lambda: LambdaRankPairwise(
-            p.lambdarank_num_pair_per_sample if p else 1,
+            p.lambdarank_num_pair_per_sample if p else None,
             unbiased=p.lambdarank_unbiased if p else False,
-            bias_norm=p.lambdarank_bias_norm if p else 2.0,
+            bias_norm=p.lambdarank_bias_norm if p else 1.0,
+            pair_method=p.lambdarank_pair_method if p else "topk",
+            normalization=p.lambdarank_normalization if p else True,
+            score_normalization=(p.lambdarank_score_normalization
+                                 if p else True),
         ),
-        "rank:map": lambda: LambdaRankMAP(p.lambdarank_num_pair_per_sample if p else 1),
+        "rank:map": lambda: LambdaRankMAP(
+            p.lambdarank_num_pair_per_sample if p else None,
+            pair_method=p.lambdarank_pair_method if p else "topk",
+            normalization=p.lambdarank_normalization if p else True,
+            score_normalization=(p.lambdarank_score_normalization
+                                 if p else True),
+        ),
         "survival:aft": lambda: AFT(p.aft_loss_distribution if p else "normal",
                                     p.aft_loss_distribution_scale if p else 1.0),
         "survival:cox": CoxPH,

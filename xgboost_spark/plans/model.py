@@ -127,9 +127,12 @@ class GBDTModel:
                 "aft_loss_distribution_scale":
                     str(p.aft_loss_distribution_scale)}
         elif name.startswith("rank:"):
+            _np_resolved = (p.lambdarank_num_pair_per_sample
+                            if p.lambdarank_num_pair_per_sample is not None
+                            else (32 if p.lambdarank_pair_method == "topk"
+                                  else 1))
             out["lambdarank_param"] = {
-                "lambdarank_num_pair_per_sample":
-                    str(p.lambdarank_num_pair_per_sample),
+                "lambdarank_num_pair_per_sample": str(_np_resolved),
                 "lambdarank_pair_method": p.lambdarank_pair_method,
                 "lambdarank_unbiased": str(p.lambdarank_unbiased).lower(),
                 "lambdarank_bias_norm": str(p.lambdarank_bias_norm),
