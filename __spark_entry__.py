@@ -707,34 +707,35 @@ def q_ref_gblinear_import(spark, sf_dir):
 
 
 def q_linear_multigroup_round(spark, sf_dir):
-    """Multi-group gblinear training, ONE coordinate round,
-    HASH-MATCHED (round-11 gate entry for the new
-    `_train_linear_multigroup`, plans/linear.py — reference
-    `src/gbm/gblinear.cc` DoBoost per-group updater, weights layout
-    `gblinear_model.h:40-44`): 3-class softprob on lineitem with
-    label = l_linenumber % 3.  With W=0, bias=0 and the identity-link
-    0.5 multiclass intercept, every row's margins are equal, so
-    p_k = 1/3 exactly (IEEE 1.0/3.0 in both engines), giving the
-    closed form the DuckDB oracle replays directly:
-      g_k = 1/3 - [label = k],   h = 2*(1/3)*(1 - 1/3)
-      w_fk = eta * -(sum g_k x_f) / (sum h x_f^2 + lambda)
-      bias_k = eta * -(sum g_k) / (sum h)
-    All sums are rounded 4dp at the aggregation boundary (the
-    established cross-engine float-sum guard)."""
+    """Multi-group gblinear training, ONE round through the REAL
+    `_train_linear_multigroup` (plans/linear.py — round-11 exact
+    sequential semantics: bias first with residual propagation, then
+    coordinates at current residuals; reference gblinear.cc DoBoost +
+    updater_shotgun.cc): 4-class softprob on lineitem with
+    label = l_linenumber % 4.  With W=0, bias=0 and the identity-link
+    0.5 multiclass intercept every row's margins are equal, so
+    p_k = 1/4 EXACTLY — and 1/4 is DYADIC, so the per-row gradients
+    g_k = 1/4 - [label = k] and the constant hessian
+    h = 2 * (1/4) * (3/4) = 3/8 sum EXACTLY in any order (every partial
+    sum is k*2^-3 with k < 2^53): the bias chain is bit-identical in
+    both engines, not merely rounded-close (num_class=3's h = 4/9 sat
+    the bias on a 4dp half-boundary).  The DuckDB oracle replays the
+    per-group sequential chain from the cross-product sums; no explicit
+    lambda, so the linear-booster defaults apply (lambda_d = 0)."""
     _prep(spark)
     from xgboost_spark.plans.linear import train_linear
     li = _table(spark, sf_dir, "lineitem")
     fcols = ["l_quantity", "l_discount", "l_tax"]
-    d = li.select(*fcols, (F.col("l_linenumber") % 3)
+    d = li.select(*fcols, (F.col("l_linenumber") % 4)
                   .cast("double").alias("label"))
     model = train_linear({"booster": "gblinear",
-                          "objective": "multi:softprob", "num_class": 3,
+                          "objective": "multi:softprob", "num_class": 4,
                           "num_boost_round": 1, "eta": 0.5},
                          d, feature_cols=fcols)
     rows = [(c, k, float(model.weights[i, k]))
-            for i, c in enumerate(fcols) for k in range(3)]
+            for i, c in enumerate(fcols) for k in range(4)]
     rows += [("__bias__", k, float(model.bias[k]) + model.base_score)
-             for k in range(3)]
+             for k in range(4)]
     return (spark.createDataFrame(
         rows, "feature string, class bigint, weight double")
         .select("feature", "class", F.round("weight", 4).alias("weight")))
@@ -1454,51 +1455,33 @@ _LIN_FEATS = ["l_quantity", "l_discount", "l_tax"]
 
 
 def q_train_linear(spark, sf_dir):
-    """gblinear shotgun coordinate descent HASH-MATCHED (promoted from
-    rows-only): TWO composed boosting rounds of the reference's shotgun
-    update (`src/linear/updater_shotgun.cc:96`,
-    `src/linear/updater_coordinate.cc:24-100`; the repo's real loop
-    `plans/linear.py:125` has the same per-round math) — every feature
-    moves from the SAME per-round gradient snapshot:
-        w_f += eta * -(sum(g x_f) + lambda w_f) / (sum(h x_f^2) + lambda)
-        bias += eta * -(sum g / sum h)
-    with reg:squarederror (g = m - y, h = 1), eta=0.5, lambda=1.  Round
-    2's margin uses round 1's weights, which makes it a *boosting*
-    oracle chained on the already-oracled linear_one_round form.  Same
-    determinism recipe as the stump chain: gradient sums rounded 4dp at
-    the aggregation boundary, weights/bias 6dp between rounds, all
-    driver arithmetic IEEE-exact on rounded inputs so DuckDB replays
-    both rounds bit-for-bit."""
+    """gblinear, TWO boosting rounds through the REAL train_linear
+    (plans/linear.py — round-11 exact sequential semantics, reference
+    updater_shotgun.cc:33-86): per round the bias updates FIRST
+    (CoordinateDeltaBias) and propagates into every feature's gradient
+    sum, then each coordinate evaluates CoordinateDelta at the
+    residuals left by the coordinates before it (hessians fixed within
+    a round, so the sequential pass is exactly replayable from the
+    cross-product sums X^T X); penalties are DENORMALIZED by the row
+    count (lambda_d = lambda * n, src/linear/param.h:59-62).  eta and
+    lambda are EXPLICIT (0.5 / 1.0) so the linear-booster defaults are
+    not in play.  The DuckDB oracle replays both rounds' sequential
+    chain symbolically from the same sums; outputs compare at 4dp
+    (cross-engine float-sum ordering perturbs the sums at ~1e-10
+    relative)."""
     _prep(spark)
+    from xgboost_spark.plans.linear import train_linear
     li = _table(spark, sf_dir, "lineitem")
     feats = _LIN_FEATS
     d = li.select((F.col("l_extendedprice") / 1000.0).alias("y"),
                   *[F.col(f).cast("double").alias(f) for f in feats])
-    lam, eta = 1.0, 0.5
-    stat = d.agg(
-        F.round(F.avg("y"), 6).alias("b"),
-        F.count("*").cast("double").alias("n"),
-        *[F.round(F.sum(F.col(f) * F.col(f)), 4).alias(f"hx_{f}")
-          for f in feats]).first()
-    base, n = float(stat["b"]), float(stat["n"])
-    w = {f: 0.0 for f in feats}
-    bias = 0.0
-    for _rnd in range(2):
-        m = F.lit(base) + F.lit(bias)
-        for f in feats:
-            m = m + F.lit(w[f]) * F.col(f)
-        g = m - F.col("y")
-        row = d.agg(F.round(F.sum(g), 4).alias("G"),
-                    *[F.round(F.sum(g * F.col(f)), 4).alias(f"gx_{f}")
-                      for f in feats]).first()
-        for f in feats:
-            gf = float(row[f"gx_{f}"]) + lam * w[f]
-            hf = float(stat[f"hx_{f}"]) + lam
-            w[f] = round(w[f] + eta * (-gf / hf), 6)
-        bias = round(bias + eta * (-float(row["G"]) / n), 6)
-    rows = ([(f, w[f]) for f in feats]
-            + [("__bias__", round(base + bias, 6))])
-    return spark.createDataFrame(rows, "feature string, weight double")
+    model = train_linear({"booster": "gblinear", "num_boost_round": 2,
+                          "eta": 0.5, "lambda": 1.0},
+                         d, feature_cols=feats, label_col="y")
+    rows = ([(f, float(wv)) for f, wv in zip(feats, model.weights)]
+            + [("__bias__", float(model.bias + model.base_score))])
+    return (spark.createDataFrame(rows, "feature string, weight double")
+            .select("feature", F.round("weight", 4).alias("weight")))
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1788,12 +1771,13 @@ def q_train_multi_quantile(spark, sf_dir):
 
 
 def q_linear_one_round(spark, sf_dir):
-    """gblinear, ONE shotgun round (reference updater_shotgun.cc:96):
-    with w=0 and base=mean(y) the update has the closed form
-      w_f = eta * -(sum((base - y) * x_f)) / (sum(x_f^2) + lambda)
-      bias = eta * -(n*base - sum y) / n          (~0)
-    which the DuckDB oracle computes directly — promoting gblinear from
-    a rows-only check to a hash-matched one."""
+    """gblinear, ONE round through the REAL train_linear (round-11
+    exact sequential semantics; no explicit lambda, so the reference's
+    LINEAR defaults apply — eta explicit 0.5, lambda 0, alpha 0,
+    src/linear/param.h:30-56): bias first (base = mean(y) makes it
+    ~0 but the residual still propagates), then coordinates updated
+    sequentially with in-round residual propagation.  The DuckDB
+    oracle replays the same chain from the cross-product sums."""
     _prep(spark)
     from xgboost_spark.plans.booster import train
     li = _table(spark, sf_dir, "lineitem")
@@ -4303,45 +4287,6 @@ def _cutval_case(feats) -> str:
         f"WHERE t.i = bb.bin)" for f in feats) + " END")
 
 
-def _train_linear_sql() -> str:
-    """DuckDB twin of q_train_linear: replay the two shotgun rounds —
-    per-round gradient sums rounded 4dp, weight/bias updates 6dp, round
-    2's margin built from round 1's rounded weights — exactly as the
-    Spark side chains them."""
-    feats = _LIN_FEATS
-    xs = {f: f for f in feats}
-    hx_cols = ", ".join(f"round(sum({xs[f]} * {xs[f]}), 4) AS hx_{f}"
-                        for f in feats)
-    # round 1 margin = b (w=0, bias=0)
-    gx1 = ", ".join(f"round(sum((c0.b - y) * {xs[f]}), 4) AS gx_{f}"
-                    for f in feats)
-    w1 = ", ".join(
-        f"round(0.5 * (-(a1.gx_{f} + 1.0 * 0.0) / (c0.hx_{f} + 1.0)), 6) AS w_{f}"
-        for f in feats)
-    m2 = "c0.b + w1.bias" + "".join(f" + w1.w_{f} * {xs[f]}" for f in feats)
-    gx2 = ", ".join(f"round(sum(({m2} - y) * {xs[f]}), 4) AS gx_{f}"
-                    for f in feats)
-    w2 = ", ".join(
-        f"round(w1.w_{f} + 0.5 * (-(a2.gx_{f} + 1.0 * w1.w_{f}) / "
-        f"(c0.hx_{f} + 1.0)), 6) AS w_{f}" for f in feats)
-    sel = " UNION ALL ".join(
-        f"SELECT '{f}' AS feature, w_{f} AS weight FROM w2" for f in feats)
-    return f"""
-WITH d AS (
-  SELECT l_extendedprice / 1000.0 AS y,
-         {', '.join(f'CAST({f} AS DOUBLE) AS {xs[f]}' for f in feats)}
-  FROM lineitem),
-c0 AS (SELECT round(avg(y), 6) AS b, CAST(count(*) AS DOUBLE) AS n,
-              {hx_cols} FROM d),
-a1 AS (SELECT round(sum(c0.b - y), 4) AS G, {gx1} FROM d, c0),
-w1 AS (SELECT {w1}, round(0.5 * (-a1.G / c0.n), 6) AS bias FROM a1, c0),
-a2 AS (SELECT round(sum({m2} - y), 4) AS G, {gx2} FROM d, c0, w1),
-w2 AS (SELECT {w2}, round(w1.bias + 0.5 * (-a2.G / c0.n), 6) AS bias
-       FROM a2, c0, w1)
-{sel}
-UNION ALL SELECT '__bias__', round(c0.b + w2.bias, 6) FROM w2, c0"""
-
-
 def _train_tree_nodes_sql() -> str:
     """DuckDB twin of q_train_tree_nodes: rebuild the six node-table
     rows (2 stumps x root/left/right) of the composed model from the
@@ -5008,6 +4953,134 @@ SELECT CAST(zkey // 256 AS BIGINT) AS zbucket,
 FROM z GROUP BY 1"""
 
 
+def _linear_seq_sql(feats: list[str], rounds: int, eta: float,
+                    lam: float, y_sql: str, out_dp: int = 4) -> str:
+    """DuckDB replay of the round-11 gblinear sequential semantics
+    (updater_shotgun.cc single-thread): bias-first with residual
+    propagation, CoordinateDelta at current residuals (alpha = 0 makes
+    the zero-crossing clamp inert: dw = -(gx + lam_d*w)/(Sff + lam_d),
+    gated on the RAW hessian sum Sff >= 1e-5), lambda DENORMALIZED by
+    the row count.  Emitted as a chain of CTEs each adding ONE scalar
+    column, so expressions stay flat."""
+    nf = len(feats)
+    sums = ["count(*)::DOUBLE AS n", "sum(y) AS Sy"]
+    for i in range(nf):
+        sums.append(f"sum(x{i}) AS S{i}")
+        sums.append(f"sum(y * x{i}) AS Y{i}")
+    for i in range(nf):
+        for j in range(i, nf):
+            sums.append(f"sum(x{i} * x{j}) AS S{i}_{j}")
+    src_cols = ", ".join([f"{y_sql} AS y"]
+                         + [f"{f} AS x{i}" for i, f in enumerate(feats)])
+    ctes = [f"s AS (SELECT {', '.join(sums)} "
+            f"FROM (SELECT {src_cols} FROM lineitem))"]
+
+    def sxx(i, j):
+        a, b = min(i, j), max(i, j)
+        return f"S{a}_{b}"
+
+    w = ["0.0"] * nf          # running weight column names / literals
+    bias_terms = []           # db_r column names
+    step = 0
+    for r in range(rounds):
+        w_start = list(w)     # weights at round start: the gx base and
+                              # the lambda*w term use THESE; in-round
+                              # residual propagation rides on `done`
+        tot_b = " + ".join(["(Sy / n)"] + bias_terms) or "(Sy / n)"
+        wsum_n = " + ".join([f"{w_start[i]} * S{i}" for i in range(nf)])
+        G = f"(({tot_b}) * n + {wsum_n} - Sy)"
+        db = f"db_{r}"
+        ctes.append(f"c{step} AS (SELECT *, {eta} * (-({G}) / n) AS {db} "
+                    f"FROM {'s' if step == 0 else f'c{step - 1}'})")
+        step += 1
+        done = []             # (feature index, dw column) this round
+        for i in range(nf):
+            gx = (f"(({tot_b}) * S{i} "
+                  + "".join(f"+ {w_start[j]} * {sxx(i, j)} "
+                            for j in range(nf))
+                  + f"- Y{i} + {db} * S{i}"
+                  + "".join(f" + {dwc} * {sxx(i, j)}" for j, dwc in done)
+                  + ")")
+            dw = f"dw_{i}_{r}"
+            lam_d = f"({lam} * n)"
+            ctes.append(
+                f"c{step} AS (SELECT *, CASE WHEN S{i}_{i} < 1e-5 THEN 0.0 "
+                f"ELSE {eta} * (-(({gx}) + {lam_d} * {w_start[i]}) "
+                f"/ (S{i}_{i} + {lam_d})) END AS {dw} FROM c{step - 1})")
+            step += 1
+            done.append((i, dw))
+            w[i] = f"({w_start[i]} + {dw})"
+        bias_terms.append(db)
+    bias_out = " + ".join(["(Sy / n)"] + bias_terms)
+    outs = [f"SELECT '{f}' AS feature, round({w[i]}, {out_dp}) AS weight "
+            f"FROM c{step - 1}" for i, f in enumerate(feats)]
+    outs.append(f"SELECT '__bias__', round({bias_out}, {out_dp}) "
+                f"FROM c{step - 1}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(outs))
+
+
+def _linear_multigroup_seq_sql() -> str:
+    """DuckDB replay of one multigroup (4-class softprob) gblinear
+    round with the round-11 sequential semantics: margins all equal at
+    round start => p = 1/4 exactly (dyadic), g_k = 1/4 - [label = k],
+    constant hessian h = 3/8 per row (dyadic => order-independent exact
+    sums); per group k the bias updates first then the 3 coordinates
+    sequentially (lambda_d = 0 — no explicit lambda, linear
+    defaults)."""
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    nf = 3
+    h = "(3.0/8.0)"
+    sums = ["count(*)::DOUBLE AS n"]
+    for i in range(nf):
+        sums.append(f"sum(x{i}) AS S{i}")
+        for j in range(i, nf):
+            sums.append(f"sum(x{i} * x{j}) AS S{i}_{j}")
+    for k in range(4):
+        sums.append(f"sum(CASE WHEN lbl = {k} THEN 1.0 ELSE 0.0 END) AS N{k}")
+        for i in range(nf):
+            sums.append(f"sum(CASE WHEN lbl = {k} THEN x{i} ELSE 0.0 END) "
+                        f"AS K{k}_{i}")
+    src = ", ".join([f"{f} AS x{i}" for i, f in enumerate(feats)]
+                    + ["l_linenumber % 4 AS lbl"])
+    ctes = [f"s AS (SELECT {', '.join(sums)} "
+            f"FROM (SELECT {src} FROM lineitem))"]
+
+    def sxx(i, j):
+        a, b = min(i, j), max(i, j)
+        return f"S{a}_{b}"
+
+    step = 0
+    out_rows = []
+    for k in range(4):
+        G = f"(n / 4.0 - N{k})"
+        db = f"db{k}"
+        ctes.append(f"c{step} AS (SELECT *, 0.5 * (-({G}) / ({h} * n)) "
+                    f"AS {db} FROM {'s' if step == 0 else f'c{step - 1}'})")
+        step += 1
+        done = []
+        ws = []
+        for i in range(nf):
+            gx = (f"(S{i} / 4.0 - K{k}_{i} + {db} * {h} * S{i}"
+                  + "".join(f" + {dwc} * {h} * {sxx(i, j)}"
+                            for j, dwc in done) + ")")
+            dw = f"dw{k}_{i}"
+            ctes.append(
+                f"c{step} AS (SELECT *, CASE WHEN {h} * S{i}_{i} < 1e-5 "
+                f"THEN 0.0 ELSE 0.5 * (-({gx}) / ({h} * S{i}_{i})) END "
+                f"AS {dw} FROM c{step - 1})")
+            step += 1
+            done.append((i, dw))
+            ws.append(dw)
+        for i, f in enumerate(feats):
+            out_rows.append(f"SELECT '{f}' AS feature, {k} AS class, "
+                            f"round({ws[i]}, 4) AS weight FROM c{step - 1}")
+        out_rows.append(f"SELECT '__bias__', {k}, round(0.5 + {db}, 4) "
+                        f"FROM c{step - 1}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(out_rows))
+
+
 def oracle_sql() -> dict[str, str]:
     shingle_cte = """sh AS (
   SELECT DISTINCT doc_id AS id, sh AS shingle FROM (
@@ -5042,7 +5115,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM (SELECT 0.5 * l_quantity - 0.25 * l_discount + 2.0 AS m FROM lineitem)
 """,
         "train_shap": _train_shap_sql(),
-        "train_linear": _train_linear_sql(),
+        "train_linear": _linear_seq_sql(
+            _LIN_FEATS, rounds=2, eta=0.5, lam=1.0,
+            y_sql="l_extendedprice / 1000.0"),
         "train_ranker": _train_ranker_sql(),
         "train_string_cat": _train_string_cat_sql(),
         "dup_spans": _dup_spans_sql(20, 2),
@@ -5853,41 +5928,11 @@ GROUP BY 1, 2""",
 
         "stream_distinct": _stream_distinct_oracle_sql(8),
 
-        "linear_one_round": """
-WITH b AS (SELECT avg(l_extendedprice) AS bs, CAST(count(*) AS DOUBLE) AS n,
-                  sum(l_extendedprice) AS sy FROM lineitem),
-s AS (SELECT
-    sum((bs - l_extendedprice) * l_quantity) AS g0, sum(l_quantity * l_quantity) AS h0,
-    sum((bs - l_extendedprice) * l_discount) AS g1, sum(l_discount * l_discount) AS h1,
-    sum((bs - l_extendedprice) * l_tax) AS g2, sum(l_tax * l_tax) AS h2,
-    any_value(bs) AS bs, any_value(n) AS n, any_value(sy) AS sy
-  FROM lineitem, b)
-SELECT 'l_quantity' AS feature, round(0.5 * (-g0 / (h0 + 1.0)), 4) AS weight FROM s
-UNION ALL SELECT 'l_discount', round(0.5 * (-g1 / (h1 + 1.0)), 4) FROM s
-UNION ALL SELECT 'l_tax', round(0.5 * (-g2 / (h2 + 1.0)), 4) FROM s
-UNION ALL SELECT '__bias__', round(bs + 0.5 * (-(n * bs - sy) / n), 4) FROM s""",
+        "linear_one_round": _linear_seq_sql(
+            ["l_quantity", "l_discount", "l_tax"], rounds=1, eta=0.5,
+            lam=0.0, y_sql="l_extendedprice"),
 
-        # closed-form ONE round of multi-group coordinate descent: with
-        # W=0/bias=0 all margins tie, p_k = 1.0/3.0 exactly in both
-        # engines; h is the constant (2*(1/3))*(1 - 1/3); operand order
-        # mirrors the NumPy kernel ((x*x)*h, x*g) so only the final sum
-        # order differs, masked by the 4dp rounding
-        "linear_multigroup_round": """
-WITH k AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS class),
-s AS (SELECT k.class,
-    sum((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END)) AS G,
-    sum((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0))) AS H,
-    sum(l_quantity * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx0,
-    sum((l_quantity*l_quantity) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx0,
-    sum(l_discount * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx1,
-    sum((l_discount*l_discount) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx1,
-    sum(l_tax * ((1.0/3.0) - (CASE WHEN l_linenumber % 3 = k.class THEN 1.0 ELSE 0.0 END))) AS gx2,
-    sum((l_tax*l_tax) * ((2.0*(1.0/3.0)) * (1.0 - (1.0/3.0)))) AS hx2
-  FROM lineitem, k GROUP BY k.class)
-SELECT 'l_quantity' AS feature, class, round(0.5 * (-gx0 / (hx0 + 1.0)), 4) AS weight FROM s
-UNION ALL SELECT 'l_discount', class, round(0.5 * (-gx1 / (hx1 + 1.0)), 4) FROM s
-UNION ALL SELECT 'l_tax', class, round(0.5 * (-gx2 / (hx2 + 1.0)), 4) FROM s
-UNION ALL SELECT '__bias__', class, round(0.5 * (-G / H) + 0.5, 4) FROM s""",
+        "linear_multigroup_round": _linear_multigroup_seq_sql(),
 
         "simhash": _simhash_oracle_sql(),
 

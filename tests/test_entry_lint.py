@@ -51,7 +51,7 @@ INLINE_OK = {
     # expressions so the DuckDB oracle is an independent bit-for-bit
     # replay (the REAL trainers are gate-covered by train_multi_quantile
     # / train_dart / train_expectile and the pytest parity suites)
-    "fit_stump", "subsample", "train_linear", "train_ranker",
+    "fit_stump", "subsample", "train_ranker",
     "train_string_cat",
 }
 

@@ -30,14 +30,17 @@ def lin_df(spark, lin_data):
 
 def test_gblinear_matches_ridge_oracle(spark, lin_df, lin_data):
     X, y, _ = lin_data
-    lam = 1.0
+    lam = 1.0 / len(y)   # reference DenormalizePenalties: lambda_d =
     model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
                    "reg_lambda": lam, "reg_alpha": 0.0},
                   lin_df, feature_cols=[f"c{i}" for i in range(4)])
-    # closed-form ridge on centered problem: (X'X + lam I) w = X'(y - ybar)
+    # closed-form ridge on centered problem with the DENORMALIZED
+    # penalty (param.h:59-62: lambda * sum_instance_weight = 1.0 here):
+    # (X'X + lam*n I) w = X'(y - ybar)
     yc = y - y.mean()
     Xc = X - X.mean(0)
-    w_star = np.linalg.solve(Xc.T @ Xc + lam * np.eye(4), Xc.T @ yc)
+    w_star = np.linalg.solve(Xc.T @ Xc + lam * len(y) * np.eye(4),
+                             Xc.T @ yc)
     assert np.allclose(model.weights, w_star, atol=0.05)
     pred = model.transform(lin_df, feature_cols=[f"c{i}" for i in range(4)]) \
         .toPandas()["prediction"].to_numpy()
@@ -59,8 +62,10 @@ def test_gblinear_pred_contribs(spark, lin_df):
 
 
 def test_gblinear_l1_sparsifies(spark, lin_df):
+    # alpha is DENORMALIZED by n (param.h:59-62) — 200/n gives the same
+    # effective penalty the pre-round-11 un-denormalized 200 applied
     model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
-                   "reg_lambda": 0.0, "reg_alpha": 200.0},
+                   "reg_lambda": 0.0, "reg_alpha": 200.0 / 4000},
                   lin_df, feature_cols=[f"c{i}" for i in range(4)])
     # strong L1 must zero the truly-zero coefficient (c3)
     assert abs(model.weights[3]) < 1e-6
@@ -113,8 +118,9 @@ def test_gblinear_greedy_thrifty_selectors(spark, lin_df, lin_data):
     X, y, true_w = lin_data
     fc = [f"c{i}" for i in range(4)]
     for sel in ("greedy", "thrifty"):
-        model = train({"booster": "gblinear", "num_boost_round": 60, "eta": 0.7,
-                       "reg_lambda": 1.0, "feature_selector": sel},
+        model = train({"booster": "gblinear", "num_boost_round": 60,
+                       "eta": 0.7, "reg_lambda": 1.0 / 4000,   # denorm
+                       "feature_selector": sel},
                       lin_df, feature_cols=fc)
         pred = model.transform(lin_df, feature_cols=fc).toPandas()["prediction"].to_numpy()
         assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.1

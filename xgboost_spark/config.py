@@ -135,6 +135,14 @@ class TrainParams:
     checkpoint_dir: str | None = None
     checkpoint_interval: int = 10
 
+    # names the caller EXPLICITLY passed through from_dict (post-alias).
+    # gblinear needs this: the reference's LinearTrainParam has its own
+    # defaults for the SHARED names (eta 0.5, lambda 0, alpha 0 —
+    # src/linear/param.h:30-56), applied only when the user did not set
+    # them.  Direct TrainParams(...) construction leaves this empty, so
+    # gblinear then uses the linear defaults.
+    explicit_keys: frozenset = frozenset()
+
     ALIASES = {
         "learning_rate": "eta",
         "lambda": "reg_lambda",
@@ -184,6 +192,7 @@ class TrainParams:
             if k not in known:
                 raise ValueError(f"unknown parameter: {k!r}")
             kw[k] = v
+        kw["explicit_keys"] = frozenset(kw)
         return cls(**kw)
 
     @property

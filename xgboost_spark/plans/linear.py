@@ -5,12 +5,23 @@ Re-expresses the reference's linear updaters (coordinate descent
 `src/linear/updater_shotgun.cc:96`, elastic-net soft threshold
 `CoordinateDelta`) for Spark's execution model:
 
-- per boosting round ONE Spark job computes every feature's gradient
-  sums (sum g*x_f, sum h*x_f^2) plus the bias sums as per-partition
-  partials (a treeAggregate-shaped mapInPandas + final agg);
-- the driver applies the shotgun update to ALL features at once:
-      dw_f = -ThresholdL1(sum(g x_f) + lambda*w_f, alpha) / (sum(h x_f^2) + lambda)
-      w_f += eta * dw_f;     bias += eta * (-sum g / sum h)
+- per boosting round ONE Spark job computes the round's sufficient
+  statistics as per-partition partials: bias sums (G, H), per-feature
+  gradient sums gx = X^T g and hx = X^T h, and — on the exact path
+  (F <= 256) — the cross-product matrix M = X^T diag(h) X;
+- the driver then replays the reference's SEQUENTIAL round exactly
+  (single-thread shotgun / coord_descent semantics): the bias updates
+  first and propagates into every feature's gradient sum, and each
+  coordinate evaluates CoordinateDelta at the residuals left by the
+  coordinates before it — hessians are fixed within a round, so the
+  in-round residual updates are linear in M and the whole pass is a
+  deterministic driver-side computation (no extra Spark jobs).
+  Penalties are DENORMALIZED by the sum of instance weights and the
+  linear booster has its own defaults (eta 0.5, lambda 0, alpha 0 —
+  src/linear/param.h), both reference semantics.  Past 256 features a
+  one-snapshot (Jacobi) pass with the same per-coordinate math stands
+  in — at that width the reference's own lock-free shotgun races make
+  sequential bit-parity moot;
 - serving is a pure Catalyst expression (weights are literals), so
   whole-stage codegen applies and no Python is in the hot path.
 
@@ -280,6 +291,118 @@ def _threshold_l1(g: float, alpha: float) -> float:
     return 0.0
 
 
+# reference LinearTrainParam defaults (src/linear/param.h:30-56) —
+# SEPARATE from the tree params that share the user-facing names:
+# gblinear's eta defaults to 0.5 and its L1/L2 penalties to 0
+_LIN_ETA, _LIN_LAMBDA, _LIN_ALPHA = 0.5, 0.0, 0.0
+# above this feature count the exact sequential replay's X^T diag(h) X
+# cross-product payload (F^2 doubles per partition) stops being cheap;
+# fall back to the one-snapshot (Jacobi) pass — at that width the
+# reference's own lock-free shotgun races make bit-parity moot anyway
+_EXACT_SEQ_MAX_F = 256
+
+
+def _linear_hyper(p) -> tuple[float, float, float]:
+    """(eta, reg_lambda, reg_alpha) for the LINEAR booster: the user's
+    explicit values when set, else the reference's gblinear defaults."""
+    ek = getattr(p, "explicit_keys", frozenset()) or frozenset()
+    eta = p.eta if "eta" in ek else _LIN_ETA
+    lam = p.reg_lambda if "reg_lambda" in ek else _LIN_LAMBDA
+    alpha = p.reg_alpha if "reg_alpha" in ek else _LIN_ALPHA
+    return float(eta), float(lam), float(alpha)
+
+
+def _coordinate_delta(sum_grad: float, sum_hess: float, w: float,
+                      alpha: float, lam: float) -> float:
+    """Exact port of the reference's elastic-net coordinate update
+    (CoordinateDelta, src/linear/coordinate_common.h:44-56): the L1
+    term applies on the side of the CURRENT weight's unregularized
+    target, and the step clamps at the zero crossing (a coordinate
+    never flips sign in one update); zero when the RAW hessian sum is
+    below 1e-5."""
+    if sum_hess < 1e-5:
+        return 0.0
+    sum_grad_l2 = sum_grad + lam * w
+    sum_hess_l2 = sum_hess + lam
+    tmp = w - sum_grad_l2 / sum_hess_l2
+    if tmp >= 0:
+        return max(-(sum_grad_l2 + alpha) / sum_hess_l2, -w)
+    return min(-(sum_grad_l2 - alpha) / sum_hess_l2, -w)
+
+
+def _coordinate_delta_bias(sum_grad: float, sum_hess: float) -> float:
+    """CoordinateDeltaBias (coordinate_common.h:65-71): -G/H with
+    nan/inf guarded to 0."""
+    if sum_hess == 0.0:
+        return 0.0
+    b = -sum_grad / sum_hess
+    return 0.0 if (np.isnan(b) or np.isinf(b)) else b
+
+
+def _replay_linear_round(weights_k: np.ndarray, bias_k: float,
+                         G: float, H: float, gx: np.ndarray,
+                         hx: np.ndarray, M: np.ndarray, eta: float,
+                         lam_d: float, alpha_d: float, selector: str,
+                         rng: np.random.Generator, top_k: int) -> float:
+    """Driver-side EXACT replay of one reference gblinear round for one
+    output group (single-thread shotgun/coord_descent semantics,
+    updater_shotgun.cc:33-86 / updater_coordinate.cc:48-90): bias
+    updates FIRST and its step propagates into every feature's gradient
+    sum; each coordinate's (sum_grad, sum_hess) is then evaluated at the
+    CURRENT residuals — since the hessians are fixed within a round, the
+    residual updates are linear and the whole sequential pass is a
+    deterministic function of the aggregated sufficient statistics
+    (gx = X^T g, hx = X^T h, M = X^T diag(h) X).  Mutates ``weights_k``
+    in place; returns the updated bias."""
+    Fn = len(weights_k)
+    dbias = eta * _coordinate_delta_bias(G, H)
+    bias_k += dbias
+    gxc = gx + dbias * hx          # UpdateBiasResidualParallel
+
+    def apply(f: int) -> None:
+        dw = eta * _coordinate_delta(gxc[f], M[f, f], weights_k[f],
+                                     alpha_d, lam_d)
+        if dw == 0.0:
+            return
+        weights_k[f] += dw
+        gxc[...] = gxc + dw * M[f]  # UpdateResidualParallel
+
+    if selector in ("cyclic", "shuffle", "random"):
+        if selector == "cyclic":
+            seq = range(Fn)
+        elif selector == "shuffle":
+            seq = rng.permutation(Fn)
+        else:                       # random: F draws WITH replacement
+            seq = rng.integers(0, Fn, size=Fn)
+        for f in seq:
+            apply(int(f))
+        return bias_k
+    # greedy/thrifty: the reference's counter stops after top_k picks
+    # or num_feature - 1 picks (coordinate_common.h:343-345 increments
+    # then compares, so the F-th call returns -1) — a genuine quirk
+    limit = min(top_k if top_k > 0 else Fn, max(Fn - 1, 1))
+    if selector == "thrifty":
+        d0 = np.array([abs(_coordinate_delta(gxc[f], M[f, f],
+                                             weights_k[f], alpha_d, lam_d))
+                       for f in range(Fn)])
+        seq = np.argsort(-d0, kind="stable")[:limit]
+        for f in seq:
+            apply(int(f))
+        return bias_k
+    if selector == "greedy":
+        for _ in range(limit):
+            deltas = np.array([abs(_coordinate_delta(
+                gxc[f], M[f, f], weights_k[f], alpha_d, lam_d))
+                for f in range(Fn)])
+            best = int(np.argmax(deltas))   # strict >: lowest index wins
+            if deltas[best] == 0.0:
+                apply(best)     # no-op, mirrors the reference's pick
+                continue
+            apply(best)
+        return bias_k
+    raise ValueError(f"unknown feature_selector {selector!r}")
+
+
 def train_linear(params: dict | TrainParams, df: DataFrame,
                  feature_cols: list[str] | None = None,
                  array_col: str | None = None, label_col: str = "label",
@@ -324,6 +447,16 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
     rng = np.random.default_rng(p.seed)
     history: dict[str, dict[str, list[float]]] = {}
     metric_names = p.eval_metric or [obj.default_metric()]
+    eta_l, lam_l, alpha_l = _linear_hyper(p)
+    # DenormalizePenalties (param.h:59-62): penalties scale by the sum
+    # of instance weights (row count when unweighted), recomputed by the
+    # reference every Update from the constant training set
+    w_expr0 = F.col("weight") if has_w else F.lit(1.0)
+    sum_iw = float(raw.agg(F.sum(w_expr0)).first()[0] or 0.0)
+    lam_d, alpha_d = lam_l * sum_iw, alpha_l * sum_iw
+    exact_seq = Fn <= _EXACT_SEQ_MAX_F
+    arr_schema = ("G double, H double, gx array<double>, "
+                  "hx array<double>, M array<double>")
     sums_schema = ", ".join(
         ["G double", "H double"]
         + [f"gx{i} double, hx{i} double" for i in range(Fn)])
@@ -361,64 +494,104 @@ def train_linear(params: dict | TrainParams, df: DataFrame,
             obj.set_scale(np.array([float(r_sc["s0"] or 0.0),
                                     float(r_sc["s1"] or 0.0)]))
 
-        def sums_fn(it_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            G = H = 0.0
-            gx = np.zeros(Fn)
-            hx = np.zeros(Fn)
-            for pdf in it_:
-                if len(pdf) == 0:
-                    continue
-                X = np.column_stack([
-                    np.nan_to_num(pdf[c].to_numpy(dtype=np.float64, na_value=np.nan))
-                    for c in fnames])
-                y = pdf["label"].to_numpy(dtype=np.float64)
-                w_ = pdf["weight"].to_numpy(dtype=np.float64) if has_w else None
-                m = bb + X @ bw
-                g, h = obj.grad_hess(y, m, w_)
-                G += g.sum()
-                H += h.sum()
-                gx += g @ X
-                hx += h @ (X * X)
-            yield pd.DataFrame({
-                "G": [G], "H": [H],
-                **{f"gx{i}": [gx[i]] for i in range(Fn)},
-                **{f"hx{i}": [hx[i]] for i in range(Fn)},
-            })
+        if exact_seq:
+            def sums_fn(it_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                G = H = 0.0
+                gx = np.zeros(Fn)
+                hx = np.zeros(Fn)
+                M = np.zeros((Fn, Fn))
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    m = bb + X @ bw
+                    g, h = obj.grad_hess(y, m, w_)
+                    G += g.sum()
+                    H += h.sum()
+                    gx += g @ X
+                    hx += h @ X
+                    M += (X * h[:, None]).T @ X
+                yield pd.DataFrame({
+                    "G": [G], "H": [H], "gx": [gx.tolist()],
+                    "hx": [hx.tolist()], "M": [M.reshape(-1).tolist()]})
 
-        agg_cols = [F.sum(c).alias(c) for c in
-                    ["G", "H"] + [f"gx{i}" for i in range(Fn)] + [f"hx{i}" for i in range(Fn)]]
-        r = raw.mapInPandas(sums_fn, schema=sums_schema).agg(*agg_cols).first()
+            parts = raw.mapInPandas(sums_fn, schema=arr_schema).toPandas()
+            G = float(parts["G"].sum())
+            H = float(parts["H"].sum())
+            gx = np.sum(np.stack(parts["gx"].map(np.asarray)), axis=0)
+            hx = np.sum(np.stack(parts["hx"].map(np.asarray)), axis=0)
+            M = np.sum(np.stack(parts["M"].map(np.asarray)),
+                       axis=0).reshape(Fn, Fn)
+            bias = _replay_linear_round(
+                weights, bias, G, H, gx, hx, M, eta_l, lam_d, alpha_d,
+                p.feature_selector, rng, p.top_k)
+        else:
+            # wide-feature fallback: one frozen gradient snapshot per
+            # round (Jacobi) with the same CoordinateDelta/bias-first
+            # math but WITHOUT in-round residual propagation — the
+            # F^2 cross-product payload stops being cheap past
+            # _EXACT_SEQ_MAX_F, where the reference's own lock-free
+            # shotgun races make exact sequential parity moot
+            def sums_fn(it_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                G = H = 0.0
+                gx = np.zeros(Fn)
+                hx = np.zeros(Fn)
+                hx2 = np.zeros(Fn)
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    m = bb + X @ bw
+                    g, h = obj.grad_hess(y, m, w_)
+                    G += g.sum()
+                    H += h.sum()
+                    gx += g @ X
+                    hx += h @ X
+                    hx2 += h @ (X * X)
+                yield pd.DataFrame({
+                    "G": [G], "H": [H],
+                    **{f"gx{i}": [gx[i]] for i in range(Fn)},
+                    **{f"hx{i}": [hx2[i]] for i in range(Fn)},
+                    "HB": [hx.tolist()]})
 
-        # shotgun update: every feature from the same gradient snapshot
-        # (reference updater_shotgun.cc); selector affects which features
-        # move this round
-        order = np.arange(Fn)
-        if p.feature_selector == "shuffle":
-            rng.shuffle(order)
-        elif p.feature_selector == "random":
-            order = rng.choice(Fn, size=max(1, Fn // 2), replace=False)
-        elif p.feature_selector in ("greedy", "thrifty"):
-            # reference greedy/thrifty selectors (src/linear/param.h,
-            # coord_descent updater): rank features by the magnitude of
-            # their univariate Newton step from this round's gradient
-            # snapshot, update the top_k largest first (top_k=0 => all)
-            mag = np.empty(Fn)
-            for i in range(Fn):
-                gi = float(r[f"gx{i}"]) + p.reg_lambda * weights[i]
-                hi = float(r[f"hx{i}"]) + p.reg_lambda
-                mag[i] = abs(_threshold_l1(gi, p.reg_alpha)) / max(hi, 1e-16)
-            order = np.argsort(-mag)
-            if p.top_k > 0:
-                order = order[:p.top_k]
-        for f in order:
-            gf = float(r[f"gx{f}"]) + p.reg_lambda * weights[f]
-            hf = float(r[f"hx{f}"]) + p.reg_lambda
-            if hf <= 0:
-                continue
-            dw = -_threshold_l1(gf, p.reg_alpha) / hf
-            weights[f] += p.eta * dw
-        if float(r["H"]) > 0:
-            bias += p.eta * (-float(r["G"]) / float(r["H"]))
+            r = (raw.mapInPandas(sums_fn, schema=sums_schema
+                                 + ", HB array<double>").toPandas())
+            G = float(r["G"].sum())
+            H = float(r["H"].sum())
+            gxv = np.array([float(r[f"gx{i}"].sum()) for i in range(Fn)])
+            hx2v = np.array([float(r[f"hx{i}"].sum()) for i in range(Fn)])
+            hbv = np.sum(np.stack(r["HB"].map(np.asarray)), axis=0)
+            dbias = eta_l * _coordinate_delta_bias(G, H)
+            bias += dbias
+            gxv = gxv + dbias * hbv      # bias residual propagation
+            order = np.arange(Fn)
+            if p.feature_selector == "shuffle":
+                rng.shuffle(order)
+            elif p.feature_selector == "random":
+                order = rng.integers(0, Fn, size=Fn)
+            elif p.feature_selector in ("greedy", "thrifty"):
+                mag = np.array([abs(_coordinate_delta(
+                    gxv[i], hx2v[i], weights[i], alpha_d, lam_d))
+                    for i in range(Fn)])
+                order = np.argsort(-mag, kind="stable")
+                limit = min(p.top_k if p.top_k > 0 else Fn,
+                            max(Fn - 1, 1))
+                order = order[:limit]
+            for f in order:
+                weights[f] += eta_l * _coordinate_delta(
+                    gxv[f], hx2v[f], weights[f], alpha_d, lam_d)
 
         if evals:
             model = LinearModel(p, base_score, weights, bias, feat_names_out)
@@ -460,6 +633,12 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
     score), like the tree path."""
     Fn = len(fnames)
     K = p.n_groups
+    if Fn > _EXACT_SEQ_MAX_F:
+        raise NotImplementedError(
+            f"multi-group gblinear with {Fn} features: the exact "
+            f"sequential-replay payload is K*F^2 doubles per partition "
+            f"(cap {_EXACT_SEQ_MAX_F}); reduce the feature count or "
+            "train per-class scalar models")
     base_score = float(p.base_score) if p.base_score is not None else 0.5
     W = np.zeros((Fn, K))
     bias = np.zeros(K)
@@ -467,10 +646,11 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
     history: dict[str, dict[str, list[float]]] = {}
     metric_names = p.eval_metric or [obj.default_metric()]
     w_expr = F.col("weight") if has_w else F.lit(1.0)
-    cols = (["G%d" % k for k in range(K)] + ["H%d" % k for k in range(K)]
-            + ["gx%d_%d" % (i, k) for i in range(Fn) for k in range(K)]
-            + ["hx%d_%d" % (i, k) for i in range(Fn) for k in range(K)])
-    sums_schema = ", ".join(f"{c} double" for c in cols)
+    eta_l, lam_l, alpha_l = _linear_hyper(p)
+    sum_iw = float(raw.agg(F.sum(w_expr)).first()[0] or 0.0)
+    lam_d, alpha_d = lam_l * sum_iw, alpha_l * sum_iw
+    arr_schema = ("G array<double>, H array<double>, gx array<double>, "
+                  "hx array<double>, M array<double>")
 
     for it in range(p.num_boost_round):
         bw = W.copy()
@@ -507,8 +687,9 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
         def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
             G = np.zeros(K)
             H = np.zeros(K)
-            gx = np.zeros((Fn, K))
-            hx = np.zeros((Fn, K))
+            gx = np.zeros((K, Fn))
+            hx = np.zeros((K, Fn))
+            Mk = np.zeros((K, Fn, Fn))
             for pdf in it_:
                 if len(pdf) == 0:
                     continue
@@ -523,45 +704,35 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
                 g, h = obj.grad_hess(y, M, w_)       # (n, K)
                 G += g.sum(axis=0)
                 H += h.sum(axis=0)
-                gx += X.T @ g
-                hx += (X * X).T @ h
-            out = {f"G{k}": [G[k]] for k in range(K)}
-            out.update({f"H{k}": [H[k]] for k in range(K)})
-            out.update({f"gx{i}_{k}": [gx[i, k]]
-                        for i in range(Fn) for k in range(K)})
-            out.update({f"hx{i}_{k}": [hx[i, k]]
-                        for i in range(Fn) for k in range(K)})
-            yield pd.DataFrame(out)
+                gx += (X.T @ g).T
+                hx += (X.T @ h).T
+                for k in range(K):
+                    Mk[k] += (X * h[:, k][:, None]).T @ X
+            yield pd.DataFrame({
+                "G": [G.tolist()], "H": [H.tolist()],
+                "gx": [gx.reshape(-1).tolist()],
+                "hx": [hx.reshape(-1).tolist()],
+                "M": [Mk.reshape(-1).tolist()]})
 
-        r = (raw.mapInPandas(sums_fn, schema=sums_schema)
-             .agg(*[F.sum(c).alias(c) for c in cols]).first())
+        parts = raw.mapInPandas(sums_fn, schema=arr_schema).toPandas()
+        Gv = np.sum(np.stack(parts["G"].map(np.asarray)), axis=0)
+        Hv = np.sum(np.stack(parts["H"].map(np.asarray)), axis=0)
+        gxv = np.sum(np.stack(parts["gx"].map(np.asarray)),
+                     axis=0).reshape(K, Fn)
+        hxv = np.sum(np.stack(parts["hx"].map(np.asarray)),
+                     axis=0).reshape(K, Fn)
+        Mv = np.sum(np.stack(parts["M"].map(np.asarray)),
+                    axis=0).reshape(K, Fn, Fn)
 
-        # per-group shotgun pass from the shared snapshot (gblinear.cc
-        # DoBoost loops gid; updater runs its selector per group)
+        # per-group exact sequential replay (gblinear.cc DoBoost loops
+        # gid; updater runs bias-first + residual-updated coordinates)
         for k in range(K):
-            order = np.arange(Fn)
-            if p.feature_selector == "shuffle":
-                rng.shuffle(order)
-            elif p.feature_selector == "random":
-                order = rng.choice(Fn, size=max(1, Fn // 2), replace=False)
-            elif p.feature_selector in ("greedy", "thrifty"):
-                mag = np.empty(Fn)
-                for i in range(Fn):
-                    gi = float(r[f"gx{i}_{k}"]) + p.reg_lambda * W[i, k]
-                    hi = float(r[f"hx{i}_{k}"]) + p.reg_lambda
-                    mag[i] = abs(_threshold_l1(gi, p.reg_alpha)) / max(hi, 1e-16)
-                order = np.argsort(-mag)
-                if p.top_k > 0:
-                    order = order[:p.top_k]
-            for f in order:
-                gf = float(r[f"gx{f}_{k}"]) + p.reg_lambda * W[f, k]
-                hf = float(r[f"hx{f}_{k}"]) + p.reg_lambda
-                if hf <= 0:
-                    continue
-                W[f, k] += p.eta * (-_threshold_l1(gf, p.reg_alpha) / hf)
-            Hk = float(r[f"H{k}"])
-            if Hk > 0:
-                bias[k] += p.eta * (-float(r[f"G{k}"]) / Hk)
+            wk = W[:, k].copy()
+            bias[k] = _replay_linear_round(
+                wk, float(bias[k]), float(Gv[k]), float(Hv[k]),
+                gxv[k], hxv[k], Mv[k], eta_l, lam_d, alpha_d,
+                p.feature_selector, rng, p.top_k)
+            W[:, k] = wk
 
         if evals:
             model = LinearModel(p, base_score, W.copy(), bias.copy(),

@@ -218,7 +218,7 @@ class GBDTModel:
             "learner_train_param": {"booster": self.params.booster},
             "gradient_booster": {"name": self.params.booster},
             "params": {k: v for k, v in asdict(self.params).items()
-                       if v is not None}}}
+                       if v is not None and k != "explicit_keys"}}}
         return json.dumps(cfg)
 
     # ------------------------------------------------------------------ ser
