@@ -111,3 +111,67 @@ def test_quantile_intercept_is_r6_label_quantile():
     # R-7 differs on this data for the tail alpha -> the test would
     # catch an interpolation-rule regression
     assert not np.isclose(base[2], np.quantile(y, 0.9))
+
+
+def test_fit_intercept_stump_objectives():
+    """FitIntercept objectives (init_estimation.cc:8-27) take ONE
+    Newton stump from the gradients at margin 0 — NOT the label mean:
+    squaredlogerror, pseudohuber (regression_obj.cu:279 /
+    pseudohuber_obj.cc:28)."""
+    from xgboost_spark.functions.objectives import get_objective
+    rng = np.random.default_rng(8)
+    y = rng.gamma(2.0, 2.0, 400)
+    for name in ("reg:squaredlogerror", "reg:pseudohubererror"):
+        obj = get_objective(name, None)
+        g, h = obj.grad_hess(y, np.zeros_like(y), None)
+        want = -g.sum() / max(h.sum(), 1e-6)
+        assert obj.base_score(y, None) == pytest.approx(want)
+        assert obj.base_score(y, None) != pytest.approx(float(y.mean()),
+                                                        rel=1e-3)
+
+
+def test_hinge_intercept_is_indicator():
+    """HingeObj : FitIntercept + hinge's own PredTransform: the stump
+    passes through the 0/1 indicator, so the intercept is exactly 0.0
+    or 1.0 (hinge.cc:28, init_estimation.cc:26)."""
+    from xgboost_spark.functions.objectives import get_objective
+    obj = get_objective("binary:hinge", None)
+    mostly_pos = np.array([1.0] * 9 + [0.0])
+    mostly_neg = np.array([0.0] * 9 + [1.0])
+    assert obj.base_score(mostly_pos, None) == 1.0
+    assert obj.base_score(mostly_neg, None) == 0.0
+
+
+def test_rank_and_aft_intercepts():
+    """LambdaRank (FitIntercept over antisymmetric pair gradients) gets
+    exactly 0; AFTObj does not override InitEstimation, so it gets the
+    plain DefaultBaseScore 0.5 (objective.cc:34-38)."""
+    from xgboost_spark.functions.objectives import get_objective
+    rank = get_objective("rank:ndcg", None)
+    assert rank.base_score(np.array([1.0, 0.0]), None) == 0.0
+    aft = get_objective("survival:aft", None)
+    assert aft.base_score_bounds(np.array([1.0, 2.0]),
+                                 np.array([1.0, 2.0]), None) == 0.5
+
+
+def test_cox_intercept_is_breslow_stump(spark):
+    """CoxRegression : FitIntercept (regression_obj.cu:517): the
+    distributed base score equals the local Breslow stump at margin 0
+    (exp PredTransform and log ProbToMargin cancel)."""
+    from xgboost_spark.functions.objectives import get_objective
+    from xgboost_spark.plans.booster import SparkBooster
+    import pandas as pd
+    rng = np.random.default_rng(9)
+    t = rng.gamma(2.0, 1.0, 300)
+    event = rng.random(300) < 0.7
+    y = np.where(event, t, -t)           # negative = censored
+    obj = get_objective("survival:cox", None)
+    want = obj.base_score(y, None)
+    pdf = pd.DataFrame({"x": rng.normal(size=300), "label": y})
+    df = spark.createDataFrame(pdf).repartition(5)
+    sb = SparkBooster(TrainParams(objective="survival:cox",
+                                  num_boost_round=1, max_depth=2))
+    from xgboost_spark.sources.tables import assemble_features
+    raw, _ = assemble_features(df, feature_cols=["x"], label_col="label")
+    got = sb._base_score(raw)
+    assert got == pytest.approx(want, rel=1e-9)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 _EPS = 1e-16
+_RT_EPS_F = 1e-6   # reference kRtEps (include/xgboost/base.h:309)
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -71,9 +72,12 @@ class Objective:
         pass
 
     def base_score(self, y: np.ndarray, w: np.ndarray | None) -> float:
-        """Initial margin — Newton stump fit (reference src/tree/fit_stump.h:34)."""
+        """Initial intercept — the reference's FitIntercept estimation
+        (init_estimation.cc:8-27): one unregularized Newton stump from
+        the gradients at margin 0 (-G / max(H, kRtEps),
+        fit_stump.h:27)."""
         g, h = self.grad_hess(y, np.zeros_like(y, dtype=np.float64), w)
-        return float(-g.sum() / max(h.sum(), _EPS))
+        return float(-g.sum() / max(h.sum(), _RT_EPS_F))
 
     def pred_transform(self, margin: np.ndarray) -> np.ndarray:
         return margin
@@ -179,6 +183,14 @@ class Hinge(Objective):
             g, h = g * w, h * w
         return g, h
 
+    def base_score(self, y, w):
+        # FitIntercept (hinge.cc:28): stump from gradients at margin 0,
+        # then the objective's OWN PredTransform (init_estimation.cc:26)
+        # — hinge's is the 0/1 indicator, so the intercept is 0.0 or 1.0
+        # (ProbToMargin is identity, so that IS the serving margin)
+        w0 = super().base_score(y, w)
+        return 1.0 if w0 > 0 else 0.0
+
     def pred_transform(self, margin):
         return (margin > 0).astype(np.float64)
 
@@ -205,8 +217,8 @@ class PseudoHuber(Objective):
             g, h = g * w, h * w
         return g, h
 
-    def base_score(self, y, w):
-        return 0.5  # reference default when not fit
+    # base_score: the FitIntercept stump (base class) — the reference's
+    # PseudoHuberRegression inherits FitIntercept (pseudohuber_obj.cc:28)
 
     def default_metric(self):
         return "mphe"
@@ -867,7 +879,10 @@ class LambdaRankNDCG(Objective):
             self.t_minus = (self._lj_cum / self._lj_cum[0]) ** reg
 
     def base_score(self, y, w):
-        return 0.5
+        # FitIntercept (lambdarank_obj.cc:99): the stump from pair
+        # gradients at margin 0 is EXACTLY 0 — every pair contributes
+        # +lambda and -lambda — so the intercept is 0.0
+        return 0.0
 
     def grad_hess(self, y, margin, w):
         # fallback: single global group
@@ -1109,8 +1124,10 @@ class AFT(Objective):
         return self.grad_hess_bounds(y, y, margin, w)
 
     def base_score_bounds(self, yl, yu, w) -> float:
-        g, h = self.grad_hess_bounds(yl, yu, np.zeros_like(yl, dtype=np.float64), w)
-        return float(-g.sum() / max(h.sum(), _EPS))
+        # the reference's AFTObj does NOT override InitEstimation, so
+        # the intercept is the plain DefaultBaseScore 0.5 (objective.cc:
+        # 34-38, objective.h:32) — not a Newton stump
+        return 0.5
 
     def pred_transform(self, margin):
         return np.exp(margin)
@@ -1184,7 +1201,11 @@ class CoxPH(Objective):
                            "use grad_hess_global")
 
     def base_score(self, y, w):
-        return 0.0
+        # FitIntercept (regression_obj.cu:517): one Newton stump from
+        # the Breslow gradients at margin 0 (PredTransform exp and the
+        # learner's ProbToMargin log cancel)
+        g, h = self.grad_hess_global(y, np.zeros_like(y, dtype=np.float64), w)
+        return float(-g.sum() / max(h.sum(), _RT_EPS_F))
 
     def pred_transform(self, margin):
         return np.exp(margin)   # hazard ratio (reference cox PredTransform)

@@ -177,8 +177,7 @@ class SparkBooster:
     # per-alpha Newton step (regression_obj.cu:409-455), which needs a
     # second pass over (mean - y) — see _base_score
     _FUSED_BS_OBJECTIVES = (
-        "reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror",
-        "binary:logistic", "binary:logitraw",
+        "reg:squarederror", "binary:logistic", "binary:logitraw",
         "reg:logistic", "count:poisson", "reg:gamma", "reg:tweedie")
 
     def _base_score_fuse_aggs(self, raw: DataFrame):
@@ -217,27 +216,72 @@ class SparkBooster:
         if p.base_score is not None:
             return float(p.base_score)
         name = p.objective
-        if name == "survival:cox":
+        if name.startswith("rank:"):
+            # FitIntercept over pair gradients at margin 0 is exactly 0
+            # (every pair contributes +lambda/-lambda)
             return 0.0
         if name == "survival:aft":
-            # distributed stump fit: partial (G, H) sums at margin 0
-            obj = self.obj
-            has_w = "weight" in raw.columns
+            # the reference's AFTObj does not override InitEstimation:
+            # plain DefaultBaseScore (objective.cc:34-38)
+            return 0.5
+        if name == "survival:cox":
+            # FitIntercept stump over the Breslow gradients at margin 0
+            # (regression_obj.cu:517), distributed with the same
+            # prefix-scan shape as _cox_grad_pass: at m=0, e^m = 1, so
+            # per distinct |time| t the risk-set terms reduce to row
+            # weights; G = sum(w*R(t)) - sum(event w),
+            # H = sum(w*R(t)) - sum(w^2*R2(t))
+            from xgboost_spark.operators.scan import prefix_sums
+            n_part = raw.sparkSession.sparkContext.defaultParallelism
+            w_c = (F.col("weight") if "weight" in raw.columns
+                   else F.lit(1.0))
+            per_t = (raw.groupBy(F.abs(F.col("label")).alias("t"))
+                     .agg(F.sum(w_c).alias("e"),
+                          F.sum(w_c * w_c).alias("e2"),
+                          F.sum(F.when(F.col("label") > 0, w_c)
+                                .otherwise(0.0)).alias("dw")))
+            tot = per_t.agg(F.sum("e").alias("te")).first()["te"]
+            s1 = prefix_sums(per_t, "t", ["e"], n_part)
+            s1 = s1.withColumn(
+                "S", F.greatest(F.lit(tot) - F.col("cum_e") + F.col("e"),
+                                F.lit(1e-300)))
+            s1 = (s1.withColumn("rr", F.col("dw") / F.col("S"))
+                  .withColumn("rr2",
+                              F.col("dw") / (F.col("S") * F.col("S"))))
+            s2 = prefix_sums(s1, "t", ["rr", "rr2"], n_part)
+            r = s2.agg(
+                F.sum(F.col("e") * F.col("cum_rr")).alias("wr"),
+                F.sum(F.col("e2") * F.col("cum_rr2")).alias("w2r2"),
+                F.sum("dw").alias("sdw")).first()
+            G = float(r["wr"]) - float(r["sdw"])
+            H = float(r["wr"]) - float(r["w2r2"])
+            return float(-G / max(H, 1e-6))
+        if name in ("reg:squaredlogerror", "reg:pseudohubererror",
+                    "binary:hinge"):
+            # FitIntercept (init_estimation.cc:8-27): one distributed
+            # Newton stump from the gradients at margin 0, then the
+            # objective's own PredTransform (hinge -> 0/1 indicator;
+            # identity for the others, and ProbToMargin is identity)
+            obj0 = self.obj
+            has_w0 = "weight" in raw.columns
 
-            def gh_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def ghz_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 G = H = 0.0
                 for pdf in it:
-                    yl = pdf["label_lower"].to_numpy(dtype=np.float64)
-                    yu = pdf["label_upper"].to_numpy(dtype=np.float64, na_value=np.inf)
-                    w_ = (pdf["weight"].to_numpy(dtype=np.float64) if has_w else None)
-                    g, h = obj.grad_hess_bounds(yl, yu, np.zeros(len(pdf)), w_)
+                    yv = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w0 else None)
+                    g, h = obj0.grad_hess(yv, np.zeros(len(pdf)), w_)
                     G += g.sum()
                     H += h.sum()
                 yield pd.DataFrame({"G": [G], "H": [H]})
 
-            r = (raw.mapInPandas(gh_fn, schema="G double, H double")
+            r = (raw.mapInPandas(ghz_fn, schema="G double, H double")
                  .agg(F.sum("G").alias("G"), F.sum("H").alias("H")).first())
-            return float(-r["G"] / max(r["H"], 1e-16))
+            w0 = float(-r["G"] / max(r["H"], 1e-6))
+            if name == "binary:hinge":
+                return 1.0 if w0 > 0 else 0.0
+            return w0
         from xgboost_spark.functions.objectives import CustomObjective
         if isinstance(self.obj, CustomObjective):
             if self.obj._bs is not None:
@@ -290,7 +334,7 @@ class SparkBooster:
             if len(alphas) == 1:
                 return float(out[0])
             return Expectile.margins_from_expectiles(out)
-        if name in ("reg:squarederror", "reg:squaredlogerror", "reg:pseudohubererror"):
+        if name in ("reg:squarederror",):
             r = raw.agg((F.sum(y * w) / F.sum(w)).alias("v")).first()
             if r["v"] is None:
                 raise ValueError("training dataset is empty (no rows / "
