@@ -1,7 +1,7 @@
-"""base_margin at predict time (reference predict adds the DMatrix's
-base_margin on top of the intercept — include/xgboost/predictor.h
-PredictBatch + spark/core.py base_margin_col), parity with the
-training-side column semantics (margin = base_score + base_margin)."""
+"""base_margin at predict time: a supplied base_margin REPLACES the
+intercept (reference Predictor::InitOutPredictions, predictor.cc:66-72
+copies base_margin into the initial predictions and returns WITHOUT
+adding base_score), matching the training-side column semantics."""
 
 import numpy as np
 import pytest
@@ -27,7 +27,9 @@ def test_predict_base_margin_offsets_margin(spark, reg_df, bm_model):
                       base_margin_col="bm").toPandas()
     a = np.stack(base["margin"].to_numpy())[:, 0]
     b = np.stack(off["margin"].to_numpy())[:, 0]
-    assert np.allclose(b, a + 1.25, rtol=1e-12)
+    # REPLACE semantics: bm swaps out base_score, so the shift is
+    # (bm - base_score), not +bm
+    assert np.allclose(b, a + (1.25 - m.base_score), rtol=1e-12)
 
 
 def test_predict_base_margin_fast_and_expr_paths_agree(spark, reg_df, bm_model):
@@ -44,8 +46,7 @@ def test_predict_base_margin_fast_and_expr_paths_agree(spark, reg_df, bm_model):
 
 def test_predict_base_margin_matches_training_continuation(spark, reg_df, bm_model):
     """Predicting with base_margin equals the margin a continued
-    training would start from: bs + bm + trees — i.e. identical to
-    adding bm to the no-margin margin output."""
+    training would start from: bm + trees (bm REPLACES bs)."""
     m, fc = bm_model
     df = reg_df.limit(200).withColumn("bm", F.lit(0.5).cast("double"))
     contribs = m.transform(df, feature_cols=fc, output_margin=True,
@@ -70,4 +71,6 @@ def test_predict_base_margin_multiclass_array(spark, reg_df):
                       base_margin_col="bm").toPandas()
     a = np.stack(base["margin"].to_numpy())
     b = np.stack(off["margin"].to_numpy())
-    assert np.allclose(b, a + np.array([0.2, -0.1, 0.7]), rtol=1e-12)
+    bs = np.asarray(m._bs_row(3))
+    assert np.allclose(b, a + (np.array([0.2, -0.1, 0.7]) - bs),
+                       rtol=1e-12)

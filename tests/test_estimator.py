@@ -65,7 +65,9 @@ def test_estimator_base_margin_and_categorical(spark, reg_df):
     with_bm = model.transform(df.limit(100)).toPandas()["prediction"]
     without = model.core.transform(df.limit(100),
                                    feature_cols=["grp", "c1"]).toPandas()["prediction"]
-    assert np.allclose(np.sort(with_bm), np.sort(without + 2.0), rtol=1e-9)
+    # base_margin REPLACES base_score (predictor.cc:66-72)
+    shift = 2.0 - model.core.base_score
+    assert np.allclose(np.sort(with_bm), np.sort(without + shift), rtol=1e-9)
 
 
 def test_cross_validator(spark, reg_df):

@@ -504,9 +504,12 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 w_ = (pdf["weight"].to_numpy(dtype=np.float64)
                       if has_w else None)
                 q_ = (pdf["qid"].to_numpy(dtype=np.int64) if has_q else None)
-                m_ = np.full((nn, K), base_score, dtype=np.float64)
                 if has_bm:
-                    m_ += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                    # base_margin REPLACES base_score (predictor.cc:66)
+                    m_ = np.repeat(pdf["base_margin"]
+                                   .to_numpy(dtype=np.float64)[:, None], K, 1)
+                else:
+                    m_ = np.full((nn, K), base_score, dtype=np.float64)
                 if bc_prev is not None:
                     # training continuation (reference xgb_model,
                     # training.py:183): previous model's margin, raw-domain

@@ -698,9 +698,12 @@ class SparkBooster:
                 if has_q:
                     q = pdf["qid"].to_numpy(dtype=np.int64)
                     out["q"] = q
-                m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
                 if has_bm:
-                    m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                    # base_margin REPLACES base_score (predictor.cc:66)
+                    m0 = np.repeat(pdf["base_margin"]
+                                   .to_numpy(dtype=np.float64)[:, None], K, 1)
+                else:
+                    m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
                 if bc_prev is not None:
                     st_prev = bc_prev.value
                     Xr = np.column_stack([
@@ -770,9 +773,13 @@ class SparkBooster:
                                 if _has_w else np.ones(len(pdf)))
                     if has_q:
                         out["q"] = pdf["qid"].to_numpy(dtype=np.int64)
-                    m0 = np.full((len(pdf), K), base_score, dtype=np.float64)
                     if _has_bm:
-                        m0 += pdf["base_margin"].to_numpy(dtype=np.float64)[:, None]
+                        m0 = np.repeat(pdf["base_margin"]
+                                       .to_numpy(dtype=np.float64)[:, None],
+                                       K, 1)
+                    else:
+                        m0 = np.full((len(pdf), K), base_score,
+                                     dtype=np.float64)
                     if bc_prev is not None:
                         st_prev = bc_prev.value
                         Xr = np.column_stack([

@@ -826,13 +826,19 @@ class GBDTModel:
                     feats.append(F.col(c).cast("double"))
         margins = self.margin_exprs(feats)
         if base_margin_col is not None:
+            # base_margin REPLACES base_score (predictor.cc:66-72):
+            # margin_exprs started every margin at the intercept, so
+            # swap it out for the per-row offset
+            bs = self._bs_row(len(margins))
             bm_dt = dict(df.dtypes).get(base_margin_col, "")
             if bm_dt.startswith("array") and len(margins) > 1:
-                margins = [m + F.col(base_margin_col).getItem(k).cast("double")
+                margins = [m - F.lit(float(bs[k]))
+                           + F.col(base_margin_col).getItem(k).cast("double")
                            for k, m in enumerate(margins)]
             else:
-                margins = [m + F.col(base_margin_col).cast("double")
-                           for m in margins]
+                margins = [m - F.lit(float(bs[k]))
+                           + F.col(base_margin_col).cast("double")
+                           for k, m in enumerate(margins)]
         name = self.params.objective
         if output_margin:
             out = F.array(*margins) if len(margins) > 1 else margins[0]
@@ -893,13 +899,14 @@ class GBDTModel:
         when ``approx_contribs``; reference shap.cc / learner.h:116-120)
         and `interactions` (flattened (F+1)x(F+1) array<double>).
 
-        ``base_margin_col``: per-row margin offset added on top of
-        base_score, mirroring the training-side column (reference
-        predict with base_margin, `include/xgboost/predictor.h`
-        PredictionCacheEntry + spark/core.py base_margin_col); a scalar
-        column broadcasts across classes, an array column supplies one
-        offset per class.  With ``pred_contribs`` the offset lands in
-        the bias term so local accuracy still holds.
+        ``base_margin_col``: per-row starting margin that REPLACES
+        base_score (reference InitOutPredictions, predictor.cc:66-72 —
+        a supplied base_margin is copied into the initial predictions
+        and the intercept is NOT added), mirroring the training-side
+        column (spark/core.py base_margin_col); a scalar column
+        broadcasts across classes, an array column supplies one margin
+        per class.  With ``pred_contribs`` it becomes the bias term so
+        local accuracy still holds.
         """
         if iteration_range is not None:
             # reference predict(iteration_range=(a, b)), core.py Booster
@@ -1021,14 +1028,17 @@ class GBDTModel:
                     ])
                 n = len(pdf)
                 Kk = st["K"]
-                margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
                 bm = None
                 if base_margin_col is not None:
+                    # base_margin REPLACES base_score (predictor.cc:66)
                     raw_bm = pdf[base_margin_col].to_numpy()
                     bm = (np.stack(raw_bm).astype(np.float64)
                           if raw_bm.dtype == object
                           else raw_bm.astype(np.float64)[:, None])
-                    margin += bm
+                    margin = np.broadcast_to(bm, (n, Kk)).astype(np.float64).copy()
+                else:
+                    margin = np.full((n, Kk), st["base_score"],
+                                     dtype=np.float64)
                 leaves = []
                 phi = np.zeros((n, Kk, n_feat + 1)) if pred_contribs else None
                 inter = (np.zeros((n, Kk, n_feat + 1, n_feat + 1))
@@ -1066,18 +1076,22 @@ class GBDTModel:
                     out["leaf"] = [row.tolist() for row in lv]
                 if pred_contribs:
                     phi_out = phi.copy()
-                    phi_out[:, :, -1] += st["base_score"]
+                    # the bias term carries the effective intercept: the
+                    # supplied base_margin REPLACES base_score
                     if bm is not None:
                         phi_out[:, :, -1] += bm
+                    else:
+                        phi_out[:, :, -1] += st["base_score"]
                     if Kk > 1:
                         out["contribs"] = [[c.tolist() for c in row] for row in phi_out]
                     else:
                         out["contribs"] = [row.tolist() for row in phi_out[:, 0, :]]
                 if pred_interactions:
                     inter_out = inter.copy()
-                    inter_out[:, :, -1, -1] += st["base_score"]
                     if bm is not None:
                         inter_out[:, :, -1, -1] += bm
+                    else:
+                        inter_out[:, :, -1, -1] += st["base_score"]
                     if Kk > 1:
                         out["interactions"] = [
                             [c.reshape(-1).tolist() for c in row] for row in inter_out]
@@ -1133,12 +1147,17 @@ class GBDTModel:
                 X = np.column_stack([
                     c.to_numpy(dtype=np.float64, na_value=np.nan) for c in feat_cols])
             Kk = st["K"]
-            margin = np.full((n, Kk), st["base_score"], dtype=np.float64)
             if has_bm:
+                # reference InitOutPredictions (predictor.cc:66-72):
+                # a supplied base_margin REPLACES base_score
                 raw_bm = cols[-1].to_numpy()
-                margin += (np.stack(raw_bm).astype(np.float64)
-                           if raw_bm.dtype == object
-                           else raw_bm.astype(np.float64)[:, None])
+                bm = (np.stack(raw_bm).astype(np.float64)
+                      if raw_bm.dtype == object
+                      else raw_bm.astype(np.float64)[:, None])
+                margin = np.broadcast_to(bm, (n, Kk)).astype(np.float64)
+            else:
+                margin = np.full((n, Kk), st["base_score"],
+                                 dtype=np.float64)
             core.apply_model_margin(margin, st["trees"], st["weights"], X, False, Kk)
             pred = obj.pred_transform(margin if Kk > 1 else margin[:, 0])
             if pred.ndim > 1:
