@@ -164,3 +164,87 @@ def test_position_bias_update_is_cumulative_power_law():
     # SECOND round accumulates (lambdarank_obj.cc:65-68 li(i) += g_li)
     o.apply_position_bias(c1)
     assert np.allclose(o.t_plus, (2 * c1[:T] / (2 * c1[0])) ** reg)
+
+
+def test_group_weight_norm_closed_form():
+    """The reference multiplies each group's gradients by
+    w_group * (n_groups / sum w_group) (lambdarank_obj.cc:376-387
+    ``w = h_weight[g]`` applied at :245-249 as ``gpair * w * w_norm``;
+    ranking_utils.cc:37-44 ``weight_norm_ = n_groups / sum_weights``).
+    Engine twin: grad_hess_group with per-row weights + the trainer's
+    weight_norm must equal the unweighted output scaled by exactly
+    w_g * n_groups / sum(w)."""
+    y = np.array([2.0, 1.0, 0.0, 1.0])
+    m = np.array([0.3, -0.2, 0.1, 0.0])
+    o0 = LambdaRankNDCG(num_pair=10)
+    g0, h0 = o0.grad_hess_group(y, m, None)
+    # two groups with weights 3 and 1: w_norm = 2 / 4 = 0.5
+    w_g, n_groups, sum_w = 3.0, 2, 4.0
+    ow = LambdaRankNDCG(num_pair=10)
+    ow.weight_norm = n_groups / sum_w
+    gw, hw = ow.grad_hess_group(y, m, np.full(4, w_g))
+    f = w_g * n_groups / sum_w
+    assert np.allclose(gw, g0 * f)
+    # hessian scales too, up to the post-scale floor
+    assert np.allclose(hw, np.maximum(h0 * f, 1e-16))
+
+
+def test_group_weight_norm_unit_weights_noop():
+    """Unit weights: sum w_group == n_groups so w * w_norm == 1 — the
+    weighted path must be bit-identical to the unweighted one."""
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 3, 12).astype(float)
+    m = rng.normal(size=12)
+    o0 = LambdaRankPairwise(num_pair=50)
+    ow = LambdaRankPairwise(num_pair=50)
+    ow.weight_norm = 1.0     # n_groups / n_groups
+    g0, h0 = o0.grad_hess_group(y, m, None)
+    gw, hw = ow.grad_hess_group(y, m, np.ones(12))
+    assert np.array_equal(g0, gw) and np.array_equal(h0, hw)
+
+
+def test_local_booster_sets_weight_norm_from_qid_weights():
+    """LocalBooster.fit computes weight_norm = n_groups / sum of one
+    representative weight per group (ranking_utils.cc:37-44)."""
+    from xgboost_spark.local.booster import LocalBooster
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(30, 3))
+    y = rng.integers(0, 3, 30).astype(float)
+    qid = np.repeat(np.arange(3), 10)
+    w = np.repeat([2.0, 1.0, 5.0], 10)     # constant within group
+    b = LocalBooster(TrainParams(objective="rank:ndcg",
+                                 num_boost_round=1, max_depth=2))
+    b.fit(X, y, sample_weight=w, qid=qid)
+    assert b.obj.weight_norm == pytest.approx(3.0 / 8.0)
+    # unweighted fit leaves the factor at exactly 1.0
+    b2 = LocalBooster(TrainParams(objective="rank:ndcg",
+                                  num_boost_round=1, max_depth=2))
+    b2.fit(X, y, qid=qid)
+    assert b2.obj.weight_norm == 1.0
+
+
+def test_spark_train_applies_group_weight_norm(spark):
+    """Distributed parity: uniform group weight 2.0 means
+    w * (n_groups / sum w) == 1 exactly, so the weighted fit must equal
+    the unweighted fit leaf-for-leaf (without the w_norm factor the
+    doubled gradients shift every leaf through lambda=1 shrinkage)."""
+    import pandas as pd
+
+    from xgboost_spark.plans.booster import train
+
+    rng = np.random.default_rng(11)
+    n = 80
+    pdf = pd.DataFrame({
+        "f0": rng.normal(size=n), "f1": rng.normal(size=n),
+        "label": rng.integers(0, 3, n).astype(float),
+        "q": np.repeat(np.arange(8), 10),
+        "w": np.full(n, 2.0),
+    })
+    df = spark.createDataFrame(pdf)
+    common = {"objective": "rank:ndcg", "num_boost_round": 3,
+              "max_depth": 3, "base_score": 0.0, "seed": 5}
+    m0 = train(dict(common), df, feature_cols=["f0", "f1"], qid_col="q")
+    mw = train(dict(common), df, feature_cols=["f0", "f1"], qid_col="q",
+               weight_col="w")
+    assert m0.to_json() == mw.to_json()

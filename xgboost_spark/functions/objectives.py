@@ -746,11 +746,17 @@ class LambdaRankNDCG(Objective):
       bias tables update CUMULATIVELY as t_i = (li_i/li_0)^(1/(1+eta))
       with eta = lambdarank_bias_norm (default 1.0).
 
-    Group weights: the reference multiplies each group's gradients by
-    w_group * (n_groups / sum w_group); this engine applies the per-row
-    weight column (identical when weights are constant within a group,
-    the ranking contract) and omits the global w-norm factor — a
-    documented simplification that is exact for unweighted data.
+    Group weights (lambdarank_obj.cc:376-387 ``w = h_weight[g]`` +
+    ranking_utils.cc:37-44 ``weight_norm_ = n_groups / sum_weights``):
+    the reference multiplies each group's gradients by
+    w_group * (n_groups / sum w_group).  This engine applies the
+    per-row weight column inside :meth:`grad_hess_group` (identical to
+    w_group when weights are constant within a group, the ranking
+    contract) and the trainer sets :attr:`weight_norm` to the GLOBAL
+    n_groups / sum-of-group-weights factor once per fit (the
+    RankingCache computes it once at construction; weights are
+    immutable during training).  Unweighted data leaves weight_norm at
+    exactly 1.0 — no behavior change.
     """
 
     name = "rank:ndcg"
@@ -770,6 +776,10 @@ class LambdaRankNDCG(Objective):
         self.bias_norm = bias_norm
         self.normalization = normalization
         self.score_normalization = score_normalization
+        # n_groups / sum(group weights) (ranking_utils.cc:37-44); the
+        # trainer computes it once per fit from the training frame —
+        # exactly 1.0 for unweighted data
+        self.weight_norm = 1.0
         T = self.bias_table_size()
         self.t_plus = np.ones(T)
         self.t_minus = np.ones(T)
@@ -945,6 +955,10 @@ class LambdaRankNDCG(Objective):
                 h *= norm
         if w is not None:
             g, h = g * w, h * w
+        if self.weight_norm != 1.0:
+            # gpair * w * w_norm (lambdarank_obj.cc:245-249): the global
+            # group-weight normalization scales grad AND hess
+            g, h = g * self.weight_norm, h * self.weight_norm
         return g, np.maximum(h, _EPS)
 
     def default_metric(self):

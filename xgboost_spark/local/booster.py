@@ -223,6 +223,16 @@ class LocalBooster:
         K = p.n_groups
         Xb = self.quantize(X, cat_features=cat_features)
         n = len(y)
+        if (self.obj.needs_qid and qid is not None
+                and sample_weight is not None):
+            # group-weight normalization n_groups / sum(w_group)
+            # (ranking_utils.cc:37-44): one representative row per
+            # group — the ranking contract keeps weights constant
+            # within a group
+            _, first_idx = np.unique(qid, return_index=True)
+            gw = np.asarray(sample_weight, dtype=np.float64)[first_idx]
+            if gw.sum() > 0:
+                self.obj.weight_norm = float(len(gw) / gw.sum())
         n_bins = max(len(c) for c in self.cuts)
         builder = _NumpyHistBuilder(Xb, self.cuts, n_bins)
         if p.base_score is not None:

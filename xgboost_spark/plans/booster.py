@@ -528,6 +528,22 @@ class SparkBooster:
         n_part = num_partitions or sc.defaultParallelism
         if has_q:
             raw = raw.repartition(n_part, "qid")   # co-locate ranking groups
+            if hasattr(obj, "weight_norm"):
+                # group-weight normalization n_groups / sum(w_group)
+                # (ranking_utils.cc:37-44, applied lambdarank_obj.cc:
+                # 245-249 as gpair * w * w_norm): computed ONCE per fit
+                # — weights are immutable during training — as a tiny
+                # two-level agg (per-group first() then a global
+                # count/sum), global across all workers.  Unweighted
+                # data stays at exactly 1.0 (sum w_group == n_groups).
+                obj.weight_norm = 1.0
+                if "weight" in raw.columns:
+                    r_wn = (raw.groupBy("qid")
+                            .agg(F.first("weight").alias("w"))
+                            .agg(F.count("*").alias("n"),
+                                 F.sum("w").alias("s")).first())
+                    if r_wn is not None and float(r_wn["s"] or 0.0) > 0.0:
+                        obj.weight_norm = float(r_wn["n"]) / float(r_wn["s"])
         # training continuation (reference training.py:183 xgb_model):
         # reuse the previous model's cuts and start margins at its output
         prev_state = None
