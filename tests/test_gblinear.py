@@ -225,3 +225,81 @@ def test_gblinear_multigroup_softmax_serving(spark, mc_lin_df, mc_lin_data):
     out = model.transform(mc_lin_df, feature_cols=fc).toPandas()
     acc = float((out["prediction"].to_numpy() == y).mean())
     assert acc > 0.95, acc
+
+
+def test_gblinear_multigroup_wide_fallback(spark):
+    """F > 256 multi-group training takes the one-snapshot (Jacobi)
+    fallback — the scalar wide path's documented semantics, per group
+    (no K*F^2 payload) — instead of raising.  A driver-side NumPy
+    replay of the exact same bias-first frozen-snapshot math must
+    reproduce the trained weights."""
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.functions.objectives import get_objective
+    from xgboost_spark.plans.linear import (_coordinate_delta,
+                                            _coordinate_delta_bias)
+
+    rng = np.random.default_rng(9)
+    n, Fw, K = 120, 260, 3
+    X = rng.normal(size=(n, Fw))
+    y = rng.integers(0, K, n).astype(float)
+    pdf = pd.DataFrame(X, columns=[f"x{i}" for i in range(Fw)])
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    fc = [f"x{i}" for i in range(Fw)]
+    rounds = 2
+    model = train_linear({"booster": "gblinear",
+                          "objective": "multi:softprob",
+                          "num_class": K, "num_boost_round": rounds,
+                          "eta": 0.5}, df, feature_cols=fc)
+    assert model.weights.shape == (Fw, K)
+
+    # NumPy replay of the Jacobi fallback (eta=0.5, lambda=alpha=0
+    # gblinear defaults; penalties denormalized by n are zero here)
+    obj = get_objective("multi:softprob",
+                        TrainParams(objective="multi:softprob", num_class=K))
+    W = np.zeros((Fw, K))
+    bias = np.zeros(K)
+    eta = 0.5
+    for _ in range(rounds):
+        M = 0.5 + bias[None, :] + X @ W
+        g, h = obj.grad_hess(y, M, None)
+        G, H = g.sum(axis=0), h.sum(axis=0)
+        gx = X.T @ g                    # (F, K)
+        hx2 = (X * X).T @ h
+        hb = X.T @ h
+        for k in range(K):
+            dbias = eta * _coordinate_delta_bias(float(G[k]), float(H[k]))
+            bias[k] += dbias
+            gxk = gx[:, k] + dbias * hb[:, k]
+            for f in range(Fw):         # cyclic, frozen snapshot
+                W[f, k] += eta * _coordinate_delta(
+                    gxk[f], hx2[f, k], W[f, k], 0.0, 0.0)
+    assert np.allclose(model.weights, W, atol=1e-8)
+    assert np.allclose(model.bias, bias, atol=1e-8)
+    # serving matches the replayed weights
+    out = model.transform(df.limit(20), feature_cols=fc,
+                          output_margin=True).toPandas()
+    Mv = np.stack(out["margin"].to_numpy())
+    Xs = pdf[fc].to_numpy()[:20]
+    assert np.allclose(Mv, 0.5 + bias[None, :] + Xs @ W, atol=1e-7)
+
+
+def test_gblinear_pred_interactions_zero_tensor(spark, lin_df, mc_lin_df):
+    """gblinear PredictInteractionContributions is a zero tensor of
+    rows x n_groups x F x F — "linear models have no interaction
+    effects" (gblinear.cc:192-204).  API parity: scalar emits a flat
+    F*F zero array; K>1 emits K such blocks."""
+    fc = [f"c{i}" for i in range(4)]
+    m = train_linear({"booster": "gblinear", "num_boost_round": 2},
+                     lin_df, feature_cols=fc)
+    out = m.transform(lin_df.limit(5), feature_cols=fc,
+                      pred_interactions=True).toPandas()
+    I = np.stack(out["interactions"].to_numpy())
+    assert I.shape == (5, 16) and not I.any()
+    mc = train_linear({"booster": "gblinear", "objective": "multi:softprob",
+                       "num_class": 3, "num_boost_round": 2},
+                      mc_lin_df, feature_cols=["c0", "c1", "c2"])
+    out2 = mc.transform(mc_lin_df.limit(4), feature_cols=["c0", "c1", "c2"],
+                        pred_interactions=True).toPandas()
+    I2 = np.stack([np.stack(r) for r in out2["interactions"].to_numpy()])
+    assert I2.shape == (4, 3, 9) and not I2.any()

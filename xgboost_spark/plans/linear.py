@@ -98,11 +98,19 @@ class LinearModel:
 
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
                   output_margin: bool = False,
-                  pred_contribs: bool = False) -> DataFrame:
+                  pred_contribs: bool = False,
+                  pred_interactions: bool = False) -> DataFrame:
         """``pred_contribs``: per-feature contribution array (w_f * x_f,
         bias+intercept last) — the reference's gblinear contribution
         semantics (`src/gbm/gblinear.cc:153-194` PredictContribution:
-        linear terms are exact Shapley values).  Pure expressions."""
+        linear terms are exact Shapley values).  Pure expressions.
+
+        ``pred_interactions``: the reference's gblinear
+        PredictInteractionContributions (`src/gbm/gblinear.cc:192-204`)
+        — "linear models have no interaction effects" — fills
+        rows x n_groups x F x F with ZEROS; exposed for API parity as
+        an ``interactions`` column (flat F*F zero array per row; K > 1
+        emits K such blocks, mirroring ``contribs``)."""
         name = self.params.objective
         if self.n_groups > 1:
             margins = self.margin_exprs(feature_cols)
@@ -140,6 +148,12 @@ class LinearModel:
                     ] + [F.lit(float(self.bias[k]) + b)]
                     blocks.append(F.array(*terms))
                 out = out.withColumn("contribs", F.array(*blocks))
+            if pred_interactions:
+                Fn = len(feature_cols or self.feature_names)
+                zeros = F.array_repeat(F.lit(0.0), Fn * Fn)
+                out = out.withColumn(
+                    "interactions",
+                    F.array(*[zeros for _ in range(self.n_groups)]))
             return out
         m = self.margin_expr(feature_cols)
         if name in ("binary:logistic", "reg:logistic"):
@@ -158,6 +172,10 @@ class LinearModel:
                 for w, c in zip(self.weights, cols)
             ] + [F.lit(float(self.bias + self.base_score))]
             out = out.withColumn("contribs", F.array(*terms))
+        if pred_interactions:
+            Fn = len(feature_cols or self.feature_names)
+            out = out.withColumn("interactions",
+                                 F.array_repeat(F.lit(0.0), Fn * Fn))
         return out
 
     def to_json(self) -> str:
@@ -630,15 +648,19 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
     aggregated JVM-side; the driver applies the shotgun update to every
     group's coordinates from that single snapshot.  The multiclass
     intercept is identity-link 0.5 (reference multiclass default base
-    score), like the tree path."""
+    score), like the tree path.
+
+    Past ``_EXACT_SEQ_MAX_F`` features the K*F^2 cross-product payload
+    of the exact sequential replay stops being cheap, so — exactly like
+    the scalar path — a one-snapshot (Jacobi) pass with the same
+    bias-first CoordinateDelta math stands in: per group the bias step
+    propagates into the gradient sums (dbias * sum h_k x_f) and every
+    coordinate evaluates against the FROZEN snapshot.  At that width
+    the reference's own lock-free shotgun races make sequential
+    bit-parity moot; the payload drops to 3*K*F doubles."""
     Fn = len(fnames)
     K = p.n_groups
-    if Fn > _EXACT_SEQ_MAX_F:
-        raise NotImplementedError(
-            f"multi-group gblinear with {Fn} features: the exact "
-            f"sequential-replay payload is K*F^2 doubles per partition "
-            f"(cap {_EXACT_SEQ_MAX_F}); reduce the feature count or "
-            "train per-class scalar models")
+    exact_seq = Fn <= _EXACT_SEQ_MAX_F
     base_score = float(p.base_score) if p.base_score is not None else 0.5
     W = np.zeros((Fn, K))
     bias = np.zeros(K)
@@ -651,6 +673,8 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
     lam_d, alpha_d = lam_l * sum_iw, alpha_l * sum_iw
     arr_schema = ("G array<double>, H array<double>, gx array<double>, "
                   "hx array<double>, M array<double>")
+    wide_schema = ("G array<double>, H array<double>, gx array<double>, "
+                   "hx2 array<double>, HB array<double>")
 
     for it in range(p.num_boost_round):
         bw = W.copy()
@@ -684,55 +708,121 @@ def _train_linear_multigroup(p: TrainParams, raw: DataFrame,
             obj.set_scale(np.array([float(r_sc[f"s{i}"] or 0.0)
                                     for i in range(_n_st)]))
 
-        def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-            G = np.zeros(K)
-            H = np.zeros(K)
-            gx = np.zeros((K, Fn))
-            hx = np.zeros((K, Fn))
-            Mk = np.zeros((K, Fn, Fn))
-            for pdf in it_:
-                if len(pdf) == 0:
-                    continue
-                X = np.column_stack([
-                    np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
-                                                  na_value=np.nan))
-                    for c in fnames])
-                y = pdf["label"].to_numpy(dtype=np.float64)
-                w_ = (pdf["weight"].to_numpy(dtype=np.float64)
-                      if has_w else None)
-                M = bb[None, :] + X @ bw             # (n, K)
-                g, h = obj.grad_hess(y, M, w_)       # (n, K)
-                G += g.sum(axis=0)
-                H += h.sum(axis=0)
-                gx += (X.T @ g).T
-                hx += (X.T @ h).T
-                for k in range(K):
-                    Mk[k] += (X * h[:, k][:, None]).T @ X
-            yield pd.DataFrame({
-                "G": [G.tolist()], "H": [H.tolist()],
-                "gx": [gx.reshape(-1).tolist()],
-                "hx": [hx.reshape(-1).tolist()],
-                "M": [Mk.reshape(-1).tolist()]})
+        if exact_seq:
+            def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+                G = np.zeros(K)
+                H = np.zeros(K)
+                gx = np.zeros((K, Fn))
+                hx = np.zeros((K, Fn))
+                Mk = np.zeros((K, Fn, Fn))
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    M = bb[None, :] + X @ bw             # (n, K)
+                    g, h = obj.grad_hess(y, M, w_)       # (n, K)
+                    G += g.sum(axis=0)
+                    H += h.sum(axis=0)
+                    gx += (X.T @ g).T
+                    hx += (X.T @ h).T
+                    for k in range(K):
+                        Mk[k] += (X * h[:, k][:, None]).T @ X
+                yield pd.DataFrame({
+                    "G": [G.tolist()], "H": [H.tolist()],
+                    "gx": [gx.reshape(-1).tolist()],
+                    "hx": [hx.reshape(-1).tolist()],
+                    "M": [Mk.reshape(-1).tolist()]})
 
-        parts = raw.mapInPandas(sums_fn, schema=arr_schema).toPandas()
-        Gv = np.sum(np.stack(parts["G"].map(np.asarray)), axis=0)
-        Hv = np.sum(np.stack(parts["H"].map(np.asarray)), axis=0)
-        gxv = np.sum(np.stack(parts["gx"].map(np.asarray)),
-                     axis=0).reshape(K, Fn)
-        hxv = np.sum(np.stack(parts["hx"].map(np.asarray)),
-                     axis=0).reshape(K, Fn)
-        Mv = np.sum(np.stack(parts["M"].map(np.asarray)),
-                    axis=0).reshape(K, Fn, Fn)
+            parts = raw.mapInPandas(sums_fn, schema=arr_schema).toPandas()
+            Gv = np.sum(np.stack(parts["G"].map(np.asarray)), axis=0)
+            Hv = np.sum(np.stack(parts["H"].map(np.asarray)), axis=0)
+            gxv = np.sum(np.stack(parts["gx"].map(np.asarray)),
+                         axis=0).reshape(K, Fn)
+            hxv = np.sum(np.stack(parts["hx"].map(np.asarray)),
+                         axis=0).reshape(K, Fn)
+            Mv = np.sum(np.stack(parts["M"].map(np.asarray)),
+                        axis=0).reshape(K, Fn, Fn)
 
-        # per-group exact sequential replay (gblinear.cc DoBoost loops
-        # gid; updater runs bias-first + residual-updated coordinates)
-        for k in range(K):
-            wk = W[:, k].copy()
-            bias[k] = _replay_linear_round(
-                wk, float(bias[k]), float(Gv[k]), float(Hv[k]),
-                gxv[k], hxv[k], Mv[k], eta_l, lam_d, alpha_d,
-                p.feature_selector, rng, p.top_k)
-            W[:, k] = wk
+            # per-group exact sequential replay (gblinear.cc DoBoost
+            # loops gid; updater runs bias-first + residual-updated
+            # coordinates)
+            for k in range(K):
+                wk = W[:, k].copy()
+                bias[k] = _replay_linear_round(
+                    wk, float(bias[k]), float(Gv[k]), float(Hv[k]),
+                    gxv[k], hxv[k], Mv[k], eta_l, lam_d, alpha_d,
+                    p.feature_selector, rng, p.top_k)
+                W[:, k] = wk
+        else:
+            # wide-feature (F > _EXACT_SEQ_MAX_F) fallback — the scalar
+            # path's one-snapshot Jacobi pass, per group: same
+            # CoordinateDelta/bias-first math, NO in-round residual
+            # propagation; payload 3*K*F doubles instead of K*F^2
+            def sums_fn(it_: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+                G = np.zeros(K)
+                H = np.zeros(K)
+                gx = np.zeros((K, Fn))
+                hx2 = np.zeros((K, Fn))
+                hb = np.zeros((K, Fn))
+                for pdf in it_:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.column_stack([
+                        np.nan_to_num(pdf[c].to_numpy(dtype=np.float64,
+                                                      na_value=np.nan))
+                        for c in fnames])
+                    y = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    M = bb[None, :] + X @ bw             # (n, K)
+                    g, h = obj.grad_hess(y, M, w_)       # (n, K)
+                    G += g.sum(axis=0)
+                    H += h.sum(axis=0)
+                    gx += (X.T @ g).T
+                    hx2 += ((X * X).T @ h).T
+                    hb += (X.T @ h).T
+                yield pd.DataFrame({
+                    "G": [G.tolist()], "H": [H.tolist()],
+                    "gx": [gx.reshape(-1).tolist()],
+                    "hx2": [hx2.reshape(-1).tolist()],
+                    "HB": [hb.reshape(-1).tolist()]})
+
+            parts = raw.mapInPandas(sums_fn, schema=wide_schema).toPandas()
+            Gv = np.sum(np.stack(parts["G"].map(np.asarray)), axis=0)
+            Hv = np.sum(np.stack(parts["H"].map(np.asarray)), axis=0)
+            gxv = np.sum(np.stack(parts["gx"].map(np.asarray)),
+                         axis=0).reshape(K, Fn)
+            hx2v = np.sum(np.stack(parts["hx2"].map(np.asarray)),
+                          axis=0).reshape(K, Fn)
+            hbv = np.sum(np.stack(parts["HB"].map(np.asarray)),
+                         axis=0).reshape(K, Fn)
+            for k in range(K):
+                dbias = eta_l * _coordinate_delta_bias(
+                    float(Gv[k]), float(Hv[k]))
+                bias[k] += dbias
+                gxk = gxv[k] + dbias * hbv[k]   # bias residual propagation
+                order = np.arange(Fn)
+                if p.feature_selector == "shuffle":
+                    order = rng.permutation(Fn)
+                elif p.feature_selector == "random":
+                    order = rng.integers(0, Fn, size=Fn)
+                elif p.feature_selector in ("greedy", "thrifty"):
+                    mag = np.array([abs(_coordinate_delta(
+                        gxk[i], hx2v[k, i], W[i, k], alpha_d, lam_d))
+                        for i in range(Fn)])
+                    order = np.argsort(-mag, kind="stable")
+                    limit = min(p.top_k if p.top_k > 0 else Fn,
+                                max(Fn - 1, 1))
+                    order = order[:limit]
+                for f in order:
+                    W[f, k] += eta_l * _coordinate_delta(
+                        gxk[f], hx2v[k, f], W[f, k], alpha_d, lam_d)
 
         if evals:
             model = LinearModel(p, base_score, W.copy(), bias.copy(),
