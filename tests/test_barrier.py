@@ -448,3 +448,36 @@ def test_barrier_scan_partitioning_no_shuffle(spark, tmp_path):
                 assert np.allclose(t1.leaf_value, t2.leaf_value)
     finally:
         spark.conf.set(key, orig)
+
+
+def test_mpb_conf_restored_on_setup_exception(spark, sf_dir):
+    """The scan-split adoption path grows
+    spark.sql.files.maxPartitionBytes session-globally while the
+    barrier action plans; an exception raised AFTER the mutation but
+    BEFORE/DURING the action must still restore the caller's value
+    (the whole setup+action now runs under one try/finally)."""
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.functions.objectives import get_objective
+    from xgboost_spark.plans.barrier import fit_barrier
+    from xgboost_spark.sources.tables import load_table
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    tiny = "65536"
+    spark.conf.set(key, tiny)
+    try:
+        li = (load_table(spark, sf_dir, "lineitem")
+              .selectExpr("l_quantity as f0", "l_discount as f1",
+                          "l_extendedprice as label"))
+        # the tiny conf gives the parquet scan many splits; n_part=1
+        # forces the growth loop to mutate the conf before bad `cuts`
+        # raise at broadcast time (first statement after the mutation)
+        p = TrainParams(objective="reg:squarederror", num_boost_round=1)
+        obj = get_objective(p.objective, p)
+        bad_cuts = [["not-a-float"], ["also-bad"]]
+        with pytest.raises(ValueError):
+            fit_barrier(p, obj, li, ["f0", "f1"], bad_cuts, None, 0.5,
+                        None, None, 1)
+        assert spark.conf.get(key) == tiny
+    finally:
+        spark.conf.set(key, old)

@@ -420,446 +420,458 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 _mpb_restore = None
             sel = sel.repartition(n_part)
 
-    bc_cuts = sc.broadcast([np.asarray(c, dtype=np.float64) for c in cuts])
-    bc_cat = sc.broadcast(cat_mask)
-    bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
-    seed = p.seed
+    # everything from here through the barrier action runs under one
+    # try/finally: an exception ANYWHERE after the maxPartitionBytes
+    # mutation above (setup validation, broadcasts, the action itself)
+    # must still restore the session conf — see the finally below
+    try:
+        bc_cuts = sc.broadcast([np.asarray(c, dtype=np.float64) for c in cuts])
+        bc_cat = sc.broadcast(cat_mask)
+        bc_prev = sc.broadcast(prev_state) if prev_state is not None else None
+        seed = p.seed
 
-    # fault tolerance (TrainParams.checkpoint_dir): rank 0 periodically
-    # persists the model-so-far; a retried barrier job — or a re-issued
-    # fit() after a failure — resumes from it instead of round 0.
-    # Exactness: plain boosting replays margins from the stored trees
-    # (immutable history); DART re-weights historical trees, so its
-    # checkpoint carries a per-round dropout/rescale EVENT LOG and
-    # resume replays the exact float-op sequence (same dw expressions,
-    # same order) — bit-identical either way.  multi_output_tree +
-    # adaptive leaves (history refreshed after the margin update) stays
-    # rejected.
-    ckpt_path = None
-    if p.checkpoint_dir:
-        if (p.booster == "dart"
-                and K > 1 and p.multi_strategy == "multi_output_tree"):
-            raise ValueError(
-                "checkpoint_dir: dart resume replays the per-round "
-                "dropout/rescale event log, which assumes weighted "
-                "scalar-leaf margin updates; multi_output_tree ignores "
-                "tree weights and is unsupported")
-        if (K > 1 and p.multi_strategy == "multi_output_tree"
-                and obj.adaptive_alpha is not None):
-            raise ValueError(
-                "checkpoint_dir: exact resume needs immutable historical "
-                "trees; multi_output_tree+custom adaptive leaves are "
-                "unsupported")
-        os.makedirs(p.checkpoint_dir, exist_ok=True)
-        ckpt_path = os.path.join(p.checkpoint_dir, "barrier_ckpt.pkl")
-    # fingerprint of everything resume-exactness depends on: a stale
-    # checkpoint from a DIFFERENT configuration (params, features,
-    # partitioning, data intercept) sharing the dir must be rejected,
-    # not silently resumed into the wrong model
-    ckpt_fp = hashlib.md5(repr((
-        sorted((k, repr(v)) for k, v in vars(p).items()
-               if k != "checkpoint_dir"),
-        list(fnames), int(n_part),
-        np.asarray(base_score, dtype=np.float64).tolist(),
-    )).encode()).hexdigest()
+        # fault tolerance (TrainParams.checkpoint_dir): rank 0 periodically
+        # persists the model-so-far; a retried barrier job — or a re-issued
+        # fit() after a failure — resumes from it instead of round 0.
+        # Exactness: plain boosting replays margins from the stored trees
+        # (immutable history); DART re-weights historical trees, so its
+        # checkpoint carries a per-round dropout/rescale EVENT LOG and
+        # resume replays the exact float-op sequence (same dw expressions,
+        # same order) — bit-identical either way.  multi_output_tree +
+        # adaptive leaves (history refreshed after the margin update) stays
+        # rejected.
+        ckpt_path = None
+        if p.checkpoint_dir:
+            if (p.booster == "dart"
+                    and K > 1 and p.multi_strategy == "multi_output_tree"):
+                raise ValueError(
+                    "checkpoint_dir: dart resume replays the per-round "
+                    "dropout/rescale event log, which assumes weighted "
+                    "scalar-leaf margin updates; multi_output_tree ignores "
+                    "tree weights and is unsupported")
+            if (K > 1 and p.multi_strategy == "multi_output_tree"
+                    and obj.adaptive_alpha is not None):
+                raise ValueError(
+                    "checkpoint_dir: exact resume needs immutable historical "
+                    "trees; multi_output_tree+custom adaptive leaves are "
+                    "unsupported")
+            os.makedirs(p.checkpoint_dir, exist_ok=True)
+            ckpt_path = os.path.join(p.checkpoint_dir, "barrier_ckpt.pkl")
+        # fingerprint of everything resume-exactness depends on: a stale
+        # checkpoint from a DIFFERENT configuration (params, features,
+        # partitioning, data intercept) sharing the dir must be rejected,
+        # not silently resumed into the wrong model
+        ckpt_fp = hashlib.md5(repr((
+            sorted((k, repr(v)) for k, v in vars(p).items()
+                   if k != "checkpoint_dir"),
+            list(fnames), int(n_part),
+            np.asarray(base_score, dtype=np.float64).tolist(),
+        )).encode()).hexdigest()
 
-    from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
-    from xgboost_spark.plans.booster import _compute_grads, _maximize
+        from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
+        from xgboost_spark.plans.booster import _compute_grads, _maximize
 
-    def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import BarrierTaskContext
-        ctx = BarrierTaskContext.get()
-        comm = RingComm.create(ctx)
-        try:
-            cuts_l = bc_cuts.value
-            cm = bc_cat.value
-            parts = [pdf for pdf in it if len(pdf)]
-            if parts:
-                full = pd.concat(parts, ignore_index=True)
-            else:
-                full = pd.DataFrame({c: pd.Series([], dtype="float64")
-                                     for c in need_r})
-
-            Fn = len(fnames)
-
-            def load_rows(pdf):
-                """(Xb, y, w, q, bounds, margin) for one role's rows."""
-                nn = len(pdf)
-                Xb_ = np.empty((nn, Fn), dtype=np.int16)
-                for i, c in enumerate(fnames):
-                    x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
-                    Xb_[:, i] = (core.bin_categorical(x, len(cuts_l[i]))
-                                 if cm is not None and cm[i]
-                                 else core.bin_values(x, cuts_l[i]))
-                bounds_ = None
-                if has_b:
-                    yl = pdf["label_lower"].to_numpy(dtype=np.float64)
-                    yu = pdf["label_upper"].to_numpy(dtype=np.float64,
-                                                     na_value=np.inf)
-                    bounds_ = (yl, yu)
-                    y_ = (pdf["label"].to_numpy(dtype=np.float64)
-                          if has_y else yl)
+        def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import BarrierTaskContext
+            ctx = BarrierTaskContext.get()
+            comm = RingComm.create(ctx)
+            try:
+                cuts_l = bc_cuts.value
+                cm = bc_cat.value
+                parts = [pdf for pdf in it if len(pdf)]
+                if parts:
+                    full = pd.concat(parts, ignore_index=True)
                 else:
-                    y_ = pdf["label"].to_numpy(dtype=np.float64)
-                w_ = (pdf["weight"].to_numpy(dtype=np.float64)
-                      if has_w else None)
-                q_ = (pdf["qid"].to_numpy(dtype=np.int64) if has_q else None)
-                if has_bm:
-                    # base_margin REPLACES base_score (predictor.cc:66)
-                    m_ = np.repeat(pdf["base_margin"]
-                                   .to_numpy(dtype=np.float64)[:, None], K, 1)
-                else:
-                    m_ = np.full((nn, K), base_score, dtype=np.float64)
-                if bc_prev is not None:
-                    # training continuation (reference xgb_model,
-                    # training.py:183): previous model's margin, raw-domain
-                    # traversal on this task's rows
-                    st_prev = bc_prev.value
-                    Xr = np.column_stack([
-                        pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
-                        for c in fnames]) if nn else np.empty((0, Fn))
-                    core.apply_model_margin(m_, st_prev["trees"],
-                                            st_prev["weights"], Xr, False, K)
-                return Xb_, y_, w_, q_, bounds_, m_
+                    full = pd.DataFrame({c: pd.Series([], dtype="float64")
+                                         for c in need_r})
 
-            role = (full["_role"].to_numpy(dtype=np.int64)
-                    if "_role" in full.columns else np.zeros(len(full), np.int64))
-            Xb, y, w, q, bounds, margin = load_rows(full[role == 0])
-            n = len(y)
-            ev_states = [load_rows(full[role == i + 1])
-                         for i in range(len(eval_names))]
+                Fn = len(fnames)
 
-            n_bins = max(len(c) for c in cuts_l)
-            is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
-            is_approx = p.tree_method == "approx"
-            builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
-                       if is_multi
-                       else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
-            fw = (np.asarray(p.feature_weights, dtype=np.float64)
-                  if p.feature_weights is not None else None)
-            rng = np.random.default_rng(p.seed)
-            n_forest = max(p.num_parallel_tree, 1)
-            is_dart = p.booster == "dart"
-            tree_weights: list[float] = []
-            trees: list[list[core.Tree]] = []
-            history: dict[str, dict[str, list[float]]] = {}
-            best_it = None
-            best_metric = None
-            start_round = 0
-            # DART resume needs the exact per-round op sequence, not
-            # just final weights: one entry per completed round with the
-            # dropped tree indices, their PRE-rescale weights, the
-            # rescale factor and the new tree's weight
-            dart_log: list[dict] = []
-            if ckpt_path and os.path.exists(ckpt_path):
-                # resume: every rank reads the same checkpoint and
-                # replays the stored trees over its local rows in the
-                # EXACT accumulation order of the incremental updates,
-                # so margins — and therefore every subsequent round —
-                # are bit-identical to an uninterrupted run.  rng and
-                # objective state (e.g. lambdarank position-bias
-                # tables) ride along so stateful draws continue
-                # deterministically.
-                with open(ckpt_path, "rb") as fh:
-                    ck = pickle.load(fh)
-                if ck.get("fingerprint") != ckpt_fp:
-                    raise ValueError(
-                        "checkpoint_dir holds a checkpoint from a "
-                        "different fit configuration (params/features/"
-                        "partitioning mismatch); refusing to resume — "
-                        "clear the directory or use a distinct one per "
-                        "fit")
-                if not 0 < ck["round"] < p.num_boost_round:
-                    raise ValueError(
-                        f"checkpoint round {ck['round']} is outside "
-                        f"(0, {p.num_boost_round}); a completed or "
-                        "corrupt checkpoint cannot be resumed")
-                trees = ck["trees"]
-                tree_weights = ck["tree_weights"]
-                history = ck["history"]
-                best_it, best_metric = ck["best_it"], ck["best_metric"]
-                rng = ck["rng"]
-                obj.__dict__.update(ck["obj_state"])
-                start_round = ck["round"]
-                dart_log = ck.get("dart_log", [])
-                replay = [(Xb, margin, True)] + [(st[0], st[5], False)
-                                                 for st in ev_states]
-                for ri, rt in enumerate(trees):
-                    ev = dart_log[ri] if (is_dart and ri < len(dart_log)) \
-                        else None
-                    for Xc, mc, is_train_m in replay:
-                        if is_multi:
-                            mc += core.tree_predict(rt[0], Xc, binned=True)
-                            continue
-                        if ev and ev["dropped"]:
-                            # replay the round's rescale deltas with the
-                            # SAME float expressions the live loop used
-                            # (train and eval paths compute dw through
-                            # different — algebraically equal, bitwise
-                            # distinct — forms; see the loop below)
-                            f_ = ev["factor"]
-                            for di, d in enumerate(ev["dropped"]):
-                                w_old = ev["w_old"][di]
-                                dw = (w_old * (f_ - 1.0) if is_train_m
-                                      else (w_old * f_) * (1.0 - 1.0 / f_))
-                                nf2 = len(trees[d]) // K
-                                for k2 in range(K):
-                                    for j in range(nf2):
-                                        mc[:, k2] += dw * core.tree_predict(
-                                            trees[d][k2 * nf2 + j], Xc,
-                                            binned=True)
-                        w_r = ev["w_new"] if ev is not None else tree_weights[ri]
-                        ti = 0
-                        for k in range(K):
-                            for _ in range(len(rt) // K):
-                                mc[:, k] += w_r * \
-                                    core.tree_predict(rt[ti], Xc,
-                                                      binned=True)
-                                ti += 1
-            for it_round in range(start_round, p.num_boost_round):
-                # DART dropout (reference gbtree.h:89-123 DropTrees):
-                # selection draws are deterministic from the shared rng,
-                # margin corrections are local rows
-                dropped: list[int] = []
-                if is_dart and trees:
-                    if not (p.skip_drop > 0.0 and rng.random() < p.skip_drop):
-                        if p.sample_type == "weighted":
-                            wts = np.asarray(tree_weights)
-                            probs = np.minimum(
-                                p.rate_drop * wts * len(wts)
-                                / max(wts.sum(), 1e-16), 1.0)
-                            mask = rng.random(len(trees)) < probs
-                        else:
-                            mask = rng.random(len(trees)) < p.rate_drop
-                        if p.one_drop and not mask.any():
-                            mask[rng.integers(0, len(trees))] = True
-                        dropped = [i for i in range(len(trees)) if mask[i]]
-                if dropped:
-                    m_eff = margin.copy()
-                    for ri in dropped:
-                        nf = len(trees[ri]) // K
-                        for k2 in range(K):
-                            for j in range(nf):
-                                m_eff[:, k2] -= tree_weights[ri] * core.tree_predict(
-                                    trees[ri][k2 * nf + j], Xb, binned=True)
-                else:
-                    m_eff = margin
-                if obj.needs_global_scale:
-                    # per-iteration global residual scale (reference
-                    # MAE/quantile GlobalSum, regression_obj.cu:655-660 /
-                    # quantile_obj.cu:139-142): one tiny allreduce of the
-                    # per-target sqrt-residual sums, every worker then
-                    # computes gradients with the SAME scale
-                    m_sc = m_eff if K > 1 else m_eff[:, 0]
-                    obj.set_scale(comm.allreduce_sum(
-                        obj.scale_stats(y, m_sc, w)))
-                is_mvs = (p.subsample < 1.0
-                          and getattr(p, "sampling_method", "uniform")
-                          == "gradient_based")
-                g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
-                                      1.0 if is_mvs else p.subsample, K,
-                                      bounds=bounds)
-                if is_mvs:
-                    # MVS gradient-based sampling (reference
-                    # src/tree/hist/sampler.cc GradientBasedSampling):
-                    # the threshold u is GLOBAL — every worker derives
-                    # the identical u from allreduced histograms, then
-                    # keeps row i w.p. min(1, rag_i/u) and rescales its
-                    # gradients by 1/p (expectation-preserving)
-                    rag = core.mvs_reg_abs_grad(g, h)
-                    u = _mvs_threshold_allreduce(comm, rag, p.subsample)
-                    mvs_rng = np.random.default_rng(
-                        ((seed + it_round) * 1_000_003
-                         + getattr(comm, "rank", 0)) & 0x7FFFFFFF)
-                    core.apply_mvs(g, h, rag, u, mvs_rng)
-                if getattr(obj, "unbiased", False):
-                    # position-bias update: sum this round's pair-cost
-                    # accumulators over all workers, then every worker
-                    # applies the SAME t+/t- tables (one tiny allreduce,
-                    # mirroring the reference's distributed estimation)
-                    costs = comm.allreduce_sum(obj.take_round_costs())
-                    obj.apply_position_bias(costs)
-                fmask = None
-                if p.colsample_bytree < 1.0:
-                    fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
-                bounds_list = None
-                if is_approx:
-                    # per-round hessian-weighted re-quantization
-                    Xb_c, coarse_cuts, bounds_list = _approx_rebin(
-                        comm, Xb, h, cuts_l, cm, p.max_bin)
-                    nb_c = max(len(c) for c in coarse_cuts)
-                    builder = (_AllreduceMultiHistBuilder(
-                                   Xb_c, coarse_cuts, nb_c, K, comm)
-                               if is_multi else
-                               _AllreduceHistBuilder(
-                                   Xb_c, coarse_cuts, nb_c, comm))
-                round_trees: list[core.Tree] = []
-                if is_multi:
-                    builder.set_grad(g, h)
-                    tree = core.grow_tree_multi(builder, p, rng,
-                                                feature_mask_tree=fmask)
-                    round_trees = [tree]
-                else:
-                    for k in range(K):
-                        builder.set_grad(g[:, k], h[:, k])
-                        forest = []
-                        for _ in range(n_forest):
-                            # root stats derive from the allreduced root
-                            # histogram, matching the DataFrame path
-                            tree = core.grow_tree(
-                                builder, p, rng,
-                                feature_mask_tree=fmask, monotone=mono,
-                                interaction_sets=isets, cat_features=cm)
-                            forest.append(tree)
-                        if n_forest > 1:
-                            for t in forest:
-                                t.leaf_value = [v / n_forest
-                                                for v in t.leaf_value]
-                        round_trees.extend(forest)
-                if bounds_list is not None:
-                    # back to the global fine bin space: all later
-                    # traversals use the one persistent binned matrix
-                    for t in round_trees:
-                        _remap_split_bins(t, bounds_list)
-                if is_multi:
-                    if bounds_list is not None:
-                        # approx: split bins were remapped to the fine
-                        # space — the coarse builder's cache no longer
-                        # matches the tree; route on the fine matrix
-                        margin += core.tree_predict(round_trees[0], Xb,
-                                                    binned=True)
+                def load_rows(pdf):
+                    """(Xb, y, w, q, bounds, margin) for one role's rows."""
+                    nn = len(pdf)
+                    Xb_ = np.empty((nn, Fn), dtype=np.int16)
+                    for i, c in enumerate(fnames):
+                        x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                        Xb_[:, i] = (core.bin_categorical(x, len(cuts_l[i]))
+                                     if cm is not None and cm[i]
+                                     else core.bin_values(x, cuts_l[i]))
+                    bounds_ = None
+                    if has_b:
+                        yl = pdf["label_lower"].to_numpy(dtype=np.float64)
+                        yu = pdf["label_upper"].to_numpy(dtype=np.float64,
+                                                         na_value=np.inf)
+                        bounds_ = (yl, yu)
+                        y_ = (pdf["label"].to_numpy(dtype=np.float64)
+                              if has_y else yl)
                     else:
-                        margin += round_trees[0].finalize_arrays()[
-                            "leaf_value"][
-                                builder.leaf_assignment(round_trees[0])]
-                if obj.adaptive_alpha is not None:
-                    aa = obj.adaptive_alpha
-                    for ti, t in enumerate(round_trees):
-                        k_r = ti // n_forest
-                        _leaf_quantile_refresh(
-                            comm, t, Xb, y - margin[:, k_r], w,
-                            aa[k_r] if isinstance(aa, tuple) else aa, p.eta,
-                            leaf=(builder.leaf_assignment(t)
-                                  if bounds_list is None else None))
-                # DART normalization (reference normalize_type semantics)
-                kdrop = len(dropped)
-                if is_dart and kdrop > 0:
-                    if p.normalize_type == "forest":
-                        w_new = 1.0 / (1.0 + p.eta)
-                        factor = 1.0 / (1.0 + p.eta)
+                        y_ = pdf["label"].to_numpy(dtype=np.float64)
+                    w_ = (pdf["weight"].to_numpy(dtype=np.float64)
+                          if has_w else None)
+                    q_ = (pdf["qid"].to_numpy(dtype=np.int64) if has_q else None)
+                    if has_bm:
+                        # base_margin REPLACES base_score (predictor.cc:66)
+                        m_ = np.repeat(pdf["base_margin"]
+                                       .to_numpy(dtype=np.float64)[:, None], K, 1)
                     else:
-                        w_new = 1.0 / (kdrop + p.eta)
-                        factor = kdrop / (kdrop + p.eta)
-                    if is_dart:
-                        dart_log.append({
-                            "dropped": list(dropped),
-                            "w_old": [tree_weights[ri] for ri in dropped],
-                            "factor": factor, "w_new": w_new})
-                    for ri in dropped:
-                        dw = tree_weights[ri] * (factor - 1.0)
-                        nf = len(trees[ri]) // K
-                        for k2 in range(K):
-                            for j in range(nf):
-                                margin[:, k2] += dw * core.tree_predict(
-                                    trees[ri][k2 * nf + j], Xb, binned=True)
-                        tree_weights[ri] *= factor
-                else:
-                    w_new = 1.0
-                    if is_dart:
-                        dart_log.append({"dropped": [], "w_old": [],
-                                         "factor": 1.0, "w_new": w_new})
-                if not is_multi:
-                    ti = 0
-                    for k in range(K):
-                        for _ in range(n_forest):
-                            t_new = round_trees[ti]
-                            if bounds_list is not None:
-                                # approx: tree remapped to fine bins —
-                                # the coarse builder cache is invalid
-                                margin[:, k] += w_new * core.tree_predict(
-                                    t_new, Xb, binned=True)
+                        m_ = np.full((nn, K), base_score, dtype=np.float64)
+                    if bc_prev is not None:
+                        # training continuation (reference xgb_model,
+                        # training.py:183): previous model's margin, raw-domain
+                        # traversal on this task's rows
+                        st_prev = bc_prev.value
+                        Xr = np.column_stack([
+                            pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                            for c in fnames]) if nn else np.empty((0, Fn))
+                        core.apply_model_margin(m_, st_prev["trees"],
+                                                st_prev["weights"], Xr, False, K)
+                    return Xb_, y_, w_, q_, bounds_, m_
+
+                role = (full["_role"].to_numpy(dtype=np.int64)
+                        if "_role" in full.columns else np.zeros(len(full), np.int64))
+                Xb, y, w, q, bounds, margin = load_rows(full[role == 0])
+                n = len(y)
+                ev_states = [load_rows(full[role == i + 1])
+                             for i in range(len(eval_names))]
+
+                n_bins = max(len(c) for c in cuts_l)
+                is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
+                is_approx = p.tree_method == "approx"
+                builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
+                           if is_multi
+                           else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
+                fw = (np.asarray(p.feature_weights, dtype=np.float64)
+                      if p.feature_weights is not None else None)
+                rng = np.random.default_rng(p.seed)
+                n_forest = max(p.num_parallel_tree, 1)
+                is_dart = p.booster == "dart"
+                tree_weights: list[float] = []
+                trees: list[list[core.Tree]] = []
+                history: dict[str, dict[str, list[float]]] = {}
+                best_it = None
+                best_metric = None
+                start_round = 0
+                # DART resume needs the exact per-round op sequence, not
+                # just final weights: one entry per completed round with the
+                # dropped tree indices, their PRE-rescale weights, the
+                # rescale factor and the new tree's weight
+                dart_log: list[dict] = []
+                if ckpt_path and os.path.exists(ckpt_path):
+                    # resume: every rank reads the same checkpoint and
+                    # replays the stored trees over its local rows in the
+                    # EXACT accumulation order of the incremental updates,
+                    # so margins — and therefore every subsequent round —
+                    # are bit-identical to an uninterrupted run.  rng and
+                    # objective state (e.g. lambdarank position-bias
+                    # tables) ride along so stateful draws continue
+                    # deterministically.
+                    with open(ckpt_path, "rb") as fh:
+                        ck = pickle.load(fh)
+                    if ck.get("fingerprint") != ckpt_fp:
+                        raise ValueError(
+                            "checkpoint_dir holds a checkpoint from a "
+                            "different fit configuration (params/features/"
+                            "partitioning mismatch); refusing to resume — "
+                            "clear the directory or use a distinct one per "
+                            "fit")
+                    if not 0 < ck["round"] < p.num_boost_round:
+                        raise ValueError(
+                            f"checkpoint round {ck['round']} is outside "
+                            f"(0, {p.num_boost_round}); a completed or "
+                            "corrupt checkpoint cannot be resumed")
+                    trees = ck["trees"]
+                    tree_weights = ck["tree_weights"]
+                    history = ck["history"]
+                    best_it, best_metric = ck["best_it"], ck["best_metric"]
+                    rng = ck["rng"]
+                    obj.__dict__.update(ck["obj_state"])
+                    start_round = ck["round"]
+                    dart_log = ck.get("dart_log", [])
+                    replay = [(Xb, margin, True)] + [(st[0], st[5], False)
+                                                     for st in ev_states]
+                    for ri, rt in enumerate(trees):
+                        ev = dart_log[ri] if (is_dart and ri < len(dart_log)) \
+                            else None
+                        for Xc, mc, is_train_m in replay:
+                            if is_multi:
+                                mc += core.tree_predict(rt[0], Xc, binned=True)
+                                continue
+                            if ev and ev["dropped"]:
+                                # replay the round's rescale deltas with the
+                                # SAME float expressions the live loop used
+                                # (train and eval paths compute dw through
+                                # different — algebraically equal, bitwise
+                                # distinct — forms; see the loop below)
+                                f_ = ev["factor"]
+                                for di, d in enumerate(ev["dropped"]):
+                                    w_old = ev["w_old"][di]
+                                    dw = (w_old * (f_ - 1.0) if is_train_m
+                                          else (w_old * f_) * (1.0 - 1.0 / f_))
+                                    nf2 = len(trees[d]) // K
+                                    for k2 in range(K):
+                                        for j in range(nf2):
+                                            mc[:, k2] += dw * core.tree_predict(
+                                                trees[d][k2 * nf2 + j], Xc,
+                                                binned=True)
+                            w_r = ev["w_new"] if ev is not None else tree_weights[ri]
+                            ti = 0
+                            for k in range(K):
+                                for _ in range(len(rt) // K):
+                                    mc[:, k] += w_r * \
+                                        core.tree_predict(rt[ti], Xc,
+                                                          binned=True)
+                                    ti += 1
+                for it_round in range(start_round, p.num_boost_round):
+                    # DART dropout (reference gbtree.h:89-123 DropTrees):
+                    # selection draws are deterministic from the shared rng,
+                    # margin corrections are local rows
+                    dropped: list[int] = []
+                    if is_dart and trees:
+                        if not (p.skip_drop > 0.0 and rng.random() < p.skip_drop):
+                            if p.sample_type == "weighted":
+                                wts = np.asarray(tree_weights)
+                                probs = np.minimum(
+                                    p.rate_drop * wts * len(wts)
+                                    / max(wts.sum(), 1e-16), 1.0)
+                                mask = rng.random(len(trees)) < probs
                             else:
-                                # builder-cached incremental assignment:
-                                # only the final level routes (full
-                                # re-traversal was a per-round
-                                # O(n*depth) tax in the sf10 profile)
-                                lid = builder.leaf_assignment(t_new)
-                                margin[:, k] += w_new * \
-                                    t_new.finalize_arrays()["leaf_value"][lid]
-                            ti += 1
-                trees.append(round_trees)
-                tree_weights.append(w_new)
-                # eval-set margins + allreduced metrics (EvalOneIter,
-                # reference learner.cc:1164-1194)
-                last = None
-                for ei, (Xe, ye, we, qe, be, me) in enumerate(ev_states):
-                    if is_multi:
-                        me += core.tree_predict(round_trees[0], Xe, binned=True)
+                                mask = rng.random(len(trees)) < p.rate_drop
+                            if p.one_drop and not mask.any():
+                                mask[rng.integers(0, len(trees))] = True
+                            dropped = [i for i in range(len(trees)) if mask[i]]
+                    if dropped:
+                        m_eff = margin.copy()
+                        for ri in dropped:
+                            nf = len(trees[ri]) // K
+                            for k2 in range(K):
+                                for j in range(nf):
+                                    m_eff[:, k2] -= tree_weights[ri] * core.tree_predict(
+                                        trees[ri][k2 * nf + j], Xb, binned=True)
                     else:
-                        if is_dart and kdrop > 0:
-                            # dropped trees were re-weighted w_old -> w_old*factor;
-                            # apply the delta (tree_weights[ri] is already new)
-                            for ri in dropped:
-                                dw = tree_weights[ri] * (1.0 - 1.0 / factor)
-                                nf = len(trees[ri]) // K
-                                for k2 in range(K):
-                                    for j in range(nf):
-                                        me[:, k2] += dw * core.tree_predict(
-                                            trees[ri][k2 * nf + j], Xe, binned=True)
+                        m_eff = margin
+                    if obj.needs_global_scale:
+                        # per-iteration global residual scale (reference
+                        # MAE/quantile GlobalSum, regression_obj.cu:655-660 /
+                        # quantile_obj.cu:139-142): one tiny allreduce of the
+                        # per-target sqrt-residual sums, every worker then
+                        # computes gradients with the SAME scale
+                        m_sc = m_eff if K > 1 else m_eff[:, 0]
+                        obj.set_scale(comm.allreduce_sum(
+                            obj.scale_stats(y, m_sc, w)))
+                    is_mvs = (p.subsample < 1.0
+                              and getattr(p, "sampling_method", "uniform")
+                              == "gradient_based")
+                    g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
+                                          1.0 if is_mvs else p.subsample, K,
+                                          bounds=bounds)
+                    if is_mvs:
+                        # MVS gradient-based sampling (reference
+                        # src/tree/hist/sampler.cc GradientBasedSampling):
+                        # the threshold u is GLOBAL — every worker derives
+                        # the identical u from allreduced histograms, then
+                        # keeps row i w.p. min(1, rag_i/u) and rescales its
+                        # gradients by 1/p (expectation-preserving)
+                        rag = core.mvs_reg_abs_grad(g, h)
+                        u = _mvs_threshold_allreduce(comm, rag, p.subsample)
+                        mvs_rng = np.random.default_rng(
+                            ((seed + it_round) * 1_000_003
+                             + getattr(comm, "rank", 0)) & 0x7FFFFFFF)
+                        core.apply_mvs(g, h, rag, u, mvs_rng)
+                    if getattr(obj, "unbiased", False):
+                        # position-bias update: sum this round's pair-cost
+                        # accumulators over all workers, then every worker
+                        # applies the SAME t+/t- tables (one tiny allreduce,
+                        # mirroring the reference's distributed estimation)
+                        costs = comm.allreduce_sum(obj.take_round_costs())
+                        obj.apply_position_bias(costs)
+                    fmask = None
+                    if p.colsample_bytree < 1.0:
+                        fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
+                    bounds_list = None
+                    if is_approx:
+                        # per-round hessian-weighted re-quantization
+                        Xb_c, coarse_cuts, bounds_list = _approx_rebin(
+                            comm, Xb, h, cuts_l, cm, p.max_bin)
+                        nb_c = max(len(c) for c in coarse_cuts)
+                        builder = (_AllreduceMultiHistBuilder(
+                                       Xb_c, coarse_cuts, nb_c, K, comm)
+                                   if is_multi else
+                                   _AllreduceHistBuilder(
+                                       Xb_c, coarse_cuts, nb_c, comm))
+                    round_trees: list[core.Tree] = []
+                    if is_multi:
+                        builder.set_grad(g, h)
+                        tree = core.grow_tree_multi(builder, p, rng,
+                                                    feature_mask_tree=fmask)
+                        round_trees = [tree]
+                    else:
+                        for k in range(K):
+                            builder.set_grad(g[:, k], h[:, k])
+                            forest = []
+                            for _ in range(n_forest):
+                                # root stats derive from the allreduced root
+                                # histogram, matching the DataFrame path
+                                tree = core.grow_tree(
+                                    builder, p, rng,
+                                    feature_mask_tree=fmask, monotone=mono,
+                                    interaction_sets=isets, cat_features=cm)
+                                forest.append(tree)
+                            if n_forest > 1:
+                                for t in forest:
+                                    t.leaf_value = [v / n_forest
+                                                    for v in t.leaf_value]
+                            round_trees.extend(forest)
+                    if bounds_list is not None:
+                        # back to the global fine bin space: all later
+                        # traversals use the one persistent binned matrix
+                        for t in round_trees:
+                            _remap_split_bins(t, bounds_list)
+                    if is_multi:
+                        if bounds_list is not None:
+                            # approx: split bins were remapped to the fine
+                            # space — the coarse builder's cache no longer
+                            # matches the tree; route on the fine matrix
+                            margin += core.tree_predict(round_trees[0], Xb,
+                                                        binned=True)
+                        else:
+                            margin += round_trees[0].finalize_arrays()[
+                                "leaf_value"][
+                                    builder.leaf_assignment(round_trees[0])]
+                    if obj.adaptive_alpha is not None:
+                        aa = obj.adaptive_alpha
+                        for ti, t in enumerate(round_trees):
+                            k_r = ti // n_forest
+                            _leaf_quantile_refresh(
+                                comm, t, Xb, y - margin[:, k_r], w,
+                                aa[k_r] if isinstance(aa, tuple) else aa, p.eta,
+                                leaf=(builder.leaf_assignment(t)
+                                      if bounds_list is None else None))
+                    # DART normalization (reference normalize_type semantics)
+                    kdrop = len(dropped)
+                    if is_dart and kdrop > 0:
+                        if p.normalize_type == "forest":
+                            w_new = 1.0 / (1.0 + p.eta)
+                            factor = 1.0 / (1.0 + p.eta)
+                        else:
+                            w_new = 1.0 / (kdrop + p.eta)
+                            factor = kdrop / (kdrop + p.eta)
+                        if is_dart:
+                            dart_log.append({
+                                "dropped": list(dropped),
+                                "w_old": [tree_weights[ri] for ri in dropped],
+                                "factor": factor, "w_new": w_new})
+                        for ri in dropped:
+                            dw = tree_weights[ri] * (factor - 1.0)
+                            nf = len(trees[ri]) // K
+                            for k2 in range(K):
+                                for j in range(nf):
+                                    margin[:, k2] += dw * core.tree_predict(
+                                        trees[ri][k2 * nf + j], Xb, binned=True)
+                            tree_weights[ri] *= factor
+                    else:
+                        w_new = 1.0
+                        if is_dart:
+                            dart_log.append({"dropped": [], "w_old": [],
+                                             "factor": 1.0, "w_new": w_new})
+                    if not is_multi:
                         ti = 0
                         for k in range(K):
                             for _ in range(n_forest):
-                                me[:, k] += w_new * core.tree_predict(
-                                    round_trees[ti], Xe, binned=True)
+                                t_new = round_trees[ti]
+                                if bounds_list is not None:
+                                    # approx: tree remapped to fine bins —
+                                    # the coarse builder cache is invalid
+                                    margin[:, k] += w_new * core.tree_predict(
+                                        t_new, Xb, binned=True)
+                                else:
+                                    # builder-cached incremental assignment:
+                                    # only the final level routes (full
+                                    # re-traversal was a per-round
+                                    # O(n*depth) tax in the sf10 profile)
+                                    lid = builder.leaf_assignment(t_new)
+                                    margin[:, k] += w_new * \
+                                        t_new.finalize_arrays()["leaf_value"][lid]
                                 ti += 1
-                    for mname in metric_names:
-                        num, den = metric_partial_np(
-                            mname, ye, me, we, bounds=be, obj=obj, qid=qe,
-                            exp_gain=p.ndcg_exp_gain)
-                        rn, rd = comm.allreduce_scalar(num, den)
-                        val = metric_finalize(mname, rn, rd)
-                        history.setdefault(eval_names[ei], {}).setdefault(
-                            mname, []).append(val)
-                        last = val
-                if esr and last is not None:
-                    better = (best_metric is None or
-                              (last > best_metric if _maximize(metric_names[-1])
-                               else last < best_metric))
-                    if better:
-                        best_metric, best_it = last, it_round
-                    elif it_round - best_it >= esr:
-                        break
-                if (ckpt_path and comm.rank == 0
-                        and (it_round + 1) % max(p.checkpoint_interval, 1) == 0
-                        and (it_round + 1) < p.num_boost_round):
-                    # atomic write (tmp + rename): a task killed
-                    # mid-write can never leave a torn checkpoint
-                    tmp = ckpt_path + ".tmp"
-                    with open(tmp, "wb") as fh:
-                        pickle.dump({"round": it_round + 1, "trees": trees,
-                                     "tree_weights": tree_weights,
-                                     "history": history,
-                                     "best_it": best_it,
-                                     "best_metric": best_metric,
-                                     "rng": rng,
-                                     "fingerprint": ckpt_fp,
-                                     "dart_log": dart_log,
-                                     "obj_state": obj.__dict__}, fh)
-                    os.replace(tmp, ckpt_path)
-            if comm.rank == 0:
-                yield pd.DataFrame(
-                    {"model": [pickle.dumps(
-                        (trees, history, best_it, tree_weights))]})
-        finally:
-            comm.close()
+                    trees.append(round_trees)
+                    tree_weights.append(w_new)
+                    # eval-set margins + allreduced metrics (EvalOneIter,
+                    # reference learner.cc:1164-1194)
+                    last = None
+                    for ei, (Xe, ye, we, qe, be, me) in enumerate(ev_states):
+                        if is_multi:
+                            me += core.tree_predict(round_trees[0], Xe, binned=True)
+                        else:
+                            if is_dart and kdrop > 0:
+                                # dropped trees were re-weighted w_old -> w_old*factor;
+                                # apply the delta (tree_weights[ri] is already new)
+                                for ri in dropped:
+                                    dw = tree_weights[ri] * (1.0 - 1.0 / factor)
+                                    nf = len(trees[ri]) // K
+                                    for k2 in range(K):
+                                        for j in range(nf):
+                                            me[:, k2] += dw * core.tree_predict(
+                                                trees[ri][k2 * nf + j], Xe, binned=True)
+                            ti = 0
+                            for k in range(K):
+                                for _ in range(n_forest):
+                                    me[:, k] += w_new * core.tree_predict(
+                                        round_trees[ti], Xe, binned=True)
+                                    ti += 1
+                        for mname in metric_names:
+                            num, den = metric_partial_np(
+                                mname, ye, me, we, bounds=be, obj=obj, qid=qe,
+                                exp_gain=p.ndcg_exp_gain)
+                            rn, rd = comm.allreduce_scalar(num, den)
+                            val = metric_finalize(mname, rn, rd)
+                            history.setdefault(eval_names[ei], {}).setdefault(
+                                mname, []).append(val)
+                            last = val
+                    if esr and last is not None:
+                        better = (best_metric is None or
+                                  (last > best_metric if _maximize(metric_names[-1])
+                                   else last < best_metric))
+                        if better:
+                            best_metric, best_it = last, it_round
+                        elif it_round - best_it >= esr:
+                            break
+                    if (ckpt_path and comm.rank == 0
+                            and (it_round + 1) % max(p.checkpoint_interval, 1) == 0
+                            and (it_round + 1) < p.num_boost_round):
+                        # atomic write (tmp + rename): a task killed
+                        # mid-write can never leave a torn checkpoint
+                        tmp = ckpt_path + ".tmp"
+                        with open(tmp, "wb") as fh:
+                            pickle.dump({"round": it_round + 1, "trees": trees,
+                                         "tree_weights": tree_weights,
+                                         "history": history,
+                                         "best_it": best_it,
+                                         "best_metric": best_metric,
+                                         "rng": rng,
+                                         "fingerprint": ckpt_fp,
+                                         "dart_log": dart_log,
+                                         "obj_state": obj.__dict__}, fh)
+                        os.replace(tmp, ckpt_path)
+                if comm.rank == 0:
+                    yield pd.DataFrame(
+                        {"model": [pickle.dumps(
+                            (trees, history, best_it, tree_weights))]})
+            finally:
+                comm.close()
 
-    try:
         rows = sel.mapInPandas(train_fn, schema="model binary",
                                barrier=True).collect()
     finally:
         if _mpb_restore is not None:
             # the scan-resize conf is only needed while THIS action
-            # plans; restore so later jobs see the session default
+            # plans; restore so later jobs see the session default —
+            # on EVERY exit path, including exceptions raised anywhere
+            # between the mutation and the action (setup validation,
+            # broadcasts, a failed barrier job).  Caveat: the mutation
+            # is session-global while it lasts, so a concurrent query
+            # planned in the SAME session during a fit would see the
+            # inflated value — acceptable for this engine's one-fit-at-
+            # a-time sessions; migrate to a per-relation read option if
+            # Spark ever offers one.
             raw.sparkSession.conf.set(
                 "spark.sql.files.maxPartitionBytes", _mpb_restore)
     if not rows:
