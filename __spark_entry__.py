@@ -741,6 +741,157 @@ def q_linear_multigroup_round(spark, sf_dir):
         .select("feature", "class", F.round("weight", 4).alias("weight")))
 
 
+def q_wide_linear_round(spark, sf_dir):
+    """Wide-feature (F > 256) gblinear, ONE round through the REAL
+    `train_linear` one-snapshot (Jacobi) fallback (plans/linear.py —
+    same bias-first CoordinateDelta math as the exact path, frozen
+    gradient snapshot, 3*F payload instead of F^2; the reference's own
+    lock-free shotgun makes sequential bit-parity moot at this width,
+    updater_shotgun.cc:33-86).  260 synthetic DYADIC features
+    x_f = ((key*(f+1)) mod 64)/64 and label y = ((key*7) mod 128)/128
+    over lineitem keys: with base_score pinned at 0 every sufficient
+    statistic (G = sum -y, gx_f = sum -y*x_f, hx2_f = sum x_f^2,
+    hb_f = sum x_f) is an exact dyadic rational, so the partial sums
+    agree bit-for-bit in any order and the closed form
+    w_f = eta * -(gx_f + dbias*hb_f)/hx2_f, dbias = eta * -G/n
+    (eta 0.5, lambda/alpha 0 — the gblinear defaults) is replayable in
+    DuckDB with one unnest over feature ids, no 260-column SQL."""
+    _prep(spark)
+    from xgboost_spark.plans.linear import train_linear
+    Fw = 260
+    base = (_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 20 == 3)
+            .select((F.col("l_orderkey") * 100
+                     + F.col("l_linenumber")).alias("key")))
+    feats = [(((F.col("key") * (f + 1)) % 64) / F.lit(64.0)).alias(f"x{f}")
+             for f in range(Fw)]
+    d = base.select(*feats,
+                    (((F.col("key") * 7) % 128) / F.lit(128.0))
+                    .alias("label"))
+    model = train_linear({"booster": "gblinear",
+                          "objective": "reg:squarederror",
+                          "num_boost_round": 1, "eta": 0.5,
+                          "base_score": 0.0},
+                         d, feature_cols=[f"x{f}" for f in range(Fw)])
+    rows = [(-1, float(model.bias))] + [
+        (f, float(model.weights[f])) for f in range(Fw)]
+    return (spark.createDataFrame(rows, "feature bigint, weight double")
+            .select("feature", F.round("weight", 6).alias("weight"))
+            .orderBy("feature"))
+
+
+def q_train_ranker_weighted(spark, sf_dir):
+    """LambdaRank rank:pairwise round 1 WITH GROUP WEIGHTS — the
+    round-12 weighted-group normalization (reference lambdarank_obj.cc
+    :376-387 ``w = h_weight[g]`` applied :245-249 as
+    ``gpair * w * w_norm``; ranking_utils.cc:37-44
+    ``weight_norm = n_groups / sum w_group``): the q_train_ranker
+    closed form (every per-row g/h is 0.5 * rank-count, dyadic) times
+    an INTEGER group weight w_q = 1 + (qid mod 3) keeps the histogram
+    sums IEEE-exact; the global factor n_groups / sum(w_q) multiplies
+    the AGGREGATED scan columns (one deterministic multiply per value,
+    identical expression order in both engines) before the gain/leaf
+    arithmetic, so the split search sees exactly the reference's
+    weighted gradients.  Gains/weights round only at the output
+    boundary."""
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    r = ev.select(
+        F.col("user_id").alias("qid"),
+        F.least(F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)),
+                F.lit(4)).cast("bigint").alias("rel"),
+        (F.col("event_id") % 31).cast("bigint").alias("bin"))
+    cnt = r.groupBy("qid", "rel").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("qid").orderBy("rel")
+    wall = Window.partitionBy("qid")
+    gh = (cnt.withColumn("cum", F.sum("c").over(wcum))
+          .withColumn("tot", F.sum("c").over(wall))
+          .select("qid", "rel",
+                  (F.col("cum") - F.col("c")).alias("n_lt"),
+                  (F.col("tot") - F.col("cum")).alias("n_gt")))
+    wq = (F.lit(1) + F.col("qid") % 3).cast("double")   # group weight
+    rows = (r.join(gh, ["qid", "rel"])
+            .select("bin",
+                    (wq * (0.5 * (F.col("n_gt") - F.col("n_lt"))))
+                    .alias("g"),
+                    (wq * (0.5 * (F.col("n_gt") + F.col("n_lt"))))
+                    .alias("h")))
+    hist = rows.groupBy("bin").agg(F.sum("g").alias("sum_g"),
+                                   F.sum("h").alias("sum_h"),
+                                   F.count("*").alias("nb"))
+    # weight_norm = n_groups / sum w_group over DISTINCT groups
+    wn = (r.select("qid").distinct()
+          .agg((F.count("*").cast("double")
+                / F.sum((F.lit(1) + F.col("qid") % 3).cast("double")))
+               .alias("wnorm")))
+    lam = 1.0
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    scan = (hist
+            .withColumn("gl0", F.sum("sum_g").over(wb))
+            .withColumn("hl0", F.sum("sum_h").over(wb))
+            .withColumn("gt0", F.sum("sum_g").over(wtot))
+            .withColumn("ht0", F.sum("sum_h").over(wtot))
+            .withColumn("n", F.sum("nb").over(wtot))
+            .withColumn("mx", F.max("bin").over(wtot))
+            .filter(F.col("bin") < F.col("mx"))
+            .crossJoin(F.broadcast(wn))
+            .withColumn("gl", F.col("gl0") * F.col("wnorm"))
+            .withColumn("hl", F.col("hl0") * F.col("wnorm"))
+            .withColumn("gt", F.col("gt0") * F.col("wnorm"))
+            .withColumn("ht", F.col("ht0") * F.col("wnorm"))
+            .withColumn("gr", F.col("gt") - F.col("gl"))
+            .withColumn("hr", F.col("ht") - F.col("hl"))
+            .withColumn("gain",
+                        F.col("gl") * F.col("gl") / (F.col("hl") + lam)
+                        + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
+                        - F.col("gt") * F.col("gt") / (F.col("ht") + lam)))
+    return (scan
+            .select(F.col("bin").cast("bigint").alias("best_bin"),
+                    F.round("gain", 4).alias("best_gain"),
+                    F.round(-F.col("gl") / (F.col("hl") + lam), 6)
+                    .alias("w_left"),
+                    F.round(-F.col("gr") / (F.col("hr") + lam), 6)
+                    .alias("w_right"),
+                    F.round("ht", 2).alias("h_total"),
+                    F.round("wnorm", 6).alias("wnorm"),
+                    F.col("n").cast("bigint").alias("n"))
+            .orderBy(F.col("best_gain").desc(), F.col("best_bin").asc())
+            .limit(1))
+
+
+def q_ivf_search(spark, sf_dir):
+    """Build-once-serve-many IVF ANN serving, HASH-MATCHED: the same
+    deterministic index as `knn_ivf` (md5(vec_id)-seeded centroids, ONE
+    Lloyd step with 6dp in-aggregation means) is built with the REAL
+    `ivf_build`, persisted with `ivf_save` (lists parquet-partitioned
+    by list_id so probe scans prune to n_probe partitions), reloaded
+    with `ivf_load`, and queried through `ivf_search`
+    (operators/similarity.py:379-407) — certifying that the
+    save/load/search round trip reproduces the in-memory search
+    bit-for-bit.  Oracle: the knn_ivf DuckDB replay (seeds, Lloyd step,
+    re-assignment, probe lists, 6dp-rounded cosine top-k) — the index
+    round trip must be a no-op on results."""
+    import tempfile
+    from xgboost_spark.operators.similarity import (ivf_build, ivf_load,
+                                                    ivf_save, ivf_search)
+    emb = _par(_table(spark, sf_dir, "embeddings")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    assigned, cents = ivf_build(emb, 8, "embedding", "vec_id",
+                                iters=1, seed_by="id", mean_round=6)
+    path = tempfile.mkdtemp(prefix="xgbs_ivf_idx_")
+    ivf_save(assigned, cents, f"{path}/idx")
+    assigned2, cents2 = ivf_load(spark, f"{path}/idx")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_search(assigned2, cents2, q, k=5, n_probe=3,
+                     broadcast_queries=False, rank_round=6)
+    return out.select(F.col("query_id").cast("bigint"),
+                      F.col("nbr_id").cast("bigint"),
+                      F.col("cos"),
+                      F.col("rank").cast("bigint"))
+
+
 def q_exact_duplicates(spark, sf_dir):
     """Duplicated-content groups through the REAL
     operators/dedup.exact_duplicates path (keep_first with
@@ -3128,16 +3279,41 @@ def q_train_stream(spark, sf_dir):
                 F.sqrt(F.avg(F.pow(F.lit(float(m.base_score))
                                    - F.col("l_extendedprice"), 2)))
                 .alias("rmse_base"))).first()
+    # frozen-cuts invariant (round-12 hardening): the model's quantile
+    # cuts must equal a recomputation from ONE micro-batch alone (the
+    # file source picks batch order by mtime, so either half is the
+    # legitimate first batch) and must NOT equal the cuts of the
+    # accumulated union — proving continuation froze batch-one cuts
+    # (QuantileDMatrix ref= semantics) instead of re-sketching
+    import numpy as _np
+    from xgboost_spark.operators.sketch import approx_cuts as _ac
+    _fc = ["l_quantity", "l_discount", "l_tax"]
+
+    def _cuts_eq(a, b):
+        return (len(a) == len(b)
+                and all(_np.array_equal(_np.asarray(x), _np.asarray(y))
+                        for x, y in zip(a, b)))
+
+    c_even = _ac(full.filter(F.col("l_orderkey") % 2 == 0).select(*_fc),
+                 _fc, 32)
+    c_odd = _ac(full.filter(F.col("l_orderkey") % 2 == 1).select(*_fc),
+                _fc, 32)
+    c_full = _ac(full.select(*_fc), _fc, 32)
+    inv_frozen = bool(
+        (_cuts_eq(m.cuts, c_even) or _cuts_eq(m.cuts, c_odd))
+        and not _cuts_eq(m.cuts, c_full))
     return spark.createDataFrame(
         [(st.batches_trained, len(m.trees),
           sum(t.n_nodes for rnd in m.trees for t in rnd) > 0,
           round(float(err["rmse_base"]), 3),
           round(float(err["rmse_final"]), 3),
           bool(err["rmse_final"] < err["rmse_base"]),
-          st.batches_trained == 2 and len(m.trees) == 4)],
+          st.batches_trained == 2 and len(m.trees) == 4,
+          inv_frozen)],
         "n_batches int, n_rounds int, has_nodes boolean, "
         "rmse_base double, rmse_final double, "
-        "inv_loss_improved boolean, inv_batches_rounds boolean")
+        "inv_loss_improved boolean, inv_batches_rounds boolean, "
+        "inv_cuts_frozen boolean")
 
 
 def q_feature_drift(spark, sf_dir):
@@ -3866,135 +4042,36 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-11 window = 2 rows-only-by-
-    nature entries (image_pipeline, stream_score — in-row invariants
-    asserted; the other two rows-only entries train_stream /
-    train_expectile hold their r10 certification) + the 2 dialect
-    importers whose code or oracle CHANGED this round (ref_dart_import:
-    strict-'<' float32 tie convention with non-tying thresholds;
-    ref_gblinear_import: the new version-key legacy discriminator in
-    LinearModel.from_json) + 1 NEW entry (linear_multigroup_round:
-    multi-group gblinear training against a closed-form DuckDB oracle)
-    + the full 45-entry r8 block, this round's stalest certifications
-    (fit_stump ... kmeans_iter) = exactly 50.  After this window no
-    entry's latest driver row predates round 9.  Every entry remains
-    covered by the in-repo replica gate (tests/test_entry.py), which
-    runs ALL entries regardless of order, and by the AST lint
-    (tests/test_entry_lint.py) pinning that operator-backed entries
-    execute shipped engine code."""
+    hashes the FIRST 50 entries.  Round-12 window = 3 NEW entries
+    (wide_linear_round: the F>256 gblinear one-snapshot fallback
+    through the REAL trainer vs a closed-form dyadic DuckDB replay;
+    train_ranker_weighted: the round-12 LambdaRank weighted-group
+    normalization closed form; ivf_search: the persisted-index
+    serve path, same oracle as knn_ivf) + dedup_incremental's FIRST
+    driver certification (added past the r11 window by design) + the
+    full 46-entry r9 block, this round's stalest certifications
+    (train_multi_quantile ... asof_join) = exactly 50.  After this
+    window every registry entry has a driver row and none predates
+    round 10.  Every entry remains covered by the in-repo replica gate
+    (tests/test_entry.py), which runs ALL entries regardless of order,
+    and by the AST lint (tests/test_entry_lint.py) pinning that
+    operator-backed entries execute shipped engine code."""
     return {
         # ---- driver 50-entry CORRECTNESS window -------------------------
-        # rows-only by nature (in-row invariants asserted); the other two
-        # rows-only entries (train_stream, train_expectile) hold their
-        # round-10 certification and sit past the window this round
-        "image_pipeline": q_image_pipeline,
-        "stream_score": q_stream_score,
-        # changed round 11 (strict-< tie convention + non-tying oracle;
-        # the from_json legacy/version discriminator) and NEW round 11
-        # (multi-group gblinear training, closed-form oracle)
-        "ref_dart_import": q_ref_dart_import,
-        "ref_gblinear_import": q_ref_gblinear_import,
-        "linear_multigroup_round": q_linear_multigroup_round,
-        # re-certification: the full 45-entry r8 block (the stalest
-        # certifications) — after this window no entry's latest driver
-        # row predates round 9
-        "fit_stump": q_fit_stump,
-        "quantile_cuts": q_quantile_cuts,
-        "weighted_quantile": q_weighted_quantile,
-        "quantize_hist": q_quantize_hist,
-        "split_scan": q_split_scan,
-        "best_split": q_best_split,
-        "leaf_weights": q_leaf_weights,
-        "row_partition": q_row_partition,
-        "subsample": q_subsample,
-        "logistic_grad": q_logistic_grad,
-        "softmax_grad": q_softmax_grad,
-        "dedup_exact": q_dedup_exact,
-        "cox_grad": q_cox_grad,
-        "aft_grad": q_aft_grad,
-        "knn_ivf": q_knn_ivf,
-        "train_importance": q_train_importance,
-        "train_ranker": q_train_ranker,
-        "train_dart": q_train_dart,
-        "vocab": q_vocab,
-        "stream_enrich": q_stream_enrich,
-        "stream_join": q_stream_join,
-        "segment_dedup": q_segment_dedup,
-        "knn_ivf0": q_knn_ivf0,
-        "train_string_cat": q_train_string_cat,
-        "train_logistic": q_train_logistic,
-        "train_softmax": q_train_softmax,
-        "dart_weights": q_dart_weights,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_contains": q_bloom_contains,
-        "embedding_cov": q_embedding_cov,
-        "stream_distinct": q_stream_distinct,
-        "min_acctbal_supplier": q_min_acctbal_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "supplier_part_counts": q_supplier_part_counts,
-        "top_supplier": q_top_supplier,
-        "bundle_revenue": q_bundle_revenue,
-        "idle_customers": q_idle_customers,
-        "revenue_forecast": q_revenue_forecast,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "priority_lines": q_priority_lines,
-        "kmeans_iter": q_kmeans_iter,
-        # ---- past the window (r9/r10-certified) -------------------------
-        # NEW round 11 (post-rotation, so it does not displace a roster
-        # entry from the driver window): incremental cross-corpus dedup;
-        # oracle-backed via tests/test_entry.py this round, queued for
-        # the r12 driver window
+        # NEW round 12: the wide-feature (F>256) gblinear Jacobi fallback
+        # through the REAL trainer; the LambdaRank weighted-group
+        # normalization closed form; the ivf_save/ivf_load/ivf_search
+        # round trip (same oracle as knn_ivf — the persisted index must
+        # be a no-op on results)
+        "wide_linear_round": q_wide_linear_round,
+        "train_ranker_weighted": q_train_ranker_weighted,
+        "ivf_search": q_ivf_search,
+        # first driver certification (added past the r11 window by design;
+        # oracle-backed in tests/test_entry.py since round 11)
         "dedup_incremental": q_dedup_incremental,
-        "train_stream": q_train_stream,
-        "train_expectile": q_train_expectile,
-        "knn": q_knn,
-        "metric_multiclass": q_metric_multiclass,
-        "custdist": q_custdist,
-        "funnel": q_funnel,
-        "minhash_bands": q_minhash_bands,
-        "product_profit": q_product_profit,
-        "important_parts": q_important_parts,
-        "excess_suppliers": q_excess_suppliers,
-        "prefix_scan": q_prefix_scan,
-        "range_join": q_range_join,
-        "q1_pricing": q_q1_pricing,
-        "shipping_priority": q_shipping_priority,
-        "stream_window": q_stream_window,
-        "stream_sessions": q_stream_sessions,
-        "knn_lsh": q_knn_lsh,
-        "train_tree_nodes": q_train_tree_nodes,
-        "train_predict": q_train_predict,
-        "train_shap": q_train_shap,
-        "train_linear": q_train_linear,
-        "simhash": q_simhash,
-        "metric_ams_cox": q_metric_ams_cox,
-        "stream_dedup": q_stream_dedup,
-        "linear_one_round": q_linear_one_round,
-        "train_stump": q_train_stump,
-        "train_depth2": q_train_depth2,
-        "ordinal_encode": q_ordinal_encode,
-        "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
-        "stratified_take": q_stratified_take,
-        "normalize_text": q_normalize_text,
-        "contamination": q_contamination,
-        "repetition": q_repetition,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "simhash_pairs": q_simhash_pairs,
-        "shuffle_shards": q_shuffle_shards,
-        "chunk_docs": q_chunk_docs,
-        "tfidf": q_tfidf,
-        "bigram_ppl": q_bigram_ppl,
-        "sample_mix": q_sample_mix,
-        "replicate_mix": q_replicate_mix,
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
-        "quantile_stump": q_quantile_stump,
+        # re-certification: the full 46-entry r9 block (the stalest
+        # certifications) — after this window no entry's latest driver
+        # row predates round 10
         "train_multi_quantile": q_train_multi_quantile,
         "exact_duplicates": q_exact_duplicates,
         "metric_expectile": q_metric_expectile,
@@ -4041,6 +4118,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "asof_join": q_asof_join,
+        # ---- past the window (r10/r11-certified) ------------------------
+        "image_pipeline": q_image_pipeline,
+        "stream_score": q_stream_score,
+        "ref_dart_import": q_ref_dart_import,
+        "ref_gblinear_import": q_ref_gblinear_import,
+        "linear_multigroup_round": q_linear_multigroup_round,
+        "fit_stump": q_fit_stump,
+        "quantile_cuts": q_quantile_cuts,
+        "weighted_quantile": q_weighted_quantile,
+        "quantize_hist": q_quantize_hist,
+        "split_scan": q_split_scan,
+        "best_split": q_best_split,
+        "leaf_weights": q_leaf_weights,
+        "row_partition": q_row_partition,
+        "subsample": q_subsample,
+        "logistic_grad": q_logistic_grad,
+        "softmax_grad": q_softmax_grad,
+        "dedup_exact": q_dedup_exact,
+        "cox_grad": q_cox_grad,
+        "aft_grad": q_aft_grad,
+        "knn_ivf": q_knn_ivf,
+        "train_importance": q_train_importance,
+        "train_ranker": q_train_ranker,
+        "train_dart": q_train_dart,
+        "vocab": q_vocab,
+        "stream_enrich": q_stream_enrich,
+        "stream_join": q_stream_join,
+        "segment_dedup": q_segment_dedup,
+        "knn_ivf0": q_knn_ivf0,
+        "train_string_cat": q_train_string_cat,
+        "train_logistic": q_train_logistic,
+        "train_softmax": q_train_softmax,
+        "dart_weights": q_dart_weights,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "bloom_contains": q_bloom_contains,
+        "embedding_cov": q_embedding_cov,
+        "stream_distinct": q_stream_distinct,
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
+        "bundle_revenue": q_bundle_revenue,
+        "idle_customers": q_idle_customers,
+        "revenue_forecast": q_revenue_forecast,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "priority_lines": q_priority_lines,
+        "kmeans_iter": q_kmeans_iter,
+        "train_stream": q_train_stream,
+        "train_expectile": q_train_expectile,
+        "knn": q_knn,
+        "metric_multiclass": q_metric_multiclass,
+        "custdist": q_custdist,
+        "funnel": q_funnel,
+        "minhash_bands": q_minhash_bands,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
+        "prefix_scan": q_prefix_scan,
+        "range_join": q_range_join,
+        "q1_pricing": q_q1_pricing,
+        "shipping_priority": q_shipping_priority,
+        "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
+        "knn_lsh": q_knn_lsh,
+        "train_tree_nodes": q_train_tree_nodes,
+        "train_predict": q_train_predict,
+        "train_shap": q_train_shap,
+        "train_linear": q_train_linear,
+        "simhash": q_simhash,
+        "metric_ams_cox": q_metric_ams_cox,
+        "stream_dedup": q_stream_dedup,
+        "linear_one_round": q_linear_one_round,
+        "train_stump": q_train_stump,
+        "train_depth2": q_train_depth2,
+        "ordinal_encode": q_ordinal_encode,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "stratified_take": q_stratified_take,
+        "normalize_text": q_normalize_text,
+        "contamination": q_contamination,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
+        "simhash_pairs": q_simhash_pairs,
+        "shuffle_shards": q_shuffle_shards,
+        "chunk_docs": q_chunk_docs,
+        "tfidf": q_tfidf,
+        "bigram_ppl": q_bigram_ppl,
+        "sample_mix": q_sample_mix,
+        "replicate_mix": q_replicate_mix,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "quantile_stump": q_quantile_stump,
     }
 
 # ---------------------------------------------------------------------------
@@ -4223,6 +4397,89 @@ SELECT CAST(bin AS BIGINT) AS best_bin, round(gain, 4) AS best_gain,
 FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, bin ASC) AS rk
       FROM gains)
 WHERE rk = 1"""
+
+
+def _train_ranker_weighted_sql() -> str:
+    """DuckDB twin of q_train_ranker_weighted: the q_train_ranker
+    closed form with integer group weights folded into the (exact)
+    histogram sums and the global n_groups/sum(w) factor applied to the
+    aggregated scan columns — identical multiply order to the Spark
+    side, rounding only at the output boundary."""
+    return """
+WITH r AS (
+  SELECT user_id AS qid,
+         least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 4) AS rel,
+         event_id % 31 AS bin
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT qid, rel, count(*) AS c FROM r GROUP BY 1, 2),
+gh AS (
+  SELECT qid, rel,
+         sum(c) OVER (PARTITION BY qid ORDER BY rel) - c AS n_lt,
+         sum(c) OVER (PARTITION BY qid)
+           - sum(c) OVER (PARTITION BY qid ORDER BY rel) AS n_gt
+  FROM c),
+rows_ AS (
+  SELECT r.bin,
+         CAST(1 + r.qid % 3 AS DOUBLE) * (0.5 * (gh.n_gt - gh.n_lt)) AS g,
+         CAST(1 + r.qid % 3 AS DOUBLE) * (0.5 * (gh.n_gt + gh.n_lt)) AS h
+  FROM r JOIN gh USING (qid, rel)),
+hist AS (SELECT bin, sum(g) AS sum_g, sum(h) AS sum_h, count(*) AS nb
+         FROM rows_ GROUP BY 1),
+wn AS (SELECT CAST(count(*) AS DOUBLE)
+              / sum(CAST(1 + qid % 3 AS DOUBLE)) AS wnorm
+       FROM (SELECT DISTINCT qid FROM r)),
+s AS (SELECT bin,
+        sum(sum_g) OVER (ORDER BY bin) AS gl0,
+        sum(sum_h) OVER (ORDER BY bin) AS hl0,
+        sum(sum_g) OVER () AS gt0,
+        sum(sum_h) OVER () AS ht0,
+        sum(nb) OVER () AS n,
+        max(bin) OVER () AS mx
+      FROM hist),
+sc AS (SELECT bin, n, wn.wnorm,
+        gl0 * wn.wnorm AS gl, hl0 * wn.wnorm AS hl,
+        gt0 * wn.wnorm AS gt, ht0 * wn.wnorm AS ht
+      FROM s, wn WHERE bin < mx),
+gains AS (SELECT bin, gl, hl, gt - gl AS gr, ht - hl AS hr, ht, n, wnorm,
+        gl*gl/(hl+1.0) + (gt-gl)*(gt-gl)/(ht-hl+1.0) - gt*gt/(ht+1.0) AS gain
+      FROM sc)
+SELECT CAST(bin AS BIGINT) AS best_bin, round(gain, 4) AS best_gain,
+       round(-gl/(hl+1.0), 6) AS w_left, round(-gr/(hr+1.0), 6) AS w_right,
+       round(ht, 2) AS h_total, round(wnorm, 6) AS wnorm,
+       CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, bin ASC) AS rk
+      FROM gains)
+WHERE rk = 1"""
+
+
+def _wide_linear_round_sql() -> str:
+    """DuckDB twin of q_wide_linear_round: one unnest over 260 feature
+    ids replays the Jacobi round's closed form — every sufficient
+    statistic is an exact dyadic sum, the bias step and per-coordinate
+    divisions are single deterministic float ops."""
+    return """
+WITH base AS (
+  SELECT l_orderkey * 100 + l_linenumber AS key
+  FROM lineitem WHERE l_orderkey % 20 = 3),
+rows_ AS (SELECT key, ((key * 7) % 128) / 128.0 AS y FROM base),
+f AS (SELECT unnest(generate_series(0, 259)) AS fid),
+xf AS (
+  SELECT r.key, f.fid, ((r.key * (f.fid + 1)) % 64) / 64.0 AS x, r.y
+  FROM rows_ r CROSS JOIN f),
+gsum AS (SELECT sum(-y) AS G, CAST(count(*) AS DOUBLE) AS H FROM rows_),
+b AS (SELECT 0.5 * (-(G) / H) AS dbias FROM gsum),
+sums AS (
+  SELECT fid, sum(-y * x) AS gx, sum(x * x) AS hx2, sum(x) AS hb
+  FROM xf GROUP BY fid)
+SELECT CAST(-1 AS BIGINT) AS feature, round(b.dbias, 6) AS weight FROM b
+UNION ALL
+SELECT CAST(s.fid AS BIGINT) AS feature,
+       CASE WHEN s.hx2 < 1e-5 THEN 0.0   -- CoordinateDelta hess guard:
+            -- features with (f+1) a multiple of 64 are identically 0
+            ELSE round(0.5 * (-(s.gx + b.dbias * s.hb) / s.hx2), 6)
+       END AS weight
+FROM sums s, b
+ORDER BY feature"""
 
 
 def _train_string_cat_sql() -> str:
@@ -5088,7 +5345,7 @@ def oracle_sql() -> dict[str, str]:
                            for i in range(1, len(words) - 1)]) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w)
 )"""
-    return {
+    d = {
         "train_stump": _train_stump_sql(),
         "train_depth2": _train_depth2_sql(),
         "train_importance": _train_importance_sql(),
@@ -7014,3 +7271,11 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rank <= 5""",
     }
+    # round-12 additions: the wide-linear Jacobi closed form, the
+    # weighted-ranker closed form, and ivf_search — whose contract is
+    # that the persisted-index round trip is a NO-OP on results, so it
+    # shares knn_ivf's replay verbatim
+    d["wide_linear_round"] = _wide_linear_round_sql()
+    d["train_ranker_weighted"] = _train_ranker_weighted_sql()
+    d["ivf_search"] = d["knn_ivf"]
+    return d

@@ -53,6 +53,11 @@ INLINE_OK = {
     # / train_dart / train_expectile and the pytest parity suites)
     "fit_stump", "subsample", "train_ranker",
     "train_string_cat",
+    # train_ranker's weighted twin (round 12): same composed closed
+    # form plus the w_group * (n_groups/sum w) factor — the REAL
+    # weighted objective/trainer code is pinned by
+    # tests/test_ranking_objectives.py engine twins
+    "train_ranker_weighted",
 }
 
 

@@ -1,0 +1,161 @@
+"""One-command scale-regression gate: rerun the 10 bench queries plus
+the worst-N operator-sweep entries at sf0.1 AND sf1 (10x data), compute
+per-query scale ratios, and diff them against a committed baseline
+(default SCALE_r11.json) — so a superlinear regression (a plan that
+quietly picked up a global window, an unbroadcast join, a driver
+collect) is caught MECHANICALLY instead of by re-reading plans.
+
+What it does:
+1. ensures the 10x corpus exists (tools/gen_scale_data.py ->
+   /tmp/xgbspark_scale/sf1; generated once, reused);
+2. runs bench.py twice (SPARK_GRAFT_SF_DIR=sf0.1, then sf1) and takes
+   each query's best-of-N seconds from the JSON line;
+3. times the worst-N baseline sweep operators (default 5 — the entries
+   MOST LIKELY to regress superlinearly) through the queries() registry
+   in one session, best-of-2 after an sf0.001 warm-up (the
+   tools/scale_sweep.py protocol);
+4. writes ONE JSON with per-query {sf0.1_sec, sf1_sec, ratio,
+   baseline_ratio, load} and a `flagged` list; exits 1 if any query's
+   ratio exceeds max(1.5 x baseline_ratio + 1.0, abs_threshold) — the
+   slack absorbs this box's documented co-tenant steal (load recorded
+   per row so an elevated number carries its own evidence).
+
+Queries with no baseline ratio (first run after adding an entry) are
+recorded but flagged only past `abs_threshold` (default 15x at 10x
+data — superlinear-by-surprise).  Point --baseline at this tool's own
+previous output in later rounds; it reads both that layout and the
+SCALE_r{N}.json operator-sweep layout.
+
+Usage: python tools/scale_regression.py \
+           [--baseline SCALE_r11.json] [--out /tmp/scale_regression.json] \
+           [--worst N] [--abs-threshold 15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LO = "/root/testdata/sf0.1"
+HI = "/tmp/xgbspark_scale/sf1"
+WARM = "/root/testdata/sf0.001"
+
+
+def baseline_ratios(path: str) -> dict[str, float]:
+    """Extract {query: sf1/sf0.1 ratio} from either this tool's own
+    output or a SCALE_r{N}.json operator-sweep artifact."""
+    d = json.load(open(path))
+    out: dict[str, float] = {}
+    if d.get("metric") == "scale_regression":         # our own layout
+        for k, v in d["queries"].items():
+            if v.get("ratio") is not None:
+                out[k] = float(v["ratio"])
+        return out
+    ops = d.get("operators", {})
+    if isinstance(ops.get("operators"), dict):        # SCALE_r11 layout
+        ops = ops["operators"]
+    for k, v in ops.items():
+        if isinstance(v, dict) and "ratio" in v:
+            out[k] = float(v["ratio"])
+    return out
+
+
+def run_bench(sf_dir: str) -> dict[str, float]:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, env=env, cwd=REPO)
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr[-4000:])
+        raise RuntimeError(f"bench.py failed at {sf_dir}")
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline",
+                    default=os.path.join(REPO, "SCALE_r11.json"))
+    ap.add_argument("--out", default="/tmp/scale_regression.json")
+    ap.add_argument("--worst", type=int, default=5)
+    ap.add_argument("--abs-threshold", type=float, default=15.0)
+    args = ap.parse_args()
+
+    if not os.path.isdir(HI):
+        print(f"generating 10x corpus at {HI} (one-time) ...", flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "gen_scale_data.py")],
+                       check=True, cwd=REPO)
+
+    base = baseline_ratios(args.baseline)
+    res: dict[str, dict] = {}
+
+    # 1) the 10 bench queries, straight from bench.py at both SFs
+    print("bench @ sf0.1 ...", flush=True)
+    lo_b = run_bench(LO)
+    print("bench @ sf1 ...", flush=True)
+    hi_b = run_bench(HI)
+    for k in lo_b:
+        if k in hi_b and lo_b[k] > 0:
+            res[k] = {"sf0.1_sec": lo_b[k], "sf1_sec": hi_b[k],
+                      "ratio": round(hi_b[k] / lo_b[k], 2),
+                      "baseline_ratio": base.get(k),
+                      "load": round(os.getloadavg()[0], 2)}
+
+    # 2) the worst-N baseline sweep operators through the registry
+    import __spark_entry__ as E
+    from xgboost_spark.session import get_session
+    q = E.queries()
+    worst = [k for k, _ in sorted(base.items(), key=lambda kv: -kv[1])
+             if k in q and k not in res][:args.worst]
+    print(f"worst-{args.worst} sweep operators: {worst}", flush=True)
+    spark = get_session("scale_regression", cpus=32)
+    try:
+        for name in worst:                       # warm: plans + pools
+            q[name](spark, WARM).collect()
+
+        def timed(name, sf_dir, n=2):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                q[name](spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            return round(best, 3)
+
+        for name in worst:
+            lo = timed(name, LO)
+            hi = timed(name, HI)
+            res[name] = {"sf0.1_sec": lo, "sf1_sec": hi,
+                         "ratio": round(hi / lo, 2),
+                         "baseline_ratio": base.get(name),
+                         "load": round(os.getloadavg()[0], 2)}
+            print(name, res[name], flush=True)
+    finally:
+        spark.stop()
+
+    flagged = []
+    for k, v in res.items():
+        b = v["baseline_ratio"]
+        limit = (max(1.5 * b + 1.0, args.abs_threshold)
+                 if b is not None else args.abs_threshold)
+        v["limit"] = round(limit, 2)
+        if v["ratio"] > limit:
+            flagged.append(k)
+
+    out = {"metric": "scale_regression", "data_factor": 10.0,
+           "baseline": os.path.basename(args.baseline),
+           "queries": res, "flagged": flagged}
+    json.dump(out, open(args.out, "w"), indent=1)
+    print(json.dumps({"flagged": flagged, "out": args.out}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
