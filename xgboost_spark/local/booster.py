@@ -223,6 +223,8 @@ class LocalBooster:
         K = p.n_groups
         Xb = self.quantize(X, cat_features=cat_features)
         n = len(y)
+        if hasattr(self.obj, "weight_norm"):
+            self.obj.weight_norm = 1.0   # per-fit; recomputed below
         if (self.obj.needs_qid and qid is not None
                 and sample_weight is not None):
             # group-weight normalization n_groups / sum(w_group)

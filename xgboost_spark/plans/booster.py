@@ -477,6 +477,8 @@ class SparkBooster:
         sc = spark.sparkContext
         obj = self.obj
         obj.set_scale(None)      # never reuse a previous fit's scale
+        if hasattr(obj, "weight_norm"):
+            obj.weight_norm = 1.0    # per-fit; recomputed below when qid+weights
         has_b = obj.needs_bounds
         is_cox = obj.needs_global_sort
         is_approx = p.tree_method == "approx"
@@ -536,7 +538,6 @@ class SparkBooster:
                 # two-level agg (per-group first() then a global
                 # count/sum), global across all workers.  Unweighted
                 # data stays at exactly 1.0 (sum w_group == n_groups).
-                obj.weight_norm = 1.0
                 if "weight" in raw.columns:
                     r_wn = (raw.groupBy("qid")
                             .agg(F.first("weight").alias("w"))
