@@ -98,3 +98,59 @@ def test_compute_metric_dispatch(spark):
     df = spark.createDataFrame(pdf)
     assert 0.0 <= M.compute_metric(df, "aucpr") <= 1.0
     assert M.compute_metric(df, "ams@0.5") >= 0.0
+
+
+def test_rank_metrics_group_weighted_mean(spark):
+    """The reference's rank-metric scalars are GROUP-WEIGHT-weighted
+    means (rank_metric.cc:395-401 ndcg*w[g]/sum w; :449-454 map;
+    :316-330 precision).  Engine twins on both eval paths: the barrier
+    partial (metric_partial_np) and the per-query DataFrame kernels
+    with weight= must equal a manual weighted mean; uniform weights
+    must equal the plain mean exactly."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    n_q, per_q = 6, 8
+    y = rng.integers(0, 3, n_q * per_q).astype(float)
+    s = rng.normal(size=n_q * per_q)
+    qid = np.repeat(np.arange(n_q), per_q)
+    w_g = np.array([1.0, 3.0, 0.5, 2.0, 1.5, 4.0])
+    w = np.repeat(w_g, per_q)
+
+    # manual per-query values via the shared kernel
+    vals = {m: [] for m in ("ndcg", "map", "pre")}
+    for g in range(n_q):
+        rows = qid == g
+        for m in vals:
+            vals[m].append(M._query_rank_metric(m, 5, y[rows], s[rows],
+                                                exp_gain=True))
+    for mname, col in (("ndcg@5", None), ("map@5", None), ("pre@5", None)):
+        base = mname.partition("@")[0]
+        want = float(np.dot(vals[base], w_g) / w_g.sum())
+        num, den = M.metric_partial_np(mname, y, s[:, None], w=w, qid=qid)
+        got = M.metric_finalize(mname, num, den)
+        assert got == pytest.approx(want, abs=1e-12), mname
+        # uniform weights == plain mean, bit-for-bit
+        nu, du = M.metric_partial_np(mname, y, s[:, None],
+                                     w=np.full(len(y), 7.0), qid=qid)
+        assert M.metric_finalize(mname, nu, du) == pytest.approx(
+            float(np.mean(vals[base])), abs=1e-12), mname
+
+    # DataFrame kernels: weight= emits gw from the SAME aggregation
+    pdf = pd.DataFrame({"q": qid, "y": y, "m0": s, "w": w})
+    df = spark.createDataFrame(pdf)
+    d = M.ndcg_at_k(df, 5, weight="w")
+    r = d.agg((F.sum(F.col("ndcg") * F.col("gw"))
+               / F.sum("gw")).alias("v")).first()
+    assert float(r["v"]) == pytest.approx(
+        float(np.dot(vals["ndcg"], w_g) / w_g.sum()), abs=1e-9)
+    d2 = M.map_at_k(df, 5, weight="w")
+    r2 = d2.agg((F.sum(F.col("ap") * F.col("gw"))
+                 / F.sum("gw")).alias("v")).first()
+    assert float(r2["v"]) == pytest.approx(
+        float(np.dot(vals["map"], w_g) / w_g.sum()), abs=1e-9)
+    d3 = M.precision_at_k(df, 5, weight="w")
+    r3 = d3.agg((F.sum(F.col("prec") * F.col("gw"))
+                 / F.sum("gw")).alias("v")).first()
+    assert float(r3["v"]) == pytest.approx(
+        float(np.dot(vals["pre"], w_g) / w_g.sum()), abs=1e-9)

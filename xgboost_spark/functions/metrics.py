@@ -343,13 +343,20 @@ def parse_rank_arg(metric: str, default_k: int = 10) -> tuple[str, int, bool]:
 
 def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
               score: str = "m0", exp_gain: bool = True,
-              minus: bool = False) -> DataFrame:
+              minus: bool = False, weight: str | None = None) -> DataFrame:
     """Per-query NDCG@k (reference `src/metric/rank_metric.cc:461-469`,
     DCG kernels `src/common/ranking_utils.h:42-46`).
     Returns (qid, ndcg); average for the scalar metric.  A query with
     no positive gain scores 1, or 0 under the '-' name suffix
     (``minus``; reference rank_metric.cc:382).
-    """
+
+    ``weight``: per-row weight column, constant within a group (the
+    ranking contract — reference ranking weights are per-GROUP,
+    `info.weights_` sized n_groups).  When given, the output carries
+    a ``gw`` group-weight column (one ``first()`` inside the existing
+    per-query aggregation — no extra shuffle) so the scalar metric can
+    be the reference's weighted mean sum(v*w_g)/sum(w_g)
+    (rank_metric.cc:395-401 ``ndcg * weights[g]`` / sum_weights)."""
     gain = (F.pow(F.lit(2.0), F.col(y)) - 1.0) if exp_gain else F.col(y).cast("double")
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     wi = Window.partitionBy(qid).orderBy(F.col(y).desc())
@@ -360,21 +367,28 @@ def ndcg_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
         .withColumn("dcg_t", F.when(F.col("rk_p") <= k, F.col("g") / F.log2(F.col("rk_p") + 1)).otherwise(0.0))
         .withColumn("idcg_t", F.when(F.col("rk_i") <= k, F.col("g") / F.log2(F.col("rk_i") + 1)).otherwise(0.0))
     )
-    return (
-        d.groupBy(F.col(qid).alias("qid"))
-        .agg(F.sum("dcg_t").alias("dcg"), F.sum("idcg_t").alias("idcg"))
-        .select("qid", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
-                .otherwise(0.0 if minus else 1.0).alias("ndcg"))
-    )
+    aggs = [F.sum("dcg_t").alias("dcg"), F.sum("idcg_t").alias("idcg")]
+    if weight:
+        aggs.append(F.first(weight).alias("gw"))
+    out_cols = ["qid", F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+                .otherwise(0.0 if minus else 1.0).alias("ndcg")]
+    if weight:
+        out_cols.append("gw")
+    return (d.groupBy(F.col(qid).alias("qid")).agg(*aggs)
+            .select(*out_cols))
 
 
 def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
-             score: str = "m0", minus: bool = False) -> DataFrame:
+             score: str = "m0", minus: bool = False,
+             weight: str | None = None) -> DataFrame:
     """Per-query MAP@k (reference rank_metric.cc:408-453 EvalMAPScore):
     labels binarized >0.  A query with NO relevant documents scores 1
     by default, 0 under the '-' name suffix (rank_metric.cc:443) —
     matching the reference, which treats an all-negative query as
-    trivially satisfied unless the minus rule asks otherwise."""
+    trivially satisfied unless the minus rule asks otherwise.
+    ``weight``: see ndcg_at_k — emits the per-group weight ``gw`` for
+    the reference's weighted mean (rank_metric.cc:449-454
+    ``map_gloc[i] * weight[i]`` / sum weights)."""
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     wcum = Window.partitionBy(qid).orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
     d = (
@@ -384,18 +398,21 @@ def map_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
         .withColumn("prec_t", F.when((F.col("rk") <= k) & (F.col("rel") > 0),
                                      F.col("cumrel") / F.col("rk")).otherwise(0.0))
     )
-    return (
-        d.groupBy(F.col(qid).alias("qid"))
-        .agg(
-            F.sum("prec_t").alias("ap_num"),
-            F.least(F.sum("rel"), F.lit(float(k))).alias("denom"),
-        )
-        .select("qid", F.when(F.col("denom") > 0, F.col("ap_num") / F.col("denom"))
-                .otherwise(0.0 if minus else 1.0).alias("ap"))
-    )
+    aggs = [F.sum("prec_t").alias("ap_num"),
+            F.least(F.sum("rel"), F.lit(float(k))).alias("denom")]
+    if weight:
+        aggs.append(F.first(weight).alias("gw"))
+    out_cols = ["qid", F.when(F.col("denom") > 0,
+                              F.col("ap_num") / F.col("denom"))
+                .otherwise(0.0 if minus else 1.0).alias("ap")]
+    if weight:
+        out_cols.append("gw")
+    return d.groupBy(F.col(qid).alias("qid")).agg(*aggs).select(*out_cols)
 
 
-def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: str = "m0") -> DataFrame:
+def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y",
+                   score: str = "m0",
+                   weight: str | None = None) -> DataFrame:
     wp = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(y).desc())
     d = df.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
     # reference EvalPrecision (rank_metric.cc:316-320): n_hits = SUM OF
@@ -403,10 +420,13 @@ def precision_at_k(df: DataFrame, k: int, qid: str = "q", y: str = "y", score: s
     # over the top min(k, |group|), divided by that SAME n — a group
     # smaller than k is not penalized for its missing slots.  The
     # minus suffix has no effect on precision in the reference.
-    return (
-        d.groupBy(F.col(qid).alias("qid"))
-        .agg((F.sum(F.col(y).cast("double")) / F.count("*")).alias("prec"))
-    )
+    # ``weight``: see ndcg_at_k — the reference weights n_hits by the
+    # group weight (rank_metric.cc:318) and divides the scalar by
+    # sum weights (:323-330), i.e. a weighted mean of per-group prec.
+    aggs = [(F.sum(F.col(y).cast("double")) / F.count("*")).alias("prec")]
+    if weight:
+        aggs.append(F.first(weight).alias("gw"))
+    return d.groupBy(F.col(qid).alias("qid")).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -456,12 +476,18 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
     W = float(w.sum())
     if name.rstrip("-") in BARRIER_RANKING:
         name, k, minus = parse_rank_arg(metric)
+        # group-weighted mean (rank_metric.cc:395-401 / :449-454 /
+        # :316-330): each group's score scales by its weight (per-row
+        # weight column, constant within a group — the ranking
+        # contract) and the denominator is the weight sum; w defaults
+        # to ones, so unweighted data is the plain mean
         num = den = 0.0
         for qv in np.unique(qid):
             rows = qid == qv
-            num += _query_rank_metric(name, k, y[rows], m[rows], exp_gain,
-                                      minus)
-            den += 1.0
+            w_g = float(w[rows][0])
+            num += w_g * _query_rank_metric(name, k, y[rows], m[rows],
+                                            exp_gain, minus)
+            den += w_g
         return num, den
     if name == "rmse":
         return float((w * (m - y) ** 2).sum()), W

@@ -1366,19 +1366,30 @@ class SparkBooster:
         if name.rstrip("-") in ("ndcg", "map", "pre"):
             # parse_rank_arg handles 'ndcg@5-'/'map-' minus-suffix names
             # (reference ranking_utils.cc:138) — a bare int() on the
-            # '@' suffix would choke on the trailing '-'
+            # '@' suffix would choke on the trailing '-'.  The scalar
+            # is the GROUP-WEIGHT-weighted mean (rank_metric.cc
+            # :395-401/:449-454/:316-330); `gw` rides out of the same
+            # per-query aggregation, no extra shuffle; ev_binned's w
+            # defaults to 1.0, making unweighted data the plain mean.
             name, k, minus = metrics_mod.parse_rank_arg(metric)
+
+            def _wavg(d, col):
+                r = d.agg(F.sum(F.col(col) * F.col("gw")).alias("n"),
+                          F.sum("gw").alias("d")).first()
+                return float(r["n"]) / float(r["d"])
+
             if name == "ndcg":
                 d = metrics_mod.ndcg_at_k(ev_binned, k, qid="q", y="y", score="m0",
                                           exp_gain=self.params.ndcg_exp_gain,
-                                          minus=minus)
-                return float(d.agg(F.avg("ndcg")).first()[0])
+                                          minus=minus, weight="w")
+                return _wavg(d, "ndcg")
             if name == "map":
                 d = metrics_mod.map_at_k(ev_binned, k, qid="q", y="y", score="m0",
-                                         minus=minus)
-                return float(d.agg(F.avg("ap")).first()[0])
-            d = metrics_mod.precision_at_k(ev_binned, k, qid="q", y="y", score="m0")
-            return float(d.agg(F.avg("prec")).first()[0])
+                                         minus=minus, weight="w")
+                return _wavg(d, "ap")
+            d = metrics_mod.precision_at_k(ev_binned, k, qid="q", y="y",
+                                           score="m0", weight="w")
+            return _wavg(d, "prec")
         return metrics_mod.compute_metric(ev_binned, metric, y="y", margin_cols=mcols, weight="w")
 
 
