@@ -248,3 +248,27 @@ def test_spark_train_applies_group_weight_norm(spark):
     mw = train(dict(common), df, feature_cols=["f0", "f1"], qid_col="q",
                weight_col="w")
     assert m0.to_json() == mw.to_json()
+
+
+def test_spark_train_rejects_within_group_weight_variation(spark):
+    """Ranking weights are per-GROUP in the reference (info.weights_
+    sized n_groups, rank_metric.cc:295 CHECK_EQ); a weight column that
+    varies inside a qid group must fail fast, not silently train with
+    an ill-defined group weight."""
+    import pandas as pd
+
+    from xgboost_spark.plans.booster import train
+
+    rng = np.random.default_rng(2)
+    n = 40
+    pdf = pd.DataFrame({
+        "f0": rng.normal(size=n),
+        "label": rng.integers(0, 3, n).astype(float),
+        "q": np.repeat(np.arange(4), 10),
+        "w": rng.uniform(0.5, 2.0, n),     # varies within groups
+    })
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="per-GROUP"):
+        train({"objective": "rank:ndcg", "num_boost_round": 1,
+               "base_score": 0.0}, df, feature_cols=["f0"],
+              qid_col="q", weight_col="w")

@@ -539,10 +539,24 @@ class SparkBooster:
                 # count/sum), global across all workers.  Unweighted
                 # data stays at exactly 1.0 (sum w_group == n_groups).
                 if "weight" in raw.columns:
+                    # the same job also validates the ranking-weight
+                    # contract: the reference sizes info.weights_ at
+                    # n_groups (rank_metric.cc:295-296 CHECK_EQ +
+                    # error::GroupWeight) — the per-row equivalent is
+                    # weights CONSTANT within each group
                     r_wn = (raw.groupBy("qid")
-                            .agg(F.first("weight").alias("w"))
+                            .agg(F.first("weight").alias("w"),
+                                 (F.max("weight") - F.min("weight"))
+                                 .alias("spread"))
                             .agg(F.count("*").alias("n"),
-                                 F.sum("w").alias("s")).first())
+                                 F.sum("w").alias("s"),
+                                 F.max("spread").alias("mx")).first())
+                    if r_wn is not None and float(r_wn["mx"] or 0.0) > 0.0:
+                        raise ValueError(
+                            "ranking weights must be per-GROUP: the "
+                            "weight column varies within a qid group "
+                            "(the reference sizes group weights at "
+                            "n_groups — rank_metric.cc:295)")
                     if r_wn is not None and float(r_wn["s"] or 0.0) > 0.0:
                         obj.weight_norm = float(r_wn["n"]) / float(r_wn["s"])
         # training continuation (reference training.py:183 xgb_model):
