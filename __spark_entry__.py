@@ -5663,17 +5663,22 @@ SELECT round(sum(pos * (cumneg + neg / 2)) / (sum(pos) * sum(neg)), 6) AS auc FR
         "metric_aucpr": """
 WITH d AS (SELECT embedding[1]::DOUBLE AS s, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
 g AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM d GROUP BY s),
-c AS (SELECT s,
+c AS (SELECT s, pos, neg,
              sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
              sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
              sum(pos) OVER () AS P
       FROM g),
-t AS (SELECT tp / P AS recall,
-             tp / greatest(tp + fp, 1e-16) AS prec,
-             lag(tp / P, 1, 0.0) OVER (ORDER BY s DESC) AS r_prev,
-             lag(tp / greatest(tp + fp, 1e-16), 1, 1.0) OVER (ORDER BY s DESC) AS p_prev
-      FROM c)
-SELECT round(sum((recall - r_prev) * (prec + p_prev) / 2.0), 6) AS aucpr FROM t""",
+seg AS (SELECT tp, tp - pos AS tp_prev,
+               tp / P AS pr, (tp - pos) / P AS pr_prev,
+               neg / pos AS h,
+               neg / pos + 1.0 AS a,
+               ((fp - neg) - neg / pos * (tp - pos)) / P AS b
+        FROM c)
+SELECT round(sum(CASE WHEN tp = tp_prev THEN 0.0
+                      WHEN b <> 0.0 THEN (pr - pr_prev
+                           - b / a * (ln(a * pr + b) - ln(a * pr_prev + b))) / a
+                      ELSE (pr - pr_prev) / a END), 6) AS aucpr
+FROM seg""",
 
         "metric_ndcg": """
 WITH d AS (

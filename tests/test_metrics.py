@@ -332,3 +332,119 @@ def test_precision_sums_raw_labels(spark):
     v = M._query_rank_metric("pre", 2, pdf[pdf.q == 1]["y"].to_numpy(),
                              pdf[pdf.q == 1]["m0"].to_numpy(), True)
     assert v == pytest.approx(1.0)
+
+
+# ------------------------------------------------- LTR AUC (round 12)
+
+def test_group_ranking_roc_closed_form():
+    """GroupRankingROC (auc.cc:165-195): label-desc stable sort, all
+    pairs score 1/0.5/0 by prediction concordance; the group weight
+    cancels.  Hand-checked 4-doc group."""
+    from xgboost_spark.functions.metrics import group_ranking_auc
+    y = np.array([3.0, 2.0, 1.0, 0.0])
+    s = np.array([0.9, 0.1, 0.5, 0.2])
+    # label-sorted order = [0,1,2,3]; pairs (i<j): diffs
+    # (0.9-0.1)>0:1, (0.9-0.5)>0:1, (0.9-0.2)>0:1,
+    # (0.1-0.5)<0:0, (0.1-0.2)<0:0, (0.5-0.2)>0:1  -> 4/6
+    assert group_ranking_auc(y, s) == pytest.approx(4.0 / 6.0)
+    # tied predictions score 0.5
+    assert group_ranking_auc(np.array([2.0, 1.0, 0.0]),
+                             np.array([0.3, 0.3, 0.1])) == pytest.approx(
+        (0.5 + 1.0 + 1.0) / 3.0)
+    # under 3 docs: invalid (auc.cc:247 — only one comparison)
+    assert group_ranking_auc(np.array([1.0, 0.0]),
+                             np.array([0.2, 0.1])) is None
+
+
+def test_group_ranking_prauc_matches_binary_kernel(spark):
+    """Per-group PR-AUC (pr=True) is BinaryPRAUC with the group's
+    uniform weight (which cancels): on 0/1 labels it must match the
+    engine's independent DataFrame aucpr_binary implementation."""
+    from xgboost_spark.functions.metrics import (aucpr_binary,
+                                                 group_ranking_auc)
+    rng = np.random.default_rng(21)
+    y = (rng.random(40) > 0.6).astype(float)
+    s = rng.normal(size=40)
+    want = aucpr_binary(
+        spark.createDataFrame(pd.DataFrame({"y": y, "m0": s}))
+        .withColumn("w", F.lit(1.0)), y="y", score="m0", weight="w")
+    got = group_ranking_auc(y, s, pr=True)
+    assert got == pytest.approx(want, abs=1e-12)
+    # single-class group: NaN in the reference -> invalid here
+    assert group_ranking_auc(np.ones(5), s[:5], pr=True) is None
+
+
+def test_ranking_auc_partial_and_dataframe_agree(spark):
+    """metric_partial_np('auc', qid=...) and ranking_auc (the grouped
+    Arrow path) must produce the same scalar: sum of per-group AUC /
+    valid groups, invalid groups excluded from BOTH sides
+    (auc.cc:290-322 GlobalRatio semantics)."""
+    from xgboost_spark.functions import metrics as M
+    rng = np.random.default_rng(5)
+    sizes = [5, 2, 7, 4]            # the 2-doc group is ROC-invalid
+    qid = np.repeat(np.arange(len(sizes)), sizes)
+    y = rng.integers(0, 3, qid.size).astype(float)
+    s = rng.normal(size=qid.size)
+    num, den = M.metric_partial_np("auc", y, s[:, None], qid=qid)
+    assert den == 3.0               # one invalid group dropped
+    want = num / den
+    df = spark.createDataFrame(pd.DataFrame({"q": qid, "y": y, "m0": s}))
+    got = M.ranking_auc(df, qid="q", y="y", score="m0")
+    assert got == pytest.approx(want, abs=1e-12)
+    # aucpr variant agrees too
+    nump, denp = M.metric_partial_np("aucpr", y, s[:, None], qid=qid)
+    gotp = M.ranking_auc(df, qid="q", y="y", score="m0", pr=True)
+    assert gotp == pytest.approx(nump / denp, abs=1e-12)
+
+
+def test_train_ranker_with_auc_eval(spark):
+    """End to end: rank:ndcg + eval_metric ['auc'] on qid data takes
+    the LTR AUC (per-group pairwise), and the recorded history equals
+    a NumPy replica over the eval frame."""
+    from xgboost_spark.functions import metrics as M
+    from xgboost_spark.plans.booster import train
+    rng = np.random.default_rng(8)
+    n = 60
+    pdf = pd.DataFrame({
+        "f0": rng.normal(size=n), "f1": rng.normal(size=n),
+        "label": rng.integers(0, 3, n).astype(float),
+        "q": np.repeat(np.arange(6), 10),
+    })
+    df = spark.createDataFrame(pdf)
+    m = train({"objective": "rank:ndcg", "num_boost_round": 2,
+               "base_score": 0.0, "seed": 3, "eval_metric": ["auc"]},
+              df, feature_cols=["f0", "f1"], qid_col="q",
+              evals=[(df, "train")])
+    hist = m.eval_history["train"]["auc"]
+    assert len(hist) == 2
+    scored = m.transform(df, feature_cols=["f0", "f1"],
+                         output_margin=True).toPandas()
+    num, den = M.metric_partial_np(
+        "auc", scored["label"].to_numpy(),
+        scored["margin"].to_numpy()[:, None],
+        qid=scored["q"].to_numpy())
+    assert hist[-1] == pytest.approx(num / den, abs=1e-9)
+
+
+def test_multiclass_aucpr_is_macro_averaged(spark):
+    """MultiAUC kMultiClass with the PR curve weighs every class 1.0
+    (BinaryPRAUC returns tp = 1, auc.cc:222 — so `weight = tp(c)` is
+    the macro average), unlike ROC's prevalence weighting."""
+    from xgboost_spark.functions.metrics import auc_multiclass, aucpr_binary
+    rng = np.random.default_rng(4)
+    n, K = 90, 3
+    y = rng.integers(0, K, n).astype(float)
+    m = rng.normal(size=(n, K))
+    pdf = pd.DataFrame({"y": y, **{f"m{k}": m[:, k] for k in range(K)}})
+    df = spark.createDataFrame(pdf)
+    got = auc_multiclass(df, y="y", margin_cols=[f"m{k}" for k in range(K)],
+                         curve="pr")
+    # macro average of the K one-vs-rest PR-AUCs over softprob columns
+    e = np.exp(m - m.max(1, keepdims=True))
+    p = e / e.sum(1, keepdims=True)
+    per = []
+    for k in range(K):
+        d = spark.createDataFrame(pd.DataFrame(
+            {"_yc": (y == k).astype(float), "_sc": p[:, k]}))
+        per.append(aucpr_binary(d, y="_yc", score="_sc"))
+    assert got == pytest.approx(float(np.mean(per)), abs=1e-9)

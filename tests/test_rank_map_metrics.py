@@ -59,23 +59,37 @@ def test_aucpr_matches_numpy_oracle(spark):
     y = (rng.random(n) < 1 / (1 + np.exp(-score))).astype(float)
     df = spark.createDataFrame(pd.DataFrame({"y": y, "m0": score}))
     got = M.aucpr_binary(df)
-    # numpy oracle: same descending sweep + trapezoid
+    # numpy oracle: independent row-sequential replica of the C++ sweep
+    # (BinaryAUC auc.cc:36-71) with the EXACT interpolated segment area
+    # (detail::CalcDeltaPRAUC auc.h:71-95) — round 12 replaced the
+    # trapezoid-in-(recall, precision) approximation with this form
+    import math
+
+    def delta(fp_prev, fp, tp, tp_prev, P):
+        pr, pr_prev = tp / P, tp_prev / P
+        if tp == tp_prev:
+            return 0.0
+        h = (fp - fp_prev) / (tp - tp_prev)
+        a, b = h + 1.0, (fp_prev - h * tp_prev) / P
+        if b != 0.0:
+            return (pr - pr_prev
+                    - b / a * (math.log(a * pr + b)
+                               - math.log(a * pr_prev + b))) / a
+        return (pr - pr_prev) / a
+
     order = np.argsort(-score, kind="stable")
-    ys = y[order]
-    # group by distinct score to match tie handling
-    s_sorted = score[order]
-    uniq, idx = np.unique(-s_sorted, return_index=True)
-    bounds = list(idx) + [n]
-    tp = fp = 0.0
-    pts = [(0.0, 1.0)]
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        tp += ys[a:b].sum()
-        fp += (b - a) - ys[a:b].sum()
-        pts.append((tp, tp / (tp + fp)))
-    P = tp
+    ys, ss = y[order], score[order]
+    P = float(y.sum())
+    fp, tp = 1.0 - ys[0], ys[0]
+    fp_prev = tp_prev = 0.0
     area = 0.0
-    for (r0, p0), (r1, p1) in zip(pts[:-1], pts[1:]):
-        area += (r1 - r0) / P * (p0 + p1) / 2
+    for i in range(1, n):
+        if ss[i] != ss[i - 1]:
+            area += delta(fp_prev, fp, tp, tp_prev, P)
+            fp_prev, tp_prev = fp, tp
+        fp += 1.0 - ys[i]
+        tp += ys[i]
+    area += delta(fp_prev, fp, tp, tp_prev, P)
     assert got == pytest.approx(area, abs=1e-9)
 
 

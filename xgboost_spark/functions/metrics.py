@@ -246,16 +246,21 @@ def auc_binary(df: DataFrame, y: str = "y", score: str = "m0",
 
 def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
                  weight: str | None = None) -> float:
-    """Binary PR-AUC (reference `src/metric/auc.cc:513` BinaryPRAUC):
-    group by score, descending sweep, trapezoid in (recall, precision).
-    Same cardinality-bounded post-aggregation window as the ROC form.
+    """Binary PR-AUC (reference `src/metric/auc.cc:202-223` BinaryPRAUC
+    over the BinaryAUC sweep `auc.cc:36-71`): group by score,
+    descending sweep, and the reference's EXACT interpolated segment
+    area `detail::CalcDeltaPRAUC` (auc.h:71-95 — the Boyd/Davis-
+    Goadrich log form over the linear-in-TP interpolation, NOT a
+    trapezoid in (recall, precision); round-12 fix of a ~1e-3
+    divergence the trapezoid carried).  Same cardinality-bounded
+    post-aggregation scan as the ROC form.
     """
     w = F.col(weight) if weight else F.lit(1.0)
     g = (df.groupBy(F.col(score).alias("s"))
          .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("pos"),
               F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("neg")))
     # descending cumulative tp/fp from an ASCENDING distributed prefix
-    # scan: tp_desc(s) = P - (cum_pos_asc(s) - pos(s)).  The trapezoid's
+    # scan: tp_desc(s) = P - (cum_pos_asc(s) - pos(s)).  The segment's
     # "previous" sweep point is the cumulative over strictly-HIGHER
     # scores — i.e. (tp - pos, fp - neg) — so the whole area is one
     # closed-form agg: no window lag, no sort, no driver-side finish.
@@ -263,28 +268,40 @@ def aucpr_binary(df: DataFrame, y: str = "y", score: str = "m0",
     g = prefix_sums(g, "s", ["pos", "neg"])
     tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N")).first()
     P_, N_ = float(tot["P"] or 0.0), float(tot["N"] or 0.0)
-    if P_ <= 0:
+    if P_ <= 0 or N_ <= 0:
+        # BinaryPRAUC single-class NaN guard (auc.cc:213-215)
         return float("nan")
     g = (g.withColumn("tp", F.lit(P_) - F.col("cum_pos") + F.col("pos"))
           .withColumn("fp", F.lit(N_) - F.col("cum_neg") + F.col("neg"))
           .withColumn("tp_prev", F.col("tp") - F.col("pos"))
           .withColumn("fp_prev", F.col("fp") - F.col("neg")))
-    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1e-16))
-    # the top-score point has no predecessor: precision starts at 1.0
-    prec_prev = F.when(F.col("tp_prev") + F.col("fp_prev") <= 0, F.lit(1.0)).otherwise(
-        F.col("tp_prev") / F.greatest(F.col("tp_prev") + F.col("fp_prev"), F.lit(1e-16)))
-    area = (F.col("tp") - F.col("tp_prev")) / F.lit(P_) * (prec + prec_prev) / 2.0
+    pr = F.col("tp") / F.lit(P_)
+    pr_prev = F.col("tp_prev") / F.lit(P_)
+    h = (F.col("fp") - F.col("fp_prev")) / (F.col("tp") - F.col("tp_prev"))
+    a = h + F.lit(1.0)                                       # CalcA
+    b = (F.col("fp_prev") - h * F.col("tp_prev")) / F.lit(P_)  # CalcB
+    # F.log(x<=0) is null where C++ log is NaN — coalesce keeps the
+    # poisoning semantics instead of silently dropping the segment
+    nan = F.lit(float("nan"))
+    log_term = (F.coalesce(F.log(a * pr + b), nan)
+                - F.coalesce(F.log(a * pr_prev + b), nan))
+    area = F.when(F.col("tp") == F.col("tp_prev"), F.lit(0.0)).otherwise(
+        F.when(b != 0.0, (pr - pr_prev - b / a * log_term) / a)
+        .otherwise((pr - pr_prev) / a))
     return float(g.agg(F.sum(area).alias("a")).first()["a"])
 
 
 def auc_multiclass(df: DataFrame, y: str = "y",
                    margin_cols: list[str] | None = None,
                    weight: str | None = None, curve: str = "roc") -> float:
-    """Prevalence-weighted one-vs-rest AUC for multiclass models
-    (reference `src/metric/auc.cc:82-146` MultiAUC kMultiClass):
-    per class c, binary AUC of softprob_c against label==c; classes are
-    averaged weighted by their positive weight; NaN if any class has an
-    undefined curve — matching the reference's early-NaN contract.
+    """One-vs-rest AUC for multiclass models (reference
+    `src/metric/auc.cc:82-146` MultiAUC kMultiClass): per class c,
+    binary AUC of softprob_c against label==c.  ROC averages classes
+    weighted by their positive weight (`weight = tp(c)` — BinaryROCAUC
+    returns the real tp); PR is a MACRO average (BinaryPRAUC returns
+    tp = 1.0, auc.cc:222, so every class weighs 1 — round-12 fix: the
+    engine previously prevalence-weighted both curves).  NaN if any
+    class has an undefined curve — the reference's early-NaN contract.
     Runs K binary-AUC queries, each fully distributed."""
     margin_cols = margin_cols or ["m0"]
     probs = _softprob_cols(margin_cols)
@@ -299,8 +316,11 @@ def auc_multiclass(df: DataFrame, y: str = "y",
         auc_c = fn(d, y="_yc", score="_sc", weight="_w")
         if math.isnan(auc_c):
             return float("nan")
-        p_c = float(d.agg(F.sum(F.col("_w") * F.col("_yc")).alias("p"))
-                    .first()["p"] or 0.0)
+        if curve == "roc":
+            p_c = float(d.agg(F.sum(F.col("_w") * F.col("_yc")).alias("p"))
+                        .first()["p"] or 0.0)
+        else:
+            p_c = 1.0
         num += auc_c * p_c
         den += p_c
     return num / den if den > 0 else float("nan")
@@ -449,7 +469,101 @@ BARRIER_ELEMENTWISE = {
     "interval-regression-accuracy",
 }
 #: per-query metrics: local when groups are co-partitioned by qid
-BARRIER_RANKING = {"ndcg", "map", "pre"}
+BARRIER_RANKING = {"ndcg", "map", "pre", "auc", "aucpr"}
+
+
+def _calc_delta_prauc(fp_prev, fp, tp_prev, tp, total_pos):
+    """Exact port of detail::CalcDeltaPRAUC (reference
+    src/metric/auc.h:71-95; Boyd et al., the interpolated PR segment
+    area)."""
+    import math
+    pr_prev = tp_prev / total_pos
+    pr = tp / total_pos
+    if tp == tp_prev:
+        a, b = 1.0, 0.0
+    else:
+        h = (fp - fp_prev) / (tp - tp_prev)          # CalcH
+        a = h + 1.0                                  # CalcA
+        b = (fp_prev - h * tp_prev) / total_pos      # CalcB
+    if b != 0.0:
+        return (pr - pr_prev
+                - b / a * (math.log(a * pr + b) - math.log(a * pr_prev + b))
+                ) / a
+    return (pr - pr_prev) / a
+
+
+def group_ranking_auc(y, s, pr: bool = False):
+    """Per-group AUC for learning-to-rank data (reference
+    src/metric/auc.cc:229-266 RankingAUC): ``None`` marks the group
+    INVALID (excluded from the scalar's denominator).
+
+    ROC (``pr=False``, GroupRankingROC auc.cc:165-195): all pairs of
+    the LABEL-desc-sorted list (stable sort — equal-label pair
+    orientation follows input row order, exactly the reference's
+    DMatrix-order behavior) score 1 / 0.5 / 0 by prediction
+    concordance; the group weight w^2 cancels between numerator and
+    denominator.  Groups under 3 documents are invalid (auc.cc:247).
+
+    PR (``pr=True``, per-group BinaryPRAUC auc.cc:202-223 over
+    BinaryAUC:36-71 with the group's uniform weight, which cancels):
+    graded labels accumulate into tp, (1-label) into fp — the
+    reference does NOT binarize here; single-class groups (NaN) are
+    invalid."""
+    import numpy as np
+    n = len(y)
+    if not pr:
+        if n < 3:
+            return None
+        order = np.argsort(-np.asarray(y, dtype=np.float64), kind="stable")
+        p = np.asarray(s, dtype=np.float64)[order]
+        d = p[:, None] - p[None, :]
+        iu = np.triu_indices(n, 1)
+        dv = d[iu]
+        return float((np.sign(dv) + 1.0).sum() / (2.0 * len(dv)))
+    yv = np.asarray(y, dtype=np.float64)
+    sv = np.asarray(s, dtype=np.float64)
+    total_pos = float(yv.sum())
+    total_neg = float((1.0 - yv).sum())
+    if total_pos <= 0 or total_neg <= 0:
+        return None                      # BinaryPRAUC NaN -> invalid
+    order = np.argsort(-sv, kind="stable")
+    yl, ps = yv[order], sv[order]
+    fp, tp = 1.0 - yl[0], yl[0]
+    fp_prev = tp_prev = 0.0
+    auc = 0.0
+    for i in range(1, n):
+        if ps[i] != ps[i - 1]:
+            auc += _calc_delta_prauc(fp_prev, fp, tp_prev, tp, total_pos)
+            fp_prev, tp_prev = fp, tp
+        fp += 1.0 - yl[i]
+        tp += yl[i]
+    auc += _calc_delta_prauc(fp_prev, fp, tp_prev, tp, total_pos)
+    if fp <= 0.0 or tp <= 0.0:
+        auc = 0.0
+    return float(auc)
+
+
+def ranking_auc(df: DataFrame, qid: str = "q", y: str = "y",
+                score: str = "m0", pr: bool = False) -> float:
+    """Scalar LTR AUC (reference EvalAUC ranking branch,
+    auc.cc:290-322): per-group AUC via one grouped Arrow kernel, then
+    GlobalRatio(sum auc, valid groups) — group weights cancel inside
+    each group and the reference's mean is UNWEIGHTED, so the weight
+    column is irrelevant here.  NaN when every group is invalid."""
+    import numpy as np
+    import pandas as pd
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = group_ranking_auc(pdf[y].to_numpy(dtype=np.float64),
+                              pdf[score].to_numpy(dtype=np.float64), pr)
+        return pd.DataFrame({"auc": [0.0 if v is None else v],
+                             "valid": [0 if v is None else 1]})
+
+    per = (df.select(qid, y, score).groupBy(qid)
+           .applyInPandas(per_group, "auc double, valid int"))
+    r = per.agg(F.sum("auc").alias("s"), F.sum("valid").alias("v")).first()
+    v = int(r["v"] or 0)
+    return float(r["s"]) / v if v else float("nan")
 
 
 def barrier_metric_supported(metric: str, has_qid: bool) -> bool:
@@ -459,8 +573,12 @@ def barrier_metric_supported(metric: str, has_qid: bool) -> bool:
     # rstrip("-") on the RANKING names only: the reference's
     # minus-suffix ('map-', 'ndcg@5-', ranking_utils.cc:138) is defined
     # for rank metrics alone — accepting 'rmse-' here would crash
-    # inside the barrier job instead of failing upfront
-    return has_qid and name.rstrip("-") in BARRIER_RANKING
+    # inside the barrier job instead of failing upfront.  AUC names
+    # take no suffix at all (auc.cc has no minus rule).
+    base = name.rstrip("-")
+    if base in ("auc", "aucpr"):
+        return has_qid and name == base
+    return has_qid and base in BARRIER_RANKING
 
 
 def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
@@ -474,7 +592,19 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         w = np.ones(n)
     m = margin[:, 0] if margin.ndim > 1 else margin
     W = float(w.sum())
-    if name.rstrip("-") in BARRIER_RANKING:
+    if name in ("auc", "aucpr") and qid is not None:
+        # LTR AUC (auc.cc:229-266 RankingAUC + :319 GlobalRatio):
+        # partial = (sum of per-group AUC, valid-group count); group
+        # weights cancel and the reference mean is unweighted
+        num = den = 0.0
+        for qv in np.unique(qid):
+            rows = qid == qv
+            v = group_ranking_auc(y[rows], m[rows], pr=(name == "aucpr"))
+            if v is not None:
+                num += v
+                den += 1.0
+        return num, den
+    if name.rstrip("-") in ("ndcg", "map", "pre"):
         name, k, minus = parse_rank_arg(metric)
         # group-weighted mean (rank_metric.cc:395-401 / :449-454 /
         # :316-330): each group's score scales by its weight (per-row

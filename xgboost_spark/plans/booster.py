@@ -1377,6 +1377,13 @@ class SparkBooster:
             ).alias("v")).first()["v"])
         if metric == "cox-nloglik":
             return metrics_mod.cox_nloglik(ev_binned, y="y", margin="m0", weight="w")
+        if has_q and name in ("auc", "aucpr"):
+            # data with query groups evaluates the LTR AUC (reference
+            # EvalAUC auc.cc:290-322: is_ranking = group_ptr_ set —
+            # regardless of objective), not the binary curve
+            return metrics_mod.ranking_auc(ev_binned, qid="q", y="y",
+                                           score="m0",
+                                           pr=(name == "aucpr"))
         if name.rstrip("-") in ("ndcg", "map", "pre"):
             # parse_rank_arg handles 'ndcg@5-'/'map-' minus-suffix names
             # (reference ranking_utils.cc:138) — a bare int() on the
