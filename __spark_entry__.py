@@ -370,9 +370,11 @@ def q_metric_multiclass(spark, sf_dir):
 
 def q_metric_ams_cox(spark, sf_dir):
     """ams@k + cox-nloglik through functions/metrics over deterministic
-    events-derived data.  Scores are bucketized to heavy ties so the
-    top-k threshold lands identically under Spark's GK sketch and
-    DuckDB's discrete quantile; cox risk sets replay as SQL suffix sums."""
+    events-derived data.  ams selects EXACTLY int(0.3*n) rows (round-12
+    reference semantics, rank_metric.cc:48-99) — the oracle replays the
+    k-th-largest threshold, the > t aggregation, and the engine's
+    deterministic pro-rata tie split at == t; cox risk sets replay as
+    SQL suffix sums."""
     _prep(spark)
     from xgboost_spark.functions.metrics import ams_at_k, cox_nloglik
     ev = _table(spark, sf_dir, "events")
@@ -6312,11 +6314,22 @@ WITH d AS (
            * (CASE WHEN event_id % 3 = 0 THEN -1.0 ELSE 1.0 END) AS yc,
          CAST(event_id % 7 AS DOUBLE) / 7.0 - 0.5 AS mc
   FROM events),
-thr AS (SELECT quantile_disc(m0, 0.7) AS t FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+kk AS (SELECT least(CAST(floor(0.3 * n) AS BIGINT), n - 1) AS k FROM nn),
+ranked AS (SELECT m0, row_number() OVER (ORDER BY m0 DESC) AS rk FROM d),
+thr AS (SELECT m0 AS t FROM ranked, kk WHERE rk = k),
+agg AS (
+  SELECT sum(CASE WHEN m0 > t THEN y ELSE 0.0 END) AS s_gt,
+         sum(CASE WHEN m0 > t THEN 1.0 - y ELSE 0.0 END) AS b_gt,
+         sum(CASE WHEN m0 > t THEN 1 ELSE 0 END) AS c_gt,
+         sum(CASE WHEN m0 = t THEN y ELSE 0.0 END) AS s_eq,
+         sum(CASE WHEN m0 = t THEN 1.0 - y ELSE 0.0 END) AS b_eq,
+         sum(CASE WHEN m0 = t THEN 1 ELSE 0 END) AS c_eq
+  FROM d, thr),
 sel AS (
-  SELECT sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS s,
-         sum(CASE WHEN y = 1 THEN 0.0 ELSE 1.0 END) AS b
-  FROM d, thr WHERE m0 >= t),
+  SELECT s_gt + s_eq * ((k - c_gt) / CAST(c_eq AS DOUBLE)) AS s,
+         b_gt + b_eq * ((k - c_gt) / CAST(c_eq AS DOUBLE)) AS b
+  FROM agg, kk),
 ams AS (
   SELECT sqrt(greatest(2.0 * ((s + b + 10.0) * ln(1.0 + s / (b + 10.0)) - s),
                        0.0)) AS v

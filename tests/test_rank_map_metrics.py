@@ -168,3 +168,41 @@ def test_rank_metrics_group_weighted_mean(spark):
                  / F.sum("gw")).alias("v")).first()
     assert float(r3["v"]) == pytest.approx(
         float(np.dot(vals["pre"], w_g) / w_g.sum()), abs=1e-9)
+
+
+def test_ams_exact_reference_semantics(spark):
+    """EvalAMS engine twin (rank_metric.cc:48-99): NumPy replica of the
+    C++ loop — score-desc sort, EXACTLY int(ratio*n) rows accumulated
+    (i < ndata-1 bound), labels > 0.5, weighted s/b — must equal
+    ams_at_k on distinct scores; ratio=1.0 exercises the best-prefix
+    mode (max AMS at distinct-score boundaries, full prefix excluded)."""
+    rng = np.random.default_rng(17)
+    n = 500
+    s = rng.normal(size=n)                 # distinct w.p. 1
+    y = (rng.random(n) < 0.3).astype(float)
+    w = rng.uniform(0.5, 2.0, n)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "m0": s, "w": w}))
+
+    def ams(stp, bfp, br=10.0):
+        return np.sqrt(max(2 * ((stp + bfp + br) * np.log(1 + stp / (bfp + br)) - stp), 0.0))
+
+    order = np.argsort(-s, kind="stable")
+    for ratio in (0.15, 0.5):
+        ntop = int(ratio * n)
+        sel = min(ntop, n - 1)
+        stp = float(w[order[:sel]][y[order[:sel]] > 0.5].sum())
+        bfp = float(w[order[:sel]][y[order[:sel]] <= 0.5].sum())
+        got = M.ams_at_k(df, ratio, weight="w")
+        assert got == pytest.approx(ams(stp, bfp), abs=1e-9), ratio
+    # best-prefix mode (ntop == n): replica of the boundary sweep
+    stp = bfp = 0.0
+    best = 0.0
+    for i in range(n - 1):                 # i < ndata-1
+        ridx = order[i]
+        if y[ridx] > 0.5:
+            stp += w[ridx]
+        else:
+            bfp += w[ridx]
+        if s[order[i]] != s[order[i + 1]]:
+            best = max(best, ams(stp, bfp))
+    assert M.ams_at_k(df, 1.0, weight="w") == pytest.approx(best, abs=1e-9)

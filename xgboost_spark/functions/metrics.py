@@ -328,21 +328,92 @@ def auc_multiclass(df: DataFrame, y: str = "y",
 
 def ams_at_k(df: DataFrame, k_frac: float, y: str = "y", score: str = "m0",
              weight: str | None = None, b_reg: float = 10.0) -> float:
-    """Approximate Median Significance at top-k fraction (reference
-    `src/metric/rank_metric.cc:200-204` EvalAMS): select the top k
-    fraction by score; s = selected positive weight, b = selected
-    negative weight; AMS = sqrt(2((s+b+br) ln(1 + s/(b+br)) - s)).
-    Threshold via percentile_approx — one scan + one agg.
-    """
+    """Approximate Median Significance (reference
+    `src/metric/rank_metric.cc:48-99` EvalAMS), exact reference
+    semantics (round 12 — previously an approximate `>= percentile`
+    selection that over/under-counted at ties):
+
+    - ``ntop = int(ratio * n)``; the sweep accumulates EXACTLY the top
+      ``min(ntop, n-1)`` rows of the score-desc sort (the ``i <
+      ndata-1`` loop bound skips the last row), labels binarized at
+      ``> 0.5``, per-row weights into s (positives) / b (negatives);
+      AMS = sqrt(2((s+b+br) ln(1 + s/(b+br)) - s)), br = 10.
+    - ``ntop == 0`` or ``ratio >= 1`` (ntop == n): the BEST prefix AMS,
+      evaluated only at distinct-score boundaries and never on the
+      full-data prefix (rank_metric.cc:78-96).
+
+    Distributed (the reference forbids this — CHECK !IsDistributed —
+    because it globally sorts; this engine selects instead): the
+    threshold is the exact ntop-th largest score via
+    `operators.sketch.exact_rank_values` (iterative-histogram
+    selection, no sort/shuffle), rows above it aggregate in one scan,
+    and rows AT it contribute pro-rata ``(ntop - count_above) /
+    count_at`` — the reference's unstable sort makes its own tie
+    composition order-dependent, so the deterministic pro-rata split
+    is this engine's pinned convention (identical whenever scores are
+    distinct at the boundary).  Best-prefix mode is a distinct-score
+    groupBy + descending prefix scan + max — also sort-free."""
     w = F.col(weight) if weight else F.lit(1.0)
-    thr = df.agg(F.percentile_approx(score, float(1.0 - k_frac), 10000)
-                 .alias("t")).first()["t"]
-    r = (df.filter(F.col(score) >= thr)
-         .agg(F.sum(F.when(F.col(y) == 1, w).otherwise(0.0)).alias("s"),
-              F.sum(F.when(F.col(y) == 1, 0.0).otherwise(w)).alias("b")).first())
-    s, b = float(r["s"] or 0.0), float(r["b"] or 0.0)
-    return math.sqrt(max(2.0 * ((s + b + b_reg) * math.log(1.0 + s / (b + b_reg)) - s),
-                         0.0))
+    d = (df.select(F.col(score).cast("double").alias("_s"),
+                   (F.col(y) > 0.5).cast("double").alias("_p"),
+                   w.cast("double").alias("_w"))
+         .filter(F.col("_s").isNotNull() & ~F.isnan("_s")))
+
+    def _ams(s: float, b: float) -> float:
+        return math.sqrt(max(
+            2.0 * ((s + b + b_reg) * math.log(1.0 + s / (b + b_reg)) - s),
+            0.0))
+
+    n = d.count()
+    if n == 0:
+        return float("nan")
+    ntop = int(k_frac * n)
+    if ntop == 0:
+        ntop = n
+    if ntop >= n:
+        best_mode = ntop == n
+        if best_mode:
+            # max AMS over the desc-cumulative at each distinct-score
+            # boundary, excluding the full-data prefix (the reference
+            # never evaluates at i = ndata-1)
+            g = (d.groupBy("_s")
+                 .agg(F.sum(F.col("_p") * F.col("_w")).alias("pos"),
+                      F.sum((1.0 - F.col("_p")) * F.col("_w")).alias("neg")))
+            from xgboost_spark.operators.scan import prefix_sums
+            g = prefix_sums(g, "_s", ["pos", "neg"])
+            tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N"),
+                        F.min("_s").alias("lo")).first()
+            P_, N_, lo = float(tot["P"]), float(tot["N"]), float(tot["lo"])
+            cand = (g.withColumn("s", F.lit(P_) - F.col("cum_pos") + F.col("pos"))
+                     .withColumn("b", F.lit(N_) - F.col("cum_neg") + F.col("neg"))
+                     .filter(F.col("_s") > lo))
+            sc_, bc_ = F.col("s"), F.col("b")
+            ams_col = F.sqrt(F.greatest(
+                2.0 * ((sc_ + bc_ + b_reg) * F.log(1.0 + sc_ / (bc_ + b_reg))
+                       - sc_), F.lit(0.0)))
+            r_ = cand.agg(F.max(ams_col).alias("best")).first()
+            return float(r_["best"]) if r_["best"] is not None else 0.0
+        ntop = n - 1                       # ratio > 1: reference quirk
+    sel = min(ntop, n - 1)
+    from xgboost_spark.operators.sketch import exact_rank_values
+    t = exact_rank_values(d, "_s", [n - sel + 1])[n - sel + 1]
+    r = d.agg(
+        F.sum(F.when(F.col("_s") > t, F.col("_p") * F.col("_w"))
+              .otherwise(0.0)).alias("s_gt"),
+        F.sum(F.when(F.col("_s") > t, (1.0 - F.col("_p")) * F.col("_w"))
+              .otherwise(0.0)).alias("b_gt"),
+        F.sum(F.when(F.col("_s") > t, 1).otherwise(0)).alias("c_gt"),
+        F.sum(F.when(F.col("_s") == t, F.col("_p") * F.col("_w"))
+              .otherwise(0.0)).alias("s_eq"),
+        F.sum(F.when(F.col("_s") == t, (1.0 - F.col("_p")) * F.col("_w"))
+              .otherwise(0.0)).alias("b_eq"),
+        F.sum(F.when(F.col("_s") == t, 1).otherwise(0)).alias("c_eq"),
+    ).first()
+    c_gt, c_eq = int(r["c_gt"]), int(r["c_eq"])
+    frac = (sel - c_gt) / c_eq if c_eq else 0.0
+    s = float(r["s_gt"]) + float(r["s_eq"]) * frac
+    b = float(r["b_gt"]) + float(r["b_eq"]) * frac
+    return _ams(s, b)
 
 
 def parse_rank_arg(metric: str, default_k: int = 10) -> tuple[str, int, bool]:
