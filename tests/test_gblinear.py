@@ -303,3 +303,23 @@ def test_gblinear_pred_interactions_zero_tensor(spark, lin_df, mc_lin_df):
                         pred_interactions=True).toPandas()
     I2 = np.stack([np.stack(r) for r in out2["interactions"].to_numpy()])
     assert I2.shape == (4, 3, 9) and not I2.any()
+
+
+def test_gblinear_get_score_weight_only(spark, lin_df, mc_lin_df):
+    """gblinear FeatureScore (gblinear.cc:206-231): importance_type
+    must be 'weight' (raw coefficients, bias excluded); multi-group
+    returns the per-group vector per feature."""
+    fc = [f"c{i}" for i in range(4)]
+    m = train_linear({"booster": "gblinear", "num_boost_round": 5},
+                     lin_df, feature_cols=fc)
+    sc = m.get_score()
+    assert list(sc) == fc
+    assert np.allclose([sc[c] for c in fc], m.weights)
+    with pytest.raises(ValueError, match="weight"):
+        m.get_score(importance_type="gain")
+    mc = train_linear({"booster": "gblinear", "objective": "multi:softprob",
+                       "num_class": 3, "num_boost_round": 2},
+                      mc_lin_df, feature_cols=["c0", "c1", "c2"])
+    sc2 = mc.get_score()
+    assert np.allclose(np.array([sc2[c] for c in ["c0", "c1", "c2"]]),
+                       mc.weights)

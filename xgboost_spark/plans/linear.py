@@ -178,6 +178,22 @@ class LinearModel:
                                  F.array_repeat(F.lit(0.0), Fn * Fn))
         return out
 
+    def get_score(self, importance_type: str = "weight"):
+        """Feature importance (reference `src/gbm/gblinear.cc:206-231`
+        FeatureScore): gblinear defines ONLY ``weight`` — the raw
+        coefficient per feature (per group when K > 1), bias excluded.
+        Any other importance_type raises, mirroring the reference's
+        CHECK_EQ."""
+        if importance_type != "weight":
+            raise ValueError(
+                "gblinear only has `weight` defined for feature "
+                "importance")
+        if self.n_groups == 1:
+            return {c: float(w) for c, w in zip(self.feature_names,
+                                                self.weights)}
+        return {c: [float(v) for v in self.weights[i]]
+                for i, c in enumerate(self.feature_names)}
+
     def to_json(self) -> str:
         from xgboost_spark.functions.objectives import margin_to_prob
         if self.n_groups > 1:
