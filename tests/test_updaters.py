@@ -112,3 +112,31 @@ def test_refresh_leaves_new_data_moves_leaves(spark, reg_df, reg_data):
     leaves_a = [t0a.leaf_value[i] for i in range(t0a.n_nodes) if t0a.left[i] == -1]
     leaves_b = [t0b.leaf_value[i] for i in range(t0b.n_nodes) if t0b.left[i] == -1]
     assert not np.allclose(leaves_a, leaves_b)
+
+
+def test_interaction_constraint_whole_path_containment():
+    """Reference FeatureInteractionConstraintHost::SplitImpl
+    (constraints.cc:58-102): a candidate is permitted only via a
+    constraint set containing the ENTIRE path.  With sets {0,1}, {1,2},
+    {0,2} and path [0,1], feature 2 shares a set with each path feature
+    but no single set contains {0,1} — it must be forbidden (the
+    pairwise rule wrongly permits it)."""
+    import numpy as np
+
+    from xgboost_spark.core import _interaction_child_mask
+
+    sets = [np.array([True, True, False]),    # {0,1}
+            np.array([False, True, True]),    # {1,2}
+            np.array([True, False, True])]    # {0,2}
+    # root split on 0: path {} + fidx 0 -> sets containing {0}: S1, S3
+    m1 = _interaction_child_mask(frozenset(), 0, sets, 3)
+    assert m1.tolist() == [True, True, True]
+    # then split on 1: path {0} + fidx 1 -> only S1 contains {0,1}
+    m2 = _interaction_child_mask(frozenset({0}), 1, sets, 3)
+    assert m2.tolist() == [True, True, False]
+    # path features themselves always stay permitted even when no set
+    # contains the whole path
+    m3 = _interaction_child_mask(frozenset({0, 1}), 2, sets, 3)
+    assert m3.tolist() == [True, True, True]
+    for s in sets:
+        assert not all(s[f] for f in (0, 1, 2))   # (b) contributes nothing

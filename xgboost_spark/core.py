@@ -752,19 +752,30 @@ def _rng_mask(rng: np.random.Generator, n: int, rate: float,
     return mask
 
 
-def _interaction_child_mask(parent_allowed: np.ndarray, fidx: int,
-                            sets: list[np.ndarray]) -> np.ndarray:
-    """Allowed-feature mask for children after splitting on ``fidx``
-    (reference `src/tree/constraints.cc:103` / `constraints.h`): a child may
-    split only on features sharing >=1 interaction set with every feature on
-    its path, i.e. allowed(child) = allowed(parent) & (U{S : fidx in S} | {fidx}).
-    """
-    m = np.zeros_like(parent_allowed)
-    m[fidx] = True
+def _interaction_child_mask(path_feats: frozenset, fidx: int,
+                            sets: list[np.ndarray],
+                            n_features: int) -> np.ndarray:
+    """Allowed-feature mask for the children of a node that split on
+    ``fidx`` with path-split history ``path_feats`` (reference
+    `src/tree/constraints.cc:58-102`
+    FeatureInteractionConstraintHost::SplitImpl): a child permits
+    (a) every feature already split on along its path, plus (b) every
+    member of each constraint set that contains ALL path features —
+    the WHOLE-PATH containment test.  (Round-12 fix: the earlier rule
+    intersected per-feature unions — each path feature merely had to
+    share some set with the candidate — which over-permits: with sets
+    {0,1}, {1,2}, {0,2} and path [0,1], feature 2 shares a set with 0
+    and with 1, but no single set contains {0,1}, so the reference
+    forbids it.)"""
+    path = set(path_feats)
+    path.add(int(fidx))
+    m = np.zeros(n_features, dtype=bool)
+    for f in path:
+        m[f] = True
     for s in sets:
-        if s[fidx]:
+        if all(s[f] for f in path):
             m |= s
-    return parent_allowed & m
+    return m
 
 
 def grow_tree(
@@ -800,10 +811,13 @@ def grow_tree(
         feature_mask_tree = np.ones(F, dtype=bool)
     fw = getattr(params, "feature_weights", None)
     fw = np.asarray(fw, dtype=np.float64) if fw is not None else None
-    # interaction constraints: per-node allowed-feature sets
+    # interaction constraints: per-node allowed-feature sets + the
+    # per-node path-split history the reference's whole-path
+    # containment test needs (constraints.cc splits_ record)
     allowed: dict[int, np.ndarray] | None = (
         {0: np.ones(F, dtype=bool)} if interaction_sets else None
     )
+    paths: dict[int, frozenset] = {0: frozenset()}
 
     # monotone constraints: per-node [lower, upper] weight bounds,
     # tightened at each constrained split by the child-weight midpoint
@@ -821,10 +835,15 @@ def grow_tree(
     def on_expand(nid: int, fidx: int, lid: int, rid: int,
                   res: "SplitResult | None" = None):
         if allowed is not None:
-            child = _interaction_child_mask(allowed[nid], fidx, interaction_sets)
+            child = _interaction_child_mask(paths[nid], fidx,
+                                            interaction_sets, F)
             allowed[lid] = child
             allowed[rid] = child
             allowed.pop(nid, None)
+            cpath = frozenset(paths[nid] | {int(fidx)})
+            paths[lid] = cpath
+            paths[rid] = cpath
+            paths.pop(nid, None)
         if bounds is not None:
             lo, hi = bounds.pop(nid)
             lo_l, hi_l, lo_r, hi_r = lo, hi, lo, hi
