@@ -3262,8 +3262,9 @@ def q_train_stream(spark, sf_dir):
     sch = spark.read.parquet(d).schema
     stream = (spark.readStream.schema(sch)
               .option("maxFilesPerTrigger", 1).parquet(d))
+    ckpt = tempfile.mkdtemp(prefix="xgbspark_trstream_ckpt_")
     st = StreamingTrainer(TrainParams(max_depth=3, max_bin=32, seed=7),
-                          rounds_per_batch=2,
+                          rounds_per_batch=2, checkpoint_dir=ckpt,
                           feature_cols=["l_quantity", "l_discount", "l_tax"],
                           label_col="l_extendedprice")
     st.start(stream).awaitTermination()
@@ -3281,29 +3282,24 @@ def q_train_stream(spark, sf_dir):
                 F.sqrt(F.avg(F.pow(F.lit(float(m.base_score))
                                    - F.col("l_extendedprice"), 2)))
                 .alias("rmse_base"))).first()
-    # frozen-cuts invariant (round-12 hardening): the model's quantile
-    # cuts must equal a recomputation from ONE micro-batch alone (the
-    # file source picks batch order by mtime, so either half is the
-    # legitimate first batch) and must NOT equal the cuts of the
-    # accumulated union — proving continuation froze batch-one cuts
-    # (QuantileDMatrix ref= semantics) instead of re-sketching
+    # frozen-cuts invariant (round-12 hardening): the final model's
+    # quantile cuts must be BYTE-IDENTICAL to the batch-0 checkpoint
+    # model's cuts — continuation froze batch-one cuts (QuantileDMatrix
+    # ref= semantics) instead of re-sketching the accumulated stream —
+    # and the final model must carry MORE trees than the batch-0 save.
+    # (Comparing against the per-batch checkpoint is exact: an
+    # approx_cuts recomputation would be partitioning-sensitive.)
     import numpy as _np
-    from xgboost_spark.operators.sketch import approx_cuts as _ac
-    _fc = ["l_quantity", "l_discount", "l_tax"]
+    from xgboost_spark.plans.model import GBDTModel as _GM
+    m0 = _GM.load(os.path.join(ckpt, "model_b0.json"))
 
     def _cuts_eq(a, b):
-        return (len(a) == len(b)
+        return (a is not None and b is not None and len(a) == len(b)
                 and all(_np.array_equal(_np.asarray(x), _np.asarray(y))
                         for x, y in zip(a, b)))
 
-    c_even = _ac(full.filter(F.col("l_orderkey") % 2 == 0).select(*_fc),
-                 _fc, 32)
-    c_odd = _ac(full.filter(F.col("l_orderkey") % 2 == 1).select(*_fc),
-                _fc, 32)
-    c_full = _ac(full.select(*_fc), _fc, 32)
-    inv_frozen = bool(
-        (_cuts_eq(m.cuts, c_even) or _cuts_eq(m.cuts, c_odd))
-        and not _cuts_eq(m.cuts, c_full))
+    inv_frozen = bool(_cuts_eq(m.cuts, m0.cuts)
+                      and len(m.trees) > len(m0.trees))
     return spark.createDataFrame(
         [(st.batches_trained, len(m.trees),
           sum(t.n_nodes for rnd in m.trees for t in rnd) > 0,
