@@ -149,3 +149,30 @@ def test_shap_with_categorical(cat_data):
     phi = S.tree_shap(a, cover, rows)
     pred = core.tree_predict(t, rows, binned=False)
     assert np.abs(phi.sum(1) - pred).max() < 1e-10   # local accuracy holds
+
+
+def test_partition_sort_key_respects_l1_threshold():
+    """The partition-categorical sort key is the per-category LEAF
+    WEIGHT (reference CalcWeightCat -> tree::CalcWeight), so reg_alpha's
+    L1 threshold groups small-|g| categories at weight 0 — NOT the
+    unregularized g/(h+lambda) ratio (round-12 fix).  With alpha large
+    enough to zero two categories' weights, their order must follow the
+    stable tie rule (bin index), changing the candidate prefixes."""
+    import numpy as np
+
+    from xgboost_spark.core import calc_weight
+
+    g = np.array([0.4, -0.3, 4.0, -5.0])
+    h = np.array([1.0, 1.0, 1.0, 1.0])
+    lam, alpha = 1.0, 1.0
+    w = np.array([-calc_weight(float(gi), float(hi), lam, alpha, 0.0)
+                  for gi, hi in zip(g, h)])
+    # categories 0 and 1 threshold to exactly 0 (|g| <= alpha)
+    assert w[0] == 0.0 and w[1] == 0.0
+    order = np.argsort(w, kind="stable")
+    # weight-ascending: strongest-negative-g category (-5.0 -> w=-2.0)
+    # first, the two zeroed categories tied in bin order, then +4.0
+    assert order.tolist() == [3, 0, 1, 2]
+    # the unregularized ratio would instead order [3, 1, 0, 2]
+    r = g / (h + lam)
+    assert np.argsort(r, kind="stable").tolist() == [3, 1, 0, 2]

@@ -555,8 +555,23 @@ def split_search(
                     # one-hot: {c} vs rest, missing on either side
                     cand = [([c], float(gb[c]), float(hb[c])) for c in present]
                 else:
-                    ratio = gb[present] / (hb[present] + reg_lambda)
-                    order = present[np.argsort(ratio, kind="stable")]
+                    # partition sort key = the per-category LEAF WEIGHT
+                    # (reference CalcWeightCat, split_evaluator.h:290 →
+                    # tree::CalcWeight — so reg_alpha's L1 threshold
+                    # and max_delta_step's clamp reorder/tie categories
+                    # exactly as the reference sorts them; round-12
+                    # fix, previously the unregularized g/(h+lambda)
+                    # ratio).  Negated so that with alpha=0/mds=0 the
+                    # key reduces to g/(h+lambda) and the established
+                    # ascending-ratio enumeration order (and every
+                    # certified oracle) is unchanged; the two-ended
+                    # max_cat_threshold cap makes the candidate FAMILY
+                    # reversal-invariant.
+                    key = np.array([-calc_weight(float(gb[c]), float(hb[c]),
+                                                 reg_lambda, reg_alpha,
+                                                 max_delta_step)
+                                    for c in present])
+                    order = present[np.argsort(key, kind="stable")]
                     cg = np.cumsum(gb[order])
                     ch = np.cumsum(hb[order])
                     # max_cat_threshold (reference param.h:42 default 64,
