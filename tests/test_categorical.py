@@ -176,3 +176,30 @@ def test_partition_sort_key_respects_l1_threshold():
     # the unregularized ratio would instead order [3, 1, 0, 2]
     r = g / (h + lam)
     assert np.argsort(r, kind="stable").tolist() == [3, 1, 0, 2]
+
+
+def test_onehot_gate_uses_total_category_count():
+    """UseOneHot (categorical.h:84) tests the feature's TOTAL category
+    count from the cut pointers (evaluate_splits.h:306), not the
+    node-local present count: a 6-category feature stays in the
+    PARTITION regime at a node where only 4 categories are present,
+    even under max_cat_to_onehot=5 — so 2-element category sets remain
+    reachable (one-hot can only emit singletons)."""
+    import numpy as np
+
+    from xgboost_spark.core import split_search
+
+    B = 6
+    hg = np.zeros((1, 1, B + 1))
+    hh = np.zeros((1, 1, B + 1))
+    hg[0, 0, :B] = [-3.0, 0.0, -2.9, 5.0, 4.8, 0.0]
+    hh[0, 0, :B] = [1.0, 0.0, 1.0, 1.0, 1.0, 0.0]
+    kw = dict(cat_features=np.array([True]), max_cat_to_onehot=5,
+              reg_lambda=1.0, min_child_weight=0.0)
+    res_total = split_search(hg, hh, n_bins_feat=np.array([B]), **kw)[0]
+    assert res_total is not None and len(res_total.categories) == 2
+    assert res_total.categories == [0, 2]
+    # legacy fallback (no per-feature bin metadata): present-count gate
+    # flips this node to one-hot — singleton sets only
+    res_legacy = split_search(hg, hh, **kw)[0]
+    assert res_legacy is not None and len(res_legacy.categories) == 1

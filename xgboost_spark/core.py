@@ -434,6 +434,7 @@ def split_search(
     max_cat_to_onehot: int = 4,
     max_cat_threshold: int = 64,
     node_bounds: np.ndarray | None = None,    # (n_nodes, 2) [lower, upper] weight bounds
+    n_bins_feat: np.ndarray | None = None,    # (n_feat,) total bins per feature
 ) -> list[SplitResult | None]:
     """Best split per node from node histograms.
 
@@ -551,7 +552,14 @@ def split_search(
                 gt = float(gb.sum() + gm)
                 ht = float(hb.sum() + hm)
                 pgain = float(calc_gain(gt, ht, reg_lambda, reg_alpha, max_delta_step))
-                if len(present) < max_cat_to_onehot:
+                # one-hot vs partition decided on the feature's TOTAL
+                # category count (UseOneHot, categorical.h:84 over the
+                # cut-pointer width, evaluate_splits.h:306) — the same
+                # regime at every node; present-count is the fallback
+                # for callers without per-feature bin metadata
+                n_cats_f = (int(n_bins_feat[f]) if n_bins_feat is not None
+                            else len(present))
+                if n_cats_f < max_cat_to_onehot:
                     # one-hot: {c} vs rest, missing on either side
                     cand = [([c], float(gb[c]), float(hb[c])) for c in present]
                 else:
@@ -821,6 +829,14 @@ def grow_tree(
         monotone=monotone, cat_features=cat_features,
         max_cat_to_onehot=getattr(params, "max_cat_to_onehot", 4),
         max_cat_threshold=getattr(params, "max_cat_threshold", 64),
+        # UseOneHot decides on the feature's TOTAL category count
+        # (evaluate_splits.h:306 n_bins from the cut pointers), not the
+        # node-local non-empty count — a deep node with few present
+        # categories must not flip from partition to one-hot mid-tree
+        n_bins_feat=(np.array([len(c) for c in builder.cuts])
+                     if (cat_features is not None
+                         and getattr(builder, "cuts", None) is not None)
+                     else None),
     )
     if feature_mask_tree is None:
         feature_mask_tree = np.ones(F, dtype=bool)
