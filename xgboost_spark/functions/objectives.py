@@ -178,9 +178,15 @@ class Hinge(Objective):
         yy = 2.0 * y - 1.0
         active = yy * margin < 1.0
         g = np.where(active, -yy, 0.0)
-        h = np.where(active, 1.0, _EPS)
         if w is not None:
-            g, h = g * w, h * w
+            g = g * w
+            hw = np.asarray(w, dtype=np.float64)
+        else:
+            hw = np.ones_like(yy)
+        # inactive hessian is the UNWEIGHTED float32 minimum
+        # (hinge.h:21 GradientPair{0, FLT_MIN}); the active hessian is
+        # the row weight
+        h = np.where(active, hw, float(np.finfo(np.float32).tiny))
         return g, h
 
     def base_score(self, y, w):
