@@ -2625,8 +2625,10 @@ def q_train_shap(spark, sf_dir):
 
 
 def q_metric_aucpr(spark, sf_dir):
-    """Binary PR-AUC (reference `src/metric/auc.cc:513` BinaryPRAUC):
-    descending score sweep + trapezoid over recall."""
+    """Binary PR-AUC (reference `src/metric/auc.cc:202-223` BinaryPRAUC):
+    descending score sweep + the reference's EXACT interpolated segment
+    area (detail::CalcDeltaPRAUC log form — round-12 fix; the oracle
+    replays the identical closed form per score group)."""
     _prep(spark)
     from xgboost_spark.functions.metrics import aucpr_binary
     emb = _table(spark, sf_dir, "embeddings")
