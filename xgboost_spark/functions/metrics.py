@@ -814,7 +814,9 @@ def _query_rank_metric(name: str, k: int, y, score, exp_gain: bool,
 
 def metric_finalize(metric: str, num: float, den: float) -> float:
     name = metric.partition("@")[0]
-    v = num / max(den, 1e-16)
+    # EvalEWiseBase::GetFinal (elementwise_metric.cu): wsum == 0
+    # returns the raw sum, not a division
+    v = num if den == 0 else num / den
     if name in ("rmse", "rmsle"):
         return math.sqrt(v)
     return v
