@@ -685,7 +685,15 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
         num = den = 0.0
         for qv in np.unique(qid):
             rows = qid == qv
-            w_g = float(w[rows][0])
+            wr = w[rows]
+            if wr.max() != wr.min():
+                # reference error::GroupWeight (rank_metric.cc:295
+                # CHECK_EQ weights.Size() == n_groups) — ranking
+                # weights are per-GROUP, on eval data too
+                raise ValueError(
+                    "ranking weights must be per-GROUP: the weight "
+                    "column varies within a qid group on the eval set")
+            w_g = float(wr[0])
             num += w_g * _query_rank_metric(name, k, y[rows], m[rows],
                                             exp_gain, minus)
             den += w_g
