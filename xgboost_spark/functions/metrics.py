@@ -51,6 +51,13 @@ def compute_metric(df: DataFrame, metric: str, y: str = "y",
     naming: rmse, rmsle, mae, mape, mphe, logloss, error[@t],
     poisson-nloglik, gamma-nloglik, gamma-deviance, tweedie-nloglik@rho,
     quantile@alpha, expectile[@alpha], auc, merror, mlogloss.
+
+    Convention: inputs are MARGINS; metrics that the reference defines
+    on transformed predictions apply the transform inline (logloss's
+    sigmoid, the nloglik families' exp).  error@t maps the threshold
+    to margin space via logit(t), exact for the sigmoid transform; a
+    threshold outside (0, 1) — meaningful in the reference only for
+    identity/raw transforms — falls back to margin > 0.
     """
     margin_cols = margin_cols or ["m0"]
     m = F.col(margin_cols[0])
