@@ -671,16 +671,62 @@ class GBDTModel:
             return cls.from_doc(ubjson.loads(data))
 
     # ------------------------------------------------------------- slicing
-    def slice(self, begin: int, end: int) -> "GBDTModel":
-        """Model layer slicing [begin, end) (reference `XGBoosterSlice`,
-        `include/xgboost/c_api.h:1028`)."""
-        m = GBDTModel(self.params, self.base_score, self.trees[begin:end],
+    def slice(self, begin: int, end: int, step: int = 1) -> "GBDTModel":
+        """Model layer slicing [begin, end) with stride (reference
+        `XGBoosterSlice` -> `GBTree::Slice`, `src/gbm/gbtree.cc:568-625`):
+        ``end == 0`` means "through the last boosting round"
+        (`LayerToTree`, gbtree.h:129-140), an empty slice is an error
+        (`CHECK_NE(end, begin)`), and an out-of-bound layer raises
+        IndexError exactly like the Python wrapper (core.py:1948
+        ``status == -2``).  The sliced model keeps the learner config —
+        objective instance, missing sentinel, categorical dictionaries —
+        and every attribute except best_iteration/best_score
+        (`learner.cc:1054-1090` LearnerImpl::Slice erase_attr)."""
+        n_rounds = len(self.trees)
+        if end == 0:
+            end = n_rounds
+        if step < 1:
+            raise ValueError(f"Invalid slice step: {step}")
+        if end == begin:
+            raise ValueError("Empty slice is not allowed.")
+        if end < begin:
+            raise ValueError("Invalid slice", (begin, end))
+        if begin < 0 or step > end - begin or end > n_rounds:
+            raise IndexError("Layer index out of range")
+        m = GBDTModel(self.params, self.base_score,
+                      self.trees[begin:end:step],
                       self.feature_names, self.cuts,
-                      tree_weights=(self.tree_weights[begin:end]
+                      tree_weights=(self.tree_weights[begin:end:step]
                                     if self.tree_weights else None))
         m.category_maps = self.category_maps
         m.base_score_vec = self.base_score_vec
+        m.missing = self.missing
+        m.obj = self.obj
+        m.attributes_ = {k: v for k, v in self.attributes_.items()
+                         if k not in ("best_iteration", "best_score")}
         return m
+
+    def __getitem__(self, val) -> "GBDTModel":
+        """``model[begin:end:step]`` boosting-round slicing (reference
+        core.py:1910 Booster.__getitem__): int -> single round, Ellipsis
+        or open bounds -> 0 (meaning start / through-the-end), stop <
+        start raises ValueError before the C-layer is consulted."""
+        if isinstance(val, (int, np.integer)):
+            val = slice(int(val), int(val) + 1)
+        if val is Ellipsis:
+            val = slice(0, 0)
+        if isinstance(val, tuple):
+            raise ValueError("Only supports slicing through 1 dimension.")
+        if not isinstance(val, slice):
+            raise TypeError(f"Expected int or slice, got {type(val)}")
+        start = 0 if (val.start is None or val.start is Ellipsis) else val.start
+        if val.stop is None or val.stop is Ellipsis:
+            stop = 0
+        else:
+            stop = val.stop
+            if stop < start:
+                raise ValueError("Invalid slice", val)
+        return self.slice(start, stop, val.step if val.step is not None else 1)
 
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
@@ -800,6 +846,7 @@ class GBDTModel:
         pipeline entirely JVM-side (no Python workers provisioned), or as
         the basis of a model->SQL export; the UDF path is the default."""
         if iteration_range is not None:
+            # (a, 0) means "rounds [a, end)" — LayerToTree gbtree.h:133
             return self.slice(*iteration_range).transform_expr(
                 df, feature_cols=feature_cols, array_col=array_col,
                 output_margin=output_margin, out_col=out_col,
@@ -910,7 +957,16 @@ class GBDTModel:
         """
         if iteration_range is not None:
             # reference predict(iteration_range=(a, b)), core.py Booster
-            # .predict: score with boosting rounds [a, b) only
+            # .predict: score with boosting rounds [a, b) only; b == 0
+            # means "through the last round" (LayerToTree, gbtree.h:133)
+            if iteration_range[0] != 0 and (pred_leaf or pred_contribs
+                                            or pred_interactions):
+                # gbtree.h:326,347,357 CHECK_EQ(tree_begin, 0): these
+                # outputs support only iteration end — slice the model
+                # instead of passing a non-zero begin
+                raise ValueError(
+                    "Predict leaf/contribution supports only iteration "
+                    "end: [0, n_iteration), use model slicing instead.")
             return self.slice(*iteration_range).transform(
                 df, feature_cols=feature_cols, array_col=array_col,
                 out_cols=out_cols, output_margin=output_margin,
