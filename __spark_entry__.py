@@ -1284,23 +1284,72 @@ def q_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def _fixed_two_tree_doc(objective="reg:squarederror"):
+    """A hand-authored reference-dialect 2-round document over
+    (user_id, event_id) with exact binary-fraction leaves and non-tying
+    .5 thresholds on integer features — every per-row margin is a
+    multiple of 0.25, so sums are IEEE-exact in any order and a DuckDB
+    CASE replay hash-matches bit-for-bit (the ref_dart_import recipe,
+    reference predictor tie rule `src/predictor/predict_fn.h:22`)."""
+    def tree(feat_idx, split, lo, hi):
+        return {
+            "tree_param": {"num_nodes": "3", "num_feature": "2",
+                           "size_leaf_vector": "1"},
+            "split_indices": [feat_idx, 0, 0],
+            "split_conditions": [split, lo, hi],
+            "split_type": [0, 0, 0],
+            "categories": [], "categories_nodes": [],
+            "categories_segments": [], "categories_sizes": [],
+            "default_left": [1, 0, 0],
+            "left_children": [1, -1, -1], "right_children": [2, -1, -1],
+            "parents": [2147483647, 0, 0],
+            "loss_changes": [1.0, 0.0, 0.0],
+            "sum_hessian": [3.0, 2.0, 1.0],
+            "base_weights": [0.0, lo, hi],
+        }
+    return {
+        "version": [3, 0, 2],
+        "learner": {
+            "attributes": {},
+            "feature_names": ["user_id", "event_id"],
+            "feature_types": [],
+            "learner_model_param": {
+                "base_score": "5E-1", "num_class": "0",
+                "num_feature": "2", "num_target": "1"},
+            "objective": {"name": objective},
+            "gradient_booster": {
+                "name": "gbtree",
+                "model": {
+                    "gbtree_model_param": {"num_trees": "2",
+                                           "num_parallel_tree": "1"},
+                    "iteration_indptr": [0, 1, 2],
+                    "tree_info": [0, 0],
+                    "trees": [tree(0, 6.5, -0.25, 0.75),
+                              tree(1, 500.5, 0.5, -1.25)],
+                },
+            },
+        },
+    }
+
+
 def q_stream_score(spark, sf_dir):
-    """Streaming model serving (streaming/scoring.score_stream): a tiny
-    GBDT trains on the batch events table, then the same table replays
-    as a file stream and is scored micro-batch by micro-batch with the
-    identical broadcast-model Arrow plan; per-event_type prediction sums
-    come back from the memory sink.  Rows-only by design: trained leaf
-    values aren't SQL-expressible (same as the train_* family)."""
+    """Streaming model serving HASH-MATCHED (promoted from rows-only,
+    round 13): a fixed reference-dialect 2-tree model loads through the
+    REAL GBDTModel.from_json, the events table replays as a file stream,
+    and score_stream runs the identical broadcast-model Arrow plan
+    micro-batch by micro-batch (readStream -> availableNow -> memory
+    sink).  availableNow streaming of a static source is batch-
+    equivalent, so the DuckDB oracle replays the two tree walks as CASE
+    expressions — leaves are exact binary fractions and thresholds are
+    non-tying .5 offsets on integer features, so per-type margin sums
+    are bit-identical (same determinism argument as ref_dart_import)."""
     _prep(spark)
+    import json as _json
     import tempfile
-    from xgboost_spark.config import TrainParams
-    from xgboost_spark.plans.booster import SparkBooster
+    from xgboost_spark.plans.model import GBDTModel
     from xgboost_spark.streaming.scoring import run_available_now, score_stream
-    ev = _table(spark, sf_dir, "events")
+    model = GBDTModel.from_json(_json.dumps(_fixed_two_tree_doc()))
     fc = ["user_id", "event_id"]
-    model = SparkBooster(TrainParams(num_boost_round=3, max_depth=3,
-                                     max_bin=32, seed=5)).fit(
-        ev, feature_cols=fc, label_col="value")
     sf_tag = sf_dir.rstrip("/").replace("/", "_")
     stream_dir = os.path.join(tempfile.gettempdir(), f"xgbspark_stream{sf_tag}")
     os.makedirs(stream_dir, exist_ok=True)
@@ -1313,24 +1362,58 @@ def q_stream_score(spark, sf_dir):
     _STREAM_SEQ[0] += 1
     name = f"stream_score_{_STREAM_SEQ[0]}"
     run_available_now(scored.select("event_type", "prediction"), name)
-    # in-row invariant (r9-verdict hardening): the micro-batched stream
-    # scores must equal BATCH scoring of the same model on the same
-    # table — same broadcast Arrow plan, so per-type counts match
-    # exactly and float sums agree up to summation order (3dp rounding
-    # boundary => 0.002 tolerance)
-    batch = (model.transform(ev, feature_cols=fc)
-             .groupBy("event_type")
-             .agg(F.count("*").cast("bigint").alias("batch_n"),
-                  F.round(F.sum("prediction"), 3).alias("batch_sum_pred")))
-    stream_agg = (spark.table(name).groupBy("event_type")
-                  .agg(F.count("*").cast("bigint").alias("n"),
-                       F.round(F.sum("prediction"), 3).alias("sum_pred")))
-    return (stream_agg.join(batch, "event_type")
-            .withColumn("inv_stream_eq_batch",
-                        (F.col("n") == F.col("batch_n"))
-                        & (F.abs(F.col("sum_pred") - F.col("batch_sum_pred"))
-                           <= 0.002))
-            .drop("batch_n"))
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("prediction"), 4).alias("sum_pred")))
+
+
+def q_dart_slice_serve(spark, sf_dir):
+    """DART x iteration_range HASH-MATCHED (round-13 parity-audit pin):
+    a hand-authored DART document (per-tree weight_drop, reference
+    `gbtree.cc:455-463`) serves events through transform_expr with
+    iteration_range=(1, 0) — the reference's LayerToTree end==0 form
+    meaning "rounds [1, last]" (`gbtree.h:129-140`), which the engine
+    mis-sliced to EMPTY before round 13.  Only round 2's tree, times its
+    own weight_drop 0.25 (weights slice WITH their rounds,
+    gbtree.cc:620-625), contributes; the DuckDB oracle replays exactly
+    that weighted walk.  Determinism: binary-fraction leaves/weights,
+    non-tying integer thresholds, identity base_score 0.5."""
+    _prep(spark)
+    import json as _json
+    from xgboost_spark.plans.model import GBDTModel
+    doc = _fixed_two_tree_doc()
+    gb = doc["learner"]["gradient_booster"]
+    gb["name"] = "dart"
+    gb["gbtree"] = {"model": gb.pop("model")}
+    gb["weight_drop"] = [0.5, 0.25]
+    m = GBDTModel.from_json(_json.dumps(doc))
+    ev = _table(spark, sf_dir, "events")
+    scored = m.transform_expr(ev, feature_cols=["user_id", "event_id"],
+                              output_margin=True, out_col="margin",
+                              iteration_range=(1, 0))
+    return (scored.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("margin"), 4).alias("sum_margin")))
+
+
+def q_pred_leaf_range(spark, sf_dir):
+    """pred_leaf under iteration_range HASH-MATCHED (round-13 audit pin
+    for the begin==0-only contract, `gbtree.h:326` CHECK_EQ(tree_begin,
+    0)): the fixed 2-tree model emits leaf ids for rounds [0, 1) only —
+    one id per tree (reference PredictLeaf, cpu_predictor.cc:535-568) —
+    and the DuckDB oracle replays the routing CASE (left child = node 1,
+    right = node 2) with per-leaf event counts."""
+    _prep(spark)
+    import json as _json
+    from xgboost_spark.plans.model import GBDTModel
+    m = GBDTModel.from_json(_json.dumps(_fixed_two_tree_doc()))
+    ev = _table(spark, sf_dir, "events")
+    out = m.transform(ev, feature_cols=["user_id", "event_id"],
+                      pred_leaf=True, iteration_range=(0, 1))
+    return (out.select(F.element_at("leaf", 1).alias("leaf_id"))
+            .groupBy("leaf_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .withColumn("leaf_id", F.col("leaf_id").cast("bigint")))
 
 
 def q_image_pipeline(spark, sf_dir):
@@ -1381,6 +1464,13 @@ def q_image_pipeline(spark, sf_dir):
          (1003, bytearray(encode_jpeg(img, quality=90)))],
         "media_id long, content binary")
     sf = image_features(stills, out_dim=8, strict=True)
+    # pixel-checksum pin (round-13, train_stream's inv_cuts_frozen
+    # pattern): the stills are deterministic gradients, so their feature
+    # checksums are literal constants — a codec or featurizer regression
+    # flips inv_ok to false and the driver gate sees it
+    _pix = {1001: 3.513726, 1002: 3.513726, 1003: 3.491816}
+    pix_expr = F.create_map(
+        *[F.lit(v) for kv in _pix.items() for v in kv])[F.col("media_id")]
     still_agg = (sf.select("media_id", F.explode("features").alias("v"))
                  .groupBy("media_id")
                  .agg(F.count("*").cast("bigint").alias("n_vals"),
@@ -1388,7 +1478,8 @@ def q_image_pipeline(spark, sf_dir):
                       F.min("v").alias("_mn"), F.max("v").alias("_mx"))
                  .withColumn("inv_ok",
                              (F.col("n_vals") == 8) & (F.col("_mn") >= 0)
-                             & (F.col("_mx") <= 255))
+                             & (F.col("_mx") <= 255)
+                             & (F.abs(F.col("sum_feat") - pix_expr) < 5e-7))
                  .drop("_mn", "_mx"))
     return vid.unionByName(still_agg)
 
@@ -4042,36 +4133,84 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-12 window = 3 NEW entries
-    (wide_linear_round: the F>256 gblinear one-snapshot fallback
-    through the REAL trainer vs a closed-form dyadic DuckDB replay;
-    train_ranker_weighted: the round-12 LambdaRank weighted-group
-    normalization closed form; ivf_search: the persisted-index
-    serve path, same oracle as knn_ivf) + dedup_incremental's FIRST
-    driver certification (added past the r11 window by design) + the
-    full 46-entry r9 block, this round's stalest certifications
-    (train_multi_quantile ... asof_join) = exactly 50.  After this
-    window every registry entry has a driver row and none predates
-    round 10.  Every entry remains covered by the in-repo replica gate
-    (tests/test_entry.py), which runs ALL entries regardless of order,
-    and by the AST lint (tests/test_entry_lint.py) pinning that
-    operator-backed entries execute shipped engine code."""
+    hashes the FIRST 50 entries.  Round-13 window = stream_score
+    PROMOTED to hash-matched (fixed reference-dialect model through the
+    real streaming plan, DuckDB CASE replay) + 2 NEW parity-audit pins
+    (dart_slice_serve: DART weight_drop x iteration_range=(1, 0) through
+    transform_expr — the LayerToTree end==0 form the engine mis-sliced
+    to empty before round 13; pred_leaf_range: leaf ids under
+    iteration_range=(0, 1)) + image_pipeline re-rowed with its new
+    pixel-checksum invariant + the full 46-entry r10 block, this
+    round's stalest certifications.  After this window no entry's
+    latest driver row predates round 11.  Every entry remains covered
+    by the in-repo replica gate (tests/test_entry.py), which runs ALL
+    entries regardless of order, and by the AST lint
+    (tests/test_entry_lint.py) pinning that operator-backed entries
+    execute shipped engine code."""
     return {
-        # ---- driver 50-entry CORRECTNESS window -------------------------
-        # NEW round 12: the wide-feature (F>256) gblinear Jacobi fallback
-        # through the REAL trainer; the LambdaRank weighted-group
-        # normalization closed form; the ivf_save/ivf_load/ivf_search
-        # round trip (same oracle as knn_ivf — the persisted index must
-        # be a no-op on results)
+        # ---- driver 50-entry CORRECTNESS window (round 13) --------------
+        # PROMOTED: stream_score now hash-matched (fixed model, CASE-replay
+        # oracle); NEW: dart_slice_serve + pred_leaf_range pin the round-13
+        # serving/slicing parity fixes (LayerToTree end==0, weight_drop
+        # slicing, leaf begin==0 contract) in the driver gate; image_pipeline
+        # re-rows with the new pixel-checksum invariant
+        "stream_score": q_stream_score,
+        "dart_slice_serve": q_dart_slice_serve,
+        "pred_leaf_range": q_pred_leaf_range,
+        "image_pipeline": q_image_pipeline,
+        # re-certification: the 46-entry r10 block (stalest) — after this
+        # window no entry's latest driver row predates round 11
+        "train_stream": q_train_stream,
+        "train_expectile": q_train_expectile,
+        "knn": q_knn,
+        "metric_multiclass": q_metric_multiclass,
+        "custdist": q_custdist,
+        "funnel": q_funnel,
+        "minhash_bands": q_minhash_bands,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
+        "prefix_scan": q_prefix_scan,
+        "range_join": q_range_join,
+        "q1_pricing": q_q1_pricing,
+        "shipping_priority": q_shipping_priority,
+        "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
+        "knn_lsh": q_knn_lsh,
+        "train_tree_nodes": q_train_tree_nodes,
+        "train_predict": q_train_predict,
+        "train_shap": q_train_shap,
+        "train_linear": q_train_linear,
+        "simhash": q_simhash,
+        "metric_ams_cox": q_metric_ams_cox,
+        "stream_dedup": q_stream_dedup,
+        "linear_one_round": q_linear_one_round,
+        "train_stump": q_train_stump,
+        "train_depth2": q_train_depth2,
+        "ordinal_encode": q_ordinal_encode,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "stratified_take": q_stratified_take,
+        "normalize_text": q_normalize_text,
+        "contamination": q_contamination,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
+        "simhash_pairs": q_simhash_pairs,
+        "shuffle_shards": q_shuffle_shards,
+        "chunk_docs": q_chunk_docs,
+        "tfidf": q_tfidf,
+        "bigram_ppl": q_bigram_ppl,
+        "sample_mix": q_sample_mix,
+        "replicate_mix": q_replicate_mix,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "quantile_stump": q_quantile_stump,
+        # ---- past the window (r11/r12-certified) ------------------------
         "wide_linear_round": q_wide_linear_round,
         "train_ranker_weighted": q_train_ranker_weighted,
         "ivf_search": q_ivf_search,
-        # first driver certification (added past the r11 window by design;
-        # oracle-backed in tests/test_entry.py since round 11)
         "dedup_incremental": q_dedup_incremental,
-        # re-certification: the full 46-entry r9 block (the stalest
-        # certifications) — after this window no entry's latest driver
-        # row predates round 10
         "train_multi_quantile": q_train_multi_quantile,
         "exact_duplicates": q_exact_duplicates,
         "metric_expectile": q_metric_expectile,
@@ -4118,9 +4257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "asof_join": q_asof_join,
-        # ---- past the window (r10/r11-certified) ------------------------
-        "image_pipeline": q_image_pipeline,
-        "stream_score": q_stream_score,
         "ref_dart_import": q_ref_dart_import,
         "ref_gblinear_import": q_ref_gblinear_import,
         "linear_multigroup_round": q_linear_multigroup_round,
@@ -4169,52 +4305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "priority_lines": q_priority_lines,
         "kmeans_iter": q_kmeans_iter,
-        "train_stream": q_train_stream,
-        "train_expectile": q_train_expectile,
-        "knn": q_knn,
-        "metric_multiclass": q_metric_multiclass,
-        "custdist": q_custdist,
-        "funnel": q_funnel,
-        "minhash_bands": q_minhash_bands,
-        "product_profit": q_product_profit,
-        "important_parts": q_important_parts,
-        "excess_suppliers": q_excess_suppliers,
-        "prefix_scan": q_prefix_scan,
-        "range_join": q_range_join,
-        "q1_pricing": q_q1_pricing,
-        "shipping_priority": q_shipping_priority,
-        "stream_window": q_stream_window,
-        "stream_sessions": q_stream_sessions,
-        "knn_lsh": q_knn_lsh,
-        "train_tree_nodes": q_train_tree_nodes,
-        "train_predict": q_train_predict,
-        "train_shap": q_train_shap,
-        "train_linear": q_train_linear,
-        "simhash": q_simhash,
-        "metric_ams_cox": q_metric_ams_cox,
-        "stream_dedup": q_stream_dedup,
-        "linear_one_round": q_linear_one_round,
-        "train_stump": q_train_stump,
-        "train_depth2": q_train_depth2,
-        "ordinal_encode": q_ordinal_encode,
-        "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
-        "stratified_take": q_stratified_take,
-        "normalize_text": q_normalize_text,
-        "contamination": q_contamination,
-        "repetition": q_repetition,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "simhash_pairs": q_simhash_pairs,
-        "shuffle_shards": q_shuffle_shards,
-        "chunk_docs": q_chunk_docs,
-        "tfidf": q_tfidf,
-        "bigram_ppl": q_bigram_ppl,
-        "sample_mix": q_sample_mix,
-        "replicate_mix": q_replicate_mix,
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
-        "quantile_stump": q_quantile_stump,
     }
 
 # ---------------------------------------------------------------------------
@@ -6239,6 +6329,38 @@ SELECT DISTINCT event_type FROM events""",
         # precision) STRICTLY passes its end + 30-min gap — Spark's
         # EventTimeTimeout fires only when timeoutTimestamp < watermark,
         # so the boundary case (end + gap == watermark) stays open
+        # fixed 2-tree model over events (see _fixed_two_tree_doc):
+        # strict float32 '<' tie rule on integer features with .5
+        # thresholds — no ties possible; binary-fraction leaves => exact
+        # sums.  stream_score replays the full 2-round margin; dart_
+        # slice_serve replays only round 2 x its weight_drop 0.25
+        # (iteration_range=(1, 0)); pred_leaf_range replays round-1 leaf
+        # routing (left child = node 1).
+        "stream_score": """
+WITH s AS (
+  SELECT event_type,
+         0.5
+         + CASE WHEN user_id < 6.5 THEN -0.25 ELSE 0.75 END
+         + CASE WHEN event_id < 500.5 THEN 0.5 ELSE -1.25 END AS m
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(m), 4) AS sum_pred
+FROM s GROUP BY event_type""",
+
+        "dart_slice_serve": """
+WITH s AS (
+  SELECT event_type,
+         0.5 + 0.25 * (CASE WHEN event_id < 500.5 THEN 0.5 ELSE -1.25 END) AS m
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(m), 4) AS sum_margin
+FROM s GROUP BY event_type""",
+
+        "pred_leaf_range": """
+SELECT CAST(CASE WHEN user_id < 6.5 THEN 1 ELSE 2 END AS BIGINT) AS leaf_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1""",
+
         "stream_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
 b AS (SELECT user_id, t,
