@@ -247,6 +247,100 @@ def fixtures() -> dict[str, dict]:
             {"scale_pos_weight": "1"}},
         _gbtree(dart_trees(), 1, npt=1, weight_drop=wd, legacy_dart=True))
 
+    # --- cat: categorical-split family — depth-2 trees with TWO
+    # categorical nodes each (root + left child), exercising the flat
+    # categories/segments/sizes offsets (SaveCategoricalSplit,
+    # tree_model.cc) beyond the single-node case the reg family covers
+    def _cat_depth2(fid0, cats0, fid1, cats1, leaves, *, tree_id=0):
+        ll, lr, r = leaves
+        return {
+            "base_weights": [0.0, f32((ll + lr) / 2), f32(r),
+                             f32(ll), f32(lr)],
+            "categories": list(cats0) + list(cats1),
+            "categories_nodes": [0, 1],
+            "categories_segments": [0, len(cats0)],
+            "categories_sizes": [len(cats0), len(cats1)],
+            "default_left": [0, 1, 0, 0, 0],
+            "id": tree_id,
+            "left_children": [1, 3, -1, -1, -1],
+            "loss_changes": [f32(2.0), f32(1.0), 0.0, 0.0, 0.0],
+            "parents": [2147483647, 0, 0, 1, 1],
+            "right_children": [2, 4, -1, -1, -1],
+            "split_conditions": [0.0, 0.0, f32(r), f32(ll), f32(lr)],
+            "split_indices": [fid0, fid1, 0, 0, 0],
+            "split_type": [1, 1, 0, 0, 0],
+            "sum_hessian": [f32(36.0), f32(20.0), f32(16.0), f32(12.0),
+                            f32(8.0)],
+            "tree_param": {"num_deleted": "0",
+                           "num_feature": str(K_COLS),
+                           "num_nodes": "5", "size_leaf_vector": "1"},
+        }
+    cat_trees = [
+        _cat_depth2(2, [0, 2, 5], 3, [1, 4], (-0.1875, 0.3125, 0.0625)),
+        _cat_depth2(3, [1, 3], 2, [0, 6, 7], (0.25, -0.125, -0.03125)),
+        _cat_stump(2, [2, 4, 6], -0.25, 0.5),
+        _cat_depth2(2, [1, 5], 3, [2], (-0.0625, 0.125, 0.375)),
+    ]
+    out["cat"] = _learner(
+        {"name": "reg:squarederror", "reg_loss_param":
+            {"scale_pos_weight": "1"}},
+        _gbtree(cat_trees, 1, npt=1),
+        feature_names=[f"f{i}" for i in range(K_COLS)],
+        feature_types=["float", "float", "c", "c"])
+
+    # --- multi_target: multi_strategy=multi_output_tree — ONE tree per
+    # round with vector leaves in the MultiTargetTree save shape
+    # (multi_target_tree_model.cc SaveModel: scalar split_conditions,
+    # per-node weight vectors flattened into base_weights, leaf_weights
+    # = n_leaves x n_targets in ascending leaf-node-id order)
+    def _mt_stump(fid, cond, lo_vec, hi_vec, *, tree_id=0):
+        assert len(lo_vec) == len(hi_vec) == K_CLASSES
+        return {
+            "base_weights": [0.0] * K_CLASSES
+                            + [f32(v) for v in lo_vec]
+                            + [f32(v) for v in hi_vec],
+            "categories": [], "categories_nodes": [],
+            "categories_segments": [], "categories_sizes": [],
+            "default_left": [1, 0, 0],
+            "id": tree_id,
+            "leaf_weights": [f32(v) for v in lo_vec]
+                            + [f32(v) for v in hi_vec],
+            "left_children": [1, -1, -1],
+            "loss_changes": [f32(1.75), 0.0, 0.0],
+            "parents": [2147483647, 0, 0],
+            "right_children": [2, -1, -1],
+            "split_conditions": [f32(cond), 0.0, 0.0],
+            "split_indices": [fid, 0, 0],
+            "split_type": [0, 0, 0],
+            "sum_hessian": [f32(24.0), f32(15.0), f32(9.0)],
+            "tree_param": {"num_deleted": "0",
+                           "num_feature": str(K_COLS),
+                           "num_nodes": "3",
+                           "size_leaf_vector": str(K_CLASSES)},
+        }
+    mt_trees = [
+        _mt_stump(0, 0.75, (-0.25, 0.125, 0.0625), (0.375, -0.125, -0.25)),
+        _mt_stump(1, 1.25, (0.0625, -0.1875, 0.125), (-0.3125, 0.25, 0.0625)),
+        _mt_stump(2, 0.5, (0.125, 0.0625, -0.1875), (-0.0625, -0.125, 0.1875)),
+    ]
+    out["multi_target"] = _learner(
+        {"name": "multi:softprob",
+         "softmax_multiclass_param": {"num_class": str(K_CLASSES)}},
+        _gbtree(mt_trees, 1, npt=1), num_class=K_CLASSES,
+        base_score="5E-1")
+
+    # --- dart_forest: DART x num_parallel_tree=2 — weight_drop is
+    # per-TREE (CHECK_LE'd to tree count, gbtree.cc:463) with both
+    # forest members of a round sharing the round's normalization
+    # factor (NormalizeTrees applies one factor per commit)
+    df_trees = [_stump(i % K_COLS, 0.5 + 0.25 * i, -0.125 - 0.0625 * (i % 2),
+                       0.25, tree_id=i) for i in range(6)]
+    out["dart_forest"] = _learner(
+        {"name": "reg:squarederror", "reg_loss_param":
+            {"scale_pos_weight": "1"}},
+        _gbtree(df_trees, 1, npt=2,
+                weight_drop=[1.0, 1.0, 0.5, 0.5, 0.25, 0.25]))
+
     # --- gblinear: scalar + multi-group (interleaved w[fid*K + gid])
     out["gblinear"] = _learner(
         {"name": "binary:logistic", "reg_loss_param":

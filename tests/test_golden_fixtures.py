@@ -33,7 +33,8 @@ from xgboost_spark.plans.model import GBDTModel
 
 FIX_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "ref_models")
 TREE_FIXTURES = ["reg", "logit", "logitraw", "cls", "ltr", "aft",
-                 "dart_modern", "dart_legacy"]
+                 "dart_modern", "dart_legacy",
+                 "cat", "multi_target", "dart_forest"]
 ALL_FIXTURES = TREE_FIXTURES + ["gblinear", "gblinear_multi"]
 
 
@@ -83,6 +84,15 @@ def _replay_tree(t: dict, x: np.ndarray) -> float:
             go_left = np.float32(v) < np.float32(t["split_conditions"][nid])
         nid = (t["left_children"][nid] if go_left
                else t["right_children"][nid])
+    slv = int(t["tree_param"]["size_leaf_vector"])
+    if slv > 1:
+        # MultiTargetTree: vector leaves live in leaf_weights, ordered
+        # by ascending leaf node id (multi_target_tree_model.cc)
+        leaf_idx = sum(1 for j in range(nid)
+                       if t["left_children"][j] == -1)
+        return np.asarray(
+            t["leaf_weights"][leaf_idx * slv:(leaf_idx + 1) * slv],
+            dtype=np.float64)
     return float(t["split_conditions"][nid])
 
 
@@ -100,8 +110,13 @@ def _replay_margins(doc: dict, X: np.ndarray) -> np.ndarray:
     for i, t in enumerate(trees):
         w = float(wd[i]) if i < len(wd) else 1.0
         k = int(tree_info[i])
+        vector_leaf = int(t["tree_param"]["size_leaf_vector"]) > 1
         for r in range(len(X)):
-            out[r, k] += w * _replay_tree(t, X[r])
+            v = _replay_tree(t, X[r])
+            if vector_leaf:
+                out[r, :] += w * v
+            else:
+                out[r, k] += w * v
     return out
 
 
@@ -144,7 +159,13 @@ def test_fixture_margins_match_reference_replay(spark, name):
     assert np.allclose(got, want, atol=1e-6), \
         np.abs(got - want).max()
     # the pure-Catalyst path agrees with the Arrow-UDF path
-    # (transform_expr emits margins in its out_col, "prediction")
+    # (transform_expr emits margins in its out_col, "prediction");
+    # vector-leaf models serve via the UDF path only (documented
+    # margin_exprs NotImplementedError)
+    if name == "multi_target":
+        with pytest.raises(NotImplementedError):
+            m.transform_expr(df, feature_cols=fc, output_margin=True)
+        return
     out2 = (m.transform_expr(df, feature_cols=fc, output_margin=True)
             .toPandas().sort_values("_rid"))
     got2 = np.stack([np.atleast_1d(v)
@@ -193,11 +214,20 @@ def _validate_reference_readable(doc: dict):
                   "num_deleted"):
             _require(isinstance(tp[k], str), f"tree_param.{k} string")
         n = int(tp["num_nodes"])
+        slv = int(tp["size_leaf_vector"])
         for k in ("split_conditions", "split_indices", "default_left",
                   "left_children", "right_children", "parents",
-                  "loss_changes", "sum_hessian", "base_weights",
-                  "split_type"):
+                  "loss_changes", "sum_hessian", "split_type"):
             _require(len(t[k]) == n, f"{k} length")
+        if slv > 1:
+            # MultiTargetTree arrays are per-node x per-target
+            _require(len(t["base_weights"]) == n * slv,
+                     "base_weights length (n_nodes x n_targets)")
+            n_leaves = sum(1 for v in t["left_children"] if v == -1)
+            _require(len(t["leaf_weights"]) == n_leaves * slv,
+                     "leaf_weights length (n_leaves x n_targets)")
+        else:
+            _require(len(t["base_weights"]) == n, "base_weights length")
     wd = gb.get("weight_drop") or model.get("weight_drop")
     if wd:
         _require(len(wd) <= len(trees), "CHECK_LE(weight_drop, trees)")
@@ -217,10 +247,13 @@ def test_fixture_loads_and_resaves_reference_readable(name):
     resaved = json.loads(m.to_json())
     resaved.pop("xgboost_spark", None)
     _validate_reference_readable(resaved)
-    # DART weights survive the re-save in the modern dialect
+    # DART weights survive the re-save in the modern dialect; with
+    # num_parallel_tree both forest members re-emit the round's weight
     if name.startswith("dart"):
         md = resaved["learner"]["gradient_booster"]["model"]
-        assert md["weight_drop"] == pytest.approx([1.0, 0.5, 0.25, 0.75])
+        want = ([1.0, 1.0, 0.5, 0.5, 0.25, 0.25] if name == "dart_forest"
+                else [1.0, 0.5, 0.25, 0.75])
+        assert md["weight_drop"] == pytest.approx(want)
 
 
 def test_fixture_bytes_are_stable():

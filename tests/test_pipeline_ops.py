@@ -1748,3 +1748,27 @@ def test_ivf_index_save_load_search(spark, sf_dir, tmp_path):
               .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
     key = ["query_id", "nbr_id", "rank"]
     assert served[key].equals(direct[key])
+
+
+def test_ivf_broadcast_query_guard(spark, sf_dir, monkeypatch):
+    """broadcast_queries=True self-enforces its batch << corpus contract
+    (round-13): past IVF_BROADCAST_QUERY_MAX rows the collect is
+    abandoned (the LIMIT bounds it driver-side) and the DISTRIBUTED
+    probe-assignment path runs with a warning — results identical."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = emb.filter(F.col("vec_id") < 40)
+    assigned, cents = similarity.ivf_build(emb, n_centroids=8,
+                                           iters=0, seed_by="id")
+    want = (similarity.ivf_search(assigned, cents, q, k=5, n_probe=4,
+                                  broadcast_queries=False)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+    monkeypatch.setattr(similarity, "IVF_BROADCAST_QUERY_MAX", 10)
+    with pytest.warns(UserWarning, match="distributed probe-assignment"):
+        got = (similarity.ivf_search(assigned, cents, q, k=5, n_probe=4,
+                                     broadcast_queries=True)
+               .toPandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+    key = ["query_id", "nbr_id", "rank"]
+    assert got[key].equals(want[key])

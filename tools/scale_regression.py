@@ -86,6 +86,15 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/scale_regression.json")
     ap.add_argument("--worst", type=int, default=5)
     ap.add_argument("--abs-threshold", type=float, default=15.0)
+    ap.add_argument("--sf10-fit", action="store_true",
+                    help="also run ONE fit100 at sf10 (60M-row lineitem; "
+                         "corpus generated once to /tmp/xgbspark_scale/"
+                         "sf10) and diff its loop seconds against the "
+                         "recorded anchor — every-other-round cadence so "
+                         "the decade-scale anchor can't silently rot")
+    ap.add_argument("--sf10-anchor", type=float, default=254.6,
+                    help="committed sf10 fit100 loop anchor seconds "
+                         "(BASELINE.md round-12 measurement)")
     args = ap.parse_args()
 
     if not os.path.isdir(HI):
@@ -149,9 +158,51 @@ def main() -> int:
         if v["ratio"] > limit:
             flagged.append(k)
 
+    sf10 = None
+    if args.sf10_fit:
+        SF10 = "/tmp/xgbspark_scale/sf10"
+        if not os.path.isdir(SF10):
+            print(f"generating 100x corpus at {SF10} (one-time) ...",
+                  flush=True)
+            subprocess.run([sys.executable,
+                            os.path.join(REPO, "tools", "gen_scale_data.py"),
+                            "100", LO, SF10], check=True, cwd=REPO)
+        from xgboost_spark.config import TrainParams
+        from xgboost_spark.plans import booster as _B
+        from xgboost_spark.plans.booster import SparkBooster
+        from xgboost_spark.session import get_session
+        from xgboost_spark.sources.tables import load_table
+        print("sf10 fit100 (single attempt; decade anchor) ...", flush=True)
+        spark = get_session("sf10_fit", cpus=32)
+        try:
+            li = load_table(spark, SF10, "lineitem")
+            li.count()
+            fc = ["l_quantity", "l_discount", "l_tax", "l_partkey",
+                  "l_suppkey", "l_linenumber", "l_orderkey"]
+            # short warm fit compiles the barrier plan at real partition
+            # sizes so the anchor measures steady-state loop throughput
+            SparkBooster(TrainParams(num_boost_round=2, max_depth=6,
+                                     max_bin=256, eta=0.3)).fit(
+                li, feature_cols=fc, label_col="l_extendedprice")
+            SparkBooster(TrainParams(num_boost_round=100, max_depth=6,
+                                     max_bin=256, eta=0.3)).fit(
+                li, feature_cols=fc, label_col="l_extendedprice")
+            loop = round(float(_B.FIT_STAGE_TIMES.get("loop", 0.0)), 1)
+        finally:
+            spark.stop()
+        sf10 = {"fit100_loop_sec": loop, "anchor_sec": args.sf10_anchor,
+                "ratio_vs_anchor": round(loop / args.sf10_anchor, 2),
+                "load": round(os.getloadavg()[0], 2)}
+        # same slack rule as the 10x ratios: 1.5x + additive headroom
+        # absorbs this box's documented co-tenant steal
+        if loop > 1.5 * args.sf10_anchor + 30.0:
+            flagged.append("sf10_fit100_loop")
+        print("sf10:", sf10, flush=True)
+
     out = {"metric": "scale_regression", "data_factor": 10.0,
            "baseline": os.path.basename(args.baseline),
-           "queries": res, "flagged": flagged}
+           "queries": res, "flagged": flagged,
+           **({"sf10_fit": sf10} if sf10 else {})}
     json.dump(out, open(args.out, "w"), indent=1)
     print(json.dumps({"flagged": flagged, "out": args.out}))
     return 1 if flagged else 0

@@ -668,6 +668,14 @@ def metric_partial_np(metric: str, y, margin, w=None, bounds=None, obj=None,
     n = len(y) if y is not None else len(margin)
     if w is None:
         w = np.ones(n)
+    # coerce array-valued margin columns (pandas object arrays of
+    # per-row vectors) to a dense float (n, K) matrix up front —
+    # NumPy >= 1.25 deprecates (and will error on) implicit ndim>0
+    # scalar conversion further down
+    margin = np.asarray(margin)
+    if margin.dtype == object:
+        margin = np.stack([np.asarray(v, dtype=np.float64).ravel()
+                           for v in margin.ravel()])
     m = margin[:, 0] if margin.ndim > 1 else margin
     W = float(w.sum())
     if name in ("auc", "aucpr") and qid is not None:

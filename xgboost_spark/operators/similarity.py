@@ -202,6 +202,9 @@ def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
 # cost flat) — a 100 TB SemDeDup/IVF wants 10^4-10^5 clusters, far past
 # what plan compilation survives on the expression path.
 EXPR_ASSIGN_MAX = 64
+# ivf_search(broadcast_queries=True) refuses to collect more query rows
+# than this — past it the distributed probe-assignment path runs instead
+IVF_BROADCAST_QUERY_MAX = 100_000
 
 
 def _assign_lists_np(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
@@ -417,9 +420,27 @@ def ivf_search(assigned: DataFrame, cents: np.ndarray, queries: DataFrame,
     corpus = assigned
     c = assigned.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"),
                         _norm(F.col(vec_col)).alias("cn"), "list_id")
+    qp = None
+    if broadcast_queries:
+        # self-enforcing contract: broadcast_queries=True collects the
+        # query side, which is only sane for a batch << corpus.  The
+        # LIMIT bounds the collect itself, so a corpus-sized query frame
+        # cannot OOM the driver — it falls through to the distributed
+        # probe-assignment path with a warning instead.
+        qp = (queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+              .limit(IVF_BROADCAST_QUERY_MAX + 1).toPandas())
+        if len(qp) > IVF_BROADCAST_QUERY_MAX:
+            import warnings
+            warnings.warn(
+                f"ivf_search(broadcast_queries=True) with more than "
+                f"{IVF_BROADCAST_QUERY_MAX} query rows — switching to the "
+                f"distributed probe-assignment path (pass "
+                f"broadcast_queries=False to silence)", stacklevel=2)
+            broadcast_queries = False
+            qp = None
     if broadcast_queries:
         # driver-side probe list per query is tiny: compute via pandas
-        qp = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).toPandas()
         qv = np.stack(qp["qv"].to_numpy()).astype(np.float64)
         d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         # stable sort: equidistant centroids tie to the lowest list_id,

@@ -240,10 +240,18 @@ class GBDTModel:
         for rnd in self.trees:
             for k, t in enumerate(rnd):
                 n = t.n_nodes
+                # vector-leaf (multi-target) trees use the reference's
+                # MultiTargetTree dialect (multi_target_tree_model.cc
+                # SaveModel): scalar split_conditions (leaves carry 0),
+                # per-node weight vectors flattened into base_weights,
+                # and leaf_weights = n_leaves x n_targets in ascending
+                # leaf-node-id order (the loader's leaf-idx mapping)
+                n_targets = max((int(np.size(v)) for v in t.leaf_value),
+                                default=1)
 
                 def _cond(i):
                     if t.left[i] == -1:
-                        return t.leaf_value[i]
+                        return 0.0 if n_targets > 1 else t.leaf_value[i]
                     if t.tie_strict or t.categories[i] is not None:
                         return t.split_value[i]
                     # engine split values are INCLUSIVE upper bounds
@@ -275,6 +283,30 @@ class GBDTModel:
                 right = [t.left[i] if i in cat_set else t.right[i] for i in range(n)]
                 dleft = [int(not t.default_left[i]) if i in cat_set
                          else int(t.default_left[i]) for i in range(n)]
+                if n_targets > 1:
+                    # MultiTargetTree dialect: weights_ is every node's
+                    # target vector flattened; leaf_weights holds only
+                    # the leaves, ascending node id (the reference's
+                    # load-time leaf-idx mapping walks nidx 0..n)
+                    base_weights = [
+                        float(x)
+                        for i in range(n)
+                        for x in np.ravel(np.asarray(t.leaf_value[i],
+                                                     dtype=np.float64))
+                    ]
+                    leaf_weights = [
+                        float(x)
+                        for i in range(n) if t.left[i] == -1
+                        for x in np.ravel(np.asarray(t.leaf_value[i],
+                                                     dtype=np.float64))
+                    ]
+                else:
+                    base_weights = [
+                        float(core.calc_weight(t.sum_grad[i], t.sum_hess[i],
+                                               self.params.reg_lambda, self.params.reg_alpha))
+                        for i in range(n)
+                    ]
+                    leaf_weights = None
                 trees_json.append({
                     # "id" + full tree_param are REQUIRED by the
                     # reference's loader (GBTreeModel::LoadModel
@@ -286,9 +318,7 @@ class GBDTModel:
                         "num_nodes": str(n),
                         "num_deleted": "0",
                         "num_feature": str(len(self.feature_names)),
-                        "size_leaf_vector": str(max(
-                            (int(np.size(v)) for v in t.leaf_value),
-                            default=1)),
+                        "size_leaf_vector": str(n_targets),
                     },
                     "split_indices": [max(t.feature[i], 0) for i in range(n)],
                     "split_conditions": split_conditions,
@@ -303,11 +333,9 @@ class GBDTModel:
                     "parents": list(t.parent),
                     "loss_changes": list(t.gain),
                     "sum_hessian": list(t.sum_hess),
-                    "base_weights": [
-                        float(core.calc_weight(t.sum_grad[i], t.sum_hess[i],
-                                               self.params.reg_lambda, self.params.reg_alpha))
-                        for i in range(n)
-                    ],
+                    "base_weights": base_weights,
+                    **({"leaf_weights": leaf_weights}
+                       if leaf_weights is not None else {}),
                 })
         doc = {
             "version": [0, 1, 0],
@@ -345,7 +373,15 @@ class GBDTModel:
                             "num_trees": str(sum(len(r) for r in self.trees)),
                             "num_parallel_tree": str(self.params.num_parallel_tree),
                         },
-                        "tree_info": [k for r in self.trees for k in range(len(r))],
+                        # tree_info = output GROUP id per tree
+                        # (gbtree_model.h tree_info semantics): a round
+                        # is K groups x num_parallel_tree trees laid out
+                        # k-major, so group = index // npt — NOT the
+                        # within-round index (which mislabeled forest
+                        # trees as extra classes before round 13)
+                        "tree_info": [
+                            i // max(self.params.num_parallel_tree, 1)
+                            for r in self.trees for i in range(len(r))],
                         # per-iteration tree offsets (gbtree_model.cc:
                         # 75-78) — authoritative round grouping on load
                         "iteration_indptr": [
@@ -505,9 +541,25 @@ class GBDTModel:
             t.split_value = [
                 float(td["split_conditions"][i]) if td["left_children"][i] != -1 else 0.0 for i in range(n)
             ]
-            t.leaf_value = [
-                float(td["split_conditions"][i]) if td["left_children"][i] == -1 else 0.0 for i in range(n)
-            ]
+            slv = int(td["tree_param"].get("size_leaf_vector", "1") or 1)
+            if slv > 1:
+                # MultiTargetTree dialect (tree_model.cc:1155 dispatch,
+                # multi_target_tree_model.cc LoadModel): vector leaves
+                # live in leaf_weights, n_leaves x n_targets flattened
+                # in ascending leaf-node-id order
+                lw = [float(x) for x in td["leaf_weights"]]
+                t.leaf_value = []
+                pos = 0
+                for i in range(n):
+                    if td["left_children"][i] == -1:
+                        t.leaf_value.append(lw[pos:pos + slv])
+                        pos += slv
+                    else:
+                        t.leaf_value.append([0.0] * slv)
+            else:
+                t.leaf_value = [
+                    float(td["split_conditions"][i]) if td["left_children"][i] == -1 else 0.0 for i in range(n)
+                ]
             t.default_left = [bool(b) for b in td["default_left"]]
             t.left = list(td["left_children"])
             t.right = list(td["right_children"])
