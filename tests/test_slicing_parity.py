@@ -93,6 +93,8 @@ def test_iteration_range_end_zero_expr(model, scoring_df):
 # ------------------------------------------------------------ slice errors
 
 def test_slice_end_zero_and_errors(model):
+    """The reference's full slice-error matrix
+    (tests/python/test_basic_models.py run_slice)."""
     assert len(model.slice(1, 0).trees) == 4
     with pytest.raises(ValueError, match="Empty slice"):
         model.slice(3, 3)
@@ -102,6 +104,36 @@ def test_slice_end_zero_and_errors(model):
         model.slice(0, 2, step=3)   # step > end - begin
     with pytest.raises(ValueError):
         model.slice(4, 2)           # stop < start
+    with pytest.raises(ValueError, match=">= 0"):
+        model[-1:0]                 # negative begin
+    with pytest.raises(ValueError, match="Empty slice"):
+        model[1:1]
+    with pytest.raises(ValueError, match="Invalid"):
+        model[3:0]
+    with pytest.raises(ValueError, match="Invalid"):
+        model[3:-1]
+    with pytest.raises(ValueError, match=">= 1"):
+        model[0:2:-1]               # negative step
+    with pytest.raises(ValueError, match=">= 1"):
+        model[0:2:0]                # zero step
+    with pytest.raises(IndexError):
+        model[: len(model.trees) + 1]
+    # __iter__ yields one single-round model per boosting round
+    rounds = list(model)
+    assert len(rounds) == 5
+    assert all(len(r.trees) == 1 for r in rounds)
+    assert rounds[2].trees[0][0] is model.trees[2][0]
+
+
+def test_strided_merge_identity(model, scoring_df):
+    """booster[1:7:2] + booster[2:8:2] - intercept == booster[1:7]
+    in margin space (run_slice's strided merge check, adapted to 5
+    rounds: [1:5:2]={1,3} + [2:5:2]={2,4} == [1:5])."""
+    base = model._bs_row(1)[0]
+    a = _margins(model[1:5:2], scoring_df)
+    b = _margins(model[2:5:2], scoring_df)
+    single = _margins(model[1:5], scoring_df)
+    np.testing.assert_allclose(a + b - base, single, rtol=0, atol=1e-9)
 
 
 def test_slice_step(model, scoring_df):

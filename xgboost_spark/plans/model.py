@@ -735,15 +735,21 @@ class GBDTModel:
         and every attribute except best_iteration/best_score
         (`learner.cc:1054-1090` LearnerImpl::Slice erase_attr)."""
         n_rounds = len(self.trees)
+        if begin < 0:
+            # learner.cc:1060 CHECK_GE(begin, 0); the Python wrapper
+            # surfaces it as ValueError (test_basic_models run_slice)
+            raise ValueError("Invalid slice: begin must be >= 0")
+        if end < 0:
+            raise ValueError("Invalid slice", (begin, end))
         if end == 0:
             end = n_rounds
         if step < 1:
-            raise ValueError(f"Invalid slice step: {step}")
+            raise ValueError("Invalid slice: step must be >= 1")
         if end == begin:
             raise ValueError("Empty slice is not allowed.")
         if end < begin:
             raise ValueError("Invalid slice", (begin, end))
-        if begin < 0 or step > end - begin or end > n_rounds:
+        if step > end - begin or end > n_rounds:
             raise IndexError("Layer index out of range")
         m = GBDTModel(self.params, self.base_score,
                       self.trees[begin:end:step],
@@ -779,6 +785,12 @@ class GBDTModel:
             if stop < start:
                 raise ValueError("Invalid slice", val)
         return self.slice(start, stop, val.step if val.step is not None else 1)
+
+    def __iter__(self):
+        """Iterate per-boosting-round single-round models (reference
+        core.py Booster.__iter__)."""
+        for i in range(len(self.trees)):
+            yield self[i]
 
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
