@@ -334,3 +334,24 @@ def test_base_margin_with_multi_target(spark):
                       .sort_values("rid"))["margin"]])
     np.testing.assert_allclose(head + tail - bs[None, :], full,
                                rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------------------- gblinear
+
+def test_gblinear_layer_checks(spark, reg_df):
+    """gblinear has no layers: non-zero iteration_range begin errors
+    (gblinear.cc:48-49 LinearCheckLayer), begin==0 is accepted with any
+    end (layer_end is ignored), pred_leaf is unsupported
+    (gblinear.cc:149-152)."""
+    from xgboost_spark.plans.booster import train
+    m = train({"booster": "gblinear", "num_boost_round": 3,
+               "reg_lambda": 0.1, "seed": 1},
+              reg_df.fillna(0.0), feature_cols=FC, label_col="label")
+    df = reg_df.fillna(0.0).limit(50)
+    with pytest.raises(ValueError, match="prediction range"):
+        m.transform(df, feature_cols=FC, iteration_range=(1, 2))
+    with pytest.raises(ValueError, match="leaf"):
+        m.transform(df, feature_cols=FC, pred_leaf=True)
+    a = m.transform(df, feature_cols=FC, iteration_range=(0, 2)).toPandas()
+    b = m.transform(df, feature_cols=FC).toPandas()
+    assert np.allclose(np.sort(a["prediction"]), np.sort(b["prediction"]))

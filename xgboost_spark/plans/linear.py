@@ -99,7 +99,9 @@ class LinearModel:
     def transform(self, df: DataFrame, feature_cols: list[str] | None = None,
                   output_margin: bool = False,
                   pred_contribs: bool = False,
-                  pred_interactions: bool = False) -> DataFrame:
+                  pred_interactions: bool = False,
+                  pred_leaf: bool = False,
+                  iteration_range: tuple[int, int] | None = None) -> DataFrame:
         """``pred_contribs``: per-feature contribution array (w_f * x_f,
         bias+intercept last) — the reference's gblinear contribution
         semantics (`src/gbm/gblinear.cc:153-194` PredictContribution:
@@ -110,7 +112,18 @@ class LinearModel:
         — "linear models have no interaction effects" — fills
         rows x n_groups x F x F with ZEROS; exposed for API parity as
         an ``interactions`` column (flat F*F zero array per row; K > 1
-        emits K such blocks, mirroring ``contribs``)."""
+        emits K such blocks, mirroring ``contribs``).
+
+        ``iteration_range``: gblinear has no layers — a non-zero begin
+        is an error (`gblinear.cc:48-49` LinearCheckLayer; the end is
+        ignored, matching the reference's unused layer_end) and
+        ``pred_leaf`` is unsupported (`gblinear.cc:149-152`)."""
+        if pred_leaf:
+            raise ValueError(
+                "gblinear does not support prediction of leaf index")
+        if iteration_range is not None and iteration_range[0] != 0:
+            raise ValueError(
+                "Linear booster does not support prediction range.")
         name = self.params.objective
         if self.n_groups > 1:
             margins = self.margin_exprs(feature_cols)
