@@ -276,3 +276,29 @@ def test_eval_df(model, reg_df):
     assert rmse == pytest.approx(manual, rel=1e-9)
     mae = model.eval_df(reg_df, "mae", feature_cols=FC, label_col="label")
     assert mae == pytest.approx(float(np.abs(joined.label - joined.prediction).mean()), rel=1e-9)
+
+
+def test_get_dump_json(spark, model):
+    """dump_format='json' (reference tree_model.cc:340-465
+    JsonGenerator): parseable per-tree JSON whose routing fields agree
+    with the text dump's yes/no/missing and whose leaf set matches."""
+    import json as _json
+    txt = model.get_dump(with_stats=True)
+    js = model.get_dump(with_stats=True, dump_format="json")
+    assert len(js) == len(txt) == 5
+    for s in js:
+        d = _json.loads(s)
+        def walk(nd, depth=0):
+            if "leaf" in nd:
+                assert set(nd) >= {"nodeid", "leaf", "cover"}
+                return 1
+            assert nd["depth"] == depth
+            assert set(nd) >= {"nodeid", "split", "split_condition",
+                               "yes", "no", "missing", "gain", "cover",
+                               "children"}
+            assert nd["missing"] in (nd["yes"], nd["no"])
+            return sum(walk(c, depth + 1) for c in nd["children"])
+        n_leaves = walk(d)
+        assert n_leaves >= 2
+    with pytest.raises(ValueError, match="Unknown dump"):
+        model.get_dump(dump_format="dot2")

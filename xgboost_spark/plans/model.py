@@ -1362,13 +1362,26 @@ class GBDTModel:
             }[importance_type]
         return out
 
-    def get_dump(self, with_stats: bool = False) -> list[str]:
-        """Text dump, one string per tree, in the reference's format
-        (`src/tree/tree_model.cc:232-299` TextGenerator):
+    def get_dump(self, with_stats: bool = False,
+                 dump_format: str = "text") -> list[str]:
+        """Dump, one string per tree (reference ``Booster.get_dump``).
+
+        ``text`` (`src/tree/tree_model.cc:232-299` TextGenerator):
         ``{nid}:[{fname}<{cond}] yes=l,no=r,missing=m`` with tab
         indentation by depth, leaves as ``{nid}:leaf={v}``; categorical
         splits as ``[{fname}:{c1,c2}] yes=r,no=l`` (in-set goes right in
-        the reference's convention, so children swap like to_json)."""
+        the reference's convention, so children swap like to_json).
+
+        ``json`` (`tree_model.cc:340-465` JsonGenerator): per-tree JSON
+        with nodeid/depth/split/split_condition/yes/no/missing and
+        nested ``children``; leaves are ``{"nodeid": n, "leaf": v}``;
+        stats add gain/cover.  Categorical nodes emit the category list
+        as split_condition with yes=right (in-set), exactly the
+        generator's Categorical template."""
+        if dump_format == "json":
+            return self._dump_json(with_stats)
+        if dump_format != "text":
+            raise ValueError(f"Unknown dump format: {dump_format}")
         dumps = []
         for rnd in self.trees:
             for t in rnd:
@@ -1402,6 +1415,40 @@ class GBDTModel:
 
                 walk(0, 0)
                 dumps.append("\n".join(lines) + "\n")
+        return dumps
+
+    def _dump_json(self, with_stats: bool) -> list[str]:
+        dumps = []
+        for rnd in self.trees:
+            for t in rnd:
+                def node(nid: int, depth: int, t=t):
+                    if t.left[nid] == -1:
+                        lv = t.leaf_value[nid]
+                        d = {"nodeid": nid,
+                             "leaf": (list(map(float, lv))
+                                      if np.ndim(lv) else float(lv))}
+                        if with_stats:
+                            d["cover"] = float(t.sum_hess[nid])
+                        return d
+                    l, r = int(t.left[nid]), int(t.right[nid])
+                    cats = t.categories[nid] if t.categories is not None else None
+                    d = {"nodeid": nid, "depth": depth,
+                         "split": self.feature_names[t.feature[nid]]}
+                    if cats:
+                        # Categorical template: in-set -> yes=RIGHT
+                        d["split_condition"] = sorted(int(c) for c in cats)
+                        d["yes"], d["no"] = r, l
+                    else:
+                        d["split_condition"] = float(t.split_value[nid])
+                        d["yes"], d["no"] = l, r
+                    d["missing"] = l if t.default_left[nid] else r
+                    if with_stats:
+                        d["gain"] = float(t.gain[nid])
+                        d["cover"] = float(t.sum_hess[nid])
+                    d["children"] = [node(l, depth + 1), node(r, depth + 1)]
+                    return d
+
+                dumps.append(json.dumps(node(0, 0), indent=2))
         return dumps
 
     def evals_result(self) -> dict:
