@@ -24,6 +24,18 @@ from xgboost_spark.config import TrainParams
 from xgboost_spark.functions.objectives import get_objective
 
 
+def _leaf_str(lv) -> str:
+    """Leaf value for text/dot dumps: scalars as %.9g, vector leaves in
+    the reference's bracketed-and-truncated form (`tree_model.cc:52-75`
+    ToStr with truncate_limit=3: first two values, '...', last)."""
+    if np.ndim(lv):
+        vals = [f"{float(v):.9g}" for v in np.ravel(lv)]
+        if len(vals) > 3:
+            vals = vals[:2] + ["...", vals[-1]]
+        return "[" + ", ".join(vals) + "]"
+    return f"{float(lv):.9g}"
+
+
 class GBDTModel:
     def __init__(self, params: TrainParams, base_score: float,
                  trees: list[list[core.Tree]], feature_names: list[str],
@@ -1307,6 +1319,12 @@ class GBDTModel:
         ti = 0
         for rnd_i, rnd in enumerate(self.trees):
             for k, t in enumerate(rnd):
+                if any(np.ndim(v) for v in t.leaf_value):
+                    raise NotImplementedError(
+                        "trees_to_dataframe does not support vector-leaf "
+                        "(multi_output_tree) models — the scalar "
+                        "leaf_value column has no vector shape; use "
+                        "get_dump(dump_format='json') instead")
                 for nid in range(t.n_nodes):
                     is_leaf = t.left[nid] == -1
                     rows.append((
@@ -1390,7 +1408,7 @@ class GBDTModel:
                 def walk(nid: int, depth: int, t=t, lines=lines):
                     tabs = "\t" * depth
                     if t.left[nid] == -1:
-                        s = f"{tabs}{nid}:leaf={t.leaf_value[nid]:.9g}"
+                        s = f"{tabs}{nid}:leaf={_leaf_str(t.leaf_value[nid])}"
                         if with_stats:
                             s += f",cover={t.sum_hess[nid]:.9g}"
                         lines.append(s)
@@ -1467,7 +1485,8 @@ class GBDTModel:
             cover = f"\ncover={t.sum_hess[nid]:.9g}" if with_stats else ""
             if t.left[nid] == -1:
                 lines.append(
-                    f'    {nid} [ label="leaf={t.leaf_value[nid]:.9g}{cover}" ]')
+                    f'    {nid} [ label="leaf={_leaf_str(t.leaf_value[nid])}'
+                    f'{cover}" ]')
                 continue
             fname = self.feature_names[t.feature[nid]]
             gain = f"\ngain={t.gain[nid]:.9g}" if with_stats else ""
