@@ -302,3 +302,20 @@ def test_get_dump_json(spark, model):
         assert n_leaves >= 2
     with pytest.raises(ValueError, match="Unknown dump"):
         model.get_dump(dump_format="dot2")
+
+
+def test_model_copy(spark, reg_df, model):
+    """Booster.copy/__deepcopy__ (reference core.py:1994-2009): a copy
+    reloads the serialized document — identical predictions, no shared
+    mutable tree state."""
+    import copy as _copy
+    c = model.copy()
+    d = _copy.deepcopy(model)
+    assert c is not model and c.trees is not model.trees
+    sample = reg_df.limit(100)
+    a = np.sort(model.transform(sample, feature_cols=FC)
+                .toPandas()["prediction"].to_numpy())
+    for m2 in (c, d):
+        b = np.sort(m2.transform(sample, feature_cols=FC)
+                    .toPandas()["prediction"].to_numpy())
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)

@@ -804,6 +804,21 @@ class GBDTModel:
         for i in range(len(self.trees)):
             yield self[i]
 
+    # ----------------------------------------------------------- copying
+    def __deepcopy__(self, _=None) -> "GBDTModel":
+        """Copy via the serialized document, exactly the reference's
+        ``Booster.__deepcopy__`` (core.py:1997 — a copy is a reload of
+        the model bytes, so it shares nothing mutable)."""
+        return GBDTModel.from_json(self.to_json())
+
+    def __copy__(self) -> "GBDTModel":
+        return self.__deepcopy__(None)
+
+    def copy(self) -> "GBDTModel":
+        """Copy the model (reference ``Booster.copy``, core.py:2001)."""
+        import copy as _copy
+        return _copy.copy(self)
+
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
             return self.trees[: self.best_iteration + 1]
