@@ -355,3 +355,20 @@ def test_gblinear_layer_checks(spark, reg_df):
     a = m.transform(df, feature_cols=FC, iteration_range=(0, 2)).toPandas()
     b = m.transform(df, feature_cols=FC).toPandas()
     assert np.allclose(np.sort(a["prediction"]), np.sort(b["prediction"]))
+
+
+def test_continuation_from_sliced_model(spark, reg_df, model):
+    """Training continuation accepts a sliced model (reference
+    xgb.train(xgb_model=booster[a:b]) — Slice returns a full Learner,
+    learner.cc:1054): the continued model keeps the slice's rounds and
+    appends new ones."""
+    s = model.slice(0, 3)
+    cont = SparkBooster(TrainParams(num_boost_round=2, max_depth=3,
+                                    max_bin=32, seed=4)).fit(
+        reg_df, feature_cols=FC, label_col="label", xgb_model=s)
+    assert len(cont.trees) == 5
+    for i in range(3):
+        a, b = s.trees[i][0], cont.trees[i][0]
+        assert list(a.feature) == list(b.feature)
+        np.testing.assert_allclose(np.asarray(a.leaf_value, float),
+                                   np.asarray(b.leaf_value, float))
