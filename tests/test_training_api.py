@@ -146,3 +146,68 @@ def test_process_type_update(spark, reg_df):
     with pytest.raises(ValueError, match="requires xgb_model"):
         train({"process_type": "update"}, reg_df,
               feature_cols=fc, label_col="label")
+
+
+def test_early_stopping_save_best_and_selection(spark, reg_df):
+    """Reference EarlyStopping surface (callback.py): save_best returns
+    only the rounds up to the best iteration with best_iteration/
+    best_score restored on the slice; metric_name/data_name select the
+    watched series; unknown names raise."""
+    es = EarlyStopping(rounds=2, save_best=True, metric_name="rmse",
+                       data_name="train")
+    model = train({"num_boost_round": 30, "max_depth": 2,
+                   "base_score": 0.0, "eta": 0.9},
+                  reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+                  callbacks=[es])
+    assert es.best_iteration is not None
+    assert len(model.trees) == es.best_iteration + 1
+    assert model.best_iteration == es.best_iteration
+    assert model.attr("best_score") == str(es.best)
+    with pytest.raises(ValueError, match="No dataset named"):
+        train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+              callbacks=[EarlyStopping(rounds=1, data_name="nope")])
+    with pytest.raises(ValueError, match="No metric named"):
+        train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+              callbacks=[EarlyStopping(rounds=1, metric_name="nope")])
+    with pytest.raises(ValueError, match="min_delta"):
+        EarlyStopping(rounds=1, min_delta=-0.5)
+
+
+def test_early_stopping_maximize_inference():
+    """The reference's auto-maximize list is startswith-based with mape
+    excluded (callback.py _update_rounds maximize_metrics)."""
+    for metric, want in (("auc", True), ("aucpr@3", True),
+                         ("ndcg@5-", True), ("map", True),
+                         ("mape", False), ("rmse", False),
+                         ("mlogloss", False), ("pre@4", True)):
+        es = EarlyStopping(rounds=1)
+        log = {"eval": {metric: [0.5]}}
+        es.after_iteration(None, 0, log)
+        assert es.maximize is want, metric
+
+
+def test_early_stopping_continuation_offset(spark, reg_df):
+    """Continuation + early stopping: best_iteration counts from the
+    merged model's round 0 (reference epoch += starting_round) — the
+    built-in early_stopping_rounds path offsets too."""
+    base = train({"num_boost_round": 3, "max_depth": 2,
+                  "base_score": 0.0}, reg_df, feature_cols=FCOLS)
+    es = EarlyStopping(rounds=2)
+    cont = train({"num_boost_round": 20, "max_depth": 2,
+                  "base_score": 0.0, "eta": 0.9},
+                 reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+                 callbacks=[es], xgb_model=base)
+    if es.best_iteration is not None:
+        assert cont.best_iteration == es.best_iteration + 3
+        assert cont.best_iteration >= 3
+    cont2 = train({"num_boost_round": 20, "max_depth": 2,
+                   "base_score": 0.0, "eta": 0.9,
+                   "early_stopping_rounds": 2},
+                  reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+                  xgb_model=base)
+    if cont2.best_iteration is not None:
+        assert cont2.best_iteration >= 3
+        # used_trees() truncates in the MERGED model's index space
+        assert len(cont2.used_trees()) == cont2.best_iteration + 1

@@ -81,37 +81,87 @@ class EvaluationMonitor(TrainingCallback):
 
 
 class EarlyStopping(TrainingCallback):
-    """Stop after ``rounds`` non-improving iterations on the LAST metric
-    of the LAST eval set (reference callback.py:311 semantics)."""
+    """Stop after ``rounds`` consecutive non-improving iterations
+    (reference callback.py EarlyStopping): watches ``metric_name`` on
+    ``data_name`` (defaults: last metric of the last eval set), infers
+    maximize from the reference's startswith list (mape excluded), and
+    with ``save_best`` the returned model keeps only the rounds up to
+    the detected best iteration."""
+
+    _MAXIMIZE_METRICS = ("auc", "aucpr", "pre", "pre@", "map", "ndcg",
+                         "auc@", "aucpr@", "map@", "ndcg@")
 
     def __init__(self, rounds: int, maximize: bool | None = None,
-                 min_delta: float = 0.0):
+                 min_delta: float = 0.0, metric_name: str | None = None,
+                 data_name: str | None = None, save_best: bool = False):
+        if min_delta < 0:
+            raise ValueError("min_delta must be greater or equal to 0.")
         self.rounds = rounds
         self.maximize = maximize
         self.min_delta = min_delta
+        self.metric_name = metric_name
+        self.data_name = data_name
+        self.save_best = save_best
         self.best = None
         self.best_iteration = None
+        self.starting_round = 0
 
-    def _better(self, a: float, b: float, maximize: bool) -> bool:
-        return a > b + self.min_delta if maximize else a < b - self.min_delta
+    def before_training(self, state):
+        # training continuation: epochs re-start at 0 within the fit but
+        # the model's round index continues (reference callback.py
+        # before_training: starting_round = model.num_boosted_rounds())
+        xm = getattr(state, "xgb_model", None)
+        self.starting_round = len(xm.trees) if xm is not None else 0
+
+    def _better(self, new: float, best: float, maximize: bool) -> bool:
+        # reference _update_rounds: maximize <=> new - min_delta > best;
+        # minimize <=> best - min_delta > new
+        return (new - self.min_delta > best if maximize
+                else best - self.min_delta > new)
 
     def after_iteration(self, state, epoch, evals_log):
-        if not evals_log:
-            return False
-        data = list(evals_log)[-1]
-        metric = list(evals_log[data])[-1]
+        if len(evals_log) < 1:
+            raise ValueError(
+                "Must have at least 1 validation dataset for early "
+                "stopping.")
+        data = self.data_name or list(evals_log)[-1]
+        if data not in evals_log:
+            raise ValueError(f"No dataset named: {data}")
+        metric = self.metric_name or list(evals_log[data])[-1]
+        if metric not in evals_log[data]:
+            raise ValueError(f"No metric named: {metric}")
         vals = evals_log[data][metric]
         if not vals:
             return False
         cur = vals[-1]
-        maximize = (self.maximize if self.maximize is not None
-                    else metric.partition("@")[0] in
-                    ("auc", "aucpr", "ndcg", "map", "pre"))
-        if self.best is None or self._better(cur, self.best, maximize):
+        if self.maximize is None:
+            # reference inference: startswith over the maximize list,
+            # with "mape" explicitly excluded (it startswith "map")
+            self.maximize = (metric != "mape" and any(
+                metric.startswith(x) for x in self._MAXIMIZE_METRICS))
+        if self.best is None or self._better(cur, self.best, self.maximize):
             self.best = cur
             self.best_iteration = epoch
             return False
         return epoch - self.best_iteration >= self.rounds
+
+    def finalize_model(self, model):
+        """Stamp best_iteration/best_score on the finished model; with
+        ``save_best`` return only the rounds up to the best iteration
+        (reference after_training: ``model = model[: best_iteration +
+        1]`` with the attributes restored on the slice)."""
+        if self.best_iteration is None:
+            return model
+        bi = self.best_iteration + self.starting_round
+        model.best_iteration = bi
+        model.set_attr(best_score=str(self.best))
+        if self.save_best:
+            eh = model.eval_history
+            model = model.slice(0, bi + 1)
+            model.best_iteration = bi
+            model.eval_history = eh
+            model.set_attr(best_score=str(self.best))
+        return model
 
 
 class TrainingCheckPoint(TrainingCallback):

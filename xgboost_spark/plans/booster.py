@@ -849,7 +849,8 @@ class SparkBooster:
                 cuts, best_it, history, is_dart)
 
         cb_state = TrainingState(p, _make_model)
-        orig_eta = p.eta
+        cb_state.xgb_model = xgb_model    # continuation offset for
+        orig_eta = p.eta                  # EarlyStopping.starting_round
         for cb in (callbacks or []):
             cb.before_training(cb_state)
 
@@ -1002,7 +1003,14 @@ class SparkBooster:
         for cb in (callbacks or []):
             cb.after_training(cb_state)
         FIT_STAGE_TIMES["loop"] = round(time.monotonic() - _t1, 3)
-        return _make_model()
+        model = _make_model()
+        for cb in (callbacks or []):
+            # reference after_training returns the (possibly save_best-
+            # sliced) model; callbacks exposing finalize_model get the
+            # finished artifact to stamp or slice
+            if hasattr(cb, "finalize_model"):
+                model = cb.finalize_model(model)
+        return model
 
     def _parse_monotone(self, feat_names_out: list[str], Fn: int):
         p = self.params
@@ -1065,6 +1073,14 @@ class SparkBooster:
             if is_dart or xgb_model.tree_weights:
                 weights = list(prev_w) + (list(tree_weights) if tree_weights
                                           else [1.0] * len(trees))
+            if best_it is not None:
+                # early-stopped continuation: the within-fit round index
+                # shifts by the previous model's rounds (reference
+                # EarlyStopping.after_iteration `epoch +=
+                # self.starting_round`, callback.py) — without this the
+                # merged model's best_iteration truncated into the PREV
+                # model's trees
+                best_it += len(xgb_model.trees)
         model = GBDTModel(p, base_score, all_trees, feat_names_out, cuts,
                           best_iteration=best_it, eval_history=history,
                           tree_weights=weights)
