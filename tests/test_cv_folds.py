@@ -87,3 +87,40 @@ def test_unstratified_and_grouped_unchanged(spark, skewed_labels):
     assert (per_qid == 1).all()  # whole query group in one fold
     out2 = _fold_column(skewed_labels, 3, 5, False, "label", None)
     assert out2.select("__fold__").distinct().count() == 3
+
+
+def test_cv_early_stopping_truncates_to_best(spark, reg_df):
+    """cv(early_stopping_rounds=N) watches the AGGREGATED cross-fold
+    test mean and truncates the returned history to best_iteration + 1
+    (reference training.py cv + EarlyStopping over CVPack aggregates)."""
+    from xgboost_spark.plans.cv import cv
+    full = cv({"num_boost_round": 20, "max_depth": 2, "eta": 0.9,
+               "base_score": 0.0}, reg_df, nfold=3, seed=3,
+              label_col="label", feature_cols=[f"c{i}" for i in range(5)])
+    es = cv({"num_boost_round": 20, "max_depth": 2, "eta": 0.9,
+             "base_score": 0.0}, reg_df, nfold=3, seed=3,
+            label_col="label", feature_cols=[f"c{i}" for i in range(5)], early_stopping_rounds=2)
+    key = [k for k in es if k.startswith("test-") and k.endswith("-mean")][-1]
+    n = len(es[key])
+    assert n <= len(full[key])
+    # the truncation point is the aggregated-series best
+    assert es[key][-1] == min(full[key][:n + 2])
+    assert all(len(v) == n for v in es.values())
+
+
+def test_cv_custom_objective(spark, reg_df):
+    """cv(obj=...) forwards a custom objective to every fold
+    (reference cv obj param)."""
+    import numpy as np
+    from xgboost_spark.plans.cv import cv
+
+    def sq(y, margin, w):
+        d = margin - y
+        return d, np.ones_like(d)
+
+    res = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)], obj=sq)
+    ref = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)])
+    key = [k for k in res if k.endswith("-mean")][-1]
+    np.testing.assert_allclose(res[key], ref[key], rtol=0, atol=1e-9)

@@ -74,6 +74,9 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
        seed: int = 0, label_col: str = "label",
        qid_col: str | None = None, show_train: bool = False,
        share_cuts: bool = True,
+       early_stopping_rounds: int | None = None,
+       maximize: bool | None = None,
+       obj=None,
        **fit_kw) -> dict[str, list[float]]:
     """Returns {'test-<metric>-mean': [...], 'test-<metric>-std': [...]}
     (+train-* when ``show_train``), one value per boosting round.
@@ -84,7 +87,18 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
     layout), turning k full sketch passes into one.  Cuts built from
     (k-1)/k of the data are statistically indistinguishable from
     full-data cuts; pass False to re-sketch each fold.
-    """
+
+    ``early_stopping_rounds``: the reference's cv-level rule — early
+    stopping watches the AGGREGATED cross-fold mean of the last test
+    metric, and the returned history is truncated to the best iteration
+    (reference training.py cv: the EarlyStopping callback runs over
+    CVPack aggregates and results are trimmed to ``best_iteration +
+    1``).  The engine trains folds independently (not in per-round
+    lock-step), so the stopping point is computed on the same
+    aggregated series post-hoc — identical output, the reference just
+    also saves the never-returned tail's compute.  ``maximize``
+    overrides the metric-name inference.  ``obj``: custom objective
+    forwarded to every fold (reference cv(obj=...))."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
     if nfold < 2:
         raise ValueError(f"cv needs nfold >= 2, got {nfold}")
@@ -98,9 +112,9 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
         train_df = folded.filter(F.col("__fold__") != f).drop("__fold__")
         valid_df = folded.filter(F.col("__fold__") == f).drop("__fold__")
         evals = ([(train_df, "train")] if show_train else []) + [(valid_df, "test")]
-        model = SparkBooster(p).fit(train_df, label_col=label_col,
-                                    qid_col=qid_col, evals=evals,
-                                    cuts=shared, **fit_kw)
+        model = SparkBooster(p, obj=obj).fit(train_df, label_col=label_col,
+                                             qid_col=qid_col, evals=evals,
+                                             cuts=shared, **fit_kw)
         if share_cuts and shared is None:
             shared = model.cuts
         per_fold.append(model.eval_history)
@@ -111,4 +125,21 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
             arr = np.asarray([h[data][metric][:rounds] for h in per_fold])
             out[f"{data}-{metric}-mean"] = arr.mean(axis=0).tolist()
             out[f"{data}-{metric}-std"] = arr.std(axis=0).tolist()
+    if early_stopping_rounds:
+        from xgboost_spark.functions.callbacks import EarlyStopping
+        test_means = [k for k in out
+                      if k.startswith("test-") and k.endswith("-mean")]
+        if test_means:
+            watch = test_means[-1]
+            metric_name = watch[len("test-"):-len("-mean")]
+            es = EarlyStopping(rounds=early_stopping_rounds,
+                               maximize=maximize)
+            best = len(out[watch]) - 1
+            for i in range(len(out[watch])):
+                log = {"test": {metric_name: out[watch][: i + 1]}}
+                if es.after_iteration(None, i, log):
+                    break
+            if es.best_iteration is not None:
+                best = es.best_iteration
+            out = {k: v[: best + 1] for k, v in out.items()}
     return out
