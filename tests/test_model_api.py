@@ -319,3 +319,32 @@ def test_model_copy(spark, reg_df, model):
         b = np.sort(m2.transform(sample, feature_cols=FC)
                     .toPandas()["prediction"].to_numpy())
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_dump_save_raw_eval_surface(spark, reg_df, model, tmp_path):
+    """Booster surface parity: dump_model text/json file forms
+    (core.py:2939), save_raw/load_raw bytes (core.py:2817), and the
+    eval/eval_set string format (core.py:2340 '[i]\\tname-metric:v')."""
+    import json as _json
+    p_txt = tmp_path / "dump.txt"
+    p_js = tmp_path / "dump.json"
+    model.dump_model(str(p_txt), with_stats=True)
+    model.dump_model(str(p_js), dump_format="json")
+    txt = p_txt.read_text()
+    assert txt.startswith("booster[0]:\n0:[")
+    assert "booster[4]:" in txt
+    arr = _json.loads(p_js.read_text())
+    assert len(arr) == 5 and all("nodeid" in t for t in arr)
+    # raw bytes round-trip, both formats
+    for fmt in ("json", "ubj"):
+        m2 = type(model).load_raw(model.save_raw(fmt))
+        assert len(m2.trees) == len(model.trees)
+        t0a, t0b = model.trees[0][0], m2.trees[0][0]
+        assert list(t0a.feature) == list(t0b.feature)
+    with pytest.raises(ValueError):
+        model.save_raw("bin")
+    # eval string
+    s = model.eval(reg_df.limit(300), name="holdout", iteration=7,
+                   feature_cols=FC)
+    assert s.startswith("[7]\tholdout-rmse:")
+    float(s.split(":")[1])

@@ -207,7 +207,7 @@ class GBDTModel:
         from xgboost_spark.functions.metrics import compute_metric
         if metric is None:
             metric = (self.params.eval_metric[0] if self.params.eval_metric
-                      else self.obj.default_metric)
+                      else self.obj.default_metric())
         K = self.params.n_groups
         scored = self.transform(df, feature_cols=feature_cols,
                                 array_col=array_col, output_margin=True)
@@ -219,6 +219,34 @@ class GBDTModel:
         return compute_metric(frame, metric,
                               margin_cols=[f"m{k}" for k in range(max(K, 1))],
                               weight="w" if weight_col else None)
+
+    def eval_set(self, evals: list[tuple[DataFrame, str]],
+                 iteration: int = 0,
+                 feature_cols: list[str] | None = None,
+                 array_col: str | None = None,
+                 label_col: str = "label",
+                 weight_col: str | None = None) -> str:
+        """Evaluate on a list of (df, name) sets and return the
+        reference's eval string ``[i]\\tname-metric:value\\t...``
+        (``Booster.eval_set``, core.py:2340 / learner.cc EvalOneIter
+        format)."""
+        metrics = (list(self.params.eval_metric)
+                   if self.params.eval_metric
+                   else [self.obj.default_metric()])
+        parts = [f"[{iteration}]"]
+        for df, name in evals:
+            for m in metrics:
+                v = self.eval_df(df, metric=m, feature_cols=feature_cols,
+                                 array_col=array_col, label_col=label_col,
+                                 weight_col=weight_col)
+                parts.append(f"{name}-{m}:{v:.6f}")
+        return "\t".join(parts)
+
+    def eval(self, df: DataFrame, name: str = "eval",
+             iteration: int = 0, **kw) -> str:
+        """One-set form of :meth:`eval_set` (reference ``Booster.eval``,
+        core.py:2401)."""
+        return self.eval_set([(df, name)], iteration, **kw)
 
     def save_config(self) -> str:
         """Training configuration as JSON (reference
@@ -1483,6 +1511,55 @@ class GBDTModel:
 
                 dumps.append(json.dumps(node(0, 0), indent=2))
         return dumps
+
+    def dump_model(self, fout, with_stats: bool = False,
+                   dump_format: str = "text") -> None:
+        """Dump to a text or JSON file — visualization format, not
+        loadable (reference ``Booster.dump_model``, core.py:2939: text
+        prefixes each tree with ``booster[i]:``, json wraps the per-tree
+        documents in one array)."""
+        import os as _os
+        if isinstance(fout, (str, _os.PathLike)):
+            fobj = open(_os.fspath(_os.path.expanduser(fout)), "w",
+                        encoding="utf-8")
+            need_close = True
+        else:
+            fobj, need_close = fout, False
+        ret = self.get_dump(with_stats=with_stats, dump_format=dump_format)
+        if dump_format == "json":
+            fobj.write("[\n")
+            for i, val in enumerate(ret):
+                fobj.write(val)
+                if i < len(ret) - 1:
+                    fobj.write(",\n")
+            fobj.write("\n]")
+        else:
+            for i, val in enumerate(ret):
+                fobj.write(f"booster[{i}]:\n")
+                fobj.write(val)
+        if need_close:
+            fobj.close()
+
+    def save_raw(self, raw_format: str = "ubj") -> bytearray:
+        """Model document as in-memory bytes (reference
+        ``Booster.save_raw``, core.py:2817): ``ubj`` or ``json``."""
+        if raw_format == "json":
+            return bytearray(self.to_json().encode("utf-8"))
+        if raw_format == "ubj":
+            from xgboost_spark.sources import ubjson
+            return bytearray(ubjson.dumps(json.loads(self.to_json())))
+        raise ValueError(f"Unknown format: {raw_format}")
+
+    @classmethod
+    def load_raw(cls, raw: bytes | bytearray) -> "GBDTModel":
+        """Load from :meth:`save_raw` bytes (reference
+        ``Booster(model_file=bytearray)``)."""
+        raw = bytes(raw)
+        try:
+            return cls.from_json(raw.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            from xgboost_spark.sources import ubjson
+            return cls.from_doc(ubjson.loads(raw))
 
     def evals_result(self) -> dict:
         """Per-eval-set metric history — the reference's
