@@ -348,3 +348,32 @@ def test_dump_save_raw_eval_surface(spark, reg_df, model, tmp_path):
                    feature_cols=FC)
     assert s.startswith("[7]\tholdout-rmse:")
     float(s.split(":")[1])
+
+
+def test_set_param_load_config(spark, reg_df, model):
+    """set_param (core.py:2167: dict / pairs / key+value, unknown keys
+    ignored) and load_config (core.py:1986) round the config surface;
+    changing the objective re-derives pred_transform."""
+    import copy as _copy
+    m = _copy.deepcopy(model)
+    m.set_param("eta", "0.05")
+    assert m.params.eta == 0.05
+    m.set_param({"max_depth": 4, "unknown_key": 1})
+    assert m.params.max_depth == 4
+    m.set_param([("seed", 9)])
+    assert m.params.seed == 9
+    # objective switch re-derives the objective instance
+    m.set_param("objective", "binary:logistic")
+    import numpy as np
+    p = m.obj.pred_transform(np.array([0.0]))
+    assert p[0] == 0.5                       # sigmoid now
+    # config round trip restores the original surface
+    m2 = _copy.deepcopy(model)
+    cfg = model.save_config()
+    m2.set_param({"eta": 0.9, "objective": "binary:logistic"})
+    m2.load_config(cfg)
+    assert m2.params.eta == model.params.eta
+    assert m2.params.objective == model.params.objective
+    assert m2.obj.pred_transform(np.array([1.5]))[0] == 1.5  # identity again
+    with pytest.raises(ValueError):
+        model.set_param("eta")

@@ -261,6 +261,54 @@ class GBDTModel:
                        if v is not None and k != "explicit_keys"}}}
         return json.dumps(cfg)
 
+    def load_config(self, config: str) -> None:
+        """Apply a :meth:`save_config` document back onto this model
+        (reference ``Booster.load_config``, core.py:1986 ->
+        XGBoosterLoadJsonConfig): restores the parameter surface —
+        objective included — and re-derives the objective instance."""
+        doc = json.loads(config)
+        params = dict(doc["learner"].get("params") or {})
+        params.setdefault("objective", doc["learner"].get("objective"))
+        self.set_param(params)
+
+    def set_param(self, params, value=None) -> None:
+        """Set parameters (reference ``Booster.set_param``, core.py:2167
+        — dict, iterable of pairs, or a single key + value).  Unknown
+        keys are ignored like XGBoosterSetParam; changing ``objective``
+        or loss params re-derives the objective instance so
+        pred_transform follows (learner.cc Configure)."""
+        if isinstance(params, dict):
+            items = list(params.items())
+        elif isinstance(params, str):
+            if value is None:
+                raise ValueError("value required when params is a key")
+            items = [(params, value)]
+        else:
+            items = list(params)
+        touched_obj = False
+        for k, v in items:
+            if v is None or not hasattr(self.params, k):
+                continue
+            cur = getattr(self.params, k)
+            if isinstance(cur, bool):
+                v = str(v).lower() in ("1", "true", "yes")
+            elif isinstance(cur, int) and not isinstance(cur, bool):
+                v = int(v)
+            elif isinstance(cur, float):
+                v = float(v)
+            elif isinstance(cur, (tuple, list)) and isinstance(v, (tuple, list)):
+                v = type(cur)(v)
+            setattr(self.params, k, v)
+            if k in ("objective", "num_class", "quantile_alpha",
+                     "expectile_alpha", "tweedie_variance_power",
+                     "huber_slope", "aft_loss_distribution",
+                     "aft_loss_distribution_scale", "scale_pos_weight"):
+                touched_obj = True
+        if touched_obj:
+            from xgboost_spark.functions.objectives import CustomObjective
+            if not isinstance(self.obj, CustomObjective):
+                self.obj = get_objective(self.params.objective, self.params)
+
     # ------------------------------------------------------------------ ser
     def to_json(self) -> str:
         """Serialize in the reference's JSON dialect
