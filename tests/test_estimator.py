@@ -217,3 +217,20 @@ def test_plotting_surface(spark, reg_df):
     if not has_mpl:
         with pytest.raises(ImportError):
             xs.plot_importance(m)
+
+
+def test_pred_contrib_col(spark, reg_df):
+    """pred_contrib_col (reference spark/core.py:136): when configured,
+    transform also emits the feature-contribution vector (F+1 values,
+    bias last) under the given name; local accuracy holds vs the
+    margin."""
+    from xgboost_spark.plans.estimator import SparkGBDTRegressor
+    est = SparkGBDTRegressor(label_col="label",
+                             features_col=[f"c{i}" for i in range(5)],
+                             num_boost_round=3, max_depth=2,
+                             pred_contrib_col="shap")
+    model = est.fit(reg_df)
+    out = model.transform(reg_df.limit(100))
+    row = out.select("shap", "prediction").first()
+    assert len(row["shap"]) == 6          # 5 features + bias
+    assert abs(sum(row["shap"]) - row["prediction"]) < 1e-6

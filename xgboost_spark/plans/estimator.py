@@ -153,6 +153,7 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
                  weight_col: str | None = None, base_margin_col: str | None = None,
                  qid_col: str | None = None, validation_indicator_col: str | None = None,
                  categorical_features: list | None = None,
+                 pred_contrib_col: str | None = None,
                  **params):
         super().__init__()
         self.label_col = label_col
@@ -162,6 +163,7 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         self.qid_col = qid_col
         self.validation_indicator_col = validation_indicator_col
         self.categorical_features = categorical_features
+        self.pred_contrib_col = pred_contrib_col
         # defaults come from TrainParams so the two surfaces can't drift
         base = TrainParams(objective=self._default_objective)
         self._setDefault(**{n: getattr(base, n) for n in _TUNABLE_NAMES})
@@ -207,7 +209,8 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         # like the reference wrapper, a configured base_margin_col also
         # applies at predict when the scoring frame carries the column
         return self._model_cls(core_model, self._feature_kw(train_df),
-                               base_margin_col=self.base_margin_col)
+                               base_margin_col=self.base_margin_col,
+                               pred_contrib_col=self.pred_contrib_col)
 
     @property
     def _model_cls(self):
@@ -223,11 +226,16 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
 
 class _GBDTModel(Model, MLReadable, MLWritable):
     def __init__(self, core_model: GBDTModel | None = None, feature_kw: dict | None = None,
-                 base_margin_col: str | None = None):
+                 base_margin_col: str | None = None,
+                 pred_contrib_col: str | None = None):
         super().__init__()
         self.core = core_model
         self._feature_kw = feature_kw or {}
         self._base_margin_col = base_margin_col
+        # reference spark param pred_contrib_col (spark/core.py:136):
+        # when set, transform also emits the feature-contribution
+        # vector under this name
+        self._pred_contrib_col = pred_contrib_col
 
     def _predict_kw(self, dataset: DataFrame) -> dict:
         kw = dict(self._feature_kw)
@@ -236,7 +244,11 @@ class _GBDTModel(Model, MLReadable, MLWritable):
         return kw
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
-        return self.core.transform(dataset, **self._predict_kw(dataset))
+        out = self.core.transform(dataset, **self._predict_kw(dataset),
+                                  pred_contribs=bool(self._pred_contrib_col))
+        if self._pred_contrib_col:
+            out = out.withColumnRenamed("contribs", self._pred_contrib_col)
+        return out
 
     def transform(self, dataset: DataFrame, params=None, **kw) -> DataFrame:
         if kw:
@@ -258,6 +270,7 @@ class _GBDTModel(Model, MLReadable, MLWritable):
         doc = json.loads(self.core.to_json())
         doc["xgboost_spark"]["feature_kw"] = self._feature_kw
         doc["xgboost_spark"]["base_margin_col"] = self._base_margin_col
+        doc["xgboost_spark"]["pred_contrib_col"] = self._pred_contrib_col
         with open(path, "w") as f:
             json.dump(doc, f)
 
@@ -272,7 +285,8 @@ class _GBDTModel(Model, MLReadable, MLWritable):
         ext = doc.get("xgboost_spark", {})
         core_model = GBDTModel.from_json(json.dumps(doc))
         return cls(core_model, ext.get("feature_kw", {}),
-                   base_margin_col=ext.get("base_margin_col"))
+                   base_margin_col=ext.get("base_margin_col"),
+                   pred_contrib_col=ext.get("pred_contrib_col"))
 
     def get_feature_importances(self, importance_type: str = "weight"):
         return self.core.feature_importance(importance_type)
