@@ -234,3 +234,27 @@ def test_pred_contrib_col(spark, reg_df):
     row = out.select("shap", "prediction").first()
     assert len(row["shap"]) == 6          # 5 features + bias
     assert abs(sum(row["shap"]) - row["prediction"]) < 1e-6
+
+
+def test_estimator_missing_sentinel(spark, reg_df):
+    """`missing` (reference spark/core.py:141): the sentinel routes as
+    absent at fit and predict — a -999-coded frame trains like the
+    NaN-coded original."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from xgboost_spark.plans.estimator import SparkGBDTRegressor
+    fc = [f"c{i}" for i in range(5)]
+    coded = reg_df
+    for c in fc:
+        coded = coded.withColumn(
+            c, F.when(F.isnan(F.col(c)), -999.0).otherwise(F.col(c)))
+    est = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=3, max_depth=2, seed=1,
+                             missing=-999.0)
+    ref = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=3, max_depth=2, seed=1)
+    a = est.fit(coded).transform(coded).agg(
+        F.round(F.sum("prediction"), 4)).first()[0]
+    b = ref.fit(reg_df).transform(reg_df).agg(
+        F.round(F.sum("prediction"), 4)).first()[0]
+    assert abs(a - b) < 1e-3

@@ -154,6 +154,7 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
                  qid_col: str | None = None, validation_indicator_col: str | None = None,
                  categorical_features: list | None = None,
                  pred_contrib_col: str | None = None,
+                 missing: float | None = None,
                  **params):
         super().__init__()
         self.label_col = label_col
@@ -164,6 +165,10 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         self.validation_indicator_col = validation_indicator_col
         self.categorical_features = categorical_features
         self.pred_contrib_col = pred_contrib_col
+        # reference spark param `missing` (spark/core.py:141): sentinel
+        # treated as absent at fit AND at predict (the fitted value is
+        # stored on the model, GBDTModel.missing)
+        self.missing = missing
         # defaults come from TrainParams so the two surfaces can't drift
         base = TrainParams(objective=self._default_objective)
         self._setDefault(**{n: getattr(base, n) for n in _TUNABLE_NAMES})
@@ -204,6 +209,7 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
             train_df, label_col=self.label_col, weight_col=self.weight_col,
             base_margin_col=self.base_margin_col, qid_col=self.qid_col,
             categorical_features=self.categorical_features,
+            missing=self.missing,
             evals=evals, **self._feature_kw(train_df),
         )
         # like the reference wrapper, a configured base_margin_col also
