@@ -1416,6 +1416,36 @@ def q_pred_leaf_range(spark, sf_dir):
             .withColumn("leaf_id", F.col("leaf_id").cast("bigint")))
 
 
+def q_eval_str(spark, sf_dir):
+    """Booster.eval_set byte format HASH-MATCHED (round-14 EvalOneIter
+    audit pin, `learner.cc:1164-1194`): the eval string is ``[i]`` +
+    ``\\t{data}-{metric}:{value}`` in DATASET-MAJOR, metric-minor order
+    over the configured eval_metric list, values printed fixed-point at
+    max_digits10 = 17 decimals (`learner.cc:1170-1171`
+    os.precision(max_digits10) + std::ios::fixed = %.17f).
+
+    Determinism to the last of the 17 digits: the fixed 2-tree model's
+    margins and the constructed labels are exact multiples of 0.25, so
+    squared/absolute residuals are exact multiples of 1/16 — their sums
+    are IEEE-exact in ANY accumulation order, the final /n and sqrt are
+    correctly-rounded single ops on identical doubles, and %.17f
+    round-trips the identical doubles to identical bytes in Python and
+    DuckDB printf.  The WHOLE string hash-matches."""
+    _prep(spark)
+    import json as _json
+    from xgboost_spark.plans.model import GBDTModel
+    m = GBDTModel.from_json(_json.dumps(_fixed_two_tree_doc()))
+    m.params.eval_metric = ["rmse", "mae"]
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("user_id") % 4).cast("double") * F.lit(0.25)).alias("label"))
+    d_tr = ev.filter(F.col("event_id") % 2 == 0)
+    d_ho = ev.filter(F.col("event_id") % 2 == 1)
+    s = m.eval_set([(d_tr, "train"), (d_ho, "holdout")], iteration=7,
+                   feature_cols=["user_id", "event_id"])
+    return spark.createDataFrame([(s,)], "eval_str string")
+
+
 def q_image_pipeline(spark, sf_dir):
     """Multimodal pipeline (operators/multimodal): deterministic raw
     videos are built per document, frame-sampled to real PPM frames, and
@@ -2012,6 +2042,54 @@ def q_train_multi_quantile(spark, sf_dir):
                  F.round(F.max(pred.getItem(1)), 4).alias("p50"),
                  F.round(F.max(pred.getItem(2)), 4).alias("p75"),
                  F.count("*").cast("bigint").alias("n_rows")))
+
+
+def q_train_approx(spark, sf_dir):
+    """tree_method=approx through the REAL barrier trainer HASH-MATCHED
+    (round-14 cadence-audit pin, `updater_approx.cc:47-52/:95-130`):
+    one round at depth 1, reg:squarederror, PINNED 31-boundary fine
+    grids on (l_quantity, l_discount) via ``fit(cuts=)`` and a pinned
+    6dp base_score.  The round-0 rebin is the audited reference cadence
+    — squarederror is the one const-hess objective, so its single
+    sketch is weighted by round-0 hessians, which are ALL-ONES here:
+    the hessian histogram over fine bins is exact INTEGER row counts,
+    the coarse bounds (CDF inversion targets W*k/8, searchsorted-left,
+    unique+append-last — `plans/barrier.py _approx_rebin`) are integer-
+    exact, and the DuckDB oracle replays them bin for bin.  The depth-1
+    split (gain desc, feature asc, bin asc) and Newton leaves
+    eta*-G/(H+lambda) follow; output = per-leaf (routing count, 4dp
+    leaf value) + the raw-domain split, with counts pinning the coarse
+    binning EXACTLY (integers carry no float fuzz)."""
+    _prep(spark)
+    import numpy as np
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_discount"]
+    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 32)
+            for f in feats}
+    d = li.select(*feats, (F.col("l_extendedprice") / 1000.0).alias("label"))
+    base = round(d.agg(F.avg("label")).first()[0], 6)
+    trainer_cuts = [np.array(cuts[f] + [np.inf]) for f in feats]
+    m = SparkBooster(TrainParams(tree_method="approx", num_boost_round=1,
+                                 max_depth=1, max_bin=8, eta=0.3,
+                                 base_score=base, exec_mode="barrier",
+                                 seed=3)).fit(
+        d, feature_cols=feats, label_col="label", cuts=trainer_cuts)
+    t = m.trees[0][0]
+    feat_name = feats[t.feature[0]]
+    split_value = float(t.split_value[0])
+    arrs = t.finalize_arrays()
+    leaf_w = {1: float(arrs["leaf_value"][1]), 2: float(arrs["leaf_value"][2])}
+    out = m.transform(d, feature_cols=feats, pred_leaf=True)
+    counts = (out.select(F.element_at("leaf", 1).cast("bigint").alias("leaf"))
+              .groupBy("leaf").count().collect())       # 2 rows
+    rows = [(int(r["leaf"]), int(r["count"]),
+             round(leaf_w[int(r["leaf"])], 4), feat_name,
+             round(split_value, 6)) for r in counts]
+    return spark.createDataFrame(
+        rows, "leaf bigint, n bigint, leaf_w double, feature string, "
+              "split_value double")
 
 
 def q_linear_one_round(spark, sf_dir):
@@ -4133,33 +4211,81 @@ def q_idle_customers(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
-    hashes the FIRST 50 entries.  Round-13 window = stream_score
-    PROMOTED to hash-matched (fixed reference-dialect model through the
-    real streaming plan, DuckDB CASE replay) + 2 NEW parity-audit pins
-    (dart_slice_serve: DART weight_drop x iteration_range=(1, 0) through
-    transform_expr — the LayerToTree end==0 form the engine mis-sliced
-    to empty before round 13; pred_leaf_range: leaf ids under
-    iteration_range=(0, 1)) + image_pipeline re-rowed with its new
-    pixel-checksum invariant + the full 46-entry r10 block, this
-    round's stalest certifications.  After this window no entry's
-    latest driver row predates round 11.  Every entry remains covered
-    by the in-repo replica gate (tests/test_entry.py), which runs ALL
-    entries regardless of order, and by the AST lint
+    hashes the FIRST 50 entries.  Round-14 window = 2 NEW parity-audit
+    pins (eval_str: the EvalOneIter eval string byte format —
+    dataset-major/metric-minor order, %.17f fixed values — hash-matched
+    END TO END against a DuckDB printf replay on IEEE-exact inputs;
+    train_approx: the REAL barrier approx trainer with pinned fine
+    cuts, whose round-0 hessian-histogram rebin bounds are integer-
+    exact and replayed bin-for-bin in SQL) + the full 48-entry r11
+    block, this round's stalest certifications.  After this window no
+    entry's latest driver row predates round 12.  Every entry remains
+    covered by the in-repo replica gate (tests/test_entry.py), which
+    runs ALL entries regardless of order, and by the AST lint
     (tests/test_entry_lint.py) pinning that operator-backed entries
     execute shipped engine code."""
     return {
-        # ---- driver 50-entry CORRECTNESS window (round 13) --------------
-        # PROMOTED: stream_score now hash-matched (fixed model, CASE-replay
-        # oracle); NEW: dart_slice_serve + pred_leaf_range pin the round-13
-        # serving/slicing parity fixes (LayerToTree end==0, weight_drop
-        # slicing, leaf begin==0 contract) in the driver gate; image_pipeline
-        # re-rows with the new pixel-checksum invariant
+        # ---- driver 50-entry CORRECTNESS window (round 14) --------------
+        # NEW: eval_str (EvalOneIter byte-format pin, 17-digit fixed values
+        # hash-matched end to end) + train_approx (REAL barrier approx
+        # trainer, integer-exact round-0 rebin bounds replayed in SQL)
+        "eval_str": q_eval_str,
+        "train_approx": q_train_approx,
+        # re-certification: the 48-entry r11 block (stalest) — after this
+        # window no entry's latest driver row predates round 12
+        "aft_grad": q_aft_grad,
+        "best_split": q_best_split,
+        "bloom_contains": q_bloom_contains,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "bundle_revenue": q_bundle_revenue,
+        "cms_topk": q_cms_topk,
+        "cox_grad": q_cox_grad,
+        "dart_weights": q_dart_weights,
+        "dedup_exact": q_dedup_exact,
+        "embedding_cov": q_embedding_cov,
+        "fit_stump": q_fit_stump,
+        "hll_distinct": q_hll_distinct,
+        "idle_customers": q_idle_customers,
+        "kmeans_iter": q_kmeans_iter,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf0": q_knn_ivf0,
+        "leaf_weights": q_leaf_weights,
+        "linear_multigroup_round": q_linear_multigroup_round,
+        "local_supplier_volume": q_local_supplier_volume,
+        "logistic_grad": q_logistic_grad,
+        "min_acctbal_supplier": q_min_acctbal_supplier,
+        "priority_lines": q_priority_lines,
+        "quantile_cuts": q_quantile_cuts,
+        "quantize_hist": q_quantize_hist,
+        "ref_dart_import": q_ref_dart_import,
+        "ref_gblinear_import": q_ref_gblinear_import,
+        "returned_items": q_returned_items,
+        "revenue_forecast": q_revenue_forecast,
+        "row_partition": q_row_partition,
+        "segment_dedup": q_segment_dedup,
+        "softmax_grad": q_softmax_grad,
+        "split_scan": q_split_scan,
+        "stream_distinct": q_stream_distinct,
+        "stream_enrich": q_stream_enrich,
+        "stream_join": q_stream_join,
+        "subsample": q_subsample,
+        "supplier_part_counts": q_supplier_part_counts,
+        "top_supplier": q_top_supplier,
+        "train_dart": q_train_dart,
+        "train_importance": q_train_importance,
+        "train_logistic": q_train_logistic,
+        "train_ranker": q_train_ranker,
+        "train_softmax": q_train_softmax,
+        "train_string_cat": q_train_string_cat,
+        "vocab": q_vocab,
+        "waiting_suppliers": q_waiting_suppliers,
+        "weighted_quantile": q_weighted_quantile,
+        # ---- past the window (r12/r13-certified) ------------------------
         "stream_score": q_stream_score,
         "dart_slice_serve": q_dart_slice_serve,
         "pred_leaf_range": q_pred_leaf_range,
         "image_pipeline": q_image_pipeline,
-        # re-certification: the 46-entry r10 block (stalest) — after this
-        # window no entry's latest driver row predates round 11
         "train_stream": q_train_stream,
         "train_expectile": q_train_expectile,
         "knn": q_knn,
@@ -4206,7 +4332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "quantile_stump": q_quantile_stump,
-        # ---- past the window (r11/r12-certified) ------------------------
         "wide_linear_round": q_wide_linear_round,
         "train_ranker_weighted": q_train_ranker_weighted,
         "ivf_search": q_ivf_search,
@@ -4257,54 +4382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "asof_join": q_asof_join,
-        "ref_dart_import": q_ref_dart_import,
-        "ref_gblinear_import": q_ref_gblinear_import,
-        "linear_multigroup_round": q_linear_multigroup_round,
-        "fit_stump": q_fit_stump,
-        "quantile_cuts": q_quantile_cuts,
-        "weighted_quantile": q_weighted_quantile,
-        "quantize_hist": q_quantize_hist,
-        "split_scan": q_split_scan,
-        "best_split": q_best_split,
-        "leaf_weights": q_leaf_weights,
-        "row_partition": q_row_partition,
-        "subsample": q_subsample,
-        "logistic_grad": q_logistic_grad,
-        "softmax_grad": q_softmax_grad,
-        "dedup_exact": q_dedup_exact,
-        "cox_grad": q_cox_grad,
-        "aft_grad": q_aft_grad,
-        "knn_ivf": q_knn_ivf,
-        "train_importance": q_train_importance,
-        "train_ranker": q_train_ranker,
-        "train_dart": q_train_dart,
-        "vocab": q_vocab,
-        "stream_enrich": q_stream_enrich,
-        "stream_join": q_stream_join,
-        "segment_dedup": q_segment_dedup,
-        "knn_ivf0": q_knn_ivf0,
-        "train_string_cat": q_train_string_cat,
-        "train_logistic": q_train_logistic,
-        "train_softmax": q_train_softmax,
-        "dart_weights": q_dart_weights,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_contains": q_bloom_contains,
-        "embedding_cov": q_embedding_cov,
-        "stream_distinct": q_stream_distinct,
-        "min_acctbal_supplier": q_min_acctbal_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "supplier_part_counts": q_supplier_part_counts,
-        "top_supplier": q_top_supplier,
-        "bundle_revenue": q_bundle_revenue,
-        "idle_customers": q_idle_customers,
-        "revenue_forecast": q_revenue_forecast,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "priority_lines": q_priority_lines,
-        "kmeans_iter": q_kmeans_iter,
     }
 
 # ---------------------------------------------------------------------------
@@ -6346,6 +6423,102 @@ WITH s AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(m), 4) AS sum_pred
 FROM s GROUP BY event_type""",
+
+        "eval_str": """
+WITH ev AS (
+  SELECT 0.5 + CASE WHEN user_id < 6.5 THEN -0.25 ELSE 0.75 END
+             + CASE WHEN event_id < 500.5 THEN 0.5 ELSE -1.25 END AS m,
+         CAST(user_id % 4 AS DOUBLE) * 0.25 AS y,
+         event_id
+  FROM events),
+tr AS (SELECT sqrt(sum((m - y) * (m - y)) / count(*)) AS rmse,
+              sum(abs(m - y)) / count(*) AS mae
+       FROM ev WHERE event_id % 2 = 0),
+ho AS (SELECT sqrt(sum((m - y) * (m - y)) / count(*)) AS rmse,
+              sum(abs(m - y)) / count(*) AS mae
+       FROM ev WHERE event_id % 2 = 1)
+SELECT '[7]' || chr(9) || 'train-rmse:' || printf('%.17f', tr.rmse)
+    || chr(9) || 'train-mae:'  || printf('%.17f', tr.mae)
+    || chr(9) || 'holdout-rmse:' || printf('%.17f', ho.rmse)
+    || chr(9) || 'holdout-mae:'  || printf('%.17f', ho.mae) AS eval_str
+FROM tr, ho""",
+
+        "train_approx": f"""
+WITH {", ".join(_rank_cut_ctes(["l_quantity", "l_discount"], 32))},
+ck_l_quantity AS (
+  SELECT k, min(v) AS cut FROM rk_l_quantity JOIN range(1, 32) t(k)
+    ON rn = CAST(ceil(k * n / 32.0) AS BIGINT) GROUP BY k),
+ck_l_discount AS (
+  SELECT k, min(v) AS cut FROM rk_l_discount JOIN range(1, 32) t(k)
+    ON rn = CAST(ceil(k * n / 32.0) AS BIGINT) GROUP BY k),
+base AS (SELECT round(avg(l_extendedprice / 1000.0), 6) AS bs FROM lineitem),
+d AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         CAST((SELECT count(*) FROM ck_l_quantity c
+               WHERE c.cut < l.l_quantity) AS BIGINT) AS bin0,
+         CAST((SELECT count(*) FROM ck_l_discount c
+               WHERE c.cut < l.l_discount) AS BIGINT) AS bin1
+  FROM lineitem l),
+fb AS (SELECT y, 0 AS fidx, bin0 AS bin FROM d
+       UNION ALL SELECT y, 1, bin1 FROM d),
+fh AS (SELECT fidx, bin, CAST(count(*) AS DOUBLE) AS h,
+              sum((SELECT bs FROM base) - y) AS g
+       FROM fb GROUP BY 1, 2),
+fcum AS (SELECT fidx, bin, h, g,
+           sum(h) OVER (PARTITION BY fidx ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cumh,
+           sum(h) OVER (PARTITION BY fidx) AS W
+         FROM fh),
+bnd AS (SELECT DISTINCT fidx, bnd FROM (
+          SELECT c.fidx,
+                 (SELECT min(bin) FROM fcum c2
+                  WHERE c2.fidx = c.fidx
+                    AND c2.cumh >= c.W * t.k / 8.0) AS bnd
+          FROM (SELECT DISTINCT fidx, W FROM fcum) c, range(1, 8) t(k)
+          UNION ALL
+          SELECT DISTINCT fidx, 31 FROM fcum) u),
+ch AS (SELECT f.fidx,
+              (SELECT count(*) FROM bnd b
+               WHERE b.fidx = f.fidx AND b.bnd < f.bin) AS cbin,
+              sum(f.g) AS G, sum(f.h) AS H
+       FROM fh f GROUP BY 1, 2),
+scan AS (SELECT fidx, cbin,
+           sum(G) OVER (PARTITION BY fidx ORDER BY cbin
+                        ROWS UNBOUNDED PRECEDING) AS gl,
+           sum(H) OVER (PARTITION BY fidx ORDER BY cbin
+                        ROWS UNBOUNDED PRECEDING) AS hl,
+           sum(G) OVER (PARTITION BY fidx) AS gt,
+           sum(H) OVER (PARTITION BY fidx) AS ht,
+           max(cbin) OVER (PARTITION BY fidx) AS mx
+         FROM ch),
+best AS (
+  SELECT fidx, cbin, gl, hl, gt, ht,
+         0.3 * (-gl / (hl + 1.0)) AS wl,
+         0.3 * (-(gt - gl) / (ht - hl + 1.0)) AS wr
+  FROM (SELECT *, row_number() OVER (ORDER BY
+          gl * gl / (hl + 1.0) + (gt - gl) * (gt - gl) / (ht - hl + 1.0)
+          - gt * gt / (ht + 1.0) DESC, fidx ASC, cbin ASC) AS rk
+        FROM scan WHERE cbin < mx) t WHERE rk = 1),
+sv AS (
+  SELECT b.*,
+         (SELECT bnd FROM (SELECT bnd, row_number() OVER (ORDER BY bnd) AS rn
+                           FROM bnd WHERE fidx = b.fidx) s
+          WHERE rn = b.cbin + 1) AS fb_idx
+  FROM best b),
+sv2 AS (
+  SELECT sv.*,
+         CASE WHEN fidx = 0 THEN 'l_quantity' ELSE 'l_discount' END AS fname,
+         CASE WHEN fidx = 0
+              THEN (SELECT cut FROM ck_l_quantity WHERE k = sv.fb_idx + 1)
+              ELSE (SELECT cut FROM ck_l_discount WHERE k = sv.fb_idx + 1)
+         END AS cutv
+  FROM sv)
+SELECT CAST(1 AS BIGINT) AS leaf, CAST(hl AS BIGINT) AS n,
+       round(wl, 4) AS leaf_w, fname AS feature,
+       round(cutv, 6) AS split_value FROM sv2
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(ht - hl AS BIGINT), round(wr, 4),
+       fname, round(cutv, 6) FROM sv2""",
 
         "dart_slice_serve": """
 WITH s AS (

@@ -201,6 +201,17 @@ def main():
         lambda: E.queries()["similarity_join"](spark, SF_DIR).collect())
     _ab("q1_pricing_rerun",
         lambda: E.queries()["q1_pricing"](spark, SF_DIR).collect())
+    # fit A/B guard (r13 verdict: BENCH fit10 8.20 s vs same-round scale
+    # gate 5.54 s — best-of-3 alone is not steal-proof on this box): a
+    # LATER-in-session rerun of both fits rides in the artifact so a
+    # steal spike at the head of the suite can't masquerade as a
+    # training regression without contradicting its own rerun
+    _ab("gbdt_fit_10r_d6_rerun",
+        lambda: SparkBooster(bench_params).fit(
+            li, feature_cols=fc, label_col="l_extendedprice"), n=2)
+    _ab("gbdt_fit_100r_d6_rerun",
+        lambda: SparkBooster(p100).fit(
+            li, feature_cols=fc, label_col="l_extendedprice"), n=1)
 
     print(json.dumps({
         "metric": "bench_suite_wall_clock",

@@ -258,3 +258,48 @@ def test_estimator_missing_sentinel(spark, reg_df):
     b = ref.fit(reg_df).transform(reg_df).agg(
         F.round(F.sum("prediction"), 4)).first()[0]
     assert abs(a - b) < 1e-3
+
+
+def test_estimator_repartition_surface(spark, reg_df, tmp_path):
+    """Reference spark params num_workers / force_repartition /
+    repartition_random_shuffle (spark/core.py:119-139, :215-246,
+    _repartition_needed :806-830) and feature_names (:247): training
+    runs at the requested parallelism, results are sane, validation
+    errors fire, and the new ctor surface survives estimator save/load
+    (including r13's pred_contrib_col/missing, which the writer
+    previously dropped)."""
+    fc = [f"c{i}" for i in range(5)]
+    est = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=3, max_depth=2, seed=1,
+                             num_workers=4, force_repartition=True,
+                             repartition_random_shuffle=True)
+    m = est.fit(reg_df)
+    scored = m.transform(reg_df)
+    rmse = scored.agg(F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))).first()[0]
+    assert rmse < reg_df.agg(F.stddev("label")).first()[0]
+    with pytest.raises(ValueError, match="num_workers"):
+        SparkGBDTRegressor(num_workers=0)
+    # feature_names renames an assembled array column's features
+    arr_df = reg_df.withColumn("feats", F.array(*[F.col(c) for c in fc]))
+    est2 = SparkGBDTRegressor(label_col="label", features_col="feats",
+                              num_boost_round=2, max_depth=2, seed=1,
+                              feature_names=[f"nice_{i}" for i in range(5)])
+    m2 = est2.fit(arr_df)
+    assert m2.core.feature_names == [f"nice_{i}" for i in range(5)]
+    with pytest.raises(ValueError, match="feature_names"):
+        SparkGBDTRegressor(label_col="label", features_col="feats",
+                           num_boost_round=1, max_depth=2,
+                           feature_names=["a", "b"]).fit(arr_df)
+    # ctor persistence round-trip
+    est3 = SparkGBDTRegressor(label_col="label", features_col=fc,
+                              num_boost_round=2, num_workers=3,
+                              repartition_random_shuffle=True,
+                              pred_contrib_col="contribs_out", missing=0.0)
+    p = str(tmp_path / "est_rt")
+    est3.save(p)
+    loaded = SparkGBDTRegressor.load(p)
+    assert loaded.num_workers == 3
+    assert loaded.repartition_random_shuffle is True
+    assert loaded.force_repartition is False
+    assert loaded.pred_contrib_col == "contribs_out"
+    assert loaded.missing == 0.0

@@ -1075,6 +1075,7 @@ def test_semantic_dedup_bucketed_scale_path(spark, big_emb):
     assert merged == 50, merged
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
 def test_semantic_dedup_default_args_bounded(spark):
     """The PUBLIC default must be scale-safe: a skewed corpus whose
     largest cluster exceeds the default max_pair_bucket (4096) must

@@ -211,3 +211,75 @@ def test_early_stopping_continuation_offset(spark, reg_df):
         assert cont2.best_iteration >= 3
         # used_trees() truncates in the MERGED model's index space
         assert len(cont2.used_trees()) == cont2.best_iteration + 1
+
+
+def test_eval_one_iter_parity_surface(spark, reg_df, capsys):
+    """EvalOneIter parity (learner.cc:1164-1194 + CallbackContainer
+    callback.py:263):
+    - a '-' in an eval-set name raises (history keys split on '-');
+    - disable_default_eval_metric + empty eval_metric = no built-in
+      history entries (learner.cc:1173);
+    - verbose line is the EvaluationMonitor byte format
+      '[epoch]\\tdata-metric:v(.5f)' over history insertion order."""
+    with pytest.raises(ValueError, match="should not contain"):
+        train({"num_boost_round": 1, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "my-set")])
+    m = train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0,
+               "disable_default_eval_metric": True},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")])
+    assert m.eval_history in ({}, {"train": {}})
+    # custom_metric still appends when the default is disabled
+    # (reference: the Python feval loop runs regardless of metrics_)
+    def cm(ev):
+        return "const", 1.0
+    m2 = train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0,
+                "disable_default_eval_metric": True},
+               reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+               custom_metric=cm)
+    assert list(m2.eval_history["train"]) == ["const"]
+    assert m2.eval_history["train"]["const"] == [1.0, 1.0]
+    # verbose byte format (composed path: custom_metric forces it)
+    capsys.readouterr()
+    m3 = train({"num_boost_round": 1, "max_depth": 2, "base_score": 0.0},
+               reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+               custom_metric=cm, verbose=True)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("[0]")][0]
+    rm = m3.eval_history["train"]["rmse"][0]
+    assert line == f"[0]\ttrain-rmse:{rm:.5f}\ttrain-const:1.00000"
+
+
+def test_inline_maximize_is_reference_startswith():
+    """_maximize (inline early_stopping_rounds path) twins the reference
+    EarlyStopping inference (callback.py:411-426): startswith over the
+    maximize list, mape excluded — and like the reference, 'ams@k'
+    MINIMIZES (ams is absent from the list)."""
+    from xgboost_spark.plans.booster import _maximize
+    assert _maximize("auc") and _maximize("aucpr@3") and _maximize("pre@4")
+    assert _maximize("ndcg@5-") and _maximize("map-")
+    assert _maximize("ndcg-custom")          # startswith, not exact-name
+    assert not _maximize("mape")
+    assert not _maximize("ams@0.15")         # not in the reference list
+    assert not _maximize("rmse") and not _maximize("mlogloss")
+
+
+def test_evaluation_monitor_latest_replay(spark, reg_df, capsys):
+    """period-skipped epochs replay their last message at
+    after_training (reference callback.py:542/_latest + 580-583), so
+    the final round's result always prints."""
+    from xgboost_spark.config import get_config, set_config
+    prev = get_config()["verbosity"]
+    set_config(verbosity=1)
+    try:
+        capsys.readouterr()
+        train({"num_boost_round": 4, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+              callbacks=[EvaluationMonitor(period=3)])
+        out = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("[")]
+        # epochs 0 and 3 print on-period; epoch 3 is final -> no replay
+        # left pending; a 4-round run with period 3 prints [0] and [3]
+        assert out[0].startswith("[0]\ttrain-rmse:")
+        assert out[-1].startswith("[3]\ttrain-rmse:")
+    finally:
+        set_config(verbosity=prev)

@@ -48,6 +48,25 @@ HI = "/tmp/xgbspark_scale/sf1"
 WARM = "/root/testdata/sf0.001"
 
 
+def baseline_raw_secs(path: str) -> dict[str, dict]:
+    """Extract {query: {sf0.1_sec, sf1_sec}} where the baseline artifact
+    carries raw per-SF seconds.  Ratio baselines inherit DENOMINATOR
+    noise (the r12 ngram_jaccard forensic: a load-inflated sf0.1 run
+    halved the recorded ratio) — raw per-SF seconds are the primary
+    cross-round comparison, ratios the derived one."""
+    d = json.load(open(path))
+    src = (d.get("queries") if d.get("metric") == "scale_regression"
+           else d.get("operators", {}))
+    if isinstance(src, dict) and isinstance(src.get("operators"), dict):
+        src = src["operators"]
+    out: dict[str, dict] = {}
+    for k, v in (src or {}).items():
+        if isinstance(v, dict) and "sf1_sec" in v:
+            out[k] = {"sf0.1_sec": v.get("sf0.1_sec"),
+                      "sf1_sec": float(v["sf1_sec"])}
+    return out
+
+
 def baseline_ratios(path: str) -> dict[str, float]:
     """Extract {query: sf1/sf0.1 ratio} from either this tool's own
     output or a SCALE_r{N}.json operator-sweep artifact."""
@@ -149,6 +168,7 @@ def main() -> int:
     finally:
         spark.stop()
 
+    raw_base = baseline_raw_secs(args.baseline)
     flagged = []
     for k, v in res.items():
         b = v["baseline_ratio"]
@@ -157,6 +177,16 @@ def main() -> int:
         v["limit"] = round(limit, 2)
         if v["ratio"] > limit:
             flagged.append(k)
+        # raw per-SF seconds diff (r13 verdict + the ngram_jaccard
+        # forensic: ratios inherit denominator noise — diff RAW seconds
+        # too).  Flag only on a QUIET box (load < 5): an elevated load
+        # sample is its own steal evidence, not a regression signal.
+        rb = raw_base.get(k)
+        if rb and rb.get("sf1_sec"):
+            v["baseline_sf1_sec"] = rb["sf1_sec"]
+            v["raw_drift"] = round(v["sf1_sec"] / rb["sf1_sec"], 2)
+            if v["raw_drift"] > 2.0 and v["load"] < 5.0:
+                flagged.append(f"{k}:raw")
 
     sf10 = None
     if args.sf10_fit:

@@ -121,6 +121,10 @@ class TrainParams:
     # early stopping / evals
     early_stopping_rounds: int | None = None
     eval_metric: list[str] = field(default_factory=list)
+    # reference learner.cc:302/:1173: when set and eval_metric is
+    # empty, EvalOneIter inserts NO default metric — eval sets produce
+    # no built-in history entries (a custom_metric still appends)
+    disable_default_eval_metric: bool = False
 
     # barrier-training fault tolerance: when checkpoint_dir is set,
     # rank 0 atomically writes the model-so-far (trees, weights,

@@ -64,20 +64,33 @@ class EvaluationMonitor(TrainingCallback):
 
     def __init__(self, period: int = 1):
         self.period = max(period, 1)
+        # last skipped message: replayed at after_training so the final
+        # epoch's result always prints even when period skips it
+        # (reference callback.py:542 self._latest)
+        self._latest: str | None = None
 
     def after_iteration(self, state, epoch, evals_log):
         from xgboost_spark.config import get_config
         if get_config()["verbosity"] < 1:
             return False
-        if epoch % self.period == 0:
-            parts = []
-            for data, metrics in evals_log.items():
-                for m, vals in metrics.items():
-                    if vals:
-                        parts.append(f"{data}-{m}:{vals[-1]:.5f}")
-            if parts:
-                print(f"[{epoch}]\t" + "\t".join(parts))
+        parts = []
+        for data, metrics in evals_log.items():
+            for m, vals in metrics.items():
+                if vals:
+                    parts.append(f"{data}-{m}:{vals[-1]:.5f}")
+        if parts:
+            msg = f"[{epoch}]\t" + "\t".join(parts)
+            if epoch % self.period == 0 or self.period == 1:
+                print(msg)
+                self._latest = None
+            else:
+                self._latest = msg
         return False
+
+    def after_training(self, state):
+        if self._latest is not None:
+            print(self._latest)
+            self._latest = None
 
 
 class EarlyStopping(TrainingCallback):

@@ -48,6 +48,13 @@ class Objective:
     # per-objective CheckLabel (e.g. regression_loss.h "label must be in
     # [0,1] for logistic regression", gamma "label must be positive")
     label_range: tuple[float, float, bool] | None = None
+    # ObjInfo.const_hess (reference task.h:33): True only for
+    # reg:squarederror.  The approx updater's GHistIndexMatrix regen
+    # flag is !const_hess (updater_approx.cc:47-52 BatchSpec), so a
+    # const-hess objective sketches ONCE — with the FIRST round's
+    # (sampled) hessians as weights — and reuses those cuts for every
+    # later round; all other objectives re-sketch per round.
+    const_hess: bool = False
 
     def grad_hess(self, y: np.ndarray, margin: np.ndarray, w: np.ndarray | None):
         raise NotImplementedError
@@ -90,6 +97,7 @@ class SquaredError(Objective):
     """reg:squarederror (reference src/objective/regression_loss.h:31)."""
 
     name = "reg:squarederror"
+    const_hess = True    # regression_loss.h:32 ObjInfo{kRegression, true}
 
     def grad_hess(self, y, margin, w):
         g = margin - y

@@ -233,6 +233,28 @@ def _approx_rebin(comm, Xb_fine, h, fine_cuts, cat_mask, max_bin):
     return Xb_c, coarse_cuts, bounds_list
 
 
+def _rebin_from_bounds(Xb_fine, fine_cuts, bounds_list):
+    """Re-apply a persisted coarse binning (checkpoint resume of the
+    const-hess sketch-once cadence): the round-0 bounds are global, so
+    every rank reconstructs its own coarse matrix with the same LUT
+    application as `_approx_rebin` — resumed fits keep the ORIGINAL
+    round-0 cuts instead of re-sketching at the resume round."""
+    Xb_c = Xb_fine.copy()
+    coarse_cuts = []
+    for f, bounds in enumerate(bounds_list):
+        fc = np.asarray(fine_cuts[f], dtype=np.float64)
+        if bounds is None:
+            coarse_cuts.append(fc)
+            continue
+        lut = np.searchsorted(bounds, np.arange(len(fc)),
+                              side="left").astype(np.int16)
+        col = Xb_fine[:, f]
+        Xb_c[:, f] = np.where(col == core.MISSING_BIN, core.MISSING_BIN,
+                              lut[np.maximum(col, 0)])
+        coarse_cuts.append(fc[bounds])
+    return Xb_c, coarse_cuts
+
+
 def _remap_split_bins(tree: core.Tree, bounds_list) -> None:
     """Rewrite a tree grown in a round's coarse bin space back into the
     global FINE bin space: coarse split ``b <= sb`` == fine split
@@ -308,7 +330,8 @@ def supports_barrier(p: TrainParams, obj, evals, callbacks, xgb_model,
     if callbacks:
         return False, "callbacks run on the DataFrame path"
     if evals:
-        metric_names = p.eval_metric or [obj.default_metric()]
+        from xgboost_spark.plans.booster import _effective_metrics
+        metric_names = _effective_metrics(p, obj)
         for mname in metric_names:
             if not barrier_metric_supported(mname, has_qid):
                 return False, (f"metric {mname!r} needs a global sort "
@@ -346,7 +369,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
     has_y = "label" in raw.columns
     evals_raw = evals_raw or []
     eval_names = [nm for _, nm in evals_raw]
-    metric_names = (p.eval_metric or [obj.default_metric()]) if evals_raw else []
+    from xgboost_spark.plans.booster import _effective_metrics
+    metric_names = _effective_metrics(p, obj) if evals_raw else []
     esr = p.early_stopping_rounds
 
     need = list(fnames)
@@ -537,6 +561,10 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                 n_bins = max(len(c) for c in cuts_l)
                 is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
                 is_approx = p.tree_method == "approx"
+                # const-hess sketch-once cadence (updater_approx.cc:47-52
+                # BatchSpec: regen = !const_hess): round 0's coarse
+                # binning is cached and reused for every later round
+                approx_cache = None
                 builder = (_AllreduceMultiHistBuilder(Xb, cuts_l, n_bins, K, comm)
                            if is_multi
                            else _AllreduceHistBuilder(Xb, cuts_l, n_bins, comm))
@@ -621,6 +649,18 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                         core.tree_predict(rt[ti], Xc,
                                                           binned=True)
                                     ti += 1
+                    if (is_approx and K == 1 and obj.const_hess
+                            and ck.get("approx_bounds") is not None):
+                        # rebuild the frozen round-0 coarse binning from
+                        # the persisted bounds so the resumed fit keeps
+                        # the original cuts (BatchSpec regen=!const_hess)
+                        a_bounds = ck["approx_bounds"]
+                        Xb_ca, cuts_ca = _rebin_from_bounds(Xb, cuts_l,
+                                                            a_bounds)
+                        nb_ca = max(len(c) for c in cuts_ca)
+                        approx_cache = (Xb_ca, cuts_ca, a_bounds,
+                                        _AllreduceHistBuilder(
+                                            Xb_ca, cuts_ca, nb_ca, comm))
                 for it_round in range(start_round, p.num_boost_round):
                     # DART dropout (reference gbtree.h:89-123 DropTrees):
                     # selection draws are deterministic from the shared rng,
@@ -688,16 +728,44 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     if p.colsample_bytree < 1.0:
                         fmask = core._rng_mask(rng, Fn, p.colsample_bytree, weights=fw)
                     bounds_list = None
-                    if is_approx:
-                        # per-round hessian-weighted re-quantization
-                        Xb_c, coarse_cuts, bounds_list = _approx_rebin(
-                            comm, Xb, h, cuts_l, cm, p.max_bin)
-                        nb_c = max(len(c) for c in coarse_cuts)
-                        builder = (_AllreduceMultiHistBuilder(
-                                       Xb_c, coarse_cuts, nb_c, K, comm)
-                                   if is_multi else
-                                   _AllreduceHistBuilder(
-                                       Xb_c, coarse_cuts, nb_c, comm))
+                    approx_groups = None
+                    if is_approx and K == 1:
+                        # per-round hessian-weighted re-quantization —
+                        # except const-hess objectives (squarederror),
+                        # whose round-0 binning is frozen (BatchSpec
+                        # regen = !const_hess, updater_approx.cc:47-52)
+                        if approx_cache is not None:
+                            Xb_c, coarse_cuts, bounds_list, builder = \
+                                approx_cache
+                        else:
+                            Xb_c, coarse_cuts, bounds_list = _approx_rebin(
+                                comm, Xb, h, cuts_l, cm, p.max_bin)
+                            nb_c = max(len(c) for c in coarse_cuts)
+                            builder = _AllreduceHistBuilder(
+                                Xb_c, coarse_cuts, nb_c, comm)
+                            if obj.const_hess:
+                                approx_cache = (Xb_c, coarse_cuts,
+                                                bounds_list, builder)
+                    elif is_approx and not is_multi:
+                        # K>1 scalar groups: the reference regenerates the
+                        # GHistIndexMatrix once per group — gbtree
+                        # BoostNewTrees calls the updater per group and
+                        # each Update re-sketches with THAT group's
+                        # hessians (updater_approx.cc:283-298) — so each
+                        # class gets its own coarse binning.  (approx +
+                        # multi_output_tree is rejected at fit entry,
+                        # matching CHECK(!IsMultiTarget),
+                        # updater_approx.cc:166.)
+                        approx_groups = []
+                        for k in range(K):
+                            Xb_ck, cuts_ck, bnd_k = _approx_rebin(
+                                comm, Xb, h[:, k], cuts_l, cm, p.max_bin)
+                            nb_ck = max(len(c) for c in cuts_ck)
+                            approx_groups.append(
+                                (_AllreduceHistBuilder(Xb_ck, cuts_ck,
+                                                       nb_ck, comm), bnd_k))
+                    approx_round = (bounds_list is not None
+                                    or approx_groups is not None)
                     round_trees: list[core.Tree] = []
                     if is_multi:
                         builder.set_grad(g, h)
@@ -706,6 +774,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         round_trees = [tree]
                     else:
                         for k in range(K):
+                            if approx_groups is not None:
+                                builder = approx_groups[k][0]
                             builder.set_grad(g[:, k], h[:, k])
                             forest = []
                             for _ in range(n_forest):
@@ -726,6 +796,11 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         # traversals use the one persistent binned matrix
                         for t in round_trees:
                             _remap_split_bins(t, bounds_list)
+                    elif approx_groups is not None:
+                        for ti, t in enumerate(round_trees):
+                            bnd_k = approx_groups[ti // n_forest][1]
+                            if bnd_k is not None:
+                                _remap_split_bins(t, bnd_k)
                     if is_multi:
                         if bounds_list is not None:
                             # approx: split bins were remapped to the fine
@@ -745,7 +820,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                 comm, t, Xb, y - margin[:, k_r], w,
                                 aa[k_r] if isinstance(aa, tuple) else aa, p.eta,
                                 leaf=(builder.leaf_assignment(t)
-                                      if bounds_list is None else None))
+                                      if not approx_round else None))
                     # DART normalization (reference normalize_type semantics)
                     kdrop = len(dropped)
                     if is_dart and kdrop > 0:
@@ -778,7 +853,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                         for k in range(K):
                             for _ in range(n_forest):
                                 t_new = round_trees[ti]
-                                if bounds_list is not None:
+                                if approx_round:
                                     # approx: tree remapped to fine bins —
                                     # the coarse builder cache is invalid
                                     margin[:, k] += w_new * core.tree_predict(
@@ -849,6 +924,13 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                          "rng": rng,
                                          "fingerprint": ckpt_fp,
                                          "dart_log": dart_log,
+                                         # const-hess approx: the frozen
+                                         # round-0 binning rides along so
+                                         # a resume keeps the same cuts
+                                         "approx_bounds": (
+                                             approx_cache[2]
+                                             if approx_cache is not None
+                                             else None),
                                          "obj_state": obj.__dict__}, fh)
                         os.replace(tmp, ckpt_path)
                 if comm.rank == 0:

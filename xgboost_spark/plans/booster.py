@@ -471,6 +471,13 @@ class SparkBooster:
         direction (else inferred from the last metric's name)."""
         _t0 = time.monotonic()
         FIT_STAGE_TIMES.clear()
+        for _, _ev_name in (evals or []):
+            # reference CallbackContainer.after_iteration asserts this
+            # (callback.py:263): history keys are parsed by splitting the
+            # eval string on '-', so a dash in the set name corrupts them
+            if "-" in _ev_name:
+                raise ValueError(
+                    f"Dataset name should not contain `-`: {_ev_name!r}")
         p = self.params
         K = p.n_groups
         spark = df.sparkSession
@@ -489,6 +496,13 @@ class SparkBooster:
             raise NotImplementedError(
                 "custom adaptive-leaf objectives (adaptive_alpha set) need "
                 "scalar leaves — use multi_strategy='one_output_per_tree'")
+        if is_approx and p.multi_strategy == "multi_output_tree" and K > 1:
+            # reference: CHECK(!p_tree->IsMultiTarget()) << "approx" <<
+            # MTNotImplemented() (updater_approx.cc:166)
+            raise NotImplementedError(
+                "approx is not yet implemented for multi-target trees — "
+                "use tree_method='hist' or "
+                "multi_strategy='one_output_per_tree'")
         if has_b and not (label_lower_col and label_upper_col):
             raise ValueError(f"{p.objective} needs label_lower_col and label_upper_col")
         eff_label = label_col if (label_col in df.columns or not has_b) else None
@@ -839,7 +853,7 @@ class SparkBooster:
         is_dart = p.booster == "dart"
         history: dict[str, dict[str, list[float]]] = {}
         best_it, best_metric = None, None
-        metric_names = p.eval_metric or [obj.default_metric()]
+        metric_names = _effective_metrics(p, obj)
 
         from xgboost_spark.functions.callbacks import TrainingState
 
@@ -863,9 +877,20 @@ class SparkBooster:
                 break
             p.eta = cb_state.eta      # LearningRateScheduler applies here
 
-            if is_approx:
+            if is_approx and (it_round == 0 or not obj.const_hess):
                 # per-round hessian-weighted re-sketch + re-quantization
-                # (reference approx updater, updater_approx.cc:95-130)
+                # (reference approx updater, updater_approx.cc:95-130).
+                # Cadence twin (updater_approx.cc:47-52 BatchSpec): the
+                # GHistIndexMatrix regen flag is !const_hess, so
+                # reg:squarederror sketches ONCE — round 0, weighted by
+                # that round's hessians — and reuses the cuts; every
+                # other objective re-sketches per round.  (Known
+                # divergence on this composed fallback path only: K>1
+                # groups share one sketch weighted by group-0 hessians,
+                # where the reference regenerates per group — the
+                # barrier trainer, which handles every multiclass approx
+                # fit without callbacks/custom metrics, re-sketches per
+                # group like the reference.)
                 from xgboost_spark.operators.sketch import weighted_cuts_all
                 new_cuts = weighted_cuts_all(
                     binned, [f"rawx{i}" for i in range(Fn)], "h0",
@@ -973,18 +998,26 @@ class SparkBooster:
             # `learner.cc:1164-1194`; EarlyStopping callback.py:311)
             if eval_states:
                 last = None
-                last_name = metric_names[-1]
+                last_name = metric_names[-1] if metric_names else None
                 for ev_binned, ev_name in eval_states:
                     for mname in metric_names:
                         val = self._eval_metric(ev_binned, mname, K, has_q)
                         history.setdefault(ev_name, {}).setdefault(mname, []).append(val)
                         last = val
-                        if verbose:
-                            print(f"[{it_round}] {ev_name}-{mname}: {val:.6f}")
                     if custom_metric is not None:
                         cname, val = custom_metric(ev_binned)
                         history.setdefault(ev_name, {}).setdefault(cname, []).append(val)
                         last, last_name = val, cname
+                if verbose and history:
+                    # reference EvaluationMonitor byte format
+                    # (callback.py:545-569): one line per epoch,
+                    # '\t{data}-{metric}:{v:.5f}' over the history in
+                    # insertion order (custom metric rides at the end
+                    # of its data block, like the parsed feval string)
+                    print(f"[{it_round}]" + "".join(
+                        f"\t{d}-{m}:{vals[-1]:.5f}"
+                        for d, ms in history.items()
+                        for m, vals in ms.items() if vals))
                 if p.early_stopping_rounds and last is not None:
                     mx = maximize if maximize is not None else _maximize(last_name)
                     better = (best_metric is None or
@@ -1431,10 +1464,25 @@ class SparkBooster:
 
 
 def _maximize(metric: str) -> bool:
-    # rstrip("-"): 'map-'/'ndcg@5-' are still maximized — the minus
-    # suffix changes the no-relevant-query score, not the direction
-    return metric.partition("@")[0].rstrip("-") in (
-        "auc", "aucpr", "ndcg", "map", "pre", "ams")
+    # reference EarlyStopping inference (callback.py:411-426): STARTSWITH
+    # over the maximize list with 'mape' explicitly excluded.  The
+    # startswith rule keeps 'map-'/'ndcg@5-' maximized (the minus suffix
+    # changes the no-relevant-query score, not the direction) and — like
+    # the reference — treats 'ams@k' as MINIMIZE (ams is not in the
+    # reference's list).
+    if metric == "mape":
+        return False
+    return metric.startswith(("auc", "aucpr", "pre", "pre@", "map",
+                              "ndcg", "auc@", "aucpr@", "map@", "ndcg@"))
+
+
+def _effective_metrics(p, obj) -> list[str]:
+    """EvalOneIter's metric set (learner.cc:1173-1180): the configured
+    eval_metric list, else the objective's default UNLESS
+    disable_default_eval_metric is set (then no built-in metric runs)."""
+    if p.eval_metric:
+        return list(p.eval_metric)
+    return [] if p.disable_default_eval_metric else [obj.default_metric()]
 
 
 def train(params: dict | TrainParams, df: DataFrame, obj=None, **kw):

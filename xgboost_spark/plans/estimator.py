@@ -60,6 +60,14 @@ class _EstimatorWriter(MLWriter):
                 "qid_col": inst.qid_col,
                 "validation_indicator_col": inst.validation_indicator_col,
                 "categorical_features": inst.categorical_features,
+                # r14: pred_contrib_col/missing (added r13) and the
+                # repartition surface must survive save/load too
+                "pred_contrib_col": inst.pred_contrib_col,
+                "missing": inst.missing,
+                "num_workers": inst.num_workers,
+                "force_repartition": inst.force_repartition,
+                "repartition_random_shuffle": inst.repartition_random_shuffle,
+                "feature_names": inst.feature_names,
                 "extra_params": inst._extra_params}
         DefaultParamsWriter.saveMetadata(inst, path, self.sc,
                                          extraMetadata={"ctor": ctor})
@@ -89,7 +97,8 @@ class _ModelWriter(MLWriter):
         DefaultParamsWriter.saveMetadata(
             m, path, self.sc,
             extraMetadata={"feature_kw": m._feature_kw,
-                           "base_margin_col": m._base_margin_col})
+                           "base_margin_col": m._base_margin_col,
+                           "pred_contrib_col": m._pred_contrib_col})
         spark = SparkSession.getActiveSession()
         # model JSON is a single line; write through Spark so any
         # supported filesystem (local/HDFS/object store) works
@@ -109,7 +118,8 @@ class _ModelReader(MLReader):
         rows = spark.read.text(os.path.join(path, "model")).collect()
         core = GBDTModel.from_json("".join(r["value"] for r in rows))
         return self._cls(core, meta.get("feature_kw") or {},
-                         base_margin_col=meta.get("base_margin_col"))
+                         base_margin_col=meta.get("base_margin_col"),
+                         pred_contrib_col=meta.get("pred_contrib_col"))
 
 # (name, TypeConverter, doc) — names match TrainParams fields 1:1 so a
 # grid entry maps straight into the training config
@@ -155,6 +165,10 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
                  categorical_features: list | None = None,
                  pred_contrib_col: str | None = None,
                  missing: float | None = None,
+                 num_workers: int | None = None,
+                 force_repartition: bool = False,
+                 repartition_random_shuffle: bool = False,
+                 feature_names: list[str] | None = None,
                  **params):
         super().__init__()
         self.label_col = label_col
@@ -169,6 +183,25 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         # treated as absent at fit AND at predict (the fitted value is
         # stored on the model, GBDTModel.missing)
         self.missing = missing
+        # reference spark params (spark/core.py:119-139, :215-246):
+        # num_workers = training parallelism (one barrier task each);
+        # force_repartition / repartition_random_shuffle follow
+        # _repartition_needed (core.py:806-830: repartition when forced
+        # or partitions != num_workers; shuffle form repartitions on
+        # rand(1) to break round-robin skew).  feature_names names the
+        # features of an assembled array/vector column (core.py:247).
+        # Explicit non-goals (COVERAGE.md §2.7b): enable_sparse_data_optim
+        # (engine kernels are Arrow-dense; VectorUDT input is supported
+        # directly), device/use_gpu (GPU paths out of scope),
+        # launch_tracker_on_driver / coll_cfg (no tracker — barrier
+        # rendezvous), arbitrary_params_dict (the **params pass-through
+        # IS that surface).
+        if num_workers is not None and int(num_workers) < 1:
+            raise ValueError(f"num_workers must be >= 1, got {num_workers}")
+        self.num_workers = int(num_workers) if num_workers is not None else None
+        self.force_repartition = bool(force_repartition)
+        self.repartition_random_shuffle = bool(repartition_random_shuffle)
+        self.feature_names = list(feature_names) if feature_names else None
         # defaults come from TrainParams so the two surfaces can't drift
         base = TrainParams(objective=self._default_objective)
         self._setDefault(**{n: getattr(base, n) for n in _TUNABLE_NAMES})
@@ -204,14 +237,30 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         if self.validation_indicator_col:
             train_df = dataset.filter(~F.col(self.validation_indicator_col))
             evals = [(dataset.filter(F.col(self.validation_indicator_col)), "validation")]
+        if self.num_workers is not None:
+            # reference _repartition_needed (spark/core.py:806-821):
+            # repartition when forced or partitions != num_workers; the
+            # shuffle form uses rand(1) to break round-robin skew
+            # (core.py:825-830)
+            if (self.force_repartition
+                    or train_df.rdd.getNumPartitions() != self.num_workers):
+                train_df = (train_df.repartition(self.num_workers, F.rand(1))
+                            if self.repartition_random_shuffle
+                            else train_df.repartition(self.num_workers))
         booster = SparkBooster(p)
         core_model = booster.fit(
             train_df, label_col=self.label_col, weight_col=self.weight_col,
             base_margin_col=self.base_margin_col, qid_col=self.qid_col,
             categorical_features=self.categorical_features,
-            missing=self.missing,
+            missing=self.missing, num_partitions=self.num_workers,
             evals=evals, **self._feature_kw(train_df),
         )
+        if self.feature_names:
+            if len(self.feature_names) != len(core_model.feature_names):
+                raise ValueError(
+                    f"feature_names has {len(self.feature_names)} entries "
+                    f"for {len(core_model.feature_names)} features")
+            core_model.feature_names = list(self.feature_names)
         # like the reference wrapper, a configured base_margin_col also
         # applies at predict when the scoring frame carries the column
         return self._model_cls(core_model, self._feature_kw(train_df),

@@ -230,16 +230,18 @@ class GBDTModel:
         reference's eval string ``[i]\\tname-metric:value\\t...``
         (``Booster.eval_set``, core.py:2340 / learner.cc EvalOneIter
         format)."""
-        metrics = (list(self.params.eval_metric)
-                   if self.params.eval_metric
-                   else [self.obj.default_metric()])
+        from xgboost_spark.plans.booster import _effective_metrics
+        metrics = _effective_metrics(self.params, self.obj)
         parts = [f"[{iteration}]"]
         for df, name in evals:
             for m in metrics:
                 v = self.eval_df(df, metric=m, feature_cols=feature_cols,
                                  array_col=array_col, label_col=label_col,
                                  weight_col=weight_col)
-                parts.append(f"{name}-{m}:{v:.6f}")
+                # reference value bytes: EvalOneIter prints through an
+                # ostringstream with precision(max_digits10)=17 and
+                # std::ios::fixed (learner.cc:1170-1171) — i.e. %.17f
+                parts.append(f"{name}-{m}:{v:.17f}")
         return "\t".join(parts)
 
     def eval(self, df: DataFrame, name: str = "eval",
