@@ -341,6 +341,28 @@ def fixtures() -> dict[str, dict]:
         _gbtree(df_trees, 1, npt=2,
                 weight_drop=[1.0, 1.0, 0.5, 0.5, 0.25, 0.25]))
 
+    # --- cat_dart_forest: interaction of the cat and dart_forest
+    # families — DART (modern dialect) x num_parallel_tree=2 where the
+    # trees carry categorical splits, so one document exercises
+    # SaveCategoricalSplit offsets, per-tree weight_drop (forest pairs
+    # share their round's NormalizeTrees factor) AND the weight_drop-
+    # inside-model placement at once
+    cdf_trees = [
+        _cat_depth2(2, [0, 3], 3, [1, 2, 5], (-0.125, 0.25, 0.0625)),
+        _cat_stump(3, [2, 4], -0.1875, 0.3125),
+        _cat_stump(2, [1, 6], -0.25, 0.125),
+        _cat_depth2(3, [0, 5], 2, [3], (0.1875, -0.0625, -0.25)),
+        _cat_stump(2, [0, 2, 7], 0.0625, -0.1875),
+        _cat_stump(3, [1, 3, 4], 0.375, -0.125),
+    ]
+    out["cat_dart_forest"] = _learner(
+        {"name": "reg:squarederror", "reg_loss_param":
+            {"scale_pos_weight": "1"}},
+        _gbtree(cdf_trees, 1, npt=2,
+                weight_drop=[1.0, 1.0, 0.5, 0.5, 0.75, 0.75]),
+        feature_names=[f"f{i}" for i in range(K_COLS)],
+        feature_types=["float", "float", "c", "c"])
+
     # --- gblinear: scalar + multi-group (interleaved w[fid*K + gid])
     out["gblinear"] = _learner(
         {"name": "binary:logistic", "reg_loss_param":
@@ -362,9 +384,25 @@ def fixtures() -> dict[str, dict]:
     return out
 
 
+# Families whose PRIMARY committed artifact is the UBJSON binary (the
+# reference's .ubj save path): the .ubj bytes are the fixture, the .json
+# twin is derived from the same document.  Pins the binary writer's
+# byte stability the way the .json fixtures pin the text dialect.
+UBJ_PRIMARY = ["cat_dart_forest"]
+
+
 def write_all() -> list[str]:
+    import sys
+    sys.path.insert(0, os.path.join(HERE, "..", "..", ".."))
+    from xgboost_spark.sources import ubjson
     paths = []
     for name, doc in fixtures().items():
+        if name in UBJ_PRIMARY:
+            p = os.path.join(HERE, f"xgboost-{'.'.join(map(str, VERSION))}"
+                                   f".{name}.ubj")
+            with open(p, "wb") as fh:
+                fh.write(ubjson.dumps(doc))
+            paths.append(p)
         p = os.path.join(HERE, f"xgboost-{'.'.join(map(str, VERSION))}"
                                f".{name}.json")
         with open(p, "w") as fh:

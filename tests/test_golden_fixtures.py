@@ -34,7 +34,7 @@ from xgboost_spark.plans.model import GBDTModel
 FIX_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "ref_models")
 TREE_FIXTURES = ["reg", "logit", "logitraw", "cls", "ltr", "aft",
                  "dart_modern", "dart_legacy",
-                 "cat", "multi_target", "dart_forest"]
+                 "cat", "multi_target", "dart_forest", "cat_dart_forest"]
 ALL_FIXTURES = TREE_FIXTURES + ["gblinear", "gblinear_multi"]
 
 
@@ -249,10 +249,11 @@ def test_fixture_loads_and_resaves_reference_readable(name):
     _validate_reference_readable(resaved)
     # DART weights survive the re-save in the modern dialect; with
     # num_parallel_tree both forest members re-emit the round's weight
-    if name.startswith("dart"):
+    if name.startswith("dart") or name == "cat_dart_forest":
         md = resaved["learner"]["gradient_booster"]["model"]
-        want = ([1.0, 1.0, 0.5, 0.5, 0.25, 0.25] if name == "dart_forest"
-                else [1.0, 0.5, 0.25, 0.75])
+        want = {"dart_forest": [1.0, 1.0, 0.5, 0.5, 0.25, 0.25],
+                "cat_dart_forest": [1.0, 1.0, 0.5, 0.5, 0.75, 0.75],
+                }.get(name, [1.0, 0.5, 0.25, 0.75])
         assert md["weight_drop"] == pytest.approx(want)
 
 
@@ -272,6 +273,58 @@ def test_fixture_bytes_are_stable():
         fresh = json.dumps(doc, sort_keys=True,
                            separators=(",", ":")).encode()
         assert on_disk == fresh, f"{name}: fixture bytes drifted"
+
+
+def test_ubjson_primary_fixture_bytes_stable(spark):
+    """cat_dart_forest is UBJSON-PRIMARY: the committed ``.ubj`` IS the
+    fixture (the reference's binary save path, c_api.h:1353-1389 picks
+    the writer by extension), the ``.json`` twin is derived.  Pins
+    (1) the binary writer's bytes — any drift in the UBJ encoder breaks
+    here, not in a user's saved model; (2) that the binary and text
+    documents are the SAME document; (3) that the model loaded from the
+    binary bytes serves identically to the JSON-loaded twin."""
+    from xgboost_spark.sources import ubjson
+    ubj_path = _path("cat_dart_forest").removesuffix(".json") + ".ubj"
+    with open(ubj_path, "rb") as fh:
+        on_disk = fh.read()
+    doc = _doc("cat_dart_forest")
+    assert on_disk == ubjson.dumps(doc), "UBJ fixture bytes drifted"
+    assert ubjson.loads(on_disk) == doc
+    m_bin = GBDTModel.from_doc(ubjson.loads(on_disk))
+    m_txt = GBDTModel.from_json(json.dumps(doc))
+    X = _probe_X(doc, n=24)
+    fc = [f"f{i}" for i in range(X.shape[1])]
+    df = spark.createDataFrame(pd.DataFrame(X, columns=fc))
+    a = m_bin.transform(df, feature_cols=fc).toPandas()["prediction"]
+    b = m_txt.transform(df, feature_cols=fc).toPandas()["prediction"]
+    assert np.array_equal(np.stack(a.to_numpy()), np.stack(b.to_numpy()))
+
+
+def test_multi_target_fixture_base_margin_replace(spark):
+    """Interaction pin: the multi_target golden fixture served with a
+    per-row base_margin VECTOR — the margin REPLACES the link-space
+    base_score in every target (predictor.cc:66-72 applies the supplied
+    margin as the init; MultiTargetTree leaves then add per-target), so
+    expected = replay - base_score + base_margin[r, k]."""
+    doc = _doc("multi_target")
+    m = GBDTModel.from_json(json.dumps(doc))
+    X = _probe_X(doc, n=24)
+    K = int(doc["learner"]["learner_model_param"]["num_class"])
+    rng = np.random.default_rng(11)
+    bm = np.float32(rng.normal(0.0, 0.5, size=(len(X), K))).astype(np.float64)
+    bs = _link_margin(doc["learner"]["objective"]["name"],
+                      float(doc["learner"]["learner_model_param"]
+                            ["base_score"].strip("[]")))
+    want = _replay_margins(doc, X) - bs + bm
+    fc = [f"f{i}" for i in range(X.shape[1])]
+    pdf = pd.DataFrame(X, columns=fc).assign(
+        _rid=np.arange(len(X)), bm=list(bm))
+    df = spark.createDataFrame(pdf)
+    out = (m.transform(df, feature_cols=fc, output_margin=True,
+                       base_margin_col="bm")
+           .toPandas().sort_values("_rid"))
+    got = np.stack([np.atleast_1d(v) for v in out["margin"].to_numpy()])
+    assert np.allclose(got, want, atol=1e-6), np.abs(got - want).max()
 
 
 @pytest.mark.parametrize("name", ["reg", "cls", "dart_modern"])
