@@ -303,3 +303,75 @@ def test_estimator_repartition_surface(spark, reg_df, tmp_path):
     assert loaded.force_repartition is False
     assert loaded.pred_contrib_col == "contribs_out"
     assert loaded.missing == 0.0
+
+
+def test_classifier_mllib_output_schema(spark, reg_df):
+    """Reference classifier transform schema (spark/core.py:1475-1478
+    _out_schema + :1492-1528 transform_margin + :1530-1560
+    _post_transform): rawPrediction (margin vector, binary [-m, m]),
+    probability (binary [1-sigmoid, sigmoid], multiclass softmax) and
+    prediction (DOUBLE hard label, argmax of probs) as MLlib vectors —
+    so stock Spark evaluators work in a Pipeline unchanged."""
+    import math
+    from pyspark.ml.evaluation import (BinaryClassificationEvaluator,
+                                       MulticlassClassificationEvaluator)
+    fc = [f"c{i}" for i in range(5)]
+    df = reg_df.withColumn("label", (F.col("label") > 0).cast("int"))
+    m = SparkGBDTClassifier(label_col="label", features_col=fc,
+                            num_boost_round=4, max_depth=3, seed=1).fit(df)
+    out = m.transform(df)
+    sch = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert sch["rawPrediction"] == sch["probability"] == "vector"
+    assert sch["prediction"] == "double"
+    r = out.first()
+    raw, prob = r["rawPrediction"].toArray(), r["probability"].toArray()
+    assert raw[0] == -raw[1]                    # binary [-margin, margin]
+    p1 = 1.0 / (1.0 + math.exp(-raw[1]))
+    assert abs(prob[1] - p1) < 1e-12 and abs(prob.sum() - 1.0) < 1e-12
+    assert float(r["prediction"]) == float(np.argmax(prob))
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(out)
+    assert 0.5 < auc <= 1.0
+    # multiclass: probability = softmax(margins), prediction = argmax
+    df3 = reg_df.withColumn("label", (F.abs(F.col("label")) % 3).cast("int"))
+    m3 = SparkGBDTClassifier(label_col="label", features_col=fc,
+                             objective="multi:softprob", num_class=3,
+                             num_boost_round=3, max_depth=3, seed=1).fit(df3)
+    o3 = m3.transform(df3)
+    r3 = o3.first()
+    raw3, prob3 = r3["rawPrediction"].toArray(), r3["probability"].toArray()
+    e = np.exp(raw3 - raw3.max())
+    assert np.allclose(prob3, e / e.sum(), atol=1e-12)
+    assert float(r3["prediction"]) == float(np.argmax(prob3))
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy").evaluate(o3)
+    assert acc > 1.0 / 3.0
+
+
+def test_estimator_iteration_range_best_iteration_rule(spark, reg_df):
+    """Wrapper-level iteration_range (reference sklearn.py:1450-1461
+    _get_iteration_range, ridden by the pyspark wrapper through
+    XGBModel.predict): None or end==0 resolves to (0, best_iteration+1)
+    when set — DROPPING the begin — else to ALL rounds; unlike the raw
+    Booster surface where (a, 0) is LayerToTree a-through-last."""
+    fc = [f"c{i}" for i in range(5)]
+    m = SparkGBDTRegressor(label_col="label", features_col=fc,
+                           num_boost_round=3, max_depth=2, seed=1).fit(reg_df)
+
+    def s(df):
+        return df.agg(F.round(F.sum("prediction"), 6)).first()[0]
+
+    full = s(m.core.transform(reg_df, feature_cols=fc))
+    # no best_iteration: wrapper (1, 0) -> (0, 0) == ALL rounds, while
+    # the Booster surface serves rounds [1, end)
+    assert m.core.best_iteration is None
+    assert s(m.transform(reg_df, iteration_range=(1, 0))) == full
+    booster_tail = s(m.core.transform(reg_df, feature_cols=fc,
+                                      iteration_range=(1, 0)))
+    assert booster_tail != full
+    # with best_iteration: wrapper (1, 0) -> (0, best+1)
+    m.core.best_iteration = 1
+    want = s(m.core.slice(0, 2).transform(reg_df, feature_cols=fc))
+    assert s(m.transform(reg_df, iteration_range=(1, 0))) == want
+    assert s(m.transform(reg_df, iteration_range=None)) == want
+    # an explicit non-zero end still wins over best_iteration
+    assert s(m.transform(reg_df, iteration_range=(0, 3))) == full

@@ -245,6 +245,31 @@ def test_transform_aligns_shuffled_feature_cols(model, reg_df):
     assert np.allclose(np.sort(base), np.sort(shuffled))
 
 
+def test_transform_validate_features_mismatch(model, reg_df):
+    """Reference Booster._validate_features (core.py:3292-3325): a
+    feature-name SET mismatch raises, listing the missing fields in
+    both directions; validate_features=False opts into explicit
+    positional remapping (what the reference Spark wrapper passes on
+    its executors, spark/core.py:1297)."""
+    df = reg_df.limit(50)
+    renamed = df.withColumnRenamed("c4", "z9")
+    cols = FC[:4] + ["z9"]
+    with pytest.raises(ValueError, match="feature_names mismatch"):
+        model.transform(renamed, feature_cols=cols)
+    try:
+        model.transform(renamed, feature_cols=cols)
+    except ValueError as e:
+        assert "expected c4 in input data" in str(e)
+        assert "training data did not have the following fields: z9" in str(e)
+    # explicit opt-out: positional remapping onto the renamed column
+    base = (model.transform(df, feature_cols=FC)
+            .toPandas()["prediction"].to_numpy())
+    remap = (model.transform(renamed, feature_cols=cols,
+                             validate_features=False)
+             .toPandas()["prediction"].to_numpy())
+    assert np.allclose(base, remap)
+
+
 def test_reference_named_aliases(model, spark):
     assert model.get_fscore() == model.feature_importance("weight")
     assert model.get_score("gain") == model.feature_importance("gain")

@@ -283,3 +283,59 @@ def test_evaluation_monitor_latest_replay(spark, reg_df, capsys):
         assert out[-1].startswith("[3]\ttrain-rmse:")
     finally:
         set_config(verbosity=prev)
+
+
+def test_train_verbose_eval_period(spark, reg_df, capsys):
+    """train(verbose_eval=N) appends EvaluationMonitor(period=N) like
+    the reference (training.py:186-188); verbose_eval=True maps to the
+    engine's verbose fast path (same byte format, barrier-eligible)."""
+    from xgboost_spark.config import get_config, set_config
+    prev = get_config()["verbosity"]
+    set_config(verbosity=1)
+    try:
+        capsys.readouterr()
+        train({"num_boost_round": 5, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+              verbose_eval=2)
+        out = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("[")]
+        assert [l.split("\t")[0] for l in out] == ["[0]", "[2]", "[4]"]
+        assert all("train-rmse:" in l for l in out)
+        capsys.readouterr()
+        train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, evals=[(reg_df, "train")],
+              verbose_eval=True)
+        out = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("[")]
+        assert [l.split("\t")[0] for l in out] == ["[0]", "[1]"]
+    finally:
+        set_config(verbosity=prev)
+
+
+def test_cv_verbose_eval_stdv_format(spark, reg_df, capsys):
+    """cv(verbose_eval=...) prints the reference monitor's cv format
+    (training.py:582-584 + callback.py _fmt_metric):
+    '[i]\\ttest-rmse:{mean:.5f}+{std:.5f}', std dropped when
+    show_stdv=False, period skipping with the final round always
+    printed."""
+    import re
+    capsys.readouterr()
+    res = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+             reg_df, nfold=2, feature_cols=FCOLS, seed=7,
+             verbose_eval=2)
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("[")]
+    assert [l.split("\t")[0] for l in out] == ["[0]", "[2]"]
+    m = re.fullmatch(r"\[0\]\ttest-rmse:(\d+\.\d{5})\+(\d+\.\d{5})", out[0])
+    assert m, out[0]
+    assert float(m.group(1)) == pytest.approx(res["test-rmse-mean"][0],
+                                              abs=1e-5)
+    assert float(m.group(2)) == pytest.approx(res["test-rmse-std"][0],
+                                              abs=1e-5)
+    capsys.readouterr()
+    cv({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0},
+       reg_df, nfold=2, feature_cols=FCOLS, seed=7,
+       verbose_eval=True, show_stdv=False)
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("[")]
+    assert len(out) == 2 and "+" not in out[0].split(":", 1)[1]

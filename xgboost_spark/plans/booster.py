@@ -665,6 +665,19 @@ class SparkBooster:
                     base_score, mono, isets, n_part, evals_raw=evals_raw,
                     prev_state=prev_state)
                 FIT_STAGE_TIMES["loop"] = round(time.monotonic() - _t1, 3)
+                if verbose and history:
+                    # the barrier job returns the full eval history in
+                    # one shot — replay it in the reference
+                    # EvaluationMonitor byte format (callback.py:545-569)
+                    # so verbose output matches the DataFrame path
+                    n_ep = max(len(v) for ms in history.values()
+                               for v in ms.values())
+                    for ep in range(n_ep):
+                        parts = [f"{d}-{m}:{vals[ep]:.5f}"
+                                 for d, ms in history.items()
+                                 for m, vals in ms.items() if ep < len(vals)]
+                        if parts:
+                            print(f"[{ep}]\t" + "\t".join(parts))
                 return self._assemble_model(
                     trees, bar_weights, xgb_model, base_score,
                     feat_names_out, cuts, best_it, history,
@@ -1485,13 +1498,30 @@ def _effective_metrics(p, obj) -> list[str]:
     return [] if p.disable_default_eval_metric else [obj.default_metric()]
 
 
-def train(params: dict | TrainParams, df: DataFrame, obj=None, **kw):
+def train(params: dict | TrainParams, df: DataFrame, obj=None,
+          verbose_eval: bool | int | None = None, **kw):
     """Functional entry point mirroring `xgboost.train`
     (`python-package/xgboost/training.py:53`): ``obj`` = custom
     objective callable/instance, ``custom_metric``/``maximize`` pass
     through to `SparkBooster.fit`.  booster=gblinear routes to the
-    linear updater (returns a LinearModel)."""
+    linear updater (returns a LinearModel).
+
+    ``verbose_eval`` (training.py:186-188): True prints every round
+    (engine ``verbose=True`` — same reference byte format, and the fit
+    stays barrier-eligible); an integer N appends
+    ``EvaluationMonitor(period=N)`` exactly like the reference (a
+    callback, so the fit runs the DataFrame path).  Default None stays
+    quiet — the one deliberate divergence from the reference's
+    default-True, since a Spark job's driver log is not a terminal."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    if (verbose_eval is not None and not isinstance(verbose_eval, bool)
+            and int(verbose_eval) > 1 and p.booster != "gblinear"):
+        from xgboost_spark.functions.callbacks import EvaluationMonitor
+        kw.setdefault("callbacks", [])
+        kw["callbacks"] = list(kw["callbacks"]) + [
+            EvaluationMonitor(period=int(verbose_eval))]
+    elif verbose_eval:
+        kw.setdefault("verbose", True)
     if p.process_type == "update":
         # reference gbtree process_type=update: re-run updaters on an
         # existing model's trees instead of growing new ones

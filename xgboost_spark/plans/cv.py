@@ -77,6 +77,8 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
        early_stopping_rounds: int | None = None,
        maximize: bool | None = None,
        obj=None,
+       verbose_eval: bool | int | None = None,
+       show_stdv: bool = True,
        **fit_kw) -> dict[str, list[float]]:
     """Returns {'test-<metric>-mean': [...], 'test-<metric>-std': [...]}
     (+train-* when ``show_train``), one value per boosting round.
@@ -142,4 +144,31 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
             if es.best_iteration is not None:
                 best = es.best_iteration
             out = {k: v[: best + 1] for k, v in out.items()}
+    if verbose_eval:
+        # reference cv verbose (training.py:582-584 appends
+        # EvaluationMonitor(period, show_stdv=show_stdv); format
+        # callback.py _fmt_metric "\t{data}-{metric}:{mean:.5f}+{std:.5f}").
+        # The engine trains folds independently, so the per-round lines
+        # are replayed from the aggregated history after the fact —
+        # identical bytes, just not interleaved with training.
+        period = 1 if verbose_eval is True else max(int(verbose_eval), 1)
+        pairs = [k[: -len("-mean")] for k in out if k.endswith("-mean")]
+        n_rounds = max((len(v) for v in out.values()), default=0)
+        for ep in range(n_rounds):
+            if ep % period and ep != n_rounds - 1:
+                # like the monitor's _latest replay, the final round
+                # always prints even when the period skips it
+                continue
+            parts = []
+            for key in pairs:
+                if ep < len(out[f"{key}-mean"]):
+                    d, _, m = key.partition("-")
+                    mean = out[f"{key}-mean"][ep]
+                    if show_stdv:
+                        parts.append(f"{d}-{m}:{mean:.5f}"
+                                     f"+{out[f'{key}-std'][ep]:.5f}")
+                    else:
+                        parts.append(f"{d}-{m}:{mean:.5f}")
+            if parts:
+                print(f"[{ep}]\t" + "\t".join(parts))
     return out

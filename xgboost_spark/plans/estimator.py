@@ -307,6 +307,22 @@ class _GBDTModel(Model, MLReadable, MLWritable):
 
     def transform(self, dataset: DataFrame, params=None, **kw) -> DataFrame:
         if kw:
+            if "iteration_range" in kw:
+                # wrapper-level iteration_range rule (reference
+                # sklearn.py:1450-1461 _get_iteration_range, which the
+                # pyspark wrapper rides through XGBModel.predict):
+                # None or end==0 -> (0, best_iteration+1) when early
+                # stopping set a best_iteration, else ALL rounds —
+                # unlike the raw Booster surface, where end==0 is
+                # LayerToTree "begin through last round"
+                ir = kw["iteration_range"]
+                if ir is None or ir[1] == 0:
+                    bi = getattr(self.core, "best_iteration", None)
+                    ir = (0, bi + 1) if bi is not None else None
+                if ir is None:
+                    kw.pop("iteration_range")
+                else:
+                    kw["iteration_range"] = ir
             return self.core.transform(dataset, **self._predict_kw(dataset), **kw)
         return super().transform(dataset, params)
 
@@ -381,15 +397,57 @@ class SparkGBDTClassifier(_GBDTEstimator):
 
 
 class SparkGBDTClassifierModel(_GBDTModel):
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        """Reference classifier output schema (spark/core.py:1475-1478
+        `_out_schema` + :1492-1528 `transform_margin`/`_predict` +
+        :1530-1560 `_post_transform`): `rawPrediction` (margin vector;
+        binary emits [-margin, margin]), `probability` (class-prob
+        vector; binary [1-p, p], multiclass softmax over margins) and
+        `prediction` (DOUBLE hard label = argmax of class probs, first
+        max on ties like np.argmax) — MLlib vectors via array_to_vector,
+        so BinaryClassificationEvaluator / MulticlassClassificationEvaluator
+        work in a Pipeline unchanged.  All post-processing is pure
+        Catalyst column algebra on the margin column (no extra UDF)."""
+        from pyspark.ml.functions import array_to_vector
+        out = self.core.transform(dataset, **self._predict_kw(dataset),
+                                  output_margin=True,
+                                  pred_contribs=bool(self._pred_contrib_col))
+        if self._pred_contrib_col:
+            out = out.withColumnRenamed("contribs", self._pred_contrib_col)
+        if self.core.params.n_groups > 1:
+            # multinomial: raw = margins, probs = softmax (max-shifted)
+            mx = F.array_max("margin")
+            out = out.withColumn(
+                "_exp", F.transform("margin", lambda x: F.exp(x - mx)))
+            s = F.aggregate("_exp", F.lit(0.0), lambda a, x: a + x)
+            out = out.withColumn("_probs", F.transform("_exp", lambda x: x / s))
+            raw = F.col("margin")
+        else:
+            # binomial (transform_margin, spark/core.py:1492-1500):
+            # raw = [-margin, margin], probs = [1-sigmoid, sigmoid]
+            # (the engine's margin column is a length-1 array for K=1)
+            m1 = F.element_at(F.col("margin"), 1)
+            p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-m1))
+            raw = F.array(-m1, m1)
+            out = out.withColumn("_probs", F.array(F.lit(1.0) - p1, p1))
+        return (out
+                .withColumn("rawPrediction", array_to_vector(raw))
+                .withColumn("prediction", F.expr(
+                    "cast(array_position(_probs, array_max(_probs)) - 1"
+                    " as double)"))
+                .withColumn("probability", array_to_vector(F.col("_probs")))
+                .drop("_probs", "_exp", "margin"))
+
     def transform_with_label(self, dataset: DataFrame, threshold: float = 0.5) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
         scored = self.transform(dataset)
         if self.core.params.n_groups > 1:
-            # argmax over probability array
             return scored.withColumn(
-                "predicted_label",
-                F.expr("array_position(prediction, array_max(prediction)) - 1").cast("int"),
-            )
-        return scored.withColumn("predicted_label", (F.col("prediction") > threshold).cast("int"))
+                "predicted_label", F.col("prediction").cast("int"))
+        return scored.withColumn(
+            "predicted_label",
+            (vector_to_array(F.col("probability")).getItem(1)
+             > threshold).cast("int"))
 
 
 class SparkGBDTRegressorModel(_GBDTModel):

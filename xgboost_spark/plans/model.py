@@ -1106,7 +1106,8 @@ class GBDTModel:
                   pred_interactions: bool = False,
                   base_margin_col: str | None = None,
                   iteration_range: tuple[int, int] | None = None,
-                  missing: float | None = None) -> DataFrame:
+                  missing: float | None = None,
+                  validate_features: bool = True) -> DataFrame:
         """Batch predict: broadcast model + Arrow-batched traversal
         (reference Spark wrapper pattern, `spark/core.py:1388`).
         Appends `prediction` (double; probability array for softprob),
@@ -1142,7 +1143,8 @@ class GBDTModel:
                 pred_leaf=pred_leaf, pred_contribs=pred_contribs,
                 approx_contribs=approx_contribs,
                 pred_interactions=pred_interactions,
-                base_margin_col=base_margin_col, missing=missing)
+                base_margin_col=base_margin_col, missing=missing,
+                validate_features=validate_features)
         if feature_cols is None:
             feature_cols = self.feature_names
         elif (set(feature_cols) == set(self.feature_names)
@@ -1151,8 +1153,29 @@ class GBDTModel:
             # in a different order (reference validate_features: names
             # are authoritative; silent positional mapping would
             # mispredict).  Differently-NAMED columns keep positional
-            # semantics — that is the explicit remapping API.
+            # semantics — that is the explicit remapping API, gated by
+            # validate_features=False below.
             feature_cols = list(self.feature_names)
+        elif (validate_features and self.feature_names
+              and set(feature_cols) != set(self.feature_names)
+              and array_col is None):
+            # reference Booster._validate_features (core.py:3292-3325):
+            # a name-SET mismatch raises, listing both directions.
+            # Positional remapping onto differently-named columns is
+            # still available explicitly via validate_features=False
+            # (what the reference Spark wrapper passes on executors,
+            # spark/core.py:1297).
+            dat_missing = set(self.feature_names) - set(feature_cols)
+            my_missing = set(feature_cols) - set(self.feature_names)
+            msg = "feature_names mismatch: {0} {1}"
+            if dat_missing:
+                msg += ("\nexpected " + ", ".join(map(str, dat_missing))
+                        + " in input data")
+            if my_missing:
+                msg += ("\ntraining data did not have the following "
+                        "fields: " + ", ".join(map(str, my_missing)))
+            raise ValueError(msg.format(self.feature_names,
+                                        list(feature_cols)))
         df, feature_cols, enc_tmp = self._encode_strings(df, feature_cols)
         if array_col is not None:
             dt = df.schema[array_col].dataType
