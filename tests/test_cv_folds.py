@@ -96,10 +96,12 @@ def test_cv_early_stopping_truncates_to_best(spark, reg_df):
     from xgboost_spark.plans.cv import cv
     full = cv({"num_boost_round": 20, "max_depth": 2, "eta": 0.9,
                "base_score": 0.0}, reg_df, nfold=3, seed=3,
-              label_col="label", feature_cols=[f"c{i}" for i in range(5)])
+              label_col="label", feature_cols=[f"c{i}" for i in range(5)],
+              as_pandas=False)
     es = cv({"num_boost_round": 20, "max_depth": 2, "eta": 0.9,
              "base_score": 0.0}, reg_df, nfold=3, seed=3,
-            label_col="label", feature_cols=[f"c{i}" for i in range(5)], early_stopping_rounds=2)
+            label_col="label", feature_cols=[f"c{i}" for i in range(5)], early_stopping_rounds=2,
+            as_pandas=False)
     key = [k for k in es if k.startswith("test-") and k.endswith("-mean")][-1]
     n = len(es[key])
     assert n <= len(full[key])
@@ -119,8 +121,48 @@ def test_cv_custom_objective(spark, reg_df):
         return d, np.ones_like(d)
 
     res = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
-             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)], obj=sq)
+             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)], obj=sq, as_pandas=False)
     ref = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
-             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)])
+             reg_df, nfold=2, seed=1, label_col="label", feature_cols=[f"c{i}" for i in range(5)], as_pandas=False)
     key = [k for k in res if k.endswith("-mean")][-1]
     np.testing.assert_allclose(res[key], ref[key], rtol=0, atol=1e-9)
+
+
+def test_cv_reference_surface(spark, reg_df):
+    """Reference cv() surface (training.py:437-455): as_pandas=True is
+    the DEFAULT and returns a pandas DataFrame (one row per round,
+    mean/std columns); nfold defaults to 3; fpreproc preprocesses each
+    fold; folds= / shuffle=False raise (index-based splitters and
+    contiguous-block folds need addressable row order a distributed
+    frame doesn't have)."""
+    import pandas as pd
+    from xgboost_spark.plans.cv import cv
+    fc = [f"c{i}" for i in range(5)]
+    res = cv({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0},
+             reg_df, seed=1, label_col="label", feature_cols=fc)
+    assert isinstance(res, pd.DataFrame)
+    assert list(res.columns) == ["test-rmse-mean", "test-rmse-std"]
+    assert len(res) == 2
+
+    seen = []
+
+    def prep(tr, va, pdict):
+        seen.append(pdict["max_depth"])
+        pdict = dict(pdict, max_depth=1)
+        return tr, va, pdict
+
+    shallow = cv({"num_boost_round": 2, "max_depth": 5, "base_score": 0.0},
+                 reg_df, nfold=2, seed=1, label_col="label",
+                 feature_cols=fc, fpreproc=prep, as_pandas=False)
+    assert seen == [5, 5]            # called once per fold, sees max_depth=5
+    deep = cv({"num_boost_round": 2, "max_depth": 5, "base_score": 0.0},
+              reg_df, nfold=2, seed=1, label_col="label",
+              feature_cols=fc, as_pandas=False)
+    # the hook actually changed training (depth-1 stumps fit worse)
+    assert shallow["test-rmse-mean"][-1] > deep["test-rmse-mean"][-1]
+    with pytest.raises(NotImplementedError, match="row indices"):
+        cv({"num_boost_round": 1}, reg_df, folds=object(),
+           feature_cols=fc)
+    with pytest.raises(NotImplementedError, match="row order"):
+        cv({"num_boost_round": 1}, reg_df, shuffle=False,
+           feature_cols=fc)

@@ -73,7 +73,7 @@ def test_checkpoint_callback(spark, reg_df, tmp_path):
 
 def test_cv_returns_fold_aggregates(spark, reg_df):
     res = cv({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
-             reg_df, nfold=3, feature_cols=FCOLS)
+             reg_df, nfold=3, feature_cols=FCOLS, as_pandas=False)
     assert "test-rmse-mean" in res and "test-rmse-std" in res
     assert len(res["test-rmse-mean"]) == 3
     # rmse should improve over rounds on average
@@ -85,7 +85,7 @@ def test_cv_stratified_classification(spark, reg_df):
     df = reg_df.withColumn("label", (F.col("label") > 0).cast("double"))
     res = cv({"objective": "binary:logistic", "num_boost_round": 2,
               "max_depth": 2}, df, nfold=3, stratified=True,
-             metrics=["logloss"], feature_cols=FCOLS)
+             metrics=["logloss"], feature_cols=FCOLS, as_pandas=False)
     assert len(res["test-logloss-mean"]) == 2
 
 

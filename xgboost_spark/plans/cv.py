@@ -69,7 +69,7 @@ def _fold_column(df: DataFrame, nfold: int, seed: int, stratified: bool,
     return df.withColumn("__fold__", F.pmod(h, F.lit(nfold)).cast("int"))
 
 
-def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
+def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 3,
        stratified: bool = False, metrics: list[str] | None = None,
        seed: int = 0, label_col: str = "label",
        qid_col: str | None = None, show_train: bool = False,
@@ -79,9 +79,27 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
        obj=None,
        verbose_eval: bool | int | None = None,
        show_stdv: bool = True,
-       **fit_kw) -> dict[str, list[float]]:
-    """Returns {'test-<metric>-mean': [...], 'test-<metric>-std': [...]}
-    (+train-* when ``show_train``), one value per boosting round.
+       as_pandas: bool = True,
+       fpreproc=None,
+       folds=None,
+       shuffle: bool = True,
+       custom_metric=None,
+       **fit_kw):
+    """Returns the reference's cv aggregate — a pandas DataFrame with
+    columns 'test-<metric>-mean' / 'test-<metric>-std' (+train-* when
+    ``show_train``), one row per boosting round (``as_pandas=True``,
+    the reference default, training.py:448); ``as_pandas=False``
+    returns the plain {column: [values]} dict.
+
+    ``nfold`` defaults to 3 like the reference.  ``fpreproc`` is the
+    reference's per-fold preprocessing hook (training.py fpreproc):
+    called as ``(train_df, valid_df, params_dict) -> (train_df,
+    valid_df, params_dict)`` before each fold trains.
+    ``custom_metric`` forwards to every fold's fit.  ``folds`` (sklearn
+    index-based splitters) and ``shuffle=False`` (contiguous-block
+    folds) are explicit non-goals: a distributed DataFrame has neither
+    addressable row indices nor a stable row order to slice by — both
+    raise rather than approximate.
 
     ``share_cuts`` (default True): the quantile sketch from fold 0 is
     reused by every later fold — the QuantileDMatrix-slice pattern
@@ -104,8 +122,21 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
     if nfold < 2:
         raise ValueError(f"cv needs nfold >= 2, got {nfold}")
+    if folds is not None:
+        raise NotImplementedError(
+            "folds= takes sklearn index-based splitters; a distributed "
+            "DataFrame has no addressable row indices — use nfold/"
+            "stratified/qid_col (fold membership is a pure function of "
+            "(row, seed, nfold))")
+    if not shuffle:
+        raise NotImplementedError(
+            "shuffle=False builds contiguous-block folds from the input "
+            "row order; a distributed DataFrame has no stable row order "
+            "to slice by")
     if metrics:
         p.eval_metric = list(metrics)
+    if custom_metric is not None:
+        fit_kw["custom_metric"] = custom_metric
     folded = _fold_column(df, nfold, seed, stratified, label_col, qid_col) \
         .localCheckpoint(eager=True)
     per_fold: list[dict] = []
@@ -113,10 +144,19 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
     for f in range(nfold):
         train_df = folded.filter(F.col("__fold__") != f).drop("__fold__")
         valid_df = folded.filter(F.col("__fold__") == f).drop("__fold__")
+        p_f = p
+        if fpreproc is not None:
+            # reference fpreproc hook (training.py:560-563 mknfold):
+            # fn(dtrain, dtest, params) -> (dtrain, dtest, params)
+            import dataclasses
+            train_df, valid_df, pd_f = fpreproc(
+                train_df, valid_df, dataclasses.asdict(p))
+            p_f = (pd_f if isinstance(pd_f, TrainParams)
+                   else TrainParams.from_dict(pd_f))
         evals = ([(train_df, "train")] if show_train else []) + [(valid_df, "test")]
-        model = SparkBooster(p, obj=obj).fit(train_df, label_col=label_col,
-                                             qid_col=qid_col, evals=evals,
-                                             cuts=shared, **fit_kw)
+        model = SparkBooster(p_f, obj=obj).fit(train_df, label_col=label_col,
+                                               qid_col=qid_col, evals=evals,
+                                               cuts=shared, **fit_kw)
         if share_cuts and shared is None:
             shared = model.cuts
         per_fold.append(model.eval_history)
@@ -171,4 +211,7 @@ def cv(params: dict | TrainParams, df: DataFrame, nfold: int = 5,
                         parts.append(f"{d}-{m}:{mean:.5f}")
             if parts:
                 print(f"[{ep}]\t" + "\t".join(parts))
+    if as_pandas:
+        import pandas as pd
+        return pd.DataFrame(out)
     return out
