@@ -1416,6 +1416,41 @@ def q_pred_leaf_range(spark, sf_dir):
             .withColumn("leaf_id", F.col("leaf_id").cast("bigint")))
 
 
+def q_clf_serve(spark, sf_dir):
+    """Classifier WRAPPER serving schema (round-14 predict-surface
+    audit pin, reference `spark/core.py:1475-1478` _out_schema +
+    `:1492-1528` transform_margin + `:1530-1560` _post_transform):
+    the fixed 2-tree binary:logistic model is served through the REAL
+    `SparkGBDTClassifierModel._transform` — rawPrediction = [-m, m],
+    probability = [1-sigmoid(m), sigmoid(m)], prediction = argmax hard
+    label — and the result is grouped by leaf combination.  Margins are
+    exact multiples of 0.25 (the _fixed_two_tree_doc recipe), so the
+    margin column and the counts hash-match a DuckDB CASE replay
+    bit-for-bit; sigmoid is pinned at 6dp (both engines evaluate libm
+    exp on IDENTICAL doubles, then round — the nearest margin to any
+    6dp rounding boundary is ~1e-8 away)."""
+    _prep(spark)
+    import json as _json
+    from pyspark.ml.functions import vector_to_array
+    from xgboost_spark.plans.estimator import SparkGBDTClassifierModel
+    from xgboost_spark.plans.model import GBDTModel
+    core_m = GBDTModel.from_json(
+        _json.dumps(_fixed_two_tree_doc("binary:logistic")))
+    wrap = SparkGBDTClassifierModel(
+        core_m, {"feature_cols": ["user_id", "event_id"]})
+    ev = _table(spark, sf_dir, "events").select("user_id", "event_id")
+    out = wrap.transform(ev)
+    return (out.select(
+                F.element_at(vector_to_array("rawPrediction"), 2)
+                 .alias("margin"),
+                F.round(F.element_at(vector_to_array("probability"), 2), 6)
+                 .alias("prob"),
+                F.col("prediction").alias("pred"))
+            .groupBy("margin", "prob", "pred")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("margin"))
+
+
 def q_eval_str(spark, sf_dir):
     """Booster.eval_set byte format HASH-MATCHED (round-14 EvalOneIter
     audit pin, `learner.cc:1164-1194`): the eval string is ``[i]`` +
@@ -4282,6 +4317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "weighted_quantile": q_weighted_quantile,
         # ---- past the window (r12/r13-certified) ------------------------
+        # r14-late additions, first-in-line for the r15 window (covered
+        # by the in-repo replica gate this round): clf_serve pins the
+        # classifier wrapper's reference output schema through the REAL
+        # SparkGBDTClassifierModel._transform
+        "clf_serve": q_clf_serve,
         "stream_score": q_stream_score,
         "dart_slice_serve": q_dart_slice_serve,
         "pred_leaf_range": q_pred_leaf_range,
@@ -6423,6 +6463,18 @@ WITH s AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(m), 4) AS sum_pred
 FROM s GROUP BY event_type""",
+
+        "clf_serve": """
+WITH s AS (
+  SELECT CAST(CASE WHEN user_id < 6.5 THEN -0.25 ELSE 0.75 END
+            + CASE WHEN event_id < 500.5 THEN 0.5 ELSE -1.25 END
+         AS DOUBLE) AS m
+  FROM events)
+SELECT m AS margin,
+       round(1.0 / (1.0 + exp(-m)), 6) AS prob,
+       CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS DOUBLE) AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY m ORDER BY margin""",
 
         "eval_str": """
 WITH ev AS (
