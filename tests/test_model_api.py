@@ -402,3 +402,59 @@ def test_set_param_load_config(spark, reg_df, model):
     assert m2.obj.pred_transform(np.array([1.5]))[0] == 1.5  # identity again
     with pytest.raises(ValueError):
         model.set_param("eta")
+
+
+def test_trees_to_dataframe_reference_schema(spark):
+    """trees_to_dataframe emits the reference's exact frame shape
+    (core.py:3103-3276): Tree/Target/Node/ID/Feature/Split/Yes/No/
+    Missing/Gain/Cover/Category, '{tree}-{node}' link strings, leaves
+    as Feature='Leaf' with the value in Gain, categorical splits with
+    the in-set codes in Category and Yes at the in-set child, and
+    vector-leaf trees emitting one leaf row per target (split rows
+    Target=NULL)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    from xgboost_spark.plans.model import GBDTModel
+    fixdir = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                           "ref_models")
+
+    def load(name):
+        p = _glob.glob(_os.path.join(fixdir, f"*.{name}.json"))[0]
+        return GBDTModel.from_json(open(p).read())
+
+    cols = ["Tree", "Target", "Node", "ID", "Feature", "Split", "Yes",
+            "No", "Missing", "Gain", "Cover", "Category"]
+
+    m = load("cat")
+    pdf = m.trees_to_dataframe(spark).toPandas()
+    assert list(pdf.columns) == cols
+    root = pdf[(pdf.Tree == 0) & (pdf.Node == 0)].iloc[0]
+    assert root.ID == "0-0" and root.Feature == "f2"
+    assert root.Split != root.Split                 # NaN for categorical
+    assert list(root.Category) == [0, 2, 5]         # in-set codes
+    # Yes points at the in-set child; reference dialect routes in-set
+    # RIGHT and the fixture's JSON right child is node 2, which the
+    # loader swaps to the engine's LEFT — same node id either way
+    doc = _json.loads(m.to_json())
+    t0 = doc["learner"]["gradient_booster"]["model"]["trees"][0]
+    assert root.Yes == f"0-{t0['right_children'][0]}"
+    leaves = pdf[pdf.Feature == "Leaf"]
+    assert len(leaves) > 0 and leaves.Split.isna().all()
+    assert leaves.Yes.isna().all() and leaves.Gain.notna().all()
+
+    mt = load("multi_target")
+    pmt = mt.trees_to_dataframe(spark).toPandas()
+    splits = pmt[pmt.Feature != "Leaf"]
+    assert splits.Target.isna().all()               # vector split rows
+    l0 = pmt[(pmt.Tree == 0) & (pmt.Node == 1)]
+    assert sorted(l0.Target) == [0, 1, 2]           # one row per target
+    # leaf vector values land in Gain, per-target
+    want = [v for v in _json.loads(mt.to_json())["learner"]
+            ["gradient_booster"]["model"]["trees"][0]["leaf_weights"][:3]]
+    got = [float(l0[l0.Target == k].Gain.iloc[0]) for k in range(3)]
+    assert got == pytest.approx(want, abs=1e-7)
+
+    df = load("dart_forest").trees_to_dataframe(spark).toPandas()
+    assert df.Tree.nunique() == 6                   # npt=2 x 3 rounds
+    assert set(df[df.Feature != "Leaf"].Target) == {0}

@@ -1460,10 +1460,73 @@ class GBDTModel:
                   "gain double, cover double, leaf_value double")
         return spark.createDataFrame(rows, schema)
 
-    def trees_to_dataframe(self, spark: SparkSession) -> DataFrame:
-        """Reference-named alias of :meth:`to_nodes_df`
-        (`core.py Booster.trees_to_dataframe`)."""
-        return self.to_nodes_df(spark)
+    def trees_to_dataframe(self, spark: SparkSession,
+                           fmap: str = "") -> DataFrame:
+        """The reference's `Booster.trees_to_dataframe` schema
+        (core.py:3103-3276), as a Spark DataFrame: columns Tree /
+        Target / Node / ID / Feature / Split / Yes / No / Missing /
+        Gain / Cover / Category, one row per REACHABLE node (DFS from
+        the root), link columns as ``"{tree}-{node}"`` strings, leaves
+        with Feature='Leaf' and their value in Gain, vector-leaf
+        (multi_output_tree) trees emitting one leaf row per target with
+        split rows Target=NULL, and categorical splits carrying the
+        in-set codes in Category with Yes pointing at the in-set child
+        (the engine routes in-set LEFT internally; its save path swaps
+        children so the reference's in-set-RIGHT JSON sees the same
+        node ids — both surfaces print identical rows).  Sorted by
+        (Tree, Node, Target) like the reference.  ``fmap`` is accepted
+        and ignored (deprecated upstream, 3.4.0).  The engine has no
+        'i'/'int' feature types, so every numeric split follows the
+        float path.  :meth:`to_nodes_df` keeps the engine-native
+        relational shape."""
+        rows: list[tuple] = []
+        npt = max(self.params.num_parallel_tree, 1)
+        fnames = dict(enumerate(self.feature_names or []))
+        tid = 0
+        for rnd in self.trees:
+            for k_in_round, t in enumerate(rnd):
+                target = k_in_round // npt
+                vector = any(np.ndim(v) for v in t.leaf_value)
+                stack = [0]
+                while stack:
+                    nid = stack.pop()
+                    cover = float(t.sum_hess[nid])
+                    if t.left[nid] == -1:
+                        leaf_rows = (list(enumerate(
+                                         float(v) for v in t.leaf_value[nid]))
+                                     if vector
+                                     else [(target, float(t.leaf_value[nid]))])
+                        for tgt, value in leaf_rows:
+                            rows.append((tid, tgt, nid, f"{tid}-{nid}",
+                                         "Leaf", None, None, None, None,
+                                         value, cover, None))
+                        continue
+                    stack.append(t.left[nid])
+                    stack.append(t.right[nid])
+                    fidx = t.feature[nid]
+                    dft = t.left[nid] if t.default_left[nid] else t.right[nid]
+                    if t.categories[nid] is not None:
+                        # in-set child is YES (reference yes=right on its
+                        # in-set-right save dialect == this engine's left)
+                        yes, no = t.left[nid], t.right[nid]
+                        split, cats = None, sorted(
+                            int(c) for c in t.categories[nid])
+                    else:
+                        yes, no = t.left[nid], t.right[nid]
+                        split, cats = float(t.split_value[nid]), None
+                    rows.append((tid, None if vector else target, nid,
+                                 f"{tid}-{nid}",
+                                 fnames.get(fidx, f"f{fidx}"), split,
+                                 f"{tid}-{yes}", f"{tid}-{no}",
+                                 f"{tid}-{dft}",
+                                 float(t.gain[nid]), cover, cats))
+                tid += 1
+        schema = ("Tree int, Target int, Node int, ID string, "
+                  "Feature string, Split double, Yes string, No string, "
+                  "Missing string, Gain double, Cover double, "
+                  "Category array<int>")
+        return (spark.createDataFrame(rows, schema)
+                .orderBy("Tree", "Node", "Target"))
 
     def get_fscore(self, importance_type: str = "weight") -> dict[str, float]:
         """Reference-named alias of :meth:`feature_importance`
