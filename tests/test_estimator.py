@@ -375,3 +375,50 @@ def test_estimator_iteration_range_best_iteration_rule(spark, reg_df):
     assert s(m.transform(reg_df, iteration_range=None)) == want
     # an explicit non-zero end still wins over best_iteration
     assert s(m.transform(reg_df, iteration_range=(0, 3))) == full
+
+
+def test_early_stopping_requires_validation_set(spark, reg_df):
+    """Reference _validate_params (spark/core.py:1016-1021): the
+    estimator refuses early_stopping_rounds without a
+    validation_indicator_col; the booster refuses it without evals
+    (EarlyStopping 'Must have at least 1 validation dataset')."""
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    fc = [f"c{i}" for i in range(5)]
+    est = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=2, early_stopping_rounds=2)
+    with pytest.raises(ValueError, match="validation_indicator_col"):
+        est.fit(reg_df)
+    with pytest.raises(ValueError, match="at least 1 validation"):
+        SparkBooster(TrainParams(num_boost_round=2,
+                                 early_stopping_rounds=2)).fit(
+            reg_df, feature_cols=fc, label_col="label")
+
+
+def test_qid_col_only_on_ranker(reg_df):
+    """Reference estimator _validate_params overrides
+    (spark/estimator.py:226-231, :410-414): regressor and classifier
+    refuse qid_col; only the ranker accepts ranking groups."""
+    for cls in (SparkGBDTRegressor, SparkGBDTClassifier):
+        with pytest.raises(ValueError, match="does not support `qid_col`"):
+            cls(label_col="label", features_col=["c0"], qid_col="q")
+
+
+def test_classifier_auto_multiclass_objective(spark, reg_df):
+    """Reference classifier behavior (spark/estimator.py:417-419 forbids
+    objective; the wrapped sklearn classifier infers from label
+    cardinality): labels beyond {0,1} auto-select multi:softprob with
+    the inferred num_class; an EXPLICIT objective stays honored (engine
+    superset)."""
+    fc = [f"c{i}" for i in range(5)]
+    df3 = reg_df.withColumn("label", (F.abs(F.col("label")) % 3).cast("int"))
+    m = SparkGBDTClassifier(label_col="label", features_col=fc,
+                            num_boost_round=2, max_depth=2).fit(df3)
+    assert m.core.params.objective == "multi:softprob"
+    assert m.core.params.num_class == 3
+    probs = m.transform(df3).select("probability").first()[0]
+    assert len(probs) == 3
+    dfb = reg_df.withColumn("label", (F.col("label") > 0).cast("int"))
+    mb = SparkGBDTClassifier(label_col="label", features_col=fc,
+                             num_boost_round=2, max_depth=2).fit(dfb)
+    assert mb.core.params.objective == "binary:logistic"

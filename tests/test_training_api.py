@@ -34,17 +34,32 @@ def test_training_continuation_matches_single_run(spark, reg_df):
 
 
 def test_learning_rate_scheduler(spark, reg_df):
+    """Reference ONE-ROUND-LATE semantics (callback.py:305-307 applies
+    the rate in after_iteration, before the NEXT boost; pinned by the
+    reference's own run_eta_decay: eval_errors_3[0]==eval_errors_2[0]
+    holds only if round 0 ignores the scheduler): round 0 trains with
+    the configured eta, rates(i) governs round i+1."""
     rates = [0.5, 0.25, 0.1]
-    model = train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
-                  reg_df, feature_cols=FCOLS,
+    model = train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0,
+                   "eta": 0.9}, reg_df, feature_cols=FCOLS,
                   callbacks=[LearningRateScheduler(rates)])
-    # leaf values scale with eta: ratio of max |leaf| across rounds tracks rates
     fixed = train({"num_boost_round": 1, "max_depth": 2, "base_score": 0.0,
-                   "eta": 0.5}, reg_df, feature_cols=FCOLS)
+                   "eta": 0.9}, reg_df, feature_cols=FCOLS)
     a = model.trees[0][0]
     b = fixed.trees[0][0]
     assert a.feature == b.feature
     assert np.allclose(a.leaf_value, b.leaf_value, atol=1e-12)
+    # rates(0)=0 freezes round 1: its leaves are exactly zero, round 0's
+    # are not (leaf values scale with the round's eta)
+    frozen = train({"num_boost_round": 2, "max_depth": 2, "base_score": 0.0,
+                    "eta": 0.9}, reg_df, feature_cols=FCOLS,
+                   callbacks=[LearningRateScheduler([0.0, 0.0])])
+    leaves0 = [v for v in frozen.trees[0][0].leaf_value]
+    leaves1 = [v for v in frozen.trees[1][0].leaf_value]
+    assert any(abs(float(v)) > 0 for v in leaves0)
+    assert all(float(v) == 0.0 for v in leaves1)
+    with pytest.raises(TypeError, match="callable or sequence"):
+        LearningRateScheduler(0.3)
 
 
 def test_early_stopping_callback(spark, reg_df):
@@ -61,14 +76,37 @@ def test_early_stopping_callback(spark, reg_df):
 
 
 def test_checkpoint_callback(spark, reg_df, tmp_path):
+    """Reference TrainingCheckPoint semantics (callback.py:586-653):
+    the counter reaches `interval` BEFORE the save check, so the first
+    snapshot lands `interval` epochs in (epoch index = interval), files
+    are `{name}_{epoch+start}.ubj` (2.1.0+ default format), and a
+    continued fit offsets the index by the prior model's rounds."""
+    import json as _json
+    from xgboost_spark.sources import ubjson
     d = str(tmp_path / "ckpt")
-    train({"num_boost_round": 4, "max_depth": 2, "base_score": 0.0},
+    base = train({"num_boost_round": 4, "max_depth": 2, "base_score": 0.0},
+                 reg_df, feature_cols=FCOLS,
+                 callbacks=[TrainingCheckPoint(d, interval=2)])
+    files = sorted(glob.glob(os.path.join(d, "model_*.ubj")))
+    assert [os.path.basename(f) for f in files] == ["model_2.ubj"]
+    snap = GBDTModel.from_doc(ubjson.loads(open(files[0], "rb").read()))
+    assert sum(len(r) for r in snap.trees) == 3      # rounds 0..2 done
+    # continuation offsets the filename index by the prior rounds
+    d2 = str(tmp_path / "ckpt2")
+    train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
+          reg_df, feature_cols=FCOLS, xgb_model=base,
+          callbacks=[TrainingCheckPoint(d2, interval=2)])
+    f2 = sorted(glob.glob(os.path.join(d2, "model_*.ubj")))
+    assert [os.path.basename(f) for f in f2] == ["model_6.ubj"]
+    # as_pickle saves the model object itself
+    import pickle
+    d3 = str(tmp_path / "ckpt3")
+    train({"num_boost_round": 3, "max_depth": 2, "base_score": 0.0},
           reg_df, feature_cols=FCOLS,
-          callbacks=[TrainingCheckPoint(d, interval=2)])
-    files = sorted(glob.glob(os.path.join(d, "model_*.json")))
-    assert len(files) == 2
-    snap = GBDTModel.load(files[0])
-    assert sum(len(r) for r in snap.trees) == 2      # snapshot after round 1
+          callbacks=[TrainingCheckPoint(d3, as_pickle=True, interval=2)])
+    with open(os.path.join(d3, "model_2.pkl"), "rb") as fd:
+        mp = pickle.load(fd)
+    assert sum(len(r) for r in mp.trees) == 3
 
 
 def test_cv_returns_fold_aggregates(spark, reg_df):
@@ -339,3 +377,52 @@ def test_cv_verbose_eval_stdv_format(spark, reg_df, capsys):
     out = [l for l in capsys.readouterr().out.splitlines()
            if l.startswith("[")]
     assert len(out) == 2 and "+" not in out[0].split(":", 1)[1]
+
+
+def test_train_explicit_args_and_evals_result(spark, reg_df):
+    """Reference train() signature (training.py:56-66): num_boost_round
+    / early_stopping_rounds live OUTSIDE the params dict and win over
+    it; evals_result= fills the caller's dict with the watchlist
+    history."""
+    res = {}
+    m = train({"num_boost_round": 99, "max_depth": 2, "base_score": 0.0},
+              reg_df, feature_cols=FCOLS, num_boost_round=3,
+              evals=[(reg_df, "train")], evals_result=res)
+    assert len(m.trees) == 3
+    assert list(res) == ["train"]
+    assert len(res["train"]["rmse"]) == 3
+    assert res["train"]["rmse"] == m.eval_history["train"]["rmse"]
+    m2 = train({"num_boost_round": 30, "max_depth": 2, "base_score": 0.0,
+                "eta": 0.9}, reg_df, feature_cols=FCOLS,
+               evals=[(reg_df, "train")], early_stopping_rounds=2)
+    assert m2.best_iteration is not None
+
+
+def test_booster_update_custom_loop(spark, reg_df):
+    """Reference custom training loop (core.py:2195-2290
+    Booster.update/boost): N update() calls on a persistent model ==
+    one N-round train; fobj forwards to boost with the engine's
+    custom-objective signature."""
+    base = {"max_depth": 3, "base_score": 0.0, "seed": 2}
+    full = train({**base, "num_boost_round": 3}, reg_df, feature_cols=FCOLS)
+    m = train({**base, "num_boost_round": 1}, reg_df, feature_cols=FCOLS)
+    for i in range(1, 3):
+        m.update(reg_df, i)
+    assert sum(len(r) for r in m.trees) == 3
+    for ra, rb in zip(full.trees, m.trees):
+        for ta, tb in zip(ra, rb):
+            assert ta.feature == tb.feature
+            assert np.allclose(ta.leaf_value, tb.leaf_value, atol=1e-12)
+    # fobj: squared-error gradients reproduce the built-in objective
+    def sq(y, margin, w):
+        return margin - y, np.ones_like(y)
+    m2 = train({**base, "num_boost_round": 1}, reg_df, feature_cols=FCOLS)
+    m2.update(reg_df, 1, fobj=sq)
+    assert sum(len(r) for r in m2.trees) == 2
+    assert m2.trees[1][0].feature == m.trees[1][0].feature
+    a = (m2.transform(reg_df.limit(100), feature_cols=FCOLS)
+         .toPandas()["prediction"])
+    b = (train({**base, "num_boost_round": 2}, reg_df, feature_cols=FCOLS)
+         .transform(reg_df.limit(100), feature_cols=FCOLS)
+         .toPandas()["prediction"])
+    np.testing.assert_allclose(np.sort(a), np.sort(b), atol=1e-9)

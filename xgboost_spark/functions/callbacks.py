@@ -47,15 +47,28 @@ class TrainingCallback:
 
 
 class LearningRateScheduler(TrainingCallback):
-    """Per-round learning rate (reference callback.py:272): pass a list
-    of rates or a fn(epoch) -> eta."""
+    """Per-round learning rate (reference callback.py:272-308): pass a
+    list of rates or a fn(epoch) -> eta.  The reference applies the
+    rate in AFTER_iteration — ``set_param`` lands before the NEXT
+    boost — so round 0 always trains with the configured eta and
+    ``rates(i)`` governs round i+1 (pinned by the reference's own
+    run_eta_decay: ``eval_errors_3[0] == eval_errors_2[0]`` holds only
+    under one-round-late semantics, testing/callbacks.py:110-128).  A
+    too-short list raises IndexError at that round like the
+    reference's plain ``learning_rates[epoch]`` indexing."""
 
     def __init__(self, rates: Sequence[float] | Callable[[int], float]):
+        import collections.abc
+        if not callable(rates) and not isinstance(
+                rates, collections.abc.Sequence):
+            raise TypeError(
+                "Invalid learning rates, expecting callable or sequence, "
+                f"got: {type(rates)}")
         self.rates = rates
 
-    def before_iteration(self, state, epoch):
+    def after_iteration(self, state, epoch, evals_log):
         state.eta = (self.rates(epoch) if callable(self.rates)
-                     else self.rates[min(epoch, len(self.rates) - 1)])
+                     else self.rates[epoch])
         return False
 
 
@@ -178,19 +191,54 @@ class EarlyStopping(TrainingCallback):
 
 
 class TrainingCheckPoint(TrainingCallback):
-    """Save a model snapshot every ``interval`` rounds
-    (reference callback.py:586)."""
+    """Model snapshots during training (reference callback.py:586-653):
+    files are ``{name}_{epoch + start}.{fmt}`` where ``start`` is the
+    number of rounds already in a continued model (before_training
+    reads it, callback.py:630-632); the save fires on the call where
+    the internal counter REACHES ``interval`` and then resets — i.e.
+    the first snapshot lands ``interval`` epochs in, matching the
+    reference's counter semantics exactly (``_epoch == _iterations``
+    check BEFORE the increment).  ``interval`` defaults to 100 like the
+    reference ("checkpointing is slow").  Default format is UBJSON
+    (the reference's 2.1.0+ default) through the engine's own codec;
+    ``as_pickle`` pickles the model object instead."""
 
-    def __init__(self, directory: str, name: str = "model", interval: int = 1):
+    default_format = "ubj"
+
+    def __init__(self, directory: str, name: str = "model",
+                 as_pickle: bool = False, interval: int = 100):
         import os
-        self.directory = directory
-        self.name = name
-        self.interval = max(interval, 1)
-        os.makedirs(directory, exist_ok=True)
+        self._path = os.fspath(directory)
+        self._name = name
+        self._as_pickle = as_pickle
+        self._iterations = max(int(interval), 1)
+        self._epoch = 0
+        self._start = 0
+        os.makedirs(self._path, exist_ok=True)
+
+    def before_training(self, state):
+        prior = getattr(state, "xgb_model", None)
+        self._start = len(prior.trees) if prior is not None else 0
 
     def after_iteration(self, state, epoch, evals_log):
-        if (epoch + 1) % self.interval == 0:
-            import os
-            state.snapshot_model().save(
-                os.path.join(self.directory, f"{self.name}_{epoch}.json"))
+        import os
+        if self._epoch == self._iterations:
+            path = os.path.join(
+                self._path,
+                f"{self._name}_{epoch + self._start}"
+                + (".pkl" if self._as_pickle else f".{self.default_format}"))
+            self._epoch = 0
+            model = state.snapshot_model()
+            if self._as_pickle:
+                import pickle
+                with open(path, "wb") as fd:
+                    pickle.dump(model, fd)
+            elif path.endswith(".ubj"):
+                import json as _json
+                from xgboost_spark.sources import ubjson
+                with open(path, "wb") as fd:
+                    fd.write(ubjson.dumps(_json.loads(model.to_json())))
+            else:
+                model.save(path)
+        self._epoch += 1
         return False

@@ -478,6 +478,12 @@ class SparkBooster:
             if "-" in _ev_name:
                 raise ValueError(
                     f"Dataset name should not contain `-`: {_ev_name!r}")
+        if self.params.early_stopping_rounds and not evals:
+            # reference EarlyStopping.after_iteration (callback.py:449):
+            # silent no-op stopping would be a footgun, so fail up front
+            raise ValueError(
+                "Must have at least 1 validation dataset for early "
+                "stopping.")
         p = self.params
         K = p.n_groups
         spark = df.sparkSession
@@ -1499,6 +1505,9 @@ def _effective_metrics(p, obj) -> list[str]:
 
 
 def train(params: dict | TrainParams, df: DataFrame, obj=None,
+          num_boost_round: int | None = None,
+          early_stopping_rounds: int | None = None,
+          evals_result: dict | None = None,
           verbose_eval: bool | int | None = None, **kw):
     """Functional entry point mirroring `xgboost.train`
     (`python-package/xgboost/training.py:53`): ``obj`` = custom
@@ -1514,6 +1523,12 @@ def train(params: dict | TrainParams, df: DataFrame, obj=None,
     quiet — the one deliberate divergence from the reference's
     default-True, since a Spark job's driver log is not a terminal."""
     p = params if isinstance(params, TrainParams) else TrainParams.from_dict(params)
+    # the reference train() takes these OUTSIDE the params dict
+    # (training.py:56-66); explicit arguments win over the dict
+    if num_boost_round is not None:
+        p.num_boost_round = int(num_boost_round)
+    if early_stopping_rounds is not None:
+        p.early_stopping_rounds = int(early_stopping_rounds)
     if (verbose_eval is not None and not isinstance(verbose_eval, bool)
             and int(verbose_eval) > 1 and p.booster != "gblinear"):
         from xgboost_spark.functions.callbacks import EvaluationMonitor
@@ -1550,8 +1565,15 @@ def train(params: dict | TrainParams, df: DataFrame, obj=None,
         return model
     if p.booster == "gblinear":
         from xgboost_spark.plans.linear import train_linear
-        return train_linear(p, df, **kw)
-    return SparkBooster(p, obj=obj).fit(df, **kw)
+        model = train_linear(p, df, **kw)
+    else:
+        model = SparkBooster(p, obj=obj).fit(df, **kw)
+    if evals_result is not None:
+        # reference train(evals_result=) fills the caller's dict with
+        # the watchlist history (training.py:119-131)
+        evals_result.clear()
+        evals_result.update(getattr(model, "eval_history", None) or {})
+    return model
 
 
 def refresh_leaves(model: GBDTModel, df: DataFrame,

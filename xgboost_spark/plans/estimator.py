@@ -152,6 +152,7 @@ _TUNABLE_NAMES = {n for n, _, _ in _TUNABLES}
 
 class _GBDTEstimator(Estimator, MLReadable, MLWritable):
     _default_objective = "reg:squarederror"
+    _supports_qid = True        # subclasses opt OUT (reference: ranker-only)
 
     # class-level Param declarations (re-parented per instance by
     # Params.__init__/_copy_params — the standard pyspark.ml pattern)
@@ -176,6 +177,13 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
         self.weight_col = weight_col
         self.base_margin_col = base_margin_col
         self.qid_col = qid_col
+        if qid_col and not self._supports_qid:
+            # reference estimator _validate_params overrides
+            # (spark/estimator.py:226-231, :410-414): only the ranker
+            # takes ranking groups; a silently-ignored qid would train
+            # the wrong model
+            raise ValueError(
+                f"{type(self).__name__} does not support `qid_col` param.")
         self.validation_indicator_col = validation_indicator_col
         self.categorical_features = categorical_features
         self.pred_contrib_col = pred_contrib_col
@@ -232,6 +240,11 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
 
     def _fit(self, dataset: DataFrame):
         p = self.train_params
+        if p.early_stopping_rounds and not self.validation_indicator_col:
+            # reference _validate_params (spark/core.py:1016-1021)
+            raise ValueError(
+                "If 'early_stopping_rounds' param is set, you need to set "
+                "'validation_indicator_col' param as well.")
         evals = None
         train_df = dataset
         if self.validation_indicator_col:
@@ -370,6 +383,7 @@ class _GBDTModel(Model, MLReadable, MLWritable):
 class SparkGBDTRegressor(_GBDTEstimator):
     """Analog of SparkXGBRegressor (`spark/estimator.py:80`)."""
     _default_objective = "reg:squarederror"
+    _supports_qid = False
 
     @property
     def _model_cls(self):
@@ -378,14 +392,27 @@ class SparkGBDTRegressor(_GBDTEstimator):
 
 class SparkGBDTClassifier(_GBDTEstimator):
     """Analog of SparkXGBClassifier (`spark/estimator.py:249`).
-    Binary by default; pass objective='multi:softprob', num_class=K for
-    multiclass.  transform() adds `prediction` (probability / prob array);
-    `transform_with_label` adds the hard class.
+    Binary by default; multiclass labels auto-select multi:softprob
+    like the reference (whose classifier forbids the objective param
+    and infers from label cardinality — spark/estimator.py:417-419 +
+    sklearn fit; here an explicit objective= is still honored, a
+    deliberate superset).  transform() emits the reference schema
+    (rawPrediction / probability / prediction); `transform_with_label`
+    adds the thresholded class for binary back-compat.
     """
     _default_objective = "binary:logistic"
+    _supports_qid = False
 
     def _fit(self, dataset: DataFrame):
         p = self.train_params
+        explicit_obj = (self.isSet(getattr(self, "objective"))
+                        or "objective" in self._extra_params)
+        if not explicit_obj and not p.objective.startswith("multi:"):
+            k = dataset.agg(F.max(self.label_col)).first()[0]
+            if k is not None and int(k) > 1:
+                self._set(objective="multi:softprob",
+                          num_class=int(k) + 1)
+                p = self.train_params
         if p.objective.startswith("multi:") and p.num_class <= 1:
             k = dataset.agg(F.max(self.label_col)).first()[0]
             self._set(num_class=int(k) + 1)

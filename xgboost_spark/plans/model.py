@@ -897,6 +897,39 @@ class GBDTModel:
         import copy as _copy
         return _copy.copy(self)
 
+    def update(self, df: DataFrame, iteration: int = 0, fobj=None,
+               label_col: str = "label", **data_kw) -> None:
+        """One boosting iteration appended IN PLACE — the reference's
+        custom-training-loop primitive (``Booster.update``,
+        core.py:2195-2234: ``for i in range(n): bst.update(dtrain, i)``;
+        with ``fobj`` it forwards to ``boost``, core.py:2230-2234).
+        ``iteration`` is accepted for signature parity; rounds continue
+        from the trees already in the model regardless, exactly like
+        XGBoosterUpdateOneIter on a persistent handle.  Feature columns
+        default to the model's own ``feature_names``."""
+        self.boost(df, iteration=iteration, fobj=fobj,
+                   label_col=label_col, **data_kw)
+
+    def boost(self, df: DataFrame, iteration: int = 0, *, fobj=None,
+              label_col: str = "label", **data_kw) -> None:
+        """One iteration with a customized objective (reference
+        ``Booster.boost``, core.py:2237-2290).  ``fobj`` takes the
+        engine's custom-objective signature ``(y, margin, w) ->
+        (grad, hess)`` — the Spark-native form of the reference's
+        gradient hand-off, evaluated Arrow-batched against the current
+        margins (raw per-row grad/hess ARRAYS have no distributed
+        analog: rows of a DataFrame are not addressable by index, so
+        gradients must be computed from columns; use ``LocalBooster``
+        for the in-memory array form)."""
+        from xgboost_spark.plans.booster import SparkBooster
+        import dataclasses
+        p1 = dataclasses.replace(self.params, num_boost_round=1)
+        if not data_kw.get("feature_cols") and not data_kw.get("array_col"):
+            data_kw["feature_cols"] = list(self.feature_names)
+        new = SparkBooster(p1, obj=fobj).fit(
+            df, xgb_model=self, label_col=label_col, **data_kw)
+        self.__dict__.update(new.__dict__)
+
     def used_trees(self) -> list[list[core.Tree]]:
         if self.best_iteration is not None:
             return self.trees[: self.best_iteration + 1]
