@@ -422,3 +422,21 @@ def test_classifier_auto_multiclass_objective(spark, reg_df):
     mb = SparkGBDTClassifier(label_col="label", features_col=fc,
                              num_boost_round=2, max_depth=2).fit(dfb)
     assert mb.core.params.objective == "binary:logistic"
+
+
+def test_apply_and_evals_result(spark, reg_df):
+    """Reference sklearn-wrapper apply() (leaf per tree, best_iteration
+    rule like predict, sklearn.py:1540-1575) and evals_result()
+    (sklearn.py:1577-1600)."""
+    fc = [f"c{i}" for i in range(5)]
+    df = reg_df.withColumn("is_val", F.col("c0") > 0.5)
+    est = SparkGBDTRegressor(label_col="label", features_col=fc,
+                             num_boost_round=3, max_depth=2, seed=1,
+                             validation_indicator_col="is_val")
+    m = est.fit(df)
+    leaves = m.apply(df).select("leaf").first()["leaf"]
+    assert len(leaves) == 3                  # one leaf id per tree
+    m.core.best_iteration = 0
+    assert len(m.apply(df).select("leaf").first()["leaf"]) == 1
+    hist = m.evals_result()
+    assert "validation" in hist and len(hist["validation"]["rmse"]) == 3

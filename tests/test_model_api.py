@@ -458,3 +458,15 @@ def test_trees_to_dataframe_reference_schema(spark):
     df = load("dart_forest").trees_to_dataframe(spark).toPandas()
     assert df.Tree.nunique() == 6                   # npt=2 x 3 rounds
     assert set(df[df.Feature != "Leaf"].Target) == {0}
+
+
+def test_get_quantile_cut(model):
+    """DMatrix.get_quantile_cut twin (core.py:1126-1155): CSR pair —
+    uint64 indptr of length F+1, concatenated float cut data, cuts
+    strictly increasing per feature."""
+    indptr, data = model.get_quantile_cut()
+    assert indptr.dtype == np.uint64 and len(indptr) == len(FC) + 1
+    assert int(indptr[-1]) == len(data)
+    for f in range(len(FC)):
+        seg = data[int(indptr[f]):int(indptr[f + 1])]
+        assert len(seg) > 0 and np.all(np.diff(seg[:-1]) > 0)

@@ -375,6 +375,20 @@ class _GBDTModel(Model, MLReadable, MLWritable):
     def get_feature_importances(self, importance_type: str = "weight"):
         return self.core.feature_importance(importance_type)
 
+    def apply(self, dataset: DataFrame,
+              iteration_range: tuple[int, int] | None = None) -> DataFrame:
+        """Reference sklearn-wrapper ``apply`` (sklearn.py:1540-1575):
+        the predicted leaf index per tree for each row (a `leaf`
+        array column), with the wrapper's best_iteration rule applied
+        to ``iteration_range`` exactly like predict."""
+        return self.transform(dataset, pred_leaf=True,
+                              iteration_range=iteration_range)
+
+    def evals_result(self) -> dict:
+        """Reference ``evals_result()`` (sklearn.py:1577-1600): the
+        fit-time watchlist history {data: {metric: [values]}}."""
+        return self.core.eval_history
+
     @property
     def best_iteration(self):
         return self.core.best_iteration

@@ -897,6 +897,25 @@ class GBDTModel:
         import copy as _copy
         return _copy.copy(self)
 
+    def get_quantile_cut(self):
+        """The quantization cut values as the reference's CSR pair
+        (``DMatrix.get_quantile_cut``, core.py:1126-1155): ``indptr``
+        uint64 of length n_features+1 and ``data`` = the concatenated
+        per-feature cut arrays (float64).  In the reference this lives
+        on the QuantileDMatrix; the engine's quantized state rides on
+        the fitted model, which is where the cuts are."""
+        cuts = self.cuts or []
+        if not cuts:
+            raise ValueError(
+                "this model carries no quantile cuts (imported models "
+                "and gblinear have no quantized training state)")
+        indptr = np.zeros(len(cuts) + 1, dtype=np.uint64)
+        for i, c in enumerate(cuts):
+            indptr[i + 1] = indptr[i] + len(c)
+        data = np.concatenate([np.asarray(c, dtype=np.float64)
+                               for c in cuts]) if cuts else np.empty(0)
+        return indptr, data
+
     def update(self, df: DataFrame, iteration: int = 0, fobj=None,
                label_col: str = "label", **data_kw) -> None:
         """One boosting iteration appended IN PLACE — the reference's
