@@ -1416,6 +1416,45 @@ def q_pred_leaf_range(spark, sf_dir):
             .withColumn("leaf_id", F.col("leaf_id").cast("bigint")))
 
 
+def q_lr_schedule(spark, sf_dir):
+    """LearningRateScheduler ONE-ROUND-LATE semantics HASH-MATCHED
+    (round-14 callback-cadence fix; reference callback.py:305-307
+    applies the rate in after_iteration, pinned by the reference's own
+    run_eta_decay expectations): a 2-round depth-1 squarederror fit on
+    PINNED 8-bin l_quantity cuts with ``LearningRateScheduler([0.0,
+    0.0])`` must train round 0 at the CONFIGURED eta=0.3 (nonzero
+    Newton leaves, replayed by the DuckDB split-scan below: integer
+    row-count hessians, gain desc / bin asc tie order, leaves
+    eta*-G/(H+lambda) at 4dp) and round 1 at rates(0)=0 — leaf values
+    EXACTLY zero.  Under the engine's old on-time semantics round 0
+    would already be frozen and the abs-leaf-sum row would be 0."""
+    _prep(spark)
+    import numpy as np
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.functions.callbacks import LearningRateScheduler
+    from xgboost_spark.plans.booster import SparkBooster
+    li = _table(spark, sf_dir, "lineitem")
+    cuts = _exact_cut_values(spark, sf_dir, "lineitem", "l_quantity", 8)
+    d = li.select("l_quantity",
+                  (F.col("l_extendedprice") / 1000.0).alias("label"))
+    base = round(d.agg(F.avg("label")).first()[0], 6)
+    m = SparkBooster(TrainParams(num_boost_round=2, max_depth=1, max_bin=8,
+                                 eta=0.3, base_score=base, seed=1)).fit(
+        d, feature_cols=["l_quantity"], label_col="label",
+        cuts=[np.array(cuts + [np.inf])],
+        callbacks=[LearningRateScheduler([0.0, 0.0])])
+    rows = []
+    for ri, rnd in enumerate(m.trees):
+        t = rnd[0]
+        arrs = t.finalize_arrays()
+        lw = [float(arrs["leaf_value"][i]) for i in range(t.n_nodes)
+              if t.left[i] == -1]
+        rows.append((ri, round(sum(abs(v) for v in lw), 4), len(lw)))
+    return (spark.createDataFrame(
+                rows, "rnd bigint, abs_leaf_sum double, n_leaves bigint")
+            .orderBy("rnd"))
+
+
 def q_clf_serve(spark, sf_dir):
     """Classifier WRAPPER serving schema (round-14 predict-surface
     audit pin, reference `spark/core.py:1475-1478` _out_schema +
@@ -4322,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier wrapper's reference output schema through the REAL
         # SparkGBDTClassifierModel._transform
         "clf_serve": q_clf_serve,
+        "lr_schedule": q_lr_schedule,
         "stream_score": q_stream_score,
         "dart_slice_serve": q_dart_slice_serve,
         "pred_leaf_range": q_pred_leaf_range,
@@ -6463,6 +6503,41 @@ WITH s AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(m), 4) AS sum_pred
 FROM s GROUP BY event_type""",
+
+        "lr_schedule": """
+WITH rk AS (
+  SELECT l_quantity AS v, row_number() OVER (ORDER BY l_quantity) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+ck AS (SELECT k, min(v) AS cut FROM rk JOIN range(1, 8) t(k)
+       ON rn = CAST(ceil(k * n / 8.0) AS BIGINT) GROUP BY k),
+base AS (SELECT round(avg(l_extendedprice / 1000.0), 6) AS bs FROM lineitem),
+d AS (SELECT l_extendedprice / 1000.0 AS y,
+        CAST((SELECT count(*) FROM ck c WHERE c.cut < l.l_quantity)
+             AS BIGINT) AS bin
+      FROM lineitem l),
+h AS (SELECT bin, CAST(count(*) AS DOUBLE) AS h,
+             sum((SELECT bs FROM base) - y) AS g
+      FROM d GROUP BY 1),
+scan AS (SELECT bin,
+           sum(g) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS gl,
+           sum(h) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS hl,
+           sum(g) OVER () AS gt, sum(h) OVER () AS ht,
+           max(bin) OVER () AS mx
+         FROM h),
+best AS (SELECT * FROM (
+           SELECT *, row_number() OVER (ORDER BY
+             gl * gl / (hl + 1.0) + (gt - gl) * (gt - gl) / (ht - hl + 1.0)
+             - gt * gt / (ht + 1.0) DESC, bin ASC) AS rk
+           FROM scan WHERE bin < mx) t WHERE rk = 1)
+SELECT CAST(0 AS BIGINT) AS rnd,
+       round(abs(0.3 * (-gl / (hl + 1.0)))
+           + abs(0.3 * (-(gt - gl) / (ht - hl + 1.0))), 4) AS abs_leaf_sum,
+       CAST(2 AS BIGINT) AS n_leaves
+FROM best
+UNION ALL
+SELECT CAST(1 AS BIGINT), 0.0, CAST(2 AS BIGINT)
+ORDER BY rnd""",
 
         "clf_serve": """
 WITH s AS (
