@@ -165,12 +165,41 @@ def main() -> int:
                          "baseline_ratio": base.get(name),
                          "load": round(os.getloadavg()[0], 2)}
             print(name, res[name], flush=True)
+
+        # 3) engine-free HOST CALIBRATION rows (r14: the dedup_components
+        # flag turned out to be host-level IO drift, diagnosed only by
+        # fingerprint — CPU-bound fits faster, shuffle-bound ops slower.
+        # These two fixed probes make that drift directly observable:
+        # shuffle_probe = pure repartition+groupBy over sf1 events (the
+        # box's shuffle/IO throughput, no engine code), cpu_probe =
+        # driver-side NumPy matmul (the box's CPU).  Neither feeds the
+        # flag rule; they decompose any future drift at a glance.
+        import numpy as _np
+        ev = spark.read.parquet(os.path.join(HI, "events.parquet"))
+        for _ in range(2):                                   # warm once
+            t0 = time.time()
+            ev.repartition(64, "user_id").groupBy("user_id").count() \
+              .groupBy().count().collect()
+            sh = round(time.time() - t0, 3)
+        rng = _np.random.default_rng(0)
+        a = rng.normal(size=(2048, 2048))
+        for _ in range(2):
+            t0 = time.time()
+            for _i in range(8):
+                a = a @ a * 1e-3
+            cpu = round(time.time() - t0, 3)
+        res["_calibration"] = {"shuffle_probe_sec": sh,
+                               "cpu_probe_sec": cpu,
+                               "load": round(os.getloadavg()[0], 2)}
+        print("calibration", res["_calibration"], flush=True)
     finally:
         spark.stop()
 
     raw_base = baseline_raw_secs(args.baseline)
     flagged = []
     for k, v in res.items():
+        if k.startswith("_"):          # calibration rows never flag
+            continue
         b = v["baseline_ratio"]
         limit = (max(1.5 * b + 1.0, args.abs_threshold)
                  if b is not None else args.abs_threshold)
