@@ -4359,7 +4359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14-late additions, first-in-line for the r15 window (covered
         # by the in-repo replica gate this round): clf_serve pins the
         # classifier wrapper's reference output schema through the REAL
-        # SparkGBDTClassifierModel._transform
+        # SparkGBDTClassifierModel._transform; lr_schedule pins the
+        # LearningRateScheduler one-round-late fix through the REAL
+        # DataFrame-path trainer
         "clf_serve": q_clf_serve,
         "lr_schedule": q_lr_schedule,
         "stream_score": q_stream_score,
