@@ -440,3 +440,69 @@ def test_apply_and_evals_result(spark, reg_df):
     assert len(m.apply(df).select("leaf").first()["leaf"]) == 1
     hist = m.evals_result()
     assert "validation" in hist and len(hist["validation"]["rmse"]) == 3
+
+
+REFERENCE_SPARK_CORE = "/root/reference/python-package/xgboost/spark/core.py"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_SPARK_CORE),
+                    reason="reference checkout not present")
+def test_estimator_param_parity_matrix():
+    """Anti-rot guard for COVERAGE.md §2.7b: every name in the
+    reference's `_pyspark_specific_params` + `_non_booster_params`
+    lists (spark/core.py:119-142) must be either ADOPTED (an engine
+    estimator ctor argument, under the engine's snake_case naming) or
+    on the explicit documented non-goals list — a new reference param
+    showing up in a future reference drop fails here instead of
+    silently missing from the table."""
+    import ast
+    import inspect
+    src = open(REFERENCE_SPARK_CORE).read()
+    tree = ast.parse(src)
+    ref_lists = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id in ("_pyspark_specific_params",
+                                           "_non_booster_params")):
+            ref_lists[node.targets[0].id] = [
+                ast.literal_eval(e) for e in node.value.elts]
+    assert set(ref_lists) == {"_pyspark_specific_params",
+                              "_non_booster_params"}
+    ref_params = set(ref_lists["_pyspark_specific_params"]) \
+        | set(ref_lists["_non_booster_params"])
+
+    from xgboost_spark.plans.estimator import _GBDTEstimator
+    ctor = set(inspect.signature(_GBDTEstimator.__init__).parameters)
+    # engine snake_case name for each reference param
+    adopted_map = {
+        "featuresCol": "features_col", "labelCol": "label_col",
+        "weightCol": "weight_col", "base_margin_col": "base_margin_col",
+        "validationIndicatorCol": "validation_indicator_col",
+        "qid_col": "qid_col", "num_workers": "num_workers",
+        "force_repartition": "force_repartition",
+        "repartition_random_shuffle": "repartition_random_shuffle",
+        "feature_names": "feature_names",
+        "pred_contrib_col": "pred_contrib_col",
+        "missing": "missing",
+        # features_cols (list form) rides the same features_col arg
+        "features_cols": "features_col",
+    }
+    # documented non-goals / pass-through surfaces (COVERAGE.md §2.7b)
+    non_goals = {
+        "enable_sparse_data_optim",      # engine kernels are Arrow-dense
+        "launch_tracker_on_driver",      # no tracker: barrier rendezvous
+        "coll_cfg",                      # same
+        "arbitrary_params_dict",         # the **params pass-through
+        "n_estimators",                  # TrainParams alias -> num_boost_round
+        "feature_types",                 # derived from categorical_features
+        "feature_weights",               # TrainParams pass-through (colsample)
+        # fixed Spark-ML output names on the classifier model
+        "rawPredictionCol", "predictionCol", "probabilityCol",
+    }
+    unaccounted = ref_params - set(adopted_map) - non_goals
+    assert not unaccounted, f"new reference params to triage: {unaccounted}"
+    missing_ctor = {r: e for r, e in adopted_map.items() if e not in ctor}
+    assert not missing_ctor, missing_ctor
+    from xgboost_spark.config import TrainParams
+    assert TrainParams.ALIASES.get("n_estimators") == "num_boost_round"
