@@ -233,12 +233,9 @@ class TrainingCheckPoint(TrainingCallback):
                 import pickle
                 with open(path, "wb") as fd:
                     pickle.dump(model, fd)
-            elif path.endswith(".ubj"):
-                import json as _json
-                from xgboost_spark.sources import ubjson
-                with open(path, "wb") as fd:
-                    fd.write(ubjson.dumps(_json.loads(model.to_json())))
             else:
+                # GBDTModel.save dispatches on extension (.ubj -> the
+                # engine's UBJSON codec), same as the reference c_api
                 model.save(path)
         self._epoch += 1
         return False
