@@ -506,3 +506,62 @@ def test_estimator_param_parity_matrix():
     assert not missing_ctor, missing_ctor
     from xgboost_spark.config import TrainParams
     assert TrainParams.ALIASES.get("n_estimators") == "num_boost_round"
+
+
+def test_round14_review_fixes(spark, reg_df):
+    """Regression pins for the round-14 self-review findings:
+    (1) update() works on a model fit with early stopping (loop
+    controls are stripped for the single raw iteration);
+    (2) feature_names with multi-column input raises instead of
+    breaking the fitted model's own transform;
+    (3) transform(iteration_range=...) keeps the classifier's
+    documented rawPrediction/probability/prediction schema;
+    (4) the auto-inferred multiclass objective does not leak into a
+    later fit of the same estimator;
+    (5) early stopping with a provably empty metric set raises."""
+    import numpy as np
+    from xgboost_spark.config import TrainParams
+    from xgboost_spark.plans.booster import SparkBooster
+    fc = [f"c{i}" for i in range(5)]
+
+    # (1) update after early-stopped fit
+    m = SparkBooster(TrainParams(num_boost_round=6, max_depth=2, eta=0.9,
+                                 early_stopping_rounds=2, seed=1)).fit(
+        reg_df, feature_cols=fc, label_col="label",
+        evals=[(reg_df, "train")])
+    n0 = sum(len(r) for r in m.trees)
+    m.update(reg_df, n0)
+    assert sum(len(r) for r in m.trees) == n0 + 1
+
+    # (2) feature_names scope
+    with pytest.raises(ValueError, match="array/vector features_col"):
+        SparkGBDTRegressor(label_col="label", features_col=fc,
+                           num_boost_round=1, max_depth=2,
+                           feature_names=[f"n{i}" for i in range(5)]
+                           ).fit(reg_df)
+
+    # (3) classifier schema survives iteration_range
+    dfb = reg_df.withColumn("label", (F.col("label") > 0).cast("int"))
+    clf = SparkGBDTClassifier(label_col="label", features_col=fc,
+                              num_boost_round=3, max_depth=2).fit(dfb)
+    out = clf.transform(dfb, iteration_range=(0, 2))
+    assert {"rawPrediction", "probability", "prediction"} <= set(out.columns)
+    two = clf.core.slice(0, 2)
+    import math
+    r = out.first()
+    assert r["probability"].toArray().sum() == pytest.approx(1.0)
+
+    # (4) no auto-objective leak across fits
+    est = SparkGBDTClassifier(label_col="label", features_col=fc,
+                              num_boost_round=2, max_depth=2)
+    df3 = reg_df.withColumn("label", (F.abs(F.col("label")) % 3).cast("int"))
+    assert est.fit(df3).core.params.objective == "multi:softprob"
+    assert est.fit(dfb).core.params.objective == "binary:logistic"
+
+    # (5) empty metric set + early stopping
+    with pytest.raises(ValueError, match="at least one metric"):
+        SparkBooster(TrainParams(num_boost_round=3, max_depth=2,
+                                 early_stopping_rounds=2,
+                                 disable_default_eval_metric=True)).fit(
+            reg_df, feature_cols=fc, label_col="label",
+            evals=[(reg_df, "train")])

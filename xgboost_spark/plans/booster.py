@@ -484,6 +484,17 @@ class SparkBooster:
             raise ValueError(
                 "Must have at least 1 validation dataset for early "
                 "stopping.")
+        if (self.params.early_stopping_rounds and evals
+                and not self.params.eval_metric
+                and self.params.disable_default_eval_metric
+                and custom_metric is None):
+            # same footgun through the r14 disable_default_eval_metric
+            # path: zero metrics -> an empty evals_log -> the reference
+            # raises rather than silently never stopping
+            raise ValueError(
+                "early stopping requires at least one metric: "
+                "eval_metric is empty, disable_default_eval_metric is "
+                "set, and no custom_metric was given")
         p = self.params
         K = p.n_groups
         spark = df.sparkSession
@@ -1562,6 +1573,11 @@ def train(params: dict | TrainParams, df: DataFrame, obj=None,
             else:
                 raise ValueError(
                     f"process_type='update' supports updater refresh|prune, got {u!r}")
+        if evals_result is not None:
+            # the update path runs no eval sets; the caller's dict must
+            # still be reset rather than keeping a previous call's data
+            evals_result.clear()
+            evals_result.update(getattr(model, "eval_history", None) or {})
         return model
     if p.booster == "gblinear":
         from xgboost_spark.plans.linear import train_linear

@@ -269,6 +269,16 @@ class _GBDTEstimator(Estimator, MLReadable, MLWritable):
             evals=evals, **self._feature_kw(train_df),
         )
         if self.feature_names:
+            if "array_col" not in self._feature_kw(train_df):
+                # with multi-column input the columns ARE the names;
+                # renaming the model would break its own transform
+                # (validate_features would see a name-set mismatch).
+                # The reference scopes this param to assembled
+                # array/vector features too (spark/core.py:247).
+                raise ValueError(
+                    "feature_names applies to a single assembled "
+                    "array/vector features_col; multi-column input "
+                    "already carries its column names")
             if len(self.feature_names) != len(core_model.feature_names):
                 raise ValueError(
                     f"feature_names has {len(self.feature_names)} entries "
@@ -336,6 +346,20 @@ class _GBDTModel(Model, MLReadable, MLWritable):
                     kw.pop("iteration_range")
                 else:
                     kw["iteration_range"] = ir
+            if set(kw) <= {"iteration_range"}:
+                # iteration_range ALONE keeps the wrapper's documented
+                # output schema (the reference applies it inside the
+                # same predict path that builds the classifier columns)
+                # by serving the subclass _transform on a sliced core
+                if not kw:
+                    return self._transform(dataset)
+                sliced = type(self)(self.core.slice(*kw["iteration_range"]),
+                                    self._feature_kw,
+                                    base_margin_col=self._base_margin_col,
+                                    pred_contrib_col=self._pred_contrib_col)
+                return sliced._transform(dataset)
+            # other engine-level kwargs (pred_leaf, output_margin, ...)
+            # are the documented power-user pass-through to the core
             return self.core.transform(dataset, **self._predict_kw(dataset), **kw)
         return super().transform(dataset, params)
 
@@ -421,16 +445,28 @@ class SparkGBDTClassifier(_GBDTEstimator):
         p = self.train_params
         explicit_obj = (self.isSet(getattr(self, "objective"))
                         or "objective" in self._extra_params)
+        inferred: list[str] = []
         if not explicit_obj and not p.objective.startswith("multi:"):
+            # single-column max: Catalyst prunes the scan to the label
+            # column (the reference classifier pays the same pass —
+            # np.unique(y) in sklearn fit)
             k = dataset.agg(F.max(self.label_col)).first()[0]
             if k is not None and int(k) > 1:
                 self._set(objective="multi:softprob",
                           num_class=int(k) + 1)
+                inferred += ["objective", "num_class"]
                 p = self.train_params
         if p.objective.startswith("multi:") and p.num_class <= 1:
             k = dataset.agg(F.max(self.label_col)).first()[0]
             self._set(num_class=int(k) + 1)
-        return super()._fit(dataset)
+            inferred.append("num_class")
+        try:
+            return super()._fit(dataset)
+        finally:
+            # inference is PER FIT: a leaked auto objective/num_class
+            # would silently misconfigure a later fit on different data
+            for name in inferred:
+                self.clear(getattr(self, name))
 
     @property
     def _model_cls(self):

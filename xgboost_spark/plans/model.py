@@ -913,7 +913,7 @@ class GBDTModel:
         for i, c in enumerate(cuts):
             indptr[i + 1] = indptr[i] + len(c)
         data = np.concatenate([np.asarray(c, dtype=np.float64)
-                               for c in cuts]) if cuts else np.empty(0)
+                               for c in cuts])
         return indptr, data
 
     def update(self, df: DataFrame, iteration: int = 0, fobj=None,
@@ -942,7 +942,13 @@ class GBDTModel:
         for the in-memory array form)."""
         from xgboost_spark.plans.booster import SparkBooster
         import dataclasses
-        p1 = dataclasses.replace(self.params, num_boost_round=1)
+        # one raw iteration: training-LOOP controls from the original
+        # fit (early stopping needs eval sets this call doesn't have;
+        # a leftover checkpoint would reject a 1-round resume) must not
+        # ride along — the reference's UpdateOneIter has neither
+        p1 = dataclasses.replace(self.params, num_boost_round=1,
+                                 early_stopping_rounds=None,
+                                 checkpoint_dir=None)
         if not data_kw.get("feature_cols") and not data_kw.get("array_col"):
             data_kw["feature_cols"] = list(self.feature_names)
         new = SparkBooster(p1, obj=fobj).fit(
