@@ -1,24 +1,34 @@
 """Collective communication for barrier-mode training.
 
 Re-expresses the reference's collective layer (`src/collective/comm.h:184`,
-ring allreduce `src/collective/allreduce.cc:21-129`, rendezvous tracker
+allreduce `src/collective/allreduce.cc:21-129`, rendezvous tracker
 `src/collective/tracker.h:80`) for Spark's barrier execution mode:
 
 - rendezvous: `BarrierTaskContext.allGather` replaces the Rabit tracker —
   each task binds a listening socket, allgathers ``(rank, ip, port)``, and
-  the ring is formed by rank order (the reference's own Spark wrapper uses
-  the same barrier-rendezvous pattern, `spark/core.py:1036-1093`);
-- allreduce: bandwidth-optimal ring reduce-scatter + allgather over TCP,
-  duplex (select-based simultaneous send/recv so large payloads cannot
-  deadlock).  Each chunk is accumulated in a fixed order along the ring
-  and the reduced bytes are copied verbatim to every rank, so all ranks
-  observe bit-identical sums — the property the deterministic replicated
-  tree-growth loop relies on.
+  point-to-point links are formed between exchange partners (the reference's
+  own Spark wrapper uses the same barrier-rendezvous pattern,
+  `spark/core.py:1036-1093`);
+- allreduce: recursive-halving reduce-scatter + recursive-doubling
+  allgather (Rabenseifner's algorithm — Thakur, Rabenseifner & Gropp,
+  IJHPCA 2005, the same family MPI_Allreduce uses), with a pair-fold
+  pre/post step for non-power-of-two rank counts.  ``2*log2(p) + 2``
+  latency steps and ``~2x payload`` bytes per rank — vs the previous
+  ring's ``2*(p-1)`` steps at the same bytes.  The boosting loop's
+  histogram payloads are small (<= a few MB), so each allreduce is
+  LATENCY-bound: at p=32 the ring's 62 sequential socket steps measured
+  ~56 ms per call and 93% of the whole training loop (sf0.1 profile,
+  round 14); halving-doubling needs 12 steps for the same reduction.
 
-Payloads here are per-level gradient histograms: ``nodes x features x
-(bins+1) x 2`` float64 — ≤ a few MB regardless of row count, so one
-allreduce costs milliseconds while the alternative (a Spark shuffle per
-tree level) costs a full job round-trip.
+Determinism contract (the deterministic replicated tree-growth loop
+relies on it): every element of the reduced array is combined along a
+fixed topology-defined association order, each element is owned by
+exactly ONE rank when fully reduced, and the allgather/unfold phases
+copy those bytes verbatim — so all ranks observe bit-identical results,
+and re-running the same job reproduces them exactly.  (IEEE addition is
+commutative, so the two sides of one exchange computing ``a+b`` and
+``b+a`` agree bitwise; only association order matters, and that is
+fixed by the rank topology.)
 """
 
 from __future__ import annotations
@@ -84,26 +94,77 @@ class Loopback(Comm):
         return np.asarray(arr, dtype=np.float64)
 
 
+def _fold_count(p: int) -> tuple[int, int]:
+    """(q, rem): q = largest power of two <= p, rem = p - q.  Ranks
+    ``0..2*rem-1`` pair-fold (odd into even) so the main phase runs on
+    exactly ``q`` participants."""
+    q = 1 << (p.bit_length() - 1)
+    return q, p - q
+
+
+def _eff_rank(r: int, rem: int) -> int | None:
+    """Effective rank inside the power-of-two group (None = folded-out
+    odd rank that only participates in the fold/unfold steps)."""
+    if r < 2 * rem:
+        return r // 2 if r % 2 == 0 else None
+    return r - rem
+
+
+def _actual_rank(eff: int, rem: int) -> int:
+    return 2 * eff if eff < rem else eff + rem
+
+
+def _partners(rank: int, p: int) -> list[int]:
+    """Every peer this rank exchanges with in any allreduce phase."""
+    q, rem = _fold_count(p)
+    out = []
+    if rank < 2 * rem:
+        out.append(rank ^ 1)                      # fold pair
+    eff = _eff_rank(rank, rem)
+    if eff is not None:
+        half = q >> 1
+        while half >= 1:
+            out.append(_actual_rank(eff ^ half, rem))
+            half >>= 1
+    # ring neighbours ride along so the A/B reference algorithm
+    # (SPARK_GRAFT_ALLREDUCE=ring) can run in the same session
+    for nb in ((rank + 1) % p, (rank - 1) % p):
+        if nb != rank and nb not in out:
+            out.append(nb)
+    return out
+
+
 class RingComm(Comm):
-    def __init__(self, rank: int, nranks: int, send_sock: socket.socket,
-                 recv_sock: socket.socket, srv: socket.socket):
+    """Socket mesh between halving-doubling exchange partners.  (The
+    name predates the algorithm switch: callers construct it the same
+    way they did the ring, and a 1-task job still degrades to
+    `Loopback`.)"""
+
+    def __init__(self, rank: int, nranks: int,
+                 socks: dict[int, socket.socket], srv: socket.socket,
+                 mode: str = "hd"):
         self.rank = rank
         self.nranks = nranks
-        self._snd = send_sock
-        self._rcv = recv_sock
+        self._socks = socks
         self._srv = srv
-        self._snd.setblocking(False)
-        self._rcv.setblocking(False)
+        self.mode = mode or "hd"
+        for s in socks.values():
+            s.setblocking(False)
 
     # -- rendezvous ----------------------------------------------------
     @classmethod
-    def create(cls, barrier_ctx) -> Comm:
-        """Build the ring from a `BarrierTaskContext`."""
+    def create(cls, barrier_ctx, mode: str = "hd") -> Comm:
+        """Build the partner mesh from a `BarrierTaskContext`.
+
+        ``mode``: "hd" (default halving-doubling) or "ring" — the
+        reference algorithm, kept for in-session A/B measurement on a
+        steal-prone box (pass it from the driver so a mid-session
+        toggle reaches reused Python workers)."""
         rank = barrier_ctx.partitionId()
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind(("0.0.0.0", 0))
-        srv.listen(4)
+        srv.listen(16)
         port = srv.getsockname()[1]
         msgs = barrier_ctx.allGather(
             json.dumps({"rank": rank, "ip": _local_ip(), "port": port}))
@@ -112,56 +173,82 @@ class RingComm(Comm):
         if p == 1:
             srv.close()
             return Loopback()
-        nxt = peers[(rank + 1) % p]
-        snd = None
+        want = _partners(rank, p)
+        socks: dict[int, socket.socket] = {}
         deadline = time.time() + 120
-        while True:
-            try:
-                snd = socket.create_connection((nxt["ip"], nxt["port"]), timeout=10)
-                break
-            except OSError:
-                if time.time() > deadline:
-                    raise
-                time.sleep(0.05)
-        snd.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        snd.sendall(_HDR.pack(rank))
+        # lower rank dials, higher rank accepts — a fixed orientation so
+        # every link is attempted exactly once from exactly one side
+        for q_ in want:
+            if q_ > rank:
+                continue
+            while True:
+                try:
+                    s = socket.create_connection(
+                        (peers[q_]["ip"], peers[q_]["port"]), timeout=10)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise
+                    time.sleep(0.05)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            s.sendall(_HDR.pack(rank))
+            socks[q_] = s
+        n_accept = sum(1 for q_ in want if q_ > rank)
         srv.settimeout(120)
-        rcv, _ = srv.accept()
-        rcv.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        prev_rank = _HDR.unpack(_recv_exact_blocking(rcv, _HDR.size))[0]
-        expected = (rank - 1) % p
-        if prev_rank != expected:
-            raise IOError(f"ring mis-wired: accepted rank {prev_rank}, expected {expected}")
-        return cls(rank, p, snd, rcv, srv)
+        for _ in range(n_accept):
+            c, _ = srv.accept()
+            c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            peer = _HDR.unpack(_recv_exact_blocking(c, _HDR.size))[0]
+            if peer not in want or peer in socks:
+                raise IOError(f"mesh mis-wired: unexpected peer {peer} "
+                              f"for rank {rank} (want {sorted(want)})")
+            socks[peer] = c
+        return cls(rank, p, socks, srv, mode=mode)
 
     # -- duplex exchange ----------------------------------------------
-    def _exchange(self, send_bytes: bytes, recv_buf: memoryview):
-        """Simultaneously send to next and fill recv_buf from prev."""
-        snd, rcv = self._snd, self._rcv
+    def _exchange(self, sock: socket.socket, send_bytes: bytes,
+                  recv_buf: memoryview):
+        """Simultaneously send to and fill recv_buf from one partner
+        (select-based duplex: large payloads cannot deadlock)."""
         sview = memoryview(send_bytes)
         si, ri, rn = 0, 0, len(recv_buf)
         deadline = time.time() + 300
         while si < len(sview) or ri < rn:
             if time.time() > deadline:
-                raise TimeoutError("ring allreduce stalled")
+                raise TimeoutError("allreduce exchange stalled")
             rl, wl, _ = select.select(
-                [rcv] if ri < rn else [], [snd] if si < len(sview) else [], [], 30)
+                [sock] if ri < rn else [],
+                [sock] if si < len(sview) else [], [], 30)
             if rl:
-                n = rcv.recv_into(recv_buf[ri:], rn - ri)
+                n = sock.recv_into(recv_buf[ri:], rn - ri)
                 if n == 0:
-                    raise IOError("ring peer closed connection")
+                    raise IOError("allreduce peer closed connection")
                 ri += n
             if wl:
-                si += snd.send(sview[si:si + (1 << 20)])
+                si += sock.send(sview[si:si + (1 << 20)])
 
-    # -- ring allreduce (reference allreduce.cc:21-129) ----------------
+    def _send(self, peer: int, data: bytes):
+        self._exchange(self._socks[peer], data, memoryview(b""))
+
+    def _recv(self, peer: int, buf: memoryview):
+        self._exchange(self._socks[peer], b"", buf)
+
+    # -- dispatch ------------------------------------------------------
     def allreduce(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
+        if self.mode == "ring":
+            return self._allreduce_ring(arr, op)
+        return self._allreduce_hd(arr, op)
+
+    # -- reference ring (2*(p-1) steps; kept for in-session A/B against
+    # -- the halving-doubling default on a steal-prone box) ------------
+    def _allreduce_ring(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
         reduce_fn = _OPS[op]
         a = np.ascontiguousarray(arr, dtype=np.float64)
         shape = a.shape
         buf = a.ravel().copy()
         p, r = self.nranks, self.rank
-        # chunk offsets (np.array_split boundaries — identical on all ranks)
+        snd = self._socks[(r + 1) % p]
+        rcv = self._socks[(r - 1) % p]
         n = len(buf)
         base, extra = divmod(n, p)
         off = []
@@ -171,24 +258,100 @@ class RingComm(Comm):
             off.append((s, e))
             s = e
         tmp = np.empty(base + 1, dtype=np.float64)
-        # reduce-scatter
-        for step in range(p - 1):
+        for step in range(p - 1):          # reduce-scatter
             ss, se = off[(r - step) % p]
             rs, re = off[(r - step - 1) % p]
             rv = tmp[: re - rs]
-            self._exchange(buf[ss:se].tobytes(), memoryview(rv).cast("B"))
+            self._exchange2(snd, rcv, buf[ss:se].tobytes(),
+                            memoryview(rv).cast("B"))
             buf[rs:re] = reduce_fn(buf[rs:re], rv)
-        # allgather
-        for step in range(p - 1):
+        for step in range(p - 1):          # allgather
             ss, se = off[(r + 1 - step) % p]
             rs, re = off[(r - step) % p]
             rv = tmp[: re - rs]
-            self._exchange(buf[ss:se].tobytes(), memoryview(rv).cast("B"))
+            self._exchange2(snd, rcv, buf[ss:se].tobytes(),
+                            memoryview(rv).cast("B"))
             buf[rs:re] = rv
         return buf.reshape(shape)
 
+    def _exchange2(self, snd, rcv, send_bytes: bytes, recv_buf: memoryview):
+        """Duplex exchange over two distinct sockets (ring form)."""
+        sview = memoryview(send_bytes)
+        si, ri, rn = 0, 0, len(recv_buf)
+        deadline = time.time() + 300
+        while si < len(sview) or ri < rn:
+            if time.time() > deadline:
+                raise TimeoutError("ring allreduce stalled")
+            rl, wl, _ = select.select(
+                [rcv] if ri < rn else [], [snd] if si < len(sview) else [],
+                [], 30)
+            if rl:
+                n = rcv.recv_into(recv_buf[ri:], rn - ri)
+                if n == 0:
+                    raise IOError("ring peer closed connection")
+                ri += n
+            if wl:
+                si += snd.send(sview[si:si + (1 << 20)])
+
+    # -- halving-doubling allreduce (Rabenseifner) ---------------------
+    def _allreduce_hd(self, arr: np.ndarray, op: str = "sum") -> np.ndarray:
+        reduce_fn = _OPS[op]
+        a = np.ascontiguousarray(arr, dtype=np.float64)
+        shape = a.shape
+        buf = a.ravel().copy()
+        n = len(buf)
+        p, r = self.nranks, self.rank
+        q, rem = _fold_count(p)
+        byt = memoryview(buf).cast("B")
+        # fold: odd ranks of the first 2*rem hand their whole array to
+        # their even partner and wait for the final result
+        if r < 2 * rem and r % 2 == 1:
+            self._send(r - 1, byt.tobytes())
+            self._recv(r - 1, byt)
+            return buf.reshape(shape)
+        tmp = np.empty(n, dtype=np.float64)
+        if r < 2 * rem:                       # even half of a folded pair
+            self._recv(r + 1, memoryview(tmp).cast("B"))
+            buf[:] = reduce_fn(buf, tmp)
+        eff = _eff_rank(r, rem)
+        # reduce-scatter: halve the segment against the partner at each
+        # distance; keep the half matching our side of the group
+        s, e = 0, n
+        hist: list[tuple[int, int, int, bool]] = []
+        half = q >> 1
+        while half >= 1:
+            partner = _actual_rank(eff ^ half, rem)
+            lower = (eff & half) == 0
+            mid = s + (e - s) // 2
+            if lower:
+                ks, ke, gs, ge = s, mid, mid, e
+            else:
+                ks, ke, gs, ge = mid, e, s, mid
+            rv = tmp[: ke - ks]
+            self._exchange(self._socks[partner],
+                           buf[gs:ge].tobytes(),
+                           memoryview(rv).cast("B"))
+            buf[ks:ke] = reduce_fn(buf[ks:ke], rv)
+            hist.append((s, e, partner, lower))
+            s, e = ks, ke
+            half >>= 1
+        # allgather: retrace outward, swapping owned segments verbatim
+        for s, e, partner, lower in reversed(hist):
+            mid = s + (e - s) // 2
+            if lower:
+                ks, ke, gs, ge = s, mid, mid, e
+            else:
+                ks, ke, gs, ge = mid, e, s, mid
+            self._exchange(self._socks[partner],
+                           buf[ks:ke].tobytes(),
+                           byt[gs * 8: ge * 8])
+        # unfold: hand the complete result back to the folded-out rank
+        if r < 2 * rem:
+            self._send(r + 1, byt.tobytes())
+        return buf.reshape(shape)
+
     def close(self):
-        for s in (self._snd, self._rcv, self._srv):
+        for s in (*self._socks.values(), self._srv):
             try:
                 s.close()
             except OSError:

@@ -32,6 +32,8 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import time
+from collections import defaultdict
 from collections.abc import Iterator
 
 import numpy as np
@@ -44,6 +46,12 @@ from xgboost_spark.config import TrainParams
 from xgboost_spark.local.booster import (_NumpyHistBuilder,
                                           _NumpyMultiHistBuilder)
 
+#: per-task wall-clock attribution for the barrier loop (guide §1:
+#: measure before optimizing).  Written only inside barrier tasks;
+#: rank 0 dumps it to $SPARK_GRAFT_PROF when that env var names a file.
+#: Zero overhead concerns: a handful of float adds per tree level.
+_PROF: dict[str, float] = defaultdict(float)
+
 
 class _AllreduceHistBuilder(_NumpyHistBuilder):
     """Local partial histogram + ring allreduce = global histogram
@@ -54,8 +62,15 @@ class _AllreduceHistBuilder(_NumpyHistBuilder):
         self.comm = comm
 
     def build(self, tree: core.Tree, nids: list[int]):
+        t0 = time.perf_counter()
         hg, hh = super().build(tree, nids)
+        t1 = time.perf_counter()
         red = self.comm.allreduce_sum(np.stack([hg, hh]))
+        t2 = time.perf_counter()
+        _PROF["hist_local"] += t1 - t0
+        _PROF["hist_allreduce"] += t2 - t1
+        _PROF["allreduce_calls"] += 1
+        _PROF["allreduce_bytes"] += 2 * hg.nbytes
         return red[0], red[1]
 
 
@@ -495,13 +510,28 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
         from xgboost_spark.functions.metrics import metric_finalize, metric_partial_np
         from xgboost_spark.plans.booster import _compute_grads, _maximize
 
+        # captured driver-side so a mid-session A/B toggle reaches the
+        # (env-frozen) reused executor Python workers
+        ar_mode = os.environ.get("SPARK_GRAFT_ALLREDUCE", "hd")
+        prof_path_cfg = os.environ.get("SPARK_GRAFT_PROF")
+
         def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import BarrierTaskContext
+
+            # bind the EXECUTOR module's _PROF (cloudpickle copies
+            # module globals referenced by a nested function by value,
+            # so without this the hist builders — imported by reference
+            # — would write to a different dict than the one dumped)
+            from xgboost_spark.plans.barrier import _PROF
             ctx = BarrierTaskContext.get()
-            comm = RingComm.create(ctx)
+            _PROF.clear()
+            _t_task0 = time.perf_counter()
+            comm = RingComm.create(ctx, mode=ar_mode)
+            _PROF["rendezvous"] = time.perf_counter() - _t_task0
             try:
                 cuts_l = bc_cuts.value
                 cm = bc_cat.value
+                _t_sec = time.perf_counter()
                 parts = [pdf for pdf in it if len(pdf)]
                 if parts:
                     full = pd.concat(parts, ignore_index=True)
@@ -553,10 +583,13 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
 
                 role = (full["_role"].to_numpy(dtype=np.int64)
                         if "_role" in full.columns else np.zeros(len(full), np.int64))
+                _PROF["materialize"] = time.perf_counter() - _t_sec
+                _t_sec = time.perf_counter()
                 Xb, y, w, q, bounds, margin = load_rows(full[role == 0])
                 n = len(y)
                 ev_states = [load_rows(full[role == i + 1])
                              for i in range(len(eval_names))]
+                _PROF["bin_load"] = time.perf_counter() - _t_sec
 
                 n_bins = max(len(c) for c in cuts_l)
                 is_multi = K > 1 and p.multi_strategy == "multi_output_tree"
@@ -701,9 +734,11 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                     is_mvs = (p.subsample < 1.0
                               and getattr(p, "sampling_method", "uniform")
                               == "gradient_based")
+                    _t_sec = time.perf_counter()
                     g, h = _compute_grads(obj, y, m_eff, w, q, seed + it_round,
                                           1.0 if is_mvs else p.subsample, K,
                                           bounds=bounds)
+                    _PROF["grads"] += time.perf_counter() - _t_sec
                     if is_mvs:
                         # MVS gradient-based sampling (reference
                         # src/tree/hist/sampler.cc GradientBasedSampling):
@@ -766,6 +801,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                                        nb_ck, comm), bnd_k))
                     approx_round = (bounds_list is not None
                                     or approx_groups is not None)
+                    _t_sec = time.perf_counter()
                     round_trees: list[core.Tree] = []
                     if is_multi:
                         builder.set_grad(g, h)
@@ -791,6 +827,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                     t.leaf_value = [v / n_forest
                                                     for v in t.leaf_value]
                             round_trees.extend(forest)
+                    _PROF["grow"] += time.perf_counter() - _t_sec
+                    _t_sec = time.perf_counter()
                     if bounds_list is not None:
                         # back to the global fine bin space: all later
                         # traversals use the one persistent binned matrix
@@ -869,6 +907,8 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                 ti += 1
                     trees.append(round_trees)
                     tree_weights.append(w_new)
+                    _PROF["margin_update"] += time.perf_counter() - _t_sec
+                    _t_sec = time.perf_counter()
                     # eval-set margins + allreduced metrics (EvalOneIter,
                     # reference learner.cc:1164-1194)
                     last = None
@@ -901,6 +941,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                             history.setdefault(eval_names[ei], {}).setdefault(
                                 mname, []).append(val)
                             last = val
+                    _PROF["eval"] += time.perf_counter() - _t_sec
                     if esr and last is not None:
                         better = (best_metric is None or
                                   (last > best_metric if _maximize(metric_names[-1])
@@ -933,6 +974,14 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
                                              else None),
                                          "obj_state": obj.__dict__}, fh)
                         os.replace(tmp, ckpt_path)
+                _PROF["task_total"] = time.perf_counter() - _t_task0
+                prof_path = prof_path_cfg or os.environ.get("SPARK_GRAFT_PROF")
+                if prof_path and comm.rank == 0:
+                    import json as _json
+                    with open(prof_path, "w") as fh:
+                        _json.dump({k: (round(v, 4) if isinstance(v, float)
+                                        else v)
+                                    for k, v in _PROF.items()}, fh)
                 if comm.rank == 0:
                     yield pd.DataFrame(
                         {"model": [pickle.dumps(

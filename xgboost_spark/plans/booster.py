@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
 import time
 
 import numpy as np
@@ -559,6 +560,13 @@ class SparkBooster:
               if p.feature_weights is not None else None)
         has_q = qid_col is not None
         n_part = num_partitions or sc.defaultParallelism
+        # Measured and rejected (round-14 optimization pass): round-robin
+        # repartition + per-fit persist of a partition-starved input.
+        # The single-row-group shuffle map is one core's work wherever it
+        # runs — caching only MOVES it from the training job into the
+        # sketch job (interleaved A/B at sf0.1: cuts 1.28->2.18 s, loop
+        # 3.80->3.01 s, net ~zero) while adding cache-memory pressure at
+        # scale, so the two-scan design stays.
         if has_q:
             raw = raw.repartition(n_part, "qid")   # co-locate ranking groups
             if hasattr(obj, "weight_norm"):
