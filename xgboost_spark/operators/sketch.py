@@ -128,40 +128,42 @@ def approx_cuts(df: DataFrame, cols: list[str], max_bin: int,
         yield pd.DataFrame(rows, columns=["fi", "n", "mx", "smp"])
 
     parts = src.mapInPandas(
-        compact, "fi int, n double, mx double, smp array<double>").persist()
-    try:
-        sum_row = None
-        if n_specs:
-            srows = parts.filter(F.col("fi") == -1).select("smp").collect()
+        compact, "fi int, n double, mx double, smp array<double>")
+
+    def merge(key, pdf):
+        fi = int(key[0])
+        if fi == -1:
+            # fused extra_sums ride the SAME merge job (one Spark
+            # action per sketch instead of a persist + two collects —
+            # each action is a full job round-trip of fixed latency)
             acc = np.zeros(n_specs)
-            for r in srows:
-                acc += np.asarray(r["smp"], dtype=np.float64)
-            sum_row = ({name: float(acc[j]) if srows else None
-                        for j, (name, _v, _w) in enumerate(specs)})
+            for r in pdf["smp"]:
+                acc += np.asarray(r, dtype=np.float64)
+            return pd.DataFrame({"fi": [-1], "mx": [0.0],
+                                 "qs": [acc.tolist()]})
+        vals = np.concatenate([np.asarray(r, dtype=np.float64)
+                               for r in pdf["smp"]])
+        wts = np.concatenate([np.full(len(r), n_p / len(r))
+                              for r, n_p in zip(pdf["smp"], pdf["n"])])
+        o = np.argsort(vals, kind="stable")
+        vals = vals[o]
+        cw = np.cumsum(wts[o])
+        N = cw[-1]
+        tgt = (np.arange(1, max_bin + 1) / max_bin) * N
+        idx = np.minimum(np.searchsorted(cw, tgt, side="left"),
+                         len(vals) - 1)
+        return pd.DataFrame({"fi": [fi], "mx": [float(pdf["mx"].max())],
+                             "qs": [vals[idx].tolist()]})
 
-        def merge(key, pdf):
-            fi = int(key[0])
-            vals = np.concatenate([np.asarray(r, dtype=np.float64)
-                                   for r in pdf["smp"]])
-            wts = np.concatenate([np.full(len(r), n_p / len(r))
-                                  for r, n_p in zip(pdf["smp"], pdf["n"])])
-            o = np.argsort(vals, kind="stable")
-            vals = vals[o]
-            cw = np.cumsum(wts[o])
-            N = cw[-1]
-            tgt = (np.arange(1, max_bin + 1) / max_bin) * N
-            idx = np.minimum(np.searchsorted(cw, tgt, side="left"),
-                             len(vals) - 1)
-            return pd.DataFrame({"fi": [fi], "mx": [float(pdf["mx"].max())],
-                                 "qs": [vals[idx].tolist()]})
-
-        merged = (parts.filter(F.col("fi") >= 0)
-                  .groupBy("fi")
-                  .applyInPandas(merge, "fi int, mx double, qs array<double>")
-                  .collect())
-    finally:
-        parts.unpersist()
-    by_fi = {r["fi"]: r for r in merged}
+    merged = (parts.groupBy("fi")
+              .applyInPandas(merge, "fi int, mx double, qs array<double>")
+              .collect())
+    sum_row = None
+    if n_specs:
+        srow = next((r for r in merged if r["fi"] == -1), None)
+        sum_row = {name: (float(srow["qs"][j]) if srow is not None else None)
+                   for j, (name, _v, _w) in enumerate(specs)}
+    by_fi = {r["fi"]: r for r in merged if r["fi"] >= 0}
     out = []
     for i in range(nf):
         r = by_fi.get(i)
@@ -272,7 +274,7 @@ def weighted_cuts_all(df: DataFrame, value_cols: list[str], weight_col: str,
 
 
 def exact_quantiles(df: DataFrame, col: str, n_bins: int,
-                    coarse: int = 8192, collect_threshold: int = 200_000) -> DataFrame:
+                    coarse: int = 8192, collect_threshold: int = 1_000_000) -> DataFrame:
     """Exact type-1 quantiles at k/n_bins — value at global rank
     ``ceil(k*n/B)``.  SQL-oracle-equivalent to a `row_number() OVER
     (ORDER BY v)` query, computed scale-safely by iterative histogram
@@ -354,8 +356,8 @@ def exact_quantiles(df: DataFrame, col: str, n_bins: int,
             for lo, hi in ivs:
                 c = (F.col("v") >= lo) & (F.col("v") <= hi)
                 cond = c if cond is None else cond | c
-            vals = np.sort(np.array(
-                [r["v"] for r in d.filter(cond).collect()], dtype=np.float64))
+            vals = np.sort(d.filter(cond).toPandas()["v"]
+                           .to_numpy(dtype=np.float64))
             for k, s in small.items():
                 lo, hi = s["lo"], s["hi"]
                 sub = vals[(vals >= lo) & (vals <= hi)]
@@ -368,7 +370,7 @@ def exact_quantiles(df: DataFrame, col: str, n_bins: int,
 def exact_rank_values(df: DataFrame, col: str,
                       ranks: "list[int]",
                       coarse: int = 8192,
-                      collect_threshold: int = 200_000) -> "dict[int, float]":
+                      collect_threshold: int = 1_000_000) -> "dict[int, float]":
     """Exact order statistics: value at each global 1-based rank in
     ``ranks`` (NULL/NaN excluded).  Same scale-safe iterative histogram
     refinement as :func:`exact_quantiles` (one map-side-combinable scan
@@ -442,8 +444,8 @@ def exact_rank_values(df: DataFrame, col: str,
             for lo, hi in ivs:
                 c = (F.col("v") >= lo) & (F.col("v") <= hi)
                 cond = c if cond is None else cond | c
-            vals = np.sort(np.array(
-                [r["v"] for r in d.filter(cond).collect()], dtype=np.float64))
+            vals = np.sort(d.filter(cond).toPandas()["v"]
+                           .to_numpy(dtype=np.float64))
             for k, s in small.items():
                 lo, hi = s["lo"], s["hi"]
                 sub = vals[(vals >= lo) & (vals <= hi)]
