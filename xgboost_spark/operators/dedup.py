@@ -381,20 +381,63 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "tex
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that is ACTUALLY job-free at
+    call time.  Under AQE, ``AdaptiveSparkPlanExec.execute()``
+    materializes the plan's shuffle stages eagerly even for a lazy
+    checkpoint (measured: 1 Spark job per call), which would break the
+    plan-builder laziness contract (test_similarity_join_default_is_
+    lazy).  Planning the checkpointed subtree with AQE off keeps
+    construction lazy — the subtree trades AQE runtime coalescing for
+    laziness, so only hand plain explode/aggregate subtrees to this.
+    The conf flip is construction-scoped (try/finally), the same
+    session-global-mutation class as fit_barrier's maxPartitionBytes
+    resize."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set(key, old)
+
+
 def _ppjoin_prefix(df: DataFrame, text_col: str, id_col: str,
                    threshold: float, shingle_n: int):
     """Shared PPJoin front half: (sh, sizes, prefix) — distinct doc
     shingles, per-doc shingle counts, and the rarest-first prefix rows
     that alone enter the candidate join."""
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    # The shingle set feeds MANY consumers (sizes, dfreq, the ordered
+    # window, and the caller's candidate/verify joins use it twice
+    # each).  Without a materialization barrier Spark inlines the
+    # explode+aggregate subtree into every consumer — the round-14 plan
+    # audit counted the scan->Generate->HashAggregate chain TWELVE
+    # times (74 Exchange nodes) in one similarity_join, and exchange
+    # reuse cannot fire because per-branch column pruning makes the
+    # copies canonically different.  A LAZY localCheckpoint computes
+    # the shingles once per action and serves every consumer from
+    # blocks; storage is one copy of the distinct-shingle set —
+    # strictly less than ONE of the eleven recomputes it replaces
+    # (each of which re-paid the scan, the explode and the distinct
+    # shuffle).  Same pattern (and failure-semantics tradeoff) as
+    # connected_components' per-round checkpoint.  Only ``sh`` is
+    # checkpointed via _lazy_local_checkpoint (job-free construction);
+    # so is ``prefix``, whose window+join subtree would otherwise be
+    # planned into the candidate join twice and the guard's bound once.
+    # The checkpointed subtrees are planned without AQE (static
+    # sort-merge joins where runtime stats might have picked hash) —
+    # one statically-planned evaluation beats three adaptive ones.
+    sh = _lazy_local_checkpoint(
+        word_shingles(df, text_col, id_col, shingle_n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     w = Window.partitionBy("id").orderBy("dfreq", "shingle")
     ordered = (sh.join(dfreq, "shingle").join(sizes, "id")
                .withColumn("rk", F.row_number().over(w)))
-    prefix = ordered.filter(
+    prefix = _lazy_local_checkpoint(ordered.filter(
         F.col("rk")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1))
     return sh, sizes, prefix
 
 
@@ -830,6 +873,16 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     the cap makes, and only for grams above it.
     """
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # Measured and rejected (round-14 optimization pass): a
+    # repartition("gh") shared by the aggregate and the probe join.  In
+    # principle one raw-gram exchange could feed both consumers
+    # (ReusedExchange) and halve the explode work; in practice column
+    # pruning pushes DIFFERENT projections below the exchange per branch
+    # (the probe needs id/pos/pk, the aggregate only gh/pk), the
+    # children stop canonicalizing equal, AQE reuses nothing, and the
+    # aggregate's exchange grows from partial-agg rows to raw
+    # occurrences.  The two-explode plan with a partial-agg exchange
+    # stays.
     grams = _span_gram_hashes(df, text_col, id_col, k)
     # order-preserving (id, pos) -> decimal pack: HashAggregate-able min
     pk = (F.col("id").cast("decimal(38,0)")
