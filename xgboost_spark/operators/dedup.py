@@ -260,11 +260,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                                      F.col("a").alias("b")))
         lmin = (sym.groupBy("a").agg(F.min("b").alias("mn"))
                 .select("a", F.least("a", "mn").alias("m")))
+        # NO distinct() here: ls is consumed only by smin's min
+        # aggregate (duplicate-idempotent) and the ss join whose result
+        # passes through ss's own distinct(), so deduplicating ls buys
+        # nothing semantically and costs a full extra shuffle of the
+        # edge set every round.  The duplicates that do flow onward are
+        # collapsed map-side by the partial aggregates.
         ls = (sym.join(lmin, "a")
               .filter(F.col("b") > F.col("a"))
               .select(F.col("b").alias("a"), F.col("m").alias("b"))
-              .filter(F.col("a") != F.col("b"))
-              .distinct())
+              .filter(F.col("a") != F.col("b")))
         # small-star: re-point each node u (and its smaller neighbors)
         # at m = min of u's smaller neighbors
         smin = ls.groupBy("a").agg(F.min("b").alias("m"))
@@ -363,7 +368,15 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
 
 def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """(id_a, id_b, jaccard): exact word-n-gram Jaccard for given pairs."""
+    """(id_a, id_b, jaccard): exact word-n-gram Jaccard for given pairs.
+
+    Measured and rejected (round-14 optimization pass): the
+    similarity_join lazy-localCheckpoint barrier on ``sh``.  The
+    shingle set does feed four plan branches, but unlike the span
+    operators' per-char md5 explode the recompute here is cheap
+    relative to the pair joins, and the interleaved A/B (sf0.1,
+    best-of-4) read old 2.61 s vs checkpointed 2.87 s — no win, so the
+    recompute plan stays."""
     sh = word_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -793,7 +806,17 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     map-side ``isin`` WITHOUT ever shuffling on the gram key.  Output
     is identical to the uncapped run; only the plan routing changes.
     """
-    grams = _span_gram_hashes(df, text_col, id_col, k)
+    # the gram set feeds both the occurrence-count aggregate and the
+    # position probe; per-branch column pruning makes the two copies
+    # canonically different (same pushdown failure as
+    # strip_duplicate_spans' measured-and-rejected shared exchange), so
+    # without a barrier the per-char md5 explode — the expensive part —
+    # runs once per consumer.  A lazy localCheckpoint computes it once;
+    # the stored copy is the same narrow (id, pos, gh) rows the gh
+    # probe join shuffles anyway, so the storage footprint is on par
+    # with the plan's own biggest exchange, traded for a whole
+    # scan+explode+md5 pass per avoided recompute.
+    grams = _lazy_local_checkpoint(_span_gram_hashes(df, text_col, id_col, k))
     cnts = grams.groupBy("gh").agg(F.count("*").alias("cnt"))
     if max_gram_count is not None:
         hot = [r["gh"] for r in
@@ -881,9 +904,14 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     # (the probe needs id/pos/pk, the aggregate only gh/pk), the
     # children stop canonicalizing equal, AQE reuses nothing, and the
     # aggregate's exchange grows from partial-agg rows to raw
-    # occurrences.  The two-explode plan with a partial-agg exchange
-    # stays.
-    grams = _span_gram_hashes(df, text_col, id_col, k)
+    # occurrences.  What DOES work (same pass, second attempt) is the
+    # similarity_join lazy-localCheckpoint barrier: the gram pipeline —
+    # whose per-char md5 transform is the expensive part — computes
+    # ONCE per action and both consumers read the stored narrow
+    # (id, pos, gh) rows, the same rows the gh probe join shuffles
+    # anyway, so storage is on par with the plan's own biggest
+    # exchange, traded for a whole scan+explode+md5 pass.
+    grams = _lazy_local_checkpoint(_span_gram_hashes(df, text_col, id_col, k))
     # order-preserving (id, pos) -> decimal pack: HashAggregate-able min
     pk = (F.col("id").cast("decimal(38,0)")
           * F.lit(2147483648).cast("decimal(38,0)")

@@ -93,7 +93,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str | None = None,
         # table, exactly the operators/scan.prefix_sums pattern
         spark = u.sparkSession
         n_part = spark.sparkContext.defaultParallelism
-        d = (u.repartitionByRange(n_part, F.col("_on"), F.col("_side"))
+        # range key is _on ONLY: adding _side to the key lets a range
+        # boundary fall BETWEEN the two sides of one timestamp (right
+        # t0 in partition p, left t0 in p+1) and the forward-direction
+        # boundary carry — which only consults partitions ABOVE p+1 —
+        # then misses the exact-timestamp match.  Keying on _on alone
+        # co-locates every tie, so in-partition window order handles
+        # equal keys in both directions.
+        d = (u.repartitionByRange(n_part, F.col("_on"))
                .sortWithinPartitions("_on", "_side")
                .withColumn("_pid", F.spark_partition_id()))
         d = d.localCheckpoint(eager=True)  # pin partitioning for both passes
