@@ -632,6 +632,7 @@ class SparkBooster:
             barrier_eligible, _ = supports_barrier(
                 p, obj, evals, callbacks, xgb_model, has_qid=has_q)
         fused_bs = None
+        n_rows = None       # known only when the sketch scan runs below
         if cuts is None:
             sketch_bins = p.max_bin
             if is_approx and barrier_eligible:
@@ -644,12 +645,15 @@ class SparkBooster:
             # scan instead of two (fixed per-fit latency at any scale)
             bs_aggs = (self._base_score_fuse_aggs(raw)
                        if (p.base_score is None and xgb_model is None) else None)
+            # an exact row count rides the same scan (one more fused
+            # sum) — it sizes the barrier rank count below for free
+            cnt_spec = [("_n_rows_", None, None)]
+            cuts, _bs_row = approx_cuts(raw, fnames, sketch_bins,
+                                        extra_sums=(bs_aggs or []) + cnt_spec)
             if bs_aggs:
-                cuts, _bs_row = approx_cuts(raw, fnames, sketch_bins,
-                                            extra_sums=bs_aggs)
                 fused_bs = self._base_score_from_fused(_bs_row)
-            else:
-                cuts = approx_cuts(raw, fnames, sketch_bins)
+            _nr = _bs_row.get("_n_rows_")
+            n_rows = int(_nr) if _nr is not None else None
         if cat_mask is not None and cuts is not None:
             maxes = raw.agg(*[F.max(fnames[i]).alias(f"m{i}") for i in cat_idx]).first()
             cuts = list(cuts)
@@ -685,9 +689,30 @@ class SparkBooster:
                         qid_col=qid_col, label_lower_col=label_lower_col,
                         label_upper_col=label_upper_col, missing=missing)
                     evals_raw.append((ev_raw, ev_name))
+                # Rank-count sizing (round-14 optimization pass): every
+                # tree level is a full-mesh synchronization across all
+                # ranks, so past the point where per-rank histogram
+                # compute (~rows_per_rank x ~0.1 us/row/level) stops
+                # covering the per-level collective latency (~10 ms at
+                # p=16-32), extra ranks only enlarge the straggler pool.
+                # Interleaved A/B, sf0.1 fit100: p=32 loop 10.5 s vs
+                # p=16 7.7 s vs p=12 8.1 s.  Derive ranks from the row
+                # count (known free from the sketch scan) at ~40k rows
+                # per rank — the measured compute/latency crossover —
+                # capped at the core budget; any real corpus exceeds
+                # cores x 40k rows, so at scale this is exactly the old
+                # all-cores behavior.  Explicit num_partitions and the
+                # qid co-location path keep their contract; fits whose
+                # cuts arrive pre-built (continuation) have no count and
+                # keep the old sizing.
+                bar_n_part = n_part
+                if num_partitions is None and not has_q and n_rows:
+                    rpr = int(os.environ.get(
+                        "SPARK_GRAFT_ROWS_PER_RANK", "40000")) or 1
+                    bar_n_part = min(n_part, max(1, -(-n_rows // rpr)))
                 trees, history, best_it, bar_weights = fit_barrier(
                     p, obj, raw, fnames, cuts, cat_mask,
-                    base_score, mono, isets, n_part, evals_raw=evals_raw,
+                    base_score, mono, isets, bar_n_part, evals_raw=evals_raw,
                     prev_state=prev_state)
                 FIT_STAGE_TIMES["loop"] = round(time.monotonic() - _t1, 3)
                 if verbose and history:
