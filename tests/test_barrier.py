@@ -481,3 +481,36 @@ def test_mpb_conf_restored_on_setup_exception(spark, sf_dir):
         assert spark.conf.get(key) == tiny
     finally:
         spark.conf.set(key, old)
+
+
+def test_fit_derives_barrier_ranks_from_rows(spark, sf_dir, monkeypatch):
+    """Round-14 optimization: with num_partitions unset and no qid, the
+    barrier rank count comes from the sketch-scan row count at
+    SPARK_GRAFT_ROWS_PER_RANK rows per rank, capped at the core budget
+    — every tree level is a full-mesh sync, so tiny inputs must not be
+    spread across ranks whose per-level compute cannot cover the
+    collective latency.  Explicit num_partitions still wins."""
+    from xgboost_spark.plans import barrier as B
+    from xgboost_spark.sources.tables import load_table
+
+    seen = []
+    real = B.fit_barrier
+
+    def spy(p, obj, raw, fnames, cuts, cat_mask, base_score, mono,
+            isets, n_part, **kw):
+        seen.append(n_part)
+        return real(p, obj, raw, fnames, cuts, cat_mask, base_score,
+                    mono, isets, n_part, **kw)
+
+    monkeypatch.setattr(B, "fit_barrier", spy)
+    monkeypatch.setenv("SPARK_GRAFT_ROWS_PER_RANK", "1000")
+    li = load_table(spark, sf_dir, "lineitem").limit(3000)
+    fc = ["l_quantity", "l_discount"]
+    params = TrainParams(num_boost_round=1, max_depth=2, max_bin=16)
+    SparkBooster(params).fit(li, feature_cols=fc,
+                             label_col="l_extendedprice")
+    assert seen[-1] == 3, seen       # ceil(3000 / 1000)
+    SparkBooster(params).fit(li, feature_cols=fc,
+                             label_col="l_extendedprice",
+                             num_partitions=2)
+    assert seen[-1] == 2, seen       # explicit override untouched

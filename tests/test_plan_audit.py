@@ -247,3 +247,32 @@ def test_span_gram_hashing_runs_after_repartition(spark, sf_dir):
             exch = int(m.group(1))
     assert gen is not None and exch is not None, p
     assert exch < int(gen.group(1)), p
+
+
+def test_span_ops_gram_pipeline_computed_once(spark, sf_dir):
+    """Round-14 optimization: the (id, pos, gh) gram pipeline — whose
+    per-char md5 transform is the expensive part of the span dedup
+    plans — must be a lazily-checkpointed barrier serving BOTH the
+    occurrence-count aggregate and the position probe, never inlined
+    into each consumer (per-branch column pruning makes the copies
+    canonically different, so exchange reuse can never fire).  In-plan
+    signature: consumers read Scan ExistingRDD, and the document scan
+    appears at most once per genuine use (strip: the text-rebuild join;
+    dup: none) instead of once per gram consumer.  Construction stays
+    job-free (lazy checkpoint)."""
+    from xgboost_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.count()
+    ds = spark.sparkContext._jsc.sc().dagScheduler()
+    n0 = ds.nextJobId()
+    strip = dedup.strip_duplicate_spans(docs, "text", "doc_id")
+    dup = dedup.duplicate_spans(docs, "text", "doc_id")
+    assert ds.nextJobId() == n0, "span-op construction ran Spark jobs"
+    p_strip = plan_of(strip)
+    p_dup = plan_of(dup)
+    assert p_strip.count("Scan ExistingRDD") >= 1, p_strip
+    assert p_dup.count("Scan ExistingRDD") >= 1, p_dup
+    # 2 scans in strip (src text join; AQE prints subquery copies at
+    # most once each), 0 in dup — before the barrier these were 6 and 4
+    assert p_strip.count("Scan parquet") <= 2, p_strip
+    assert p_dup.count("Scan parquet") == 0, p_dup
