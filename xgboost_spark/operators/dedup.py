@@ -720,32 +720,78 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     duplicate-segment fraction.
 
     Ownership is a packed-decimal ``min(id, seg_idx)`` HashAggregate on
-    the segment string + null-safe join-back (operators/util.
-    keep_first; unhinted — the unfiltered witness is one row per
-    distinct segment, too big for a non-spillable shuffled-hash
-    build) — NOT a row_number window: at 100 TB the duplicate
-    multiplicity of a hot boilerplate segment (cookie banner, license
-    footer) IS the skew, and a window would funnel all of its
+    the segment string — NOT a row_number window: at 100 TB the
+    duplicate multiplicity of a hot boilerplate segment (cookie banner,
+    license footer) IS the skew, and a window would funnel all of its
     occurrences into one sorting task; the aggregate partial-combines
-    it to one row per input partition map-side.  Returns
+    it to one row per input partition map-side.
+
+    Round-14 optimization: the operator only needs per-document COUNTS,
+    never the marked per-instance rows, so the witness join-back (and
+    with it the second computation of the whole explode pipeline — the
+    same multi-consumer recompute shape as duplicate_spans', which a
+    join-back-based plan pays because per-branch column pruning defeats
+    exchange reuse) is gone entirely: the owner document is DECODED
+    from the packed min key (``_kf_f div 2^31`` — decimal integral
+    division, exact to long-max ids), ``n_owned`` is a count over the
+    witness (one row per DISTINCT segment), and ``n_segs`` is
+    ``size(segs)`` computed on the UN-exploded source.  One explode,
+    one segment-key shuffle, one metadata-sized per-doc join — the
+    per-instance join-back shuffle at corpus scale is removed.
+    Precondition unchanged from keep_first: (id, seg_idx) unique per
+    row (duplicate doc ids shared the ownership mark before and under-
+    count it now).  Non-integral ids keep the window fallback.  Returns
     (id, n_segs, n_owned, dup_frac).
     """
-    from xgboost_spark.operators.util import KF_FIRST, keep_first
+    from xgboost_spark.operators.util import (_PACK_POS_MOD, KF_FIRST,
+                                              _is_integral, keep_first)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_segs = F.ceil(F.size(words) / float(seg_words)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.array_join(
             F.slice(words, i * seg_words + 1, seg_words), " "))
-    e = (df.select(F.col(id_col).alias("id"), segs.alias("_segs"))
-           .select("id", F.posexplode("_segs").alias("seg_idx", "seg")))
-    owned = keep_first(e, "seg", "id", pos_col="seg_idx")
-    return (owned.groupBy("id")
-            .agg(F.count("*").cast("bigint").alias("n_segs"),
-                 F.sum(F.col(KF_FIRST).cast("int")).cast("bigint")
-                 .alias("n_owned"))
+    src = df.select(F.col(id_col).alias("id"), segs.alias("_segs"))
+    e = src.select("id", F.posexplode("_segs").alias("seg_idx", "seg"))
+    if not _is_integral(src, "id"):
+        owned = keep_first(e, "seg", "id", pos_col="seg_idx")
+        return (owned.groupBy("id")
+                .agg(F.count("*").cast("bigint").alias("n_segs"),
+                     F.sum(F.col(KF_FIRST).cast("int")).cast("bigint")
+                     .alias("n_owned"))
+                .withColumn("dup_frac",
+                            F.round(1.0 - F.col("n_owned") / F.col("n_segs"),
+                                    6)))
+    id_type = src.schema["id"].dataType
+    pk = (F.col("id").cast("decimal(38,0)")
+          * F.lit(_PACK_POS_MOD).cast("decimal(38,0)")
+          + F.col("seg_idx").cast("decimal(38,0)"))
+    # one row per DISTINCT segment; a null-id group's min is null (min
+    # skips nulls) and is dropped — the null-id doc's n_owned is pinned
+    # NULL below, matching the join-back form's null-comparison sum
+    owned_cnt = (e.groupBy("seg").agg(F.min(pk).alias("_kf_f"))
+                 .filter(F.col("_kf_f").isNotNull())
+                 .select(F.expr(f"_kf_f div {_PACK_POS_MOD}")
+                         .cast(id_type).alias("id"))
+                 .groupBy("id")
+                 .agg(F.count("*").cast("bigint").alias("_owned")))
+    # explode-count parity without the explode: posexplode emits
+    # size(_segs) rows and emits none for null arrays, so filtering
+    # size > 0 keeps exactly the ids the exploded stream carries
+    docs = (src.select("id", F.size("_segs").alias("_n"))
+            .filter(F.col("_n") > 0)
+            .groupBy("id")
+            .agg(F.sum("_n").cast("bigint").alias("n_segs")))
+    return (docs.join(owned_cnt, ["id"], "left")
+            .select("id", "n_segs",
+                    F.when(F.col("id").isNull(),
+                           F.lit(None).cast("bigint"))
+                    .otherwise(F.coalesce(F.col("_owned"),
+                                          F.lit(0).cast("bigint")))
+                    .alias("n_owned"))
             .withColumn("dup_frac",
-                        F.round(1.0 - F.col("n_owned") / F.col("n_segs"), 6)))
+                        F.round(1.0 - F.col("n_owned") / F.col("n_segs"),
+                                6)))
 
 
 def _span_gram_hashes(df: DataFrame, text_col: str, id_col: str,
