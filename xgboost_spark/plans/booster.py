@@ -95,13 +95,15 @@ def _compute_grads(obj, y, m, w, q, seed, subsample, K, bounds=None):
     return g, h
 
 
-def validate_meta(raw: DataFrame, obj, objective_name: str) -> None:
-    """Fail fast on invalid labels/weights — the reference's
+def meta_checks(raw: DataFrame, obj, objective_name: str) -> list:
+    """(name, bad_row_bool_col, message) triples for the reference's
     MetaInfo::Validate + per-objective CheckLabel (src/data/data.cc
     "Label contains NaN/Inf", regression_loss.h label-range checks).
-    One column-pruned aggregation; without it a single NaN label
-    silently poisons every leaf/coefficient in the model."""
-    checks, msgs = [], []
+    Consumed two ways: a standalone column-pruned aggregation
+    (:func:`validate_meta` — gblinear and pinned-cuts fits) or fused
+    onto the cuts-sketch scan as extra sums (_fit_impl — saves one full
+    corpus pass per fit; the checks themselves are identical)."""
+    checks = []
     if "label" in raw.columns:
         y = F.col("label")
         bad = y.isNull() | F.isnan(y) | (F.abs(y) > 1e308)
@@ -112,32 +114,45 @@ def validate_meta(raw: DataFrame, obj, objective_name: str) -> None:
                 bad = bad | ((y <= lo) if lo_excl else (y < lo))
             if np.isfinite(hi):
                 bad = bad | (y > hi)
-        checks.append(F.sum(bad.cast("long")).alias("bad_label"))
-        msgs.append(("bad_label",
-                     f"label contains NaN/Inf/null or values outside the "
-                     f"valid range for objective {objective_name!r}"))
+        checks.append(("bad_label", bad,
+                       f"label contains NaN/Inf/null or values outside the "
+                       f"valid range for objective {objective_name!r}"))
     if "weight" in raw.columns:
         wc = F.col("weight")
         badw = wc.isNull() | F.isnan(wc) | (wc < 0)
-        checks.append(F.sum(badw.cast("long")).alias("bad_weight"))
-        msgs.append(("bad_weight", "weights must be finite and >= 0"))
+        checks.append(("bad_weight", badw,
+                       "weights must be finite and >= 0"))
     if "label_lower" in raw.columns and "label_upper" in raw.columns:
         lo, hi = F.col("label_lower"), F.col("label_upper")
         # AFT censored intervals: lower finite >= 0, lower <= upper
         # (upper may be +inf or NULL for right-censored rows)
         badb = (lo.isNull() | F.isnan(lo) | (lo < 0)
                 | (hi.isNotNull() & (F.isnan(hi) | (lo > hi))))
-        checks.append(F.sum(badb.cast("long")).alias("bad_bounds"))
-        msgs.append(("bad_bounds",
-                     "survival bounds must satisfy 0 <= label_lower <= "
-                     "label_upper (upper may be +inf)"))
+        checks.append(("bad_bounds", badb,
+                       "survival bounds must satisfy 0 <= label_lower <= "
+                       "label_upper (upper may be +inf)"))
+    return checks
+
+
+def raise_meta_violations(checks: list, counts) -> None:
+    """Shared error surface for both validation paths: ``counts`` maps
+    check name -> offending-row count (None/0 = clean)."""
+    for key, _bad, msg in checks:
+        n = counts.get(key) or 0
+        if n > 0:
+            raise ValueError(f"{msg} ({int(n)} offending rows)")
+
+
+def validate_meta(raw: DataFrame, obj, objective_name: str) -> None:
+    """Fail fast on invalid labels/weights; one column-pruned
+    aggregation; without it a single NaN label silently poisons every
+    leaf/coefficient in the model."""
+    checks = meta_checks(raw, obj, objective_name)
     if not checks:
         return
-    row = raw.agg(*checks).first()
-    for key, msg in msgs:
-        n = row[key] or 0
-        if n > 0:
-            raise ValueError(f"{msg} ({n} offending rows)")
+    row = raw.agg(*[F.sum(bad.cast("long")).alias(name)
+                    for name, bad, _ in checks]).first()
+    raise_meta_violations(checks, {name: row[name] for name, _b, _m in checks})
 
 
 class SparkBooster:
@@ -531,7 +546,13 @@ class SparkBooster:
             missing=missing,
         )
         Fn = len(fnames)
-        self._validate_meta(raw)
+        # label/weight/bounds validation (reference MetaInfo::Validate):
+        # when a cuts sketch is about to scan the corpus anyway, the
+        # bad-row counts ride THAT scan as fused sums (round-14
+        # optimization — the standalone column-pruned aggregation was a
+        # whole extra corpus pass per fit); fits with pre-built cuts
+        # (continuation, pinned-cuts oracles) keep the standalone pass
+        vm_checks = meta_checks(raw, self.obj, self.params.objective)
         # fail a vector-alpha eval metric that can't match this model's
         # output width BEFORE training starts (the kernels raise too,
         # but mid-barrier-job — reference CHECKs this upfront)
@@ -648,12 +669,28 @@ class SparkBooster:
             # an exact row count rides the same scan (one more fused
             # sum) — it sizes the barrier rank count below for free
             cnt_spec = [("_n_rows_", None, None)]
-            cuts, _bs_row = approx_cuts(raw, fnames, sketch_bins,
-                                        extra_sums=(bs_aggs or []) + cnt_spec)
+            # ... and so do the meta-validation bad-row counts (each an
+            # 0/1 flag column summed in the same pass)
+            vm_src = raw
+            vm_specs = []
+            for name, bad, _msg in vm_checks:
+                vm_src = vm_src.withColumn(f"_vm_{name}",
+                                           bad.cast("double"))
+                vm_specs.append((f"_vm_{name}", f"_vm_{name}", None))
+            cuts, _bs_row = approx_cuts(
+                vm_src, fnames, sketch_bins,
+                extra_sums=(bs_aggs or []) + cnt_spec + vm_specs)
+            raise_meta_violations(
+                vm_checks, {name: _bs_row.get(f"_vm_{name}")
+                            for name, _b, _m in vm_checks})
             if bs_aggs:
                 fused_bs = self._base_score_from_fused(_bs_row)
             _nr = _bs_row.get("_n_rows_")
             n_rows = int(_nr) if _nr is not None else None
+        else:
+            # pre-built cuts (continuation / pinned-cuts fits): no
+            # sketch scan to ride, keep the standalone validation pass
+            self._validate_meta(raw)
         if cat_mask is not None and cuts is not None:
             maxes = raw.agg(*[F.max(fnames[i]).alias(f"m{i}") for i in cat_idx]).first()
             cuts = list(cuts)
