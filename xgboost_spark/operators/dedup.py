@@ -376,7 +376,14 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "tex
     operators' per-char md5 explode the recompute here is cheap
     relative to the pair joins, and the interleaved A/B (sf0.1,
     best-of-4) read old 2.61 s vs checkpointed 2.87 s — no win, so the
-    recompute plan stays."""
+    recompute plan stays.  Re-confirmed at sf1 on the ngram_jaccard
+    gate entry (same consumer shape): old best-of-3 15.5 s vs
+    checkpointed 20.3 s, and sf0.1 3.4 vs 7.9 s, results identical on
+    every run — unlike the span operators' per-char md5, the shingle
+    recompute is a cheap explode whose copies run inside the join
+    stages' own parallelism, while the checkpoint serializes an extra
+    materialize-then-consume barrier in front of the joins
+    (plans/r14/ab_ngram_jaccard_ckpt.log)."""
     sh = word_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
