@@ -53,6 +53,22 @@ def _exact_cut_values(spark, sf_dir, table, col, B) -> list[float]:
     return [r["cut"] for r in rows]
 
 
+def _exact_cuts_parallel(spark, sf_dir, table, cols, B) -> dict:
+    """Per-feature exact cuts for several columns, the per-column
+    refinement JOBS submitted from a small thread pool (optimization
+    guide §2.6 "overlap independent jobs"): each column's
+    exact_quantiles chain is a short sequence of driver-blocking
+    actions, so run serially the columns' jobs never overlap and the
+    cluster idles between actions.  Values are bit-identical to the
+    serial form — the same exact_quantiles calls, just concurrent —
+    so every oracle replaying rank-rule cuts is unaffected."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(cols))) as pool:
+        futs = {c: pool.submit(_exact_cut_values, spark, sf_dir, table,
+                               c, B) for c in cols}
+        return {c: f.result() for c, f in futs.items()}
+
+
 def _cuts_cte(table, col, B) -> str:
     return f"""ranked AS (
   SELECT {col} AS v, row_number() OVER (ORDER BY {col}) AS rn, count(*) OVER () AS n
@@ -187,9 +203,11 @@ def q_best_split(spark, sf_dir):
     features binned to 8 exact-quantile bins; y = l_extendedprice/1000,
     margin = 38."""
     li = _table(spark, sf_dir, "lineitem")
+    all_cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem",
+                                    _BS_FEATURES, 8)
     parts = []
     for feat in _BS_FEATURES:
-        cuts = _exact_cut_values(spark, sf_dir, "lineitem", feat, 8)
+        cuts = all_cuts[feat]
         hist = (li.withColumn("bin", _bin_expr(feat, cuts))
                 .groupBy("bin").agg(
                     F.round(F.sum(F.lit(38.0) - F.col("l_extendedprice") / 1000.0), 4).alias("sum_g"),
@@ -2088,8 +2106,7 @@ def q_train_multi_quantile(spark, sf_dir):
     from xgboost_spark.plans.booster import SparkBooster
     li = _table(spark, sf_dir, "lineitem")
     feats = ["l_quantity", "l_discount"]
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8)
-            for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 8)
     base = round(li.agg(F.percentile(F.col("l_extendedprice"),
                                      F.lit(0.25))).first()[0], 6)
     # trainer cuts: 7 interior boundaries + inf sentinel, so
@@ -2140,8 +2157,7 @@ def q_train_approx(spark, sf_dir):
     from xgboost_spark.plans.booster import SparkBooster
     li = _table(spark, sf_dir, "lineitem")
     feats = ["l_quantity", "l_discount"]
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 32)
-            for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 32)
     d = li.select(*feats, (F.col("l_extendedprice") / 1000.0).alias("label"))
     base = round(d.agg(F.avg("label")).first()[0], 6)
     trainer_cuts = [np.array(cuts[f] + [np.inf]) for f in feats]
@@ -2222,7 +2238,7 @@ def _composed_stump_rounds(spark, sf_dir, n_rounds: int = 2):
     feature_importance's total_cover accumulates)."""
     li = _table(spark, sf_dir, "lineitem")
     feats = _BS_FEATURES
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 8)
     d = _par(li.select(
         (F.col("l_extendedprice") / 1000.0).alias("y"),
         *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
@@ -2322,7 +2338,7 @@ def q_train_depth2(spark, sf_dir):
     would-be leaf weights, plus the post-update prediction checksum."""
     li = _table(spark, sf_dir, "lineitem")
     feats = _BS_FEATURES
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 8)
     d = _par(li.select(
         (F.col("l_extendedprice") / 1000.0).alias("y"),
         *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
@@ -2418,7 +2434,7 @@ def q_train_logistic(spark, sf_dir):
     split + leaf weights + margin checksum + train logloss (6dp)."""
     li = _table(spark, sf_dir, "lineitem")
     feats = _BS_FEATURES
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 8)
     d = _par(li.select(
         (F.col("l_linenumber") % 2).cast("double").alias("y"),
         *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
@@ -2699,7 +2715,7 @@ def q_train_softmax(spark, sf_dir):
     margins.  Same determinism contract as train_logistic."""
     li = _table(spark, sf_dir, "lineitem")
     feats = _BS_FEATURES
-    cuts = {f: _exact_cut_values(spark, sf_dir, "lineitem", f, 8) for f in feats}
+    cuts = _exact_cuts_parallel(spark, sf_dir, "lineitem", feats, 8)
     d = _par(li.select(
         (F.col("l_linenumber") % 3).cast("double").alias("y3"),
         *[_bin_expr(f, cuts[f]).alias(f"bin_{f}") for f in feats]))
