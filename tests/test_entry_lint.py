@@ -78,8 +78,15 @@ def _scan(fn):
         elif isinstance(n, ast.Import):
             mods |= {a.name for a in n.names
                      if a.name.startswith("xgboost_spark")}
-        elif isinstance(n, ast.Call) and isinstance(n.func, ast.Name):
-            calls.add(n.func.id)
+        elif isinstance(n, ast.Call):
+            if isinstance(n.func, ast.Name):
+                calls.add(n.func.id)
+            # a bare-name argument is a function reference handed to a
+            # combinator (pool.submit(_exact_cut_values, ...), map(f, xs))
+            # — part of the call graph even though it isn't a Call node
+            for a in list(n.args) + [k.value for k in n.keywords]:
+                if isinstance(a, ast.Name):
+                    calls.add(a.id)
     return mods, calls
 
 
@@ -138,3 +145,7 @@ def test_lint_passes_on_rewired_entry():
     q = E.queries()
     assert touches_engine(q["sessionize"])
     assert touches_engine(q["train_stump"])
+    # chain through a function REFERENCE: best_split ->
+    # _exact_cuts_parallel -> pool.submit(_exact_cut_values, ...) ->
+    # operators.sketch (the round-14 thread-pool overlap pattern)
+    assert touches_engine(q["best_split"])
