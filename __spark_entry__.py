@@ -63,6 +63,8 @@ def _exact_cuts_parallel(spark, sf_dir, table, cols, B) -> dict:
     serial form — the same exact_quantiles calls, just concurrent —
     so every oracle replaying rank-rule cuts is unaffected."""
     from concurrent.futures import ThreadPoolExecutor
+    if not cols:
+        return {}
     with ThreadPoolExecutor(max_workers=min(4, len(cols))) as pool:
         futs = {c: pool.submit(_exact_cut_values, spark, sf_dir, table,
                                c, B) for c in cols}

@@ -229,10 +229,28 @@ def test_segment_dedup_single_explode_no_joinback(spark, hot_docs):
     tree = p.split("(1) ")[0]     # node tree only; details repeat names
     assert tree.count("Generate") == 1, p
     # the exploded stream's one consumer is a HashAggregate, never a
-    # join probe: in the tree, Generate's direct parent chain up to the
-    # first exchange must contain no join node
-    assert re.search(r"Join[^\n]*\n(?:[^\n]*\n)*?[^\n]*Generate", tree) \
-        is None or "HashAggregate" in tree, p
+    # join probe: walking UP from the Generate node (strictly
+    # decreasing indentation = ancestor chain), a HashAggregate must
+    # appear before any Join does
+    lines = tree.splitlines()
+
+    def _depth(ln):
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    gi = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    d = _depth(lines[gi])
+    first_anc = None
+    for i in range(gi - 1, -1, -1):
+        di = _depth(lines[i])
+        if di < d:
+            d = di
+            if "HashAggregate" in lines[i]:
+                first_anc = "agg"
+                break
+            if "Join" in lines[i]:
+                first_anc = "join"
+                break
+    assert first_anc == "agg", p
     # owner decode keeps the skew-proof shape pins of the old form
     assert "Window" not in p and "SortAggregate" not in p, p
 
@@ -252,3 +270,22 @@ def test_segment_dedup_owner_decode_null_id(spark):
     assert out[2]["n_owned"] == 1
     assert out[None]["n_segs"] == 2
     assert out[None]["n_owned"] is None and out[None]["dup_frac"] is None
+
+
+def test_segment_dedup_owner_decode_negative_id(spark):
+    """Floor-division decode of the packed min key: hashed 64-bit doc
+    ids are routinely NEGATIVE, and a truncating `div` decodes the min
+    key id*2^31+seg_idx of a negative id to a phantom id (e.g. -2^31+1
+    -> 0), silently dropping the owner count in the left join.  Doc -1
+    owns BOTH its segments (it is the globally-first occurrence of
+    'a b c d' by min packed key), so its dup_frac must be 0."""
+    rows = [(-1, "x x x x a b c d"), (2, "a b c d"),
+            (-(2 ** 62), "q q q q")]
+    syn = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           dedup.segment_dedup(syn, seg_words=4).collect()}
+    assert out[-1]["n_segs"] == 2
+    assert out[-1]["n_owned"] == 2 and out[-1]["dup_frac"] == 0.0
+    assert out[2]["n_owned"] == 0 and out[2]["dup_frac"] == 1.0
+    assert out[-(2 ** 62)]["n_owned"] == 1
+    assert out[-(2 ** 62)]["dup_frac"] == 0.0

@@ -739,8 +739,9 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     same multi-consumer recompute shape as duplicate_spans', which a
     join-back-based plan pays because per-branch column pruning defeats
     exchange reuse) is gone entirely: the owner document is DECODED
-    from the packed min key (``_kf_f div 2^31`` — decimal integral
-    division, exact to long-max ids), ``n_owned`` is a count over the
+    from the packed min key (floor division via ``(_kf_f - pmod) div
+    2^31`` — exact for the full signed-long id range, including
+    negative hashed ids), ``n_owned`` is a count over the
     witness (one row per DISTINCT segment), and ``n_segs`` is
     ``size(segs)`` computed on the UN-exploded source.  One explode,
     one segment-key shuffle, one metadata-sized per-doc join — the
@@ -776,9 +777,14 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     # one row per DISTINCT segment; a null-id group's min is null (min
     # skips nulls) and is dropped — the null-id doc's n_owned is pinned
     # NULL below, matching the join-back form's null-comparison sum
+    # decode with FLOOR semantics: Spark's `div` truncates toward zero,
+    # which mis-decodes NEGATIVE ids (min pk for id=-1,seg_idx=3 is
+    # -2^31+3; truncating div gives 0, a phantom doc).  pmod() makes the
+    # numerator exactly divisible, so the div is exact for any long id.
     owned_cnt = (e.groupBy("seg").agg(F.min(pk).alias("_kf_f"))
                  .filter(F.col("_kf_f").isNotNull())
-                 .select(F.expr(f"_kf_f div {_PACK_POS_MOD}")
+                 .select(F.expr(f"(_kf_f - pmod(_kf_f, {_PACK_POS_MOD}))"
+                                f" div {_PACK_POS_MOD}")
                          .cast(id_type).alias("id"))
                  .groupBy("id")
                  .agg(F.count("*").cast("bigint").alias("_owned")))
