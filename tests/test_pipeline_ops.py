@@ -1657,6 +1657,53 @@ def test_similarity_join_default_is_lazy(spark):
     assert ds.nextJobId() == n_probe, "lazy construction ran Spark jobs"
 
 
+def test_pipeline_barrier_is_thread_safe_no_conf_mutation(spark):
+    """Round-15: the multi-consumer barrier must not mutate
+    session-global SQL conf during construction (the round-14 lazy
+    localCheckpoint flipped spark.sql.adaptive.enabled on the SHARED
+    conf, so a query planned concurrently from another thread — the
+    entry harness runs a 4-thread pool — could silently get AQE off).
+    Pins: (a) construction from two threads never touches the main
+    session's conf, (b) the main session keeps AQE on throughout,
+    (c) the checkpoint subtree is planned in a dedicated clone whose
+    private conf has AQE off, and construction stays job-free."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = spark.createDataFrame(
+        [(i, f"some words w{i} x{i} y{i} z{i} q{i}") for i in range(50)],
+        "doc_id long, text string")
+    df.count()
+    conf_calls = []
+    orig_set = spark.conf.set
+
+    def spy_set(key, value=None):
+        conf_calls.append(key)
+        return orig_set(key, value)
+
+    ds = spark.sparkContext._jsc.sc().dagScheduler()
+    # prime the planning clone OUTSIDE the job-count window (one-time,
+    # lazily built per session)
+    dedup._barrier_clone(spark)
+    n0 = ds.nextJobId()
+    spark.conf.set = spy_set
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(dedup.similarity_join, df, threshold=0.8)
+            f2 = pool.submit(dedup.strip_duplicate_spans, df, "text",
+                             "doc_id")
+            f1.result(), f2.result()
+    finally:
+        spark.conf.set = orig_set
+    assert not [k for k in conf_calls if "adaptive" in k], conf_calls
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert ds.nextJobId() == n0, "barrier construction ran Spark jobs"
+    clone = dedup._barrier_clone(spark)
+    assert clone is not spark
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
+    # same clone is reused (one planning session per main session)
+    assert dedup._barrier_clone(spark) is clone
+
+
 def test_similarity_join_guard_sampled_estimate(spark):
     """guard_sample < 1 scales the sampled bound by 1/f^2 — it must
     still flag a degenerate corpus from a fraction of it."""

@@ -259,10 +259,12 @@ def test_span_ops_gram_pipeline_computed_once(spark, sf_dir):
     signature: consumers read Scan ExistingRDD, and the document scan
     appears at most once per genuine use (strip: the text-rebuild join;
     dup: none) instead of once per gram consumer.  Construction stays
-    job-free (lazy checkpoint)."""
+    job-free (lazy checkpoint planned in the AQE-off clone session —
+    see _lazy_local_checkpoint)."""
     from xgboost_spark.operators import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.count()
+    dedup._barrier_clone(spark)     # prime outside the job-count window
     ds = spark.sparkContext._jsc.sc().dagScheduler()
     n0 = ds.nextJobId()
     strip = dedup.strip_duplicate_spans(docs, "text", "doc_id")

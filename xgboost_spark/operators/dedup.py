@@ -18,6 +18,8 @@ and min() over the hex strings is an order-preserving min-hash.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -239,6 +241,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     an unconverged result must never be silently returned, because it
     would diverge from an exact-transitive-closure oracle undetectably.
     """
+    def _release_ckpt(df: DataFrame) -> None:
+        # free an eager localCheckpoint's blocks NOW: they are pinned
+        # executor storage until driver GC lets the ContextCleaner run,
+        # so without this every contraction round leaves an edge-set-
+        # sized block set behind — ~rounds x |E| of unevictable storage
+        # at corpus scale.  Only provably-dead rounds are released (the
+        # NEXT round's star is already materialized, so the old blocks
+        # have no remaining reader; checkpoint data has no lineage, so
+        # releasing anything still reachable would be unrecoverable).
+        try:
+            df._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:
+            pass        # best-effort: an unreleased block is only slower
+
     edges = (pairs.select(F.col("id_a").cast("long").alias("a"),
                           F.col("id_b").cast("long").alias("b"))
              .filter(F.col("a") != F.col("b")))
@@ -278,6 +294,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .union(smin.select("a", F.col("m").alias("b")))
               .filter(F.col("a") != F.col("b"))
               .distinct().localCheckpoint(eager=True))
+        # ss is fully materialized: the previous round's star blocks
+        # have no remaining reader — release them instead of letting
+        # every round's edge set accumulate until driver GC
+        _release_ckpt(star)
         # convergence = ss IS the star forest of component minima (the
         # algorithm's unique fixpoint): every node appears at most once
         # as a child (unique `a`) and never both as a child and a
@@ -401,26 +421,72 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "tex
     return out.select("id_a", "id_b", "jaccard")
 
 
+_BARRIER_LOCK = threading.Lock()
+_BARRIER_CLONES: "weakref.WeakKeyDictionary" = None  # lazily built below
+
+
+def _barrier_clone(spark):
+    """One dedicated planning session per main session, with AQE off in
+    ITS OWN isolated conf.  ``newSession()`` shares the SparkContext and
+    inherits the builder-time SQL confs (shuffle partitions, Arrow,
+    timezone) but owns a private SQLConf, so flipping AQE here can never
+    be observed by a query planned concurrently on the main session."""
+    global _BARRIER_CLONES
+    import weakref
+    with _BARRIER_LOCK:
+        if _BARRIER_CLONES is None:
+            _BARRIER_CLONES = weakref.WeakKeyDictionary()
+        clone = _BARRIER_CLONES.get(spark)
+        if clone is None:
+            clone = spark.newSession()
+            clone.conf.set("spark.sql.adaptive.enabled", "false")
+            _BARRIER_CLONES[spark] = clone
+        return clone
+
+
 def _lazy_local_checkpoint(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=False)`` that is ACTUALLY job-free at
-    call time.  Under AQE, ``AdaptiveSparkPlanExec.execute()``
-    materializes the plan's shuffle stages eagerly even for a lazy
-    checkpoint (measured: 1 Spark job per call), which would break the
-    plan-builder laziness contract (test_similarity_join_default_is_
-    lazy).  Planning the checkpointed subtree with AQE off keeps
-    construction lazy — the subtree trades AQE runtime coalescing for
-    laziness, so only hand plain explode/aggregate subtrees to this.
-    The conf flip is construction-scoped (try/finally), the same
-    session-global-mutation class as fit_barrier's maxPartitionBytes
-    resize."""
+    call time AND thread-safe.  Under AQE,
+    ``AdaptiveSparkPlanExec.execute()`` materializes the plan's shuffle
+    stages eagerly even for a lazy checkpoint (measured: 1 Spark job
+    per call), which would break the plan-builder laziness contract
+    (test_similarity_join_default_is_lazy).  The round-14 form flipped
+    ``spark.sql.adaptive.enabled`` on the SHARED session conf around the
+    call — not thread-safe once the entry harness started planning
+    queries from a 4-thread pool.  Round 15: the subtree's analyzed
+    plan is transplanted into a dedicated cloned session whose private
+    conf has AQE permanently off (``Dataset.ofRows``), checkpointed
+    there, and handed back — no shared state is ever mutated.
+
+    Scale notes (the operator contract for barrier users):
+
+    - **Failure semantics**: checkpoint blocks are unreplicated
+      executor-local state with NO lineage — an executor loss fails the
+      job instead of recomputing (acceptable for batch-with-retry; the
+      retry recomputes from source).
+    - **Storage bound**: blocks are MEMORY_AND_DISK — a gram/shingle
+      set that outgrows storage memory spills to executor disk, the
+      same place its own shuffle would put it.
+    - **AQE loss is confined to the subtree**: the one shuffle inside
+      is the shingle/gram ``distinct`` — an AGGREGATION, which AQE skew
+      handling never splits anyway (it only splits join partitions), so
+      the static plan forgoes only partition coalescing.
+    - **Measured and REJECTED alternative (round 15)**: a
+      ``persist(MEMORY_AND_DISK)`` barrier — thread-safe and
+      lineage-backed, but the columnar cache build/read cost lost the
+      interleaved A/B at sf0.1 in 11/12 pairs (strip_spans best 2.32 s
+      vs 1.52 s, dup_spans 1.33 vs 1.15, similarity_join 2.10 vs 1.92),
+      so the raw-block checkpoint stays."""
     spark = df.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        return df.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set(key, old)
+    clone = _barrier_clone(spark)
+    of_rows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+    jck = of_rows(clone._jsparkSession,
+                  df._jdf.queryExecution().analyzed()).localCheckpoint(False)
+    # re-root the checkpointed LogicalRDD leaf in the MAIN session so
+    # every consumer keeps planning with the main conf (AQE on) — only
+    # the checkpointed subtree itself is planned under the clone
+    return DataFrame(of_rows(spark._jsparkSession,
+                             jck.queryExecution().analyzed()), spark)
 
 
 def _ppjoin_prefix(df: DataFrame, text_col: str, id_col: str,
@@ -440,14 +506,11 @@ def _ppjoin_prefix(df: DataFrame, text_col: str, id_col: str,
     # blocks; storage is one copy of the distinct-shingle set —
     # strictly less than ONE of the eleven recomputes it replaces
     # (each of which re-paid the scan, the explode and the distinct
-    # shuffle).  Same pattern (and failure-semantics tradeoff) as
-    # connected_components' per-round checkpoint.  Only ``sh`` is
-    # checkpointed via _lazy_local_checkpoint (job-free construction);
-    # so is ``prefix``, whose window+join subtree would otherwise be
-    # planned into the candidate join twice and the guard's bound once.
-    # The checkpointed subtrees are planned without AQE (static
-    # sort-merge joins where runtime stats might have picked hash) —
-    # one statically-planned evaluation beats three adaptive ones.
+    # shuffle).  ``prefix`` is a barrier too: its window+join subtree
+    # would otherwise be planned into the candidate join twice and the
+    # guard's bound once.  See _lazy_local_checkpoint for the barrier
+    # contract (thread-safety, failure semantics, the rejected persist
+    # alternative).
     sh = _lazy_local_checkpoint(
         word_shingles(df, text_col, id_col, shingle_n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
