@@ -4553,7 +4553,7 @@ def _stump_chain_ctes() -> tuple[list[str], list[str], str]:
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
-    ctes.append(f"""binned AS (
+    ctes.append(f"""binned AS MATERIALIZED (
   SELECT l.l_orderkey, l.l_linenumber, l_extendedprice / 1000.0 AS y,
          {bin_cols}
   FROM lineitem l),
@@ -4589,7 +4589,7 @@ b{r} AS (
   WHERE rk = 1)"""
 
     ctes.append(round_ctes(1, "binned, base", "b - y"))
-    ctes.append(f"""p1 AS (
+    ctes.append(f"""p1 AS MATERIALIZED (
   SELECT binned.*,
          b.b + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
                       THEN bb.wl ELSE bb.wr END) AS p
@@ -4605,7 +4605,7 @@ def _train_stump_sql() -> str:
     CalcWeight from leaf_weights) — generated per round so round 2
     literally consumes round 1's updated predictions."""
     ctes, _feats, pick_bin = _stump_chain_ctes()
-    ctes.append(f"""p2 AS (
+    ctes.append(f"""p2 AS MATERIALIZED (
   SELECT p1.*,
          p + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
                     THEN bb.wl ELSE bb.wr END) AS p2v
@@ -4845,7 +4845,7 @@ def _train_predict_sql() -> str:
     same addition order as the serving path's sequential tree
     accumulation); emit it keyed, on the same deterministic subset."""
     ctes, _feats, pick_bin = _stump_chain_ctes()
-    ctes.append(f"""p2 AS (
+    ctes.append(f"""p2 AS MATERIALIZED (
   SELECT p1.*,
          p + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
                     THEN bb.wl ELSE bb.wr END) AS p2v
@@ -4876,7 +4876,7 @@ def _train_dart_sql() -> str:
          1.0/(2.0+0.3) AS w3)""")
     leaf = (f"(CASE WHEN ({pick_bin}) <= bb.bin "
             "THEN 0.3*bb.wl ELSE 0.3*bb.wr END)")
-    ctes.append(f"""pd AS (
+    ctes.append(f"""pd AS MATERIALIZED (
   SELECT binned.l_orderkey, binned.l_linenumber,
          b.b + dw.w1 * {leaf} + dw.w2 * {leaf} + dw.w3 * {leaf} AS pred,
          dw.w1 AS w1, dw.w2 AS w2, dw.w3 AS w3
@@ -4939,7 +4939,7 @@ def _train_depth2_sql() -> str:
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
-    ctes.append(f"""binned AS (
+    ctes.append(f"""binned AS MATERIALIZED (
   SELECT l_extendedprice / 1000.0 AS y,
          {bin_cols}
   FROM lineitem l),
@@ -4970,7 +4970,7 @@ b0 AS (
   FROM (SELECT *, row_number() OVER (ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g0)
   WHERE rk = 1),
-routed AS (
+routed AS MATERIALIZED (
   SELECT binned.*,
          CASE WHEN ({pick_bin}) <= bb.bin THEN 1 ELSE 2 END AS node
   FROM binned, b0 bb)""")
@@ -4997,7 +4997,7 @@ b1 AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY round(gain, 4) DESC, feature ASC, bin ASC) AS rk
         FROM g1)
   WHERE rk = 1),
-p AS (
+p AS MATERIALIZED (
   SELECT r.node, b.b + 0.3 * (CASE WHEN r.node = 1
       THEN (CASE WHEN (CASE c1.feature {' '.join(f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])} ELSE bin_{feats[-1]} END) <= c1.bin THEN c1.wl ELSE c1.wr END)
       ELSE (CASE WHEN (CASE c2.feature {' '.join(f"WHEN '{f}' THEN bin_{f}" for f in feats[:-1])} ELSE bin_{feats[-1]} END) <= c2.bin THEN c2.wl ELSE c2.wr END)
@@ -5220,7 +5220,7 @@ def _train_softmax_sql() -> str:
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
-    ctes.append(f"""p0 AS (
+    ctes.append(f"""p0 AS MATERIALIZED (
   SELECT CAST(l_linenumber % 3 AS DOUBLE) AS y3,
          CAST(0.0 AS DOUBLE) AS m0, CAST(0.0 AS DOUBLE) AS m1,
          CAST(0.0 AS DOUBLE) AS m2,
@@ -5270,7 +5270,7 @@ b{r}c{k} AS (
             f"m{k} + 0.3 * (CASE WHEN ({pick_bin(f'bb{k}')}) <= bb{k}.bin "
             f"THEN bb{k}.wl ELSE bb{k}.wr END) AS m{k}"
             for k in range(3))
-        ctes.append(f"""p{r} AS (
+        ctes.append(f"""p{r} AS MATERIALIZED (
   SELECT {src}.* REPLACE ({upd})
   FROM {src}, b{r}c0 bb0, b{r}c1 bb1, b{r}c2 bb2),
 st{r} AS (
@@ -5298,7 +5298,7 @@ def _train_logistic_sql() -> str:
     bin_cols = ",\n         ".join(
         f"(SELECT count(*) FROM cut_{f} c WHERE c.cut < l.{f}) AS bin_{f}"
         for f in feats)
-    ctes.append(f"""binned AS (
+    ctes.append(f"""binned AS MATERIALIZED (
   SELECT CAST(l_linenumber % 2 AS DOUBLE) AS y,
          CAST(0.0 AS DOUBLE) AS m,
          {bin_cols}
@@ -5334,7 +5334,7 @@ b{r} AS (
   WHERE rk = 1)"""
 
     ctes.append(round_ctes(1, "binned"))
-    ctes.append(f"""p1 AS (
+    ctes.append(f"""p1 AS MATERIALIZED (
   SELECT binned.* REPLACE (m + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
                                       THEN bb.wl ELSE bb.wr END) AS m)
   FROM binned, b1 bb),
@@ -5344,7 +5344,7 @@ st1 AS (
                      + (1.0-y) * ln(1.0 - 1.0/(1.0+exp(-m))))), 6) AS ll
   FROM p1)""")
     ctes.append(round_ctes(2, "p1"))
-    ctes.append(f"""p2 AS (
+    ctes.append(f"""p2 AS MATERIALIZED (
   SELECT p1.* REPLACE (m + 0.3 * (CASE WHEN ({pick_bin}) <= bb.bin
                                   THEN bb.wl ELSE bb.wr END) AS m)
   FROM p1, b2 bb),
@@ -6790,7 +6790,7 @@ WITH d AS (
          embedding[1]::DOUBLE AS m0, embedding[2]::DOUBLE AS m1,
          embedding[3]::DOUBLE AS m2
   FROM embeddings),
-p AS (
+p AS MATERIALIZED (
   SELECT y,
          CASE WHEN m0 >= m1 AND m0 >= m2 THEN 0
               WHEN m1 >= m2 THEN 1 ELSE 2 END AS pred,
