@@ -28,6 +28,14 @@ class _FakeCtx:
     def partitionId(self):
         return self._rank
 
+    def getTaskInfos(self):
+        # rank count is local task metadata (no RPC) — create() reads
+        # the task list length instead of paying an allGather for it
+        return [object()] * self._n
+
+    def attemptNumber(self):
+        return 0
+
     def allGather(self, msg):
         self._box[self._rank] = msg
         self._barrier.wait()
@@ -61,6 +69,52 @@ def _run_ring(nranks, payloads):
         t.join(timeout=60)
     assert not errors, errors
     return results
+
+
+@pytest.mark.parametrize("nranks", [2, 3, 5, 8])
+def test_driver_rendezvous_mesh(nranks):
+    """Round-15: the mesh can bootstrap through the driver-side
+    RendezvousServer instead of allGather (every barrier RPC costs a
+    fixed ~1 s in this Spark build).  Same allreduce results,
+    bit-identical across ranks, and the fake ctx's allGather is never
+    called (the driver path must not pay the RPC)."""
+    srv = collective.RendezvousServer(nranks)
+    results = {}
+    errors = []
+
+    class _NoGatherCtx(_FakeCtx):
+        def allGather(self, msg):       # pragma: no cover
+            raise AssertionError("driver rendezvous must not allGather")
+
+    rng = np.random.default_rng(1)
+    payloads = [rng.normal(size=257), np.zeros(3)]
+
+    def worker(rank):
+        try:
+            comm = collective.RingComm.create(
+                _NoGatherCtx(rank, nranks, None, None),
+                rendezvous=srv.address)
+            try:
+                for arr in payloads:
+                    results.setdefault(rank, []).append(
+                        comm.allreduce_sum(arr + rank))
+            finally:
+                comm.close()
+        except Exception as e:   # pragma: no cover
+            errors.append((rank, e))
+
+    ts = [threading.Thread(target=worker, args=(r,)) for r in range(nranks)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    srv.close()
+    assert not errors, errors
+    for i, arr in enumerate(payloads):
+        expect = arr * nranks + sum(range(nranks))
+        for rank in range(nranks):
+            np.testing.assert_allclose(results[rank][i], expect, rtol=1e-12)
+            assert np.array_equal(results[rank][i], results[0][i])
 
 
 @pytest.mark.parametrize("nranks", [2, 3, 5])

@@ -515,6 +515,23 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
         ar_mode = os.environ.get("SPARK_GRAFT_ALLREDUCE", "hd")
         prof_path_cfg = os.environ.get("SPARK_GRAFT_PROF")
 
+        # Driver-side rendezvous server (round-15 optimization): every
+        # BarrierTaskContext.barrier()/allGather() RPC costs a fixed
+        # ~1.0 s in this Spark build (the coordinator reply is polled
+        # on a 1 s tick), which was the whole "rendezvous floor" of the
+        # fit profile.  The ranks exchange (ip, port) through this
+        # millisecond-latency server instead; one server per fit, so
+        # concurrent fits never cross-wire.  p=1 jobs skip rendezvous
+        # entirely (rank count is local task metadata).
+        # SPARK_GRAFT_RENDEZVOUS=allgather restores the old path (A/B).
+        rdv = None
+        rdv_addr = None
+        if (n_part > 1 and os.environ.get(
+                "SPARK_GRAFT_RENDEZVOUS", "driver") != "allgather"):
+            from xgboost_spark.collective import RendezvousServer
+            rdv = RendezvousServer(n_part)
+            rdv_addr = rdv.address
+
         def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import BarrierTaskContext
 
@@ -526,7 +543,7 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             ctx = BarrierTaskContext.get()
             _PROF.clear()
             _t_task0 = time.perf_counter()
-            comm = RingComm.create(ctx, mode=ar_mode)
+            comm = RingComm.create(ctx, mode=ar_mode, rendezvous=rdv_addr)
             _PROF["rendezvous"] = time.perf_counter() - _t_task0
             try:
                 cuts_l = bc_cuts.value
@@ -989,8 +1006,12 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             finally:
                 comm.close()
 
-        rows = sel.mapInPandas(train_fn, schema="model binary",
-                               barrier=True).collect()
+        try:
+            rows = sel.mapInPandas(train_fn, schema="model binary",
+                                   barrier=True).collect()
+        finally:
+            if rdv is not None:
+                rdv.close()
     finally:
         if _mpb_restore is not None:
             # the scan-resize conf is only needed while THIS action
