@@ -207,6 +207,22 @@ EXPR_ASSIGN_MAX = 64
 IVF_BROADCAST_QUERY_MAX = 100_000
 
 
+def _d2_fold_sql(vec_sql: str, center) -> str:
+    """SQL text of the squared-L2 fold between ``vec_sql`` and a
+    literal centroid: the SAME left-to-right aggregate/zip_with
+    expression the Column API built, parsed in ONE shot.  Building it
+    per-centroid through py4j Column calls cost 1-3 ms per call on the
+    driver — thousands of round trips (n_centroids x dim literals) made
+    expression CONSTRUCTION, not execution, the dominant cost of
+    pq_encode/pq_topk/_assign_lists (measured round 15: pq_encode build
+    7.7 s vs 0.4 s to actually run the codes scan at sf0.01).  repr() of
+    a Python float round-trips exactly, so the parsed literals are
+    bit-identical to F.lit's."""
+    lits = ", ".join(f"{float(x)!r}D" for x in center)
+    return (f"aggregate(zip_with({vec_sql}, array({lits}), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+
+
 def _assign_lists_np(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment via broadcast centroid matrix +
     vectorized argmin per Arrow batch: d2 = |v|^2 - 2 v.C^T + |c|^2,
@@ -251,14 +267,9 @@ def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str,
     """
     if len(cents) > expr_max:
         return _assign_lists_np(df, cents, vec_col)
-    v = F.col(vec_col)
-    d2s = []
-    for ci in range(len(cents)):
-        carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
-        d2s.append(F.aggregate(
-            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    return (df.withColumn("_d2s", F.array(*d2s))
+    d2s_sql = ", ".join(_d2_fold_sql(f"`{vec_col}`", cents[ci])
+                        for ci in range(len(cents)))
+    return (df.withColumn("_d2s", F.expr(f"array({d2s_sql})"))
             .withColumn("list_id",
                         (F.array_position(F.col("_d2s"),
                                           F.array_min(F.col("_d2s"))) - 1
@@ -317,8 +328,15 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
     train = corpus.select(F.col(vec_col).alias("v"))
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
+    # persist only when the Lloyd loop actually RE-scans the training
+    # set (iters > 1, or a vector-seeded build that scans it once for
+    # seeds and again per iteration) — with seed_by="id" and one
+    # iteration there is exactly one consumer, so a cache would only
+    # add fill cost and storage pressure (guide: cache what is reused)
     from pyspark import StorageLevel
-    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = iters > 1 or (seed_by != "id" and iters > 0)
+    if persisted:
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
     if seed_by != "id":
         seed_rows = (
             train
@@ -344,7 +362,8 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, vec_col: str = "embeddin
         )
         cents[means["list_id"].to_numpy(), means["d"].to_numpy()] = \
             means["mx"].to_numpy()
-    train.unpersist()
+    if persisted:
+        train.unpersist()
     return assign(corpus), cents
 
 
@@ -391,11 +410,19 @@ def ivf_save(assigned: DataFrame, cents: np.ndarray, path: str,
     corpus per query batch is the cost this avoids —
     :func:`cosine_topk_ivf` rebuilds per call and is for one-shot use.
     """
-    assigned.write.partitionBy("list_id").parquet(f"{path}/lists")
+    # the two writes are independent — submit them from two driver
+    # threads so the tiny centroid write's fixed commit latency hides
+    # under the corpus write (guide §2.6 "overlap independent jobs")
+    from concurrent.futures import ThreadPoolExecutor
     spark = assigned.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    (spark.createDataFrame(rows, "list_id int, centroid array<double>")
-     .coalesce(1).write.parquet(f"{path}/centroids"))
+    cdf = spark.createDataFrame(rows, "list_id int, centroid array<double>")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(lambda: assigned.write.partitionBy("list_id")
+                         .parquet(f"{path}/lists"))
+        f2 = pool.submit(lambda: cdf.coalesce(1).write
+                         .parquet(f"{path}/centroids"))
+        f1.result(), f2.result()
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
@@ -494,14 +521,11 @@ def ivf_search(assigned: DataFrame, cents: np.ndarray, queries: DataFrame,
     else:
         # distributed probe assignment: array_sort over (d2, list) pairs
         # picks the n_probe nearest centroids JVM-side, no driver hop
-        v = F.col(vec_col)
-        pairs = []
-        for ci in range(len(cents)):
-            carr = F.array(*[F.lit(float(x)) for x in cents[ci]])
-            d2e = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            pairs.append(F.struct(d2e.alias("d"), F.lit(ci).alias("i")))
-        top = F.slice(F.array_sort(F.array(*pairs)), 1, n_probe)
+        pairs = ", ".join(
+            f"named_struct('d', {_d2_fold_sql(f'`{vec_col}`', cents[ci])}, "
+            f"'i', {ci})"
+            for ci in range(len(cents)))
+        top = F.expr(f"slice(array_sort(array({pairs})), 1, {n_probe})")
         qdf = (queries.select(F.col(id_col).alias("query_id"),
                               F.col(vec_col).alias("qv"),
                               _norm(F.col(vec_col)).alias("qn"),
@@ -633,20 +657,17 @@ def pq_encode(corpus: DataFrame, cents: np.ndarray,
     m, k, sub = cents.shape
     if k > expr_max:
         return _pq_encode_np(corpus, cents, vec_col, id_col)
-    v = F.col(vec_col).cast("array<double>")
     code_cols = []
     for j in range(m):
-        seg = F.slice(v, j * sub + 1, sub)
-        d2s = []
-        for ki in range(k):
-            carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
-            d2s.append(F.aggregate(
-                F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x))
-        arr = F.array(*d2s)
-        code_cols.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
-    return corpus.select(F.col(id_col).alias("id"),
-                         F.array(*code_cols).alias("codes"))
+        seg = (f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+               f"{j * sub + 1}, {sub})")
+        arr = "array(" + ", ".join(
+            _d2_fold_sql(seg, cents[j, ki]) for ki in range(k)) + ")"
+        code_cols.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)")
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr("array(" + ", ".join(code_cols) + ")").alias("codes"))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
@@ -696,19 +717,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, cents: np.ndarray,
 
         q = src.mapInPandas(dtab_batches, schema)
     else:
-        qv = F.col(vec_col).cast("array<double>")
         dtabs = []
         for j in range(m):
-            seg = F.slice(qv, j * sub + 1, sub)
-            row = []
-            for ki in range(k):
-                carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
-                row.append(F.aggregate(
-                    F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x))
-            dtabs.append(F.array(*row))
-        q = queries.select(F.col(id_col).alias("query_id"),
-                           F.array(*dtabs).alias("dtab"))
+            seg = (f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+                   f"{j * sub + 1}, {sub})")
+            dtabs.append("array(" + ", ".join(
+                _d2_fold_sql(seg, cents[j, ki]) for ki in range(k)) + ")")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr("array(" + ", ".join(dtabs) + ")").alias("dtab"))
     joined = codes.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("id"))
     dist = sum(
         (F.element_at(F.element_at("dtab", j + 1),

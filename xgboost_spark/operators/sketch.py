@@ -57,6 +57,19 @@ def approx_cuts(df: DataFrame, cols: list[str], max_bin: int,
     (weight or 1)) — computed in the SAME scan (e.g. the trainer's
     intercept sums ride here so cuts + base score cost one scan, not
     two).  When given, returns ``(cuts, dict)``.
+
+    Measured and REJECTED (round-15 optimization pass): rewriting
+    ``compact`` as ``mapInArrow`` (skip the Arrow->pandas conversion
+    per batch).  Cut values stayed bit-identical (same batch stream,
+    same compaction points), but the conversion of a handful of
+    all-double columns is near-zero-copy, so the interleaved A/B at
+    sf0.1 read best-of-6 0.94 s (pandas) vs 1.03 s (arrow) — no win.
+    The remaining sf0.1 cuts cost is the ONE-core scan+sketch of a
+    single-row-group parquet (a bench-data artifact — any real layout
+    parallelizes the map) plus ~0.3 s of fixed action latency;
+    repartitioning the scan or resizing Arrow batches both CHANGE the
+    compaction points and drift every unpinned-cuts oracle (round-14
+    rejections 1 and 5), so this stage stays as is.
     """
     import pandas as pd
     if accuracy is None:
