@@ -2730,8 +2730,15 @@ def q_train_softmax(spark, sf_dir):
         es = [F.exp(m - mx) for m in margins]
         z = es[0] + es[1] + es[2]
         new_margins = list(margins)
-        bests = []
-        for k in range(3):
+
+        def _class_best(k):
+            """One class's hist/scan/argmax chain.  All three classes'
+            gradients come from the ROUND-START margins (reference
+            multiclass semantics), so within a round the three
+            driver-blocking argmax actions are independent — they run
+            from a small thread pool (optimization guide §2.6) like the
+            exact-cut chains; the values are unchanged, only the idle
+            driver wait between actions is overlapped."""
             p = es[k] / z
             g = p - (F.col("y3") == k).cast("double")
             h = F.lit(2.0) * p * (F.lit(1.0) - p)
@@ -2758,7 +2765,7 @@ def q_train_softmax(spark, sf_dir):
                                 F.col("gl") * F.col("gl") / (F.col("hl") + lam)
                                 + F.col("gr") * F.col("gr") / (F.col("hr") + lam)
                                 - F.col("gt") * F.col("gt") / (F.col("ht") + lam)))
-            best = (scan
+            return (scan
                     .select("feature", "bin", F.round("gain", 4).alias("gain"),
                             F.round(-F.col("gl") / (F.col("hl") + lam), 6)
                             .alias("wl"),
@@ -2767,7 +2774,12 @@ def q_train_softmax(spark, sf_dir):
                     .orderBy(F.col("gain").desc(), F.col("feature").asc(),
                              F.col("bin").asc())
                     .limit(1).first())
-            bests.append(best)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            bests = list(_pool.map(_class_best, range(3)))
+        for k in range(3):
+            best = bests[k]
             side = F.col(f"bin_{best['feature']}") <= F.lit(int(best["bin"]))
             new_margins[k] = margins[k] + F.lit(0.3) * \
                 F.when(side, F.lit(float(best["wl"]))) \
