@@ -580,23 +580,25 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
                   .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         for _ in range(iters):
+            # one SQL parse for the whole per-subspace struct array —
+            # the py4j Column form built m*k*sub literal nodes per
+            # iteration (~4k driver round trips at m=8,k=64), which made
+            # expression CONSTRUCTION dominate the Lloyd loop; see
+            # _d2_fold_sql
             per_sub = []
             for j in range(m):
-                seg = F.slice(F.col("v"), j * sub + 1, sub)
-                d2s = []
-                for ki in range(k):
-                    carr = F.array(*[F.lit(float(x)) for x in cents[j, ki]])
-                    d2s.append(F.aggregate(
-                        F.zip_with(seg, carr, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda acc, x: acc + x))
-                arr = F.array(*d2s)
-                code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-                per_sub.append(F.struct(F.lit(j).alias("j"), code.alias("code"),
-                                        seg.alias("seg")))
+                seg = f"slice(`v`, {j * sub + 1}, {sub})"
+                arr = "array(" + ", ".join(
+                    _d2_fold_sql(seg, cents[j, ki]) for ki in range(k)) + ")"
+                code = (f"CAST(array_position({arr}, array_min({arr})) - 1 "
+                        "AS INT)")
+                per_sub.append(f"named_struct('j', {j}, 'code', {code}, "
+                               f"'seg', {seg})")
             # Arrow toPandas (columnar) — the means table is k x dim
             # rows; see ivf_build's Lloyd loop for the rationale
             means = (
-                train.select(F.explode(F.array(*per_sub)).alias("s"))
+                train.select(F.explode(
+                    F.expr("array(" + ", ".join(per_sub) + ")")).alias("s"))
                 .select(F.col("s.j").alias("j"), F.col("s.code").alias("code"),
                         F.posexplode("s.seg").alias("d", "x"))
                 .groupBy("j", "code", "d").agg(F.avg("x").alias("mx"))
