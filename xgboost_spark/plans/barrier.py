@@ -531,6 +531,12 @@ def fit_barrier(params: TrainParams, obj, raw: DataFrame, fnames: list[str],
             from xgboost_spark.collective import RendezvousServer
             rdv = RendezvousServer(n_part)
             rdv_addr = rdv.address
+            # executors reach the driver at spark.driver.host (the
+            # address every executor already uses for RPC); interface
+            # sniffing is only the local-mode fallback
+            drv_host = sc.getConf().get("spark.driver.host", None)
+            if drv_host:
+                rdv_addr = (drv_host, rdv_addr[1], rdv_addr[2])
 
         def train_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import BarrierTaskContext
