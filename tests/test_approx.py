@@ -69,6 +69,7 @@ def test_approx_rejects_unsupported_combos(spark, reg_df):
               reg_df, feature_cols=FCOLS)
 
 
+@pytest.mark.slow
 def test_approx_const_hess_sketch_once_composed(spark, reg_df, monkeypatch):
     """Sketch cadence twin (updater_approx.cc:47-52 BatchSpec: the
     GHistIndexMatrix regen flag is !const_hess): reg:squarederror

@@ -305,6 +305,7 @@ def test_barrier_adaptive_leaves_close_to_dataframe(spark, reg_df):
         assert list(ta.feature) == list(tb.feature)
 
 
+@pytest.mark.slow
 def test_barrier_approx_accuracy(spark, reg_df):
     """barrier approx (fine-bin re-sketch) vs DataFrame approx (raw
     re-sketch): different sketch mechanics, same accuracy class."""

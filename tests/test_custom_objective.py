@@ -3,6 +3,7 @@
 ``xgb.train(obj=..., custom_metric=...)`` `training.py:53`)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from xgboost_spark.config import TrainParams
@@ -62,6 +63,7 @@ def test_custom_objective_log_cosh_trains(spark, reg_df):
     assert mae < mae0  # improves on its own stump fit
 
 
+@pytest.mark.slow
 def test_custom_metric_history_and_early_stop(spark, reg_df):
     p = TrainParams(num_boost_round=12, max_depth=3, max_bin=32,
                     early_stopping_rounds=3)

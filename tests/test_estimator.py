@@ -70,6 +70,7 @@ def test_estimator_base_margin_and_categorical(spark, reg_df):
     assert np.allclose(np.sort(with_bm), np.sort(without + shift), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_cross_validator(spark, reg_df):
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -112,6 +113,7 @@ def test_model_save_load(spark, reg_df, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_pyspark_ml_pipeline_persistence(spark, reg_df, tmp_path):
     # reference parity: _SparkXGBEstimator/_SparkXGBModel are
     # MLReadable/MLWritable so Pipeline / PipelineModel round-trip
@@ -508,6 +510,7 @@ def test_estimator_param_parity_matrix():
     assert TrainParams.ALIASES.get("n_estimators") == "num_boost_round"
 
 
+@pytest.mark.slow
 def test_round14_review_fixes(spark, reg_df):
     """Regression pins for the round-14 self-review findings:
     (1) update() works on a model fit with early stopping (loop

@@ -28,6 +28,7 @@ def lin_df(spark, lin_data):
     return spark.createDataFrame(pdf)
 
 
+@pytest.mark.slow
 def test_gblinear_matches_ridge_oracle(spark, lin_df, lin_data):
     X, y, _ = lin_data
     lam = 1.0 / len(y)   # reference DenormalizePenalties: lambda_d =
@@ -61,6 +62,7 @@ def test_gblinear_pred_contribs(spark, lin_df):
     assert np.abs(contribs.sum(1) - out["margin"].to_numpy()).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_gblinear_l1_sparsifies(spark, lin_df):
     # alpha is DENORMALIZED by n (param.h:59-62) — 200/n gives the same
     # effective penalty the pre-round-11 un-denormalized 200 applied
@@ -72,6 +74,7 @@ def test_gblinear_l1_sparsifies(spark, lin_df):
     assert abs(model.weights[0]) > 0.5      # strong signal survives
 
 
+@pytest.mark.slow
 def test_gblinear_logistic_improves(spark, lin_df, lin_data):
     X, y, _ = lin_data
     pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(4)])
@@ -111,6 +114,7 @@ def test_gblinear_json_roundtrip(spark, lin_df, tmp_path):
     assert loaded.base_score == pytest.approx(model.base_score)
 
 
+@pytest.mark.slow
 def test_gblinear_greedy_thrifty_selectors(spark, lin_df, lin_data):
     """greedy/thrifty selectors (reference src/linear/param.h): rank
     features by univariate Newton-step magnitude; top_k restricts the
@@ -157,6 +161,7 @@ def mc_lin_df(spark, mc_lin_data):
     return spark.createDataFrame(pdf)
 
 
+@pytest.mark.slow
 def test_gblinear_multigroup_train(spark, mc_lin_df, mc_lin_data):
     """Multi-group gblinear training (reference gblinear.cc DoBoost runs
     the coordinate updater per group; weights (F+1) x K,
@@ -227,6 +232,7 @@ def test_gblinear_multigroup_softmax_serving(spark, mc_lin_df, mc_lin_data):
     assert acc > 0.95, acc
 
 
+@pytest.mark.slow
 def test_gblinear_multigroup_wide_fallback(spark):
     """F > 256 multi-group training takes the one-snapshot (Jacobi)
     fallback — the scalar wide path's documented semantics, per group

@@ -278,6 +278,7 @@ def test_vector_alpha_margin_mismatch_raises(spark, scored):
         M.compute_metric(df, "expectile@0.1,0.9", margin_cols=["m0"])
 
 
+@pytest.mark.slow
 def test_minus_suffix_rank_names_plumbed(spark):
     """ADVICE r8 (medium): 'ndcg@5-' / 'map-' must work end-to-end —
     barrier_metric_supported, _maximize, and the DataFrame _eval_metric

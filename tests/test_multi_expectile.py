@@ -139,6 +139,7 @@ def het_df(spark):
     return spark.createDataFrame(pdf), pdf
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("exec_mode", ["barrier", "dataframe"])
 def test_multi_expectile_end_to_end(spark, het_df, exec_mode):
     from xgboost_spark.plans.booster import train

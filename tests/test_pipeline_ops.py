@@ -947,6 +947,7 @@ def test_ivf0_recall(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+@pytest.mark.slow
 def test_pq_adc_recall(spark, sf_dir):
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("embedding", F.col("embedding").cast("array<double>")))
@@ -1075,6 +1076,7 @@ def test_semantic_dedup_bucketed_scale_path(spark, big_emb):
     assert merged == 50, merged
 
 
+@pytest.mark.slow
 @pytest.mark.filterwarnings("ignore::RuntimeWarning")
 def test_semantic_dedup_default_args_bounded(spark):
     """The PUBLIC default must be scale-safe: a skewed corpus whose
@@ -1275,6 +1277,7 @@ def test_covariance_large_offset_stability(spark):
     assert (ev > 0).all()
 
 
+@pytest.mark.slow
 def test_connected_components_random_graphs(spark):
     """Randomized cross-check vs a plain union-find reference: the
     large-star/small-star labels must equal the exact component-min
@@ -1464,6 +1467,7 @@ def test_strip_spans_hot_gram(spark):
         "COMMON LICENSE").any()
 
 
+@pytest.mark.slow
 def test_span_max_gram_count_cap(spark):
     """max_gram_count (default off): duplicate_spans output is
     IDENTICAL with the cap engaged (hot grams route map-side via a
@@ -1574,6 +1578,7 @@ def test_knn_ivf_registry_recall_invariant(spark, sf_dir):
         assert mean_rec == pytest.approx(0.8), recs
 
 
+@pytest.mark.slow
 def test_similarity_join_candidate_guard(spark):
     """Low-entropy corpus: the prefix-df pre-flight must warn (naming
     the bound) BEFORE the verify join explodes; healthy corpora and
@@ -1609,6 +1614,7 @@ def test_similarity_join_candidate_guard(spark):
     assert not any("candidate bound" in str(x.message) for x in w)
 
 
+@pytest.mark.slow
 def test_similarity_join_guard_raise_mode(spark):
     """on_blowup='raise' (round-8 verdict): an unattended 100 TB
     pipeline must STOP before the verify join, not warn and OOM later.
@@ -1738,6 +1744,7 @@ def test_similarity_join_candidate_bound_scales_linearly(spark):
         f"rows (bounds {b_lo:.0f} -> {b_hi:.0f})")
 
 
+@pytest.mark.slow
 def test_semantic_dedup_auto_clusters(spark, sf_dir):
     """n_clusters="auto" — the DEFAULT since round 11 — sizes clusters
     to a constant target (~256 rows) so the within-cluster pair stage

@@ -193,6 +193,7 @@ def test_vector_udt_ingestion(spark):
     assert rmse < 1.5
 
 
+@pytest.mark.slow
 def test_training_with_empty_partitions(spark):
     # reference test_spark.py:731 trains with empty input partitions; a
     # skewed filter over many partitions must not break either exec mode

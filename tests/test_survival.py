@@ -121,6 +121,7 @@ def test_aft_spark_parity_and_metric(spark):
     assert (sm["prediction"] > 0).all()
 
 
+@pytest.mark.slow
 def test_cox_spark_matches_local_gradients(spark):
     """The distributed cox pass (groupBy t + prefix scans + join) must
     reproduce the exact NumPy Breslow gradients."""
@@ -151,6 +152,7 @@ def test_cox_spark_matches_local_gradients(spark):
     assert np.allclose(out["h0"].to_numpy(), ref["h"].to_numpy(), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_cox_spark_training_reduces_nloglik(spark):
     rng = np.random.default_rng(9)
     n = 800

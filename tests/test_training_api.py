@@ -62,6 +62,7 @@ def test_learning_rate_scheduler(spark, reg_df):
         LearningRateScheduler(0.3)
 
 
+@pytest.mark.slow
 def test_early_stopping_callback(spark, reg_df):
     model = train({"num_boost_round": 30, "max_depth": 2, "base_score": 0.0,
                    "eta": 0.8}, reg_df, feature_cols=FCOLS,
@@ -186,6 +187,7 @@ def test_process_type_update(spark, reg_df):
               feature_cols=fc, label_col="label")
 
 
+@pytest.mark.slow
 def test_early_stopping_save_best_and_selection(spark, reg_df):
     """Reference EarlyStopping surface (callback.py): save_best returns
     only the rounds up to the best iteration with best_iteration/
@@ -226,6 +228,7 @@ def test_early_stopping_maximize_inference():
         assert es.maximize is want, metric
 
 
+@pytest.mark.slow
 def test_early_stopping_continuation_offset(spark, reg_df):
     """Continuation + early stopping: best_iteration counts from the
     merged model's round 0 (reference epoch += starting_round) — the
